@@ -1,0 +1,258 @@
+"""Single-pass HTML document walker: text extraction + link inventory.
+
+Text extraction reproduces the reference's tagged-string extractor
+byte-for-byte (reference ``HtmlStringTagger.java:20-118`` +
+``SentenceExtractor.java:85-110``):
+
+- a tag stack is maintained for the "interesting" tags only:
+  script/style -> SCRIPT/STYLE, input/select/form/button -> FORM,
+  code/pre -> CODE, title -> TITLE, a -> ANCHOR, nav/header/footer -> NAV,
+  h1..h6 -> HEADING;
+- opening an interesting tag flushes the accumulated string;
+- each non-blank text node is whitespace-normalized, trimmed, and appended
+  to the accumulator prefixed with a single space (so every emitted string
+  carries a leading space — this is deliberate and matches the reference);
+- text under an excluded tag (script/style/form) is dropped, but the
+  open/close bookkeeping still flushes strings;
+- closing an interesting tag emits (accumulated string, active tag set);
+- adjacent emitted strings with equal tag sets are compacted by joining
+  with a single space (``HtmlStringTagger.compactOutput``);
+- the document text is the compacted strings joined with single spaces
+  (``SentenceExtractor.java:94-107``).
+
+Link inventory mirrors ``DomainCrawlFrontier.enqueueLinksFromDocument``
+(DomainCrawlFrontier.java:215-237): per-kind document-order lists for
+<a>, <frame>, meta http-equiv=refresh, <iframe>, <link rel=next/prev>,
+plus the first non-empty <base href> (``LinkParser.getBaseLink``).
+
+Built on stdlib ``html.parser`` (no external HTML libs in this
+environment); the synthetic fixture grammar produces well-formed markup,
+and the walker is lenient on mismatched tags.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+from typing import Optional
+
+# Tag-kind constants (reference HtmlTag enum; exclude flags per HtmlTag.java)
+SCRIPT, STYLE, FORM, CODE, TITLE, ANCHOR, NAV, HEADING = range(8)
+_EXCLUDED = frozenset((SCRIPT, STYLE, FORM))
+
+_PUSH_TAG = {
+    "script": SCRIPT,
+    "style": STYLE,
+    "input": FORM,
+    "select": FORM,
+    "form": FORM,
+    "button": FORM,
+    "code": CODE,
+    "pre": CODE,
+    "title": TITLE,
+    "a": ANCHOR,
+    "nav": NAV,
+    "header": NAV,
+    "footer": NAV,
+    "h1": HEADING,
+    "h2": HEADING,
+    "h3": HEADING,
+    "h4": HEADING,
+    "h5": HEADING,
+    "h6": HEADING,
+}
+
+_VOID_TAGS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+_WS_RE = re.compile(r"[ \t\n\x0c\r]+")
+
+
+def _normalise_ws(s: str) -> str:
+    """jsoup StringUtil.normaliseWhitespace: collapse whitespace runs to ' '."""
+    return _WS_RE.sub(" ", s)
+
+
+@dataclass
+class ParsedDoc:
+    text: str = ""
+    title: str = ""
+    # document-order attribute payloads per link kind
+    a_links: list[tuple[str, str]] = field(default_factory=list)  # (href, rel)
+    frame_links: list[str] = field(default_factory=list)  # frame src
+    iframe_links: list[str] = field(default_factory=list)  # iframe src
+    meta_refresh: list[str] = field(default_factory=list)  # content attr
+    rel_next_prev: list[str] = field(default_factory=list)  # link href
+    base_href: Optional[str] = None
+    meta_robots: str = ""  # content of <meta name=robots>
+    raw_text_len: int = 0  # total length of emitted tagged strings (quality calc)
+    n_script_tags: int = 0
+    script_srcs: list[str] = field(default_factory=list)  # src attr per <script>
+    script_inline_len: int = 0  # total inline script text length
+    has_create_element: bool = False  # inline script contains '.createElement('
+    headings: list[str] = field(default_factory=list)  # h1-h3 text, doc order
+
+
+class _Walker(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.doc = ParsedDoc()
+        # full open-element stack: list of (tagname, pushed: bool)
+        self._open: list[list] = []
+        # tagger stack of tag-kind ints, parallel "is interesting" markers
+        self._tagstack: list[int] = []
+        self._cur: list[str] = []  # accumulated string pieces
+        self._out: list[tuple[str, frozenset]] = []
+        self._title_parts: list[str] = []
+        self._script_depth = 0
+        self._heading_depth = 0
+        self._heading_parts: list[str] = []
+
+    # -- tagger mechanics --------------------------------------------------
+
+    def _close_ongoing(self) -> None:
+        if not self._cur:
+            return
+        self._out.append(("".join(self._cur), frozenset(self._tagstack)))
+        self._cur = []
+
+    def _push(self, kind: int) -> None:
+        self._close_ongoing()
+        self._tagstack.append(kind)
+
+    def _pop_emit(self) -> None:
+        self._out.append(("".join(self._cur), frozenset(self._tagstack)))
+        self._tagstack.pop()
+        self._cur = []
+
+    def _should_process(self) -> bool:
+        for t in self._tagstack:
+            if t in _EXCLUDED:
+                return False
+        return True
+
+    # -- HTMLParser events -------------------------------------------------
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        ad = None
+        if tag == "a":
+            ad = dict(attrs)
+            self.doc.a_links.append((ad.get("href") or "", ad.get("rel") or ""))
+        elif tag == "frame":
+            ad = dict(attrs)
+            self.doc.frame_links.append(ad.get("src") or "")
+        elif tag == "iframe":
+            ad = dict(attrs)
+            self.doc.iframe_links.append(ad.get("src") or "")
+        elif tag == "meta":
+            ad = dict(attrs)
+            if (ad.get("http-equiv") or "").lower() == "refresh":
+                self.doc.meta_refresh.append(ad.get("content") or "")
+            if (ad.get("name") or "").lower() == "robots":
+                self.doc.meta_robots = ad.get("content") or ""
+        elif tag == "link":
+            ad = dict(attrs)
+            rel = (ad.get("rel") or "").lower()
+            if rel in ("next", "prev"):
+                self.doc.rel_next_prev.append(ad.get("href") or "")
+        elif tag == "base":
+            ad = dict(attrs)
+            if self.doc.base_href is None and ad.get("href"):
+                self.doc.base_href = ad["href"]
+        elif tag == "script":
+            ad = dict(attrs)
+            self.doc.n_script_tags += 1
+            self.doc.script_srcs.append(ad.get("src") or "")
+            self._script_depth += 1
+        elif tag in ("h1", "h2", "h3"):
+            self._heading_depth += 1
+
+        kind = _PUSH_TAG.get(tag)
+        pushed = kind is not None
+        if pushed:
+            self._push(kind)
+        if tag in _VOID_TAGS:
+            # immediate head+tail (jsoup visits void elements' tail right away)
+            if pushed:
+                self._pop_emit()
+            return
+        self._open.append([tag, pushed])
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        self.handle_starttag(tag, attrs)
+        if tag not in _VOID_TAGS:
+            # explicit <x/> self-close: emit the tail immediately
+            self.handle_endtag(tag)
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _VOID_TAGS:
+            return
+        # find matching open element (lenient: pop unmatched inner tags,
+        # emitting their tagger frames so the stack stays consistent)
+        for i in range(len(self._open) - 1, -1, -1):
+            if self._open[i][0] == tag:
+                for j in range(len(self._open) - 1, i - 1, -1):
+                    if self._open[j][1]:
+                        self._pop_emit()
+                    t = self._open[j][0]
+                    if t == "script":
+                        self._script_depth = max(0, self._script_depth - 1)
+                    elif t in ("h1", "h2", "h3"):
+                        self._heading_depth = max(0, self._heading_depth - 1)
+                        self.doc.headings.append(
+                            _normalise_ws("".join(self._heading_parts)).strip()
+                        )
+                        self._heading_parts = []
+                del self._open[i:]
+                return
+        # stray end tag: ignore
+
+    def handle_data(self, data: str) -> None:
+        if self._tagstack and self._tagstack[-1] == TITLE:
+            self._title_parts.append(data)
+        if self._script_depth > 0:
+            if not (self.doc.script_srcs and self.doc.script_srcs[-1]):
+                self.doc.script_inline_len += len(data)
+                if not self.doc.has_create_element and ".createElement(" in data:
+                    self.doc.has_create_element = True
+        if self._heading_depth > 0:
+            self._heading_parts.append(data)
+        if not self._should_process():
+            return
+        norm = _normalise_ws(data)
+        if not norm.strip():
+            return
+        self._cur.append(" ")
+        self._cur.append(norm.strip())
+
+    def finish(self) -> ParsedDoc:
+        self.close()
+        # close any still-open elements, then the #root flush
+        for j in range(len(self._open) - 1, -1, -1):
+            if self._open[j][1]:
+                self._pop_emit()
+        self._close_ongoing()
+        # compaction: merge adjacent equal-tag-set strings with ' '
+        compact: list[list] = []
+        for s, tags in self._out:
+            if compact and compact[-1][1] == tags:
+                compact[-1][0] += " " + s
+            else:
+                compact.append([s, tags])
+        self.doc.text = " ".join(s for s, _ in compact)
+        self.doc.raw_text_len = sum(len(s) for s, _ in compact)
+        self.doc.title = _normalise_ws("".join(self._title_parts)).strip()
+        return self.doc
+
+
+def parse_document(html: str) -> ParsedDoc:
+    """Parse an HTML string; returns extracted text + link inventory."""
+    w = _Walker()
+    w.feed(html)
+    return w.finish()
+
+
+def extract_text(html: str) -> str:
+    return parse_document(html).text
