@@ -1,0 +1,563 @@
+"""Deterministic synthetic-web generator (FIXTURES.md F1-F5).
+
+Generates, from a single integer seed and scale knobs, a simulated web:
+
+- ``pages.parquet``   (url, warc_ts, html, text, lang) — F1; ``text`` is the
+  ground-truth extracted text computed by SIMULATING the reference tagger
+  rules over the element grammar (NOT by running the engine's HTML parser —
+  the two are independent code paths, which is what makes the byte-identical
+  text test meaningful).
+- ``seeds.parquet``   (domain, crawl_depth, seed_urls) — F2
+- ``robots.parquet``  (domain, robots_txt, status) — F3
+- ``links.parquet``   (src_url, dst_url, kind) — F4 ground-truth edges
+- ``prev_crawl.parquet`` — F5 for recrawl tests
+
+The HTML grammar is restricted (flat body blocks: h1-h3, p with inline
+anchors, pre, nav, script, style, form; head: title, optional meta charset
+/ meta refresh / base) so the tagger simulation is unambiguous.
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+# tag-kind ints shared with functions.htmldoc
+from ..functions.htmldoc import ANCHOR, CODE, FORM, HEADING, NAV, SCRIPT, STYLE, TITLE
+
+EPOCH_MS = 1_577_836_800_000  # 2020-01-01, fixed epoch for warc_ts
+
+
+def _make_lexicon(n: int = 5000) -> list[str]:
+    rng = random.Random(987654321)
+    cons = "bcdfghjklmnprstvwz"
+    vow = "aeiou"
+    words = set()
+    while len(words) < n:
+        w = "".join(
+            rng.choice(cons) + rng.choice(vow)
+            for _ in range(rng.randint(2, 4))
+        )
+        words.add(w)
+    return sorted(words)
+
+
+LEXICON = _make_lexicon()
+LATIN1_WORDS = ["café", "naïve", "smörgås", "über", "señor", "garçon"]
+
+
+# ---------------------------------------------------------------------------
+# Element grammar
+# ---------------------------------------------------------------------------
+# block kinds: ("h", level, text) | ("p", [runs]) | ("pre", text)
+#            | ("nav", [(href, text)]) | ("script", code) | ("style", css)
+#            | ("form", [input_names])
+# p runs: ("t", text) | ("a", href, text, rel)
+
+
+@dataclass
+class PageSpec:
+    url: str  # canonical
+    ordinal: int
+    title: str
+    charset: str  # "utf-8" | "iso-8859-1"
+    head_extra: list = field(default_factory=list)  # ("meta_refresh", content) | ("base", href)
+    blocks: list = field(default_factory=list)
+    # ground-truth outgoing canonical links (dst_canonical, kind)
+    expected_links: list = field(default_factory=list)
+
+
+def render_html(p: PageSpec) -> str:
+    out = ["<html><head><title>", p.title, "</title>"]
+    if p.charset != "utf-8":
+        out.append(f'<meta http-equiv="content-type" content="text/html; charset={p.charset}">')
+    for kind, payload in p.head_extra:
+        if kind == "meta_refresh":
+            out.append(f'<meta http-equiv="refresh" content="{payload}">')
+        elif kind == "base":
+            out.append(f'<base href="{payload}">')
+    out.append("</head>\n<body>\n")
+    for blk in p.blocks:
+        k = blk[0]
+        if k == "h":
+            _, level, text = blk
+            out.append(f"<h{level}>{text}</h{level}>\n")
+        elif k == "p":
+            out.append("<p>")
+            for run in blk[1]:
+                if run[0] == "t":
+                    out.append(run[1])
+                else:
+                    _, href, text, rel = run
+                    relattr = f' rel="{rel}"' if rel else ""
+                    out.append(f'<a href="{href}"{relattr}>{text}</a>')
+            out.append("</p>\n")
+        elif k == "pre":
+            out.append(f"<pre>{blk[1]}</pre>\n")
+        elif k == "nav":
+            out.append("<nav>")
+            for href, text in blk[1]:
+                out.append(f'<a href="{href}">{text}</a> ')
+            out.append("</nav>\n")
+        elif k == "script":
+            out.append(f"<script>{blk[1]}</script>\n")
+        elif k == "style":
+            out.append(f"<style>{blk[1]}</style>\n")
+        elif k == "form":
+            out.append("<form>")
+            for name in blk[1]:
+                out.append(f'<input name="{name}">')
+            out.append("</form>\n")
+    out.append("</body></html>\n")
+    return "".join(out)
+
+
+def simulate_tagger_text(p: PageSpec) -> str:
+    """Ground-truth document text: independent simulation of the reference
+    tagger over the element grammar (HtmlStringTagger.java:20-118 +
+    SentenceExtractor.java:94-107 join rules).
+
+    Emission model: every pushed-tag close emits (accumulated, tagset) even
+    when empty; non-pushed flushes skip empty strings; each text node is
+    appended as ' ' + trimmed; compaction merges equal adjacent tagsets
+    with ' '; final join with ' '.
+    """
+    out: list[tuple[str, frozenset]] = []  # (string, tags)
+    cur: list[str] = []
+
+    def flush(tags: frozenset) -> None:
+        # closeOngoingTag: only emits when non-empty
+        if cur:
+            out.append(("".join(cur), tags))
+            cur.clear()
+
+    def emit_close(tags: frozenset) -> None:
+        # tail of a pushed tag: emits unconditionally
+        out.append(("".join(cur), tags))
+        cur.clear()
+
+    def text_node(s: str, excluded: bool) -> None:
+        if excluded:
+            return
+        t = " ".join(s.split())
+        if t:
+            cur.append(" ")
+            cur.append(t)
+
+    # head: title
+    flush(frozenset())
+    text_node(p.title, False)
+    emit_close(frozenset({TITLE}))
+
+    for blk in p.blocks:
+        k = blk[0]
+        if k == "h":
+            flush(frozenset())
+            text_node(blk[2], False)
+            emit_close(frozenset({HEADING}))
+        elif k == "p":
+            for run in blk[1]:
+                if run[0] == "t":
+                    text_node(run[1], False)
+                else:
+                    flush(frozenset())
+                    text_node(run[2], False)
+                    emit_close(frozenset({ANCHOR}))
+        elif k == "pre":
+            flush(frozenset())
+            text_node(blk[1], False)
+            emit_close(frozenset({CODE}))
+        elif k == "nav":
+            flush(frozenset())
+            for _, text in blk[1]:
+                flush(frozenset({NAV}))
+                text_node(text, False)
+                emit_close(frozenset({NAV, ANCHOR}))
+            emit_close(frozenset({NAV}))
+        elif k == "script":
+            flush(frozenset())
+            emit_close(frozenset({SCRIPT}))
+        elif k == "style":
+            flush(frozenset())
+            emit_close(frozenset({STYLE}))
+        elif k == "form":
+            flush(frozenset())
+            for _ in blk[1]:
+                emit_close(frozenset({FORM}))  # void <input> head+tail
+            emit_close(frozenset({FORM}))
+    flush(frozenset())
+
+    compact: list[list] = []
+    for s, tags in out:
+        if compact and compact[-1][1] == tags:
+            compact[-1][0] += " " + s
+        else:
+            compact.append([s, tags])
+    return " ".join(s for s, _ in compact)
+
+
+# ---------------------------------------------------------------------------
+# Web-shape generation
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class WebConfig:
+    seed: int = 42
+    n_domains: int = 40
+    min_pages: int = 5
+    max_pages: int = 60
+    mega_domains: int = 1
+    mega_pages: int = 400
+    crawl_depth_range: tuple[int, int] = (10, 100)
+
+
+def _domain_names(cfg: WebConfig, rng: random.Random) -> list[str]:
+    names = []
+    shared_tops = ["shared-host.com", "blogfarm.net"]
+    for i in range(cfg.n_domains):
+        r = rng.random()
+        if r < 0.10:
+            names.append(f"user{i}.{shared_tops[i % len(shared_tops)]}")
+        elif r < 0.15:
+            names.append(f"site{i}.example.co.uk")
+        elif r < 0.25:
+            names.append(f"www.site{i}.org")
+        else:
+            names.append(f"site{i}.example{i % 7}.com")
+    return names
+
+
+def _page_path(rng: random.Random, ordinal: int) -> str:
+    if ordinal == 0:
+        return "/"
+    r = rng.random()
+    if r < 0.45:
+        return f"/page/{ordinal}.html"
+    if r < 0.65:
+        return f"/dir{ordinal % 5}/doc{ordinal}"
+    if r < 0.75:
+        return f"/private/p{ordinal}.html"  # robots-gated on some domains
+    if r < 0.85:
+        return f"/view?id={ordinal}"  # allowlisted param
+    return f"/articles/{rng.choice(LEXICON)}-{ordinal}"
+
+
+def _messy_variant(canon: str, rng: random.Random) -> str:
+    """A href that canonicalizes back to ``canon`` (exercises the repair path)."""
+    r = rng.random()
+    if r < 0.25:
+        return canon + "#section-3"
+    if r < 0.45:
+        # uppercase host
+        proto, rest = canon.split("://", 1)
+        host, _, tail = rest.partition("/")
+        return f"{proto}://{host.upper()}/{tail}"
+    if r < 0.6:
+        # default port
+        proto, rest = canon.split("://", 1)
+        host, _, tail = rest.partition("/")
+        return f"{proto}://{host}:443/{tail}"
+    if r < 0.75:
+        # dot segments
+        proto, rest = canon.split("://", 1)
+        host, _, tail = rest.partition("/")
+        return f"{proto}://{host}/./{tail}" if tail else canon
+    if r < 0.9:
+        # junk param that gets stripped (when path has no param)
+        return canon + ("&utm_source=x" if "?" in canon else "?utm_source=x")
+    return "http" + canon[len("https"):]  # http variant (schema-corrected later)
+
+
+_IRRELEVANT = [
+    "mailto:someone@example.com",
+    "javascript:void(0)",
+    "tel:+15551234",
+    "#top",
+    "file:///etc/passwd",
+    "/asset/img.png",
+    "/files/download.pdf",
+    "/archive.tar.gz",
+]
+
+
+def _sentence(rng: random.Random, lex: list[str], lo: int = 4, hi: int = 12) -> str:
+    return " ".join(rng.choice(lex) for _ in range(rng.randint(lo, hi)))
+
+
+def generate_web(cfg: WebConfig) -> dict:
+    """Build the full synthetic web in memory; returns dict of pyarrow tables."""
+    rng = random.Random(cfg.seed)
+    domains = _domain_names(cfg, rng)
+
+    page_rows = []  # (url, warc_ts, html(bytes), text, lang)
+    link_rows = []  # (src_url, dst_url, kind)
+    robots_rows = []
+    seed_rows = []
+
+    for di, domain in enumerate(domains):
+        drng = random.Random((cfg.seed << 16) ^ (di * 2654435761))
+        if di < cfg.mega_domains:
+            n_pages = cfg.mega_pages
+        else:
+            # zipf-flavored size distribution
+            n_pages = min(
+                cfg.max_pages,
+                cfg.min_pages + int((cfg.max_pages - cfg.min_pages) * drng.random() ** 2),
+            )
+        charset = "iso-8859-1" if drng.random() < 0.05 else "utf-8"
+        lang = "en" if drng.random() < 0.9 else drng.choice(["de", "sv"])
+        lex = LEXICON if charset == "utf-8" else LEXICON[:200] + LATIN1_WORDS
+
+        paths = {}
+        prng = random.Random(drng.random())
+        for i in range(n_pages):
+            p = _page_path(prng, i)
+            while p in paths.values():
+                i2 = prng.randint(n_pages, n_pages * 10)
+                p = f"/page/{i2}.html"
+            paths[i] = p
+        urls = {i: f"https://{domain}{p}" for i, p in paths.items()}
+
+        # robots.txt mix (F3)
+        rr = drng.random()
+        if rr < 0.40:
+            robots_rows.append((domain, "", 200))
+        elif rr < 0.70:
+            robots_rows.append(
+                (domain, "User-agent: *\nDisallow: /private/\n", 200)
+            )
+        elif rr < 0.85:
+            delay = drng.randint(2, 5)
+            robots_rows.append(
+                (domain, f"User-agent: *\nCrawl-delay: {delay}\n", 200)
+            )
+        elif rr < 0.95:
+            robots_rows.append(
+                (domain, f"Sitemap: https://{domain}/sitemap.xml\n", 200)
+            )
+        else:
+            robots_rows.append((domain, "User-agent: *\nDisallow: /\n", 200))
+
+        depth = drng.randint(*cfg.crawl_depth_range)
+        seed_rows.append((domain, depth, [urls[0]]))
+
+        for i in range(n_pages):
+            prng = random.Random((cfg.seed << 20) ^ (di * 7919) ^ (i * 104729))
+            url = urls[i]
+            title = _sentence(prng, lex, 2, 6).title()
+            spec = PageSpec(url=url, ordinal=i, title=title, charset=charset)
+
+            # choose same-domain link targets: chain + seeded extras
+            targets = []
+            if i + 1 < n_pages:
+                targets.append(i + 1)
+            extras = prng.sample(
+                range(n_pages), min(n_pages, prng.randint(2, 6))
+            )
+            for t in extras:
+                if t != i and t not in targets:
+                    targets.append(t)
+
+            # base href on 2% of pages (self-directory base — link resolution
+            # must still land on the right canonical URLs, so use an
+            # equivalent base)
+            if prng.random() < 0.02:
+                spec.head_extra.append(("base", f"https://{domain}/"))
+
+            # meta refresh on 1%: points at a same-domain page
+            if prng.random() < 0.01 and n_pages > 1:
+                t = prng.choice(range(n_pages))
+                content = f"{prng.randint(0, 9)}; url={urls[t]}"
+                spec.head_extra.append(("meta_refresh", content))
+                spec.expected_links.append((urls[t], "meta_refresh"))
+
+            # body blocks
+            n_blocks = prng.randint(3, 8)
+            anchor_targets = list(targets)
+            # cross-domain links from ~30% of pages
+            cross: list[str] = []
+            if prng.random() < 0.3 and cfg.n_domains > 1:
+                other = domains[prng.randrange(cfg.n_domains)]
+                if other != domain:
+                    cross.append(f"https://{other}/")
+
+            a_kind_links: list[tuple[str, str]] = []  # in DOCUMENT order (href, canon)
+
+            def _mk_href(canon_url: str) -> str:
+                if prng.random() < 0.3:
+                    return _messy_variant(canon_url, prng)
+                if canon_url.startswith(f"https://{domain}"):
+                    # relative form half the time
+                    if prng.random() < 0.5:
+                        return canon_url[len(f"https://{domain}"):]
+                return canon_url
+
+            for b in range(n_blocks):
+                br = prng.random()
+                if br < 0.15:
+                    spec.blocks.append(("h", prng.randint(1, 3), _sentence(prng, lex, 2, 5).title()))
+                elif br < 0.55:
+                    runs = [("t", _sentence(prng, lex))]
+                    if anchor_targets and prng.random() < 0.8:
+                        t = anchor_targets.pop(0)
+                        href = _mk_href(urls[t])
+                        runs.append(("a", href, _sentence(prng, lex, 1, 3), ""))
+                        a_kind_links.append((href, urls[t]))
+                        runs.append(("t", _sentence(prng, lex, 2, 6)))
+                    if prng.random() < 0.1:
+                        runs.append(("a", prng.choice(_IRRELEVANT), "junk link", ""))
+                    if prng.random() < 0.05 and anchor_targets:
+                        # rel=noindex link: parsed out by the relevance filter
+                        t = anchor_targets.pop(0)
+                        runs.append(("a", _mk_href(urls[t]), "hidden", "noindex"))
+                    spec.blocks.append(("p", runs))
+                elif br < 0.65:
+                    spec.blocks.append(("pre", _sentence(prng, lex, 3, 8)))
+                elif br < 0.8:
+                    nav_links = []
+                    for c in cross:
+                        nav_links.append((c, _sentence(prng, lex, 1, 2)))
+                        a_kind_links.append((c, c))
+                    cross = []
+                    if anchor_targets:
+                        t = anchor_targets.pop(0)
+                        href = _mk_href(urls[t])
+                        nav_links.append((href, _sentence(prng, lex, 1, 2)))
+                        a_kind_links.append((href, urls[t]))
+                    if nav_links:
+                        spec.blocks.append(("nav", nav_links))
+                elif br < 0.9:
+                    spec.blocks.append(("script", f"var x_{b} = {prng.randint(0, 999)};"))
+                elif br < 0.95:
+                    spec.blocks.append(("style", f".c{b} {{ color: #{prng.randint(0, 0xFFFFFF):06x}; }}"))
+                else:
+                    spec.blocks.append(("form", [f"q{b}", "submit"]))
+
+            # leftover targets go into a trailing nav block so the page
+            # graph stays connected
+            if anchor_targets:
+                nav_links = []
+                for t in anchor_targets[:4]:
+                    href = _mk_href(urls[t])
+                    nav_links.append((href, _sentence(prng, lex, 1, 2)))
+                    a_kind_links.append((href, urls[t]))
+                spec.blocks.append(("nav", nav_links))
+
+            # expected links: anchors in document order first, then
+            # meta-refresh (kind-major emission order of the frontier)
+            for href, canon in a_kind_links:
+                spec.expected_links.append((canon, "a"))
+
+            html_str = render_html(spec)
+            text = simulate_tagger_text(spec)
+            html_bytes = html_str.encode(charset, errors="replace")
+            ts = EPOCH_MS + di * 86_400_000 + i * 60_000
+            page_rows.append((url, ts, html_bytes, text, lang))
+            # a-kind first then meta_refresh — match emission order
+            ordered = [(d, k) for d, k in spec.expected_links if k == "a"] + [
+                (d, k) for d, k in spec.expected_links if k == "meta_refresh"
+            ]
+            for dst, kind in ordered:
+                link_rows.append((url, dst, kind))
+
+    pages = pa.table(
+        {
+            "url": pa.array([r[0] for r in page_rows], pa.string()),
+            "warc_ts": pa.array([r[1] for r in page_rows], pa.timestamp("ms")),
+            "html": pa.array([r[2] for r in page_rows], pa.binary()),
+            "text": pa.array([r[3] for r in page_rows], pa.string()),
+            "lang": pa.array([r[4] for r in page_rows], pa.string()),
+        }
+    )
+    seeds = pa.table(
+        {
+            "domain": pa.array([r[0] for r in seed_rows], pa.string()),
+            "crawl_depth": pa.array([r[1] for r in seed_rows], pa.int32()),
+            "seed_urls": pa.array([r[2] for r in seed_rows], pa.list_(pa.string())),
+        }
+    )
+    robots = pa.table(
+        {
+            "domain": pa.array([r[0] for r in robots_rows], pa.string()),
+            "robots_txt": pa.array([r[1] for r in robots_rows], pa.string()),
+            "status": pa.array([r[2] for r in robots_rows], pa.int16()),
+        }
+    )
+    links = pa.table(
+        {
+            "src_url": pa.array([r[0] for r in link_rows], pa.string()),
+            "dst_url": pa.array([r[1] for r in link_rows], pa.string()),
+            "kind": pa.array([r[2] for r in link_rows], pa.string()),
+        }
+    )
+    return {"pages": pages, "seeds": seeds, "robots": robots, "links": links}
+
+
+def generate_prev_crawl(pages: pa.Table, seed: int = 42) -> pa.Table:
+    """F5: previous-crawl table — 70% identical bodies (304/LSH-same path),
+    20% mutated, 10% missing."""
+    rng = random.Random(seed ^ 0x5EED)
+    urls = pages.column("url").to_pylist()
+    htmls = pages.column("html").to_pylist()
+    ts = pages.column("warc_ts").to_pylist()
+    rows = []
+    for u, h, t in zip(urls, htmls, ts):
+        r = rng.random()
+        if r < 0.10:
+            continue  # removed
+        body = h
+        if r < 0.30:  # mutated (20%)
+            body = h.replace(b"<body>", b"<body><p>changed content here</p>", 1)
+        host = u.split("://", 1)[1].split("/", 1)[0]
+        etag = f'"{rng.getrandbits(64):016x}"' if rng.random() < 0.7 else None
+        rows.append(
+            (
+                host,
+                u,
+                "127.0.0.1",
+                False,
+                200,
+                int(t.timestamp() * 1000) - 7 * 86_400_000,
+                "text/html",
+                body,
+                rng.randint(10, 500),
+                "Content-Type: text/html",
+                etag,
+                "Thu, 01 Jan 2020 00:00:00 GMT" if rng.random() < 0.5 else None,
+            )
+        )
+    cols = list(zip(*rows)) if rows else [[] for _ in range(12)]
+    return pa.table(
+        {
+            "domain": pa.array(cols[0], pa.string()),
+            "url": pa.array(cols[1], pa.string()),
+            "ip": pa.array(cols[2], pa.string()),
+            "cookies": pa.array(cols[3], pa.bool_()),
+            "http_status": pa.array(cols[4], pa.int16()),
+            "timestamp_ms": pa.array(cols[5], pa.int64()),
+            "content_type": pa.array(cols[6], pa.string()),
+            "body": pa.array(cols[7], pa.binary()),
+            "request_time_ms": pa.array(cols[8], pa.int16()),
+            "headers": pa.array(cols[9], pa.string()),
+            "etag": pa.array(cols[10], pa.string()),
+            "last_modified": pa.array(cols[11], pa.string()),
+        }
+    )
+
+
+def write_fixtures(out_dir: str | Path, cfg: WebConfig | None = None) -> dict:
+    """Generate and write all fixture tables; returns the in-memory tables."""
+    cfg = cfg or WebConfig()
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    tables = generate_web(cfg)
+    tables["prev_crawl"] = generate_prev_crawl(tables["pages"], cfg.seed)
+    for name, tbl in tables.items():
+        pq.write_table(tbl, out / f"{name}.parquet")
+    return tables

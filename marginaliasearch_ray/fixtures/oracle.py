@@ -1,0 +1,209 @@
+"""Pure-Python single-threaded frontier oracle (FIXTURES.md F6).
+
+Implements the reference crawl algorithm for ONE domain exactly as the
+Java does it, sequentially (``DomainCrawlFrontier.java:22-239`` +
+``CrawlerRetreiver.java:78-267``):
+
+- frontier init: seeds addToQueue'd, then root '/' addFirst'd
+- robots fetched once; root disallowed => domain Blocked (no visits)
+- root sniff: fetch '/', enqueue its links (behind the seeds), mark
+  visited — the root's queue entry is later dequeued and skipped
+- main loop: dequeue -> robots -> link filter -> blocklist -> protocol ->
+  length<=255 -> addVisited -> fetch -> enqueue links; stop at depth /
+  empty queue / 20 errors
+- politeness virtual clock: fetch i at ``t_i``; ``t_{i+1} = t_i + delay``
+  where delay = robots crawl-delay (ms) if given else 1000 ms
+  (CrawlDelayTimer.java:14-15 default; jitter omitted for determinism —
+  the invariant tested is "successive fetches >= delay apart")
+
+The oracle is used by tests to validate the Ray engine's per-domain visit
+order, URL-seen set, and politeness schedule.  It shares the low-level
+URL/link/HTML parsing functions with the engine (those are covered by
+their own unit + byte-identical-text tests); what it does NOT share is
+the engine's distributed superstep execution — which is what this oracle
+checks.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from dataclasses import dataclass, field
+from typing import Optional
+
+from ..functions.blocklist import is_url_blocked
+from ..functions.contenttype import decode_body, sniff_content_type
+from ..functions.hashing import url_seen_hash_u
+from ..functions.htmldoc import parse_document
+from ..functions.links import extract_links
+from ..functions.robots import RobotRules, parse_robots_txt
+from ..model.urls import CanonUrl, parse_url
+
+MAX_ERRORS = 20  # CrawlerRetreiver.java:38
+QUEUE_SLACK = 10_000  # DomainCrawlFrontier.java:168
+DEFAULT_DELAY_MS = 1000  # CrawlDelayTimer.java:14
+
+
+@dataclass
+class Visit:
+    ordinal: int
+    url: str
+    virtual_ts_ms: int
+    status: int
+    seen_hash: int
+
+
+@dataclass
+class DomainCrawlResult:
+    domain: str
+    visits: list[Visit] = field(default_factory=list)
+    seen_hashes: set[int] = field(default_factory=set)
+    blocked: bool = False
+
+
+class OracleFrontier:
+    """Direct re-expression of DomainCrawlFrontier (per-domain queue + seen map)."""
+
+    def __init__(self, domain: str, seed_urls: list[str], depth: int):
+        self.domain = domain
+        self.depth = depth
+        self.queue: deque[str] = deque()
+        self.seen: dict[int, bool] = {}  # hash -> visited?
+        self.visited_cnt = 0
+        self.supports_https = True
+        for s in seed_urls:
+            u = parse_url(s)
+            if u is not None:
+                self.add_to_queue(u)
+
+    def _hash(self, u: CanonUrl) -> int:
+        return url_seen_hash_u(u)
+
+    def add_first(self, u: CanonUrl) -> None:
+        h = self._hash(u)
+        if h not in self.seen:
+            self.seen[h] = False
+            self.queue.appendleft(str(u))
+
+    def add_visited(self, u: CanonUrl) -> bool:
+        h = self._hash(u)
+        prev = self.seen.get(h, False)
+        self.seen[h] = True
+        if not prev:
+            self.visited_cnt += 1
+            return True
+        return False
+
+    def is_visited(self, u: CanonUrl) -> bool:
+        return self.seen.get(self._hash(u), False)
+
+    def correct_schema(self, u: CanonUrl) -> CanonUrl:
+        if u.proto == "http" and self.supports_https:
+            return u.with_proto("https")
+        if u.proto == "https" and not self.supports_https:
+            return u.with_proto("http")
+        return u
+
+    def add_to_queue(self, u: CanonUrl) -> None:
+        if u.host != self.domain:
+            return
+        if is_url_blocked(u):
+            return
+        if len(self.queue) + self.visited_cnt >= self.depth + QUEUE_SLACK:
+            return
+        u = self.correct_schema(u)
+        if self.is_visited(u):
+            return
+        h = self._hash(u)
+        if h not in self.seen:
+            self.seen[h] = False
+            self.queue.append(str(u))
+
+    def is_depth_reached(self) -> bool:
+        return self.visited_cnt >= self.depth
+
+
+def crawl_domain_oracle(
+    domain: str,
+    seed_urls: list[str],
+    depth: int,
+    web: dict[str, tuple[bytes, int]],  # canonical url -> (html bytes, status)
+    robots_txt: Optional[str],
+    robots_status: int = 200,
+) -> DomainCrawlResult:
+    """Sequential reference crawl of one domain over the simulated web."""
+    res = DomainCrawlResult(domain=domain)
+    frontier = OracleFrontier(domain, seed_urls, depth)
+
+    root = CanonUrl("https", domain, None, "/", None)
+    frontier.add_first(root)
+
+    robots: RobotRules = parse_robots_txt(robots_txt, robots_status)
+    delay_ms = robots.crawl_delay_ms or DEFAULT_DELAY_MS
+
+    if not robots.is_allowed(str(root)):
+        res.blocked = True
+        res.seen_hashes = set(frontier.seen)
+        return res
+
+    clock = 0
+    ordinal = 0
+    errors = 0
+
+    def fetch_and_enqueue(u: CanonUrl) -> int:
+        """Simulated fetch: look up the web; parse + enqueue links on 200."""
+        nonlocal clock, ordinal
+        s = str(u)
+        body, status = web.get(s, (b"", 404))
+        h = frontier._hash(u)
+        res.visits.append(Visit(ordinal, s, clock, status, h))
+        ordinal += 1
+        clock += delay_ms
+        if status == 200 and body:
+            mime, charset = sniff_content_type("text/html", body)
+            text = decode_body(body, charset)
+            doc = parse_document(text)
+            for link in extract_links(u, doc):
+                frontier.add_to_queue(link)
+        return status
+
+    # --- root sniff (CrawlerRetreiver.sniffRootDocument) ---
+    fetch_and_enqueue(root)
+    frontier.add_visited(root)
+
+    # --- main loop ---
+    while (
+        frontier.queue
+        and not frontier.is_depth_reached()
+        and errors < MAX_ERRORS
+    ):
+        top_s = frontier.queue.popleft()
+        top = parse_url(top_s)
+        if top is None:
+            continue
+        if not robots.is_allowed(top_s):
+            continue
+        # link filter: always-true in v1 (LinkFilterSelector default)
+        if is_url_blocked(top):
+            continue
+        if top.proto not in ("http", "https"):
+            continue
+        if len(top_s) > 255:
+            continue
+        if not frontier.add_visited(top):
+            continue
+        fetch_and_enqueue(top)
+
+    res.seen_hashes = set(frontier.seen)
+    return res
+
+
+def crawl_web_oracle(
+    seeds: list[tuple[str, int, list[str]]],  # (domain, depth, seed_urls)
+    web: dict[str, tuple[bytes, int]],
+    robots: dict[str, tuple[str, int]],  # domain -> (robots_txt, status)
+) -> dict[str, DomainCrawlResult]:
+    out = {}
+    for domain, depth, seed_urls in seeds:
+        rtxt, rstatus = robots.get(domain, (None, 404))
+        out[domain] = crawl_domain_oracle(domain, seed_urls, depth, web, rtxt, rstatus)
+    return out
