@@ -1,0 +1,434 @@
+"""Distributed crawl engine: sharded frontier actors + Ray Data supersteps.
+
+Architecture (Ray-Data-first re-expression of the reference crawler,
+CrawlerMain.java:407-457 one-thread-per-domain -> sharded BSP dataflow):
+
+  seeds+robots ──> FrontierShard actors (P shards, hash(top_domain)%P)
+                        │  next_batch(): ordered fetch tasks + virtual ts
+                        ▼
+        ray.data.from_arrow(per-shard tables)          (round dataset)
+                        │  map_batches(FetchExtract, actor pool)
+                        │    - fetch-sim: url -> (html,status) lookup in the
+                        │      partitioned web store (the "web")
+                        │    - charset sniff + decode  -> text extraction
+                        │    - link extraction, quality, content LSH
+                        │    - links pushed back to the owning shard
+                        ▼
+        write_parquet(out/records/round=N/)            (resumable layout)
+                        │
+        shard.apply_buffered()  — links applied in per-domain visit order
+        shard checkpoints (state bytes + manifest)     (kill -> resume)
+
+The frontier actors are raw Ray actors (the one shared-mutable-state piece
+the Dataset API can't express); everything per-record runs as Ray Data
+``map_batches`` over Arrow batches.
+
+Scale notes: the round dataset is the moving frontier window (bounded by
+``max_per_domain`` x active domains), NOT the whole corpus; the web store
+is partition-aligned with the frontier shards so a fetch task reads only
+its shard's slice; links travel worker->shard-actor directly and never
+pass through the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+from ..functions.contenttype import decode_body, sniff_content_type
+from ..functions.hashing import partition_of_domain
+from ..functions.htmldoc import parse_document
+from ..functions.links import extract_links
+from ..functions.lsh import content_hash
+from ..functions.quality import document_quality
+from ..model.urls import parse_url
+from ..state.frontier import FrontierShardState
+
+FETCH_SCHEMA = pa.schema(
+    [
+        ("domain", pa.string()),
+        ("url", pa.string()),
+        ("visit_ordinal", pa.int32()),
+        ("virtual_ts_ms", pa.int64()),
+        ("seen_hash", pa.uint64()),
+    ]
+)
+
+RECORD_SCHEMA = pa.schema(
+    [
+        ("domain", pa.string()),
+        ("url", pa.string()),
+        ("visit_ordinal", pa.int32()),
+        ("virtual_ts_ms", pa.int64()),
+        ("seen_hash", pa.uint64()),
+        ("http_status", pa.int16()),
+        ("content_type", pa.string()),
+        ("title", pa.string()),
+        ("text", pa.string()),
+        ("quality", pa.float64()),
+        ("lsh", pa.uint64()),
+        ("links", pa.list_(pa.string())),
+    ]
+)
+
+
+@ray.remote
+class FrontierShard:
+    """Ray actor owning one shard of the frontier (see state.frontier)."""
+
+    def __init__(self, shard_id: int, num_shards: int):
+        self.state = FrontierShardState(shard_id, num_shards)
+
+    def add_domains(self, rows: list[tuple]) -> int:
+        for domain, seeds, depth, rtxt, rstatus in rows:
+            self.state.add_domain(domain, seeds, depth, rtxt, rstatus)
+        return len(self.state.domains)
+
+    def next_batch(self, max_per_domain: int) -> Optional[bytes]:
+        cols = self.state.next_batch(max_per_domain)
+        if not cols["url"]:
+            return None
+        tbl = pa.table(
+            {
+                "domain": pa.array(cols["domain"], pa.string()),
+                "url": pa.array(cols["url"], pa.string()),
+                "visit_ordinal": pa.array(cols["visit_ordinal"], pa.int32()),
+                "virtual_ts_ms": pa.array(cols["virtual_ts_ms"], pa.int64()),
+                "seen_hash": pa.array(cols["seen_hash"], pa.uint64()),
+            }
+        )
+        # serialize via IPC: small control-plane table
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, tbl.schema) as w:
+            w.write_table(tbl)
+        return sink.getvalue().to_pybytes()
+
+    def buffer_results(self, payload: dict) -> None:
+        self.state.buffer_results(**payload)
+
+    def apply_buffered(self) -> None:
+        self.state.apply_buffered()
+
+    def is_idle(self) -> bool:
+        return self.state.is_idle()
+
+    def stats(self) -> dict:
+        return self.state.stats()
+
+    def seen_hashes(self) -> dict:
+        return self.state.seen_hashes()
+
+    def checkpoint(self, path: str) -> None:
+        p = Path(path)
+        p.parent.mkdir(parents=True, exist_ok=True)
+        tmp = p.with_suffix(".tmp")
+        tmp.write_bytes(self.state.to_bytes())
+        tmp.rename(p)
+
+    def restore(self, path: str) -> None:
+        self.state = FrontierShardState.from_bytes(Path(path).read_bytes())
+
+
+class WebStore:
+    """Partition-aligned url -> (html, status) lookup over the pages table.
+
+    ``prepare()`` hash-partitions the pages parquet by
+    ``partition_of_domain(host) % P`` once (a Ray Data job); fetch actors
+    then load only the partitions their batches touch (LRU of 2).  This is
+    the multi-node design: a fetch task never reads another shard's slice.
+    """
+
+    def __init__(self, store_dir: str, num_parts: int):
+        self.store_dir = store_dir
+        self.num_parts = num_parts
+        self._cache: dict[int, dict] = {}
+        self._lru: list[int] = []
+
+    @staticmethod
+    def prepare(pages_path: str, store_dir: str, num_parts: int) -> None:
+        out = Path(store_dir)
+        if (out / "_DONE").exists():
+            return
+        if out.exists():
+            shutil.rmtree(out)
+        out.mkdir(parents=True)
+
+        def add_part(batch: pa.Table) -> pa.Table:
+            urls = batch.column("url").to_pylist()
+            parts = np.empty(len(urls), dtype=np.int32)
+            for i, u in enumerate(urls):
+                host = u.split("://", 1)[1].split("/", 1)[0]
+                parts[i] = partition_of_domain(host, num_parts)
+            return batch.append_column("part", pa.array(parts, pa.int32()))
+
+        (
+            rd.read_parquet(pages_path, columns=["url", "html"])
+            .map_batches(add_part, batch_format="pyarrow")
+            .write_parquet(str(out), partition_cols=["part"])
+        )
+        (out / "_DONE").touch()
+
+    def _load(self, part: int) -> dict:
+        if part in self._cache:
+            return self._cache[part]
+        pdir = Path(self.store_dir) / f"part={part}"
+        web: dict[str, bytes] = {}
+        if pdir.exists():
+            tbl = pads.dataset(str(pdir)).to_table(columns=["url", "html"])
+            urls = tbl.column("url").to_pylist()
+            htmls = tbl.column("html").to_pylist()
+            web = dict(zip(urls, htmls))
+        self._cache[part] = web
+        self._lru.append(part)
+        while len(self._lru) > 2:
+            old = self._lru.pop(0)
+            self._cache.pop(old, None)
+        return web
+
+    def lookup(self, part: int, url: str) -> tuple[Optional[bytes], int]:
+        body = self._load(part).get(url)
+        if body is None:
+            return None, 404
+        return body, 200
+
+
+class FetchExtract:
+    """Actor-pool stage: simulated fetch + full document processing.
+
+    One call = one Arrow batch of fetch tasks from one frontier shard.
+    Pushes discovered links back to the owning shard synchronously (the
+    batch completes only after the shard buffered them), returns the crawl
+    record rows.
+    """
+
+    def __init__(self, store_dir: str, num_shards: int, shard_handles: list):
+        self.store = WebStore(store_dir, num_shards)
+        self.num_shards = num_shards
+        self.shards = shard_handles
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        domains = batch.column("domain").to_pylist()
+        urls = batch.column("url").to_pylist()
+        out = {
+            "http_status": [],
+            "content_type": [],
+            "title": [],
+            "text": [],
+            "quality": [],
+            "lsh": [],
+            "links": [],
+        }
+        # link routing buffers, keyed by shard
+        route: dict[int, dict[str, list]] = {}
+
+        for i, (domain, url) in enumerate(zip(domains, urls)):
+            part = partition_of_domain(domain, self.num_shards)
+            body, status = self.store.lookup(part, url)
+            ordinal = batch.column("visit_ordinal")[i].as_py()
+            links: list[str] = []
+            title = ""
+            text = ""
+            quality = 0.0
+            lsh = 0
+            ctype = ""
+            if status == 200 and body:
+                mime, charset = sniff_content_type("text/html", body)
+                ctype = mime
+                if mime in ("text/html", "application/xhtml+xml"):
+                    decoded = decode_body(body, charset)
+                    doc = parse_document(decoded)
+                    text = doc.text
+                    title = doc.title
+                    quality = document_quality(doc, len(text), len(body))
+                    lsh = content_hash(body)
+                    u = parse_url(url)
+                    if u is not None:
+                        links = [str(x) for x in extract_links(u, doc)]
+            out["http_status"].append(status)
+            out["content_type"].append(ctype)
+            out["title"].append(title)
+            out["text"].append(text)
+            out["quality"].append(quality)
+            out["lsh"].append(lsh)
+            out["links"].append(links)
+
+            r = route.setdefault(
+                part,
+                {
+                    "domains": [],
+                    "ordinals": [],
+                    "statuses": [],
+                    "link_domains": [],
+                    "link_ordinals": [],
+                    "link_seq": [],
+                    "link_urls": [],
+                },
+            )
+            r["domains"].append(domain)
+            r["ordinals"].append(ordinal)
+            r["statuses"].append(status)
+            for seq, l in enumerate(links):
+                r["link_domains"].append(domain)
+                r["link_ordinals"].append(ordinal)
+                r["link_seq"].append(seq)
+                r["link_urls"].append(l)
+
+        # synchronous push: the batch is "done" only once every owning
+        # shard has buffered this batch's outcomes.
+        ray.get(
+            [self.shards[k].buffer_results.remote(payload) for k, payload in route.items()]
+        )
+
+        res = batch.select(
+            ["domain", "url", "visit_ordinal", "virtual_ts_ms", "seen_hash"]
+        )
+        res = res.append_column("http_status", pa.array(out["http_status"], pa.int16()))
+        res = res.append_column("content_type", pa.array(out["content_type"], pa.string()))
+        res = res.append_column("title", pa.array(out["title"], pa.string()))
+        res = res.append_column("text", pa.array(out["text"], pa.string()))
+        res = res.append_column("quality", pa.array(out["quality"], pa.float64()))
+        res = res.append_column("lsh", pa.array(out["lsh"], pa.uint64()))
+        res = res.append_column("links", pa.array(out["links"], pa.list_(pa.string())))
+        return res
+
+
+def _read_control_table(blob: bytes) -> pa.Table:
+    return pa.ipc.open_stream(blob).read_all()
+
+
+def run_crawl(
+    pages_path: str,
+    seeds_path: str,
+    robots_path: str,
+    out_dir: str,
+    num_shards: int = 4,
+    max_per_domain: int = 200,
+    fetch_concurrency: int = 4,
+    resume: bool = False,
+    checkpoint: bool = True,
+    max_rounds: int = 10_000,
+) -> dict:
+    """Drive the superstep crawl to completion.  Returns summary stats.
+
+    Resumable: per-round records land in ``out/records/round=N``; shard
+    state checkpoints in ``out/checkpoint`` with a manifest recording the
+    last completed round.  ``resume=True`` restores state and re-runs from
+    the first incomplete round (idempotent: the round dir is rewritten).
+    """
+    out = Path(out_dir)
+    ckpt_dir = out / "checkpoint"
+    records_dir = out / "records"
+    store_dir = out / "web_store"
+    out.mkdir(parents=True, exist_ok=True)
+
+    WebStore.prepare(pages_path, str(store_dir), num_shards)
+
+    shards = [
+        FrontierShard.options(name=f"frontier_shard_{out.name}_{k}", get_if_exists=False).remote(
+            k, num_shards
+        )
+        for k in range(num_shards)
+    ]
+
+    manifest_path = ckpt_dir / "manifest.json"
+    start_round = 0
+    if resume and manifest_path.exists():
+        manifest = json.loads(manifest_path.read_text())
+        start_round = manifest["completed_round"] + 1
+        ray.get(
+            [
+                s.restore.remote(str(ckpt_dir / f"round={manifest['completed_round']}" / f"shard={k}.bin"))
+                for k, s in enumerate(shards)
+            ]
+        )
+    else:
+        # distribute seeds + robots to owning shards
+        seeds = pq.read_table(seeds_path)
+        robots = pq.read_table(robots_path)
+        rb = {
+            robots.column("domain")[i].as_py(): (
+                robots.column("robots_txt")[i].as_py(),
+                robots.column("status")[i].as_py(),
+            )
+            for i in range(robots.num_rows)
+        }
+        per_shard: dict[int, list] = {k: [] for k in range(num_shards)}
+        for i in range(seeds.num_rows):
+            domain = seeds.column("domain")[i].as_py()
+            depth = seeds.column("crawl_depth")[i].as_py()
+            seed_urls = seeds.column("seed_urls")[i].as_py()
+            rtxt, rstatus = rb.get(domain, (None, 404))
+            per_shard[partition_of_domain(domain, num_shards)].append(
+                (domain, seed_urls, depth, rtxt, rstatus)
+            )
+        ray.get(
+            [shards[k].add_domains.remote(rows) for k, rows in per_shard.items() if rows]
+        )
+
+    total_visits = 0
+    rounds_run = 0
+    for rnd in range(start_round, max_rounds):
+        blobs = ray.get([s.next_batch.remote(max_per_domain) for s in shards])
+        tables = [_read_control_table(b) for b in blobs if b is not None]
+        if not tables:
+            if all(ray.get([s.is_idle.remote() for s in shards])):
+                break
+            ray.get([s.apply_buffered.remote() for s in shards])
+            continue
+
+        round_dir = records_dir / f"round={rnd}"
+        if round_dir.exists():
+            shutil.rmtree(round_dir)
+
+        ds = rd.from_arrow(tables)
+        ds = ds.map_batches(
+            FetchExtract,
+            fn_constructor_kwargs={
+                "store_dir": str(store_dir),
+                "num_shards": num_shards,
+                "shard_handles": shards,
+            },
+            batch_format="pyarrow",
+            batch_size=1024,
+            concurrency=fetch_concurrency,
+            num_cpus=1,
+        )
+        ds.write_parquet(str(round_dir))
+        total_visits += sum(t.num_rows for t in tables)
+
+        ray.get([s.apply_buffered.remote() for s in shards])
+        if checkpoint:
+            rdir = ckpt_dir / f"round={rnd}"
+            ray.get(
+                [s.checkpoint.remote(str(rdir / f"shard={k}.bin")) for k, s in enumerate(shards)]
+            )
+            ckpt_dir.mkdir(parents=True, exist_ok=True)
+            tmp = manifest_path.with_suffix(".tmp")
+            tmp.write_text(json.dumps({"completed_round": rnd}))
+            tmp.rename(manifest_path)
+        rounds_run += 1
+
+    stats = ray.get([s.stats.remote() for s in shards])
+    for s in shards:
+        ray.kill(s)
+    return {
+        "rounds": rounds_run,
+        "emitted": total_visits,
+        "shards": stats,
+        "records_dir": str(records_dir),
+    }
+
+
+def read_crawl_records(out_dir: str) -> rd.Dataset:
+    """The crawl output as one Dataset (all rounds)."""
+    return rd.read_parquet(str(Path(out_dir) / "records"))

@@ -1,0 +1,374 @@
+"""Frontier shard state: per-domain queues, seen-sets, politeness clocks.
+
+One ``FrontierShardState`` owns every domain with ``hash(top_domain) % P ==
+shard_id``.  Co-locating a top-domain's hosts on one shard is what makes
+politeness enforceable without cross-shard coordination: the shard is the
+single owner of each domain's FIFO queue, seen-set and virtual clock
+(replacing the reference's one-thread-per-domain + cross-thread semaphore
+scheme, CrawlerMain.java:147-150 / LocalDomainCoordinator.java:22-100).
+
+Per-domain semantics replicate the reference exactly
+(DomainCrawlFrontier.java:22-239, CrawlerRetreiver.java:186-267):
+
+- admission gates at enqueue: same-domain, blocklist, queue cap
+  depth+10k, schema correction, seen-set;
+- gates at dequeue: robots, link-filter, blocklist, protocol, len<=255,
+  not-visited;
+- root '/' forced first (the "sniff" fetch), seeds behind it;
+- depth stop (visited >= depth), 20-error abort;
+- politeness virtual clock: fetch i+1 at >= fetch i + delay, delay =
+  robots crawl-delay else 1000 ms (CrawlDelayTimer.java:14-15);
+- per-topDomain concurrency permits per round (wordpress.com 16,
+  blogspot/tumblr/neocities/github.io 8, substack 1, default 2).
+
+The chunked superstep emission (up to ``max_per_domain`` URLs per round,
+links applied between rounds in per-domain visit order) provably yields
+the same per-domain visit sequence as the reference's sequential loop:
+during a FIFO drain every enqueue lands behind every queued snapshot
+entry, so "drain chunk, then append that chunk's discovered links in
+visit order" commutes with the interleaved original.  (The one reference
+behavior that breaks this — addFirst of same-domain HTTP redirect targets
+mid-drain — is out of scope of the v1 fixtures; see SURVEY.md §7.)
+
+Pure Python + numpy; no Ray imports — the Ray actor wrapper lives in
+``pipelines.crawl``.
+"""
+
+from __future__ import annotations
+
+import pickle
+from collections import deque
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from ..functions.blocklist import is_url_blocked
+from ..functions.hashing import url_seen_hash_u
+from ..functions.robots import RobotRules, parse_robots_txt
+from ..model.urls import CanonUrl, parse_url, split_domain
+from .cuckoo import CuckooFilter
+
+MAX_ERRORS = 20
+QUEUE_SLACK = 10_000
+DEFAULT_DELAY_MS = 1000
+
+# per-topDomain concurrent-domain permits (LocalDomainCoordinator.java:25,88-100)
+_PERMITS = {
+    "wordpress.com": 16,
+    "blogspot.com": 8,
+    "tumblr.com": 8,
+    "neocities.org": 8,
+    "github.io": 8,
+    "substack.com": 1,
+}
+_DEFAULT_PERMITS = 2
+
+
+@dataclass
+class DomainState:
+    domain: str
+    depth: int
+    queue: deque = field(default_factory=deque)
+    seen: dict = field(default_factory=dict)  # url_hash -> visited?
+    visited_cnt: int = 0
+    errors: int = 0
+    clock_ms: int = 0
+    delay_ms: int = DEFAULT_DELAY_MS
+    robots: Optional[RobotRules] = None
+    supports_https: bool = True
+    sniffed: bool = False
+    blocked: bool = False
+    next_ordinal: int = 0
+
+    def done(self) -> bool:
+        if self.blocked or self.errors >= MAX_ERRORS:
+            return True
+        if self.visited_cnt >= self.depth:
+            return True
+        return self.sniffed and not self.queue
+
+
+class FrontierShardState:
+    def __init__(self, shard_id: int, num_shards: int, seen_capacity: int = 1 << 16):
+        self.shard_id = shard_id
+        self.num_shards = num_shards
+        self.domains: dict[str, DomainState] = {}
+        self.cuckoo = CuckooFilter(seen_capacity)
+        # link/result buffers awaiting apply: list of (domain, visit_ordinal,
+        # link_ordinal, dst_url) and (domain, visit_ordinal, status)
+        self._link_buf: list[tuple[str, int, int, str]] = []
+        self._status_buf: list[tuple[str, int, int]] = []
+        self.round = 0
+
+    # ------------------------------------------------------------------
+    # setup
+    # ------------------------------------------------------------------
+
+    def add_domain(
+        self,
+        domain: str,
+        seed_urls: list[str],
+        depth: int,
+        robots_txt: Optional[str],
+        robots_status: int,
+    ) -> None:
+        st = DomainState(domain=domain, depth=depth)
+        st.robots = parse_robots_txt(robots_txt, robots_status)
+        st.delay_ms = st.robots.crawl_delay_ms or DEFAULT_DELAY_MS
+        self.domains[domain] = st
+        for s in seed_urls:
+            u = parse_url(s)
+            if u is not None:
+                self._add_to_queue(st, u)
+        root = CanonUrl("https", domain, None, "/", None)
+        self._add_first(st, root)
+        if not st.robots.is_allowed(str(root)):
+            st.blocked = True
+
+    # ------------------------------------------------------------------
+    # frontier mechanics (DomainCrawlFrontier semantics)
+    # ------------------------------------------------------------------
+
+    def _seen_lookup(self, st: DomainState, h: int):
+        """Cuckoo fast path: a miss proves 'never seen'; a hit must be
+        confirmed against the exact per-domain map."""
+        if not self.cuckoo.contains_many(np.array([h], dtype=np.uint64))[0]:
+            return None  # definitely unseen
+        return st.seen.get(h)
+
+    def _mark_seen(self, st: DomainState, h: int, visited: bool) -> None:
+        if h not in st.seen:
+            self.cuckoo.add_many(np.array([h], dtype=np.uint64))
+        st.seen[h] = visited
+
+    def _add_first(self, st: DomainState, u: CanonUrl) -> None:
+        h = url_seen_hash_u(u)
+        if self._seen_lookup(st, h) is None:
+            self._mark_seen(st, h, False)
+            st.queue.appendleft(str(u))
+
+    def _add_visited(self, st: DomainState, u: CanonUrl) -> bool:
+        h = url_seen_hash_u(u)
+        prev = self._seen_lookup(st, h)
+        self._mark_seen(st, h, True)
+        if not prev:
+            st.visited_cnt += 1
+            return True
+        return False
+
+    def _correct_schema(self, st: DomainState, u: CanonUrl) -> CanonUrl:
+        if u.proto == "http" and st.supports_https:
+            return u.with_proto("https")
+        if u.proto == "https" and not st.supports_https:
+            return u.with_proto("http")
+        return u
+
+    def _add_to_queue(self, st: DomainState, u: CanonUrl) -> None:
+        if u.host != st.domain:
+            return
+        if is_url_blocked(u):
+            return
+        if len(st.queue) + st.visited_cnt >= st.depth + QUEUE_SLACK:
+            return
+        u = self._correct_schema(st, u)
+        h = url_seen_hash_u(u)
+        if self._seen_lookup(st, h) is None:
+            self._mark_seen(st, h, False)
+            st.queue.append(str(u))
+
+    # ------------------------------------------------------------------
+    # superstep: emission
+    # ------------------------------------------------------------------
+
+    def next_batch(self, max_per_domain: int = 200) -> dict[str, list]:
+        """Drain each active domain's queue chunk, assigning virtual fetch
+        timestamps.  Returns columnar lists (domain, url, visit_ordinal,
+        virtual_ts_ms, seen_hash, partition)."""
+        cols: dict[str, list] = {
+            "domain": [],
+            "url": [],
+            "visit_ordinal": [],
+            "virtual_ts_ms": [],
+            "seen_hash": [],
+        }
+        # per-topDomain permits this round
+        active = sorted(d for d, st in self.domains.items() if not st.done())
+        used: dict[str, int] = {}
+        for domain in active:
+            st = self.domains[domain]
+            _, top = split_domain(domain)
+            permits = _PERMITS.get(top, _DEFAULT_PERMITS)
+            if used.get(top, 0) >= permits:
+                continue
+            emitted = self._emit_domain(st, max_per_domain, cols)
+            if emitted:
+                used[top] = used.get(top, 0) + 1
+        self.round += 1
+        return cols
+
+    def _emit_domain(
+        self, st: DomainState, max_per_domain: int, cols: dict[str, list]
+    ) -> int:
+        n = 0
+
+        def emit(u: CanonUrl) -> None:
+            nonlocal n
+            s = str(u)
+            cols["domain"].append(st.domain)
+            cols["url"].append(s)
+            cols["visit_ordinal"].append(st.next_ordinal)
+            cols["virtual_ts_ms"].append(st.clock_ms)
+            cols["seen_hash"].append(url_seen_hash_u(u))
+            st.next_ordinal += 1
+            st.clock_ms += st.delay_ms
+            n += 1
+
+        if not st.sniffed:
+            # root sniff fetch (CrawlerRetreiver.sniffRootDocument):
+            # fetch '/', mark visited; its queue entry gets skipped later.
+            root = CanonUrl("https", st.domain, None, "/", None)
+            emit(root)
+            self._add_visited(st, root)
+            st.sniffed = True
+            return n  # links from the root must apply before the loop
+
+        while (
+            st.queue
+            and st.visited_cnt < st.depth
+            and st.errors < MAX_ERRORS
+            and n < max_per_domain
+        ):
+            s = st.queue.popleft()
+            u = parse_url(s)
+            if u is None:
+                continue
+            if not st.robots.is_allowed(s):
+                continue
+            # site-type link filter: always-true in v1 (LinkFilterSelector)
+            if is_url_blocked(u):
+                continue
+            if u.proto not in ("http", "https"):
+                continue
+            if len(s) > 255:
+                continue
+            if not self._add_visited(st, u):
+                continue
+            emit(u)
+        return n
+
+    # ------------------------------------------------------------------
+    # superstep: result / link application
+    # ------------------------------------------------------------------
+
+    def buffer_results(
+        self,
+        domains: list[str],
+        ordinals: list[int],
+        statuses: list[int],
+        link_domains: list[str],
+        link_ordinals: list[int],
+        link_seq: list[int],
+        link_urls: list[str],
+    ) -> None:
+        """Called (possibly out of order, from many fetch workers) with the
+        round's fetch outcomes and discovered links."""
+        self._status_buf.extend(zip(domains, ordinals, statuses))
+        self._link_buf.extend(zip(link_domains, link_ordinals, link_seq, link_urls))
+
+    def apply_buffered(self) -> None:
+        """Deterministically apply buffered outcomes: per domain, statuses
+        then links sorted by (visit_ordinal, link_ordinal) — reconstructing
+        the reference's sequential enqueue order regardless of fetch-worker
+        arrival order."""
+        for domain, _ordinal, status in sorted(self._status_buf):
+            st = self.domains.get(domain)
+            if st is not None and status < 0:
+                st.errors += 1  # ResultException-equivalent
+        self._link_buf.sort()
+        for domain, _vo, _seq, dst in self._link_buf:
+            st = self.domains.get(domain)
+            if st is None:
+                continue
+            u = parse_url(dst)
+            if u is not None:
+                self._add_to_queue(st, u)
+        self._status_buf.clear()
+        self._link_buf.clear()
+
+    # ------------------------------------------------------------------
+    # status / checkpoint
+    # ------------------------------------------------------------------
+
+    def is_idle(self) -> bool:
+        return not self._link_buf and all(st.done() for st in self.domains.values())
+
+    def stats(self) -> dict:
+        return {
+            "shard": self.shard_id,
+            "round": self.round,
+            "domains": len(self.domains),
+            "done": sum(st.done() for st in self.domains.values()),
+            "visited": sum(st.visited_cnt for st in self.domains.values()),
+            "queued": sum(len(st.queue) for st in self.domains.values()),
+            "seen": sum(len(st.seen) for st in self.domains.values()),
+        }
+
+    def seen_hashes(self) -> dict[str, set[int]]:
+        return {d: set(st.seen) for d, st in self.domains.items()}
+
+    def to_bytes(self) -> bytes:
+        payload = {
+            "shard_id": self.shard_id,
+            "num_shards": self.num_shards,
+            "round": self.round,
+            "cuckoo": self.cuckoo.to_bytes(),
+            "link_buf": self._link_buf,
+            "status_buf": self._status_buf,
+            "domains": [
+                {
+                    "domain": st.domain,
+                    "depth": st.depth,
+                    "queue": list(st.queue),
+                    "seen_h": np.fromiter(st.seen.keys(), dtype=np.uint64, count=len(st.seen)).tobytes(),
+                    "seen_v": np.fromiter(st.seen.values(), dtype=np.bool_, count=len(st.seen)).tobytes(),
+                    "visited_cnt": st.visited_cnt,
+                    "errors": st.errors,
+                    "clock_ms": st.clock_ms,
+                    "delay_ms": st.delay_ms,
+                    "robots": st.robots,
+                    "supports_https": st.supports_https,
+                    "sniffed": st.sniffed,
+                    "blocked": st.blocked,
+                    "next_ordinal": st.next_ordinal,
+                }
+                for st in self.domains.values()
+            ],
+        }
+        return pickle.dumps(payload, protocol=pickle.HIGHEST_PROTOCOL)
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "FrontierShardState":
+        payload = pickle.loads(data)
+        obj = cls(payload["shard_id"], payload["num_shards"])
+        obj.round = payload["round"]
+        obj.cuckoo = CuckooFilter.from_bytes(payload["cuckoo"])
+        obj._link_buf = payload["link_buf"]
+        obj._status_buf = payload["status_buf"]
+        for d in payload["domains"]:
+            st = DomainState(domain=d["domain"], depth=d["depth"])
+            st.queue = deque(d["queue"])
+            hs = np.frombuffer(d["seen_h"], dtype=np.uint64)
+            vs = np.frombuffer(d["seen_v"], dtype=np.bool_)
+            st.seen = {int(h): bool(v) for h, v in zip(hs, vs)}
+            st.visited_cnt = d["visited_cnt"]
+            st.errors = d["errors"]
+            st.clock_ms = d["clock_ms"]
+            st.delay_ms = d["delay_ms"]
+            st.robots = d["robots"]
+            st.supports_https = d["supports_https"]
+            st.sniffed = d["sniffed"]
+            st.blocked = d["blocked"]
+            st.next_ordinal = d["next_ordinal"]
+            obj.domains[st.domain] = st
+        return obj

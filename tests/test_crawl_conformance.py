@@ -1,0 +1,102 @@
+"""Crawl-engine conformance vs the single-threaded reference oracle:
+
+- per-domain visit sequence identical
+- virtual politeness timestamps identical (and >= delay apart)
+- URL-seen sets identical
+- extracted ``text`` byte-identical to the fixture ground truth
+- kill-and-resume: restart from checkpoint reproduces the same crawl
+  with no duplicate (domain, url) fetches
+"""
+
+import pandas as pd
+
+from marginaliasearch_ray.pipelines.crawl import read_crawl_records, run_crawl
+
+
+def _run(small_web, out_dir, **kw):
+    d = small_web["dir"]
+    return run_crawl(
+        f"{d}/pages.parquet",
+        f"{d}/seeds.parquet",
+        f"{d}/robots.parquet",
+        out_dir,
+        num_shards=3,
+        fetch_concurrency=2,
+        **kw,
+    )
+
+
+def _records(out_dir) -> pd.DataFrame:
+    return read_crawl_records(out_dir).to_pandas()
+
+
+class TestConformance:
+    def test_crawl_matches_oracle(self, small_web, oracle_result, tmp_out):
+        _run(small_web, tmp_out)
+        recs = _records(tmp_out)
+
+        assert len(recs) == sum(len(r.visits) for r in oracle_result.values())
+
+        pages = small_web["tables"]["pages"]
+        truth_text = {
+            pages["url"][i].as_py(): pages["text"][i].as_py()
+            for i in range(pages.num_rows)
+        }
+
+        for domain, want in oracle_result.items():
+            sub = recs[recs.domain == domain].sort_values("visit_ordinal")
+            # visit order
+            assert list(sub.url) == [v.url for v in want.visits], domain
+            # politeness virtual clock
+            assert list(sub.virtual_ts_ms) == [v.virtual_ts_ms for v in want.visits]
+            # seen hashes recorded per visit
+            assert list(sub.seen_hash) == [v.seen_hash for v in want.visits]
+            # delay spacing invariant
+            ts = list(sub.virtual_ts_ms)
+            for a, b in zip(ts, ts[1:]):
+                assert b - a >= 1000
+            # byte-identical text for fetched pages
+            for _, row in sub.iterrows():
+                if row.http_status == 200:
+                    assert row.text == truth_text[row.url], row.url
+
+    def test_no_duplicate_fetches(self, small_web, tmp_out):
+        _run(small_web, tmp_out)
+        recs = _records(tmp_out)
+        assert not recs.duplicated(subset=["domain", "url"]).any()
+
+    def test_blocked_domain_has_no_visits(self, small_web, oracle_result, tmp_out):
+        blocked = [d for d, r in oracle_result.items() if r.blocked]
+        if not blocked:
+            return
+        _run(small_web, tmp_out)
+        recs = _records(tmp_out)
+        for d in blocked:
+            assert (recs.domain == d).sum() == 0
+
+
+class TestResume:
+    def test_kill_and_resume(self, small_web, oracle_result, tmp_out):
+        # run only 2 rounds ("kill"), then resume to completion
+        _run(small_web, tmp_out, max_rounds=2)
+        partial = _records(tmp_out)
+        assert len(partial) > 0
+
+        _run(small_web, tmp_out, resume=True)
+        recs = _records(tmp_out)
+
+        # no duplicate fetches across the kill/resume boundary
+        assert not recs.duplicated(subset=["domain", "url"]).any()
+
+        # full equality with the oracle, as if never killed
+        for domain, want in oracle_result.items():
+            sub = recs[recs.domain == domain].sort_values("visit_ordinal")
+            assert list(sub.url) == [v.url for v in want.visits], domain
+            assert list(sub.virtual_ts_ms) == [v.virtual_ts_ms for v in want.visits]
+
+    def test_resume_noop_when_complete(self, small_web, tmp_out):
+        r1 = _run(small_web, tmp_out)
+        n1 = len(_records(tmp_out))
+        r2 = _run(small_web, tmp_out, resume=True)
+        assert r2["rounds"] == 0 or r2["emitted"] == 0
+        assert len(_records(tmp_out)) == n1

@@ -1,0 +1,89 @@
+"""Fixture-grammar tests: engine extraction vs generation-time ground truth,
+plus frontier-state serialization and cuckoo-filter behavior."""
+
+import numpy as np
+
+from marginaliasearch_ray.functions.contenttype import decode_body, sniff_content_type
+from marginaliasearch_ray.functions.hashing import url_seen_hash
+from marginaliasearch_ray.functions.htmldoc import parse_document
+from marginaliasearch_ray.functions.links import extract_links
+from marginaliasearch_ray.model.urls import parse_url
+from marginaliasearch_ray.state.cuckoo import CuckooFilter
+from marginaliasearch_ray.state.frontier import FrontierShardState
+
+
+def test_text_byte_identity_all_pages(small_web):
+    """Engine HTML walker output == grammar-simulated ground truth, every page."""
+    pages = small_web["tables"]["pages"]
+    for i in range(pages.num_rows):
+        html = pages["html"][i].as_py()
+        mime, cs = sniff_content_type("text/html", html)
+        got = parse_document(decode_body(html, cs)).text
+        assert got == pages["text"][i].as_py(), pages["url"][i].as_py()
+
+
+def test_link_extraction_matches_ground_truth(small_web):
+    """Engine link extraction == generation-time expected edges, per page,
+    in order.  Compared on URL identity (host, path, param) because the
+    ground truth stores the https-canonical target while http-scheme href
+    variants only get schema-corrected later, at frontier admission."""
+    pages = small_web["tables"]["pages"]
+    links = small_web["tables"]["links"].to_pandas()
+    by_src = dict(iter(links.groupby("src_url")))
+
+    def ident(url_str):
+        u = parse_url(url_str)
+        return u.key()
+
+    for i in range(pages.num_rows):
+        url = pages["url"][i].as_py()
+        html = pages["html"][i].as_py()
+        mime, cs = sniff_content_type("text/html", html)
+        doc = parse_document(decode_body(html, cs))
+        got = [u.key() for u in extract_links(parse_url(url), doc)]
+        want_df = by_src.get(url)
+        want = [] if want_df is None else [ident(d) for d in want_df.dst_url]
+        assert got == want, url
+
+
+def test_cuckoo_filter_membership():
+    cf = CuckooFilter(capacity=10_000)
+    rng = np.random.default_rng(3)
+    present = rng.integers(0, 2**63, size=5000, dtype=np.uint64)
+    absent = rng.integers(0, 2**63, size=5000, dtype=np.uint64)
+    cf.add_many(present)
+    assert cf.contains_many(present).all()  # no false negatives
+    fp_rate = cf.contains_many(absent).mean()
+    assert fp_rate < 0.01
+
+    blob = cf.to_bytes()
+    cf2 = CuckooFilter.from_bytes(blob)
+    assert cf2.contains_many(present).all()
+
+
+def test_frontier_state_roundtrip():
+    st = FrontierShardState(0, 2)
+    st.add_domain("example.com", ["https://example.com/a"], 50, "User-agent: *\nCrawl-delay: 2", 200)
+    cols = st.next_batch(10)
+    assert cols["url"] == ["https://example.com/"]  # root sniff first
+    st.buffer_results(
+        ["example.com"], [0], [200],
+        ["example.com"], [0], [0], ["https://example.com/b"],
+    )
+    st.apply_buffered()
+
+    blob = st.to_bytes()
+    st2 = FrontierShardState.from_bytes(blob)
+    c1 = st.next_batch(10)
+    c2 = st2.next_batch(10)
+    assert c1 == c2
+    assert c1["url"] == ["https://example.com/a", "https://example.com/b"]
+    # crawl-delay honored in virtual clock
+    assert c1["virtual_ts_ms"] == [2000, 4000]
+
+
+def test_seen_hash_identity():
+    # proto and port excluded from identity
+    a = parse_url("http://x.com:8080/p?id=1")
+    b = parse_url("https://x.com/p?id=1")
+    assert url_seen_hash(a.host, a.path, a.param) == url_seen_hash(b.host, b.path, b.param)

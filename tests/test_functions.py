@@ -1,0 +1,231 @@
+"""Unit tests for link parsing, blocklist, robots, content sniffing, LSH."""
+
+import numpy as np
+import pytest
+
+from marginaliasearch_ray.functions.blocklist import has_long_hex_run, is_url_blocked
+from marginaliasearch_ray.functions.contenttype import (
+    decode_body,
+    is_url_like_binary,
+    sniff_content_type,
+)
+from marginaliasearch_ray.functions.htmldoc import parse_document
+from marginaliasearch_ray.functions.links import (
+    extract_links,
+    parse_anchor,
+    parse_meta_redirect,
+    resolve_relative_url,
+)
+from marginaliasearch_ray.functions.lsh import (
+    content_hash,
+    doc_lsh,
+    hamming64,
+    hamming64_vec,
+    java_string_hash,
+)
+from marginaliasearch_ray.functions.robots import parse_robots_txt
+from marginaliasearch_ray.model.urls import parse_url
+
+BASE = parse_url("https://www.example.com/dir/page.html")
+
+
+class TestLinkParser:
+    # mirrors reference LinkParserTest table cases
+    def test_absolute(self):
+        assert str(parse_anchor(BASE, "https://other.com/x")) == "https://other.com/x"
+
+    def test_relative_path(self):
+        assert str(parse_anchor(BASE, "sub/page2.html")) == (
+            "https://www.example.com/dir/sub/page2.html"
+        )
+
+    def test_root_relative(self):
+        assert str(parse_anchor(BASE, "/top.html")) == "https://www.example.com/top.html"
+
+    def test_scheme_relative(self):
+        assert str(parse_anchor(BASE, "//cdn.example.com/x")) == "https://cdn.example.com/x"
+
+    def test_fragment_cut(self):
+        assert str(parse_anchor(BASE, "/a#b")) == "https://www.example.com/a"
+
+    def test_fragment_only_blocked(self):
+        assert parse_anchor(BASE, "#top") is None
+
+    @pytest.mark.parametrize(
+        "href", ["mailto:a@b.c", "javascript:void(0)", "tel:+1555", "file:///etc/x"]
+    )
+    def test_blocked_schemes(self, href):
+        assert parse_anchor(BASE, href) is None
+
+    @pytest.mark.parametrize("href", ["/doc.pdf", "/a.jpg", "/x.tar.gz", "/y.mp3"])
+    def test_binary_suffix(self, href):
+        assert parse_anchor(BASE, href) is None
+
+    def test_long_href_blocked(self):
+        assert parse_anchor(BASE, "/" + "a" * 130) is None
+
+    def test_rel_noindex(self):
+        assert parse_anchor(BASE, "/x", rel="noindex") is None
+
+    def test_dotdot_resolution(self):
+        assert str(parse_anchor(BASE, "../up.html")) == "https://www.example.com/up.html"
+
+    def test_meta_redirect(self):
+        assert str(parse_meta_redirect(BASE, "5; url=/next.html")) == (
+            "https://www.example.com/next.html"
+        )
+        assert parse_meta_redirect(BASE, "not a redirect") is None
+
+    def test_resolve_keeps_allowed_param(self):
+        assert resolve_relative_url(BASE, "/v?id=3&junk=1") == (
+            "https://www.example.com/v?id=3"
+        )
+
+
+class TestBlocklist:
+    @pytest.mark.parametrize(
+        "url,blocked",
+        [
+            ("https://t.co/abc", True),
+            ("https://www.facebook.com/p", True),
+            ("https://sub.youtube.com/w", True),
+            ("https://ok.com/repo/.git/config", True),
+            ("https://ok.com/wp-content/upload/x", True),
+            ("https://ok.com/x-download-free-stuff", True),
+            ("https://github.com/user/repo", False),
+            ("https://github.com/user/repo/deep", True),
+            ("https://ok.com/" + "ab34ef" * 6, True),
+            ("https://ok.com/normal/page", False),
+        ],
+    )
+    def test_blocked(self, url, blocked):
+        assert is_url_blocked(parse_url(url)) is blocked
+
+    def test_hex_run(self):
+        assert has_long_hex_run("/commit/0123456789abcdef0123456789abcdef99")
+        assert not has_long_hex_run("/short/0123abc")
+
+
+class TestRobots:
+    def test_allow_all_on_failure(self):
+        assert parse_robots_txt(None, 404).is_allowed("https://x.com/any")
+        assert parse_robots_txt("Disallow: /", 500).is_allowed("https://x.com/any")
+
+    def test_disallow_prefix(self):
+        r = parse_robots_txt("User-agent: *\nDisallow: /private/", 200)
+        assert r.is_allowed("https://x.com/pub/a")
+        assert not r.is_allowed("https://x.com/private/a")
+
+    def test_allow_overrides_longer(self):
+        r = parse_robots_txt(
+            "User-agent: *\nDisallow: /dir/\nAllow: /dir/open/", 200
+        )
+        assert not r.is_allowed("https://x.com/dir/a")
+        assert r.is_allowed("https://x.com/dir/open/a")
+
+    def test_wildcards(self):
+        r = parse_robots_txt("User-agent: *\nDisallow: /*.php$", 200)
+        assert not r.is_allowed("https://x.com/a.php")
+        assert r.is_allowed("https://x.com/a.php5")
+
+    def test_crawl_delay_and_sitemap(self):
+        r = parse_robots_txt(
+            "User-agent: *\nCrawl-delay: 2.5\nSitemap: https://x.com/s.xml", 200
+        )
+        assert r.crawl_delay_ms == 2500
+        assert r.sitemaps == ["https://x.com/s.xml"]
+
+    def test_specific_ua_beats_star(self):
+        r = parse_robots_txt(
+            "User-agent: *\nDisallow: /\n\nUser-agent: marginalia\nDisallow: /only/",
+            200,
+        )
+        assert r.is_allowed("https://x.com/other")
+        assert not r.is_allowed("https://x.com/only/x")
+
+
+class TestContentType:
+    def test_sniff_binary(self):
+        mime, _ = sniff_content_type(None, b"\x00\x01\x02binary")
+        assert mime == "application/binary"
+
+    def test_sniff_html(self):
+        mime, _ = sniff_content_type(None, b"  <HTML><body>x</body>")
+        assert mime == "text/html"
+
+    def test_meta_charset(self):
+        body = b'<html><head><meta http-equiv="content-type" content="text/html; charset=iso-8859-1"></head>'
+        mime, cs = sniff_content_type("text/html", body)
+        assert cs.lower() == "iso-8859-1"
+
+    def test_decode_fallback(self):
+        assert decode_body("caf\xe9".encode("latin-1"), "iso-8859-1") == "café"
+        assert decode_body(b"abc", "not-a-charset") == "abc"
+
+    def test_url_like_binary(self):
+        assert is_url_like_binary("https://x.com/a.png")
+        assert is_url_like_binary("https://x.com/a.PDF?x=1")
+        assert not is_url_like_binary("https://x.com/a.html")
+
+
+class TestLsh:
+    def test_java_string_hash(self):
+        assert java_string_hash("hello") == 99162322  # known Java value
+        assert java_string_hash("") == 0
+
+    def test_content_hash_similarity(self):
+        a = b"<html><body><p>the quick brown fox jumps over the lazy dog</p></body></html>" * 5
+        b_ = a.replace(b"lazy", b"hazy")
+        c = b"<html><body><p>completely different content entirely</p></body></html>" * 5
+        assert hamming64(content_hash(a), content_hash(a)) == 0
+        assert hamming64(content_hash(a), content_hash(b_)) < 4
+        assert hamming64(content_hash(a), content_hash(c)) >= 4
+
+    def test_content_hash_ignores_tags(self):
+        a = b"<p>same text</p>"
+        b_ = b'<p class="x">same text</p>'
+        assert content_hash(a) == content_hash(b_)
+
+    def test_doc_lsh(self):
+        w1 = "the quick brown fox jumps over the lazy dog".split() * 20
+        w2 = w1 + ["extra"]
+        w3 = "totally different words everywhere all new tokens".split() * 20
+        assert hamming64(doc_lsh(w1), doc_lsh(w2)) < 2
+        assert hamming64(doc_lsh(w1), doc_lsh(w3)) >= 2
+
+    def test_hamming_vec(self):
+        a = np.array([0, 0xFF, 2**63], dtype=np.uint64)
+        b = np.array([0, 0, 0], dtype=np.uint64)
+        assert list(hamming64_vec(a, b)) == [0, 8, 1]
+
+
+def test_extract_links_order():
+    html = (
+        "<html><head>"
+        '<meta http-equiv="refresh" content="3; url=/meta.html">'
+        '<link rel="next" href="/next.html">'
+        "</head><body>"
+        '<a href="/a1.html">one</a>'
+        '<iframe src="/if.html"></iframe>'
+        '<a href="/a2.html">two</a>'
+        "</body></html>"
+    )
+    doc = parse_document(html)
+    base = parse_url("https://x.com/")
+    urls = [str(u) for u in extract_links(base, doc)]
+    # kind-major order: anchors (doc order), then meta-refresh, then iframe,
+    # then rel=next (DomainCrawlFrontier.enqueueLinksFromDocument)
+    assert urls == [
+        "https://x.com/a1.html",
+        "https://x.com/a2.html",
+        "https://x.com/meta.html",
+        "https://x.com/if.html",
+        "https://x.com/next.html",
+    ]
+
+
+def test_base_href():
+    html = '<html><head><base href="https://x.com/sub/"></head><body><a href="p.html">x</a></body></html>'
+    doc = parse_document(html)
+    base = parse_url("https://x.com/other/page.html")
+    assert [str(u) for u in extract_links(base, doc)] == ["https://x.com/sub/p.html"]

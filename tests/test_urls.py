@@ -1,0 +1,101 @@
+"""URL canonicalization / domain-split unit tests.
+
+Table-driven, mirroring the reference's EdgeUrl/EdgeDomain/QueryParams
+tests (code/common/model/test/) — the semantics they pin down are cited in
+marginaliasearch_ray/model/urls.py docstrings.
+"""
+
+import pytest
+
+from marginaliasearch_ray.model.urls import (
+    canonicalize,
+    is_canonical_fast,
+    parse_url,
+    sanitize_query_params,
+    split_domain,
+)
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        # scheme/host lowering, default ports, fragment drop
+        ("HTTP://Example.COM/index.html", "http://example.com/index.html"),
+        ("http://example.com:80/x", "http://example.com/x"),
+        ("https://example.com:443/x", "https://example.com/x"),
+        ("https://example.com:8443/x", "https://example.com:8443/x"),
+        ("https://example.com/page#frag", "https://example.com/page"),
+        ("https://example.com", "https://example.com/"),
+        ("https://example.com.", "https://example.com/"),
+        # dot segments + duplicate slashes
+        ("https://example.com/a/../b", "https://example.com/b"),
+        ("https://example.com/a/./b", "https://example.com/a/b"),
+        ("https://example.com//a//b/", "https://example.com/a/b/"),
+        ("https://example.com/../a", "https://example.com/a"),
+        # percent repair
+        ("https://example.com/a b/c", "https://example.com/a%20b/c"),
+        ("https://example.com/a%20b/c", "https://example.com/a%20b/c"),
+        # query allowlist + sort
+        ("https://example.com/p?id=1", "https://example.com/p?id=1"),
+        ("https://example.com/p?utm_source=x", "https://example.com/p"),
+        ("https://example.com/p?t=2&id=1", "https://example.com/p?id=1&t=2"),
+        ("https://example.com/script.cgi?anything=1", "https://example.com/script.cgi?anything=1"),
+        ("https://forum.com/viewtopic.php?p=5", "https://forum.com/viewtopic.php"),
+        ("https://forum.com/other.php?p=5", "https://forum.com/other.php?p=5"),
+        ("https://example.com/index.php?showtopic=3", "https://example.com/index.php?showtopic=3"),
+    ],
+)
+def test_canonicalize(raw, expected):
+    assert canonicalize(raw) == expected
+
+
+@pytest.mark.parametrize("bad", ["", "nohost", "http://", "mailto:x@y.com", "//x/y"])
+def test_unparseable(bad):
+    assert parse_url(bad) is None
+
+
+@pytest.mark.parametrize(
+    "host,sub,top",
+    [
+        ("www.example.com", "www", "example.com"),
+        ("example.com", "", "example.com"),
+        ("a.b.example.com", "a.b", "example.com"),
+        ("www.foo.co.uk", "www", "foo.co.uk"),
+        ("foo.co.uk", "", "foo.co.uk"),
+        ("192.168.0.1", "", "192.168.0.1"),
+        ("localhost", "", "localhost"),
+        ("blog.ac.jp", "", "blog.ac.jp"),
+        ("x.blog.ac.jp", "x", "blog.ac.jp"),
+    ],
+)
+def test_split_domain(host, sub, top):
+    assert split_domain(host) == (sub, top)
+
+
+def test_url_identity_ignores_proto_and_port():
+    a = parse_url("http://example.com/x?id=1")
+    b = parse_url("https://example.com:8443/x?id=1")
+    # port participates in serialization but not identity
+    assert a.key() == b.key()
+
+
+def test_query_sanitizer_empty():
+    assert sanitize_query_params("/p", "") is None
+    assert sanitize_query_params("/p", None) is None
+    assert sanitize_query_params("/p", "zzz=1") is None
+
+
+def test_fast_path_agrees_with_full_parser():
+    urls = [
+        "https://example.com/a/b",
+        "https://example.com/a/b/",
+        "https://example.com/",
+        "https://example.com",
+        "https://Example.com/a",
+        "https://example.com/a b",
+        "https://example.com/a?id=1",
+        "https://example.com/a/../b",
+    ]
+    for u in urls:
+        if is_canonical_fast(u):
+            assert canonicalize(u) == u, u
