@@ -1,0 +1,46 @@
+"""Scale-mapped fixture-web cache.
+
+The driver's testdata (TPC-H-ish) has no crawl-shaped tables, so the
+crawl queries derive a deterministic synthetic web from the sf name
+(seeded, same every run) and cache it under /tmp.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from .generate import WebConfig, write_fixtures
+
+_CONFIGS = {
+    "sf0.001": WebConfig(
+        seed=42, n_domains=12, min_pages=4, max_pages=25, mega_domains=1, mega_pages=60
+    ),
+    "sf0.01": WebConfig(
+        seed=42, n_domains=40, min_pages=5, max_pages=60, mega_domains=1, mega_pages=400
+    ),
+    "sf0.1": WebConfig(
+        seed=42,
+        n_domains=150,
+        min_pages=10,
+        max_pages=120,
+        mega_domains=2,
+        mega_pages=1500,
+        crawl_depth_range=(20, 200),
+    ),
+}
+
+
+def config_for(sf_dir: str) -> WebConfig:
+    name = Path(sf_dir).name
+    return _CONFIGS.get(name, _CONFIGS["sf0.001"])
+
+
+def fixture_dir_for(sf_dir: str, root: str = "/tmp/graft_fixtures") -> str:
+    """Generate (once) and return the fixture-web dir matching sf_dir's scale."""
+    name = Path(sf_dir).name
+    out = Path(root) / name
+    done = out / "_DONE"
+    if not done.exists():
+        write_fixtures(out, config_for(sf_dir))
+        done.touch()
+    return str(out)

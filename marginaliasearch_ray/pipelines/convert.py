@@ -1,0 +1,138 @@
+"""Converter pipeline: pages table -> processed-document table.
+
+The Ray-Data re-expression of the reference converting-process
+(ConverterMain.java:187-276 / DomainProcessor.java:106-193 /
+HtmlDocumentProcessorPlugin.java:103-204): a streaming map over the whole
+pages corpus — no frontier involved — producing per-document records
+(title, extracted text, quality, LSH, link counts, language features),
+followed by within-domain near-duplicate marking
+(LshDocumentDeduplicator.java:11-41).
+
+Design:
+- ``read_parquet(columns=...)`` prunes at the read;
+- extraction is a stateless ``map_batches`` over Arrow batches (worker
+  processes keep nothing between batches — all state is per-call);
+- the near-dup pass is ``groupby(domain).map_groups`` — domains are the
+  natural partition and bounded in size (reference caps at ~10k docs);
+- output is partitioned parquet, resumable per partition.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from ..functions.contenttype import decode_body, sniff_content_type
+from ..functions.hashing import stable_hash64, url_seen_hash_u
+from ..functions.htmldoc import parse_document
+from ..functions.links import extract_links
+from ..functions.lsh import content_hash, doc_lsh, hamming64_vec
+from ..functions.quality import document_quality
+from ..model.urls import parse_url, split_domain
+
+
+def process_pages_batch(batch: pa.Table) -> pa.Table:
+    """Stateless per-batch document processing (the converter hot loop)."""
+    urls = batch.column("url").to_pylist()
+    htmls = batch.column("html").to_pylist()
+    n = len(urls)
+    domain = [""] * n
+    top = [""] * n
+    title = [""] * n
+    text = [""] * n
+    quality = np.zeros(n, dtype=np.float64)
+    lsh = np.zeros(n, dtype=np.uint64)
+    doc_hash = np.zeros(n, dtype=np.uint64)
+    length = np.zeros(n, dtype=np.int32)
+    n_links_int = np.zeros(n, dtype=np.int32)
+    n_links_ext = np.zeros(n, dtype=np.int32)
+
+    for i, (u_s, html) in enumerate(zip(urls, htmls)):
+        u = parse_url(u_s)
+        if u is None or html is None:
+            continue
+        domain[i] = u.host
+        top[i] = u.top_domain
+        mime, charset = sniff_content_type("text/html", html)
+        decoded = decode_body(html, charset)
+        doc = parse_document(decoded)
+        title[i] = doc.title
+        text[i] = doc.text
+        length[i] = len(doc.text)
+        quality[i] = document_quality(doc, len(doc.text), len(html))
+        lsh[i] = content_hash(html)
+        words = doc.text.lower().split()
+        doc_hash[i] = doc_lsh(words)
+        links = extract_links(u, doc)
+        ni = ne = 0
+        for l in links:
+            if l.host == u.host:
+                ni += 1
+            else:
+                ne += 1
+        n_links_int[i] = ni
+        n_links_ext[i] = ne
+
+    out = pa.table(
+        {
+            "url": batch.column("url"),
+            "domain": pa.array(domain, pa.string()),
+            "top_domain": pa.array(top, pa.string()),
+            "title": pa.array(title, pa.string()),
+            "text": pa.array(text, pa.string()),
+            "length": pa.array(length, pa.int32()),
+            "quality": pa.array(quality, pa.float64()),
+            "lsh": pa.array(lsh, pa.uint64()),
+            "doc_hash": pa.array(doc_hash, pa.uint64()),
+            "links_internal": pa.array(n_links_int, pa.int32()),
+            "links_external": pa.array(n_links_ext, pa.int32()),
+        }
+    )
+    if "lang" in batch.column_names:
+        out = out.append_column("lang", batch.column("lang"))
+    return out
+
+
+def mark_near_dups(group: pd.DataFrame) -> pd.DataFrame:
+    """Within-domain LSH near-dup marking (hamming < 2, >= 100 words —
+    LshDocumentDeduplicator.java:14-35).  O(n^2) within a domain like the
+    reference, vectorized per row over the accumulated hash list."""
+    group = group.sort_values("url").reset_index(drop=True)
+    hashes = group["doc_hash"].to_numpy(dtype=np.uint64)
+    words_ok = group["text"].str.split().str.len().to_numpy() >= 100
+    is_dup = np.zeros(len(group), dtype=bool)
+    kept: list[int] = []
+    for i in range(len(group)):
+        if words_ok[i] and kept:
+            d = hamming64_vec(hashes[np.array(kept)], np.repeat(hashes[i], len(kept)))
+            if (d < 2).any():
+                is_dup[i] = True
+                continue
+        kept.append(i)
+    group["is_near_dup"] = is_dup
+    return group
+
+
+def convert_pages(
+    pages_path: str,
+    out_dir: Optional[str] = None,
+    columns: Optional[list[str]] = None,
+    dedup: bool = True,
+    batch_size: int = 256,
+) -> rd.Dataset:
+    """Full converter pipeline; returns (and optionally writes) the
+    processed-document Dataset."""
+    ds = rd.read_parquet(pages_path, columns=columns or ["url", "html", "lang"])
+    ds = ds.map_batches(
+        process_pages_batch, batch_format="pyarrow", batch_size=batch_size
+    )
+    if dedup:
+        ds = ds.groupby("domain").map_groups(mark_near_dups, batch_format="pandas")
+    if out_dir:
+        ds.write_parquet(out_dir)
+        return rd.read_parquet(out_dir)
+    return ds

@@ -1,0 +1,155 @@
+"""Generic relational pipelines over the driver's TPC-H-ish tables.
+
+These re-express, on neutral tables, the relational shapes the reference
+crawler/converter uses (SURVEY.md §2.4-2.6): groupby-aggregate
+(topDomain counts, CrawlerMain.java:527-541), broadcast join (domains x
+availability, CrawlerMain.java:331-378), sort+limit top-k (PageRank
+top-k, PageRankDomainRanker.java:34-64), last-entry-per-key compaction
+(work-log compaction, CrawlerMain.java:472-489), and a tumbling-window
+aggregate (metrics windows).
+
+Every aggregate/computed column is explicitly named so the DuckDB oracle
+(same names) hash-matches.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Mean, Sum
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def agg_lineitem_pricing(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1 shape: partial aggregation happens inside Ray's hash
+    aggregate; the shuffle carries only per-block partials."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def add_revenue(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        rev = pc.multiply(b["l_extendedprice"], pc.subtract(1.0, b["l_discount"]))
+        return b.append_column("revenue", rev)
+
+    out = (
+        ds.map_batches(add_revenue, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("revenue", alias_name="sum_revenue"),
+            Mean("l_discount", alias_name="avg_disc"),
+            Count(alias_name="n_rows"),
+        )
+        .to_pandas()
+    )
+    for c in ("sum_qty", "sum_base_price", "sum_revenue", "avg_disc"):
+        out[c] = out[c].round(4)
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def join_order_revenue(sf_dir: str) -> pd.DataFrame:
+    """Broadcast hash join: customer (small side) shipped once via
+    ``ray.put``; orders stream through ``map_batches`` with a dict lookup —
+    the reference's availability-join shape, no shuffle."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_map_ref = ray.put(dict(zip(cust.c_custkey, cust.c_mktsegment)))
+
+    def attach_segment(batch: pd.DataFrame, _ref=seg_map_ref) -> pd.DataFrame:
+        seg = ray.get(_ref)
+        batch["c_mktsegment"] = batch["o_custkey"].map(seg).fillna("UNKNOWN")
+        return batch
+
+    out = (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(attach_segment, batch_format="pandas")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("o_totalprice", alias_name="revenue"),
+            Count(alias_name="n_orders"),
+        )
+        .to_pandas()
+    )
+    out["revenue"] = out["revenue"].round(4)
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+def topk_orders(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """sort + limit top-k (distributed sort, tiny result)."""
+    out = (
+        _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    return out.reset_index(drop=True)
+
+
+def last_event_per_user(sf_dir: str) -> pd.DataFrame:
+    """Last-entry-per-key compaction (argmax by timestamp per user)."""
+
+    def last_per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        last = g.iloc[-1]
+        return pd.DataFrame(
+            {
+                "user_id": [last.user_id],
+                "last_ts": [last.ts],
+                "last_event_type": [last.event_type],
+                "n_events": [len(g)],
+            }
+        )
+
+    out = (
+        _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+        .groupby("user_id")
+        .map_groups(last_per_user, batch_format="pandas")
+        .to_pandas()
+    )
+    out["n_events"] = out["n_events"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def event_window_counts(sf_dir: str, window_s: int = 300) -> pd.DataFrame:
+    """Tumbling-window aggregate: count + sum(value) per (event_type,
+    5-minute window).  Windowing is a vectorized batch transform; the only
+    shuffle is the final small groupby."""
+
+    def add_window(batch: pd.DataFrame) -> pd.DataFrame:
+        epoch = batch["ts"].astype("datetime64[ns]").astype("int64") // 10**9  # -> s
+        batch["window_start_s"] = (epoch // window_s) * window_s
+        return batch[["event_type", "window_start_s", "value"]]
+
+    out = (
+        _read(sf_dir, "events", ["ts", "event_type", "value"])
+        .map_batches(add_window, batch_format="pandas")
+        .groupby(["event_type", "window_start_s"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("value", alias_name="sum_value"),
+        )
+        .to_pandas()
+    )
+    out["sum_value"] = out["sum_value"].round(4)
+    return out.sort_values(["event_type", "window_start_s"]).reset_index(drop=True)
+
+
+def source_counts(sf_dir: str) -> pd.DataFrame:
+    """groupby-count (the topDomain-count shape)."""
+    out = (
+        _read(sf_dir, "documents", ["source"])
+        .groupby("source")
+        .aggregate(Count(alias_name="n_docs"))
+        .to_pandas()
+    )
+    return out.sort_values("source").reset_index(drop=True)

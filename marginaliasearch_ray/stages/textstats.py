@@ -1,0 +1,96 @@
+"""Text-analysis stages for training-data pipelines: token counting,
+quality scoring, language ID, document fingerprinting.
+
+All are vectorized ``map_batches`` stages over the ``documents``-shaped
+table (doc_id, text, ...).  The counting/ratio stages are deliberately
+SQL-expressible so the DuckDB oracle can verify them; language ID and
+fingerprinting are engine-only (rows-only checks).
+"""
+
+from __future__ import annotations
+
+import re
+from hashlib import blake2b
+
+import numpy as np
+import pandas as pd
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single other non-space
+BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+BPE_RE_SQL = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9[:space:]]"
+
+STOPWORDS_EN = ("the", "a", "of", "and", "to", "in")
+_PUNCT = ".,!?;:"
+
+_LANG_PROFILES = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "for", "with"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"},
+    "es": {"el", "la", "de", "que", "y", "en", "un", "por", "con", "para"},
+    "fr": {"le", "la", "de", "et", "les", "des", "un", "une", "dans", "pour"},
+    "sv": {"och", "att", "det", "som", "en", "på", "är", "av", "för", "med"},
+}
+_CJK_RE = re.compile(r"[一-鿿぀-ヿ가-힯]")
+
+
+def token_stats(batch: pd.DataFrame) -> pd.DataFrame:
+    """Whitespace + BPE-ish token counts (SQL-oracle-checkable)."""
+    text = batch["text"].fillna("")
+    batch["n_tokens_ws"] = text.str.split(" ").str.len().astype("int64")
+    batch["n_tokens_bpe"] = text.str.findall(BPE_RE).str.len().astype("int64")
+    return batch
+
+
+def quality_stats(batch: pd.DataFrame) -> pd.DataFrame:
+    """Length / punctuation / stopword quality ratios (SQL-checkable)."""
+    text = batch["text"].fillna("")
+    n_chars = text.str.len().astype("int64")
+    n_punct = sum(text.str.count(re.escape(c)) for c in _PUNCT).astype("int64")
+    toks = text.str.split(" ")
+    n_tok = toks.str.len().astype("int64")
+    n_stop = toks.map(lambda ws: sum(1 for w in ws if w in STOPWORDS_EN)).astype(
+        "int64"
+    )
+    batch["n_chars"] = n_chars
+    batch["punct_ratio"] = (n_punct / n_chars.clip(lower=1)).round(6)
+    batch["stopword_ratio"] = (n_stop / n_tok.clip(lower=1)).round(6)
+    batch["mean_token_len"] = (
+        (n_chars - (n_tok - 1).clip(lower=0)) / n_tok.clip(lower=1)
+    ).round(6)
+    return batch
+
+
+def detect_language(batch: pd.DataFrame) -> pd.DataFrame:
+    """Stopword-profile language ID with a CJK fast path (engine-only;
+    modeled on the reference's language-configuration identifyLanguage
+    flow, SentenceExtractor.java:85-87)."""
+    out = []
+    for t in batch["text"].fillna(""):
+        if _CJK_RE.search(t):
+            out.append("zh")
+            continue
+        words = set(t.lower().split())
+        best, score = "unknown", 0
+        for lang, prof in _LANG_PROFILES.items():
+            s = len(words & prof)
+            if s > score:
+                best, score = lang, s
+        out.append(best)
+    batch["lang_pred"] = out
+    return batch
+
+
+def fingerprint(batch: pd.DataFrame) -> pd.DataFrame:
+    """64-bit rolling document fingerprint over tokens (engine-only)."""
+    fps = np.zeros(len(batch), dtype=np.uint64)
+    for i, t in enumerate(batch["text"].fillna("")):
+        h = np.uint64(1469598103934665603)  # FNV offset
+        prime = np.uint64(1099511628211)
+        with np.errstate(over="ignore"):
+            for tok in t.split():
+                th = int.from_bytes(
+                    blake2b(tok.encode(), digest_size=8).digest(), "little"
+                )
+                h = (h ^ np.uint64(th)) * prime
+        fps[i] = h
+    batch["fingerprint"] = fps
+    return batch

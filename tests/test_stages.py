@@ -1,0 +1,225 @@
+"""Training-data stage tests: dedup family, ANN, textstats, multimodal,
+relational shapes, PageRank — over small in-memory datasets with known
+answers (plus planted near-duplicates the driver tables don't have)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from marginaliasearch_ray.pipelines.rank import pagerank, pagerank_local
+from marginaliasearch_ray.stages.ann import brute_force_topk, lsh_topk
+from marginaliasearch_ray.stages.dedup import (
+    embedding_near_dup_pairs,
+    exact_dedup,
+    jaccard,
+    minhash_lsh_pairs,
+    minhash_signature,
+    shingle_set,
+    simhash64,
+    simhash_near_dup_pairs,
+)
+from marginaliasearch_ray.stages.multimodal import (
+    DecodeStage,
+    decode_media,
+    documents_as_media,
+)
+from marginaliasearch_ray.stages.textstats import (
+    detect_language,
+    fingerprint,
+    quality_stats,
+    token_stats,
+)
+
+
+def _docs(rows):
+    return rd.from_pandas(pd.DataFrame(rows))
+
+
+BASE_TEXT = (
+    "the quick brown fox jumps over the lazy dog and runs far away into the woods "
+    "while the hunter watches quietly from behind an old oak tree near the river"
+)
+
+
+class TestDedup:
+    def test_exact_dedup(self):
+        ds = _docs(
+            [
+                {"doc_id": 3, "text": "aaa"},
+                {"doc_id": 1, "text": "aaa"},
+                {"doc_id": 2, "text": "bbb"},
+            ]
+        )
+        out = exact_dedup(ds).to_pandas().sort_values("text").reset_index(drop=True)
+        assert list(out["min(doc_id)"]) == [1, 2]
+
+    def test_minhash_estimates_jaccard(self):
+        a = shingle_set(BASE_TEXT)
+        b = shingle_set(BASE_TEXT.replace("lazy", "hazy"))
+        true_j = jaccard(a, b)
+        sa, sb = minhash_signature(a), minhash_signature(b)
+        est = (sa == sb).mean()
+        assert abs(est - true_j) < 0.25
+
+    def test_minhash_lsh_finds_planted_dup(self):
+        rows = [{"doc_id": 0, "text": BASE_TEXT},
+                {"doc_id": 1, "text": BASE_TEXT.replace("lazy", "hazy")},
+                {"doc_id": 2, "text": "completely different content about databases and query engines with many extra tokens " * 3}]
+        pairs = minhash_lsh_pairs(_docs(rows), threshold=0.5)
+        assert [(0, 1)] == list(zip(pairs.id_a, pairs.id_b))
+        assert pairs.jaccard.iloc[0] > 0.5
+
+    def test_simhash_near_dup(self):
+        # 'lazy' -> 'slow' on the 4x-repeated base text flips exactly 1 bit
+        # (simhash on single-token edits of ~100-token docs lands at 1-5
+        # bits; this pair is chosen deterministically under distance 3)
+        long_text = (BASE_TEXT + " ") * 4
+        rows = [{"doc_id": 0, "text": long_text},
+                {"doc_id": 1, "text": long_text.replace("lazy", "slow")},
+                {"doc_id": 2, "text": "unrelated words entirely various tokens assorted lexicon sample " * 12}]
+        h0, h1 = simhash64(rows[0]["text"]), simhash64(rows[1]["text"])
+        assert bin(h0 ^ h1).count("1") <= 3
+        pairs = simhash_near_dup_pairs(_docs(rows), max_hamming=3)
+        assert (0, 1) in set(zip(pairs.id_a, pairs.id_b))
+        assert (0, 2) not in set(zip(pairs.id_a, pairs.id_b))
+
+    def test_embedding_near_dup(self):
+        rng = np.random.default_rng(5)
+        base = rng.standard_normal(16)
+        rows = [
+            {"vec_id": 0, "embedding": base.tolist()},
+            {"vec_id": 1, "embedding": (base + 0.01 * rng.standard_normal(16)).tolist()},
+            {"vec_id": 2, "embedding": rng.standard_normal(16).tolist()},
+        ]
+        pairs = embedding_near_dup_pairs(_docs(rows), threshold=0.95)
+        assert list(zip(pairs.id_a, pairs.id_b)) == [(0, 1)]
+
+
+class TestAnn:
+    def _emb(self, n=200, dim=16, seed=11):
+        rng = np.random.default_rng(seed)
+        m = rng.standard_normal((n, dim))
+        return (
+            _docs([{"vec_id": i, "embedding": m[i].tolist()} for i in range(n)]),
+            m,
+        )
+
+    def test_brute_force_exact(self):
+        ds, m = self._emb()
+        q = m[7]
+        out = brute_force_topk(ds, np.array([q]), k=5)
+        # exact answer by numpy
+        mm = m / np.linalg.norm(m, axis=1, keepdims=True)
+        qq = q / np.linalg.norm(q)
+        want = np.argsort(-(mm @ qq))[:5]
+        assert list(out.vec_id) == list(want)
+        assert out.cosine.iloc[0] == 1.0
+
+    def test_lsh_recall(self):
+        ds, m = self._emb(n=400)
+        q = m[3]
+        exact = set(brute_force_topk(ds, np.array([q]), k=10).vec_id)
+        approx = set(lsh_topk(ds, np.array([q]), k=10, n_bits=6).vec_id)
+        # probing bucket + hamming-1 neighbors: expect decent recall
+        assert len(exact & approx) >= 5
+
+
+class TestTextStats:
+    def test_token_counts(self):
+        df = pd.DataFrame({"doc_id": [0], "text": ["hello world, 42 times!"]})
+        out = token_stats(df.copy())
+        assert out.n_tokens_ws.iloc[0] == 4
+        # hello, world, ',', 42, times, '!'
+        assert out.n_tokens_bpe.iloc[0] == 6
+
+    def test_quality(self):
+        df = pd.DataFrame({"doc_id": [0], "text": ["the cat. a dog!"]})
+        out = quality_stats(df.copy())
+        assert out.n_chars.iloc[0] == 15
+        assert out.punct_ratio.iloc[0] == round(2 / 15, 6)
+        assert out.stopword_ratio.iloc[0] == 0.5  # the, a of 4 tokens
+
+    def test_langid(self):
+        df = pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [
+                    "the cat and the dog went to the park in town",
+                    "der hund und die katze ist nicht da",
+                    "el perro y la casa de la gente en madrid",
+                ],
+            }
+        )
+        out = detect_language(df.copy())
+        assert list(out.lang_pred) == ["en", "de", "es"]
+
+    def test_fingerprint_deterministic(self):
+        df = pd.DataFrame({"doc_id": [0, 1], "text": ["a b c", "a b c"]})
+        out = fingerprint(df.copy())
+        assert out.fingerprint.iloc[0] == out.fingerprint.iloc[1]
+        out2 = fingerprint(pd.DataFrame({"doc_id": [0], "text": ["a b d"]}))
+        assert out.fingerprint.iloc[0] != out2.fingerprint.iloc[0]
+
+
+class TestMultimodal:
+    def test_decode_stub_plumbing(self):
+        docs = _docs([{"doc_id": 1, "text": "hello"}, {"doc_id": 2, "text": "wörld"}])
+        out = decode_media(documents_as_media(docs), concurrency=1).to_pandas()
+        out = out.sort_values("media_id").reset_index(drop=True)
+        assert list(out.n_bytes) == [5, 6]  # ö is 2 bytes utf-8
+        assert len(out.features.iloc[0]) == 8
+        assert all(0 <= v <= 1 for v in out.features.iloc[0])
+
+    def test_real_decode_is_stubbed(self):
+        stage = DecodeStage(real_decode=True)
+        import pyarrow as pa
+
+        batch = pa.table(
+            {
+                "media_id": pa.array([1], pa.int64()),
+                "media_type": pa.array(["image/png"]),
+                "payload": pa.array([b"xx"], pa.binary()),
+            }
+        )
+        with pytest.raises(NotImplementedError):
+            stage(batch)
+
+
+class TestPageRank:
+    def test_simple_chain(self):
+        # A -> B -> C, C dangling: C highest rank
+        edges = _docs(
+            [
+                {"src_domain": "a", "dst_domain": "b"},
+                {"src_domain": "b", "dst_domain": "c"},
+            ]
+        )
+        out = pagerank(edges, mode="local")
+        assert list(out.domain) == ["c", "b", "a"]
+        assert abs(out["rank"].sum() - 1.0) < 1e-6
+
+    def test_distributed_matches_local(self):
+        rng = np.random.default_rng(2)
+        doms = [f"d{i}" for i in range(20)]
+        rows = [
+            {"src_domain": doms[rng.integers(20)], "dst_domain": doms[rng.integers(20)]}
+            for _ in range(60)
+        ]
+        edges = _docs(rows)
+        loc = pagerank(edges, mode="local")
+        dist = pagerank(edges, mode="distributed")
+        merged = loc.merge(dist, on="domain", suffixes=("_l", "_d"))
+        assert np.allclose(merged.rank_l, merged.rank_d, atol=1e-6)
+
+    def test_personalized(self):
+        edges = _docs(
+            [
+                {"src_domain": "hub", "dst_domain": "a"},
+                {"src_domain": "hub", "dst_domain": "b"},
+                {"src_domain": "x", "dst_domain": "y"},
+            ]
+        )
+        out = pagerank(edges, mode="local", personalize=["hub"])
+        ranks = dict(zip(out.domain, out["rank"]))
+        assert ranks["a"] > ranks["y"]
