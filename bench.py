@@ -1,0 +1,166 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Headline pipelines (the north-rule workload) over the sf-scale synthetic
+web derived from ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1):
+
+- **crawl**:   the sharded-frontier superstep engine end-to-end
+               (frontier URLs processed/sec)
+- **convert**: the converter pipeline over the same pages corpus
+               (pages extracted/sec)
+
+plus secondary timings of representative operator pipelines over the
+driver's parquet tables.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N,
+   "crawl_urls_per_sec": ..., "convert_pages_per_sec": ...}
+
+``--scaling`` runs the headline job in two fresh processes at
+num_cpus=8 and num_cpus=32 on the same input and reports throughputs +
+scaling efficiency (the sandbox proxy for N vs 4N cluster nodes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from marginaliasearch_ray.fixtures.cache import fixture_dir_for
+    from marginaliasearch_ray.pipelines.convert import convert_pages
+    from marginaliasearch_ray.pipelines.crawl import run_crawl
+
+    fix = fixture_dir_for(SF_DIR)
+    queries: dict[str, float] = {}
+
+    # warm the page cache (untimed read)
+    import pyarrow.parquet as pq
+
+    pages_meta = pq.read_metadata(f"{fix}/pages.parquet")
+    n_pages = pages_meta.num_rows
+    pq.read_table(f"{fix}/pages.parquet")
+
+    # --- headline 1: crawl engine ---
+    crawl_out = Path(f"/tmp/graft_bench/crawl_{Path(SF_DIR).name}_{NUM_CPUS}")
+    shutil.rmtree(crawl_out, ignore_errors=True)
+    num_shards = max(4, min(16, NUM_CPUS // 2))
+    t0 = time.perf_counter()
+    res = run_crawl(
+        f"{fix}/pages.parquet",
+        f"{fix}/seeds.parquet",
+        f"{fix}/robots.parquet",
+        str(crawl_out),
+        num_shards=num_shards,
+        max_per_domain=500,
+        checkpoint=False,
+    )
+    crawl_sec = time.perf_counter() - t0
+    n_urls = res["emitted"]
+    queries["crawl"] = round(crawl_sec, 3)
+
+    # --- headline 2: converter over the full pages corpus ---
+    t0 = time.perf_counter()
+    conv = convert_pages(f"{fix}/pages.parquet")
+    n_docs = conv.count()
+    convert_sec = time.perf_counter() - t0
+    queries["convert"] = round(convert_sec, 3)
+
+    # --- secondary operator timings over driver tables ---
+    import __ray_entry__ as E
+
+    qs = E.queries()
+    for name in (
+        "agg_lineitem_pricing",
+        "join_order_revenue",
+        "topk_orders",
+        "last_event_per_user",
+        "event_window_counts",
+        "doc_token_counts",
+        "doc_quality",
+        "doc_exact_dedup",
+        "minhash_dedup_pairs",
+        "embed_topk",
+        "media_bytes",
+        "pagerank_domains",
+    ):
+        t0 = time.perf_counter()
+        qs[name](SF_DIR)
+        queries[name] = round(time.perf_counter() - t0, 3)
+
+    headline = crawl_sec + convert_sec
+    out = {
+        "metric": "crawl+convert wall time over sf-scale synthetic web",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": Path(SF_DIR).name,
+        "num_cpus": NUM_CPUS,
+        "n_pages": n_pages,
+        "n_frontier_urls": n_urls,
+        "crawl_urls_per_sec": round(n_urls / crawl_sec, 1),
+        "convert_pages_per_sec": round(n_docs / convert_sec, 1),
+        "crawl_rounds": res["rounds"],
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    lo_cpus, hi_cpus = 8, 32
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        p = subprocess.run(
+            [sys.executable, __file__], env=env, capture_output=True, text=True
+        )
+        if p.returncode != 0:
+            raise RuntimeError(f"bench at {ncpu} cpus failed:\n{p.stderr[-2000:]}")
+        return json.loads(p.stdout.strip().splitlines()[-1])
+
+    lo = run(lo_cpus)
+    hi = run(hi_cpus)
+    # efficiency on the distributed-throughput-bearing stages (crawl+convert)
+    eff = (lo["value"] / hi["value"]) / (hi_cpus / lo_cpus)
+    return {
+        "metric": "scaling efficiency (8 -> 32 cpus, same input)",
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "urls_per_sec_8": lo["crawl_urls_per_sec"],
+        "urls_per_sec_32": hi["crawl_urls_per_sec"],
+        "pages_per_sec_8": lo["convert_pages_per_sec"],
+        "pages_per_sec_32": hi["convert_pages_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": lo["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

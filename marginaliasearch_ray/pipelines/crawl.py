@@ -317,6 +317,13 @@ def _read_control_table(blob: bytes) -> pa.Table:
     return pa.ipc.open_stream(blob).read_all()
 
 
+@ray.remote(num_cpus=1)
+def _fetch_extract_task(table: pa.Table, kwargs: dict) -> pa.Table:
+    """Tail-round fast path: same batch fn, plain task instead of a
+    Dataset execution (worker-process web-store cache still applies)."""
+    return fetch_extract_batch(table, **kwargs)
+
+
 def run_crawl(
     pages_path: str,
     seeds_path: str,
@@ -328,6 +335,7 @@ def run_crawl(
     resume: bool = False,
     checkpoint: bool = True,
     max_rounds: int = 10_000,
+    small_round_rows: int = 4096,
 ) -> dict:
     """Drive the superstep crawl to completion.  Returns summary stats.
 
@@ -344,12 +352,7 @@ def run_crawl(
 
     WebStore.prepare(pages_path, str(store_dir), num_shards)
 
-    shards = [
-        FrontierShard.options(name=f"frontier_shard_{out.name}_{k}", get_if_exists=False).remote(
-            k, num_shards
-        )
-        for k in range(num_shards)
-    ]
+    shards = [FrontierShard.remote(k, num_shards) for k in range(num_shards)]
 
     manifest_path = ckpt_dir / "manifest.json"
     start_round = 0
@@ -401,20 +404,33 @@ def run_crawl(
         if round_dir.exists():
             shutil.rmtree(round_dir)
 
-        ds = rd.from_arrow(tables)
-        ds = ds.map_batches(
-            fetch_extract_batch,
-            fn_kwargs={
-                "store_dir": str(store_dir),
-                "num_shards": num_shards,
-                "shard_handles": shards,
-            },
-            batch_format="pyarrow",
-            batch_size=512,
-            num_cpus=1,
-        )
-        ds.write_parquet(str(round_dir))
-        total_visits += sum(t.num_rows for t in tables)
+        n_rows = sum(t.num_rows for t in tables)
+        kwargs = {
+            "store_dir": str(store_dir),
+            "num_shards": num_shards,
+            "shard_handles": shards,
+        }
+        if n_rows <= small_round_rows:
+            # tail fast path: a handful of URLs doesn't justify a Dataset
+            # execution — run the same batch fn as plain Ray tasks (one per
+            # shard table, sub-split if large) and write the round directly.
+            round_dir.mkdir(parents=True, exist_ok=True)
+            refs = [
+                _fetch_extract_task.remote(t, kwargs) for t in tables
+            ]
+            results = ray.get(refs)
+            pq.write_table(pa.concat_tables(results), round_dir / "part-0.parquet")
+        else:
+            ds = rd.from_arrow(tables)
+            ds = ds.map_batches(
+                fetch_extract_batch,
+                fn_kwargs=kwargs,
+                batch_format="pyarrow",
+                batch_size=512,
+                num_cpus=1,
+            )
+            ds.write_parquet(str(round_dir))
+        total_visits += n_rows
 
         ray.get([s.apply_buffered.remote() for s in shards])
         if checkpoint:

@@ -46,15 +46,16 @@ import numpy as np
 from ..functions.blocklist import is_url_blocked
 from ..functions.hashing import url_seen_hash_u
 from ..functions.robots import RobotRules, parse_robots_txt
-from ..model.urls import CanonUrl, parse_url, split_domain
+from ..model.urls import CanonUrl, parse_url
 from .cuckoo import CuckooFilter
 
 MAX_ERRORS = 20
 QUEUE_SLACK = 10_000
 DEFAULT_DELAY_MS = 1000
 
-# per-topDomain concurrent-domain permits (LocalDomainCoordinator.java:25,88-100)
-_PERMITS = {
+# per-topDomain concurrent-fetch permits (LocalDomainCoordinator.java:25,88-100)
+# — consumed by a real-fetch dispatch stage; see note in next_batch().
+TOPDOMAIN_PERMITS = {
     "wordpress.com": 16,
     "blogspot.com": 8,
     "tumblr.com": 8,
@@ -62,7 +63,11 @@ _PERMITS = {
     "github.io": 8,
     "substack.com": 1,
 }
-_DEFAULT_PERMITS = 2
+DEFAULT_PERMITS = 2
+
+
+def topdomain_permits(top: str) -> int:
+    return TOPDOMAIN_PERMITS.get(top, DEFAULT_PERMITS)
 
 
 @dataclass
@@ -192,18 +197,17 @@ class FrontierShardState:
             "virtual_ts_ms": [],
             "seen_hash": [],
         }
-        # per-topDomain permits this round
+        # NOTE on per-topDomain permits: the reference's semaphores
+        # (LocalDomainCoordinator) bound *wall-clock* concurrency against a
+        # shared host.  With simulated fetches the politeness invariant is
+        # carried entirely by the per-domain virtual clocks; gating round
+        # emission on permits would only serialize supersteps without any
+        # observable effect on visit order or the delay schedule.  A
+        # real-fetch deployment applies ``topdomain_permits`` as an
+        # admission cap in the fetch-dispatch stage instead.
         active = sorted(d for d, st in self.domains.items() if not st.done())
-        used: dict[str, int] = {}
         for domain in active:
-            st = self.domains[domain]
-            _, top = split_domain(domain)
-            permits = _PERMITS.get(top, _DEFAULT_PERMITS)
-            if used.get(top, 0) >= permits:
-                continue
-            emitted = self._emit_domain(st, max_per_domain, cols)
-            if emitted:
-                used[top] = used.get(top, 0) + 1
+            self._emit_domain(self.domains[domain], max_per_domain, cols)
         self.round += 1
         return cols
 
