@@ -120,6 +120,47 @@ def _url_canonicalize(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _recrawl_decisions(sf_dir: str) -> pd.DataFrame:
+    from marginaliasearch_ray.fixtures.cache import fixture_dir_for
+    from marginaliasearch_ray.pipelines.recrawl import recrawl
+
+    fix = fixture_dir_for(sf_dir)
+    out = recrawl(f"{fix}/prev_crawl.parquet", f"{fix}/pages.parquet").to_pandas()
+    return out.sort_values("url").reset_index(drop=True)
+
+
+def _recrawl_meta(sf_dir: str) -> pd.DataFrame:
+    from marginaliasearch_ray.fixtures.cache import fixture_dir_for
+    from marginaliasearch_ray.pipelines.recrawl import recrawl, recrawl_metadata
+
+    fix = fixture_dir_for(sf_dir)
+    return recrawl_metadata(
+        recrawl(f"{fix}/prev_crawl.parquet", f"{fix}/pages.parquet")
+    )
+
+
+def _crawl_order(sf_dir: str) -> pd.DataFrame:
+    import ray.data as rd
+
+    from marginaliasearch_ray.fixtures.cache import fixture_dir_for
+    from marginaliasearch_ray.pipelines.schedule import order_batch_run
+
+    fix = fixture_dir_for(sf_dir)
+    seeds = rd.read_parquet(f"{fix}/seeds.parquet", columns=["domain"])
+    return order_batch_run(seeds)
+
+
+def _doc_keywords(sf_dir: str) -> pd.DataFrame:
+    import ray.data as rd
+
+    from marginaliasearch_ray.stages.textstats import extract_keywords
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = extract_keywords(docs, top_k=5).to_pandas()
+    out["keywords"] = out["keywords"].map(lambda v: ",".join(v))
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # text / dedup / ann / multimodal queries (driver tables)
 # ---------------------------------------------------------------------------
@@ -298,6 +339,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "convert_docs": _convert_docs,
         "pagerank_domains": _pagerank_domains,
         "url_canonicalize": _url_canonicalize,
+        "recrawl_decisions": _recrawl_decisions,
+        "recrawl_meta": _recrawl_meta,
+        "crawl_order": _crawl_order,
         # relational shapes (SQL-checked)
         "agg_lineitem_pricing": _rel("agg_lineitem_pricing"),
         "join_order_revenue": _rel("join_order_revenue"),
@@ -305,7 +349,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "last_event_per_user": _rel("last_event_per_user"),
         "event_window_counts": _rel("event_window_counts"),
         "source_counts": _rel("source_counts"),
+        "anti_join_customers": _rel("anti_join_customers"),
+        "semi_join_customers": _rel("semi_join_customers"),
+        "schedule_customers": _rel("schedule_customers"),
         # text analysis (SQL-checked where expressible)
+        "doc_keywords": _doc_keywords,
         "doc_token_counts": _doc_token_counts,
         "doc_quality": _doc_quality,
         "doc_langid": _doc_langid,
@@ -385,6 +433,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         "source_counts": """
             SELECT source, count(*) AS n_docs FROM documents GROUP BY source ORDER BY source
+        """,
+        "anti_join_customers": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+            ORDER BY c_custkey
+        """,
+        "semi_join_customers": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders)
+            ORDER BY c_custkey
+        """,
+        "schedule_customers": """
+            SELECT c_custkey, c_mktsegment, siblings, front_loaded, tiebreak,
+                   row_number() OVER (ORDER BY front_loaded DESC, tiebreak ASC)
+                       AS crawl_rank
+            FROM (
+                SELECT c_custkey, c_mktsegment,
+                       count(*) OVER (PARTITION BY c_mktsegment) AS siblings,
+                       count(*) OVER (PARTITION BY c_mktsegment) >= 40 AS front_loaded,
+                       md5(c_name) AS tiebreak
+                FROM customer
+            ) ORDER BY crawl_rank
         """,
         "doc_token_counts": f"""
             SELECT doc_id,

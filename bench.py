@@ -58,12 +58,22 @@ def run_bench() -> dict:
     fix = fixture_dir_for(SF_DIR)
     queries: dict[str, float] = {}
 
-    # warm the page cache (untimed read)
+    # warm-up (untimed): OS page cache + Ray worker pool spawn + library
+    # imports in every worker, so timed runs measure compute, not cold start
     import pyarrow.parquet as pq
+    import ray.data as rd
 
     pages_meta = pq.read_metadata(f"{fix}/pages.parquet")
     n_pages = pages_meta.num_rows
     pq.read_table(f"{fix}/pages.parquet")
+    from marginaliasearch_ray.pipelines.convert import process_pages_batch
+
+    (
+        rd.read_parquet(f"{fix}/pages.parquet", columns=["url", "html", "lang"])
+        .repartition(NUM_CPUS * 4)
+        .map_batches(process_pages_batch, batch_format="pyarrow", batch_size=64)
+        .count()
+    )
 
     # --- headline 1: crawl engine ---
     crawl_out = Path(f"/tmp/graft_bench/crawl_{Path(SF_DIR).name}_{NUM_CPUS}")

@@ -123,10 +123,21 @@ def convert_pages(
     columns: Optional[list[str]] = None,
     dedup: bool = True,
     batch_size: int = 256,
+    num_blocks: Optional[int] = None,
 ) -> rd.Dataset:
     """Full converter pipeline; returns (and optionally writes) the
-    processed-document Dataset."""
+    processed-document Dataset.
+
+    ``num_blocks`` splits the read so a single large parquet file still
+    fans out across the whole CPU pool (default: 4x available CPUs)."""
+    import ray
+
+    if num_blocks is None:
+        num_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * 4)
     ds = rd.read_parquet(pages_path, columns=columns or ["url", "html", "lang"])
+    # split-without-shuffle so a single large parquet file fans out across
+    # the CPU pool (the read stays one pass; blocks are sliced views)
+    ds = ds.repartition(num_blocks)
     ds = ds.map_batches(
         process_pages_batch, batch_format="pyarrow", batch_size=batch_size
     )

@@ -335,7 +335,7 @@ def run_crawl(
     resume: bool = False,
     checkpoint: bool = True,
     max_rounds: int = 10_000,
-    small_round_rows: int = 4096,
+    small_round_rows: int = 32768,
 ) -> dict:
     """Drive the superstep crawl to completion.  Returns summary stats.
 
@@ -411,13 +411,18 @@ def run_crawl(
             "shard_handles": shards,
         }
         if n_rows <= small_round_rows:
-            # tail fast path: a handful of URLs doesn't justify a Dataset
-            # execution — run the same batch fn as plain Ray tasks (one per
-            # shard table, sub-split if large) and write the round directly.
+            # small-round fast path: these rounds don't justify a Dataset
+            # execution's fixed cost — run the same batch fn as plain Ray
+            # tasks over ~256-row slices and write the round directly.
+            # (At production scale rounds are millions of rows and take the
+            # Ray Data streaming path below.)
             round_dir.mkdir(parents=True, exist_ok=True)
-            refs = [
-                _fetch_extract_task.remote(t, kwargs) for t in tables
-            ]
+            refs = []
+            for t in tables:
+                for off in range(0, t.num_rows, 256):
+                    refs.append(
+                        _fetch_extract_task.remote(t.slice(off, 256), kwargs)
+                    )
             results = ray.get(refs)
             pq.write_table(pa.concat_tables(results), round_dir / "part-0.parquet")
         else:

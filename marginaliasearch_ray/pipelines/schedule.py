@@ -1,0 +1,66 @@
+"""Crawl-order scheduling: which domains crawl first.
+
+Reference semantics:
+
+- **BatchRun** (``CrawlerMain.java:391-396,527-541``): domains whose
+  topDomain has >= 8 sibling specs are front-loaded (so shared-host
+  politeness contention is absorbed early); the remainder is a random
+  tiebreak.  The reference's tiebreak is explicitly non-deterministic
+  (fresh ``Random`` each run); ours substitutes a deterministic keyed
+  hash (md5 of the domain) — strictly stronger, and SQL-checkable.
+- **TimedRun** (``CrawlerMain.java:513-517``): least-recently-crawled
+  first, domain-name tiebreak, from the crawl_meta table.
+
+Ray shape: groupby(top_domain).count() (small shuffle over one narrow
+column) -> broadcast count map -> vectorized priority column -> sort.
+"""
+
+from __future__ import annotations
+
+from hashlib import md5
+
+import pandas as pd
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count
+
+from ..model.urls import split_domain
+
+FRONTLOAD_SIBLINGS = 8  # CrawlerMain.java:527-541
+
+
+def order_batch_run(seeds: rd.Dataset) -> pd.DataFrame:
+    """-> DataFrame(domain, top_domain, siblings, front_loaded, tiebreak)
+    in crawl order."""
+
+    def add_top(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["top_domain"] = [split_domain(d)[1] for d in batch["domain"]]
+        return batch
+
+    with_top = seeds.map_batches(add_top, batch_format="pandas")
+    counts = (
+        with_top.groupby("top_domain").aggregate(Count(alias_name="siblings")).to_pandas()
+    )
+    counts_ref = ray.put(dict(zip(counts.top_domain, counts.siblings)))
+
+    def prioritize(batch: pd.DataFrame, _ref=counts_ref) -> pd.DataFrame:
+        cmap = ray.get(_ref)
+        batch["siblings"] = batch["top_domain"].map(cmap).astype("int64")
+        batch["front_loaded"] = batch["siblings"] >= FRONTLOAD_SIBLINGS
+        batch["tiebreak"] = [md5(d.encode()).hexdigest() for d in batch["domain"]]
+        return batch[["domain", "top_domain", "siblings", "front_loaded", "tiebreak"]]
+
+    out = (
+        with_top.map_batches(prioritize, batch_format="pandas")
+        .sort(["front_loaded", "tiebreak"], descending=[True, False])
+        .to_pandas()
+    )
+    return out.reset_index(drop=True)
+
+
+def order_timed_run(crawl_meta: rd.Dataset) -> pd.DataFrame:
+    """LRU ordering over (domain, last_crawl_ts_ms): oldest first,
+    domain tiebreak (CrawlerMain.java:513-517)."""
+    return (
+        crawl_meta.sort(["last_crawl_ts_ms", "domain"]).to_pandas().reset_index(drop=True)
+    )

@@ -144,6 +144,85 @@ def event_window_counts(sf_dir: str, window_s: int = 300) -> pd.DataFrame:
     return out.sort_values(["event_type", "window_start_s"]).reset_index(drop=True)
 
 
+def anti_join_customers(sf_dir: str) -> pd.DataFrame:
+    """Customers with NO orders — anti join via broadcast key set (the
+    reference's blacklist filter shape, CrawlerMain.java:297-298).  Only
+    the key column of the right side is collected and broadcast."""
+    keys = set(
+        _read(sf_dir, "orders", ["o_custkey"]).unique("o_custkey")
+    )
+    keys_ref = ray.put(keys)
+
+    def keep_unmatched(batch: pd.DataFrame, _ref=keys_ref) -> pd.DataFrame:
+        ks = ray.get(_ref)
+        return batch[~batch["c_custkey"].isin(ks)]
+
+    out = (
+        _read(sf_dir, "customer", ["c_custkey", "c_name"])
+        .map_batches(keep_unmatched, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame(
+            {
+                "c_custkey": pd.Series([], dtype="int64"),
+                "c_name": pd.Series([], dtype="object"),
+            }
+        )
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def semi_join_customers(sf_dir: str) -> pd.DataFrame:
+    """Customers WITH at least one order — semi join, same broadcast shape."""
+    keys = set(_read(sf_dir, "orders", ["o_custkey"]).unique("o_custkey"))
+    keys_ref = ray.put(keys)
+
+    def keep_matched(batch: pd.DataFrame, _ref=keys_ref) -> pd.DataFrame:
+        ks = ray.get(_ref)
+        return batch[batch["c_custkey"].isin(ks)]
+
+    out = (
+        _read(sf_dir, "customer", ["c_custkey", "c_name"])
+        .map_batches(keep_matched, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def schedule_customers(sf_dir: str, frontload_siblings: int = 40) -> pd.DataFrame:
+    """The BatchRun crawl-order shape (pipelines.schedule.order_batch_run)
+    exercised on a driver table so the oracle can verify it: front-load
+    keys whose group has >= N siblings, deterministic md5 tiebreak."""
+    from hashlib import md5
+
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+    counts = (
+        ds.groupby("c_mktsegment").aggregate(Count(alias_name="siblings")).to_pandas()
+    )
+    cref = ray.put(dict(zip(counts.c_mktsegment, counts.siblings)))
+
+    def prioritize(batch: pd.DataFrame, _ref=cref) -> pd.DataFrame:
+        cmap = ray.get(_ref)
+        batch["siblings"] = batch["c_mktsegment"].map(cmap).astype("int64")
+        batch["front_loaded"] = batch["siblings"] >= frontload_siblings
+        batch["tiebreak"] = [md5(n.encode()).hexdigest() for n in batch["c_name"]]
+        return batch[["c_custkey", "c_mktsegment", "siblings", "front_loaded", "tiebreak"]]
+
+    out = (
+        ds.map_batches(prioritize, batch_format="pandas")
+        .sort(["front_loaded", "tiebreak"], descending=[True, False])
+        .to_pandas()
+    )
+    out["front_loaded"] = out["front_loaded"].astype(bool)
+    out = out.reset_index(drop=True)
+    # encode the order in a value column so the (order-insensitive)
+    # value-hash comparison still verifies the sort
+    out["crawl_rank"] = out.index + 1
+    return out
+
+
 def source_counts(sf_dir: str) -> pd.DataFrame:
     """groupby-count (the topDomain-count shape)."""
     out = (

@@ -79,6 +79,59 @@ def detect_language(batch: pd.DataFrame) -> pd.DataFrame:
     return batch
 
 
+def extract_keywords(docs, top_k: int = 5, id_col: str = "doc_id"):
+    """TF-IDF top-k keywords per document (the training-data stand-in for
+    the reference's model-based keyword extractor,
+    DocumentKeywordExtractor.java — reference loads OpenNLP models per
+    worker; ours computes corpus IDF in a first aggregation pass).
+
+    Pass 1: per-batch partial document-frequency counts -> one small
+    groupby(token).sum shuffle (vocabulary << corpus).
+    Pass 2: broadcast idf map -> vectorized per-doc tf-idf top-k.
+    """
+    import math
+
+    import ray
+    import ray.data as rd  # noqa: F401
+    from ray.data.aggregate import Sum
+
+    def df_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        counts: dict[str, int] = {}
+        for t in batch["text"].fillna(""):
+            for tok in set(t.lower().split()):
+                counts[tok] = counts.get(tok, 0) + 1
+        return pd.DataFrame({"token": list(counts), "df_part": list(counts.values())})
+
+    n_docs = docs.count()
+    df_tbl = (
+        docs.map_batches(df_partial, batch_format="pandas")
+        .groupby("token")
+        .aggregate(Sum("df_part", alias_name="df"))
+        .to_pandas()
+    )
+    idf = {
+        t: math.log(n_docs / (1 + d)) for t, d in zip(df_tbl.token, df_tbl.df)
+    }
+    idf_ref = ray.put(idf)
+
+    def topk(batch: pd.DataFrame, _ref=idf_ref) -> pd.DataFrame:
+        idf_map = ray.get(_ref)
+        out = []
+        for t in batch["text"].fillna(""):
+            toks = t.lower().split()
+            tf: dict[str, int] = {}
+            for tok in toks:
+                tf[tok] = tf.get(tok, 0) + 1
+            scored = sorted(
+                ((cnt * idf_map.get(tok, 0.0), tok) for tok, cnt in tf.items()),
+                key=lambda x: (-x[0], x[1]),
+            )
+            out.append([tok for _, tok in scored[:top_k]])
+        return pd.DataFrame({id_col: batch[id_col], "keywords": out})
+
+    return docs.map_batches(topk, batch_format="pandas")
+
+
 def fingerprint(batch: pd.DataFrame) -> pd.DataFrame:
     """64-bit rolling document fingerprint over tokens (engine-only)."""
     fps = np.zeros(len(batch), dtype=np.uint64)
