@@ -35,7 +35,8 @@ def _crawl_records(sf_dir: str) -> pd.DataFrame:
     from marginaliasearch_ray.pipelines.crawl import read_crawl_records, run_crawl
 
     fix = fixture_dir_for(sf_dir)
-    out = Path(tempfile.gettempdir()) / "graft_crawl" / Path(sf_dir).name
+    from marginaliasearch_ray.fixtures.cache import FIXTURE_VERSION
+    out = Path(tempfile.gettempdir()) / "graft_crawl" / f"v{FIXTURE_VERSION}" / Path(sf_dir).name
     if not (out / "_OK").exists():
         run_crawl(
             f"{fix}/pages.parquet",

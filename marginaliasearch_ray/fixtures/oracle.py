@@ -159,7 +159,7 @@ def crawl_domain_oracle(
         ordinal += 1
         clock += delay_ms
         if status == 200 and body:
-            mime, charset = sniff_content_type("text/html", body)
+            mime, charset = sniff_content_type(None, body)
             text = decode_body(body, charset)
             doc = parse_document(text)
             for link in extract_links(u, doc):
@@ -169,6 +169,27 @@ def crawl_domain_oracle(
     # --- root sniff (CrawlerRetreiver.sniffRootDocument) ---
     fetch_and_enqueue(root)
     frontier.add_visited(root)
+
+    # --- sitemaps (CrawlerRetreiver.java:198-207): robots-declared,
+    # same-domain only; expanded with the reference caps; enqueued after
+    # the root links, before the loop.  Sitemap fetches are bootstrap and
+    # excluded from the per-visit politeness ledger (engine does the same).
+    from ..functions.sitemap import expand_sitemaps
+
+    sm_starts = []
+    for sm in robots.sitemaps:
+        u = parse_url(sm)
+        if u is not None and u.host == domain:
+            sm_starts.append(str(u))
+    if sm_starts:
+        def _fetch_xml(u: str):
+            body, status = web.get(u, (b"", 404))
+            return body.decode("utf-8", "replace") if status == 200 and body else None
+
+        for su in expand_sitemaps(sm_starts, _fetch_xml):
+            pu = parse_url(su)
+            if pu is not None:
+                frontier.add_to_queue(pu)
 
     # --- main loop ---
     while (

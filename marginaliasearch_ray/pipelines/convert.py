@@ -57,7 +57,9 @@ def process_pages_batch(batch: pa.Table) -> pa.Table:
             continue
         domain[i] = u.host
         top[i] = u.top_domain
-        mime, charset = sniff_content_type("text/html", html)
+        mime, charset = sniff_content_type(None, html)
+        if mime not in ("text/html", "application/xhtml+xml"):
+            continue  # non-HTML payloads (e.g. sitemaps) carry no text
         decoded = decode_body(html, charset)
         doc = parse_document(decoded)
         title[i] = doc.title

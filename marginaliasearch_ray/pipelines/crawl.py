@@ -91,8 +91,8 @@ class FrontierShard:
         self.state = FrontierShardState(shard_id, num_shards)
 
     def add_domains(self, rows: list[tuple]) -> int:
-        for domain, seeds, depth, rtxt, rstatus in rows:
-            self.state.add_domain(domain, seeds, depth, rtxt, rstatus)
+        for domain, seeds, depth, rtxt, rstatus, sitemap_urls in rows:
+            self.state.add_domain(domain, seeds, depth, rtxt, rstatus, sitemap_urls)
         return len(self.state.domains)
 
     def next_batch(self, max_per_domain: int) -> Optional[bytes]:
@@ -253,7 +253,7 @@ def fetch_extract_batch(
         lsh = 0
         ctype = ""
         if status == 200 and body:
-            mime, charset = sniff_content_type("text/html", body)
+            mime, charset = sniff_content_type(None, body)
             ctype = mime
             if mime in ("text/html", "application/xhtml+xml"):
                 decoded = decode_body(body, charset)
@@ -313,6 +313,43 @@ def fetch_extract_batch(
     return res
 
 
+def _expand_domain_sitemaps(
+    robots_by_domain: dict, pages_path: str
+) -> dict[str, list[str]]:
+    """Bootstrap sitemap expansion (CrawlerRetreiver.java:198-207):
+    robots-declared, same-domain sitemaps fetched from the web store (one
+    batched parquet read of just the sitemap rows), expanded with the
+    reference caps.  Returns domain -> ordered page URLs."""
+    from ..functions.robots import parse_robots_txt
+    from ..functions.sitemap import expand_sitemaps
+    from ..model.urls import parse_url as _parse
+
+    wanted: dict[str, list[str]] = {}
+    all_sm: set[str] = set()
+    for domain, (rtxt, rstatus) in robots_by_domain.items():
+        rules = parse_robots_txt(rtxt, rstatus)
+        starts = []
+        for sm in rules.sitemaps:
+            u = _parse(sm)
+            if u is not None and u.host == domain:
+                starts.append(str(u))
+        if starts:
+            wanted[domain] = starts
+            all_sm.update(starts)
+    if not wanted:
+        return {}
+    tbl = pads.dataset(pages_path).to_table(
+        columns=["url", "html"], filter=pc.field("url").isin(sorted(all_sm))
+    )
+    bodies = dict(zip(tbl.column("url").to_pylist(), tbl.column("html").to_pylist()))
+
+    def _fetch(u: str):
+        b = bodies.get(u)
+        return b.decode("utf-8", "replace") if b else None
+
+    return {d: expand_sitemaps(starts, _fetch) for d, starts in wanted.items()}
+
+
 def _read_control_table(blob: bytes) -> pa.Table:
     return pa.ipc.open_stream(blob).read_all()
 
@@ -336,6 +373,7 @@ def run_crawl(
     checkpoint: bool = True,
     max_rounds: int = 10_000,
     small_round_rows: int = 32768,
+    store_dir: Optional[str] = None,
 ) -> dict:
     """Drive the superstep crawl to completion.  Returns summary stats.
 
@@ -347,7 +385,7 @@ def run_crawl(
     out = Path(out_dir)
     ckpt_dir = out / "checkpoint"
     records_dir = out / "records"
-    store_dir = out / "web_store"
+    store_dir = Path(store_dir) if store_dir else out / "web_store"
     out.mkdir(parents=True, exist_ok=True)
 
     WebStore.prepare(pages_path, str(store_dir), num_shards)
@@ -376,6 +414,7 @@ def run_crawl(
             )
             for i in range(robots.num_rows)
         }
+        sitemap_map = _expand_domain_sitemaps(rb, pages_path)
         per_shard: dict[int, list] = {k: [] for k in range(num_shards)}
         for i in range(seeds.num_rows):
             domain = seeds.column("domain")[i].as_py()
@@ -383,7 +422,7 @@ def run_crawl(
             seed_urls = seeds.column("seed_urls")[i].as_py()
             rtxt, rstatus = rb.get(domain, (None, 404))
             per_shard[partition_of_domain(domain, num_shards)].append(
-                (domain, seed_urls, depth, rtxt, rstatus)
+                (domain, seed_urls, depth, rtxt, rstatus, sitemap_map.get(domain, []))
             )
         ray.get(
             [shards[k].add_domains.remote(rows) for k, rows in per_shard.items() if rows]

@@ -18,8 +18,8 @@ Per-domain semantics replicate the reference exactly
 - depth stop (visited >= depth), 20-error abort;
 - politeness virtual clock: fetch i+1 at >= fetch i + delay, delay =
   robots crawl-delay else 1000 ms (CrawlDelayTimer.java:14-15);
-- per-topDomain concurrency permits per round (wordpress.com 16,
-  blogspot/tumblr/neocities/github.io 8, substack 1, default 2).
+- robots-declared sitemap URLs enqueue after the root-sniff links,
+  before the main loop (CrawlerRetreiver.java:198-207).
 
 The chunked superstep emission (up to ``max_per_domain`` URLs per round,
 links applied between rounds in per-domain visit order) provably yields
@@ -85,12 +85,16 @@ class DomainState:
     sniffed: bool = False
     blocked: bool = False
     next_ordinal: int = 0
+    sitemap_urls: list = field(default_factory=list)
+    sitemap_enqueued: bool = False
 
     def done(self) -> bool:
         if self.blocked or self.errors >= MAX_ERRORS:
             return True
         if self.visited_cnt >= self.depth:
             return True
+        if self.sitemap_urls and not self.sitemap_enqueued:
+            return False
         return self.sniffed and not self.queue
 
 
@@ -117,8 +121,9 @@ class FrontierShardState:
         depth: int,
         robots_txt: Optional[str],
         robots_status: int,
+        sitemap_urls: Optional[list[str]] = None,
     ) -> None:
-        st = DomainState(domain=domain, depth=depth)
+        st = DomainState(domain=domain, depth=depth, sitemap_urls=list(sitemap_urls or []))
         st.robots = parse_robots_txt(robots_txt, robots_status)
         st.delay_ms = st.robots.crawl_delay_ms or DEFAULT_DELAY_MS
         self.domains[domain] = st
@@ -237,6 +242,16 @@ class FrontierShardState:
             st.sniffed = True
             return n  # links from the root must apply before the loop
 
+        if st.sitemap_urls and not st.sitemap_enqueued:
+            # robots-declared sitemap URLs enqueue after the root links,
+            # before the loop (CrawlerRetreiver.java:198-207); the driver
+            # expanded them at bootstrap.
+            for su in st.sitemap_urls:
+                u = parse_url(su)
+                if u is not None:
+                    self._add_to_queue(st, u)
+            st.sitemap_enqueued = True
+
         while (
             st.queue
             and st.visited_cnt < st.depth
@@ -345,6 +360,8 @@ class FrontierShardState:
                     "sniffed": st.sniffed,
                     "blocked": st.blocked,
                     "next_ordinal": st.next_ordinal,
+                    "sitemap_urls": st.sitemap_urls,
+                    "sitemap_enqueued": st.sitemap_enqueued,
                 }
                 for st in self.domains.values()
             ],
@@ -374,5 +391,7 @@ class FrontierShardState:
             st.sniffed = d["sniffed"]
             st.blocked = d["blocked"]
             st.next_ordinal = d["next_ordinal"]
+            st.sitemap_urls = d.get("sitemap_urls", [])
+            st.sitemap_enqueued = d.get("sitemap_enqueued", False)
             obj.domains[st.domain] = st
         return obj

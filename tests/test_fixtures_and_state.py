@@ -17,7 +17,9 @@ def test_text_byte_identity_all_pages(small_web):
     pages = small_web["tables"]["pages"]
     for i in range(pages.num_rows):
         html = pages["html"][i].as_py()
-        mime, cs = sniff_content_type("text/html", html)
+        mime, cs = sniff_content_type(None, html)
+        if mime != "text/html":
+            continue  # sitemap XML rows: no text extraction (mime gate)
         got = parse_document(decode_body(html, cs)).text
         assert got == pages["text"][i].as_py(), pages["url"][i].as_py()
 
@@ -38,7 +40,9 @@ def test_link_extraction_matches_ground_truth(small_web):
     for i in range(pages.num_rows):
         url = pages["url"][i].as_py()
         html = pages["html"][i].as_py()
-        mime, cs = sniff_content_type("text/html", html)
+        mime, cs = sniff_content_type(None, html)
+        if mime != "text/html":
+            continue
         doc = parse_document(decode_body(html, cs))
         got = [u.key() for u in extract_links(parse_url(url), doc)]
         want_df = by_src.get(url)
