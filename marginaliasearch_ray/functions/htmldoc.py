@@ -93,6 +93,10 @@ class ParsedDoc:
     script_inline_len: int = 0  # total inline script text length
     has_create_element: bool = False  # inline script contains '.createElement('
     headings: list[str] = field(default_factory=list)  # h1-h3 text, doc order
+    meta: dict = field(default_factory=dict)  # name/property -> content (first wins)
+    time_datetimes: list[str] = field(default_factory=list)  # <time datetime=...>
+    ld_json: list[str] = field(default_factory=list)  # application/ld+json bodies
+    first_p_texts: list[str] = field(default_factory=list)  # first few <p> texts
 
 
 class _Walker(HTMLParser):
@@ -107,8 +111,11 @@ class _Walker(HTMLParser):
         self._out: list[tuple[str, frozenset]] = []
         self._title_parts: list[str] = []
         self._script_depth = 0
+        self._script_is_ldjson = False
         self._heading_depth = 0
         self._heading_parts: list[str] = []
+        self._p_capture = False
+        self._p_parts: list[str] = []
 
     # -- tagger mechanics --------------------------------------------------
 
@@ -152,6 +159,13 @@ class _Walker(HTMLParser):
                 self.doc.meta_refresh.append(ad.get("content") or "")
             if (ad.get("name") or "").lower() == "robots":
                 self.doc.meta_robots = ad.get("content") or ""
+            key = (ad.get("name") or ad.get("property") or "").lower()
+            if key and ad.get("content") and key not in self.doc.meta:
+                self.doc.meta[key] = ad["content"]
+        elif tag == "time":
+            ad = dict(attrs)
+            if ad.get("datetime"):
+                self.doc.time_datetimes.append(ad["datetime"])
         elif tag == "link":
             ad = dict(attrs)
             rel = (ad.get("rel") or "").lower()
@@ -166,8 +180,12 @@ class _Walker(HTMLParser):
             self.doc.n_script_tags += 1
             self.doc.script_srcs.append(ad.get("src") or "")
             self._script_depth += 1
+            self._script_is_ldjson = (ad.get("type") or "").lower() == "application/ld+json"
         elif tag in ("h1", "h2", "h3"):
             self._heading_depth += 1
+        elif tag == "p" and len(self.doc.first_p_texts) < 4:
+            self._p_capture = True
+            self._p_parts = []
 
         kind = _PUSH_TAG.get(tag)
         pushed = kind is not None
@@ -199,6 +217,12 @@ class _Walker(HTMLParser):
                     t = self._open[j][0]
                     if t == "script":
                         self._script_depth = max(0, self._script_depth - 1)
+                        self._script_is_ldjson = False
+                    elif t == "p" and self._p_capture:
+                        self._p_capture = False
+                        txt = _normalise_ws("".join(self._p_parts)).strip()
+                        if txt:
+                            self.doc.first_p_texts.append(txt)
                     elif t in ("h1", "h2", "h3"):
                         self._heading_depth = max(0, self._heading_depth - 1)
                         self.doc.headings.append(
@@ -213,12 +237,16 @@ class _Walker(HTMLParser):
         if self._tagstack and self._tagstack[-1] == TITLE:
             self._title_parts.append(data)
         if self._script_depth > 0:
+            if self._script_is_ldjson:
+                self.doc.ld_json.append(data)
             if not (self.doc.script_srcs and self.doc.script_srcs[-1]):
                 self.doc.script_inline_len += len(data)
                 if not self.doc.has_create_element and ".createElement(" in data:
                     self.doc.has_create_element = True
         if self._heading_depth > 0:
             self._heading_parts.append(data)
+        if self._p_capture:
+            self._p_parts.append(data)
         if not self._should_process():
             return
         norm = _normalise_ws(data)

@@ -27,12 +27,12 @@ import pyarrow as pa
 import ray.data as rd
 
 from ..functions.contenttype import decode_body, sniff_content_type
-from ..functions.hashing import stable_hash64, url_seen_hash_u
+from ..functions.docmeta import adjust_quality, detect_features, extract_summary, sniff_pubdate
 from ..functions.htmldoc import parse_document
 from ..functions.links import extract_links
 from ..functions.lsh import content_hash, doc_lsh, hamming64_vec
 from ..functions.quality import document_quality
-from ..model.urls import parse_url, split_domain
+from ..model.urls import parse_url
 
 
 def process_pages_batch(batch: pa.Table) -> pa.Table:
@@ -50,6 +50,9 @@ def process_pages_batch(batch: pa.Table) -> pa.Table:
     length = np.zeros(n, dtype=np.int32)
     n_links_int = np.zeros(n, dtype=np.int32)
     n_links_ext = np.zeros(n, dtype=np.int32)
+    pub_year = np.zeros(n, dtype=np.int32)  # 0 = unknown
+    summary = [""] * n
+    features = np.zeros(n, dtype=np.int32)
 
     for i, (u_s, html) in enumerate(zip(urls, htmls)):
         u = parse_url(u_s)
@@ -65,7 +68,12 @@ def process_pages_batch(batch: pa.Table) -> pa.Table:
         title[i] = doc.title
         text[i] = doc.text
         length[i] = len(doc.text)
-        quality[i] = document_quality(doc, len(doc.text), len(html))
+        features[i] = detect_features(doc)
+        quality[i] = adjust_quality(
+            document_quality(doc, len(doc.text), len(html)), int(features[i])
+        )
+        pub_year[i] = sniff_pubdate(doc, u_s) or 0
+        summary[i] = extract_summary(doc)
         lsh[i] = content_hash(html)
         words = doc.text.lower().split()
         doc_hash[i] = doc_lsh(words)
@@ -92,6 +100,9 @@ def process_pages_batch(batch: pa.Table) -> pa.Table:
             "doc_hash": pa.array(doc_hash, pa.uint64()),
             "links_internal": pa.array(n_links_int, pa.int32()),
             "links_external": pa.array(n_links_ext, pa.int32()),
+            "pub_year": pa.array(pub_year, pa.int32()),
+            "summary": pa.array(summary, pa.string()),
+            "features": pa.array(features, pa.int32()),
         }
     )
     if "lang" in batch.column_names:
