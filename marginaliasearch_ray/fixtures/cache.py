@@ -20,12 +20,12 @@ _CONFIGS = {
     ),
     "sf0.1": WebConfig(
         seed=42,
-        n_domains=150,
-        min_pages=10,
-        max_pages=120,
+        n_domains=500,
+        min_pages=20,
+        max_pages=180,
         mega_domains=2,
-        mega_pages=1500,
-        crawl_depth_range=(20, 200),
+        mega_pages=2500,
+        crawl_depth_range=(50, 300),
     ),
 }
 
@@ -35,15 +35,17 @@ def config_for(sf_dir: str) -> WebConfig:
     return _CONFIGS.get(name, _CONFIGS["sf0.001"])
 
 
-FIXTURE_VERSION = 2  # bump when the generator grammar changes
+FIXTURE_VERSION = 3  # bump when the generator grammar changes
 
 
 def fixture_dir_for(sf_dir: str, root: str = "/tmp/graft_fixtures") -> str:
     """Generate (once) and return the fixture-web dir matching sf_dir's scale."""
+    import ray
+
     name = Path(sf_dir).name
     out = Path(root) / f"v{FIXTURE_VERSION}" / name
     done = out / "_DONE"
     if not done.exists():
-        write_fixtures(out, config_for(sf_dir))
+        write_fixtures(out, config_for(sf_dir), parallel=ray.is_initialized())
         done.touch()
     return str(out)

@@ -290,17 +290,16 @@ def _sentence(rng: random.Random, lex: list[str], lo: int = 4, hi: int = 12) -> 
     return " ".join(rng.choice(lex) for _ in range(rng.randint(lo, hi)))
 
 
-def generate_web(cfg: WebConfig) -> dict:
-    """Build the full synthetic web in memory; returns dict of pyarrow tables."""
-    rng = random.Random(cfg.seed)
-    domains = _domain_names(cfg, rng)
-
+def _generate_domain(cfg: WebConfig, domains: list[str], di: int):
+    """Generate one domain's rows — fully determined by (cfg, domains, di),
+    so domains can generate independently in parallel."""
+    domain = domains[di]
     page_rows = []  # (url, warc_ts, html(bytes), text, lang)
     link_rows = []  # (src_url, dst_url, kind)
     robots_rows = []
     seed_rows = []
 
-    for di, domain in enumerate(domains):
+    if True:
         drng = random.Random((cfg.seed << 16) ^ (di * 2654435761))
         if di < cfg.mega_domains:
             n_pages = cfg.mega_pages
@@ -487,6 +486,48 @@ def generate_web(cfg: WebConfig) -> dict:
             for dst, kind in ordered:
                 link_rows.append((url, dst, kind))
 
+    return page_rows, link_rows, robots_rows, seed_rows
+
+
+def generate_web(cfg: WebConfig, parallel: bool = False) -> dict:
+    """Build the full synthetic web in memory; returns dict of pyarrow
+    tables.  ``parallel=True`` fans domain generation out as Ray tasks
+    (identical output — each domain's stream is independently seeded)."""
+    rng = random.Random(cfg.seed)
+    domains = _domain_names(cfg, rng)
+
+    if parallel:
+        import ray
+
+        @ray.remote
+        def gen_chunk(lo: int, hi: int):
+            out = [[], [], [], []]
+            for di in range(lo, hi):
+                parts = _generate_domain(cfg, domains, di)
+                for acc, p in zip(out, parts):
+                    acc.extend(p)
+            return out
+
+        chunk = max(1, len(domains) // 64)
+        refs = [
+            gen_chunk.remote(lo, min(lo + chunk, len(domains)))
+            for lo in range(0, len(domains), chunk)
+        ]
+        page_rows, link_rows, robots_rows, seed_rows = [], [], [], []
+        for out in ray.get(refs):
+            page_rows.extend(out[0])
+            link_rows.extend(out[1])
+            robots_rows.extend(out[2])
+            seed_rows.extend(out[3])
+    else:
+        page_rows, link_rows, robots_rows, seed_rows = [], [], [], []
+        for di in range(len(domains)):
+            parts = _generate_domain(cfg, domains, di)
+            page_rows.extend(parts[0])
+            link_rows.extend(parts[1])
+            robots_rows.extend(parts[2])
+            seed_rows.extend(parts[3])
+
     pages = pa.table(
         {
             "url": pa.array([r[0] for r in page_rows], pa.string()),
@@ -572,12 +613,14 @@ def generate_prev_crawl(pages: pa.Table, seed: int = 42) -> pa.Table:
     )
 
 
-def write_fixtures(out_dir: str | Path, cfg: WebConfig | None = None) -> dict:
+def write_fixtures(
+    out_dir: str | Path, cfg: WebConfig | None = None, parallel: bool = False
+) -> dict:
     """Generate and write all fixture tables; returns the in-memory tables."""
     cfg = cfg or WebConfig()
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
-    tables = generate_web(cfg)
+    tables = generate_web(cfg, parallel=parallel)
     tables["prev_crawl"] = generate_prev_crawl(tables["pages"], cfg.seed)
     for name, tbl in tables.items():
         pq.write_table(tbl, out / f"{name}.parquet")
