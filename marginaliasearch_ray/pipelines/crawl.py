@@ -55,6 +55,9 @@ from ..functions.quality import document_quality
 from ..model.urls import parse_url
 from ..state.frontier import FrontierShardState
 
+MAX_FETCH_SIZE = 32 * 1024 * 1024  # WarcRecorder.java:45
+MAX_PARSE_SIZE = 500 * 1024  # CrawledDocument.java:31
+
 FETCH_SCHEMA = pa.schema(
     [
         ("domain", pa.string()),
@@ -202,6 +205,21 @@ class WebStore:
             return None, 404
         return body, 200
 
+    def put_partitions_in_object_store(self) -> dict[int, "ray.ObjectRef"]:
+        """Load every partition ONCE into the Ray object store as an Arrow
+        table (shared plasma copy; workers ray.get it zero-copy instead of
+        each rebuilding a python dict — the single-node analog of each
+        node holding its partition's slice in shared memory).  Returns
+        {partition: ObjectRef(Table(url, html))}."""
+        refs = {}
+        for part in range(self.num_parts):
+            pdir = Path(self.store_dir) / f"part={part}"
+            if not pdir.exists():
+                continue
+            tbl = pads.dataset(str(pdir)).to_table(columns=["url", "html"])
+            refs[part] = ray.put(tbl.combine_chunks())
+        return refs
+
 
 # Worker-process-level web-store cache: Ray Data worker processes persist
 # across the per-round Dataset executions, so partition dicts loaded for
@@ -219,8 +237,55 @@ def _get_store(store_dir: str, num_shards: int) -> WebStore:
     return store
 
 
+# per-worker cache of ray.get'd partition tables (plasma-backed, zero-copy)
+_PART_TABLE_CACHE: dict[int, tuple] = {}
+
+
+def _batch_bodies(
+    batch: pa.Table,
+    parts: list[int],
+    web_refs: Optional[dict],
+    store: WebStore,
+    num_shards: int,
+) -> list[Optional[bytes]]:
+    """Vectorized fetch-sim lookup: group the batch's URLs by partition and
+    resolve each group with one ``pc.index_in`` against the partition's
+    Arrow table from the object store (zero-copy ``ray.get``).  Falls back
+    to the per-worker dict store when no refs were provided."""
+    urls = batch.column("url")
+    n = len(urls)
+    bodies: list[Optional[bytes]] = [None] * n
+    by_part: dict[int, list[int]] = {}
+    for i, p in enumerate(parts):
+        by_part.setdefault(p, []).append(i)
+    for p, idxs in by_part.items():
+        if web_refs is not None and p in web_refs:
+            cached = _PART_TABLE_CACHE.get(p)
+            if cached is None or cached[0] is not web_refs[p]:
+                tbl = ray.get(web_refs[p])
+                cached = (web_refs[p], tbl)
+                _PART_TABLE_CACHE[p] = cached
+            tbl = cached[1]
+            sub = urls.take(pa.array(idxs, pa.int64()))
+            pos = pc.index_in(sub, value_set=tbl.column("url"))
+            html_col = tbl.column("html")
+            for j, i in enumerate(idxs):
+                k = pos[j].as_py()
+                if k is not None:
+                    bodies[i] = html_col[k].as_py()
+        else:
+            for i in idxs:
+                body, _status = store.lookup(p, urls[i].as_py())
+                bodies[i] = body
+    return bodies
+
+
 def fetch_extract_batch(
-    batch: pa.Table, store_dir: str, num_shards: int, shard_handles: list
+    batch: pa.Table,
+    store_dir: str,
+    num_shards: int,
+    shard_handles: list,
+    web_refs: Optional[dict] = None,
 ) -> pa.Table:
     """Fetch-sim + full document processing for one Arrow batch of fetch
     tasks.  Pushes discovered links back to the owning shard synchronously
@@ -230,6 +295,8 @@ def fetch_extract_batch(
     shards = shard_handles
     domains = batch.column("domain").to_pylist()
     urls = batch.column("url").to_pylist()
+    parts = [partition_of_domain(d, num_shards) for d in domains]
+    bodies = _batch_bodies(batch, parts, web_refs, store, num_shards)
     out = {
         "http_status": [],
         "content_type": [],
@@ -243,8 +310,9 @@ def fetch_extract_batch(
     route: dict[int, dict[str, list]] = {}
 
     for i, (domain, url) in enumerate(zip(domains, urls)):
-        part = partition_of_domain(domain, num_shards)
-        body, status = store.lookup(part, url)
+        part = parts[i]
+        body = bodies[i]
+        status = 200 if body is not None else 404
         ordinal = batch.column("visit_ordinal")[i].as_py()
         links: list[str] = []
         title = ""
@@ -252,9 +320,17 @@ def fetch_extract_batch(
         quality = 0.0
         lsh = 0
         ctype = ""
+        if body is not None and len(body) > MAX_FETCH_SIZE:
+            # 32 MiB response cap (WarcRecorder.java:45): truncated bodies
+            # are dropped like the reference's truncated-binary filter
+            body, status = None, 404
         if status == 200 and body:
             mime, charset = sniff_content_type(None, body)
             ctype = mime
+            if len(body) > MAX_PARSE_SIZE:
+                # 500 KB parse cap (CrawledDocument.java:31): record kept,
+                # body not parsed
+                mime = "text/x-unparsed"
             if mime in ("text/html", "application/xhtml+xml"):
                 decoded = decode_body(body, charset)
                 doc = parse_document(decoded)
@@ -389,6 +465,8 @@ def run_crawl(
     out.mkdir(parents=True, exist_ok=True)
 
     WebStore.prepare(pages_path, str(store_dir), num_shards)
+    # one shared plasma copy of each web partition for all fetch workers
+    web_refs = WebStore(str(store_dir), num_shards).put_partitions_in_object_store()
 
     shards = [FrontierShard.remote(k, num_shards) for k in range(num_shards)]
 
@@ -448,6 +526,7 @@ def run_crawl(
             "store_dir": str(store_dir),
             "num_shards": num_shards,
             "shard_handles": shards,
+            "web_refs": web_refs,
         }
         if n_rows <= small_round_rows:
             # small-round fast path: these rounds don't justify a Dataset

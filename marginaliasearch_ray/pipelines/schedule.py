@@ -58,6 +58,20 @@ def order_batch_run(seeds: rd.Dataset) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+MIN_URLS_PER_DOMAIN = 100
+MID_URLS_PER_DOMAIN = 2_000
+MAX_URLS_PER_DOMAIN = 10_000
+
+
+def grow_crawl_depth(prev_visited: int, growth_factor: float = 1.25) -> int:
+    """Crawl-spec depth from the previous visit count
+    (CrawlerMain.java:764-781): below the mid threshold the growth factor
+    is at least 2.5; result clamped to [100, 10000]."""
+    factor = max(2.5, growth_factor) if prev_visited < MID_URLS_PER_DOMAIN else growth_factor
+    depth = int(prev_visited * factor)
+    return max(MIN_URLS_PER_DOMAIN, min(MAX_URLS_PER_DOMAIN, depth))
+
+
 def order_timed_run(crawl_meta: rd.Dataset) -> pd.DataFrame:
     """LRU ordering over (domain, last_crawl_ts_ms): oldest first,
     domain tiebreak (CrawlerMain.java:513-517)."""

@@ -88,6 +88,13 @@ class DomainState:
     sitemap_urls: list = field(default_factory=list)
     sitemap_enqueued: bool = False
 
+    def increase_depth(self, factor: float = 1.5, max_absolute: int = 2500) -> None:
+        """Reference ``DomainCrawlFrontier.increaseDepth`` (applied on
+        recrawl, CrawlerRetreiver.java:143-146): base = max(visited, depth),
+        new depth = min(base + max_absolute, base * factor)."""
+        base = max(self.visited_cnt, self.depth)
+        self.depth = min(base + max_absolute, int(base * factor))
+
     def done(self) -> bool:
         if self.blocked or self.errors >= MAX_ERRORS:
             return True
