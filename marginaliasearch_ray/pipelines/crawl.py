@@ -315,6 +315,7 @@ def fetch_extract_batch(
         status = 200 if body is not None else 404
         ordinal = batch.column("visit_ordinal")[i].as_py()
         links: list[str] = []
+        parsed_links: list = []
         title = ""
         text = ""
         quality = 0.0
@@ -340,7 +341,8 @@ def fetch_extract_batch(
                 lsh = content_hash(body)
                 u = parse_url(url)
                 if u is not None:
-                    links = [str(x) for x in extract_links(u, doc)]
+                    parsed_links = extract_links(u, doc)
+                    links = [str(x) for x in parsed_links]
         out["http_status"].append(status)
         out["content_type"].append(ctype)
         out["title"].append(title)
@@ -364,11 +366,12 @@ def fetch_extract_batch(
         r["domains"].append(domain)
         r["ordinals"].append(ordinal)
         r["statuses"].append(status)
-        for seq, l in enumerate(links):
+        for seq, pl in enumerate(parsed_links):
             r["link_domains"].append(domain)
             r["link_ordinals"].append(ordinal)
             r["link_seq"].append(seq)
-            r["link_urls"].append(l)
+            # pre-parsed components: the shard enqueues without re-parsing
+            r["link_urls"].append((pl.proto, pl.host, pl.port, pl.path, pl.param))
 
     # synchronous push: the batch is "done" only once every owning
     # shard has buffered this batch's outcomes.
@@ -431,10 +434,14 @@ def _read_control_table(blob: bytes) -> pa.Table:
 
 
 @ray.remote(num_cpus=1)
-def _fetch_extract_task(table: pa.Table, kwargs: dict) -> pa.Table:
-    """Tail-round fast path: same batch fn, plain task instead of a
-    Dataset execution (worker-process web-store cache still applies)."""
-    return fetch_extract_batch(table, **kwargs)
+def _fetch_extract_task(table: pa.Table, kwargs: dict, out_path: Optional[str] = None) -> int:
+    """Small-round fast path: same batch fn, plain task instead of a
+    Dataset execution.  Writes its own parquet part file (parallel,
+    nothing moves through the driver) and returns the row count."""
+    res = fetch_extract_batch(table, **kwargs)
+    if out_path is not None:
+        pq.write_table(res, out_path)
+    return res.num_rows
 
 
 def run_crawl(
@@ -536,13 +543,18 @@ def run_crawl(
             # Ray Data streaming path below.)
             round_dir.mkdir(parents=True, exist_ok=True)
             refs = []
+            part_no = 0
             for t in tables:
                 for off in range(0, t.num_rows, 256):
                     refs.append(
-                        _fetch_extract_task.remote(t.slice(off, 256), kwargs)
+                        _fetch_extract_task.remote(
+                            t.slice(off, 256),
+                            kwargs,
+                            str(round_dir / f"part-{part_no}.parquet"),
+                        )
                     )
-            results = ray.get(refs)
-            pq.write_table(pa.concat_tables(results), round_dir / "part-0.parquet")
+                    part_no += 1
+            ray.get(refs)
         else:
             ds = rd.from_arrow(tables)
             ds = ds.map_batches(

@@ -295,10 +295,13 @@ class FrontierShardState:
         link_domains: list[str],
         link_ordinals: list[int],
         link_seq: list[int],
-        link_urls: list[str],
+        link_urls: list,
     ) -> None:
         """Called (possibly out of order, from many fetch workers) with the
-        round's fetch outcomes and discovered links."""
+        round's fetch outcomes and discovered links.  ``link_urls`` entries
+        are either canonical strings or pre-parsed (proto, host, port,
+        path, param) tuples (the fetch stage already parsed each link —
+        shipping components avoids a second parse here)."""
         self._status_buf.extend(zip(domains, ordinals, statuses))
         self._link_buf.extend(zip(link_domains, link_ordinals, link_seq, link_urls))
 
@@ -316,7 +319,11 @@ class FrontierShardState:
             st = self.domains.get(domain)
             if st is None:
                 continue
-            u = parse_url(dst)
+            if isinstance(dst, tuple):
+                proto, host, port, path, param = dst
+                u = CanonUrl(proto, host, port, path, param or None)
+            else:
+                u = parse_url(dst)
             if u is not None:
                 self._add_to_queue(st, u)
         self._status_buf.clear()
