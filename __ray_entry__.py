@@ -151,6 +151,32 @@ def _crawl_order(sf_dir: str) -> pd.DataFrame:
     return order_batch_run(seeds)
 
 
+def _domain_discovery(sf_dir: str) -> pd.DataFrame:
+    """NDP-style discovery: treat half the fixture domains as known, find
+    the rest via cross-domain links and evaluate their root pages."""
+    from marginaliasearch_ray.fixtures.cache import fixture_dir_for
+    from marginaliasearch_ray.pipelines.crawl import read_crawl_records
+    from marginaliasearch_ray.pipelines.discovery import discover_domains
+
+    _crawl_records(sf_dir)  # ensure the cached crawl output exists
+    from marginaliasearch_ray.fixtures.cache import FIXTURE_VERSION
+
+    out_dir = (
+        Path(tempfile.gettempdir())
+        / "graft_crawl"
+        / f"v{FIXTURE_VERSION}"
+        / Path(sf_dir).name
+    )
+    fix = fixture_dir_for(sf_dir)
+    import pyarrow.parquet as pq_
+
+    seeds = pq_.read_table(f"{fix}/seeds.parquet", columns=["domain"])
+    all_domains = sorted(seeds.column("domain").to_pylist())
+    known = set(all_domains[: len(all_domains) // 2])
+    records = read_crawl_records(str(out_dir))
+    return discover_domains(records, known, f"{fix}/pages.parquet")
+
+
 def _doc_keywords(sf_dir: str) -> pd.DataFrame:
     import ray.data as rd
 
@@ -343,6 +369,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "recrawl_decisions": _recrawl_decisions,
         "recrawl_meta": _recrawl_meta,
         "crawl_order": _crawl_order,
+        "domain_discovery": _domain_discovery,
         # relational shapes (SQL-checked)
         "agg_lineitem_pricing": _rel("agg_lineitem_pricing"),
         "join_order_revenue": _rel("join_order_revenue"),

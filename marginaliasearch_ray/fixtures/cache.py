@@ -20,11 +20,11 @@ _CONFIGS = {
     ),
     "sf0.1": WebConfig(
         seed=42,
-        n_domains=500,
+        n_domains=2000,
         min_pages=20,
-        max_pages=180,
+        max_pages=160,
         mega_domains=2,
-        mega_pages=2500,
+        mega_pages=3000,
         crawl_depth_range=(50, 300),
     ),
 }
@@ -35,7 +35,7 @@ def config_for(sf_dir: str) -> WebConfig:
     return _CONFIGS.get(name, _CONFIGS["sf0.001"])
 
 
-FIXTURE_VERSION = 3  # bump when the generator grammar changes
+FIXTURE_VERSION = 4  # bump when the generator grammar changes
 
 
 def fixture_dir_for(sf_dir: str, root: str = "/tmp/graft_fixtures") -> str:

@@ -34,6 +34,7 @@ from ..functions.blocklist import is_url_blocked
 from ..functions.contenttype import decode_body, sniff_content_type
 from ..functions.hashing import url_seen_hash_u
 from ..functions.htmldoc import parse_document
+from ..functions.linkfilter import FILTERS, select_link_filter_name
 from ..functions.links import extract_links
 from ..functions.robots import RobotRules, parse_robots_txt
 from ..model.urls import CanonUrl, parse_url
@@ -70,6 +71,7 @@ class OracleFrontier:
         self.seen: dict[int, bool] = {}  # hash -> visited?
         self.visited_cnt = 0
         self.supports_https = True
+        self.filter_name = "default"
         for s in seed_urls:
             u = parse_url(s)
             if u is not None:
@@ -107,6 +109,8 @@ class OracleFrontier:
         if u.host != self.domain:
             return
         if is_url_blocked(u):
+            return
+        if not FILTERS[self.filter_name](u):
             return
         if len(self.queue) + self.visited_cnt >= self.depth + QUEUE_SLACK:
             return
@@ -149,8 +153,10 @@ def crawl_domain_oracle(
     ordinal = 0
     errors = 0
 
-    def fetch_and_enqueue(u: CanonUrl) -> int:
-        """Simulated fetch: look up the web; parse + enqueue links on 200."""
+    def fetch_and_enqueue(u: CanonUrl, is_root: bool = False) -> int:
+        """Simulated fetch: look up the web; parse + enqueue links on 200.
+        The root sniff also selects the per-site link filter BEFORE its
+        links are enqueued (CrawlerRetreiver.sniffRootDocument order)."""
         nonlocal clock, ordinal
         s = str(u)
         body, status = web.get(s, (b"", 404))
@@ -162,12 +168,14 @@ def crawl_domain_oracle(
             mime, charset = sniff_content_type(None, body)
             text = decode_body(body, charset)
             doc = parse_document(text)
+            if is_root:
+                frontier.filter_name = select_link_filter_name(doc, u)
             for link in extract_links(u, doc):
                 frontier.add_to_queue(link)
         return status
 
     # --- root sniff (CrawlerRetreiver.sniffRootDocument) ---
-    fetch_and_enqueue(root)
+    fetch_and_enqueue(root, is_root=True)
     frontier.add_visited(root)
 
     # --- sitemaps (CrawlerRetreiver.java:198-207): robots-declared,
@@ -203,7 +211,8 @@ def crawl_domain_oracle(
             continue
         if not robots.is_allowed(top_s):
             continue
-        # link filter: always-true in v1 (LinkFilterSelector default)
+        if not FILTERS[frontier.filter_name](top):
+            continue
         if is_url_blocked(top):
             continue
         if top.proto not in ("http", "https"):

@@ -94,6 +94,7 @@ class ParsedDoc:
     has_create_element: bool = False  # inline script contains '.createElement('
     headings: list[str] = field(default_factory=list)  # h1-h3 text, doc order
     meta: dict = field(default_factory=dict)  # name/property -> content (first wins)
+    script_head: str = ""  # first ~4 KB of inline script text (site sniffing)
     time_datetimes: list[str] = field(default_factory=list)  # <time datetime=...>
     ld_json: list[str] = field(default_factory=list)  # application/ld+json bodies
     first_p_texts: list[str] = field(default_factory=list)  # first few <p> texts
@@ -241,6 +242,8 @@ class _Walker(HTMLParser):
                 self.doc.ld_json.append(data)
             if not (self.doc.script_srcs and self.doc.script_srcs[-1]):
                 self.doc.script_inline_len += len(data)
+                if len(self.doc.script_head) < 4096:
+                    self.doc.script_head += data[: 4096 - len(self.doc.script_head)]
                 if not self.doc.has_create_element and ".createElement(" in data:
                     self.doc.has_create_element = True
         if self._heading_depth > 0:

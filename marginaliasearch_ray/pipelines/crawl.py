@@ -49,6 +49,7 @@ import ray.data as rd
 from ..functions.contenttype import decode_body, sniff_content_type
 from ..functions.hashing import partition_of_domain
 from ..functions.htmldoc import parse_document
+from ..functions.linkfilter import select_link_filter_name
 from ..functions.links import extract_links
 from ..functions.lsh import content_hash
 from ..functions.quality import document_quality
@@ -209,15 +210,21 @@ class WebStore:
         """Load every partition ONCE into the Ray object store as an Arrow
         table (shared plasma copy; workers ray.get it zero-copy instead of
         each rebuilding a python dict — the single-node analog of each
-        node holding its partition's slice in shared memory).  Returns
-        {partition: ObjectRef(Table(url, html))}."""
+        node holding its partition's slice in shared memory).  Loading is
+        one parallel task per partition whose return value lands directly
+        in plasma.  Returns {partition: ObjectRef(Table(url, html))}."""
+
+        @ray.remote(num_cpus=1)
+        def _load_part(pdir: str) -> pa.Table:
+            return (
+                pads.dataset(pdir).to_table(columns=["url", "html"]).combine_chunks()
+            )
+
         refs = {}
         for part in range(self.num_parts):
             pdir = Path(self.store_dir) / f"part={part}"
-            if not pdir.exists():
-                continue
-            tbl = pads.dataset(str(pdir)).to_table(columns=["url", "html"])
-            refs[part] = ray.put(tbl.combine_chunks())
+            if pdir.exists():
+                refs[part] = _load_part.remote(str(pdir))
         return refs
 
 
@@ -260,10 +267,11 @@ def _batch_bodies(
         by_part.setdefault(p, []).append(i)
     for p, idxs in by_part.items():
         if web_refs is not None and p in web_refs:
+            ref_key = web_refs[p].hex()
             cached = _PART_TABLE_CACHE.get(p)
-            if cached is None or cached[0] is not web_refs[p]:
+            if cached is None or cached[0] != ref_key:
                 tbl = ray.get(web_refs[p])
-                cached = (web_refs[p], tbl)
+                cached = (ref_key, tbl)
                 _PART_TABLE_CACHE[p] = cached
             tbl = cached[1]
             sub = urls.take(pa.array(idxs, pa.int64()))
@@ -316,6 +324,7 @@ def fetch_extract_batch(
         ordinal = batch.column("visit_ordinal")[i].as_py()
         links: list[str] = []
         parsed_links: list = []
+        root_filter = None
         title = ""
         text = ""
         quality = 0.0
@@ -343,6 +352,11 @@ def fetch_extract_batch(
                 if u is not None:
                     parsed_links = extract_links(u, doc)
                     links = [str(x) for x in parsed_links]
+                    if ordinal == 0:
+                        # root sniff also selects the per-site link filter
+                        # (LinkFilterSelector; applied shard-side before
+                        # the root's links are enqueued)
+                        root_filter = select_link_filter_name(doc, u)
         out["http_status"].append(status)
         out["content_type"].append(ctype)
         out["title"].append(title)
@@ -361,11 +375,14 @@ def fetch_extract_batch(
                 "link_ordinals": [],
                 "link_seq": [],
                 "link_urls": [],
+                "root_filters": [],
             },
         )
         r["domains"].append(domain)
         r["ordinals"].append(ordinal)
         r["statuses"].append(status)
+        if root_filter is not None and root_filter != "default":
+            r["root_filters"].append((domain, root_filter))
         for seq, pl in enumerate(parsed_links):
             r["link_domains"].append(domain)
             r["link_ordinals"].append(ordinal)
@@ -417,10 +434,22 @@ def _expand_domain_sitemaps(
             all_sm.update(starts)
     if not wanted:
         return {}
-    tbl = pads.dataset(pages_path).to_table(
-        columns=["url", "html"], filter=pc.field("url").isin(sorted(all_sm))
-    )
-    bodies = dict(zip(tbl.column("url").to_pylist(), tbl.column("html").to_pylist()))
+    # two-phase read: scan the cheap url column to find the row groups
+    # holding sitemap rows, then decode html only for those row groups
+    # (the naive filtered read decompresses the whole html column).
+    pf = pq.ParquetFile(pages_path)
+    sm_set = set(all_sm)
+    hit_groups = []
+    for g in range(pf.num_row_groups):
+        urls_g = pf.read_row_group(g, columns=["url"]).column("url").to_pylist()
+        if any(u in sm_set for u in urls_g):
+            hit_groups.append(g)
+    bodies: dict[str, bytes] = {}
+    for g in hit_groups:
+        t = pf.read_row_group(g, columns=["url", "html"])
+        for u, h in zip(t.column("url").to_pylist(), t.column("html").to_pylist()):
+            if u in sm_set:
+                bodies[u] = h
 
     def _fetch(u: str):
         b = bodies.get(u)

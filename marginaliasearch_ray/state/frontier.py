@@ -44,6 +44,7 @@ from typing import Optional
 import numpy as np
 
 from ..functions.blocklist import is_url_blocked
+from ..functions.linkfilter import FILTERS
 from ..functions.hashing import url_seen_hash_u
 from ..functions.robots import RobotRules, parse_robots_txt
 from ..model.urls import CanonUrl, parse_url
@@ -87,6 +88,7 @@ class DomainState:
     next_ordinal: int = 0
     sitemap_urls: list = field(default_factory=list)
     sitemap_enqueued: bool = False
+    filter_name: str = "default"  # per-site link filter (LinkFilterSelector)
 
     def increase_depth(self, factor: float = 1.5, max_absolute: int = 2500) -> None:
         """Reference ``DomainCrawlFrontier.increaseDepth`` (applied on
@@ -115,6 +117,7 @@ class FrontierShardState:
         # link_ordinal, dst_url) and (domain, visit_ordinal, status)
         self._link_buf: list[tuple[str, int, int, str]] = []
         self._status_buf: list[tuple[str, int, int]] = []
+        self._filter_buf: list[tuple[str, str]] = []
         self.round = 0
 
     # ------------------------------------------------------------------
@@ -185,6 +188,8 @@ class FrontierShardState:
         if u.host != st.domain:
             return
         if is_url_blocked(u):
+            return
+        if not FILTERS[st.filter_name](u):
             return
         if len(st.queue) + st.visited_cnt >= st.depth + QUEUE_SLACK:
             return
@@ -271,7 +276,8 @@ class FrontierShardState:
                 continue
             if not st.robots.is_allowed(s):
                 continue
-            # site-type link filter: always-true in v1 (LinkFilterSelector)
+            if not FILTERS[st.filter_name](u):
+                continue
             if is_url_blocked(u):
                 continue
             if u.proto not in ("http", "https"):
@@ -296,6 +302,7 @@ class FrontierShardState:
         link_ordinals: list[int],
         link_seq: list[int],
         link_urls: list,
+        root_filters: list | None = None,  # [(domain, filter_name)] from root sniffs
     ) -> None:
         """Called (possibly out of order, from many fetch workers) with the
         round's fetch outcomes and discovered links.  ``link_urls`` entries
@@ -304,12 +311,19 @@ class FrontierShardState:
         shipping components avoids a second parse here)."""
         self._status_buf.extend(zip(domains, ordinals, statuses))
         self._link_buf.extend(zip(link_domains, link_ordinals, link_seq, link_urls))
+        if root_filters:
+            self._filter_buf.extend(root_filters)
 
     def apply_buffered(self) -> None:
         """Deterministically apply buffered outcomes: per domain, statuses
         then links sorted by (visit_ordinal, link_ordinal) — reconstructing
         the reference's sequential enqueue order regardless of fetch-worker
         arrival order."""
+        for domain, fname in sorted(self._filter_buf):
+            st = self.domains.get(domain)
+            if st is not None and fname in FILTERS:
+                st.filter_name = fname
+        self._filter_buf.clear()
         for domain, _ordinal, status in sorted(self._status_buf):
             st = self.domains.get(domain)
             if st is not None and status < 0:
@@ -357,6 +371,7 @@ class FrontierShardState:
             "round": self.round,
             "cuckoo": self.cuckoo.to_bytes(),
             "link_buf": self._link_buf,
+            "filter_buf": self._filter_buf,
             "status_buf": self._status_buf,
             "domains": [
                 {
@@ -376,6 +391,7 @@ class FrontierShardState:
                     "next_ordinal": st.next_ordinal,
                     "sitemap_urls": st.sitemap_urls,
                     "sitemap_enqueued": st.sitemap_enqueued,
+                    "filter_name": st.filter_name,
                 }
                 for st in self.domains.values()
             ],
@@ -389,6 +405,7 @@ class FrontierShardState:
         obj.round = payload["round"]
         obj.cuckoo = CuckooFilter.from_bytes(payload["cuckoo"])
         obj._link_buf = payload["link_buf"]
+        obj._filter_buf = payload.get("filter_buf", [])
         obj._status_buf = payload["status_buf"]
         for d in payload["domains"]:
             st = DomainState(domain=d["domain"], depth=d["depth"])
@@ -407,5 +424,6 @@ class FrontierShardState:
             st.next_ordinal = d["next_ordinal"]
             st.sitemap_urls = d.get("sitemap_urls", [])
             st.sitemap_enqueued = d.get("sitemap_enqueued", False)
+            st.filter_name = d.get("filter_name", "default")
             obj.domains[st.domain] = st
         return obj
