@@ -316,6 +316,12 @@ def fetch_extract_batch(
     }
     # link routing buffers, keyed by shard
     route: dict[int, dict[str, list]] = {}
+    # batch-level link dedup on the seen-set identity (host, path, param):
+    # a duplicate is a guaranteed no-op at shard admission (the first
+    # occurrence either queued it or it was already known), so shipping it
+    # only costs shard CPU.  Cross-batch duplicates still reach the shard
+    # and are deduped by the real seen-set.
+    sent_links: set = set()
 
     for i, (domain, url) in enumerate(zip(domains, urls)):
         part = parts[i]
@@ -384,6 +390,10 @@ def fetch_extract_batch(
         if root_filter is not None and root_filter != "default":
             r["root_filters"].append((domain, root_filter))
         for seq, pl in enumerate(parsed_links):
+            ident = (domain, pl.host, pl.path, pl.param)
+            if ident in sent_links:
+                continue
+            sent_links.add(ident)
             r["link_domains"].append(domain)
             r["link_ordinals"].append(ordinal)
             r["link_seq"].append(seq)
