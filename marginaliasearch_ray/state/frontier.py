@@ -162,14 +162,19 @@ class FrontierShardState:
             self.cuckoo.add_many(np.array([h], dtype=np.uint64))
         st.seen[h] = visited
 
+    # Queue entries are (url_str, CanonUrl, seen_hash): the parse and the
+    # hash happen once at admission, never again at dequeue.
+
     def _add_first(self, st: DomainState, u: CanonUrl) -> None:
         h = url_seen_hash_u(u)
         if self._seen_lookup(st, h) is None:
             self._mark_seen(st, h, False)
-            st.queue.appendleft(str(u))
+            st.queue.appendleft((str(u), u, h))
 
     def _add_visited(self, st: DomainState, u: CanonUrl) -> bool:
-        h = url_seen_hash_u(u)
+        return self._add_visited_h(st, url_seen_hash_u(u))
+
+    def _add_visited_h(self, st: DomainState, h: int) -> bool:
         prev = self._seen_lookup(st, h)
         self._mark_seen(st, h, True)
         if not prev:
@@ -197,7 +202,7 @@ class FrontierShardState:
         h = url_seen_hash_u(u)
         if self._seen_lookup(st, h) is None:
             self._mark_seen(st, h, False)
-            st.queue.append(str(u))
+            st.queue.append((str(u), u, h))
 
     # ------------------------------------------------------------------
     # superstep: emission
@@ -233,14 +238,13 @@ class FrontierShardState:
     ) -> int:
         n = 0
 
-        def emit(u: CanonUrl) -> None:
+        def emit(s: str, h: int) -> None:
             nonlocal n
-            s = str(u)
             cols["domain"].append(st.domain)
             cols["url"].append(s)
             cols["visit_ordinal"].append(st.next_ordinal)
             cols["virtual_ts_ms"].append(st.clock_ms)
-            cols["seen_hash"].append(url_seen_hash_u(u))
+            cols["seen_hash"].append(h)
             st.next_ordinal += 1
             st.clock_ms += st.delay_ms
             n += 1
@@ -249,8 +253,9 @@ class FrontierShardState:
             # root sniff fetch (CrawlerRetreiver.sniffRootDocument):
             # fetch '/', mark visited; its queue entry gets skipped later.
             root = CanonUrl("https", st.domain, None, "/", None)
-            emit(root)
-            self._add_visited(st, root)
+            rh = url_seen_hash_u(root)
+            emit(str(root), rh)
+            self._add_visited_h(st, rh)
             st.sniffed = True
             return n  # links from the root must apply before the loop
 
@@ -270,10 +275,7 @@ class FrontierShardState:
             and st.errors < MAX_ERRORS
             and n < max_per_domain
         ):
-            s = st.queue.popleft()
-            u = parse_url(s)
-            if u is None:
-                continue
+            s, u, h = st.queue.popleft()
             if not st.robots.is_allowed(s):
                 continue
             if not FILTERS[st.filter_name](u):
@@ -284,9 +286,9 @@ class FrontierShardState:
                 continue
             if len(s) > 255:
                 continue
-            if not self._add_visited(st, u):
+            if not self._add_visited_h(st, h):
                 continue
-            emit(u)
+            emit(s, h)
         return n
 
     # ------------------------------------------------------------------
