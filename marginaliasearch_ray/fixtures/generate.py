@@ -623,5 +623,7 @@ def write_fixtures(
     tables = generate_web(cfg, parallel=parallel)
     tables["prev_crawl"] = generate_prev_crawl(tables["pages"], cfg.seed)
     for name, tbl in tables.items():
-        pq.write_table(tbl, out / f"{name}.parquet")
+        # small row groups: targeted reads (sitemap bootstrap, probes) can
+        # prune to a few row groups instead of decompressing the file
+        pq.write_table(tbl, out / f"{name}.parquet", row_group_size=2048)
     return tables

@@ -504,6 +504,9 @@ def run_crawl(
     last completed round.  ``resume=True`` restores state and re-runs from
     the first incomplete round (idempotent: the round dir is rewritten).
     """
+    import time as _time
+
+    t_start = _time.perf_counter()
     out = Path(out_dir)
     ckpt_dir = out / "checkpoint"
     records_dir = out / "records"
@@ -552,6 +555,7 @@ def run_crawl(
             [shards[k].add_domains.remote(rows) for k, rows in per_shard.items() if rows]
         )
 
+    setup_sec = _time.perf_counter() - t_start
     total_visits = 0
     rounds_run = 0
     for rnd in range(start_round, max_rounds):
@@ -626,6 +630,8 @@ def run_crawl(
         "emitted": total_visits,
         "shards": stats,
         "records_dir": str(records_dir),
+        "setup_sec": round(setup_sec, 2),
+        "rounds_sec": round(_time.perf_counter() - t_start - setup_sec, 2),
     }
 
 
