@@ -380,6 +380,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join_customers": _rel("anti_join_customers"),
         "semi_join_customers": _rel("semi_join_customers"),
         "schedule_customers": _rel("schedule_customers"),
+        "sessionize_events": _rel("sessionize_events"),
         # text analysis (SQL-checked where expressible)
         "doc_keywords": _doc_keywords,
         "doc_token_counts": _doc_token_counts,
@@ -461,6 +462,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         "source_counts": """
             SELECT source, count(*) AS n_docs FROM documents GROUP BY source ORDER BY source
+        """,
+        "sessionize_events": """
+            WITH gaps AS (
+                SELECT user_id, event_id, value, ts,
+                       epoch_us(ts) // 1000000 AS es,
+                       CASE WHEN (epoch_us(ts) // 1000000)
+                                 - lag(epoch_us(ts) // 1000000, 1, -1000000000000)
+                                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                                 > 1800
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+            ), marked AS (
+                SELECT *, (sum(new_session) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING
+                ))::BIGINT AS session_no
+                FROM gaps
+            )
+            SELECT user_id, session_no,
+                   min(es)              AS session_start_s,
+                   count(*)             AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM marked GROUP BY user_id, session_no
+            ORDER BY user_id, session_no
         """,
         "anti_join_customers": """
             SELECT c_custkey, c_name FROM customer

@@ -223,6 +223,41 @@ def schedule_customers(sf_dir: str, frontload_siblings: int = 40) -> pd.DataFram
     return out
 
 
+def sessionize_events(sf_dir: str, gap_s: int = 1800) -> pd.DataFrame:
+    """Session windows over the event stream: a new session starts when a
+    user's inter-event gap exceeds ``gap_s``.  The streaming-shaped
+    operator of the guide: partition by key, sort by ts within the group,
+    stateful scan inside ``map_groups``.  SQL-checkable via window
+    functions."""
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        epoch = g["ts"].astype("datetime64[ns]").astype("int64") // 10**9
+        new_session = (epoch - epoch.shift(1).fillna(-(10**12))) > gap_s
+        g["session_no"] = new_session.cumsum().astype("int64")
+        out = (
+            g.groupby("session_no")
+            .agg(
+                user_id=("user_id", "first"),
+                session_start_s=("ts", lambda s: int(s.min().timestamp())),
+                n_events=("event_id", "size"),
+                sum_value=("value", "sum"),
+            )
+            .reset_index()
+        )
+        out["sum_value"] = out["sum_value"].round(4)
+        out["n_events"] = out["n_events"].astype("int64")
+        return out[["user_id", "session_no", "session_start_s", "n_events", "sum_value"]]
+
+    out = (
+        _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["user_id", "session_no"]).reset_index(drop=True)
+
+
 def source_counts(sf_dir: str) -> pd.DataFrame:
     """groupby-count (the topDomain-count shape)."""
     out = (
