@@ -108,6 +108,7 @@ def run_bench() -> dict:
         max_per_domain=500,
         checkpoint=False,
         store_dir=store_dir,
+        mode="async",
     )
     crawl_sec = time.perf_counter() - t0
     n_urls = res["emitted"]

@@ -143,6 +143,72 @@ class FrontierShard:
     def restore(self, path: str) -> None:
         self.state = FrontierShardState.from_bytes(Path(path).read_bytes())
 
+    def run_shard_crawl(
+        self,
+        fetch_kwargs: dict,
+        records_dir: str,
+        max_per_domain: int = 500,
+        chunk_rows: int = 256,
+        checkpoint_dir: Optional[str] = None,
+        checkpoint_every: int = 4,
+        max_rounds: int = 100_000,
+    ) -> dict:
+        """Shard-local async superstep loop: this shard's domains advance
+        independently of other shards (domains never cross shards, so no
+        global barrier is needed).  Fetch tasks run on the cluster-wide
+        pool; their link payloads come back as task RETURN values.
+
+        Checkpoint/resume is per shard: records land in
+        ``records_dir/shard=K/round=N``; the state snapshot is written
+        every ``checkpoint_every`` local rounds along with a local
+        manifest; on restore the caller passes the snapshot and this loop
+        continues from the recorded round (stale newer round dirs are
+        rewritten idempotently)."""
+        sid = self.state.shard_id
+        base = Path(records_dir) / f"shard={sid}"
+        emitted = 0
+        rnd = self.state.round
+        for _ in range(max_rounds):
+            cols = self.state.next_batch(max_per_domain)
+            rnd = self.state.round
+            if not cols["url"]:
+                if self.state.is_idle():
+                    break
+                self.state.apply_buffered()
+                continue
+            tbl = pa.table(
+                {
+                    "domain": pa.array(cols["domain"], pa.string()),
+                    "url": pa.array(cols["url"], pa.string()),
+                    "visit_ordinal": pa.array(cols["visit_ordinal"], pa.int32()),
+                    "virtual_ts_ms": pa.array(cols["virtual_ts_ms"], pa.int64()),
+                    "seen_hash": pa.array(cols["seen_hash"], pa.uint64()),
+                }
+            )
+            rdir = base / f"round={rnd}"
+            if rdir.exists():
+                shutil.rmtree(rdir)
+            rdir.mkdir(parents=True, exist_ok=True)
+            refs = []
+            for pn, off in enumerate(range(0, tbl.num_rows, chunk_rows)):
+                refs.append(
+                    _fetch_extract_task_ret.remote(
+                        tbl.slice(off, chunk_rows),
+                        fetch_kwargs,
+                        str(rdir / f"part-{pn}.parquet"),
+                    )
+                )
+            for payload in ray.get(refs):
+                self.state.buffer_results(**payload)
+            self.state.apply_buffered()
+            emitted += tbl.num_rows
+            if checkpoint_dir and rnd % checkpoint_every == 0:
+                self.checkpoint(str(Path(checkpoint_dir) / f"shard={sid}.bin"))
+        if checkpoint_dir:
+            self.checkpoint(str(Path(checkpoint_dir) / f"shard={sid}.bin"))
+            (Path(checkpoint_dir) / f"shard={sid}.done").touch()
+        return {"shard": sid, "emitted": emitted, "rounds": rnd}
+
 
 class WebStore:
     """Partition-aligned url -> (html, status) lookup over the pages table.
@@ -292,13 +358,16 @@ def fetch_extract_batch(
     batch: pa.Table,
     store_dir: str,
     num_shards: int,
-    shard_handles: list,
+    shard_handles: Optional[list] = None,
     web_refs: Optional[dict] = None,
-) -> pa.Table:
+    push: bool = True,
+):
     """Fetch-sim + full document processing for one Arrow batch of fetch
-    tasks.  Pushes discovered links back to the owning shard synchronously
-    (the batch completes only after the shard buffered them), returns the
-    crawl record rows."""
+    tasks.  With ``push=True`` discovered links go back to the owning shard
+    synchronously (the batch completes only after the shard buffered them)
+    and the record table is returned; with ``push=False`` (shard-local
+    async mode) the route payloads are RETURNED alongside the records and
+    the caller applies them."""
     store = _get_store(store_dir, num_shards)
     shards = shard_handles
     domains = batch.column("domain").to_pylist()
@@ -400,11 +469,12 @@ def fetch_extract_batch(
             # pre-parsed components: the shard enqueues without re-parsing
             r["link_urls"].append((pl.proto, pl.host, pl.port, pl.path, pl.param))
 
-    # synchronous push: the batch is "done" only once every owning
-    # shard has buffered this batch's outcomes.
-    ray.get(
-        [shards[k].buffer_results.remote(payload) for k, payload in route.items()]
-    )
+    if push:
+        # synchronous push: the batch is "done" only once every owning
+        # shard has buffered this batch's outcomes.
+        ray.get(
+            [shards[k].buffer_results.remote(payload) for k, payload in route.items()]
+        )
 
     res = batch.select(
         ["domain", "url", "visit_ordinal", "virtual_ts_ms", "seen_hash"]
@@ -416,7 +486,9 @@ def fetch_extract_batch(
     res = res.append_column("quality", pa.array(out["quality"], pa.float64()))
     res = res.append_column("lsh", pa.array(out["lsh"], pa.uint64()))
     res = res.append_column("links", pa.array(out["links"], pa.list_(pa.string())))
-    return res
+    if push:
+        return res
+    return res, route
 
 
 def _expand_domain_sitemaps(
@@ -483,6 +555,22 @@ def _fetch_extract_task(table: pa.Table, kwargs: dict, out_path: Optional[str] =
     return res.num_rows
 
 
+@ray.remote(num_cpus=1)
+def _fetch_extract_task_ret(
+    table: pa.Table, kwargs: dict, out_path: str
+) -> dict:
+    """Shard-local async mode: write the records part file, RETURN the link
+    payload to the calling shard actor (no cross-actor pushes)."""
+    res, route = fetch_extract_batch(table, push=False, **kwargs)
+    pq.write_table(res, out_path)
+    # a shard's batch only contains that shard's domains -> single payload
+    merged: dict[str, list] = {}
+    for payload in route.values():
+        for k, v in payload.items():
+            merged.setdefault(k, []).extend(v)
+    return merged
+
+
 def run_crawl(
     pages_path: str,
     seeds_path: str,
@@ -496,13 +584,23 @@ def run_crawl(
     max_rounds: int = 10_000,
     small_round_rows: int = 32768,
     store_dir: Optional[str] = None,
+    mode: str = "bsp",
 ) -> dict:
     """Drive the superstep crawl to completion.  Returns summary stats.
 
-    Resumable: per-round records land in ``out/records/round=N``; shard
-    state checkpoints in ``out/checkpoint`` with a manifest recording the
-    last completed round.  ``resume=True`` restores state and re-runs from
-    the first incomplete round (idempotent: the round dir is rewritten).
+    Two execution modes, identical per-domain semantics:
+
+    - ``bsp`` (default): globally synchronized rounds driven by this
+      function — all shards emit, fetch, and apply in lock-step; a single
+      manifest records the last complete round.
+    - ``async``: each shard drives its own superstep loop
+      (``FrontierShard.run_shard_crawl``) — no global barrier (domains
+      never cross shards), fetch-task results return to the owning shard,
+      checkpoints are per shard.  Higher throughput; resumable per shard.
+
+    Resumable either way: records land under ``out/records``; state
+    snapshots in ``out/checkpoint``; ``resume=True`` restores and re-runs
+    only incomplete work (round dirs are rewritten idempotently).
     """
     import time as _time
 
@@ -521,7 +619,16 @@ def run_crawl(
 
     manifest_path = ckpt_dir / "manifest.json"
     start_round = 0
-    if resume and manifest_path.exists():
+    restored = [False] * num_shards
+    if resume and mode == "async":
+        waits = []
+        for k, s in enumerate(shards):
+            snap = ckpt_dir / f"shard={k}.bin"
+            if snap.exists():
+                waits.append(s.restore.remote(str(snap)))
+                restored[k] = True
+        ray.get(waits)
+    if resume and mode == "bsp" and manifest_path.exists():
         manifest = json.loads(manifest_path.read_text())
         start_round = manifest["completed_round"] + 1
         ray.get(
@@ -530,7 +637,8 @@ def run_crawl(
                 for k, s in enumerate(shards)
             ]
         )
-    else:
+        restored = [True] * num_shards
+    if not all(restored):
         # distribute seeds + robots to owning shards
         seeds = pq.read_table(seeds_path)
         robots = pq.read_table(robots_path)
@@ -552,10 +660,46 @@ def run_crawl(
                 (domain, seed_urls, depth, rtxt, rstatus, sitemap_map.get(domain, []))
             )
         ray.get(
-            [shards[k].add_domains.remote(rows) for k, rows in per_shard.items() if rows]
+            [
+                shards[k].add_domains.remote(rows)
+                for k, rows in per_shard.items()
+                if rows and not restored[k]
+            ]
         )
 
     setup_sec = _time.perf_counter() - t_start
+
+    if mode == "async":
+        if checkpoint:
+            ckpt_dir.mkdir(parents=True, exist_ok=True)
+        fetch_kwargs = {
+            "store_dir": str(store_dir),
+            "num_shards": num_shards,
+            "web_refs": web_refs,
+        }
+        results = ray.get(
+            [
+                s.run_shard_crawl.remote(
+                    fetch_kwargs,
+                    str(records_dir),
+                    max_per_domain=max_per_domain,
+                    checkpoint_dir=str(ckpt_dir) if checkpoint else None,
+                )
+                for s in shards
+            ]
+        )
+        stats = ray.get([s.stats.remote() for s in shards])
+        for s in shards:
+            ray.kill(s)
+        return {
+            "rounds": max(r["rounds"] for r in results),
+            "emitted": sum(r["emitted"] for r in results),
+            "shards": stats,
+            "records_dir": str(records_dir),
+            "setup_sec": round(setup_sec, 2),
+            "rounds_sec": round(_time.perf_counter() - t_start - setup_sec, 2),
+        }
+
     total_visits = 0
     rounds_run = 0
     for rnd in range(start_round, max_rounds):

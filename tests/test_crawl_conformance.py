@@ -75,6 +75,29 @@ class TestConformance:
             assert (recs.domain == d).sum() == 0
 
 
+class TestAsyncMode:
+    """Shard-local async supersteps must produce the identical crawl."""
+
+    def test_async_matches_oracle(self, small_web, oracle_result, tmp_out):
+        _run(small_web, tmp_out, mode="async")
+        recs = _records(tmp_out)
+        assert len(recs) == sum(len(r.visits) for r in oracle_result.values())
+        for domain, want in oracle_result.items():
+            sub = recs[recs.domain == domain].sort_values("visit_ordinal")
+            assert list(sub.url) == [v.url for v in want.visits], domain
+            assert list(sub.virtual_ts_ms) == [v.virtual_ts_ms for v in want.visits]
+        assert not recs.duplicated(subset=["domain", "url"]).any()
+
+    def test_async_resume(self, small_web, oracle_result, tmp_out):
+        # complete run, then resume: must be a no-op re-producing nothing new
+        _run(small_web, tmp_out, mode="async")
+        n1 = len(_records(tmp_out))
+        _run(small_web, tmp_out, mode="async", resume=True)
+        recs = _records(tmp_out)
+        assert len(recs) == n1
+        assert not recs.duplicated(subset=["domain", "url"]).any()
+
+
 class TestResume:
     def test_kill_and_resume(self, small_web, oracle_result, tmp_out):
         # run only 2 rounds ("kill"), then resume to completion
