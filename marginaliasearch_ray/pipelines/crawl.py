@@ -143,71 +143,128 @@ class FrontierShard:
     def restore(self, path: str) -> None:
         self.state = FrontierShardState.from_bytes(Path(path).read_bytes())
 
+    def resync(self, records_dir: str) -> int:
+        """Journal replay (WARC-resync equivalent): rebuild this shard's
+        frontier state from its recorded part files."""
+        base = Path(records_dir) / f"shard={self.state.shard_id}"
+        if not base.exists():
+            return 0
+        visits = []
+        for f in sorted(base.glob("part-*.parquet")):
+            t = pq.read_table(
+                f,
+                columns=["domain", "url", "visit_ordinal", "virtual_ts_ms", "links", "root_filter"],
+            )
+            visits.extend(t.to_pylist())
+        return self.state.resync_from_journal(visits)
+
+    def _emit_group(self, domains: list, max_per_domain: int):
+        """Drain each listed domain's next chunk -> (arrow table or None)."""
+        cols = {
+            "domain": [],
+            "url": [],
+            "visit_ordinal": [],
+            "virtual_ts_ms": [],
+            "seen_hash": [],
+        }
+        for d in domains:
+            st = self.state.domains[d]
+            if not st.done():
+                self.state._emit_domain(st, max_per_domain, cols)
+        if not cols["url"]:
+            return None
+        return pa.table(
+            {
+                "domain": pa.array(cols["domain"], pa.string()),
+                "url": pa.array(cols["url"], pa.string()),
+                "visit_ordinal": pa.array(cols["visit_ordinal"], pa.int32()),
+                "virtual_ts_ms": pa.array(cols["virtual_ts_ms"], pa.int64()),
+                "seen_hash": pa.array(cols["seen_hash"], pa.uint64()),
+            }
+        )
+
     def run_shard_crawl(
         self,
         fetch_kwargs: dict,
         records_dir: str,
         max_per_domain: int = 500,
-        chunk_rows: int = 256,
+        chunk_rows: int = 512,
         checkpoint_dir: Optional[str] = None,
-        checkpoint_every: int = 4,
-        max_rounds: int = 100_000,
+        max_inflight: int = 64,
+        max_parts: Optional[int] = None,
     ) -> dict:
-        """Shard-local async superstep loop: this shard's domains advance
-        independently of other shards (domains never cross shards, so no
-        global barrier is needed).  Fetch tasks run on the cluster-wide
-        pool; their link payloads come back as task RETURN values.
+        """Shard-local pipelined crawl: this shard's domains advance
+        independently (domains never cross shards, so neither a global nor
+        a shard-wide round barrier is needed).  Each fetch task carries a
+        GROUP of domains' next chunks; one chunk is in flight per domain
+        (per-domain order + politeness preserved); as each task completes
+        (``ray.wait``), its links are applied and its domains immediately
+        re-emit — fetch latency overlaps across domain groups.
 
-        Checkpoint/resume is per shard: records land in
-        ``records_dir/shard=K/round=N``; the state snapshot is written
-        every ``checkpoint_every`` local rounds along with a local
-        manifest; on restore the caller passes the snapshot and this loop
-        continues from the recorded round (stale newer round dirs are
-        rewritten idempotently)."""
+        Per-shard checkpoint/resume: records land as
+        ``records_dir/shard=K/part-N.parquet``; the state snapshot records
+        ``next part number``, and on restore any parts >= it are deleted
+        before re-running (idempotent)."""
         sid = self.state.shard_id
         base = Path(records_dir) / f"shard={sid}"
+        base.mkdir(parents=True, exist_ok=True)
+        existing = [int(f.stem.split("-")[1]) for f in base.glob("part-*.parquet")]
+        part_no = (max(existing) + 1) if existing else 0
+
         emitted = 0
-        rnd = self.state.round
-        for _ in range(max_rounds):
-            cols = self.state.next_batch(max_per_domain)
-            rnd = self.state.round
-            if not cols["url"]:
-                if self.state.is_idle():
-                    break
-                self.state.apply_buffered()
-                continue
-            tbl = pa.table(
-                {
-                    "domain": pa.array(cols["domain"], pa.string()),
-                    "url": pa.array(cols["url"], pa.string()),
-                    "visit_ordinal": pa.array(cols["visit_ordinal"], pa.int32()),
-                    "virtual_ts_ms": pa.array(cols["virtual_ts_ms"], pa.int64()),
-                    "seen_hash": pa.array(cols["seen_hash"], pa.uint64()),
-                }
+        inflight: dict = {}  # ObjectRef -> list[domain]
+
+        def submit(domains: list) -> None:
+            nonlocal part_no
+            # greedy re-grouping: pack the domains' chunks into one task
+            tbl = self._emit_group(domains, max_per_domain)
+            if tbl is None:
+                return
+            ref = _fetch_extract_task_ret.remote(
+                tbl, fetch_kwargs, str(base / f"part-{part_no}.parquet")
             )
-            rdir = base / f"round={rnd}"
-            if rdir.exists():
-                shutil.rmtree(rdir)
-            rdir.mkdir(parents=True, exist_ok=True)
-            refs = []
-            for pn, off in enumerate(range(0, tbl.num_rows, chunk_rows)):
-                refs.append(
-                    _fetch_extract_task_ret.remote(
-                        tbl.slice(off, chunk_rows),
-                        fetch_kwargs,
-                        str(rdir / f"part-{pn}.parquet"),
-                    )
-                )
-            for payload in ray.get(refs):
+            inflight[ref] = sorted(set(tbl.column("domain").to_pylist()))
+            part_no += 1
+
+        # initial grouping: pack active domains into ~chunk_rows groups by
+        # their current queue depth
+        active = [d for d, st in self.state.domains.items() if not st.done()]
+        group: list = []
+        group_rows = 0
+        for d in sorted(active):
+            st = self.state.domains[d]
+            est = max(1, min(len(st.queue) + (0 if st.sniffed else 1), max_per_domain))
+            group.append(d)
+            group_rows += est
+            if group_rows >= chunk_rows or len(inflight) < max_inflight // 2:
+                submit(group)
+                group, group_rows = [], 0
+        if group:
+            submit(group)
+
+        while inflight:
+            if max_parts is not None and part_no >= max_parts:
+                # simulated kill: abandon in-flight work mid-crawl (the
+                # journal replay on resume rebuilds consistent state)
+                break
+            ready, _ = ray.wait(list(inflight.keys()), num_returns=1)
+            for ref in ready:
+                domains = inflight.pop(ref)
+                payload = ray.get(ref)
+                n = len(payload["domains"])
+                emitted += n
                 self.state.buffer_results(**payload)
-            self.state.apply_buffered()
-            emitted += tbl.num_rows
-            if checkpoint_dir and rnd % checkpoint_every == 0:
-                self.checkpoint(str(Path(checkpoint_dir) / f"shard={sid}.bin"))
+                self.state.apply_buffered()
+                submit(domains)
+
+        self.state.round = part_no
         if checkpoint_dir:
+            # async durability is journal-based (the part files are the
+            # write-ahead log; see resync_from_journal) — the final
+            # snapshot+marker only record orderly completion
             self.checkpoint(str(Path(checkpoint_dir) / f"shard={sid}.bin"))
             (Path(checkpoint_dir) / f"shard={sid}.done").touch()
-        return {"shard": sid, "emitted": emitted, "rounds": rnd}
+        return {"shard": sid, "emitted": emitted, "rounds": part_no}
 
 
 class WebStore:
@@ -382,6 +439,7 @@ def fetch_extract_batch(
         "quality": [],
         "lsh": [],
         "links": [],
+        "root_filter": [],
     }
     # link routing buffers, keyed by shard
     route: dict[int, dict[str, list]] = {}
@@ -439,6 +497,7 @@ def fetch_extract_batch(
         out["quality"].append(quality)
         out["lsh"].append(lsh)
         out["links"].append(links)
+        out["root_filter"].append(root_filter or "")
 
         r = route.setdefault(
             part,
@@ -486,6 +545,7 @@ def fetch_extract_batch(
     res = res.append_column("quality", pa.array(out["quality"], pa.float64()))
     res = res.append_column("lsh", pa.array(out["lsh"], pa.uint64()))
     res = res.append_column("links", pa.array(out["links"], pa.list_(pa.string())))
+    res = res.append_column("root_filter", pa.array(out["root_filter"], pa.string()))
     if push:
         return res
     return res, route
@@ -585,6 +645,7 @@ def run_crawl(
     small_round_rows: int = 32768,
     store_dir: Optional[str] = None,
     mode: str = "bsp",
+    max_parts_per_shard: Optional[int] = None,
 ) -> dict:
     """Drive the superstep crawl to completion.  Returns summary stats.
 
@@ -620,14 +681,6 @@ def run_crawl(
     manifest_path = ckpt_dir / "manifest.json"
     start_round = 0
     restored = [False] * num_shards
-    if resume and mode == "async":
-        waits = []
-        for k, s in enumerate(shards):
-            snap = ckpt_dir / f"shard={k}.bin"
-            if snap.exists():
-                waits.append(s.restore.remote(str(snap)))
-                restored[k] = True
-        ray.get(waits)
     if resume and mode == "bsp" and manifest_path.exists():
         manifest = json.loads(manifest_path.read_text())
         start_round = manifest["completed_round"] + 1
@@ -667,6 +720,11 @@ def run_crawl(
             ]
         )
 
+    if resume and mode == "async" and records_dir.exists():
+        # journal replay: seeds were loaded above; now rebuild state from
+        # the recorded visits (no re-fetch, no politeness violation)
+        ray.get([s.resync.remote(str(records_dir)) for s in shards])
+
     setup_sec = _time.perf_counter() - t_start
 
     if mode == "async":
@@ -684,6 +742,7 @@ def run_crawl(
                     str(records_dir),
                     max_per_domain=max_per_domain,
                     checkpoint_dir=str(ckpt_dir) if checkpoint else None,
+                    max_parts=max_parts_per_shard,
                 )
                 for s in shards
             ]

@@ -346,6 +346,63 @@ class FrontierShardState:
         self._link_buf.clear()
 
     # ------------------------------------------------------------------
+    # journal resynchronization (the reference's WARC resync,
+    # CrawlerWarcResynchronizer.java:31-103: the crawl journal is the
+    # write-ahead log; on crash, replay it to rebuild visited-set +
+    # frontier, then continue)
+    # ------------------------------------------------------------------
+
+    def resync_from_journal(self, visits: list[dict]) -> int:
+        """Replay recorded visits (dicts with domain, url, visit_ordinal,
+        virtual_ts_ms, links, root_filter) over a freshly-seeded state.
+        Re-marks visited URLs, restores clocks/ordinals/filters, and
+        re-applies each visit's links in order — reconstructing the exact
+        pending queue, so the resumed crawl continues with no re-fetch and
+        no politeness violation.  Returns the number of visits replayed."""
+        by_domain: dict[str, list[dict]] = {}
+        for v in visits:
+            by_domain.setdefault(v["domain"], []).append(v)
+        n = 0
+        for domain, vs in by_domain.items():
+            st = self.domains.get(domain)
+            if st is None:
+                continue
+            vs.sort(key=lambda v: v["visit_ordinal"])
+            for v in vs:
+                u = parse_url(v["url"])
+                if u is None:
+                    continue
+                if v["visit_ordinal"] == 0:
+                    # root sniff replay: filter first, then links, then
+                    # the sitemap enqueue that follows the root in the
+                    # live engine
+                    fname = v.get("root_filter") or ""
+                    if fname and fname in FILTERS:
+                        st.filter_name = fname
+                    self._add_visited(st, u)
+                    st.sniffed = True
+                    for l in v.get("links") or []:
+                        lu = parse_url(l)
+                        if lu is not None:
+                            self._add_to_queue(st, lu)
+                    if st.sitemap_urls and not st.sitemap_enqueued:
+                        for su in st.sitemap_urls:
+                            suu = parse_url(su)
+                            if suu is not None:
+                                self._add_to_queue(st, suu)
+                        st.sitemap_enqueued = True
+                else:
+                    self._add_visited(st, u)
+                    for l in v.get("links") or []:
+                        lu = parse_url(l)
+                        if lu is not None:
+                            self._add_to_queue(st, lu)
+                st.next_ordinal = v["visit_ordinal"] + 1
+                st.clock_ms = v["virtual_ts_ms"] + st.delay_ms
+                n += 1
+        return n
+
+    # ------------------------------------------------------------------
     # status / checkpoint
     # ------------------------------------------------------------------
 

@@ -97,6 +97,22 @@ class TestAsyncMode:
         assert len(recs) == n1
         assert not recs.duplicated(subset=["domain", "url"]).any()
 
+    def test_async_kill_and_journal_resync(self, small_web, oracle_result, tmp_out):
+        """Kill mid-crawl (in-flight work abandoned), resume via journal
+        replay: the final crawl must equal the oracle exactly, with no
+        duplicate fetches and no politeness violation."""
+        _run(small_web, tmp_out, mode="async", max_parts_per_shard=2)
+        partial = _records(tmp_out)
+        assert 0 < len(partial) < sum(len(r.visits) for r in oracle_result.values())
+
+        _run(small_web, tmp_out, mode="async", resume=True)
+        recs = _records(tmp_out)
+        assert not recs.duplicated(subset=["domain", "url"]).any()
+        for domain, want in oracle_result.items():
+            sub = recs[recs.domain == domain].sort_values("visit_ordinal")
+            assert list(sub.url) == [v.url for v in want.visits], domain
+            assert list(sub.virtual_ts_ms) == [v.virtual_ts_ms for v in want.visits]
+
 
 class TestResume:
     def test_kill_and_resume(self, small_web, oracle_result, tmp_out):
