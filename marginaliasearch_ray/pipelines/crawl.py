@@ -158,31 +158,6 @@ class FrontierShard:
             visits.extend(t.to_pylist())
         return self.state.resync_from_journal(visits)
 
-    def _emit_group(self, domains: list, max_per_domain: int):
-        """Drain each listed domain's next chunk -> (arrow table or None)."""
-        cols = {
-            "domain": [],
-            "url": [],
-            "visit_ordinal": [],
-            "virtual_ts_ms": [],
-            "seen_hash": [],
-        }
-        for d in domains:
-            st = self.state.domains[d]
-            if not st.done():
-                self.state._emit_domain(st, max_per_domain, cols)
-        if not cols["url"]:
-            return None
-        return pa.table(
-            {
-                "domain": pa.array(cols["domain"], pa.string()),
-                "url": pa.array(cols["url"], pa.string()),
-                "visit_ordinal": pa.array(cols["visit_ordinal"], pa.int32()),
-                "virtual_ts_ms": pa.array(cols["virtual_ts_ms"], pa.int64()),
-                "seen_hash": pa.array(cols["seen_hash"], pa.uint64()),
-            }
-        )
-
     def run_shard_crawl(
         self,
         fetch_kwargs: dict,
@@ -193,78 +168,65 @@ class FrontierShard:
         max_inflight: int = 64,
         max_parts: Optional[int] = None,
     ) -> dict:
-        """Shard-local pipelined crawl: this shard's domains advance
-        independently (domains never cross shards, so neither a global nor
-        a shard-wide round barrier is needed).  Each fetch task carries a
-        GROUP of domains' next chunks; one chunk is in flight per domain
-        (per-domain order + politeness preserved); as each task completes
-        (``ray.wait``), its links are applied and its domains immediately
-        re-emit — fetch latency overlaps across domain groups.
+        """Shard-local superstep loop: this shard's domains advance in
+        shard-local rounds, independent of other shards (domains never
+        cross shards, so no global barrier is needed).  Each round emits
+        every active domain's next chunk, fans the fetch out as sliced
+        tasks over the cluster pool, applies the returned link payloads in
+        per-domain visit order, and loops.
 
-        Per-shard checkpoint/resume: records land as
-        ``records_dir/shard=K/part-N.parquet``; the state snapshot records
-        ``next part number``, and on restore any parts >= it are deleted
-        before re-running (idempotent)."""
+        Durability is journal-based (the written part files are the
+        write-ahead log; ``resync`` replays them — the reference's WARC
+        resynchronization).  ``max_parts`` simulates a mid-crawl kill for
+        the resume tests."""
         sid = self.state.shard_id
         base = Path(records_dir) / f"shard={sid}"
         base.mkdir(parents=True, exist_ok=True)
         existing = [int(f.stem.split("-")[1]) for f in base.glob("part-*.parquet")]
         part_no = (max(existing) + 1) if existing else 0
-
         emitted = 0
-        inflight: dict = {}  # ObjectRef -> list[domain]
-
-        def submit(domains: list) -> None:
-            nonlocal part_no
-            # greedy re-grouping: pack the domains' chunks into one task
-            tbl = self._emit_group(domains, max_per_domain)
-            if tbl is None:
-                return
-            ref = _fetch_extract_task_ret.remote(
-                tbl, fetch_kwargs, str(base / f"part-{part_no}.parquet")
-            )
-            inflight[ref] = sorted(set(tbl.column("domain").to_pylist()))
-            part_no += 1
-
-        # initial grouping: pack active domains into ~chunk_rows groups by
-        # their current queue depth
-        active = [d for d, st in self.state.domains.items() if not st.done()]
-        group: list = []
-        group_rows = 0
-        for d in sorted(active):
-            st = self.state.domains[d]
-            est = max(1, min(len(st.queue) + (0 if st.sniffed else 1), max_per_domain))
-            group.append(d)
-            group_rows += est
-            if group_rows >= chunk_rows or len(inflight) < max_inflight // 2:
-                submit(group)
-                group, group_rows = [], 0
-        if group:
-            submit(group)
-
-        while inflight:
-            if max_parts is not None and part_no >= max_parts:
-                # simulated kill: abandon in-flight work mid-crawl (the
-                # journal replay on resume rebuilds consistent state)
-                break
-            ready, _ = ray.wait(list(inflight.keys()), num_returns=1)
-            for ref in ready:
-                domains = inflight.pop(ref)
-                payload = ray.get(ref)
-                n = len(payload["domains"])
-                emitted += n
-                self.state.buffer_results(**payload)
+        rounds = 0
+        killed = False
+        while not killed:
+            cols = self.state.next_batch(max_per_domain)
+            if not cols["url"]:
+                if self.state.is_idle():
+                    break
                 self.state.apply_buffered()
-                submit(domains)
-
+                continue
+            tbl = pa.table(
+                {
+                    "domain": pa.array(cols["domain"], pa.string()),
+                    "url": pa.array(cols["url"], pa.string()),
+                    "visit_ordinal": pa.array(cols["visit_ordinal"], pa.int32()),
+                    "virtual_ts_ms": pa.array(cols["virtual_ts_ms"], pa.int64()),
+                    "seen_hash": pa.array(cols["seen_hash"], pa.uint64()),
+                }
+            )
+            refs = []
+            for off in range(0, tbl.num_rows, chunk_rows):
+                if max_parts is not None and part_no >= max_parts:
+                    killed = True  # simulated kill: drop the rest mid-round
+                    break
+                refs.append(
+                    _fetch_extract_task_ret.remote(
+                        tbl.slice(off, chunk_rows),
+                        fetch_kwargs,
+                        str(base / f"part-{part_no}.parquet"),
+                    )
+                )
+                part_no += 1
+            for payload in ray.get(refs):
+                emitted += len(payload["domains"])
+                self.state.buffer_results(**payload)
+            self.state.apply_buffered()
+            rounds += 1
         self.state.round = part_no
-        if checkpoint_dir:
-            # async durability is journal-based (the part files are the
-            # write-ahead log; see resync_from_journal) — the final
-            # snapshot+marker only record orderly completion
+        if checkpoint_dir and not killed:
+            # orderly-completion marker; durability itself is the journal
             self.checkpoint(str(Path(checkpoint_dir) / f"shard={sid}.bin"))
             (Path(checkpoint_dir) / f"shard={sid}.done").touch()
-        return {"shard": sid, "emitted": emitted, "rounds": part_no}
+        return {"shard": sid, "emitted": emitted, "rounds": rounds}
 
 
 class WebStore:
