@@ -203,23 +203,42 @@ class FrontierShard:
                     "seen_hash": pa.array(cols["seen_hash"], pa.uint64()),
                 }
             )
+            # slice at DOMAIN boundaries: a domain never spans two chunks,
+            # so each task's link payload can be applied independently the
+            # moment it lands (per-domain order intact within one payload)
+            doms = cols["domain"]
+            boundaries = [0]
+            last_cut = 0
+            for i in range(1, len(doms)):
+                if doms[i] != doms[i - 1] and i - last_cut >= chunk_rows:
+                    boundaries.append(i)
+                    last_cut = i
+            boundaries.append(len(doms))
+
             refs = []
-            for off in range(0, tbl.num_rows, chunk_rows):
+            for b0, b1 in zip(boundaries, boundaries[1:]):
                 if max_parts is not None and part_no >= max_parts:
                     killed = True  # simulated kill: drop the rest mid-round
                     break
                 refs.append(
                     _fetch_extract_task_ret.remote(
-                        tbl.slice(off, chunk_rows),
+                        tbl.slice(b0, b1 - b0),
                         fetch_kwargs,
                         str(base / f"part-{part_no}.parquet"),
                     )
                 )
                 part_no += 1
-            for payload in ray.get(refs):
-                emitted += len(payload["domains"])
-                self.state.buffer_results(**payload)
-            self.state.apply_buffered()
+            # incremental apply: process each task's payload as it lands,
+            # overlapping shard-side link admission with the remaining
+            # fetch compute (round semantics unchanged — everything is
+            # applied before the next emission)
+            pending = list(refs)
+            while pending:
+                ready, pending = ray.wait(pending, num_returns=1)
+                for payload in ray.get(ready):
+                    emitted += len(payload["domains"])
+                    self.state.buffer_results(**payload)
+                    self.state.apply_buffered()
             rounds += 1
         self.state.round = part_no
         if checkpoint_dir and not killed:
