@@ -187,8 +187,13 @@ class FrontierShard:
         emitted = 0
         rounds = 0
         killed = False
+        import time as _t
+
+        t_emit = t_wait = t_apply = 0.0
         while not killed:
+            _t0 = _t.perf_counter()
             cols = self.state.next_batch(max_per_domain)
+            t_emit += _t.perf_counter() - _t0
             if not cols["url"]:
                 if self.state.is_idle():
                     break
@@ -234,18 +239,30 @@ class FrontierShard:
             # applied before the next emission)
             pending = list(refs)
             while pending:
+                _t0 = _t.perf_counter()
                 ready, pending = ray.wait(pending, num_returns=1)
-                for payload in ray.get(ready):
+                payloads = ray.get(ready)
+                t_wait += _t.perf_counter() - _t0
+                _t0 = _t.perf_counter()
+                for payload in payloads:
                     emitted += len(payload["domains"])
                     self.state.buffer_results(**payload)
                     self.state.apply_buffered()
+                t_apply += _t.perf_counter() - _t0
             rounds += 1
         self.state.round = part_no
         if checkpoint_dir and not killed:
             # orderly-completion marker; durability itself is the journal
             self.checkpoint(str(Path(checkpoint_dir) / f"shard={sid}.bin"))
             (Path(checkpoint_dir) / f"shard={sid}.done").touch()
-        return {"shard": sid, "emitted": emitted, "rounds": rounds}
+        return {
+            "shard": sid,
+            "emitted": emitted,
+            "rounds": rounds,
+            "emit_sec": round(t_emit, 2),
+            "wait_sec": round(t_wait, 2),
+            "apply_sec": round(t_apply, 2),
+        }
 
 
 class WebStore:
@@ -735,6 +752,7 @@ def run_crawl(
             "rounds": max(r["rounds"] for r in results),
             "emitted": sum(r["emitted"] for r in results),
             "shards": stats,
+            "shard_runs": results,
             "records_dir": str(records_dir),
             "setup_sec": round(setup_sec, 2),
             "rounds_sec": round(_time.perf_counter() - t_start - setup_sec, 2),

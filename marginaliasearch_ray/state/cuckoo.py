@@ -99,6 +99,35 @@ class CuckooFilter:
             hit |= t[i2, s] == fp
         return hit
 
+    # -- scalar fast paths (hot in the frontier admission loop: creating a
+    # numpy array per single membership test costs ~10x the test itself) --
+
+    def contains_one(self, h: int) -> bool:
+        fp = (h >> 48) & 0xFFFF
+        if fp == 0:
+            fp = 1
+        mask = self.n_buckets - 1
+        i1 = h & mask
+        i2 = i1 ^ ((fp * 0x5BD1E995) & mask)
+        t = self.table
+        row1 = t[i1]
+        row2 = t[i2]
+        return (
+            row1[0] == fp or row1[1] == fp or row1[2] == fp or row1[3] == fp
+            or row2[0] == fp or row2[1] == fp or row2[2] == fp or row2[3] == fp
+        )
+
+    def add_one(self, h: int) -> bool:
+        fp = (h >> 48) & 0xFFFF
+        if fp == 0:
+            fp = 1
+        mask = self.n_buckets - 1
+        i1 = h & mask
+        if self._add_one(fp, i1):
+            self.count += 1
+            return True
+        return False
+
     # -- checkpointing -----------------------------------------------------
 
     def to_bytes(self) -> bytes:

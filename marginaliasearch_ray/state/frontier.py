@@ -108,11 +108,15 @@ class DomainState:
 
 
 class FrontierShardState:
-    def __init__(self, shard_id: int, num_shards: int, seen_capacity: int = 1 << 16):
+    def __init__(self, shard_id: int, num_shards: int, seen_capacity: int = 1 << 20):
         self.shard_id = shard_id
         self.num_shards = num_shards
         self.domains: dict[str, DomainState] = {}
         self.cuckoo = CuckooFilter(seen_capacity)
+        # safety valve: if the filter ever rejects an insert (overfull), a
+        # membership miss no longer proves "unseen" — bypass it and consult
+        # the exact maps directly until the operator resizes.
+        self.cuckoo_saturated = False
         # link/result buffers awaiting apply: list of (domain, visit_ordinal,
         # link_ordinal, dst_url) and (domain, visit_ordinal, status)
         self._link_buf: list[tuple[str, int, int, str]] = []
@@ -152,14 +156,16 @@ class FrontierShardState:
 
     def _seen_lookup(self, st: DomainState, h: int):
         """Cuckoo fast path: a miss proves 'never seen'; a hit must be
-        confirmed against the exact per-domain map."""
-        if not self.cuckoo.contains_many(np.array([h], dtype=np.uint64))[0]:
+        confirmed against the exact per-domain map.  A saturated filter
+        (any dropped insert) falls back to exact-only lookups."""
+        if not self.cuckoo_saturated and not self.cuckoo.contains_one(h):
             return None  # definitely unseen
         return st.seen.get(h)
 
     def _mark_seen(self, st: DomainState, h: int, visited: bool) -> None:
         if h not in st.seen:
-            self.cuckoo.add_many(np.array([h], dtype=np.uint64))
+            if not self.cuckoo.add_one(h):
+                self.cuckoo_saturated = True
         st.seen[h] = visited
 
     # Queue entries are (url_str, CanonUrl, seen_hash): the parse and the
@@ -429,6 +435,7 @@ class FrontierShardState:
             "num_shards": self.num_shards,
             "round": self.round,
             "cuckoo": self.cuckoo.to_bytes(),
+            "cuckoo_saturated": self.cuckoo_saturated,
             "link_buf": self._link_buf,
             "filter_buf": self._filter_buf,
             "status_buf": self._status_buf,
@@ -463,6 +470,7 @@ class FrontierShardState:
         obj = cls(payload["shard_id"], payload["num_shards"])
         obj.round = payload["round"]
         obj.cuckoo = CuckooFilter.from_bytes(payload["cuckoo"])
+        obj.cuckoo_saturated = payload.get("cuckoo_saturated", False)
         obj._link_buf = payload["link_buf"]
         obj._filter_buf = payload.get("filter_buf", [])
         obj._status_buf = payload["status_buf"]

@@ -91,3 +91,20 @@ def test_seen_hash_identity():
     a = parse_url("http://x.com:8080/p?id=1")
     b = parse_url("https://x.com/p?id=1")
     assert url_seen_hash(a.host, a.path, a.param) == url_seen_hash(b.host, b.path, b.param)
+
+
+def test_cuckoo_saturation_fallback():
+    """When the filter overflows, the shard must fall back to exact
+    lookups — an overflowed filter can't prove 'unseen'."""
+    st = FrontierShardState(0, 1, seen_capacity=64)
+    st.add_domain("x.com", [], 100_000, "", 200)
+    from marginaliasearch_ray.model.urls import parse_url
+    # push far past filter capacity
+    for i in range(2000):
+        st._add_to_queue(st.domains["x.com"], parse_url(f"https://x.com/p{i}"))
+    assert st.cuckoo_saturated
+    # re-adding known URLs must be no-ops (exact map authoritative)
+    qlen = len(st.domains["x.com"].queue)
+    for i in range(2000):
+        st._add_to_queue(st.domains["x.com"], parse_url(f"https://x.com/p{i}"))
+    assert len(st.domains["x.com"].queue) == qlen
