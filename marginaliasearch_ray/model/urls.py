@@ -20,8 +20,8 @@ slow repair path runs only on the URLs that need it.
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass
 from functools import lru_cache
+from typing import NamedTuple
 from typing import Optional
 
 # ---------------------------------------------------------------------------
@@ -237,9 +237,11 @@ def _normalize_dot_segments(path: str) -> str:
     return norm
 
 
-@dataclass(frozen=True)
-class CanonUrl:
-    """Canonical URL record = reference EdgeUrl (proto, domain, port, path, param)."""
+class CanonUrl(NamedTuple):
+    """Canonical URL record = reference EdgeUrl (proto, domain, port, path,
+    param).  A NamedTuple: immutable like the reference's value object, and
+    cheap to construct — CanonUrl creation sits on the frontier-admission
+    hot path (millions per crawl)."""
 
     proto: str
     host: str  # full host (sub.top), lowercased, no trailing dots
