@@ -140,6 +140,45 @@ def _recrawl_meta(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _crawl_domain_meta(sf_dir: str) -> pd.DataFrame:
+    """Per-domain crawl metrics rollup (the reference's CrawlMeta /
+    heartbeat table, DomainStateDb crawl_meta): visits, statuses, time
+    span — a groupby aggregate over the crawl journal."""
+    from marginaliasearch_ray.fixtures.cache import FIXTURE_VERSION
+    from marginaliasearch_ray.pipelines.crawl import read_crawl_records
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    _crawl_records(sf_dir)
+    out_dir = (
+        Path(tempfile.gettempdir())
+        / "graft_crawl"
+        / f"v{FIXTURE_VERSION}"
+        / Path(sf_dir).name
+    )
+    ds = read_crawl_records(str(out_dir)).select_columns(
+        ["domain", "http_status", "virtual_ts_ms"]
+    )
+
+    def add_ok(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["is_ok"] = (batch["http_status"] == 200).astype("int64")
+        return batch
+
+    out = (
+        ds.map_batches(add_ok, batch_format="pandas")
+        .groupby("domain")
+        .aggregate(
+            Count(alias_name="n_visits"),
+            Sum("is_ok", alias_name="n_ok"),
+            Min("virtual_ts_ms", alias_name="first_ts_ms"),
+            Max("virtual_ts_ms", alias_name="last_ts_ms"),
+        )
+        .to_pandas()
+    )
+    for c in ("n_visits", "n_ok", "first_ts_ms", "last_ts_ms"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("domain").reset_index(drop=True)
+
+
 def _crawl_order(sf_dir: str) -> pd.DataFrame:
     import ray.data as rd
 
@@ -370,6 +409,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "recrawl_meta": _recrawl_meta,
         "crawl_order": _crawl_order,
         "domain_discovery": _domain_discovery,
+        "crawl_domain_meta": _crawl_domain_meta,
         # relational shapes (SQL-checked)
         "agg_lineitem_pricing": _rel("agg_lineitem_pricing"),
         "join_order_revenue": _rel("join_order_revenue"),

@@ -55,6 +55,7 @@ def process_pages_batch(batch: pa.Table) -> pa.Table:
     summary = [""] * n
     features = np.zeros(n, dtype=np.int32)
     n_words = np.zeros(n, dtype=np.int32)
+    state = ["ok"] * n  # doc-level gate outcome (DocumentProcessor.java:85-92)
 
     for i, (u_s, html) in enumerate(zip(urls, htmls)):
         u = parse_url(u_s)
@@ -64,9 +65,17 @@ def process_pages_batch(batch: pa.Table) -> pa.Table:
         top[i] = u.top_domain
         mime, charset = sniff_content_type(None, html)
         if mime not in ("text/html", "application/xhtml+xml"):
+            state[i] = "not_html"
             continue  # non-HTML payloads (e.g. sitemaps) carry no text
         decoded = decode_body(html, charset)
         doc = parse_document(decoded)
+        # doc-level gates (HtmlDocumentProcessorPlugin.java:110-127 /
+        # DocumentProcessor.java:85-92): meta-robots noindex disqualifies;
+        # empty extraction disqualifies on length
+        robots_meta = doc.meta_robots.lower()
+        if "noindex" in robots_meta or robots_meta.strip() == "none":
+            state[i] = "disqualified_robots"
+            continue
         title[i] = doc.title
         text[i] = doc.text
         length[i] = len(doc.text)
@@ -89,6 +98,8 @@ def process_pages_batch(batch: pa.Table) -> pa.Table:
                 ne += 1
         n_links_int[i] = ni
         n_links_ext[i] = ne
+        if length[i] == 0:
+            state[i] = "disqualified_length"
 
     out = pa.table(
         {
@@ -107,6 +118,7 @@ def process_pages_batch(batch: pa.Table) -> pa.Table:
             "summary": pa.array(summary, pa.string()),
             "features": pa.array(features, pa.int32()),
             "n_words": pa.array(n_words, pa.int32()),
+            "state": pa.array(state, pa.string()),
         }
     )
     if "lang" in batch.column_names:
