@@ -644,6 +644,7 @@ def run_crawl(
     store_dir: Optional[str] = None,
     mode: str = "bsp",
     max_parts_per_shard: Optional[int] = None,
+    collect_seen: bool = False,
 ) -> dict:
     """Drive the superstep crawl to completion.  Returns summary stats.
 
@@ -746,9 +747,14 @@ def run_crawl(
             ]
         )
         stats = ray.get([s.stats.remote() for s in shards])
+        seen = {}
+        if collect_seen:
+            for d in ray.get([s.seen_hashes.remote() for s in shards]):
+                seen.update(d)
         for s in shards:
             ray.kill(s)
         return {
+            "seen_hashes": seen,
             "rounds": max(r["rounds"] for r in results),
             "emitted": sum(r["emitted"] for r in results),
             "shards": stats,
@@ -825,9 +831,14 @@ def run_crawl(
         rounds_run += 1
 
     stats = ray.get([s.stats.remote() for s in shards])
+    seen = {}
+    if collect_seen:
+        for d in ray.get([s.seen_hashes.remote() for s in shards]):
+            seen.update(d)
     for s in shards:
         ray.kill(s)
     return {
+        "seen_hashes": seen,
         "rounds": rounds_run,
         "emitted": total_visits,
         "shards": stats,

@@ -79,7 +79,11 @@ class TestAsyncMode:
     """Shard-local async supersteps must produce the identical crawl."""
 
     def test_async_matches_oracle(self, small_web, oracle_result, tmp_out):
-        _run(small_web, tmp_out, mode="async")
+        res = _run(small_web, tmp_out, mode="async", collect_seen=True)
+        # full seen-set equality (visited AND known-not-visited URLs)
+        for domain, want in oracle_result.items():
+            got = res["seen_hashes"].get(domain, set())
+            assert got == want.seen_hashes, domain
         recs = _records(tmp_out)
         assert len(recs) == sum(len(r.visits) for r in oracle_result.values())
         for domain, want in oracle_result.items():
