@@ -125,21 +125,27 @@ def event_window_counts(sf_dir: str, window_s: int = 300) -> pd.DataFrame:
     5-minute window).  Windowing is a vectorized batch transform; the only
     shuffle is the final small groupby."""
 
-    def add_window(batch: pd.DataFrame) -> pd.DataFrame:
+    def partial_agg(batch: pd.DataFrame) -> pd.DataFrame:
+        # pre-aggregate inside the batch: the shuffle then moves one row
+        # per (event_type, window) per batch instead of one per event
         epoch = batch["ts"].astype("datetime64[ns]").astype("int64") // 10**9  # -> s
         batch["window_start_s"] = (epoch // window_s) * window_s
-        return batch[["event_type", "window_start_s", "value"]]
+        return (
+            batch.groupby(["event_type", "window_start_s"], as_index=False)
+            .agg(part_n=("value", "size"), part_sum=("value", "sum"))
+        )
 
     out = (
         _read(sf_dir, "events", ["ts", "event_type", "value"])
-        .map_batches(add_window, batch_format="pandas")
+        .map_batches(partial_agg, batch_format="pandas")
         .groupby(["event_type", "window_start_s"])
         .aggregate(
-            Count(alias_name="n_events"),
-            Sum("value", alias_name="sum_value"),
+            Sum("part_n", alias_name="n_events"),
+            Sum("part_sum", alias_name="sum_value"),
         )
         .to_pandas()
     )
+    out["n_events"] = out["n_events"].astype("int64")
     out["sum_value"] = out["sum_value"].round(4)
     return out.sort_values(["event_type", "window_start_s"]).reset_index(drop=True)
 
