@@ -360,6 +360,8 @@ def parse_url(url: str) -> Optional[CanonUrl]:
     if not host:
         return None
     host = host.lower().rstrip(".")
+    if not host:
+        return None  # host was only dots
     port = int(am.group(2)) if am.group(2) else None
     port = _strip_default_port(port, proto)
 
