@@ -44,7 +44,6 @@ def _crawl_records(sf_dir: str) -> pd.DataFrame:
             f"{fix}/robots.parquet",
             str(out),
             num_shards=4,
-            fetch_concurrency=4,
         )
         (out / "_OK").touch()
     recs = (

@@ -636,7 +636,6 @@ def run_crawl(
     out_dir: str,
     num_shards: int = 4,
     max_per_domain: int = 200,
-    fetch_concurrency: int = 4,
     resume: bool = False,
     checkpoint: bool = True,
     max_rounds: int = 10_000,

@@ -21,7 +21,6 @@ def _run(small_web, out_dir, **kw):
         f"{d}/robots.parquet",
         out_dir,
         num_shards=3,
-        fetch_concurrency=2,
         **kw,
     )
 
