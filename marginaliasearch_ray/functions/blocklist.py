@@ -23,7 +23,7 @@ _GUARDED = [
     ("lib", re.compile(r"lib.*/[A-Za-z]+(-([A-Za-z]+|[0-9]+)){3,}((-[0-9]+)?/|\.(php|htm|html))$")),
     ("pdf", re.compile(r"pdf.*/[A-Za-z]+(-([A-Za-z]+|[0-9]+)){3,}((-[0-9]+)?/|\.(php|htm|html))$")),
     ("book", re.compile(r"book.*/[A-Za-z]+(-([A-Za-z]+|[0-9]+)){3,}((-[0-9]+)?/|\.(php|htm|html))$")),
-    ("720p", re.compile(r"720p.*/[A-Za-z]+(-([A-Za-z]+|[0-9]+)){3,}((-[0-9]+)?/|\.(php|htm|html))$")),
+    ("/720p", re.compile(r"720p.*/[A-Za-z]+(-([A-Za-z]+|[0-9]+)){3,}((-[0-9]+)?/|\.(php|htm|html))$")),
     ("/node", re.compile(r"/node/.*/[a-z]+(-[a-z0-9]+)+.htm$")),
 ]
 

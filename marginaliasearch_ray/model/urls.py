@@ -329,6 +329,13 @@ def parse_url(url: str) -> Optional[CanonUrl]:
     Mirrors reference ``EdgeUriFactory.parseURILenient`` + ``new EdgeUrl(URI)``:
     fragment dropped, %-encode repair, dot-segment normalization, host
     lowercased, default port stripped, query sanitized+sorted, empty path -> '/'.
+
+    Dot-segment normalization intentionally applies to EVERY parse (seeds,
+    sitemap <loc>s, journal URLs), not only the link-resolution path: the
+    reference routes every EdgeUrl parse through crawler-commons
+    ``BasicURLNormalizer.filter`` (EdgeUrl.java:215,248), which removes
+    '/./' and '/../' segments on raw strings too; LinkParser's
+    ``URI.normalize`` (LinkParser.java:43-44) is additional, not exclusive.
     """
     if not url:
         return None

@@ -19,6 +19,7 @@ Design:
 
 from __future__ import annotations
 
+from pathlib import Path
 from typing import Optional
 
 import numpy as np
@@ -126,27 +127,57 @@ def process_pages_batch(batch: pa.Table) -> pa.Table:
     return out
 
 
-def mark_near_dups(group: pd.DataFrame) -> pd.DataFrame:
-    """Within-domain LSH near-dup detection (hamming < 2, >= 100 words —
-    LshDocumentDeduplicator.java:14-35).  O(n^2) within a domain like the
-    reference, vectorized per row over the accumulated hash list.
-    Operates on the NARROW projection (domain, url, doc_hash, n_words) so
-    the groupby shuffle never moves document text; returns only the
-    duplicate urls."""
+# Reference ConverterMain.java:56 SIDELOAD_THRESHOLD: domains with >= 2500
+# docs take the simpleProcessing track (DomainProcessor.java:195-199) which
+# "does not perform any domain-level analysis" — so no LSH dedup.  The same
+# gate is what keeps a mega-domain group from dominating the dedup shuffle.
+SIDELOAD_THRESHOLD = 2_500
+
+
+def find_near_dup_urls(group: pd.DataFrame) -> pd.DataFrame:
+    """Within-domain LSH near-dup detection (hamming < 2 —
+    LshDocumentDeduplicator.java:17-35) over the NARROW projection
+    (domain, url, doc_hash, n_words, state); returns only duplicate urls.
+
+    Faithful to the reference's early-return-before-add semantics: a doc
+    that is not ok or has < 100 words is never a duplicate AND its hash is
+    never added to the comparison list (isDocumentDuplicate returns before
+    hashCodes.add).  Domains at/over SIDELOAD_THRESHOLD take the
+    simple-processing track: no domain-level dedup at all."""
+    if len(group) >= SIDELOAD_THRESHOLD:
+        return pd.DataFrame({"url": pd.Series([], dtype=str)})
     group = group.sort_values("url").reset_index(drop=True)
     hashes = group["doc_hash"].to_numpy(dtype=np.uint64)
-    words_ok = group["n_words"].to_numpy() >= 100
-    is_dup = np.zeros(len(group), dtype=bool)
+    eligible = (group["n_words"].to_numpy() >= 100) & (
+        group["state"].to_numpy() == "ok"
+    )
+    dup_urls: list[str] = []
     kept: list[int] = []
-    for i in range(len(group)):
-        if words_ok[i] and kept:
+    urls = group["url"].to_numpy()
+    for i in np.flatnonzero(eligible):
+        if kept:
             d = hamming64_vec(hashes[np.array(kept)], np.repeat(hashes[i], len(kept)))
             if (d < 2).any():
-                is_dup[i] = True
+                dup_urls.append(urls[i])
                 continue
-        kept.append(i)
-    group["is_near_dup"] = is_dup
-    return group
+        kept.append(int(i))
+    return pd.DataFrame({"url": pd.Series(dup_urls, dtype=str)})
+
+
+class _FlagNearDups:
+    """Broadcast flag-back: ``ray.put`` the (small) duplicate-url set once,
+    each map task reads it zero-copy from the object store and appends the
+    boolean column — document text never enters a shuffle."""
+
+    def __init__(self, dup_ref):
+        import ray
+
+        self._dups: frozenset = ray.get(dup_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        flags = np.fromiter((u in self._dups for u in urls), dtype=bool, count=len(urls))
+        return batch.append_column("is_near_dup", pa.array(flags))
 
 
 def convert_pages(
@@ -156,9 +187,22 @@ def convert_pages(
     dedup: bool = True,
     batch_size: int = 256,
     num_blocks: Optional[int] = None,
+    stage_dir: Optional[str] = None,
 ) -> rd.Dataset:
     """Full converter pipeline; returns (and optionally writes) the
     processed-document Dataset.
+
+    Dedup dataflow (one extraction pass, no full-text shuffle):
+    1. extract -> write the processed docs to partitioned parquet (the
+       converter's natural output materialization; resumable per file);
+    2. re-read ONLY (domain, url, doc_hash, n_words, state) — a pruned
+       columnar read, a few bytes/row — and run the per-domain LSH dedup
+       as a groupby over that narrow table;
+    3. broadcast the duplicate-url set (``ray.put`` once) and append the
+       ``is_near_dup`` flag in a streaming map over the written docs.
+    The broadcast side is the *duplicate* set only (empirically a few % of
+    urls); domains >= SIDELOAD_THRESHOLD are excluded per the reference's
+    simple-processing track, which also bounds groupby skew.
 
     ``num_blocks`` splits the read so a single large parquet file still
     fans out across the whole CPU pool (default: 4x available CPUs)."""
@@ -173,12 +217,34 @@ def convert_pages(
     ds = ds.map_batches(
         process_pages_batch, batch_format="pyarrow", batch_size=batch_size
     )
-    if dedup:
-        # one hash-partitioned groupby per domain (domains are bounded in
-        # size, reference caps ~10k docs; measured faster than
-        # project+rejoin or coarse bucketing at this group cardinality)
-        ds = ds.groupby("domain").map_groups(mark_near_dups, batch_format="pandas")
+    if not dedup:
+        if out_dir:
+            ds.write_parquet(out_dir)
+            return rd.read_parquet(out_dir)
+        return ds
+
+    import tempfile
+
+    docs_dir = stage_dir or out_dir or tempfile.mkdtemp(prefix="convert_docs_")
+    docs_path = str(Path(docs_dir) / "docs")
+    ds.write_parquet(docs_path)
+    narrow = rd.read_parquet(
+        docs_path, columns=["domain", "url", "doc_hash", "n_words", "state"]
+    )
+    dups = narrow.groupby("domain").map_groups(
+        find_near_dup_urls, batch_format="pandas"
+    )
+    dup_df = dups.to_pandas()  # duplicate urls ONLY — the small side
+    dup_set = frozenset(dup_df["url"]) if "url" in dup_df.columns else frozenset()
+    dup_ref = ray.put(dup_set)
+    out = rd.read_parquet(docs_path).map_batches(
+        _FlagNearDups,
+        fn_constructor_args=(dup_ref,),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
     if out_dir:
-        ds.write_parquet(out_dir)
-        return rd.read_parquet(out_dir)
-    return ds
+        flagged = str(Path(out_dir) / "docs_flagged")
+        out.write_parquet(flagged)
+        return rd.read_parquet(flagged)
+    return out

@@ -153,7 +153,7 @@ class FrontierShard:
         for f in sorted(base.glob("part-*.parquet")):
             t = pq.read_table(
                 f,
-                columns=["domain", "url", "visit_ordinal", "virtual_ts_ms", "links", "root_filter"],
+                columns=["domain", "url", "visit_ordinal", "virtual_ts_ms", "http_status", "links", "root_filter"],
             )
             visits.extend(t.to_pylist())
         return self.state.resync_from_journal(visits)

@@ -360,11 +360,12 @@ class FrontierShardState:
 
     def resync_from_journal(self, visits: list[dict]) -> int:
         """Replay recorded visits (dicts with domain, url, visit_ordinal,
-        virtual_ts_ms, links, root_filter) over a freshly-seeded state.
-        Re-marks visited URLs, restores clocks/ordinals/filters, and
-        re-applies each visit's links in order — reconstructing the exact
-        pending queue, so the resumed crawl continues with no re-fetch and
-        no politeness violation.  Returns the number of visits replayed."""
+        virtual_ts_ms, http_status, links, root_filter) over a
+        freshly-seeded state.  Re-marks visited URLs, restores
+        clocks/ordinals/filters, re-applies each visit's links in order —
+        reconstructing the exact pending queue — and re-applies the
+        status<0 error increments so the 20-error abort state survives the
+        resume.  Returns the number of visits replayed."""
         by_domain: dict[str, list[dict]] = {}
         for v in visits:
             by_domain.setdefault(v["domain"], []).append(v)
@@ -403,6 +404,8 @@ class FrontierShardState:
                         lu = parse_url(l)
                         if lu is not None:
                             self._add_to_queue(st, lu)
+                if (v.get("http_status") or 0) < 0:
+                    st.errors += 1  # ResultException-equivalent, replayed
                 st.next_ordinal = v["visit_ordinal"] + 1
                 st.clock_ms = v["virtual_ts_ms"] + st.delay_ms
                 n += 1
