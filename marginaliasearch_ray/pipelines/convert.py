@@ -145,23 +145,22 @@ def find_near_dup_urls(group: pd.DataFrame) -> pd.DataFrame:
     hashCodes.add).  Domains at/over SIDELOAD_THRESHOLD take the
     simple-processing track: no domain-level dedup at all."""
     if len(group) >= SIDELOAD_THRESHOLD:
-        return pd.DataFrame({"url": pd.Series([], dtype=str)})
+        return group.iloc[0:0][["url"]]
     group = group.sort_values("url").reset_index(drop=True)
     hashes = group["doc_hash"].to_numpy(dtype=np.uint64)
     eligible = (group["n_words"].to_numpy() >= 100) & (
         group["state"].to_numpy() == "ok"
     )
-    dup_urls: list[str] = []
+    dup_idx: list[int] = []
     kept: list[int] = []
-    urls = group["url"].to_numpy()
     for i in np.flatnonzero(eligible):
         if kept:
             d = hamming64_vec(hashes[np.array(kept)], np.repeat(hashes[i], len(kept)))
             if (d < 2).any():
-                dup_urls.append(urls[i])
+                dup_idx.append(int(i))
                 continue
         kept.append(int(i))
-    return pd.DataFrame({"url": pd.Series(dup_urls, dtype=str)})
+    return group.iloc[dup_idx][["url"]]
 
 
 class _FlagNearDups:
