@@ -46,10 +46,11 @@ import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
+from ..functions.blocklist import is_url_blocked
 from ..functions.contenttype import decode_body, sniff_content_type
-from ..functions.hashing import partition_of_domain
+from ..functions.hashing import partition_of_domain, url_seen_hash_u
 from ..functions.htmldoc import parse_document
-from ..functions.linkfilter import select_link_filter_name
+from ..functions.linkfilter import FILTERS, select_link_filter_name
 from ..functions.links import extract_links
 from ..functions.lsh import content_hash
 from ..functions.quality import document_quality
@@ -66,8 +67,24 @@ FETCH_SCHEMA = pa.schema(
         ("visit_ordinal", pa.int32()),
         ("virtual_ts_ms", pa.int64()),
         ("seen_hash", pa.uint64()),
+        ("filter_name", pa.string()),
+        ("supports_https", pa.bool_()),
     ]
 )
+
+_FETCH_COLS = [
+    ("domain", pa.string()),
+    ("url", pa.string()),
+    ("visit_ordinal", pa.int32()),
+    ("virtual_ts_ms", pa.int64()),
+    ("seen_hash", pa.uint64()),
+    ("filter_name", pa.string()),
+    ("supports_https", pa.bool_()),
+]
+
+
+def _emission_table(cols: dict) -> pa.Table:
+    return pa.table({name: pa.array(cols[name], typ) for name, typ in _FETCH_COLS})
 
 RECORD_SCHEMA = pa.schema(
     [
@@ -103,15 +120,7 @@ class FrontierShard:
         cols = self.state.next_batch(max_per_domain)
         if not cols["url"]:
             return None
-        tbl = pa.table(
-            {
-                "domain": pa.array(cols["domain"], pa.string()),
-                "url": pa.array(cols["url"], pa.string()),
-                "visit_ordinal": pa.array(cols["visit_ordinal"], pa.int32()),
-                "virtual_ts_ms": pa.array(cols["virtual_ts_ms"], pa.int64()),
-                "seen_hash": pa.array(cols["seen_hash"], pa.uint64()),
-            }
-        )
+        tbl = _emission_table(cols)
         # serialize via IPC: small control-plane table
         sink = pa.BufferOutputStream()
         with pa.ipc.new_stream(sink, tbl.schema) as w:
@@ -199,15 +208,7 @@ class FrontierShard:
                     break
                 self.state.apply_buffered()
                 continue
-            tbl = pa.table(
-                {
-                    "domain": pa.array(cols["domain"], pa.string()),
-                    "url": pa.array(cols["url"], pa.string()),
-                    "visit_ordinal": pa.array(cols["visit_ordinal"], pa.int32()),
-                    "virtual_ts_ms": pa.array(cols["virtual_ts_ms"], pa.int64()),
-                    "seen_hash": pa.array(cols["seen_hash"], pa.uint64()),
-                }
-            )
+            tbl = _emission_table(cols)
             # slice at DOMAIN boundaries: a domain never spans two chunks,
             # so each task's link payload can be applied independently the
             # moment it lands (per-domain order intact within one payload)
@@ -427,6 +428,13 @@ def fetch_extract_batch(
     shards = shard_handles
     domains = batch.column("domain").to_pylist()
     urls = batch.column("url").to_pylist()
+    names = batch.column_names
+    filter_names = (
+        batch.column("filter_name").to_pylist() if "filter_name" in names else None
+    )
+    supports_https_col = (
+        batch.column("supports_https").to_pylist() if "supports_https" in names else None
+    )
     parts = [partition_of_domain(d, num_shards) for d in domains]
     bodies = _batch_bodies(batch, parts, web_refs, store, num_shards)
     out = {
@@ -507,7 +515,9 @@ def fetch_extract_batch(
                 "link_ordinals": [],
                 "link_seq": [],
                 "link_urls": [],
+                "link_hashes": [],
                 "root_filters": [],
+                "pregated": True,
             },
         )
         r["domains"].append(domain)
@@ -515,16 +525,44 @@ def fetch_extract_batch(
         r["statuses"].append(status)
         if root_filter is not None and root_filter != "default":
             r["root_filters"].append((domain, root_filter))
-        for seq, pl in enumerate(parsed_links):
-            ident = (domain, pl.host, pl.path, pl.param)
-            if ident in sent_links:
-                continue
-            sent_links.add(ident)
-            r["link_domains"].append(domain)
-            r["link_ordinals"].append(ordinal)
-            r["link_seq"].append(seq)
-            # pre-parsed components: the shard enqueues without re-parsing
-            r["link_urls"].append((pl.proto, pl.host, pl.port, pl.path, pl.param))
+        if parsed_links:
+            # Pre-run the scalable half of the admission gates here in the
+            # fetch pool (DomainCrawlFrontier.addToQueue semantics minus
+            # cap + seen-set, which only the owning shard can decide):
+            # same-domain, per-site link filter, blocklist, https schema
+            # correction, and the 64-bit seen-hash.  The shard's apply loop
+            # is then pure dict work — the per-link Python that previously
+            # serialized on the shard actors now scales with the CPU pool.
+            if ordinal == 0:
+                # the root's own links admit under the filter its sniff
+                # just selected (CrawlerRetreiver.sniffRootDocument order)
+                filt = FILTERS[root_filter or "default"]
+            else:
+                filt = FILTERS[filter_names[i]] if filter_names else FILTERS["default"]
+            https_ok = supports_https_col[i] if supports_https_col is not None else True
+            for seq, pl in enumerate(parsed_links):
+                if pl.host != domain:
+                    continue
+                if not filt(pl):
+                    continue
+                if is_url_blocked(pl):
+                    continue
+                if https_ok and pl.proto == "http":
+                    pl = pl.with_proto("https")
+                elif not https_ok and pl.proto == "https":
+                    pl = pl.with_proto("http")
+                h = url_seen_hash_u(pl)
+                ident = (domain, h)
+                if ident in sent_links:
+                    continue
+                sent_links.add(ident)
+                r["link_domains"].append(domain)
+                r["link_ordinals"].append(ordinal)
+                r["link_seq"].append(seq)
+                r["link_hashes"].append(h)
+                r["link_urls"].append(
+                    (str(pl), pl.proto, pl.host, pl.port, pl.path, pl.param)
+                )
 
     if push:
         # synchronous push: the batch is "done" only once every owning
@@ -622,10 +660,13 @@ def _fetch_extract_task_ret(
     res, route = fetch_extract_batch(table, push=False, **kwargs)
     pq.write_table(res, out_path)
     # a shard's batch only contains that shard's domains -> single payload
-    merged: dict[str, list] = {}
+    merged: dict = {}
     for payload in route.values():
         for k, v in payload.items():
-            merged.setdefault(k, []).extend(v)
+            if k == "pregated":
+                merged[k] = v
+            else:
+                merged.setdefault(k, []).extend(v)
     return merged
 
 

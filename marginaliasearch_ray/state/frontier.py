@@ -120,6 +120,10 @@ class FrontierShardState:
         # link/result buffers awaiting apply: list of (domain, visit_ordinal,
         # link_ordinal, dst_url) and (domain, visit_ordinal, status)
         self._link_buf: list[tuple[str, int, int, str]] = []
+        # pre-gated payloads (fetch workers already ran the admission gates
+        # and computed seen hashes): list of entry-lists, each entry
+        # (domain, vo, seq, hash, url_str, proto, host, port, path, param)
+        self._pg_payloads: list[list[tuple]] = []
         self._status_buf: list[tuple[str, int, int]] = []
         self._filter_buf: list[tuple[str, str]] = []
         self.round = 0
@@ -224,6 +228,12 @@ class FrontierShardState:
             "visit_ordinal": [],
             "virtual_ts_ms": [],
             "seen_hash": [],
+            # per-row admission context so the FETCH WORKERS can pre-run the
+            # per-link admission gates (same-domain / filter / blocklist /
+            # schema correction / seen-hash) in the scalable task pool —
+            # the shard actor then only does cap + seen-set + enqueue
+            "filter_name": [],
+            "supports_https": [],
         }
         # NOTE on per-topDomain permits: the reference's semaphores
         # (LocalDomainCoordinator) bound *wall-clock* concurrency against a
@@ -251,6 +261,8 @@ class FrontierShardState:
             cols["visit_ordinal"].append(st.next_ordinal)
             cols["virtual_ts_ms"].append(st.clock_ms)
             cols["seen_hash"].append(h)
+            cols["filter_name"].append(st.filter_name)
+            cols["supports_https"].append(st.supports_https)
             st.next_ordinal += 1
             st.clock_ms += st.delay_ms
             n += 1
@@ -311,14 +323,35 @@ class FrontierShardState:
         link_seq: list[int],
         link_urls: list,
         root_filters: list | None = None,  # [(domain, filter_name)] from root sniffs
+        link_hashes: list | None = None,
+        pregated: bool = False,
     ) -> None:
         """Called (possibly out of order, from many fetch workers) with the
-        round's fetch outcomes and discovered links.  ``link_urls`` entries
-        are either canonical strings or pre-parsed (proto, host, port,
-        path, param) tuples (the fetch stage already parsed each link —
-        shipping components avoids a second parse here)."""
+        round's fetch outcomes and discovered links.
+
+        Legacy path (``pregated=False``): ``link_urls`` entries are
+        canonical strings or pre-parsed (proto, host, port, path, param)
+        tuples; the shard runs the full admission gates.
+
+        Pre-gated path: the fetch worker already ran same-domain / filter /
+        blocklist / schema-correction and computed the seen hash for each
+        surviving link (the scalable half of admission); ``link_urls``
+        entries are (url_str, proto, host, port, path, param) and
+        ``link_hashes`` aligns with them.  The shard applies only the
+        queue-cap + seen-set gates."""
         self._status_buf.extend(zip(domains, ordinals, statuses))
-        self._link_buf.extend(zip(link_domains, link_ordinals, link_seq, link_urls))
+        if pregated:
+            if link_urls:
+                self._pg_payloads.append(
+                    [
+                        (d, vo, seq, h) + lu
+                        for d, vo, seq, h, lu in zip(
+                            link_domains, link_ordinals, link_seq, link_hashes, link_urls
+                        )
+                    ]
+                )
+        else:
+            self._link_buf.extend(zip(link_domains, link_ordinals, link_seq, link_urls))
         if root_filters:
             self._filter_buf.extend(root_filters)
 
@@ -348,6 +381,29 @@ class FrontierShardState:
                 u = parse_url(dst)
             if u is not None:
                 self._add_to_queue(st, u)
+        # pre-gated entries: only cap + seen-set + enqueue remain (the
+        # worker ran the other gates).  A single payload is already in
+        # per-domain (vo, seq) order — emission order is preserved through
+        # the domain-aligned chunks — so the sort only runs when several
+        # payloads were buffered between applies (BSP mode).
+        if self._pg_payloads:
+            if len(self._pg_payloads) == 1:
+                entries = self._pg_payloads[0]
+            else:
+                entries = sorted(e for p in self._pg_payloads for e in p)
+            get_domain = self.domains.get
+            for domain, _vo, _seq, h, s, proto, host, port, path, param in entries:
+                st = get_domain(domain)
+                if st is None:
+                    continue
+                if len(st.queue) + st.visited_cnt >= st.depth + QUEUE_SLACK:
+                    continue
+                if self._seen_lookup(st, h) is None:
+                    self._mark_seen(st, h, False)
+                    st.queue.append(
+                        (s, CanonUrl(proto, host, port, path, param or None), h)
+                    )
+            self._pg_payloads.clear()
         self._status_buf.clear()
         self._link_buf.clear()
 
@@ -416,7 +472,11 @@ class FrontierShardState:
     # ------------------------------------------------------------------
 
     def is_idle(self) -> bool:
-        return not self._link_buf and all(st.done() for st in self.domains.values())
+        return (
+            not self._link_buf
+            and not self._pg_payloads
+            and all(st.done() for st in self.domains.values())
+        )
 
     def stats(self) -> dict:
         return {
@@ -440,6 +500,7 @@ class FrontierShardState:
             "cuckoo": self.cuckoo.to_bytes(),
             "cuckoo_saturated": self.cuckoo_saturated,
             "link_buf": self._link_buf,
+            "pg_payloads": self._pg_payloads,
             "filter_buf": self._filter_buf,
             "status_buf": self._status_buf,
             "domains": [
@@ -475,6 +536,7 @@ class FrontierShardState:
         obj.cuckoo = CuckooFilter.from_bytes(payload["cuckoo"])
         obj.cuckoo_saturated = payload.get("cuckoo_saturated", False)
         obj._link_buf = payload["link_buf"]
+        obj._pg_payloads = payload.get("pg_payloads", [])
         obj._filter_buf = payload.get("filter_buf", [])
         obj._status_buf = payload["status_buf"]
         for d in payload["domains"]:
