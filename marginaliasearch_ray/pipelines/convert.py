@@ -163,20 +163,18 @@ def find_near_dup_urls(group: pd.DataFrame) -> pd.DataFrame:
     return group.iloc[dup_idx][["url"]]
 
 
-class _FlagNearDups:
-    """Broadcast flag-back: ``ray.put`` the (small) duplicate-url set once,
-    each map task reads it zero-copy from the object store and appends the
-    boolean column — document text never enters a shuffle."""
+def _flag_near_dups(batch: pa.Table, dup_ref) -> pa.Table:
+    """Broadcast flag-back: the (small) duplicate-url set lives in the
+    object store (``ray.put`` once); every map task ``ray.get``s it
+    (zero-copy, node-local after the first touch) and appends the boolean
+    column — document text never enters a shuffle.  Stateless task form so
+    the stage parallelizes across the whole pool."""
+    import ray
 
-    def __init__(self, dup_ref):
-        import ray
-
-        self._dups: frozenset = ray.get(dup_ref)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        urls = batch.column("url").to_pylist()
-        flags = np.fromiter((u in self._dups for u in urls), dtype=bool, count=len(urls))
-        return batch.append_column("is_near_dup", pa.array(flags))
+    dups: frozenset = ray.get(dup_ref)
+    urls = batch.column("url").to_pylist()
+    flags = np.fromiter((u in dups for u in urls), dtype=bool, count=len(urls))
+    return batch.append_column("is_near_dup", pa.array(flags))
 
 
 def convert_pages(
@@ -237,10 +235,9 @@ def convert_pages(
     dup_set = frozenset(dup_df["url"]) if "url" in dup_df.columns else frozenset()
     dup_ref = ray.put(dup_set)
     out = rd.read_parquet(docs_path).map_batches(
-        _FlagNearDups,
-        fn_constructor_args=(dup_ref,),
+        _flag_near_dups,
+        fn_kwargs={"dup_ref": dup_ref},
         batch_format="pyarrow",
-        concurrency=(1, 8),
     )
     if out_dir:
         flagged = str(Path(out_dir) / "docs_flagged")

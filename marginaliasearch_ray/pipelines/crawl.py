@@ -44,7 +44,6 @@ import pyarrow.compute as pc
 import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 import ray
-import ray.data as rd
 
 from ..functions.blocklist import is_url_blocked
 from ..functions.contenttype import decode_body, sniff_content_type
@@ -130,6 +129,9 @@ class FrontierShard:
     def buffer_results(self, payload: dict) -> None:
         self.state.buffer_results(**payload)
 
+    def set_sitemaps(self, sitemap_map: dict) -> None:
+        self.state.set_sitemaps(sitemap_map)
+
     def apply_buffered(self) -> None:
         self.state.apply_buffered()
 
@@ -176,6 +178,7 @@ class FrontierShard:
         checkpoint_dir: Optional[str] = None,
         max_inflight: int = 64,
         max_parts: Optional[int] = None,
+        sitemap_ref: Optional[list] = None,  # [ObjectRef] — kept unresolved
     ) -> dict:
         """Shard-local superstep loop: this shard's domains advance in
         shard-local rounds, independent of other shards (domains never
@@ -204,6 +207,12 @@ class FrontierShard:
             cols = self.state.next_batch(max_per_domain)
             t_emit += _t.perf_counter() - _t0
             if not cols["url"]:
+                if sitemap_ref is not None:
+                    # sitemap expansion ran concurrently with round 0; it
+                    # must land before any domain is declared finished
+                    self.state.set_sitemaps(ray.get(sitemap_ref[0]))
+                    sitemap_ref = None
+                    continue
                 if self.state.is_idle():
                     break
                 self.state.apply_buffered()
@@ -251,6 +260,11 @@ class FrontierShard:
                     self.state.apply_buffered()
                 t_apply += _t.perf_counter() - _t0
             rounds += 1
+            if sitemap_ref is not None:
+                # fetch the concurrently-expanded sitemap map after the
+                # first (root-sniff) round; needed before round-1 emission
+                self.state.set_sitemaps(ray.get(sitemap_ref[0]))
+                sitemap_ref = None
         self.state.round = part_no
         if checkpoint_dir and not killed:
             # orderly-completion marker; durability itself is the journal
@@ -297,6 +311,8 @@ class WebStore:
                 host = u.split("://", 1)[1].split("/", 1)[0]
                 parts[i] = partition_of_domain(host, num_parts)
             return batch.append_column("part", pa.array(parts, pa.int32()))
+
+        import ray.data as rd
 
         (
             rd.read_parquet(pages_path, columns=["url", "html"])
@@ -587,13 +603,35 @@ def fetch_extract_batch(
     return res, route
 
 
-def _expand_domain_sitemaps(
-    robots_by_domain: dict, pages_path: str
+def _scan_sitemap_rowgroups_impl(pages_path: str, sm_urls: frozenset, lo: int, hi: int) -> dict:
+    """Two-phase row-group scan [lo, hi): read the cheap url column, then
+    decode html only for groups that hold sitemap rows (the naive filtered
+    read decompresses the whole html column)."""
+    pf = pq.ParquetFile(pages_path)
+    bodies: dict[str, bytes] = {}
+    for g in range(lo, hi):
+        urls_g = pf.read_row_group(g, columns=["url"]).column("url").to_pylist()
+        if any(u in sm_urls for u in urls_g):
+            t = pf.read_row_group(g, columns=["url", "html"])
+            for u, h in zip(t.column("url").to_pylist(), t.column("html").to_pylist()):
+                if u in sm_urls:
+                    bodies[u] = h
+    return bodies
+
+
+_scan_sitemap_rowgroups = ray.remote(num_cpus=1)(_scan_sitemap_rowgroups_impl)
+
+
+@ray.remote(num_cpus=1)
+def _expand_domain_sitemaps_task(
+    robots_by_domain: dict, pages_path: str, scan_fanout: int = 16
 ) -> dict[str, list[str]]:
-    """Bootstrap sitemap expansion (CrawlerRetreiver.java:198-207):
-    robots-declared, same-domain sitemaps fetched from the web store (one
-    batched parquet read of just the sitemap rows), expanded with the
-    reference caps.  Returns domain -> ordered page URLs."""
+    """Bootstrap sitemap expansion (CrawlerRetreiver.java:198-207) as a Ray
+    task graph: robots-declared, same-domain sitemap URLs are resolved,
+    their bodies fetched by parallel row-group-range scan tasks, and each
+    domain's tree expanded with the reference caps.  Runs OFF the driver,
+    concurrent with shard seeding and the root-sniff round.  Returns
+    domain -> ordered page URLs."""
     from ..functions.robots import parse_robots_txt
     from ..functions.sitemap import expand_sitemaps
     from ..model.urls import parse_url as _parse
@@ -612,22 +650,21 @@ def _expand_domain_sitemaps(
             all_sm.update(starts)
     if not wanted:
         return {}
-    # two-phase read: scan the cheap url column to find the row groups
-    # holding sitemap rows, then decode html only for those row groups
-    # (the naive filtered read decompresses the whole html column).
-    pf = pq.ParquetFile(pages_path)
-    sm_set = set(all_sm)
-    hit_groups = []
-    for g in range(pf.num_row_groups):
-        urls_g = pf.read_row_group(g, columns=["url"]).column("url").to_pylist()
-        if any(u in sm_set for u in urls_g):
-            hit_groups.append(g)
-    bodies: dict[str, bytes] = {}
-    for g in hit_groups:
-        t = pf.read_row_group(g, columns=["url", "html"])
-        for u, h in zip(t.column("url").to_pylist(), t.column("html").to_pylist()):
-            if u in sm_set:
-                bodies[u] = h
+    sm_set = frozenset(all_sm)
+    n_groups = pq.ParquetFile(pages_path).metadata.num_row_groups
+    if n_groups <= 4 * scan_fanout:
+        # small corpus: scan inline — fanning out would only spawn cold
+        # workers that contend with the concurrent root-sniff round
+        bodies = _scan_sitemap_rowgroups_impl(pages_path, sm_set, 0, n_groups)
+    else:
+        step = max(1, (n_groups + scan_fanout - 1) // scan_fanout)
+        refs = [
+            _scan_sitemap_rowgroups.remote(pages_path, sm_set, lo, min(lo + step, n_groups))
+            for lo in range(0, n_groups, step)
+        ]
+        bodies = {}
+        for part in ray.get(refs):
+            bodies.update(part)
 
     def _fetch(u: str):
         b = bodies.get(u)
@@ -711,11 +748,14 @@ def run_crawl(
     store_dir = Path(store_dir) if store_dir else out / "web_store"
     out.mkdir(parents=True, exist_ok=True)
 
+    setup_marks: dict[str, float] = {}
     WebStore.prepare(pages_path, str(store_dir), num_shards)
+    setup_marks["prepare"] = round(_time.perf_counter() - t_start, 2)
     # one shared plasma copy of each web partition for all fetch workers
     web_refs = WebStore(str(store_dir), num_shards).put_partitions_in_object_store()
 
     shards = [FrontierShard.remote(k, num_shards) for k in range(num_shards)]
+    setup_marks["actors_submitted"] = round(_time.perf_counter() - t_start, 2)
 
     manifest_path = ckpt_dir / "manifest.json"
     start_round = 0
@@ -730,8 +770,11 @@ def run_crawl(
             ]
         )
         restored = [True] * num_shards
+    sitemap_ref = None
     if not all(restored):
-        # distribute seeds + robots to owning shards
+        # distribute seeds + robots to owning shards; the sitemap
+        # expansion runs as a concurrent Ray task (it is only needed at
+        # each domain's first post-sniff emission, round 1)
         seeds = pq.read_table(seeds_path)
         robots = pq.read_table(robots_path)
         rb = {
@@ -741,7 +784,7 @@ def run_crawl(
             )
             for i in range(robots.num_rows)
         }
-        sitemap_map = _expand_domain_sitemaps(rb, pages_path)
+        sitemap_ref = _expand_domain_sitemaps_task.remote(rb, pages_path)
         per_shard: dict[int, list] = {k: [] for k in range(num_shards)}
         for i in range(seeds.num_rows):
             domain = seeds.column("domain")[i].as_py()
@@ -749,8 +792,9 @@ def run_crawl(
             seed_urls = seeds.column("seed_urls")[i].as_py()
             rtxt, rstatus = rb.get(domain, (None, 404))
             per_shard[partition_of_domain(domain, num_shards)].append(
-                (domain, seed_urls, depth, rtxt, rstatus, sitemap_map.get(domain, []))
+                (domain, seed_urls, depth, rtxt, rstatus, [])
             )
+        setup_marks["seeds_parsed"] = round(_time.perf_counter() - t_start, 2)
         ray.get(
             [
                 shards[k].add_domains.remote(rows)
@@ -758,10 +802,14 @@ def run_crawl(
                 if rows and not restored[k]
             ]
         )
+        setup_marks["domains_added"] = round(_time.perf_counter() - t_start, 2)
 
     if resume and mode == "async" and records_dir.exists():
-        # journal replay: seeds were loaded above; now rebuild state from
-        # the recorded visits (no re-fetch, no politeness violation)
+        # journal replay: seeds were loaded above; sitemaps must land
+        # BEFORE replay (resync re-runs the post-root sitemap enqueue)
+        if sitemap_ref is not None:
+            ray.get([s.set_sitemaps.remote(sitemap_ref) for s in shards])
+            sitemap_ref = None
         ray.get([s.resync.remote(str(records_dir)) for s in shards])
 
     setup_sec = _time.perf_counter() - t_start
@@ -782,6 +830,9 @@ def run_crawl(
                     max_per_domain=max_per_domain,
                     checkpoint_dir=str(ckpt_dir) if checkpoint else None,
                     max_parts=max_parts_per_shard,
+                    # wrapped in a list so Ray ships the REF, not the value
+                    # (the expansion overlaps the root-sniff round)
+                    sitemap_ref=[sitemap_ref] if sitemap_ref is not None else None,
                 )
                 for s in shards
             ]
@@ -801,11 +852,17 @@ def run_crawl(
             "shard_runs": results,
             "records_dir": str(records_dir),
             "setup_sec": round(setup_sec, 2),
+            "setup_marks": setup_marks,
             "rounds_sec": round(_time.perf_counter() - t_start - setup_sec, 2),
         }
 
     total_visits = 0
     rounds_run = 0
+    if sitemap_ref is not None:
+        # BSP: deliver sitemaps before the round loop (the expansion task
+        # overlapped actor spawn + seed distribution above)
+        ray.get([s.set_sitemaps.remote(sitemap_ref) for s in shards])
+        sitemap_ref = None
     for rnd in range(start_round, max_rounds):
         blobs = ray.get([s.next_batch.remote(max_per_domain) for s in shards])
         tables = [_read_control_table(b) for b in blobs if b is not None]
@@ -847,6 +904,8 @@ def run_crawl(
                     part_no += 1
             ray.get(refs)
         else:
+            import ray.data as rd
+
             ds = rd.from_arrow(tables)
             ds = ds.map_batches(
                 fetch_extract_batch,
@@ -884,10 +943,13 @@ def run_crawl(
         "shards": stats,
         "records_dir": str(records_dir),
         "setup_sec": round(setup_sec, 2),
+        "setup_marks": setup_marks,
         "rounds_sec": round(_time.perf_counter() - t_start - setup_sec, 2),
     }
 
 
-def read_crawl_records(out_dir: str) -> rd.Dataset:
+def read_crawl_records(out_dir: str):
     """The crawl output as one Dataset (all rounds)."""
+    import ray.data as rd
+
     return rd.read_parquet(str(Path(out_dir) / "records"))

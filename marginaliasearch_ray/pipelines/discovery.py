@@ -109,33 +109,37 @@ def discover_domains(
             {"domain": [], "inlinks": [], "accepted": [], "reason": [], "assigned_shard": []}
         )
 
-    roots = [f"https://{d}/" for d in cands.domain]
-    import pyarrow.compute as pc
-    import pyarrow.dataset as pads
+    # Distributed root evaluation AT THE READ: broadcast the (small)
+    # root-url -> domain map, scan the pages table in parallel map tasks,
+    # and run DomainEvaluator on matching rows where they are read — only
+    # per-domain verdict rows (3 columns) ever move; root html never
+    # transits the driver.
+    roots_ref = ray.put({f"https://{d}/": d for d in cands.domain})
 
-    tbl = pads.dataset(pages_path).to_table(
-        columns=["url", "html"], filter=pc.field("url").isin(roots)
-    )
-    bodies_ref = ray.put(
-        dict(zip(tbl.column("url").to_pylist(), tbl.column("html").to_pylist()))
-    )
-
-    cand_ds = rd.from_pandas(cands)
-
-    def evaluate(batch: pd.DataFrame, _ref=bodies_ref) -> pd.DataFrame:
-        bodies = ray.get(_ref)
-        acc, reasons, shards = [], [], []
-        for d in batch["domain"]:
-            ok, why = evaluate_root(bodies.get(f"https://{d}/"), d)
+    def evaluate_where_read(batch: pa.Table, _ref=roots_ref) -> pd.DataFrame:
+        roots = ray.get(_ref)
+        doms, acc, reasons = [], [], []
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        for u, html in zip(urls, htmls):
+            d = roots.get(u)
+            if d is None:
+                continue
+            ok, why = evaluate_root(html, d)
+            doms.append(d)
             acc.append(ok)
             reasons.append(why)
-            shards.append(partition_of_domain(d, num_shards))
-        batch["accepted"] = acc
-        batch["reason"] = reasons
-        batch["assigned_shard"] = shards
-        return batch
+        return pd.DataFrame({"domain": doms, "accepted": acc, "reason": reasons})
 
-    out = cand_ds.map_batches(evaluate, batch_format="pandas").to_pandas()
+    verdicts = (
+        rd.read_parquet(pages_path, columns=["url", "html"])
+        .map_batches(evaluate_where_read, batch_format="pyarrow")
+        .to_pandas()  # <= one verdict row per candidate — the small side
+    )
+    out = cands.merge(verdicts, on="domain", how="left")
+    out["accepted"] = out["accepted"].fillna(False).astype(bool)
+    out["reason"] = out["reason"].fillna("unreachable")
+    out["assigned_shard"] = [partition_of_domain(d, num_shards) for d in out["domain"]]
     return out.sort_values(["inlinks", "domain"], ascending=[False, True]).reset_index(
         drop=True
     )

@@ -125,8 +125,8 @@ def _bucket_pairs(group: pd.DataFrame, id_col: str) -> pd.DataFrame:
     return pd.DataFrame({"id_a": a, "id_b": b})
 
 
-def jaccard(a: np.ndarray, b: np.ndarray) -> float:
-    sa, sb = set(a.tolist()), set(b.tolist())
+def jaccard(a, b) -> float:
+    sa, sb = set(np.asarray(a).tolist()), set(np.asarray(b).tolist())
     if not sa and not sb:
         return 1.0
     return len(sa & sb) / len(sa | sb)
@@ -144,18 +144,34 @@ def minhash_lsh_pairs(
     cand = (
         bands.groupby(["band", "band_hash"])
         .map_groups(_bucket_pairs, batch_format="pandas", fn_kwargs={"id_col": id_col})
-        .to_pandas()
+        .to_pandas()  # candidate PAIRS only — the small side
     )
     if cand.empty:
         return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
     cand = cand.drop_duplicates().reset_index(drop=True)
-    # verify: fetch candidate texts (small set) and compute exact Jaccard
-    ids = set(cand.id_a) | set(cand.id_b)
-    texts = {}
-    for b in docs.iter_batches(batch_format="pandas", batch_size=4096):
-        hit = b[b[id_col].isin(ids)]
-        for _id, t in zip(hit[id_col], hit["text"].fillna("")):
-            texts[_id] = shingle_set(t)
+    # verify, fully in-cluster: broadcast the candidate-id set, filter the
+    # corpus to candidate docs inside map_batches (the full corpus never
+    # transits the driver), shingle them there, and collect only the
+    # candidates' shingle sets (bounded by the band-bucket caps) for the
+    # pairwise exact-Jaccard check.
+    import ray
+
+    ids_ref = ray.put(frozenset(set(cand.id_a) | set(cand.id_b)))
+
+    def shingle_candidates(b: pd.DataFrame, _ref=ids_ref) -> pd.DataFrame:
+        wanted = ray.get(_ref)
+        hit = b[b[id_col].isin(wanted)]
+        return pd.DataFrame(
+            {
+                id_col: hit[id_col].to_numpy(),
+                "shingles": [shingle_set(t).tolist() for t in hit["text"].fillna("")],
+            }
+        )
+
+    cand_shingles = docs.map_batches(
+        shingle_candidates, batch_format="pandas"
+    ).to_pandas()
+    texts = dict(zip(cand_shingles[id_col], cand_shingles["shingles"]))
     jac = [
         jaccard(texts.get(a, np.array([])), texts.get(b, np.array([])))
         for a, b in zip(cand.id_a, cand.id_b)
@@ -249,48 +265,119 @@ def simhash_near_dup_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _block_np(tbl: pa.Table, id_col: str):
+    ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+    m = np.stack(tbl.column("embedding").to_pylist()).astype(np.float64)
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    return ids, m
+
+
+def _empty_pairs() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "id_a": pd.Series([], dtype="int64"),
+            "id_b": pd.Series([], dtype="int64"),
+            "cosine": pd.Series([], dtype="float64"),
+        }
+    )
+
+
 def embedding_near_dup_pairs(
     emb: rd.Dataset, threshold: float = 0.95, id_col: str = "vec_id"
 ) -> pd.DataFrame:
-    """Cosine near-dup pairs via blocked matmul: normalize per batch, then
-    compare every batch against a broadcast copy of the (normalized)
-    corpus matrix.  O(n^2) flops distributed across batches; for larger
-    corpora swap the broadcast side for LSH buckets (see stages.ann)."""
+    """EXACT cosine near-dup pairs via distributed block-pair matmuls.
+
+    The corpus blocks stay in the object store (``to_arrow_refs`` — the
+    driver holds only refs); every unordered block pair (i <= j) is
+    compared by its own Ray task reading both blocks zero-copy.  O(n^2/2)
+    flops spread over B(B+1)/2 tasks, nothing materialized driver-side.
+    Exactness is the point of this variant (it is oracle-checked against
+    an all-pairs SQL join); for web-scale corpora use
+    ``embedding_near_dup_lsh`` — same output shape, hyperplane-bucketed
+    candidate generation, approximate recall."""
     import ray
 
-    mat_parts, ids_parts = [], []
-    for b in emb.iter_batches(batch_format="pandas", batch_size=8192):
-        m = np.stack(b["embedding"].to_numpy())
-        mat_parts.append(m)
-        ids_parts.append(b[id_col].to_numpy())
-    corpus = np.concatenate(mat_parts).astype(np.float64)
-    ids = np.concatenate(ids_parts)
-    corpus /= np.maximum(np.linalg.norm(corpus, axis=1, keepdims=True), 1e-12)
-    corpus_ref = ray.put((ids, corpus))
+    refs = emb.select_columns([id_col, "embedding"]).to_arrow_refs()
 
-    def compare(batch: pd.DataFrame, _ref=corpus_ref) -> pd.DataFrame:
-        all_ids, c = ray.get(_ref)
-        m = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
-        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        sims = m @ c.T
-        bi = batch[id_col].to_numpy()
-        a_out, b_out, s_out = [], [], []
-        for r in range(sims.shape[0]):
-            hits = np.where(sims[r] >= threshold)[0]
-            for h in hits:
-                if all_ids[h] > bi[r]:  # dedupe ordered pairs, skip self
-                    a_out.append(bi[r])
-                    b_out.append(all_ids[h])
-                    s_out.append(round(float(sims[r, h]), 4))
-        return pd.DataFrame({"id_a": a_out, "id_b": b_out, "cosine": s_out})
-
-    out = emb.map_batches(compare, batch_format="pandas").to_pandas()
-    if out.empty:
+    @ray.remote(num_cpus=1)
+    def pair_sims(ta: pa.Table, tb: pa.Table, same: bool) -> pd.DataFrame:
+        ids_a, ma = _block_np(ta, id_col)
+        if same:
+            ids_b, mb = ids_a, ma
+        else:
+            ids_b, mb = _block_np(tb, id_col)
+        sims = ma @ mb.T
+        ai, bj = np.where((sims >= threshold) & (ids_a[:, None] < ids_b[None, :]))
         return pd.DataFrame(
             {
-                "id_a": pd.Series([], dtype="int64"),
-                "id_b": pd.Series([], dtype="int64"),
-                "cosine": pd.Series([], dtype="float64"),
+                "id_a": ids_a[ai],
+                "id_b": ids_b[bj],
+                "cosine": np.round(sims[ai, bj], 4),
             }
         )
+
+    tasks = [
+        pair_sims.remote(refs[i], refs[j], i == j)
+        for i in range(len(refs))
+        for j in range(i, len(refs))
+    ]
+    parts = [p for p in ray.get(tasks) if len(p)]
+    if not parts:
+        return _empty_pairs()
+    out = pd.concat(parts, ignore_index=True)
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def embedding_near_dup_lsh(
+    emb: rd.Dataset,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    n_bits: int = 8,
+) -> pd.DataFrame:
+    """Approximate cosine near-dup pairs: hyperplane-LSH signatures bucket
+    the corpus (reusing stages.ann's signature machinery); each vector is
+    assigned to its own bucket plus the hamming-1 neighbors (multi-probe),
+    so near pairs co-occur in at least one bucket with high probability;
+    per-bucket pairwise cosine verifies.  One groupby shuffle of
+    (bucket, id, embedding) rows; no O(n^2) stage, no driver
+    materialization.  Recall < 1 by construction (tested vs the exact
+    variant)."""
+    from .ann import _normalize, _signatures
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        m = _normalize(np.stack(batch["embedding"].to_numpy()).astype(np.float64))
+        sigs = _signatures(m, n_bits, m.shape[1])
+        rows = {id_col: [], "bucket": [], "embedding": []}
+        for r in range(len(m)):
+            s = int(sigs[r])
+            for bkt in [s] + [s ^ (1 << b) for b in range(n_bits)]:
+                rows[id_col].append(batch[id_col].iloc[r])
+                rows["bucket"].append(bkt)
+                rows["embedding"].append(m[r].tolist())
+        return pd.DataFrame(rows)
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(subset=[id_col]).sort_values(id_col).head(_MAX_BUCKET)
+        if len(g) < 2:
+            return _empty_pairs()
+        ids = g[id_col].to_numpy()
+        m = np.stack(g["embedding"].to_numpy())
+        sims = m @ m.T
+        ai, bj = np.where((sims >= threshold) & (ids[:, None] < ids[None, :]))
+        return pd.DataFrame(
+            {"id_a": ids[ai], "id_b": ids[bj], "cosine": np.round(sims[ai, bj], 4)}
+        )
+
+    out = (
+        emb.map_batches(explode, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty or "id_a" not in out.columns:
+        return _empty_pairs()
+    return (
+        out.drop_duplicates(subset=["id_a", "id_b"])
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )

@@ -154,6 +154,18 @@ class FrontierShardState:
         if not st.robots.is_allowed(str(root)):
             st.blocked = True
 
+    def set_sitemaps(self, sitemap_map: dict[str, list[str]]) -> None:
+        """Late sitemap delivery: the bootstrap sitemap expansion runs as a
+        Ray task concurrent with shard seeding and the root-sniff round
+        (sitemaps enqueue only at a domain's first post-sniff emission, so
+        they are not needed before round 1).  A domain that already looked
+        'done' after its root sniff reactivates when its sitemap list
+        arrives (``DomainState.done`` re-checks ``sitemap_enqueued``)."""
+        for d, urls in sitemap_map.items():
+            st = self.domains.get(d)
+            if st is not None and not st.sitemap_enqueued and urls:
+                st.sitemap_urls = list(urls)
+
     # ------------------------------------------------------------------
     # frontier mechanics (DomainCrawlFrontier semantics)
     # ------------------------------------------------------------------
