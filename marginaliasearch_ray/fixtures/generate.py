@@ -2,15 +2,29 @@
 
 Generates, from a single integer seed and scale knobs, a simulated web:
 
-- ``pages.parquet``   (url, warc_ts, html, text, lang) — F1; ``text`` is the
-  ground-truth extracted text computed by SIMULATING the reference tagger
-  rules over the element grammar (NOT by running the engine's HTML parser —
-  the two are independent code paths, which is what makes the byte-identical
-  text test meaningful).
+- ``pages.parquet``   (url, warc_ts, html, text, lang, status, location) —
+  F1; ``text`` is the ground-truth extracted text computed by SIMULATING
+  the reference tagger rules over the element grammar (NOT by running the
+  engine's HTML parser — the two are independent code paths, which is what
+  makes the byte-identical text test meaningful).  ``status`` is 200 or
+  301; 301 rows carry a ``location`` and empty html.
 - ``seeds.parquet``   (domain, crawl_depth, seed_urls) — F2
 - ``robots.parquet``  (domain, robots_txt, status) — F3
-- ``links.parquet``   (src_url, dst_url, kind) — F4 ground-truth edges
+- ``links.parquet``   (src_url, dst_url, kind, anchor_text) — F4 edges
 - ``prev_crawl.parquet`` — F5 for recrawl tests
+
+Domain kinds (drawn from an independent per-domain stream):
+- ``normal``        https, root 200
+- ``http_only``     every URL is http:// — the https root probe fails, the
+                    http probe succeeds (DomainProber fallback path)
+- ``root_redirect`` https://d/ 301-redirects to https://d/home (same
+                    domain -> sniffRootDocument addFirst path)
+- ``cross_redirect`` https://d/ 301-redirects to another domain — the
+                    domain probe aborts the whole crawl (zero visits)
+Plus ~3% of non-root pages are same-domain 301 redirects (mid-crawl
+addFirst), ~10% of domains carry an identical near-dup page pair (>= 100
+words, converter LSH dedup), and ~15% carry a root-linked .txt page
+(plain-text plugin).
 
 The HTML grammar is restricted (flat body blocks: h1-h3, p with inline
 anchors, pre, nav, script, style, form; head: title, optional meta charset
@@ -271,7 +285,10 @@ def _messy_variant(canon: str, rng: random.Random) -> str:
     if r < 0.9:
         # junk param that gets stripped (when path has no param)
         return canon + ("&utm_source=x" if "?" in canon else "?utm_source=x")
-    return "http" + canon[len("https"):]  # http variant (schema-corrected later)
+    # scheme flip (frontier schema-corrects it back post-probe)
+    if canon.startswith("https://"):
+        return "http" + canon[len("https"):]
+    return "https" + canon[len("http"):]
 
 
 _IRRELEVANT = [
@@ -294,13 +311,28 @@ def _generate_domain(cfg: WebConfig, domains: list[str], di: int):
     """Generate one domain's rows — fully determined by (cfg, domains, di),
     so domains can generate independently in parallel."""
     domain = domains[di]
-    page_rows = []  # (url, warc_ts, html(bytes), text, lang)
-    link_rows = []  # (src_url, dst_url, kind)
+    page_rows = []  # (url, warc_ts, html(bytes), text, lang, status, location)
+    link_rows = []  # (src_url, dst_url, kind, anchor_text)
     robots_rows = []
     seed_rows = []
 
     if True:
         drng = random.Random((cfg.seed << 16) ^ (di * 2654435761))
+        # independent stream for the round-2 features so page content stays
+        # decoupled from the kind/redirect/dup draws
+        krng = random.Random((cfg.seed << 8) ^ (di * 1646879) ^ 0xD0E)
+        kr = krng.random()
+        if di < cfg.mega_domains:
+            dkind = "normal"  # keep mega domains on the plain path
+        elif kr < 0.06:
+            dkind = "http_only"
+        elif kr < 0.09:
+            dkind = "root_redirect"
+        elif kr < 0.11:
+            dkind = "cross_redirect"
+        else:
+            dkind = "normal"
+        scheme = "http" if dkind == "http_only" else "https"
         if di < cfg.mega_domains:
             n_pages = cfg.mega_pages
         else:
@@ -321,7 +353,24 @@ def _generate_domain(cfg: WebConfig, domains: list[str], di: int):
                 i2 = prng.randint(n_pages, n_pages * 10)
                 p = f"/page/{i2}.html"
             paths[i] = p
-        urls = {i: f"https://{domain}{p}" for i, p in paths.items()}
+        if dkind == "root_redirect":
+            # the root 301s to /home, which carries what would have been
+            # the root document (sniffRootDocument addFirst path)
+            paths[0] = "/home"
+        urls = {i: f"{scheme}://{domain}{p}" for i, p in paths.items()}
+
+        # ~3% of non-root pages are same-domain 301s (mid-crawl addFirst);
+        # never the chain-next page twice in a row, never ordinal 0
+        redirect_idxs: dict[int, int] = {}
+        if dkind != "cross_redirect" and n_pages > 4:
+            for i in range(1, n_pages):
+                if krng.random() < 0.03:
+                    tgt = krng.randrange(n_pages)
+                    if tgt != i and tgt not in redirect_idxs:
+                        redirect_idxs[i] = tgt
+        has_dup_pair = dkind == "normal" and krng.random() < 0.10
+        has_txt_page = dkind != "cross_redirect" and krng.random() < 0.15
+        txt_url = f"{scheme}://{domain}/notes-{di}.txt"
 
         # robots.txt mix (F3)
         rr = drng.random()
@@ -338,7 +387,7 @@ def _generate_domain(cfg: WebConfig, domains: list[str], di: int):
             )
         elif rr < 0.95:
             robots_rows.append(
-                (domain, f"Sitemap: https://{domain}/sitemap.xml\n", 200)
+                (domain, f"Sitemap: {scheme}://{domain}/sitemap.xml\n", 200)
             )
         else:
             robots_rows.append((domain, "User-agent: *\nDisallow: /\n", 200))
@@ -359,17 +408,53 @@ def _generate_domain(cfg: WebConfig, domains: list[str], di: int):
             )
             page_rows.append(
                 (
-                    f"https://{domain}/sitemap.xml",
+                    f"{scheme}://{domain}/sitemap.xml",
                     EPOCH_MS + di * 86_400_000,
                     xml.encode("utf-8"),
                     "",
                     lang,
+                    200,
+                    None,
+                )
+            )
+
+        # root rows for the probe/redirect kinds
+        if dkind == "root_redirect":
+            page_rows.append(
+                (
+                    f"https://{domain}/",
+                    EPOCH_MS + di * 86_400_000,
+                    b"",
+                    "",
+                    lang,
+                    301,
+                    urls[0],  # -> https://domain/home
+                )
+            )
+        elif dkind == "cross_redirect":
+            other = domains[(di + 1) % len(domains)]
+            page_rows.append(
+                (
+                    f"https://{domain}/",
+                    EPOCH_MS + di * 86_400_000,
+                    b"",
+                    "",
+                    lang,
+                    301,
+                    f"https://{other}/",
                 )
             )
 
         for i in range(n_pages):
             prng = random.Random((cfg.seed << 20) ^ (di * 7919) ^ (i * 104729))
             url = urls[i]
+            if dkind == "cross_redirect" and i == 0:
+                continue  # the root row is the cross-domain 301 above
+            if i in redirect_idxs:
+                # same-domain 301: no body, no outgoing links
+                ts = EPOCH_MS + di * 86_400_000 + i * 60_000
+                page_rows.append((url, ts, b"", "", lang, 301, urls[redirect_idxs[i]]))
+                continue
             title = _sentence(prng, lex, 2, 6).title()
             spec = PageSpec(url=url, ordinal=i, title=title, charset=charset)
 
@@ -395,7 +480,7 @@ def _generate_domain(cfg: WebConfig, domains: list[str], di: int):
                 t = prng.choice(range(n_pages))
                 content = f"{prng.randint(0, 9)}; url={urls[t]}"
                 spec.head_extra.append(("meta_refresh", content))
-                spec.expected_links.append((urls[t], "meta_refresh"))
+                spec.expected_links.append((urls[t], "meta_refresh", ""))
 
             # body blocks
             n_blocks = prng.randint(3, 8)
@@ -407,15 +492,16 @@ def _generate_domain(cfg: WebConfig, domains: list[str], di: int):
                 if other != domain:
                     cross.append(f"https://{other}/")
 
-            a_kind_links: list[tuple[str, str]] = []  # in DOCUMENT order (href, canon)
+            # in DOCUMENT order: (href, canon, anchor_text)
+            a_kind_links: list[tuple[str, str, str]] = []
 
             def _mk_href(canon_url: str) -> str:
                 if prng.random() < 0.3:
                     return _messy_variant(canon_url, prng)
-                if canon_url.startswith(f"https://{domain}"):
+                if canon_url.startswith(f"{scheme}://{domain}"):
                     # relative form half the time
                     if prng.random() < 0.5:
-                        return canon_url[len(f"https://{domain}"):]
+                        return canon_url[len(f"{scheme}://{domain}"):]
                 return canon_url
 
             for b in range(n_blocks):
@@ -427,8 +513,9 @@ def _generate_domain(cfg: WebConfig, domains: list[str], di: int):
                     if anchor_targets and prng.random() < 0.8:
                         t = anchor_targets.pop(0)
                         href = _mk_href(urls[t])
-                        runs.append(("a", href, _sentence(prng, lex, 1, 3), ""))
-                        a_kind_links.append((href, urls[t]))
+                        atext = _sentence(prng, lex, 1, 3)
+                        runs.append(("a", href, atext, ""))
+                        a_kind_links.append((href, urls[t], atext))
                         runs.append(("t", _sentence(prng, lex, 2, 6)))
                     if prng.random() < 0.1:
                         runs.append(("a", prng.choice(_IRRELEVANT), "junk link", ""))
@@ -442,14 +529,16 @@ def _generate_domain(cfg: WebConfig, domains: list[str], di: int):
                 elif br < 0.8:
                     nav_links = []
                     for c in cross:
-                        nav_links.append((c, _sentence(prng, lex, 1, 2)))
-                        a_kind_links.append((c, c))
+                        ctext = _sentence(prng, lex, 1, 2)
+                        nav_links.append((c, ctext))
+                        a_kind_links.append((c, c, ctext))
                     cross = []
                     if anchor_targets:
                         t = anchor_targets.pop(0)
                         href = _mk_href(urls[t])
-                        nav_links.append((href, _sentence(prng, lex, 1, 2)))
-                        a_kind_links.append((href, urls[t]))
+                        atext = _sentence(prng, lex, 1, 2)
+                        nav_links.append((href, atext))
+                        a_kind_links.append((href, urls[t], atext))
                     if nav_links:
                         spec.blocks.append(("nav", nav_links))
                 elif br < 0.9:
@@ -461,30 +550,80 @@ def _generate_domain(cfg: WebConfig, domains: list[str], di: int):
 
             # leftover targets go into a trailing nav block so the page
             # graph stays connected
-            if anchor_targets:
+            if anchor_targets or (i == 0 and has_txt_page):
                 nav_links = []
                 for t in anchor_targets[:4]:
                     href = _mk_href(urls[t])
-                    nav_links.append((href, _sentence(prng, lex, 1, 2)))
-                    a_kind_links.append((href, urls[t]))
+                    atext = _sentence(prng, lex, 1, 2)
+                    nav_links.append((href, atext))
+                    a_kind_links.append((href, urls[t], atext))
+                if i == 0 and has_txt_page:
+                    # root links the domain's plain-text page
+                    nav_links.append((f"/notes-{di}.txt", "notes"))
+                    a_kind_links.append((f"/notes-{di}.txt", txt_url, "notes"))
                 spec.blocks.append(("nav", nav_links))
 
             # expected links: anchors in document order first, then
             # meta-refresh (kind-major emission order of the frontier)
-            for href, canon in a_kind_links:
-                spec.expected_links.append((canon, "a"))
+            for href, canon, atext in a_kind_links:
+                spec.expected_links.append((canon, "a", atext))
 
             html_str = render_html(spec)
             text = simulate_tagger_text(spec)
             html_bytes = html_str.encode(charset, errors="replace")
             ts = EPOCH_MS + di * 86_400_000 + i * 60_000
-            page_rows.append((url, ts, html_bytes, text, lang))
+            page_rows.append((url, ts, html_bytes, text, lang, 200, None))
             # a-kind first then meta_refresh — match emission order
-            ordered = [(d, k) for d, k in spec.expected_links if k == "a"] + [
-                (d, k) for d, k in spec.expected_links if k == "meta_refresh"
+            ordered = [e for e in spec.expected_links if e[1] == "a"] + [
+                e for e in spec.expected_links if e[1] == "meta_refresh"
             ]
-            for dst, kind in ordered:
-                link_rows.append((url, dst, kind))
+            for dst, kind, atext in ordered:
+                link_rows.append((url, dst, kind, atext))
+
+        if has_txt_page:
+            # plain-text document (PlainTextDocumentProcessorPlugin path):
+            # first line is the title-ish heading, body is plain prose
+            trng = random.Random((cfg.seed << 12) ^ (di * 31337))
+            lines = [f"Notes for {domain}", ""]
+            for _ in range(trng.randint(4, 10)):
+                lines.append(_sentence(trng, lex, 6, 14) + ".")
+            body = "\n".join(lines) + "\n"
+            page_rows.append(
+                (
+                    txt_url,
+                    EPOCH_MS + di * 86_400_000 + 999_000,
+                    body.encode("utf-8"),
+                    "",  # ground-truth text applies to the HTML tagger only
+                    lang,
+                    200,
+                    None,
+                )
+            )
+
+        if has_dup_pair:
+            # identical near-dup pair (>= 100 words): exercises the
+            # converter's LshDocumentDeduplicator path end-to-end
+            nrng = random.Random((cfg.seed << 10) ^ (di * 74207281))
+            dup = PageSpec(
+                url="", ordinal=-1, title=_sentence(nrng, lex, 3, 5).title(), charset=charset
+            )
+            for _ in range(14):
+                dup.blocks.append(("p", [("t", _sentence(nrng, lex, 8, 14))]))
+            html_str = render_html(dup)
+            text = simulate_tagger_text(dup)
+            html_bytes = html_str.encode(charset, errors="replace")
+            for suffix in ("a", "b"):
+                page_rows.append(
+                    (
+                        f"{scheme}://{domain}/dup-{suffix}.html",
+                        EPOCH_MS + di * 86_400_000 + 998_000,
+                        html_bytes,
+                        text,
+                        lang,
+                        200,
+                        None,
+                    )
+                )
 
     return page_rows, link_rows, robots_rows, seed_rows
 
@@ -535,6 +674,8 @@ def generate_web(cfg: WebConfig, parallel: bool = False) -> dict:
             "html": pa.array([r[2] for r in page_rows], pa.binary()),
             "text": pa.array([r[3] for r in page_rows], pa.string()),
             "lang": pa.array([r[4] for r in page_rows], pa.string()),
+            "status": pa.array([r[5] for r in page_rows], pa.int16()),
+            "location": pa.array([r[6] for r in page_rows], pa.string()),
         }
     )
     seeds = pa.table(
@@ -556,6 +697,7 @@ def generate_web(cfg: WebConfig, parallel: bool = False) -> dict:
             "src_url": pa.array([r[0] for r in link_rows], pa.string()),
             "dst_url": pa.array([r[1] for r in link_rows], pa.string()),
             "kind": pa.array([r[2] for r in link_rows], pa.string()),
+            "anchor_text": pa.array([r[3] for r in link_rows], pa.string()),
         }
     )
     return {"pages": pages, "seeds": seeds, "robots": robots, "links": links}

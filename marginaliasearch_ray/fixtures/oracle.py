@@ -126,25 +126,65 @@ class OracleFrontier:
         return self.visited_cnt >= self.depth
 
 
+def _web_get(web: dict, s: str):
+    """Normalize store entries: (html, status) or (html, status, location)."""
+    hit = web.get(s)
+    if hit is None:
+        return b"", 404, None
+    if len(hit) == 2:
+        return hit[0], hit[1], None
+    return hit
+
+
+def probe_domain_oracle(domain: str, web: dict) -> tuple[bool, bool]:
+    """DomainProber simulation -> (supports_https, aborted); see
+    ``pipelines.crawl._probe_domain_from_lookup`` (same decision table,
+    independently implemented here over the oracle web dict)."""
+    for proto in ("https", "http"):
+        s = f"{proto}://{domain}/"
+        if s not in web:
+            continue  # connection error -> http fallback (DomainProber.java:52-66)
+        _html, status, location = _web_get(web, s)
+        if status == 200:
+            return proto == "https", False
+        if status == 301 and location:
+            lu = parse_url(location)
+            if lu is not None and lu.host == domain:
+                return proto == "https", False  # internal follow -> Ok
+            return True, True  # cross-domain redirect -> abort
+        return True, True
+    return True, True
+
+
 def crawl_domain_oracle(
     domain: str,
     seed_urls: list[str],
     depth: int,
-    web: dict[str, tuple[bytes, int]],  # canonical url -> (html bytes, status)
+    web: dict,  # canonical url -> (html, status[, location])
     robots_txt: Optional[str],
     robots_status: int = 200,
+    max_per_domain: int = 200,
 ) -> DomainCrawlResult:
-    """Sequential reference crawl of one domain over the simulated web."""
+    """Sequential reference crawl of one domain over the simulated web.
+
+    Redirect semantics are the engine's chunked rendering of the
+    reference's addFirst (CrawlerRetreiver.java:305-309,509-513): a
+    same-domain 301 target is added at the queue HEAD at the next
+    emission boundary (every ``max_per_domain`` fetches / when the queue
+    drains), not mid-drain — pass the same ``max_per_domain`` the engine
+    runs with."""
     res = DomainCrawlResult(domain=domain)
     frontier = OracleFrontier(domain, seed_urls, depth)
 
-    root = CanonUrl("https", domain, None, "/", None)
-    frontier.add_first(root)
+    supports_https, aborted = probe_domain_oracle(domain, web)
+    root = CanonUrl("https" if supports_https else "http", domain, None, "/", None)
+    frontier.add_first(root)  # seen identity ignores proto
+    frontier.supports_https = supports_https
 
     robots: RobotRules = parse_robots_txt(robots_txt, robots_status)
     delay_ms = robots.crawl_delay_ms or DEFAULT_DELAY_MS
 
-    if not robots.is_allowed(str(root)):
+    if aborted or not robots.is_allowed(str(root)):
         res.blocked = True
         res.seen_hashes = set(frontier.seen)
         return res
@@ -152,20 +192,29 @@ def crawl_domain_oracle(
     clock = 0
     ordinal = 0
     errors = 0
+    pending_redirects: list[CanonUrl] = []
 
     def fetch_and_enqueue(u: CanonUrl, is_root: bool = False) -> int:
-        """Simulated fetch: look up the web; parse + enqueue links on 200.
-        The root sniff also selects the per-site link filter BEFORE its
-        links are enqueued (CrawlerRetreiver.sniffRootDocument order)."""
+        """Simulated fetch: look up the web; parse + enqueue links on 200
+        html; buffer same-domain 301 targets.  The root sniff also selects
+        the per-site link filter BEFORE its links are enqueued
+        (CrawlerRetreiver.sniffRootDocument order)."""
         nonlocal clock, ordinal
         s = str(u)
-        body, status = web.get(s, (b"", 404))
+        body, status, location = _web_get(web, s)
         h = frontier._hash(u)
         res.visits.append(Visit(ordinal, s, clock, status, h))
         ordinal += 1
         clock += delay_ms
+        if status == 301 and location:
+            lu = parse_url(location)
+            if lu is not None and lu.host == domain:
+                pending_redirects.append(lu)
+            return status
         if status == 200 and body:
             mime, charset = sniff_content_type(None, body)
+            if mime not in ("text/html", "application/xhtml+xml"):
+                return status  # non-html fetches yield no links
             text = decode_body(body, charset)
             doc = parse_document(text)
             if is_root:
@@ -174,9 +223,13 @@ def crawl_domain_oracle(
                 frontier.add_to_queue(link)
         return status
 
-    # --- root sniff (CrawlerRetreiver.sniffRootDocument) ---
+    # --- root sniff (CrawlerRetreiver.sniffRootDocument); round 0 ---
     fetch_and_enqueue(root, is_root=True)
     frontier.add_visited(root)
+    # round-0 boundary: the root's redirect target lands at the head
+    for t in pending_redirects:
+        frontier.add_first(t)
+    pending_redirects = []
 
     # --- sitemaps (CrawlerRetreiver.java:198-207): robots-declared,
     # same-domain only; expanded with the reference caps; enqueued after
@@ -191,7 +244,7 @@ def crawl_domain_oracle(
             sm_starts.append(str(u))
     if sm_starts:
         def _fetch_xml(u: str):
-            body, status = web.get(u, (b"", 404))
+            body, status, _loc = _web_get(web, u)
             return body.decode("utf-8", "replace") if status == 200 and body else None
 
         for su in expand_sitemaps(sm_starts, _fetch_xml):
@@ -199,29 +252,40 @@ def crawl_domain_oracle(
             if pu is not None:
                 frontier.add_to_queue(pu)
 
-    # --- main loop ---
-    while (
-        frontier.queue
-        and not frontier.is_depth_reached()
-        and errors < MAX_ERRORS
-    ):
-        top_s = frontier.queue.popleft()
-        top = parse_url(top_s)
-        if top is None:
-            continue
-        if not robots.is_allowed(top_s):
-            continue
-        if not FILTERS[frontier.filter_name](top):
-            continue
-        if is_url_blocked(top):
-            continue
-        if top.proto not in ("http", "https"):
-            continue
-        if len(top_s) > 255:
-            continue
-        if not frontier.add_visited(top):
-            continue
-        fetch_and_enqueue(top)
+    # --- main loop, in emission-boundary chunks ---
+    while True:
+        for t in pending_redirects:
+            frontier.add_first(t)
+        pending_redirects = []
+        if not frontier.queue or frontier.is_depth_reached() or errors >= MAX_ERRORS:
+            break
+        n = 0
+        while (
+            frontier.queue
+            and not frontier.is_depth_reached()
+            and errors < MAX_ERRORS
+            and n < max_per_domain
+        ):
+            top_s = frontier.queue.popleft()
+            top = parse_url(top_s)
+            if top is None:
+                continue
+            if not robots.is_allowed(top_s):
+                continue
+            if not FILTERS[frontier.filter_name](top):
+                continue
+            if is_url_blocked(top):
+                continue
+            if top.proto not in ("http", "https"):
+                continue
+            if len(top_s) > 255:
+                continue
+            if not frontier.add_visited(top):
+                continue
+            fetch_and_enqueue(top)
+            n += 1
+        if n == 0 and not pending_redirects:
+            break
 
     res.seen_hashes = set(frontier.seen)
     return res
@@ -229,11 +293,14 @@ def crawl_domain_oracle(
 
 def crawl_web_oracle(
     seeds: list[tuple[str, int, list[str]]],  # (domain, depth, seed_urls)
-    web: dict[str, tuple[bytes, int]],
+    web: dict,
     robots: dict[str, tuple[str, int]],  # domain -> (robots_txt, status)
+    max_per_domain: int = 200,
 ) -> dict[str, DomainCrawlResult]:
     out = {}
     for domain, depth, seed_urls in seeds:
         rtxt, rstatus = robots.get(domain, (None, 404))
-        out[domain] = crawl_domain_oracle(domain, seed_urls, depth, web, rtxt, rstatus)
+        out[domain] = crawl_domain_oracle(
+            domain, seed_urls, depth, web, rtxt, rstatus, max_per_domain=max_per_domain
+        )
     return out

@@ -38,9 +38,28 @@ from ..model.urls import parse_url
 
 
 def process_pages_batch(batch: pa.Table) -> pa.Table:
-    """Stateless per-batch document processing (the converter hot loop)."""
+    """Stateless per-batch document processing (the converter hot loop).
+
+    Content-type dispatch mirrors DocumentProcessor.java:49-60: html ->
+    HtmlDocumentProcessorPlugin, text/plain ->
+    PlainTextDocumentProcessorPlugin (functions.plaintext), everything
+    else is dropped as ``not_html``; 301 rows (when the input carries a
+    ``status`` column) are ``redirect``."""
+    from ..functions.plaintext import (
+        FIRST_N_LINES,
+        PLAIN_TEXT_PUB_YEAR,
+        PLAIN_TEXT_QUALITY,
+        plain_text_description,
+        plain_text_title,
+    )
+
     urls = batch.column("url").to_pylist()
     htmls = batch.column("html").to_pylist()
+    statuses = (
+        batch.column("status").to_pylist()
+        if "status" in batch.column_names
+        else None
+    )
     n = len(urls)
     domain = [""] * n
     top = [""] * n
@@ -64,7 +83,26 @@ def process_pages_batch(batch: pa.Table) -> pa.Table:
             continue
         domain[i] = u.host
         top[i] = u.top_domain
+        if statuses is not None and statuses[i] == 301:
+            state[i] = "redirect"
+            continue
         mime, charset = sniff_content_type(None, html)
+        if mime.startswith("text/plain"):
+            # plain-text plugin (PlainTextDocumentProcessorPlugin.java)
+            body = decode_body(html, charset)
+            lines = body.splitlines()[:FIRST_N_LINES]
+            title[i] = plain_text_title(u.path, lines)
+            text[i] = body
+            length[i] = len(body)
+            n_words[i] = len(body.split())
+            quality[i] = PLAIN_TEXT_QUALITY
+            pub_year[i] = PLAIN_TEXT_PUB_YEAR
+            summary[i] = plain_text_description(lines)
+            lsh[i] = content_hash(html)
+            doc_hash[i] = doc_lsh(body.lower().split())
+            if length[i] == 0:
+                state[i] = "disqualified_length"
+            continue
         if mime not in ("text/html", "application/xhtml+xml"):
             state[i] = "not_html"
             continue  # non-HTML payloads (e.g. sitemaps) carry no text
@@ -207,7 +245,12 @@ def convert_pages(
 
     if num_blocks is None:
         num_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * 4)
-    ds = rd.read_parquet(pages_path, columns=columns or ["url", "html", "lang"])
+    if columns is None:
+        import pyarrow.dataset as pads
+
+        names = pads.dataset(pages_path).schema.names
+        columns = [c for c in ("url", "html", "lang", "status") if c in names]
+    ds = rd.read_parquet(pages_path, columns=columns)
     # split-without-shuffle so a single large parquet file fans out across
     # the CPU pool (the read stays one pass; blocks are sliced views)
     ds = ds.repartition(num_blocks)

@@ -103,6 +103,54 @@ RECORD_SCHEMA = pa.schema(
 )
 
 
+def _probe_domain_from_lookup(domain: str, lookup: dict) -> tuple[bool, bool]:
+    """Domain probe decision -> (supports_https, aborted).
+
+    Simulates DomainProber.probeDomain (DomainProber.java:36-67) over the
+    fetch-sim store: probe the https root; on connection error (url absent)
+    fall back to http; a 200 or same-domain 301 (internally followed,
+    HttpFetcherImpl.java:236-300) is Ok(proto); a cross-domain 301 aborts
+    the whole domain (CrawlerResult.Redirect); anything else is an Error
+    abort.  NO http fallback after a Redirect — only after Error, like the
+    reference."""
+    from ..model.urls import parse_url as _parse
+
+    for proto in ("https", "http"):
+        hit = lookup.get(f"{proto}://{domain}/")
+        if hit is None:
+            continue  # connection error at this proto -> DomainProber http fallback
+        status, location = hit
+        if status == 200:
+            return proto == "https", False
+        if status == 301 and location:
+            lu = _parse(location)
+            if lu is not None and lu.host == domain:
+                # probe follows same-domain redirects internally, result Ok
+                return proto == "https", False
+            return True, True  # DomainProbeResult.Redirect -> abort
+        return True, True  # unexpected status -> Error abort
+    return True, True  # no reachable root -> Error abort
+
+
+@ray.remote(num_cpus=1)
+def _probe_partition(part_tbl: pa.Table, domains: list[str]) -> dict:
+    """Probe every domain of one web partition against its plasma-resident
+    table (zero-copy); returns {domain: (supports_https, aborted)}."""
+    roots = []
+    for d in domains:
+        roots.append(f"https://{d}/")
+        roots.append(f"http://{d}/")
+    pos = pc.index_in(pa.array(roots, pa.string()), value_set=part_tbl.column("url"))
+    status_col = part_tbl.column("status")
+    loc_col = part_tbl.column("location")
+    lookup = {}
+    for r, p in zip(roots, pos):
+        k = p.as_py()
+        if k is not None:
+            lookup[r] = (status_col[k].as_py(), loc_col[k].as_py())
+    return {d: _probe_domain_from_lookup(d, lookup) for d in domains}
+
+
 @ray.remote
 class FrontierShard:
     """Ray actor owning one shard of the frontier (see state.frontier)."""
@@ -111,8 +159,11 @@ class FrontierShard:
         self.state = FrontierShardState(shard_id, num_shards)
 
     def add_domains(self, rows: list[tuple]) -> int:
-        for domain, seeds, depth, rtxt, rstatus, sitemap_urls in rows:
-            self.state.add_domain(domain, seeds, depth, rtxt, rstatus, sitemap_urls)
+        for domain, seeds, depth, rtxt, rstatus, sitemap_urls, https_ok, aborted in rows:
+            self.state.add_domain(
+                domain, seeds, depth, rtxt, rstatus, sitemap_urls,
+                supports_https=https_ok, aborted=aborted,
+            )
         return len(self.state.domains)
 
     def next_batch(self, max_per_domain: int) -> Optional[bytes]:
@@ -164,7 +215,7 @@ class FrontierShard:
         for f in sorted(base.glob("part-*.parquet")):
             t = pq.read_table(
                 f,
-                columns=["domain", "url", "visit_ordinal", "virtual_ts_ms", "http_status", "links", "root_filter"],
+                columns=["domain", "url", "visit_ordinal", "virtual_ts_ms", "http_status", "location", "round", "links", "root_filter"],
             )
             visits.extend(t.to_pylist())
         return self.state.resync_from_journal(visits)
@@ -196,6 +247,7 @@ class FrontierShard:
         base.mkdir(parents=True, exist_ok=True)
         existing = [int(f.stem.split("-")[1]) for f in base.glob("part-*.parquet")]
         part_no = (max(existing) + 1) if existing else 0
+        round_base = part_no
         emitted = 0
         rounds = 0
         killed = False
@@ -238,7 +290,10 @@ class FrontierShard:
                 refs.append(
                     _fetch_extract_task_ret.remote(
                         tbl.slice(b0, b1 - b0),
-                        fetch_kwargs,
+                        # round ids continue from the existing journal's
+                        # part numbering so (round, ordinal) stays monotone
+                        # across resumes (resync groups redirects by round)
+                        dict(fetch_kwargs, round_no=round_base + rounds),
                         str(base / f"part-{part_no}.parquet"),
                     )
                 )
@@ -310,12 +365,19 @@ class WebStore:
             for i, u in enumerate(urls):
                 host = u.split("://", 1)[1].split("/", 1)[0]
                 parts[i] = partition_of_domain(host, num_parts)
+            if "status" not in batch.column_names:
+                # legacy pages tables without a probe surface
+                batch = batch.append_column("status", pa.array([200] * len(urls), pa.int16()))
+                batch = batch.append_column("location", pa.array([None] * len(urls), pa.string()))
             return batch.append_column("part", pa.array(parts, pa.int32()))
 
         import ray.data as rd
 
+        cols = ["url", "html"]
+        if "status" in pads.dataset(pages_path).schema.names:
+            cols += ["status", "location"]
         (
-            rd.read_parquet(pages_path, columns=["url", "html"])
+            rd.read_parquet(pages_path, columns=cols)
             .map_batches(add_part, batch_format="pyarrow")
             .write_parquet(str(out), partition_cols=["part"])
         )
@@ -325,12 +387,21 @@ class WebStore:
         if part in self._cache:
             return self._cache[part]
         pdir = Path(self.store_dir) / f"part={part}"
-        web: dict[str, bytes] = {}
+        web: dict[str, tuple] = {}
         if pdir.exists():
-            tbl = pads.dataset(str(pdir)).to_table(columns=["url", "html"])
-            urls = tbl.column("url").to_pylist()
-            htmls = tbl.column("html").to_pylist()
-            web = dict(zip(urls, htmls))
+            tbl = pads.dataset(str(pdir)).to_table(
+                columns=["url", "html", "status", "location"]
+            )
+            web = dict(
+                zip(
+                    tbl.column("url").to_pylist(),
+                    zip(
+                        tbl.column("html").to_pylist(),
+                        tbl.column("status").to_pylist(),
+                        tbl.column("location").to_pylist(),
+                    ),
+                )
+            )
         self._cache[part] = web
         self._lru.append(part)
         while len(self._lru) > 2:
@@ -338,11 +409,11 @@ class WebStore:
             self._cache.pop(old, None)
         return web
 
-    def lookup(self, part: int, url: str) -> tuple[Optional[bytes], int]:
-        body = self._load(part).get(url)
-        if body is None:
-            return None, 404
-        return body, 200
+    def lookup(self, part: int, url: str) -> tuple[Optional[bytes], int, Optional[str]]:
+        hit = self._load(part).get(url)
+        if hit is None:
+            return None, 404, None
+        return hit[0], hit[1], hit[2]
 
     def put_partitions_in_object_store(self) -> dict[int, "ray.ObjectRef"]:
         """Load every partition ONCE into the Ray object store as an Arrow
@@ -355,7 +426,9 @@ class WebStore:
         @ray.remote(num_cpus=1)
         def _load_part(pdir: str) -> pa.Table:
             return (
-                pads.dataset(pdir).to_table(columns=["url", "html"]).combine_chunks()
+                pads.dataset(pdir)
+                .to_table(columns=["url", "html", "status", "location"])
+                .combine_chunks()
             )
 
         refs = {}
@@ -400,6 +473,8 @@ def _batch_bodies(
     urls = batch.column("url")
     n = len(urls)
     bodies: list[Optional[bytes]] = [None] * n
+    statuses: list[int] = [404] * n
+    locations: list[Optional[str]] = [None] * n
     by_part: dict[int, list[int]] = {}
     for i, p in enumerate(parts):
         by_part.setdefault(p, []).append(i)
@@ -415,15 +490,21 @@ def _batch_bodies(
             sub = urls.take(pa.array(idxs, pa.int64()))
             pos = pc.index_in(sub, value_set=tbl.column("url"))
             html_col = tbl.column("html")
+            status_col = tbl.column("status")
+            loc_col = tbl.column("location")
             for j, i in enumerate(idxs):
                 k = pos[j].as_py()
                 if k is not None:
                     bodies[i] = html_col[k].as_py()
+                    statuses[i] = status_col[k].as_py()
+                    locations[i] = loc_col[k].as_py()
         else:
             for i in idxs:
-                body, _status = store.lookup(p, urls[i].as_py())
+                body, status, loc = store.lookup(p, urls[i].as_py())
                 bodies[i] = body
-    return bodies
+                statuses[i] = status
+                locations[i] = loc
+    return bodies, statuses, locations
 
 
 def fetch_extract_batch(
@@ -433,6 +514,7 @@ def fetch_extract_batch(
     shard_handles: Optional[list] = None,
     web_refs: Optional[dict] = None,
     push: bool = True,
+    round_no: int = 0,
 ):
     """Fetch-sim + full document processing for one Arrow batch of fetch
     tasks.  With ``push=True`` discovered links go back to the owning shard
@@ -452,7 +534,7 @@ def fetch_extract_batch(
         batch.column("supports_https").to_pylist() if "supports_https" in names else None
     )
     parts = [partition_of_domain(d, num_shards) for d in domains]
-    bodies = _batch_bodies(batch, parts, web_refs, store, num_shards)
+    bodies, statuses, locations = _batch_bodies(batch, parts, web_refs, store, num_shards)
     out = {
         "http_status": [],
         "content_type": [],
@@ -462,6 +544,7 @@ def fetch_extract_batch(
         "lsh": [],
         "links": [],
         "root_filter": [],
+        "location": [],
     }
     # link routing buffers, keyed by shard
     route: dict[int, dict[str, list]] = {}
@@ -475,10 +558,12 @@ def fetch_extract_batch(
     for i, (domain, url) in enumerate(zip(domains, urls)):
         part = parts[i]
         body = bodies[i]
-        status = 200 if body is not None else 404
+        status = statuses[i]
+        location = locations[i]
         ordinal = batch.column("visit_ordinal")[i].as_py()
         links: list[str] = []
         parsed_links: list = []
+        redirect_target = None  # parsed same-domain 301 Location
         root_filter = None
         title = ""
         text = ""
@@ -489,6 +574,13 @@ def fetch_extract_batch(
             # 32 MiB response cap (WarcRecorder.java:45): truncated bodies
             # are dropped like the reference's truncated-binary filter
             body, status = None, 404
+        if status == 301 and location:
+            # same-domain 301 -> addFirst at the owning shard
+            # (CrawlerRetreiver.java:305-309,509-513); cross-domain
+            # redirects are dropped, like the reference's loop
+            lu = parse_url(location)
+            if lu is not None and lu.host == domain:
+                redirect_target = lu
         if status == 200 and body:
             mime, charset = sniff_content_type(None, body)
             ctype = mime
@@ -520,6 +612,7 @@ def fetch_extract_batch(
         out["lsh"].append(lsh)
         out["links"].append(links)
         out["root_filter"].append(root_filter or "")
+        out["location"].append(location or "")
 
         r = route.setdefault(
             part,
@@ -533,6 +626,7 @@ def fetch_extract_batch(
                 "link_urls": [],
                 "link_hashes": [],
                 "root_filters": [],
+                "redirects": [],
                 "pregated": True,
             },
         )
@@ -541,6 +635,11 @@ def fetch_extract_batch(
         r["statuses"].append(status)
         if root_filter is not None and root_filter != "default":
             r["root_filters"].append((domain, root_filter))
+        if redirect_target is not None:
+            tl = redirect_target
+            r["redirects"].append(
+                (domain, ordinal, url_seen_hash_u(tl), str(tl), tl.proto, tl.host, tl.port, tl.path, tl.param)
+            )
         if parsed_links:
             # Pre-run the scalable half of the admission gates here in the
             # fetch pool (DomainCrawlFrontier.addToQueue semantics minus
@@ -598,6 +697,10 @@ def fetch_extract_batch(
     res = res.append_column("lsh", pa.array(out["lsh"], pa.uint64()))
     res = res.append_column("links", pa.array(out["links"], pa.list_(pa.string())))
     res = res.append_column("root_filter", pa.array(out["root_filter"], pa.string()))
+    res = res.append_column("location", pa.array(out["location"], pa.string()))
+    res = res.append_column(
+        "round", pa.array([round_no] * res.num_rows, pa.int32())
+    )
     if push:
         return res
     return res, route
@@ -795,10 +898,29 @@ def run_crawl(
                 (domain, seed_urls, depth, rtxt, rstatus, [])
             )
         setup_marks["seeds_parsed"] = round(_time.perf_counter() - t_start, 2)
+        # domain probe (DomainProber): one task per web partition, reading
+        # the plasma table zero-copy; overlaps the shard-actor spawn
+        probe_refs = {
+            k: _probe_partition.remote(web_refs[k], [r[0] for r in rows])
+            for k, rows in per_shard.items()
+            if rows and k in web_refs
+        }
+        probe_results: dict[str, tuple] = {}
+        for ref in probe_refs.values():
+            probe_results.update(ray.get(ref))
+        setup_marks["probed"] = round(_time.perf_counter() - t_start, 2)
+        add_rows = {
+            k: [
+                # missing from every partition => Error abort (no web rows)
+                r + probe_results.get(r[0], (True, True))
+                for r in rows
+            ]
+            for k, rows in per_shard.items()
+        }
         ray.get(
             [
                 shards[k].add_domains.remote(rows)
-                for k, rows in per_shard.items()
+                for k, rows in add_rows.items()
                 if rows and not restored[k]
             ]
         )
@@ -882,6 +1004,7 @@ def run_crawl(
             "num_shards": num_shards,
             "shard_handles": shards,
             "web_refs": web_refs,
+            "round_no": rnd,
         }
         if n_rows <= small_round_rows:
             # small-round fast path: these rounds don't justify a Dataset

@@ -85,6 +85,9 @@ class DomainState:
     supports_https: bool = True
     sniffed: bool = False
     blocked: bool = False
+    # domain-probe abort (DomainProber: cross-domain root redirect or an
+    # unreachable root aborts the whole domain before any fetch)
+    aborted: bool = False
     next_ordinal: int = 0
     sitemap_urls: list = field(default_factory=list)
     sitemap_enqueued: bool = False
@@ -98,7 +101,7 @@ class DomainState:
         self.depth = min(base + max_absolute, int(base * factor))
 
     def done(self) -> bool:
-        if self.blocked or self.errors >= MAX_ERRORS:
+        if self.aborted or self.blocked or self.errors >= MAX_ERRORS:
             return True
         if self.visited_cnt >= self.depth:
             return True
@@ -124,6 +127,12 @@ class FrontierShardState:
         # and computed seen hashes): list of entry-lists, each entry
         # (domain, vo, seq, hash, url_str, proto, host, port, path, param)
         self._pg_payloads: list[list[tuple]] = []
+        # same-domain 301 targets awaiting addFirst; applied at the NEXT
+        # EMISSION (the chunked-superstep rendering of the reference's
+        # mid-drain addFirst, CrawlerRetreiver.java:305-309,509-513 —
+        # displacement bounded by max_per_domain; the conformance oracle
+        # models the identical boundary)
+        self._redirect_buf: list[tuple] = []
         self._status_buf: list[tuple[str, int, int]] = []
         self._filter_buf: list[tuple[str, str]] = []
         self.round = 0
@@ -140,7 +149,15 @@ class FrontierShardState:
         robots_txt: Optional[str],
         robots_status: int,
         sitemap_urls: Optional[list[str]] = None,
+        supports_https: bool = True,
+        aborted: bool = False,
     ) -> None:
+        """``supports_https`` / ``aborted`` come from the domain probe
+        (DomainProber.java:36-67 + CrawlerRetreiver.java:108-112).  Seeds
+        are enqueued BEFORE the probe result is applied — faithful to the
+        reference, whose frontier constructor schema-corrects seed URLs
+        under the default supportsHttps=true, so an http-only domain's
+        seeds end up stored (and later fetched) as https."""
         st = DomainState(domain=domain, depth=depth, sitemap_urls=list(sitemap_urls or []))
         st.robots = parse_robots_txt(robots_txt, robots_status)
         st.delay_ms = st.robots.crawl_delay_ms or DEFAULT_DELAY_MS
@@ -150,8 +167,10 @@ class FrontierShardState:
             if u is not None:
                 self._add_to_queue(st, u)
         root = CanonUrl("https", domain, None, "/", None)
-        self._add_first(st, root)
-        if not st.robots.is_allowed(str(root)):
+        self._add_first(st, root)  # seen identity ignores proto
+        st.supports_https = supports_https
+        st.aborted = aborted
+        if not aborted and not st.robots.is_allowed(str(root)):
             st.blocked = True
 
     def set_sitemaps(self, sitemap_map: dict[str, list[str]]) -> None:
@@ -255,11 +274,30 @@ class FrontierShardState:
         # observable effect on visit order or the delay schedule.  A
         # real-fetch deployment applies ``topdomain_permits`` as an
         # admission cap in the fetch-dispatch stage instead.
+        self._apply_redirects()  # addFirst at next emission head
         active = sorted(d for d, st in self.domains.items() if not st.done())
         for domain in active:
             self._emit_domain(self.domains[domain], max_per_domain, cols)
         self.round += 1
         return cols
+
+    def _apply_redirects(self) -> None:
+        """addFirst the buffered same-domain 301 targets (reference
+        DomainCrawlFrontier.addFirst: addKnown gate only — no blocklist /
+        filter / cap), in (domain, visit_ordinal) encounter order."""
+        if not self._redirect_buf:
+            return
+        self._redirect_buf.sort(key=lambda e: (e[0], e[1]))
+        for domain, _vo, h, s, proto, host, port, path, param in self._redirect_buf:
+            st = self.domains.get(domain)
+            if st is None:
+                continue
+            if self._seen_lookup(st, h) is None:
+                self._mark_seen(st, h, False)
+                st.queue.appendleft(
+                    (s, CanonUrl(proto, host, port, path, param or None), h)
+                )
+        self._redirect_buf.clear()
 
     def _emit_domain(
         self, st: DomainState, max_per_domain: int, cols: dict[str, list]
@@ -282,7 +320,10 @@ class FrontierShardState:
         if not st.sniffed:
             # root sniff fetch (CrawlerRetreiver.sniffRootDocument):
             # fetch '/', mark visited; its queue entry gets skipped later.
-            root = CanonUrl("https", st.domain, None, "/", None)
+            # Proto follows the domain probe (Ok(http) for http-only).
+            root = CanonUrl(
+                "https" if st.supports_https else "http", st.domain, None, "/", None
+            )
             rh = url_seen_hash_u(root)
             emit(str(root), rh)
             self._add_visited_h(st, rh)
@@ -337,6 +378,7 @@ class FrontierShardState:
         root_filters: list | None = None,  # [(domain, filter_name)] from root sniffs
         link_hashes: list | None = None,
         pregated: bool = False,
+        redirects: list | None = None,  # [(domain, vo, h, s, proto, host, port, path, param)]
     ) -> None:
         """Called (possibly out of order, from many fetch workers) with the
         round's fetch outcomes and discovered links.
@@ -364,6 +406,8 @@ class FrontierShardState:
                 )
         else:
             self._link_buf.extend(zip(link_domains, link_ordinals, link_seq, link_urls))
+        if redirects:
+            self._redirect_buf.extend(redirects)
         if root_filters:
             self._filter_buf.extend(root_filters)
 
@@ -428,12 +472,15 @@ class FrontierShardState:
 
     def resync_from_journal(self, visits: list[dict]) -> int:
         """Replay recorded visits (dicts with domain, url, visit_ordinal,
-        virtual_ts_ms, http_status, links, root_filter) over a
-        freshly-seeded state.  Re-marks visited URLs, restores
-        clocks/ordinals/filters, re-applies each visit's links in order —
-        reconstructing the exact pending queue — and re-applies the
-        status<0 error increments so the 20-error abort state survives the
-        resume.  Returns the number of visits replayed."""
+        virtual_ts_ms, http_status, location, links, root_filter, round)
+        over a freshly-seeded state.  Re-marks visited URLs, restores
+        clocks/ordinals/filters, re-applies each visit's links in order,
+        re-buffers same-domain 301 targets per ROUND (addFirst lands at
+        each round boundary, exactly as live — head inserts commute with
+        tail appends, so inline sitemap/link replay stays exact), and
+        re-applies the status<0 error increments so the 20-error abort
+        state survives the resume.  Returns the number of visits
+        replayed."""
         by_domain: dict[str, list[dict]] = {}
         for v in visits:
             by_domain.setdefault(v["domain"], []).append(v)
@@ -442,8 +489,16 @@ class FrontierShardState:
             st = self.domains.get(domain)
             if st is None:
                 continue
-            vs.sort(key=lambda v: v["visit_ordinal"])
+            vs.sort(key=lambda v: (v.get("round", 0), v["visit_ordinal"]))
+            pending_redirects: list = []
+            last_round = None
             for v in vs:
+                rnd = v.get("round", 0)
+                if last_round is not None and rnd != last_round:
+                    for lu in pending_redirects:
+                        self._add_first(st, lu)
+                    pending_redirects = []
+                last_round = rnd
                 u = parse_url(v["url"])
                 if u is None:
                     continue
@@ -472,11 +527,22 @@ class FrontierShardState:
                         lu = parse_url(l)
                         if lu is not None:
                             self._add_to_queue(st, lu)
+                if (v.get("http_status") or 0) == 301 and v.get("location"):
+                    lu = parse_url(v["location"])
+                    if lu is not None and lu.host == st.domain:
+                        pending_redirects.append(lu)
                 if (v.get("http_status") or 0) < 0:
                     st.errors += 1  # ResultException-equivalent, replayed
                 st.next_ordinal = v["visit_ordinal"] + 1
                 st.clock_ms = v["virtual_ts_ms"] + st.delay_ms
                 n += 1
+            # the final round's redirects go to the live buffer: they are
+            # addFirst'd at the next emission, same as a live round end
+            for lu in pending_redirects:
+                h = url_seen_hash_u(lu)
+                self._redirect_buf.append(
+                    (domain, st.next_ordinal, h, str(lu), lu.proto, lu.host, lu.port, lu.path, lu.param)
+                )
         return n
 
     # ------------------------------------------------------------------
@@ -487,6 +553,7 @@ class FrontierShardState:
         return (
             not self._link_buf
             and not self._pg_payloads
+            and not self._redirect_buf
             and all(st.done() for st in self.domains.values())
         )
 
@@ -513,6 +580,7 @@ class FrontierShardState:
             "cuckoo_saturated": self.cuckoo_saturated,
             "link_buf": self._link_buf,
             "pg_payloads": self._pg_payloads,
+            "redirect_buf": self._redirect_buf,
             "filter_buf": self._filter_buf,
             "status_buf": self._status_buf,
             "domains": [
@@ -530,6 +598,7 @@ class FrontierShardState:
                     "supports_https": st.supports_https,
                     "sniffed": st.sniffed,
                     "blocked": st.blocked,
+                    "aborted": st.aborted,
                     "next_ordinal": st.next_ordinal,
                     "sitemap_urls": st.sitemap_urls,
                     "sitemap_enqueued": st.sitemap_enqueued,
@@ -549,6 +618,7 @@ class FrontierShardState:
         obj.cuckoo_saturated = payload.get("cuckoo_saturated", False)
         obj._link_buf = payload["link_buf"]
         obj._pg_payloads = payload.get("pg_payloads", [])
+        obj._redirect_buf = payload.get("redirect_buf", [])
         obj._filter_buf = payload.get("filter_buf", [])
         obj._status_buf = payload["status_buf"]
         for d in payload["domains"]:
@@ -565,6 +635,7 @@ class FrontierShardState:
             st.supports_https = d["supports_https"]
             st.sniffed = d["sniffed"]
             st.blocked = d["blocked"]
+            st.aborted = d.get("aborted", False)
             st.next_ordinal = d["next_ordinal"]
             st.sitemap_urls = d.get("sitemap_urls", [])
             st.sitemap_enqueued = d.get("sitemap_enqueued", False)

@@ -42,7 +42,11 @@ def oracle_result(small_web):
     t = small_web["tables"]
     pages = t["pages"]
     web = {
-        pages["url"][i].as_py(): (pages["html"][i].as_py(), 200)
+        pages["url"][i].as_py(): (
+            pages["html"][i].as_py(),
+            pages["status"][i].as_py(),
+            pages["location"][i].as_py(),
+        )
         for i in range(pages.num_rows)
     }
     seeds = [
