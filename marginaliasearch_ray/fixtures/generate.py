@@ -95,6 +95,10 @@ def render_html(p: PageSpec) -> str:
             out.append(f'<meta http-equiv="refresh" content="{payload}">')
         elif kind == "base":
             out.append(f'<base href="{payload}">')
+        elif kind == "icon":
+            out.append(f'<link rel="icon" href="{payload}">')
+        elif kind == "feedlink":
+            out.append(f'<link rel="alternate" type="application/rss+xml" href="{payload}">')
     out.append("</head>\n<body>\n")
     for blk in p.blocks:
         k = blk[0]
@@ -371,6 +375,18 @@ def _generate_domain(cfg: WebConfig, domains: list[str], di: int):
         has_dup_pair = dkind == "normal" and krng.random() < 0.10
         has_txt_page = dkind != "cross_redirect" and krng.random() < 0.15
         txt_url = f"{scheme}://{domain}/notes-{di}.txt"
+        # favicon / feed discovery surfaces (sniffRootDocument)
+        icon_kind = "link" if krng.random() < 0.25 else "none"
+        fr = krng.random()
+        if dkind == "cross_redirect":
+            feed_kind = "none"
+        elif fr < 0.15:
+            feed_kind = "link"  # <link rel=alternate> on the root
+        elif fr < 0.25:
+            feed_kind = "guess"  # only discoverable via likely endpoints
+        else:
+            feed_kind = "none"
+        feed_endpoint = krng.choice(["rss.xml", "feed.xml", "atom"])
 
         # robots.txt mix (F3)
         rr = drng.random()
@@ -469,11 +485,18 @@ def _generate_domain(cfg: WebConfig, domains: list[str], di: int):
                 if t != i and t not in targets:
                     targets.append(t)
 
+            if i == 0:
+                # root-only head links: favicon + feed (sniffRootDocument)
+                if icon_kind == "link":
+                    spec.head_extra.append(("icon", f"/icon-{di}.png"))
+                if feed_kind == "link":
+                    spec.head_extra.append(("feedlink", f"/{feed_endpoint}"))
+
             # base href on 2% of pages (self-directory base — link resolution
             # must still land on the right canonical URLs, so use an
             # equivalent base)
             if prng.random() < 0.02:
-                spec.head_extra.append(("base", f"https://{domain}/"))
+                spec.head_extra.append(("base", f"{scheme}://{domain}/"))
 
             # meta refresh on 1%: points at a same-domain page
             if prng.random() < 0.01 and n_pages > 1:
@@ -579,6 +602,23 @@ def _generate_domain(cfg: WebConfig, domains: list[str], di: int):
             ]
             for dst, kind, atext in ordered:
                 link_rows.append((url, dst, kind, atext))
+
+        if feed_kind != "none":
+            rss = (
+                '<?xml version="1.0" encoding="UTF-8"?>\n'
+                f'<rss version="2.0"><channel><title>{domain}</title></channel></rss>\n'
+            )
+            page_rows.append(
+                (
+                    f"{scheme}://{domain}/{feed_endpoint}",
+                    EPOCH_MS + di * 86_400_000 + 997_000,
+                    rss.encode("utf-8"),
+                    "",
+                    lang,
+                    200,
+                    None,
+                )
+            )
 
         if has_txt_page:
             # plain-text document (PlainTextDocumentProcessorPlugin path):

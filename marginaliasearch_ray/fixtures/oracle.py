@@ -59,6 +59,8 @@ class DomainCrawlResult:
     visits: list[Visit] = field(default_factory=list)
     seen_hashes: set[int] = field(default_factory=set)
     blocked: bool = False
+    favicon_url: str = ""
+    feed_url: str = ""
 
 
 class OracleFrontier:
@@ -219,6 +221,23 @@ def crawl_domain_oracle(
             doc = parse_document(text)
             if is_root:
                 frontier.filter_name = select_link_filter_name(doc, u)
+                # favicon + feed sniff (CrawlerRetreiver.java:327-398)
+                from ..functions.rootsniff import sniff_favicon_url, sniff_feed_url
+
+                res.favicon_url = sniff_favicon_url(u, doc.icon_href)
+                res.feed_url = (
+                    sniff_feed_url(
+                        u,
+                        doc.feed_href,
+                        robots,
+                        lambda cu: (
+                            _web_get(web, cu)[0]
+                            if _web_get(web, cu)[1] == 200
+                            else None
+                        ),
+                    )
+                    or ""
+                )
             for link in extract_links(u, doc):
                 frontier.add_to_queue(link)
         return status

@@ -68,6 +68,12 @@ def sniff_content_type(header_ct: Optional[str], body: bytes) -> tuple[str, str]
             cm = _CHARSET_PARAM_RE.search(ct)
             if cm:
                 charset = charset or cm.group(1)
+        elif body.lstrip()[:5] == b"<?xml":
+            # crawler-commons MimeTypeDetector runs before the fallback
+            # sniffer (ContentTypeParser.java:18-19) and classifies XML
+            # declarations (sitemaps, RSS/Atom) as XML — these never reach
+            # a converter document plugin
+            mime = "application/xml"
         elif _sniff_is_binary(body):
             return "application/binary", "UTF-8"
         elif b"<html" in body[:1024].lower():

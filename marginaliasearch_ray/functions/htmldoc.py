@@ -85,6 +85,8 @@ class ParsedDoc:
     iframe_links: list[str] = field(default_factory=list)  # iframe src
     meta_refresh: list[str] = field(default_factory=list)  # content attr
     rel_next_prev: list[str] = field(default_factory=list)  # link href
+    icon_href: Optional[str] = None  # <link rel="icon"|"shortcut icon"> (first wins... last wins per reference)
+    feed_href: Optional[str] = None  # <link rel=alternate type=rss/atom>
     base_href: Optional[str] = None
     meta_robots: str = ""  # content of <meta name=robots>
     raw_text_len: int = 0  # total length of emitted tagged strings (quality calc)
@@ -170,8 +172,20 @@ class _Walker(HTMLParser):
         elif tag == "link":
             ad = dict(attrs)
             rel = (ad.get("rel") or "").lower()
+            typ = (ad.get("type") or "").lower()
             if rel in ("next", "prev"):
                 self.doc.rel_next_prev.append(ad.get("href") or "")
+            elif rel in ("icon", "shortcut icon") and ad.get("href"):
+                # CrawlerRetreiver.java:327-337: each matching link
+                # OVERRIDES the favicon candidate (last wins)
+                self.doc.icon_href = ad["href"]
+            elif rel == "alternate" and typ in (
+                "application/atom+xml",
+                "application/atomsvc+xml",
+                "application/rss+xml",
+            ) and ad.get("href"):
+                # CrawlerRetreiver.java:340-351 (last wins)
+                self.doc.feed_href = ad["href"]
         elif tag == "base":
             ad = dict(attrs)
             if self.doc.base_href is None and ad.get("href"):

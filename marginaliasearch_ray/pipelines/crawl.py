@@ -53,6 +53,12 @@ from ..functions.linkfilter import FILTERS, select_link_filter_name
 from ..functions.links import extract_links
 from ..functions.lsh import content_hash
 from ..functions.quality import document_quality
+from ..functions.rootsniff import (
+    LIKELY_FEED_ENDPOINTS,
+    _same_domain_link,
+    looks_like_feed,
+    sniff_favicon_url,
+)
 from ..model.urls import parse_url
 from ..state.frontier import FrontierShardState
 
@@ -194,6 +200,9 @@ class FrontierShard:
 
     def seen_hashes(self) -> dict:
         return self.state.seen_hashes()
+
+    def domain_meta_rows(self) -> list:
+        return self.state.domain_meta_rows()
 
     def checkpoint(self, path: str) -> None:
         p = Path(path)
@@ -459,18 +468,19 @@ def _get_store(store_dir: str, num_shards: int) -> WebStore:
 _PART_TABLE_CACHE: dict[int, tuple] = {}
 
 
-def _batch_bodies(
-    batch: pa.Table,
+def _lookup_urls(
+    urls,
     parts: list[int],
     web_refs: Optional[dict],
     store: WebStore,
-    num_shards: int,
-) -> list[Optional[bytes]]:
-    """Vectorized fetch-sim lookup: group the batch's URLs by partition and
-    resolve each group with one ``pc.index_in`` against the partition's
-    Arrow table from the object store (zero-copy ``ray.get``).  Falls back
-    to the per-worker dict store when no refs were provided."""
-    urls = batch.column("url")
+):
+    """Vectorized fetch-sim lookup for an arbitrary url column/list: group
+    by partition and resolve each group with one ``pc.index_in`` against
+    the partition's Arrow table from the object store (zero-copy
+    ``ray.get``).  Falls back to the per-worker dict store when no refs
+    were provided."""
+    if not isinstance(urls, (pa.Array, pa.ChunkedArray)):
+        urls = pa.array(urls, pa.string())
     n = len(urls)
     bodies: list[Optional[bytes]] = [None] * n
     statuses: list[int] = [404] * n
@@ -505,6 +515,16 @@ def _batch_bodies(
                 statuses[i] = status
                 locations[i] = loc
     return bodies, statuses, locations
+
+
+def _batch_bodies(
+    batch: pa.Table,
+    parts: list[int],
+    web_refs: Optional[dict],
+    store: WebStore,
+    num_shards: int,
+):
+    return _lookup_urls(batch.column("url"), parts, web_refs, store)
 
 
 def fetch_extract_batch(
@@ -554,6 +574,9 @@ def fetch_extract_batch(
     # only costs shard CPU.  Cross-batch duplicates still reach the shard
     # and are deduped by the real seen-set.
     sent_links: set = set()
+    # root sniff side-channel: (part, domain, root CanonUrl, favicon_url,
+    # feed_resolved) — feed candidates bulk-probed after the loop
+    root_metas: list[tuple] = []
 
     for i, (domain, url) in enumerate(zip(domains, urls)):
         part = parts[i]
@@ -565,6 +588,7 @@ def fetch_extract_batch(
         parsed_links: list = []
         redirect_target = None  # parsed same-domain 301 Location
         root_filter = None
+        root_sniff = None  # (root CanonUrl, icon_href, feed_href)
         title = ""
         text = ""
         quality = 0.0
@@ -602,8 +626,11 @@ def fetch_extract_batch(
                     if ordinal == 0:
                         # root sniff also selects the per-site link filter
                         # (LinkFilterSelector; applied shard-side before
-                        # the root's links are enqueued)
+                        # the root's links are enqueued), and gathers the
+                        # favicon + feed candidates
+                        # (CrawlerRetreiver.java:327-398)
                         root_filter = select_link_filter_name(doc, u)
+                        root_sniff = (u, doc.icon_href, doc.feed_href)
         out["http_status"].append(status)
         out["content_type"].append(ctype)
         out["title"].append(title)
@@ -627,6 +654,7 @@ def fetch_extract_batch(
                 "link_hashes": [],
                 "root_filters": [],
                 "redirects": [],
+                "root_metas": [],
                 "pregated": True,
             },
         )
@@ -635,6 +663,13 @@ def fetch_extract_batch(
         r["statuses"].append(status)
         if root_filter is not None and root_filter != "default":
             r["root_filters"].append((domain, root_filter))
+        if root_sniff is not None:
+            ru, icon_href, feed_href = root_sniff
+            favicon_url = sniff_favicon_url(ru, icon_href)
+            feed_resolved = None
+            if feed_href:
+                feed_resolved = _same_domain_link(ru, feed_href)
+            root_metas.append((part, domain, ru, favicon_url, feed_resolved))
         if redirect_target is not None:
             tl = redirect_target
             r["redirects"].append(
@@ -678,6 +713,33 @@ def fetch_extract_batch(
                 r["link_urls"].append(
                     (str(pl), pl.proto, pl.host, pl.port, pl.path, pl.param)
                 )
+
+    if root_metas:
+        # bulk feed-endpoint probe (guessFeedUrl, CrawlerRetreiver.java:
+        # 404-434): one vectorized lookup for every candidate of every
+        # sniffed root in this batch; the shard applies the robots gate
+        cand_urls: list[str] = []
+        cand_parts: list[int] = []
+        spans: list[tuple] = []
+        for part, domain, ru, favicon_url, feed_resolved in root_metas:
+            if feed_resolved is None:
+                base_url = f"{ru.proto}://{ru.host}"
+                start = len(cand_urls)
+                for ep in LIKELY_FEED_ENDPOINTS:
+                    cand_urls.append(f"{base_url}/{ep}")
+                    cand_parts.append(part)
+                spans.append((part, domain, favicon_url, None, start))
+            else:
+                spans.append((part, domain, favicon_url, feed_resolved, None))
+        cbodies, cstatuses, _clocs = _lookup_urls(cand_urls, cand_parts, web_refs, store)
+        for part, domain, favicon_url, feed_resolved, start in spans:
+            cands = []
+            if start is not None:
+                for j, ep in enumerate(LIKELY_FEED_ENDPOINTS):
+                    k = start + j
+                    ok = cstatuses[k] == 200 and looks_like_feed(cbodies[k])
+                    cands.append((cand_urls[k], ok))
+            route[part]["root_metas"].append((domain, favicon_url, feed_resolved, cands))
 
     if push:
         # synchronous push: the batch is "done" only once every owning
@@ -960,6 +1022,7 @@ def run_crawl(
             ]
         )
         stats = ray.get([s.stats.remote() for s in shards])
+        _write_domain_meta(shards, out)
         seen = {}
         if collect_seen:
             for d in ray.get([s.seen_hashes.remote() for s in shards]):
@@ -1053,6 +1116,7 @@ def run_crawl(
         rounds_run += 1
 
     stats = ray.get([s.stats.remote() for s in shards])
+    _write_domain_meta(shards, out)
     seen = {}
     if collect_seen:
         for d in ray.get([s.seen_hashes.remote() for s in shards]):
@@ -1069,6 +1133,27 @@ def run_crawl(
         "setup_marks": setup_marks,
         "rounds_sec": round(_time.perf_counter() - t_start - setup_sec, 2),
     }
+
+
+def _write_domain_meta(shards: list, out: Path) -> None:
+    """Persist the DomainStateDb-analog table (one row per domain:
+    probe outcome, favicon/feed, filter, counters)."""
+    rows: list[dict] = []
+    for part in ray.get([s.domain_meta_rows.remote() for s in shards]):
+        rows.extend(part)
+    if not rows:
+        return
+    cols = {k: [r[k] for r in rows] for k in rows[0]}
+    pq.write_table(pa.table(cols), out / "domain_meta.parquet")
+
+
+def read_domain_meta(out_dir: str):
+    import pandas as pd
+
+    p = Path(out_dir) / "domain_meta.parquet"
+    if not p.exists():
+        return pd.DataFrame()
+    return pq.read_table(p).to_pandas()
 
 
 def read_crawl_records(out_dir: str):

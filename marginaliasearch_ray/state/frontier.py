@@ -26,9 +26,13 @@ links applied between rounds in per-domain visit order) provably yields
 the same per-domain visit sequence as the reference's sequential loop:
 during a FIFO drain every enqueue lands behind every queued snapshot
 entry, so "drain chunk, then append that chunk's discovered links in
-visit order" commutes with the interleaved original.  (The one reference
-behavior that breaks this — addFirst of same-domain HTTP redirect targets
-mid-drain — is out of scope of the v1 fixtures; see SURVEY.md §7.)
+visit order" commutes with the interleaved original.  The one reference
+behavior outside that argument — addFirst of same-domain HTTP redirect
+targets mid-drain (CrawlerRetreiver.java:305-309,509-513) — is rendered
+as addFirst-at-the-NEXT-EMISSION-HEAD: targets buffer during the round
+and head-insert before the next drain, displacing the fetch by at most
+``max_per_domain`` positions; the conformance oracle models the same
+boundary, so visit order remains exactly testable.
 
 Pure Python + numpy; no Ray imports — the Ray actor wrapper lives in
 ``pipelines.crawl``.
@@ -88,6 +92,10 @@ class DomainState:
     # domain-probe abort (DomainProber: cross-domain root redirect or an
     # unreachable root aborts the whole domain before any fetch)
     aborted: bool = False
+    # root-sniff side discoveries (DomainStateDb favicon / SummaryRecord
+    # feedUrl, CrawlerRetreiver.java:327-398)
+    favicon_url: str = ""
+    feed_url: str = ""
     next_ordinal: int = 0
     sitemap_urls: list = field(default_factory=list)
     sitemap_enqueued: bool = False
@@ -133,6 +141,8 @@ class FrontierShardState:
         # displacement bounded by max_per_domain; the conformance oracle
         # models the identical boundary)
         self._redirect_buf: list[tuple] = []
+        # root-sniff favicon/feed discoveries awaiting apply
+        self._root_meta_buf: list[tuple] = []
         self._status_buf: list[tuple[str, int, int]] = []
         self._filter_buf: list[tuple[str, str]] = []
         self.round = 0
@@ -379,6 +389,7 @@ class FrontierShardState:
         link_hashes: list | None = None,
         pregated: bool = False,
         redirects: list | None = None,  # [(domain, vo, h, s, proto, host, port, path, param)]
+        root_metas: list | None = None,  # [(domain, favicon_url, feed_resolved, cands)]
     ) -> None:
         """Called (possibly out of order, from many fetch workers) with the
         round's fetch outcomes and discovered links.
@@ -408,6 +419,8 @@ class FrontierShardState:
             self._link_buf.extend(zip(link_domains, link_ordinals, link_seq, link_urls))
         if redirects:
             self._redirect_buf.extend(redirects)
+        if root_metas:
+            self._root_meta_buf.extend(root_metas)
         if root_filters:
             self._filter_buf.extend(root_filters)
 
@@ -416,6 +429,24 @@ class FrontierShardState:
         then links sorted by (visit_ordinal, link_ordinal) — reconstructing
         the reference's sequential enqueue order regardless of fetch-worker
         arrival order."""
+        for domain, favicon_url, feed_resolved, cands in self._root_meta_buf:
+            st = self.domains.get(domain)
+            if st is None:
+                continue
+            st.favicon_url = favicon_url or ""
+            if feed_resolved:
+                st.feed_url = feed_resolved
+            else:
+                # guessFeedUrl: first robots-allowed candidate that looked
+                # like a feed (CrawlerRetreiver.java:424-434)
+                for cand_url, feedish in cands:
+                    if not feedish:
+                        continue
+                    if st.robots is not None and not st.robots.is_allowed(cand_url):
+                        continue
+                    st.feed_url = cand_url
+                    break
+        self._root_meta_buf.clear()
         for domain, fname in sorted(self._filter_buf):
             st = self.domains.get(domain)
             if st is not None and fname in FILTERS:
@@ -571,6 +602,25 @@ class FrontierShardState:
     def seen_hashes(self) -> dict[str, set[int]]:
         return {d: set(st.seen) for d, st in self.domains.items()}
 
+    def domain_meta_rows(self) -> list[dict]:
+        """DomainStateDb analog (summary + crawl-meta surface): one row per
+        domain with probe outcome, root-sniff discoveries, and counters."""
+        return [
+            {
+                "domain": st.domain,
+                "supports_https": st.supports_https,
+                "aborted": st.aborted,
+                "blocked": st.blocked,
+                "filter_name": st.filter_name,
+                "favicon_url": st.favicon_url,
+                "feed_url": st.feed_url,
+                "visited": st.visited_cnt,
+                "errors": st.errors,
+                "depth": st.depth,
+            }
+            for st in self.domains.values()
+        ]
+
     def to_bytes(self) -> bytes:
         payload = {
             "shard_id": self.shard_id,
@@ -581,6 +631,7 @@ class FrontierShardState:
             "link_buf": self._link_buf,
             "pg_payloads": self._pg_payloads,
             "redirect_buf": self._redirect_buf,
+            "root_meta_buf": self._root_meta_buf,
             "filter_buf": self._filter_buf,
             "status_buf": self._status_buf,
             "domains": [
@@ -599,6 +650,8 @@ class FrontierShardState:
                     "sniffed": st.sniffed,
                     "blocked": st.blocked,
                     "aborted": st.aborted,
+                    "favicon_url": st.favicon_url,
+                    "feed_url": st.feed_url,
                     "next_ordinal": st.next_ordinal,
                     "sitemap_urls": st.sitemap_urls,
                     "sitemap_enqueued": st.sitemap_enqueued,
@@ -619,6 +672,7 @@ class FrontierShardState:
         obj._link_buf = payload["link_buf"]
         obj._pg_payloads = payload.get("pg_payloads", [])
         obj._redirect_buf = payload.get("redirect_buf", [])
+        obj._root_meta_buf = payload.get("root_meta_buf", [])
         obj._filter_buf = payload.get("filter_buf", [])
         obj._status_buf = payload["status_buf"]
         for d in payload["domains"]:
@@ -636,6 +690,8 @@ class FrontierShardState:
             st.sniffed = d["sniffed"]
             st.blocked = d["blocked"]
             st.aborted = d.get("aborted", False)
+            st.favicon_url = d.get("favicon_url", "")
+            st.feed_url = d.get("feed_url", "")
             st.next_ordinal = d["next_ordinal"]
             st.sitemap_urls = d.get("sitemap_urls", [])
             st.sitemap_enqueued = d.get("sitemap_enqueued", False)

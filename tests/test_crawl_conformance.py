@@ -142,3 +142,23 @@ class TestResume:
         r2 = _run(small_web, tmp_out, resume=True)
         assert r2["rounds"] == 0 or r2["emitted"] == 0
         assert len(_records(tmp_out)) == n1
+
+
+class TestRootSniffMeta:
+    """Favicon + feed discovery (sniffRootDocument side channel) must match
+    the sequential oracle, domain by domain."""
+
+    def test_favicon_and_feed_match_oracle(self, small_web, oracle_result, tmp_out):
+        from marginaliasearch_ray.pipelines.crawl import read_domain_meta
+
+        _run(small_web, tmp_out, mode="async", checkpoint=False)
+        meta = read_domain_meta(tmp_out).set_index("domain")
+        assert len(meta) > 0
+        any_favicon = any_feed = False
+        for domain, want in oracle_result.items():
+            assert meta.loc[domain, "favicon_url"] == want.favicon_url, domain
+            assert meta.loc[domain, "feed_url"] == want.feed_url, domain
+            any_favicon = any_favicon or bool(want.favicon_url)
+            any_feed = any_feed or bool(want.feed_url)
+        # the fixture must actually exercise both discoveries
+        assert any_favicon and any_feed

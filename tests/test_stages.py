@@ -223,3 +223,29 @@ class TestPageRank:
         out = pagerank(edges, mode="local", personalize=["hub"])
         ranks = dict(zip(out.domain, out["rank"]))
         assert ranks["a"] > ranks["y"]
+
+
+class TestAnchorTags:
+    def test_anchor_counts_external_only(self, small_web):
+        import ray.data as rd
+        from marginaliasearch_ray.stages.atags import anchor_counts
+
+        links = rd.read_parquet(f"{small_web['dir']}/links.parquet")
+        out = anchor_counts(links)
+        if out.empty:
+            return  # no cross-domain links in this fixture draw
+        # every counted anchor is external: its url's host equals the row
+        # domain and at least one source domain differs
+        for _, row in out.iterrows():
+            host = row["url"].split("://", 1)[1].split("/", 1)[0]
+            assert host == row["domain"]
+            assert row["n_anchors"] >= row["n_src_domains"] >= 1
+        # cross-check one url against a pandas groupby of the raw table
+        import pandas as pd
+        raw = links.to_pandas()
+        raw["src_h"] = raw.src_url.str.split("://").str[1].str.split("/").str[0]
+        raw["dst_h"] = raw.dst_url.str.split("://").str[1].str.split("/").str[0]
+        ext = raw[raw.src_h != raw.dst_h]
+        want = ext.groupby("dst_url").size()
+        got = out.set_index("url")["n_anchors"]
+        assert got.sort_index().equals(want.sort_index().astype("int64"))
