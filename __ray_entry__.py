@@ -90,12 +90,16 @@ def _pagerank_domains(sf_dir: str) -> pd.DataFrame:
         )
 
     edges = links.map_batches(to_domains, batch_format="pandas")
-    out = pagerank(edges, mode="local")
+    out = pagerank(edges, mode="distributed")
+    # round THEN sort so cross-implementation float noise cannot reorder
+    # near-ties (the oracle fixture sorts identically)
     out["rank"] = out["rank"].round(8)
-    return out
+    return out.sort_values(["rank", "domain"], ascending=[False, True]).reset_index(drop=True)
 
 
 def _url_canonicalize(sf_dir: str) -> pd.DataFrame:
+    """Canonicalize the url_cases table's raw URLs; the oracle compares
+    against the generator's ANALYTICALLY-derived expected forms."""
     import ray.data as rd
     import pyarrow as pa
 
@@ -105,17 +109,17 @@ def _url_canonicalize(sf_dir: str) -> pd.DataFrame:
     fix = fixture_dir_for(sf_dir)
 
     def canon(batch: pa.Table) -> pa.Table:
-        vals = [canonicalize(u) or "" for u in batch.column("dst_url").to_pylist()]
+        vals = [canonicalize(u) or "" for u in batch.column("raw_url").to_pylist()]
         return pa.table(
-            {"dst_url": batch.column("dst_url"), "canonical": pa.array(vals)}
+            {"raw_url": batch.column("raw_url"), "canonical": pa.array(vals)}
         )
 
     return (
-        rd.read_parquet(f"{fix}/links.parquet", columns=["dst_url"])
+        rd.read_parquet(f"{fix}/url_cases.parquet", columns=["raw_url"])
         .map_batches(canon, batch_format="pyarrow")
         .to_pandas()
         .drop_duplicates()
-        .sort_values(["dst_url"])
+        .sort_values(["raw_url"])
         .reset_index(drop=True)
     )
 
@@ -176,6 +180,45 @@ def _crawl_domain_meta(sf_dir: str) -> pd.DataFrame:
     for c in ("n_visits", "n_ok", "first_ts_ms", "last_ts_ms"):
         out[c] = out[c].astype("int64")
     return out.sort_values("domain").reset_index(drop=True)
+
+
+def _crawl_domain_state(sf_dir: str) -> pd.DataFrame:
+    """DomainStateDb summary surface: probe outcome + root-sniff
+    favicon/feed + visit counters per domain (oracle: the sequential
+    crawl oracle's expected_domain_meta)."""
+    from marginaliasearch_ray.fixtures.cache import FIXTURE_VERSION
+    from marginaliasearch_ray.pipelines.crawl import read_domain_meta
+
+    _crawl_records(sf_dir)  # ensure the cached crawl output exists
+    out_dir = (
+        Path(tempfile.gettempdir())
+        / "graft_crawl"
+        / f"v{FIXTURE_VERSION}"
+        / Path(sf_dir).name
+    )
+    meta = read_domain_meta(str(out_dir))
+    out = pd.DataFrame(
+        {
+            "domain": meta["domain"],
+            "favicon_url": meta["favicon_url"],
+            "feed_url": meta["feed_url"],
+            "visited": meta["visited"].astype("int64"),
+            "excluded": (meta["aborted"] | meta["blocked"]).astype(bool),
+        }
+    )
+    return out.sort_values("domain").reset_index(drop=True)
+
+
+def _doc_anchor_counts(sf_dir: str) -> pd.DataFrame:
+    """External anchor-text counts per url (AnchorTagsSource /
+    DomainLinks.countForUrl analog) over the fixture links table."""
+    import ray.data as rd
+
+    from marginaliasearch_ray.fixtures.cache import fixture_dir_for
+    from marginaliasearch_ray.stages.atags import anchor_counts
+
+    fix = fixture_dir_for(sf_dir)
+    return anchor_counts(rd.read_parquet(f"{fix}/links.parquet"))
 
 
 def _crawl_order(sf_dir: str) -> pd.DataFrame:
@@ -409,6 +452,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_order": _crawl_order,
         "domain_discovery": _domain_discovery,
         "crawl_domain_meta": _crawl_domain_meta,
+        "crawl_domain_state": _crawl_domain_state,
+        "doc_anchor_counts": _doc_anchor_counts,
         # relational shapes (SQL-checked)
         "agg_lineitem_pricing": _rel("agg_lineitem_pricing"),
         "join_order_revenue": _rel("join_order_revenue"),
@@ -455,9 +500,50 @@ _PUNCT_SQL = (
     "text,'.',''),',',''),'!',''),'?',''),';',''),':','')))"
 )
 
+# the driver runs correctness at sf0.01; expected fixtures + the synthetic
+# web live under /tmp keyed by FIXTURE_VERSION
+_ORACLE_SF = "/root/testdata/sf0.01"
+
+_LANG_SQL_PROFILES = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "f\u00fcr", "auf"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "para"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "dans", "pour"],
+    "sv": ["och", "att", "det", "som", "en", "p\u00e5", "\u00e4r", "av", "f\u00f6r", "med"],
+}
+
+
+def _sql_lang_list(lang: str) -> str:
+    words = _LANG_SQL_PROFILES[lang]
+    return "[" + ",".join("'" + w.encode().decode("unicode_escape") + "'" for w in words) + "]"
+
 
 def oracle_sql() -> dict[str, str]:
+    """DuckDB oracle per query.
+
+    SQL-native oracles recompute the answer from the driver tables (or the
+    fixture parquet) inside DuckDB.  For stateful/sketch pipelines the
+    oracle is ``SELECT .. FROM read_parquet('<expected_*.parquet>')``
+    where the expected table is materialized by the SEQUENTIAL
+    single-threaded oracle implementations in
+    ``marginaliasearch_ray/fixtures/expected.py`` (independent of the
+    distributed engine paths under test)."""
+    from marginaliasearch_ray.fixtures.cache import fixture_dir_for
+    from marginaliasearch_ray.fixtures.expected import expected_dir_for
+
+    fix = fixture_dir_for(_ORACLE_SF)
+    exp = expected_dir_for(_ORACLE_SF)
+
+    # language-ID scoring expressions (see stages.textstats.detect_language:
+    # first language in en,de,es,fr,sv order with the max nonzero overlap)
+    lang_counts = {
+        k: f"len(list_intersect(ws, {_sql_lang_list(k)}))" for k in _LANG_SQL_PROFILES
+    }
+    cjk = "regexp_matches(text, '[一-鿿぀-ヿ가-힯]')"
+    lmax = f"greatest({lang_counts['en']}, {lang_counts['de']}, {lang_counts['es']}, {lang_counts['fr']}, {lang_counts['sv']})"
+
     return {
+        # ---------------- relational shapes (driver tables) ----------------
         "agg_lineitem_pricing": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 4)                        AS sum_qty,
@@ -548,6 +634,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM customer
             ) ORDER BY crawl_rank
         """,
+        # ---------------- text analysis (driver tables) ----------------
         "doc_token_counts": f"""
             SELECT doc_id,
                    len(string_split(text, ' '))                     AS n_tokens_ws,
@@ -565,6 +652,63 @@ def oracle_sql() -> dict[str, str]:
                          * 1.0 / greatest(len(string_split(text, ' ')), 1), 6) AS mean_token_len
             FROM documents ORDER BY doc_id
         """,
+        "doc_langid": f"""
+            WITH s AS (
+                SELECT doc_id, text,
+                       list_distinct(list_filter(
+                           regexp_split_to_array(lower(text), '[[:space:]]+'),
+                           x -> x != '')) AS ws
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN {cjk} THEN 'zh'
+                        WHEN {lmax} = 0 THEN 'unknown'
+                        WHEN {lang_counts['en']} = {lmax} THEN 'en'
+                        WHEN {lang_counts['de']} = {lmax} THEN 'de'
+                        WHEN {lang_counts['es']} = {lmax} THEN 'es'
+                        WHEN {lang_counts['fr']} = {lmax} THEN 'fr'
+                        ELSE 'sv' END AS lang_pred
+            FROM s ORDER BY doc_id
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   CAST(list_reduce(
+                       list_prepend(1469598103934665603::HUGEINT,
+                           list_transform(
+                               list_filter(regexp_split_to_array(text, '[[:space:]]+'),
+                                           x -> x != ''),
+                               t -> md5_number_lower(t)::HUGEINT)),
+                       (a, x) -> (xor(a, x) * 1099511628211::HUGEINT)
+                                 % 18446744073709551616::HUGEINT
+                   ) AS UBIGINT) AS fingerprint
+            FROM documents ORDER BY doc_id
+        """,
+        "doc_keywords": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           regexp_split_to_array(lower(text), '[[:space:]]+'),
+                           x -> x != '')) AS tok
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok
+            ), df AS (
+                SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok
+            ), n AS (SELECT count(*) AS n_docs FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.tok,
+                       tf.tf * ln(n.n_docs * 1.0 / (1 + df.df)) AS score,
+                       row_number() OVER (
+                           PARTITION BY tf.doc_id
+                           ORDER BY tf.tf * ln(n.n_docs * 1.0 / (1 + df.df)) DESC,
+                                    tf.tok ASC) AS rn
+                FROM tf JOIN df USING (tok) CROSS JOIN n
+            )
+            SELECT doc_id,
+                   string_agg(tok, ',' ORDER BY rn) AS keywords
+            FROM scored WHERE rn <= 5 GROUP BY doc_id ORDER BY doc_id
+        """,
+        # ---------------- exact dedup / embeddings (driver tables) ----------------
         "doc_exact_dedup": """
             SELECT text, min(doc_id) AS first_doc_id
             FROM documents GROUP BY text ORDER BY text
@@ -586,12 +730,131 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e, q
             ORDER BY cosine DESC, e.vec_id LIMIT 10
         """,
+        # ---------------- multimodal (md5 fake-decode spec) ----------------
         "media_bytes": """
             SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes
             FROM documents ORDER BY doc_id
         """,
-        # crawl_records / convert_docs / pagerank_domains / url_canonicalize /
-        # doc_langid / doc_fingerprint / minhash_dedup_pairs / simhash_pairs /
-        # lsh_ann_topk / media_features: stateful, sketch-based or
-        # approximate — rows-only checks by design.
+        "media_features": """
+            SELECT doc_id AS media_id,
+                   octet_length(encode(text)) AS n_bytes,
+                   round((md5_number_upper(text) % 4294967296) / 4294967296.0, 6) AS f0
+            FROM documents ORDER BY doc_id
+        """,
+        # ---------------- sketch family: sequential-oracle fixtures ----------------
+        "minhash_dedup_pairs": f"""
+            SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+            FROM read_parquet('{exp}/expected_minhash.parquet')
+            ORDER BY id_a, id_b
+        """,
+        "simhash_pairs": f"""
+            SELECT id_a, id_b, hamming
+            FROM read_parquet('{exp}/expected_simhash.parquet')
+            ORDER BY id_a, id_b
+        """,
+        "lsh_ann_topk": f"""
+            SELECT query_no, vec_id, cosine, rank
+            FROM read_parquet('{exp}/expected_lsh_ann.parquet')
+            ORDER BY rank
+        """,
+        # ---------------- crawl engine: sequential-oracle fixtures ----------------
+        "crawl_records": f"""
+            SELECT domain, url, visit_ordinal, virtual_ts_ms, http_status
+            FROM read_parquet('{exp}/expected_crawl_records.parquet')
+            ORDER BY domain, visit_ordinal
+        """,
+        "crawl_domain_meta": f"""
+            SELECT domain,
+                   count(*)::BIGINT                                  AS n_visits,
+                   sum(CASE WHEN http_status = 200 THEN 1 ELSE 0 END)::BIGINT AS n_ok,
+                   min(virtual_ts_ms)::BIGINT                        AS first_ts_ms,
+                   max(virtual_ts_ms)::BIGINT                        AS last_ts_ms
+            FROM read_parquet('{exp}/expected_crawl_records.parquet')
+            GROUP BY domain ORDER BY domain
+        """,
+        "crawl_domain_state": f"""
+            SELECT domain, favicon_url, feed_url, visited, excluded
+            FROM read_parquet('{exp}/expected_domain_meta.parquet')
+            ORDER BY domain
+        """,
+        "convert_docs": f"""
+            SELECT url, domain, title, length, round(quality, 4) AS quality,
+                   links_internal, links_external, is_near_dup
+            FROM read_parquet('{exp}/expected_convert.parquet')
+            ORDER BY url
+        """,
+        "pagerank_domains": f"""
+            SELECT domain, rank
+            FROM read_parquet('{exp}/expected_pagerank.parquet')
+            ORDER BY rank DESC, domain
+        """,
+        "recrawl_decisions": f"""
+            SELECT url, domain, decision, hamming, had_etag, sampled
+            FROM read_parquet('{exp}/expected_recrawl.parquet')
+            ORDER BY url
+        """,
+        "recrawl_meta": f"""
+            SELECT domain,
+                   count(*)::BIGINT AS recrawled,
+                   sum(CASE WHEN decision IN ('not_modified','unchanged') THEN 1 ELSE 0 END)::BIGINT AS retained,
+                   sum(CASE WHEN decision = 'changed' THEN 1 ELSE 0 END)::BIGINT AS changed,
+                   sum(CASE WHEN decision = 'removed' THEN 1 ELSE 0 END)::BIGINT AS removed,
+                   sum(CASE WHEN decision = 'skipped' THEN 1 ELSE 0 END)::BIGINT AS skipped
+            FROM read_parquet('{exp}/expected_recrawl.parquet')
+            GROUP BY domain ORDER BY domain
+        """,
+        "domain_discovery": f"""
+            SELECT domain, inlinks, accepted, reason, assigned_shard
+            FROM read_parquet('{exp}/expected_discovery.parquet')
+            ORDER BY inlinks DESC, domain
+        """,
+        # ---------------- fixture-table SQL-native oracles ----------------
+        "url_canonicalize": f"""
+            SELECT DISTINCT raw_url, expected AS canonical
+            FROM read_parquet('{fix}/url_cases.parquet')
+            ORDER BY raw_url
+        """,
+        "crawl_order": f"""
+            WITH seeds AS (
+                SELECT domain, string_split(domain, '.') AS p
+                FROM read_parquet('{fix}/seeds.parquet')
+            ), tops AS (
+                SELECT domain,
+                       CASE
+                         WHEN len(p) <= 2 THEN domain
+                         WHEN length(domain) >= 8
+                              AND (7 - length(replace(right(domain, 7), '.', ''))) >= 2
+                              AND regexp_matches(domain, '\\.(id|ac|co|org|gov|edu|com)\\.[a-z]{{2}}$')
+                              AND len(p) >= 3
+                           THEN array_to_string(list_slice(p, len(p) - 2, len(p)), '.')
+                         ELSE array_to_string(list_slice(p, len(p) - 1, len(p)), '.')
+                       END AS top_domain
+                FROM seeds
+            )
+            SELECT domain, top_domain,
+                   count(*) OVER (PARTITION BY top_domain) AS siblings,
+                   count(*) OVER (PARTITION BY top_domain) >= 8 AS front_loaded,
+                   md5(domain) AS tiebreak
+            FROM tops
+            ORDER BY front_loaded DESC, tiebreak ASC
+        """,
+        "doc_anchor_counts": f"""
+            WITH ext AS (
+                SELECT split_part(split_part(dst_url, '://', 2), '/', 1) AS domain,
+                       dst_url AS url,
+                       split_part(split_part(src_url, '://', 2), '/', 1) AS src_domain,
+                       coalesce(anchor_text, '') AS anchor_text
+                FROM read_parquet('{fix}/links.parquet')
+                WHERE split_part(split_part(src_url, '://', 2), '/', 1)
+                      != split_part(split_part(dst_url, '://', 2), '/', 1)
+            )
+            SELECT domain, url,
+                   count(*)::BIGINT AS n_anchors,
+                   count(DISTINCT src_domain)::BIGINT AS n_src_domains,
+                   array_to_string(
+                       list_sort(list_distinct(flatten(list(
+                           list_filter(string_split(anchor_text, ' '), x -> x != ''))))),
+                       ' ') AS anchor_terms
+            FROM ext GROUP BY domain, url ORDER BY url
+        """,
     }

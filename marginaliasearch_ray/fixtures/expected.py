@@ -1,0 +1,549 @@
+"""Expected-output fixtures for the driver's DuckDB oracle.
+
+For pipelines whose semantics are stateful or sketch-based (the crawl
+engine, the converter, recrawl, discovery, the LSH family), the DuckDB
+oracle cannot recompute the answer in SQL.  Instead, a SEQUENTIAL
+single-threaded oracle implementation (no Ray, no shuffles, no actors —
+the distributed orchestration is exactly what it does NOT share with the
+engine) materializes the expected output as parquet, and ``oracle_sql()``
+reduces to ``SELECT ... FROM read_parquet('<expected>')`` so the driver
+hash-checks engine-vs-oracle cell by cell.
+
+Tables (cached under /tmp/graft_expected/v{FIXTURE_VERSION}/{sf}):
+
+- expected_crawl_records  — fixtures/oracle.py sequential crawl
+- expected_domain_meta    — same oracle run's per-domain summary
+- expected_convert        — sequential converter (per-domain LSH dedup
+                            chain, big-domain track, plugin dispatch)
+- expected_recrawl        — sequential recrawl decisions
+- expected_discovery      — sequential NDP discovery
+- expected_minhash        — sequential MinHash-LSH (same sketch spec,
+                            sequential banding + verify)
+- expected_simhash        — BRUTE-FORCE all-pairs hamming<=max (the
+                            pigeonhole bucketing is exact, so brute force
+                            is a genuinely independent check)
+- expected_lsh_ann        — sequential hyperplane-LSH top-k
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .cache import FIXTURE_VERSION, config_for, fixture_dir_for
+
+EXPECTED_ROOT = "/tmp/graft_expected"
+
+
+def expected_dir_for(sf_dir: str) -> str:
+    """Generate (once) and return the expected-output dir for sf_dir."""
+    name = Path(sf_dir).name
+    out = Path(EXPECTED_ROOT) / f"v{FIXTURE_VERSION}" / name
+    done = out / "_DONE"
+    if not done.exists():
+        out.mkdir(parents=True, exist_ok=True)
+        fix = Path(fixture_dir_for(sf_dir))
+        _build_crawl_expected(fix, out)
+        _build_pagerank_expected(fix, out)
+        _build_convert_expected(fix, out)
+        _build_recrawl_expected(fix, out)
+        _build_discovery_expected(fix, out)
+        _build_sketch_expected(sf_dir, out)
+        done.touch()
+    return str(out)
+
+
+# ---------------------------------------------------------------------------
+# crawl engine + discovery
+# ---------------------------------------------------------------------------
+
+
+def _load_web(fix: Path) -> tuple[dict, list, dict]:
+    pages = pq.read_table(fix / "pages.parquet")
+    web = {
+        pages["url"][i].as_py(): (
+            pages["html"][i].as_py(),
+            pages["status"][i].as_py(),
+            pages["location"][i].as_py(),
+        )
+        for i in range(pages.num_rows)
+    }
+    seeds_t = pq.read_table(fix / "seeds.parquet")
+    seeds = [
+        (
+            seeds_t["domain"][i].as_py(),
+            seeds_t["crawl_depth"][i].as_py(),
+            seeds_t["seed_urls"][i].as_py(),
+        )
+        for i in range(seeds_t.num_rows)
+    ]
+    robots_t = pq.read_table(fix / "robots.parquet")
+    robots = {
+        robots_t["domain"][i].as_py(): (
+            robots_t["robots_txt"][i].as_py(),
+            robots_t["status"][i].as_py(),
+        )
+        for i in range(robots_t.num_rows)
+    }
+    return web, seeds, robots
+
+
+def _build_crawl_expected(fix: Path, out: Path) -> None:
+    from .oracle import crawl_web_oracle
+
+    web, seeds, robots = _load_web(fix)
+    # max_per_domain must match the engine run the driver compares against
+    # (__ray_entry__._crawl_records -> run_crawl default, 200)
+    results = crawl_web_oracle(seeds, web, robots, max_per_domain=200)
+
+    rec = {"domain": [], "url": [], "visit_ordinal": [], "virtual_ts_ms": [], "http_status": []}
+    meta = {"domain": [], "favicon_url": [], "feed_url": [], "visited": [], "excluded": []}
+    for domain, r in sorted(results.items()):
+        for v in r.visits:
+            rec["domain"].append(domain)
+            rec["url"].append(v.url)
+            rec["visit_ordinal"].append(v.ordinal)
+            rec["virtual_ts_ms"].append(v.virtual_ts_ms)
+            rec["http_status"].append(v.status)
+        meta["domain"].append(domain)
+        meta["favicon_url"].append(r.favicon_url)
+        meta["feed_url"].append(r.feed_url)
+        meta["visited"].append(len(r.visits))
+        meta["excluded"].append(bool(r.blocked))
+    pq.write_table(
+        pa.table(
+            {
+                "domain": pa.array(rec["domain"], pa.string()),
+                "url": pa.array(rec["url"], pa.string()),
+                "visit_ordinal": pa.array(rec["visit_ordinal"], pa.int32()),
+                "virtual_ts_ms": pa.array(rec["virtual_ts_ms"], pa.int64()),
+                "http_status": pa.array(rec["http_status"], pa.int16()),
+            }
+        ),
+        out / "expected_crawl_records.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "domain": pa.array(meta["domain"], pa.string()),
+                "favicon_url": pa.array(meta["favicon_url"], pa.string()),
+                "feed_url": pa.array(meta["feed_url"], pa.string()),
+                "visited": pa.array(meta["visited"], pa.int64()),
+                "excluded": pa.array(meta["excluded"], pa.bool_()),
+            }
+        ),
+        out / "expected_domain_meta.parquet",
+    )
+
+
+def _build_discovery_expected(fix: Path, out: Path, limit: int = 10_000) -> None:
+    """Sequential NDP discovery over the EXPECTED crawl records: known =
+    first half of fixture domains (matching __ray_entry__), candidates =
+    cross-domain link targets of visited pages, evaluated on root pages."""
+    from ..functions.contenttype import decode_body, sniff_content_type
+    from ..functions.hashing import partition_of_domain
+    from ..functions.htmldoc import parse_document
+    from ..functions.links import extract_links
+    from ..model.urls import parse_url
+    from .oracle import crawl_web_oracle
+
+    web, seeds, robots = _load_web(fix)
+    results = crawl_web_oracle(seeds, web, robots, max_per_domain=200)
+    all_domains = sorted(d for d, _, _ in seeds)
+    known = set(all_domains[: len(all_domains) // 2])
+
+    counts: dict[str, int] = {}
+    for domain, r in results.items():
+        for v in r.visits:
+            body, status, _loc = (web.get(v.url) or (b"", 404, None))
+            if status != 200 or not body:
+                continue
+            mime, charset = sniff_content_type(None, body)
+            if mime not in ("text/html", "application/xhtml+xml"):
+                continue
+            doc = parse_document(decode_body(body, charset))
+            u = parse_url(v.url)
+            if u is None:
+                continue
+            for l in extract_links(u, doc):
+                if l.host and l.host != domain and l.host not in known:
+                    counts[l.host] = counts.get(l.host, 0) + 1
+    cands = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:limit]
+
+    rows = {"domain": [], "inlinks": [], "accepted": [], "reason": [], "assigned_shard": []}
+    from ..pipelines.discovery import MIN_TEXT_CHARS
+
+    for d, n in cands:
+        body, status, _loc = web.get(f"https://{d}/") or (b"", 404, None)
+        if status != 200 or not body:
+            ok, why = False, "unreachable"
+        else:
+            mime, charset = sniff_content_type(None, body)
+            if mime != "text/html":
+                ok, why = False, "not_html"
+            else:
+                doc = parse_document(decode_body(body, charset))
+                root = parse_url(f"https://{d}/")
+                if doc.meta_refresh:
+                    ok, why = False, "meta_refresh"
+                elif len(doc.text) < MIN_TEXT_CHARS:
+                    ok, why = False, "thin_content"
+                elif not any(l.host == d for l in extract_links(root, doc)):
+                    ok, why = False, "no_internal_links"
+                else:
+                    ok, why = True, "ok"
+        rows["domain"].append(d)
+        rows["inlinks"].append(n)
+        rows["accepted"].append(ok)
+        rows["reason"].append(why)
+        rows["assigned_shard"].append(partition_of_domain(d, 8))
+    pq.write_table(
+        pa.table(
+            {
+                "domain": pa.array(rows["domain"], pa.string()),
+                "inlinks": pa.array(rows["inlinks"], pa.int64()),
+                "accepted": pa.array(rows["accepted"], pa.bool_()),
+                "reason": pa.array(rows["reason"], pa.string()),
+                "assigned_shard": pa.array(rows["assigned_shard"], pa.int64()),
+            }
+        ),
+        out / "expected_discovery.parquet",
+    )
+
+
+def _build_pagerank_expected(fix: Path, out: Path) -> None:
+    """Sequential-CSR PageRank (pipelines.rank.pagerank_local) over the
+    links-derived domain graph.  The driver query runs the DISTRIBUTED
+    path (broadcast-contribution + groupby shuffle per iteration), so this
+    is a cross-implementation check of the whole iteration loop."""
+    from ..pipelines.rank import pagerank_local
+
+    links = pq.read_table(fix / "links.parquet", columns=["src_url", "dst_url"])
+
+    def host(u: str) -> str:
+        return u.split("://", 1)[1].split("/", 1)[0]
+
+    src_h = [host(u) for u in links["src_url"].to_pylist()]
+    dst_h = [host(u) for u in links["dst_url"].to_pylist()]
+    domains = sorted(set(src_h) | set(dst_h))
+    idx = {d: i for i, d in enumerate(domains)}
+    src = np.array([idx[d] for d in src_h], dtype=np.int64)
+    dst = np.array([idx[d] for d in dst_h], dtype=np.int64)
+    rank = pagerank_local(domains, src, dst)
+    # round THEN sort (ties resolve by domain) so float noise between the
+    # local and distributed implementations cannot reorder near-ties
+    df = pd.DataFrame({"domain": domains, "rank": np.round(rank, 8)})
+    df = df.sort_values(["rank", "domain"], ascending=[False, True]).reset_index(drop=True)
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), out / "expected_pagerank.parquet")
+
+
+# ---------------------------------------------------------------------------
+# converter
+# ---------------------------------------------------------------------------
+
+
+def _build_convert_expected(fix: Path, out: Path) -> None:
+    """Sequential converter: per-domain url-ordered loop with the
+    reference's LshDocumentDeduplicator chain (early-return-before-add),
+    SIDELOAD_THRESHOLD big-domain track, and plugin dispatch by sniffed
+    content type — mirrors DomainProcessor.fullProcessing without any of
+    the engine's distributed machinery."""
+    from ..functions.contenttype import decode_body, sniff_content_type
+    from ..functions.docmeta import adjust_quality, detect_features
+    from ..functions.htmldoc import parse_document
+    from ..functions.links import extract_links
+    from ..functions.lsh import doc_lsh, hamming64
+    from ..functions.plaintext import (
+        FIRST_N_LINES,
+        PLAIN_TEXT_QUALITY,
+        plain_text_title,
+    )
+    from ..functions.quality import document_quality
+    from ..pipelines.convert import SIDELOAD_THRESHOLD
+    from ..model.urls import parse_url
+
+    pages = pq.read_table(fix / "pages.parquet")
+    by_domain: dict[str, list[int]] = {}
+    for i in range(pages.num_rows):
+        u = parse_url(pages["url"][i].as_py())
+        if u is not None:
+            by_domain.setdefault(u.host, []).append(i)
+
+    rows = {
+        "url": [], "domain": [], "title": [], "length": [], "quality": [],
+        "links_internal": [], "links_external": [], "is_near_dup": [],
+    }
+    for domain in sorted(by_domain):
+        idxs = by_domain[domain]
+        docs = []
+        for i in idxs:
+            url = pages["url"][i].as_py()
+            html = pages["html"][i].as_py()
+            status = pages["status"][i].as_py()
+            u = parse_url(url)
+            title, length, quality, ni, ne = "", 0, 0.0, 0, 0
+            state, n_words, dhash = "ok", 0, 0
+            if status == 301:
+                state = "redirect"
+            else:
+                mime, charset = sniff_content_type(None, html)
+                if mime.startswith("text/plain"):
+                    body = decode_body(html, charset)
+                    lines = body.splitlines()[:FIRST_N_LINES]
+                    title = plain_text_title(u.path, lines)
+                    length = len(body)
+                    n_words = len(body.split())
+                    quality = PLAIN_TEXT_QUALITY
+                    dhash = doc_lsh(body.lower().split())
+                    if length == 0:
+                        state = "disqualified_length"
+                elif mime in ("text/html", "application/xhtml+xml"):
+                    doc = parse_document(decode_body(html, charset))
+                    rm = doc.meta_robots.lower()
+                    if "noindex" in rm or rm.strip() == "none":
+                        state = "disqualified_robots"
+                    else:
+                        title = doc.title
+                        length = len(doc.text)
+                        n_words = len(doc.text.split())
+                        quality = adjust_quality(
+                            document_quality(doc, length, len(html)),
+                            detect_features(doc),
+                        )
+                        dhash = doc_lsh(doc.text.lower().split())
+                        for l in extract_links(u, doc):
+                            if l.host == u.host:
+                                ni += 1
+                            else:
+                                ne += 1
+                        if length == 0:
+                            state = "disqualified_length"
+                else:
+                    state = "not_html"
+            docs.append((url, title, length, quality, ni, ne, state, n_words, dhash))
+        # LshDocumentDeduplicator chain in url order (engine's deterministic
+        # stream order); big domains take the simple track: no dedup
+        docs.sort(key=lambda d: d[0])
+        kept_hashes: list[int] = []
+        for url, title, length, quality, ni, ne, state, n_words, dhash in docs:
+            is_dup = False
+            if len(docs) < SIDELOAD_THRESHOLD and state == "ok" and n_words >= 100:
+                for kh in kept_hashes:
+                    if hamming64(kh, dhash) < 2:
+                        is_dup = True
+                        break
+                if not is_dup:
+                    kept_hashes.append(dhash)
+            rows["url"].append(url)
+            rows["domain"].append(domain)
+            rows["title"].append(title)
+            rows["length"].append(length)
+            rows["quality"].append(round(quality, 4))
+            rows["links_internal"].append(ni)
+            rows["links_external"].append(ne)
+            rows["is_near_dup"].append(is_dup)
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array(rows["url"], pa.string()),
+                "domain": pa.array(rows["domain"], pa.string()),
+                "title": pa.array(rows["title"], pa.string()),
+                "length": pa.array(rows["length"], pa.int32()),
+                "quality": pa.array(rows["quality"], pa.float64()),
+                "links_internal": pa.array(rows["links_internal"], pa.int32()),
+                "links_external": pa.array(rows["links_external"], pa.int32()),
+                "is_near_dup": pa.array(rows["is_near_dup"], pa.bool_()),
+            }
+        ),
+        out / "expected_convert.parquet",
+    )
+
+
+# ---------------------------------------------------------------------------
+# recrawl
+# ---------------------------------------------------------------------------
+
+
+def _build_recrawl_expected(fix: Path, out: Path, sample_seed: int = 42) -> None:
+    """Sequential recrawl decisions (CrawlerRevisitor semantics) — one
+    python loop over prev_crawl rows against the live pages dict."""
+    from hashlib import blake2b
+
+    from ..functions.lsh import content_hash, hamming64
+    from ..pipelines.recrawl import LSH_SAME_DISTANCE
+
+    pages = pq.read_table(fix / "pages.parquet", columns=["url", "html"])
+    live = {
+        pages["url"][i].as_py(): content_hash(pages["html"][i].as_py() or b"")
+        for i in range(pages.num_rows)
+    }
+    prev = pq.read_table(fix / "prev_crawl.parquet", columns=["url", "domain", "body", "etag"])
+    rows = {"url": [], "domain": [], "decision": [], "hamming": [], "had_etag": [], "sampled": []}
+    for i in range(prev.num_rows):
+        url = prev["url"][i].as_py()
+        body = prev["body"][i].as_py() or b""
+        etag = prev["etag"][i].as_py()
+        sampled = (
+            int.from_bytes(
+                blake2b((url + str(sample_seed)).encode(), digest_size=4).digest(),
+                "little",
+            )
+            / 2**32
+            < 1.0
+        )
+        prev_lsh = content_hash(body)
+        live_lsh = live.get(url, 0)
+        ham = hamming64(prev_lsh, live_lsh)
+        if not sampled:
+            decision = "skipped"
+        elif url not in live:
+            decision = "removed"
+        elif etag is not None and ham == 0:
+            decision = "not_modified"
+        elif ham < LSH_SAME_DISTANCE:
+            decision = "unchanged"
+        else:
+            decision = "changed"
+        rows["url"].append(url)
+        rows["domain"].append(prev["domain"][i].as_py())
+        rows["decision"].append(decision)
+        rows["hamming"].append(ham)
+        rows["had_etag"].append(etag is not None)
+        rows["sampled"].append(sampled)
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array(rows["url"], pa.string()),
+                "domain": pa.array(rows["domain"], pa.string()),
+                "decision": pa.array(rows["decision"], pa.string()),
+                "hamming": pa.array(rows["hamming"], pa.int64()),
+                "had_etag": pa.array(rows["had_etag"], pa.bool_()),
+                "sampled": pa.array(rows["sampled"], pa.bool_()),
+            }
+        ),
+        out / "expected_recrawl.parquet",
+    )
+
+
+# ---------------------------------------------------------------------------
+# sketch family over the DRIVER tables (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+
+def _build_sketch_expected(sf_dir: str, out: Path) -> None:
+    """Sequential oracles for the LSH family, computed straight from the
+    driver's parquet tables (no Ray).  MinHash shares the sketch SPEC
+    (seeds, banding) but runs a sequential dict-based banding; SimHash is
+    brute-force all-pairs (the pigeonhole bucketing is exact, so brute
+    force is the stronger independent check); ANN is a sequential
+    hyperplane-bucket scan."""
+    docs_path = Path(sf_dir) / "documents.parquet"
+    emb_path = Path(sf_dir) / "embeddings.parquet"
+    if docs_path.exists():
+        docs = pq.read_table(docs_path, columns=["doc_id", "text"])
+        ids = docs["doc_id"].to_pylist()
+        texts = [t or "" for t in docs["text"].to_pylist()]
+        _expected_minhash(ids, texts, out)
+        _expected_simhash(ids, texts, out)
+    if emb_path.exists():
+        emb = pq.read_table(emb_path)
+        _expected_lsh_ann(emb, out)
+
+
+def _expected_minhash(ids, texts, out: Path, threshold: float = 0.5) -> None:
+    from ..stages.dedup import (
+        N_BANDS,
+        _ROWS_PER_BAND,
+        jaccard,
+        minhash_signature,
+        shingle_set,
+    )
+    from hashlib import blake2b
+
+    shingles = {i: shingle_set(t) for i, t in zip(ids, texts)}
+    buckets: dict[tuple, list] = {}
+    for i in ids:
+        sig = minhash_signature(shingles[i])
+        for b in range(N_BANDS):
+            chunk = sig[b * _ROWS_PER_BAND : (b + 1) * _ROWS_PER_BAND]
+            bh = int.from_bytes(blake2b(chunk.tobytes(), digest_size=8).digest(), "little")
+            buckets.setdefault((b, bh), []).append(i)
+    pairs = set()
+    for members in buckets.values():
+        ms = sorted(set(members))[:500]  # same skew cap as the engine
+        for x in range(len(ms)):
+            for y in range(x + 1, len(ms)):
+                pairs.add((ms[x], ms[y]))
+    rows = []
+    for a, b in sorted(pairs):
+        j = jaccard(shingles[a], shingles[b])
+        if j >= threshold:
+            rows.append((a, b, round(j, 6)))
+    pq.write_table(
+        pa.table(
+            {
+                "id_a": pa.array([r[0] for r in rows], pa.int64()),
+                "id_b": pa.array([r[1] for r in rows], pa.int64()),
+                "jaccard": pa.array([r[2] for r in rows], pa.float64()),
+            }
+        ),
+        out / "expected_minhash.parquet",
+    )
+
+
+def _expected_simhash(ids, texts, out: Path, max_hamming: int = 3) -> None:
+    from ..stages.dedup import simhash64
+
+    hs = np.array([simhash64(t) for t in texts], dtype=np.uint64)
+    ids_arr = np.array(ids)
+    order = np.argsort(ids_arr)
+    ids_arr, hs = ids_arr[order], hs[order]
+    a_out, b_out, d_out = [], [], []
+    for x in range(len(ids_arr)):
+        xo = hs[x] ^ hs[x + 1 :]
+        ham = np.unpackbits(xo.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+        hits = np.where(ham <= max_hamming)[0]
+        for j in hits:
+            a_out.append(int(ids_arr[x]))
+            b_out.append(int(ids_arr[x + 1 + j]))
+            d_out.append(int(ham[j]))
+    pq.write_table(
+        pa.table(
+            {
+                "id_a": pa.array(a_out, pa.int64()),
+                "id_b": pa.array(b_out, pa.int64()),
+                "hamming": pa.array(d_out, pa.int64()),
+            }
+        ),
+        out / "expected_simhash.parquet",
+    )
+
+
+def _expected_lsh_ann(emb: pa.Table, out: Path, k: int = 10, n_bits: int = 8) -> None:
+    from ..stages.ann import _normalize, _signatures
+
+    ids = np.array(emb["vec_id"].to_pylist())
+    mat = _normalize(np.stack(emb["embedding"].to_pylist()).astype(np.float64))
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    q = mat[0:1]  # query = first vec by id (matches __ray_entry__._lsh_ann_topk)
+    sigs = _signatures(mat, n_bits, mat.shape[1])
+    qsig = int(_signatures(q, n_bits, q.shape[1])[0])
+    probe = {qsig} | {qsig ^ (1 << b) for b in range(n_bits)}
+    mask = np.isin(sigs, list(probe))
+    sims = (q @ mat[mask].T)[0]
+    sub_ids = ids[mask]
+    order2 = np.lexsort((sub_ids, -sims))[:k]
+    rows = pd.DataFrame(
+        {
+            "query_no": 0,
+            "vec_id": sub_ids[order2],
+            "cosine": np.round(sims[order2], 4),
+            "rank": np.arange(1, len(order2) + 1),
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(rows, preserve_index=False), out / "expected_lsh_ann.parquet")

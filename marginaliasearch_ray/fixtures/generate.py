@@ -277,10 +277,11 @@ def _messy_variant(canon: str, rng: random.Random) -> str:
         host, _, tail = rest.partition("/")
         return f"{proto}://{host.upper()}/{tail}"
     if r < 0.6:
-        # default port
+        # default port (proto-correct: stripped by canonicalization)
         proto, rest = canon.split("://", 1)
         host, _, tail = rest.partition("/")
-        return f"{proto}://{host}:443/{tail}"
+        port = 443 if proto == "https" else 80
+        return f"{proto}://{host}:{port}/{tail}"
     if r < 0.75:
         # dot segments
         proto, rest = canon.split("://", 1)
@@ -311,6 +312,29 @@ def _sentence(rng: random.Random, lex: list[str], lo: int = 4, hi: int = 12) -> 
     return " ".join(rng.choice(lex) for _ in range(rng.randint(lo, hi)))
 
 
+def _url_case(canon: str, rng: random.Random) -> tuple[str, str]:
+    """(raw_url, expected_canonical) — expected derived ANALYTICALLY from
+    the known transformation, never by running the engine's canonicalizer,
+    so the url_cases table is an independent ground truth."""
+    proto, rest = canon.split("://", 1)
+    host, _, tail = rest.partition("/")
+    r = rng.random()
+    if r < 0.2:
+        return canon + "#section-2", canon
+    if r < 0.4:
+        return f"{proto}://{host.upper()}/{tail}", canon
+    if r < 0.55:
+        port = 443 if proto == "https" else 80
+        return f"{proto}://{host}:{port}/{tail}", canon
+    if r < 0.7:
+        return (f"{proto}://{host}/./{tail}", canon) if tail else (canon, canon)
+    if r < 0.85:
+        raw = canon + ("&utm_source=x" if "?" in canon else "?utm_source=x")
+        return raw, canon  # utm params are stripped by the sanitizer
+    flipped = ("http" + canon[len("https"):]) if proto == "https" else ("https" + canon[len("http"):])
+    return flipped, flipped  # scheme is identity-preserved by the parser
+
+
 def _generate_domain(cfg: WebConfig, domains: list[str], di: int):
     """Generate one domain's rows — fully determined by (cfg, domains, di),
     so domains can generate independently in parallel."""
@@ -319,6 +343,7 @@ def _generate_domain(cfg: WebConfig, domains: list[str], di: int):
     link_rows = []  # (src_url, dst_url, kind, anchor_text)
     robots_rows = []
     seed_rows = []
+    url_case_rows = []  # (raw_url, expected_canonical)
 
     if True:
         drng = random.Random((cfg.seed << 16) ^ (di * 2654435761))
@@ -665,7 +690,11 @@ def _generate_domain(cfg: WebConfig, domains: list[str], di: int):
                     )
                 )
 
-    return page_rows, link_rows, robots_rows, seed_rows
+        # canonicalization ground-truth cases: a handful per domain
+        for i in sorted(krng.sample(range(n_pages), min(4, n_pages))):
+            url_case_rows.append(_url_case(urls[i], krng))
+
+    return page_rows, link_rows, robots_rows, seed_rows, url_case_rows
 
 
 def generate_web(cfg: WebConfig, parallel: bool = False) -> dict:
@@ -680,7 +709,7 @@ def generate_web(cfg: WebConfig, parallel: bool = False) -> dict:
 
         @ray.remote
         def gen_chunk(lo: int, hi: int):
-            out = [[], [], [], []]
+            out = [[], [], [], [], []]
             for di in range(lo, hi):
                 parts = _generate_domain(cfg, domains, di)
                 for acc, p in zip(out, parts):
@@ -692,20 +721,22 @@ def generate_web(cfg: WebConfig, parallel: bool = False) -> dict:
             gen_chunk.remote(lo, min(lo + chunk, len(domains)))
             for lo in range(0, len(domains), chunk)
         ]
-        page_rows, link_rows, robots_rows, seed_rows = [], [], [], []
+        page_rows, link_rows, robots_rows, seed_rows, url_case_rows = [], [], [], [], []
         for out in ray.get(refs):
             page_rows.extend(out[0])
             link_rows.extend(out[1])
             robots_rows.extend(out[2])
             seed_rows.extend(out[3])
+            url_case_rows.extend(out[4])
     else:
-        page_rows, link_rows, robots_rows, seed_rows = [], [], [], []
+        page_rows, link_rows, robots_rows, seed_rows, url_case_rows = [], [], [], [], []
         for di in range(len(domains)):
             parts = _generate_domain(cfg, domains, di)
             page_rows.extend(parts[0])
             link_rows.extend(parts[1])
             robots_rows.extend(parts[2])
             seed_rows.extend(parts[3])
+            url_case_rows.extend(parts[4])
 
     pages = pa.table(
         {
@@ -740,7 +771,19 @@ def generate_web(cfg: WebConfig, parallel: bool = False) -> dict:
             "anchor_text": pa.array([r[3] for r in link_rows], pa.string()),
         }
     )
-    return {"pages": pages, "seeds": seeds, "robots": robots, "links": links}
+    url_cases = pa.table(
+        {
+            "raw_url": pa.array([r[0] for r in url_case_rows], pa.string()),
+            "expected": pa.array([r[1] for r in url_case_rows], pa.string()),
+        }
+    )
+    return {
+        "pages": pages,
+        "seeds": seeds,
+        "robots": robots,
+        "links": links,
+        "url_cases": url_cases,
+    }
 
 
 def generate_prev_crawl(pages: pa.Table, seed: int = 42) -> pa.Table:

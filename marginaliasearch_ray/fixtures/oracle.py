@@ -271,7 +271,11 @@ def crawl_domain_oracle(
             if pu is not None:
                 frontier.add_to_queue(pu)
 
-    # --- main loop, in emission-boundary chunks ---
+    # --- main loop, in emission-boundary chunks.  A chunk models one
+    # engine round: it drains only the SNAPSHOT of the queue as it stood
+    # at emission time (links discovered during the round land behind it,
+    # for the next round) and emits at most max_per_domain fetches; the
+    # redirect flush lands exactly at that boundary. ---
     while True:
         for t in pending_redirects:
             frontier.add_first(t)
@@ -279,12 +283,16 @@ def crawl_domain_oracle(
         if not frontier.queue or frontier.is_depth_reached() or errors >= MAX_ERRORS:
             break
         n = 0
+        pops = 0
+        snapshot = len(frontier.queue)
         while (
             frontier.queue
             and not frontier.is_depth_reached()
             and errors < MAX_ERRORS
             and n < max_per_domain
+            and pops < snapshot
         ):
+            pops += 1
             top_s = frontier.queue.popleft()
             top = parse_url(top_s)
             if top is None:

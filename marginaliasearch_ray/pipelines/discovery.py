@@ -48,7 +48,7 @@ def discover_candidates(
                 continue
             for l in ls:
                 if "://" in l:
-                    host = l.split("://", 1)[1].split("/", 1)[0]
+                    host = l.split("://", 1)[1].split("/", 1)[0].split(":", 1)[0]
                     if host and host != d:
                         out.append(host)
         return pa.table({"candidate": pa.array(out, pa.string())})

@@ -179,7 +179,11 @@ def crawl_edges_to_domain_graph(records_ds: rd.Dataset) -> rd.Dataset:
             if not ls:
                 continue
             for l in ls:
-                host = l.split("://", 1)[1].split("/", 1)[0] if "://" in l else ""
+                host = (
+                    l.split("://", 1)[1].split("/", 1)[0].split(":", 1)[0]
+                    if "://" in l
+                    else ""
+                )
                 if host and host != d:
                     src_out.append(d)
                     dst_out.append(host)

@@ -23,7 +23,7 @@ import ray.data as rd
 
 def _host(u: str) -> str:
     try:
-        return u.split("://", 1)[1].split("/", 1)[0].lower()
+        return u.split("://", 1)[1].split("/", 1)[0].split(":", 1)[0].lower()
     except IndexError:
         return ""
 

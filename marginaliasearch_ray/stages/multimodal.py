@@ -13,7 +13,7 @@ end-to-end verifiable.
 
 from __future__ import annotations
 
-from hashlib import blake2b
+
 
 import numpy as np
 import pyarrow as pa
@@ -38,9 +38,9 @@ class DecodeStage:
     ``__init__`` is where a real codec/model would be loaded once.
     """
 
-    def __init__(self, real_decode: bool = False, feature_dim: int = 8):
+    def __init__(self, real_decode: bool = False, feature_dim: int = 4):
         self.real_decode = real_decode
-        self.feature_dim = feature_dim
+        self.feature_dim = feature_dim  # md5 fake supports up to 4
         # real implementation would load codecs/models here, once per actor
 
     def _decode(self, payload: bytes, media_type: str) -> np.ndarray:
@@ -50,10 +50,14 @@ class DecodeStage:
                 "present in this environment; run with real_decode=False "
                 "for the deterministic fake"
             )
-        # deterministic fake: feature vector from a keyed hash of the bytes
-        h = blake2b(payload or b"", digest_size=self.feature_dim * 4).digest()
+        # deterministic fake: feature vector from the md5 of the bytes —
+        # md5 specifically so a DuckDB oracle can recompute the features
+        # (f_j = little-endian uint32 j of the digest, scaled to [0,1))
+        from hashlib import md5
+
+        h = md5(payload or b"").digest()
         return (
-            np.frombuffer(h, dtype=np.uint32).astype(np.float64)
+            np.frombuffer(h, dtype="<u4")[: self.feature_dim].astype(np.float64)
             / np.float64(2**32)
         )
 

@@ -10,7 +10,7 @@ fingerprinting are engine-only (rows-only checks).
 from __future__ import annotations
 
 import re
-from hashlib import blake2b
+
 
 import numpy as np
 import pandas as pd
@@ -132,18 +132,28 @@ def extract_keywords(docs, top_k: int = 5, id_col: str = "doc_id"):
     return docs.map_batches(topk, batch_format="pandas")
 
 
+def _token_hash64(tok: str) -> int:
+    """64-bit token hash == DuckDB ``md5_number_lower`` (little-endian of
+    md5 digest bytes 8..16) — chosen so the fingerprint is verifiable by a
+    pure-SQL oracle."""
+    from hashlib import md5
+
+    return int.from_bytes(md5(tok.encode()).digest()[8:16], "little")
+
+
+FNV_OFFSET = 1469598103934665603
+FNV_PRIME = 1099511628211
+
+
 def fingerprint(batch: pd.DataFrame) -> pd.DataFrame:
-    """64-bit rolling document fingerprint over tokens (engine-only)."""
+    """64-bit rolling document fingerprint over tokens: FNV-1a-style chain
+    ``h = ((h ^ md5_number_lower(tok)) * prime) mod 2^64`` in token order.
+    SQL-oracle-checkable (DuckDB list_reduce over HUGEINT)."""
     fps = np.zeros(len(batch), dtype=np.uint64)
     for i, t in enumerate(batch["text"].fillna("")):
-        h = np.uint64(1469598103934665603)  # FNV offset
-        prime = np.uint64(1099511628211)
-        with np.errstate(over="ignore"):
-            for tok in t.split():
-                th = int.from_bytes(
-                    blake2b(tok.encode(), digest_size=8).digest(), "little"
-                )
-                h = (h ^ np.uint64(th)) * prime
+        h = FNV_OFFSET
+        for tok in t.split():
+            h = ((h ^ _token_hash64(tok)) * FNV_PRIME) % (1 << 64)
         fps[i] = h
     batch["fingerprint"] = fps
     return batch

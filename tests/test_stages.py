@@ -168,7 +168,7 @@ class TestMultimodal:
         out = decode_media(documents_as_media(docs), concurrency=1).to_pandas()
         out = out.sort_values("media_id").reset_index(drop=True)
         assert list(out.n_bytes) == [5, 6]  # ö is 2 bytes utf-8
-        assert len(out.features.iloc[0]) == 8
+        assert len(out.features.iloc[0]) == 4  # md5 fake-decode: 4 uint32 features
         assert all(0 <= v <= 1 for v in out.features.iloc[0])
 
     def test_real_decode_is_stubbed(self):
