@@ -79,13 +79,11 @@ def _pagerank_domains(sf_dir: str) -> pd.DataFrame:
     links = rd.read_parquet(f"{fix}/links.parquet")
 
     def to_domains(batch: pd.DataFrame) -> pd.DataFrame:
-        def host(u):
-            return u.split("://", 1)[1].split("/", 1)[0]
-
+        # single vectorized regex per column (no per-row python)
         return pd.DataFrame(
             {
-                "src_domain": batch["src_url"].map(host),
-                "dst_domain": batch["dst_url"].map(host),
+                "src_domain": batch["src_url"].str.extract(r"://([^/:]+)", expand=False),
+                "dst_domain": batch["dst_url"].str.extract(r"://([^/:]+)", expand=False),
             }
         )
 

@@ -100,7 +100,10 @@ def run_bench() -> dict:
     # must vary only the CPU pool, not the frontier partitioning
     num_shards = 8
     # web-store partitioning is a one-time corpus prep, shared across runs
-    store_dir = f"/tmp/graft_bench/web_store_{Path(SF_DIR).name}_{num_shards}"
+    # (keyed by FIXTURE_VERSION so generator changes invalidate it)
+    from marginaliasearch_ray.fixtures.cache import FIXTURE_VERSION
+
+    store_dir = f"/tmp/graft_bench/web_store_v{FIXTURE_VERSION}_{Path(SF_DIR).name}_{num_shards}"
     from marginaliasearch_ray.pipelines.crawl import WebStore
 
     WebStore.prepare(f"{fix}/pages.parquet", store_dir, num_shards)

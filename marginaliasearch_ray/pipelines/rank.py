@@ -23,6 +23,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
@@ -99,6 +100,50 @@ def pagerank(
     )
 
 
+@ray.remote(num_cpus=1)
+class _EdgePartition:
+    """Stateful edge partition for iterative PageRank: resolves its edge
+    blocks to int index arrays ONCE in ``__init__`` (vectorized
+    ``pc.index_in``), then serves per-iteration dense partial
+    contribution sums as cheap actor calls — no per-iteration task
+    scheduling, no re-shipping of the edge data."""
+
+    def __init__(self, tbl_refs: list, domains_arr: pa.Array):
+        srcs, dsts = [], []
+        for ref in tbl_refs:
+            tbl = ray.get(ref)
+            srcs.append(
+                pc.index_in(tbl.column("src_domain"), value_set=domains_arr)
+                .combine_chunks()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            dsts.append(
+                pc.index_in(tbl.column("dst_domain"), value_set=domains_arr)
+                .combine_chunks()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+        self.src = np.concatenate(srcs) if srcs else np.zeros(0, dtype=np.int64)
+        self.dst = np.concatenate(dsts) if dsts else np.zeros(0, dtype=np.int64)
+
+    def contrib(self, contrib_vec: np.ndarray, n: int) -> np.ndarray:
+        out = np.zeros(n)
+        np.add.at(out, self.dst, contrib_vec[self.src])
+        return out
+
+    def outdeg(self, n: int) -> np.ndarray:
+        return np.bincount(self.src, minlength=n).astype(np.float64)
+
+
+@ray.remote(num_cpus=1)
+def _block_domains(tbl: pa.Table) -> set:
+    """Per-block domain universe (both endpoints), one vectorized pass."""
+    return set(pc.unique(tbl.column("src_domain")).to_pylist()) | set(
+        pc.unique(tbl.column("dst_domain")).to_pylist()
+    )
+
+
 def _pagerank_distributed(
     edges_ds: rd.Dataset,
     damping: float,
@@ -106,17 +151,36 @@ def _pagerank_distributed(
     max_iter: int,
     personalize: list[str] | None,
 ) -> pd.DataFrame:
-    # domain universe + out-degrees: two small aggregates over the edge table
+    """Distributed power iteration without per-iteration Dataset runs:
+
+    - one-time: the edge table's Arrow blocks stay in plasma
+      (``to_arrow_refs``) and are resolved to int index arrays by
+      parallel tasks (vectorized ``pc.index_in``);
+    - per iteration: one task per block computes a DENSE partial
+      contribution vector from the broadcast contrib array (``ray.put``
+      once per iteration, zero-copy reads), the driver sums K partials.
+
+    The rank/contrib vectors are O(#domains) — ~80 MB at 10^7 domains —
+    which is the same broadcast envelope the rest of the engine uses for
+    domain-keyed side data; the edge table (the big side) never moves
+    after the one-time prep.  At extreme domain counts the dense partials
+    would switch to per-dst-range partitioning (documented trade-off)."""
+    import ray as _ray
+
+    n_blocks = max(4, int(_ray.cluster_resources().get("CPU", 8)))
+    # blocks of any size are fine: the actors below each own a round-robin
+    # GROUP of blocks (concatenated at init), so per-iteration parallelism
+    # is n_actors regardless of how finely the input was blocked
     edges = edges_ds.select_columns(["src_domain", "dst_domain"]).materialize()
-    outdeg_df = edges.groupby("src_domain").count().to_pandas()
-    dst_unique = edges.unique("dst_domain")
-    domains = sorted(set(outdeg_df.src_domain) | set(dst_unique))
+    block_refs = edges.to_arrow_refs()
+    # domain universe: per-block vectorized uniques, union on the driver
+    # (a set of domain names — the small side); out-degrees come from the
+    # actors' own index arrays below, so no Ray groupby is needed at all
+    domains_set: set = set()
+    for part in ray.get([_block_domains.remote(r) for r in block_refs]):
+        domains_set |= part
+    domains = sorted(domains_set)
     n = len(domains)
-    idx = {d: i for i, d in enumerate(domains)}
-    outdeg = np.zeros(n)
-    for d, c in zip(outdeg_df.src_domain, outdeg_df["count()"]):
-        outdeg[idx[d]] = c
-    dangling = outdeg == 0
     if personalize:
         pset = set(personalize)
         teleport = np.array([1.0 if d in pset else 0.0 for d in domains])
@@ -125,39 +189,34 @@ def _pagerank_distributed(
     else:
         teleport = np.full(n, 1.0 / n)
     rank = teleport.copy()
+
+    domains_arr = pa.array(domains, pa.string())
+    n_actors = max(1, min(len(block_refs), n_blocks // 2 or 1))
+    groups: list[list] = [[] for _ in range(n_actors)]
+    for i, ref in enumerate(block_refs):
+        groups[i % n_actors].append(ref)
+    actors = [_EdgePartition.remote(g, domains_arr) for g in groups]
+
+    outdeg = np.sum(ray.get([a.outdeg.remote(n) for a in actors]), axis=0)
+    dangling = outdeg == 0
     inv_out = np.zeros(n)
     nz = outdeg > 0
     inv_out[nz] = 1.0 / outdeg[nz]
 
-    for _ in range(max_iter):
-        state_ref = ray.put(
-            {"idx": idx, "contrib": (rank * inv_out).astype(np.float64)}
-        )
-
-        def contrib_batch(batch: pa.Table, _ref=state_ref) -> pa.Table:
-            st = ray.get(_ref)
-            lookup, contrib = st["idx"], st["contrib"]
-            srcs = batch.column("src_domain").to_pylist()
-            vals = np.array([contrib[lookup[s]] for s in srcs])
-            return pa.table(
-                {"dst_domain": batch.column("dst_domain"), "contrib": pa.array(vals)}
-            )
-
-        sums = (
-            edges.map_batches(contrib_batch, batch_format="pyarrow")
-            .groupby("dst_domain")
-            .sum("contrib")
-            .to_pandas()
-        )
-        new = np.zeros(n)
-        for d, v in zip(sums.dst_domain, sums["sum(contrib)"]):
-            new[idx[d]] = v
-        dangling_mass = rank[dangling].sum()
-        new = damping * (new + dangling_mass * teleport) + (1 - damping) * teleport
-        delta = np.abs(new - rank).sum()
-        rank = new
-        if delta < tol:
-            break
+    try:
+        for _ in range(max_iter):
+            contrib_ref = ray.put((rank * inv_out).astype(np.float64))
+            parts = ray.get([a.contrib.remote(contrib_ref, n) for a in actors])
+            new = np.sum(parts, axis=0) if parts else np.zeros(n)
+            dangling_mass = rank[dangling].sum()
+            new = damping * (new + dangling_mass * teleport) + (1 - damping) * teleport
+            delta = np.abs(new - rank).sum()
+            rank = new
+            if delta < tol:
+                break
+    finally:
+        for a in actors:
+            ray.kill(a)
     return pd.DataFrame({"domain": domains, "rank": rank})
 
 
