@@ -37,12 +37,14 @@ import pyarrow.parquet as pq
 from .cache import FIXTURE_VERSION, config_for, fixture_dir_for
 
 EXPECTED_ROOT = "/tmp/graft_expected"
+# bump when ORACLE LOGIC changes without a fixture-generator change
+EXPECTED_VERSION = 2
 
 
 def expected_dir_for(sf_dir: str) -> str:
     """Generate (once) and return the expected-output dir for sf_dir."""
     name = Path(sf_dir).name
-    out = Path(EXPECTED_ROOT) / f"v{FIXTURE_VERSION}" / name
+    out = Path(EXPECTED_ROOT) / f"v{FIXTURE_VERSION}.{EXPECTED_VERSION}" / name
     done = out / "_DONE"
     if not done.exists():
         out.mkdir(parents=True, exist_ok=True)
@@ -262,6 +264,12 @@ def _build_convert_expected(fix: Path, out: Path) -> None:
         PLAIN_TEXT_QUALITY,
         plain_text_title,
     )
+    from ..functions.specialization import (
+        MIN_DOCUMENT_WORDS_FIXTURE,
+        select_specialization,
+        should_index,
+        validate_length,
+    )
     from ..functions.quality import document_quality
     from ..pipelines.convert import SIDELOAD_THRESHOLD
     from ..model.urls import parse_url
@@ -304,8 +312,11 @@ def _build_convert_expected(fix: Path, out: Path) -> None:
                 elif mime in ("text/html", "application/xhtml+xml"):
                     doc = parse_document(decode_body(html, charset))
                     rm = doc.meta_robots.lower()
+                    spec = select_specialization(doc, u)
                     if "noindex" in rm or rm.strip() == "none":
                         state = "disqualified_robots"
+                    elif not should_index(spec, u):
+                        state = "disqualified_spec"
                     else:
                         title = doc.title
                         length = len(doc.text)
@@ -320,7 +331,7 @@ def _build_convert_expected(fix: Path, out: Path) -> None:
                                 ni += 1
                             else:
                                 ne += 1
-                        if length == 0:
+                        if not validate_length(n_words, spec, MIN_DOCUMENT_WORDS_FIXTURE):
                             state = "disqualified_length"
                 else:
                     state = "not_html"

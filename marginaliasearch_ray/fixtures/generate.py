@@ -99,6 +99,8 @@ def render_html(p: PageSpec) -> str:
             out.append(f'<link rel="icon" href="{payload}">')
         elif kind == "feedlink":
             out.append(f'<link rel="alternate" type="application/rss+xml" href="{payload}">')
+        elif kind == "generator":
+            out.append(f'<meta name="generator" content="{payload}">')
     out.append("</head>\n<body>\n")
     for blk in p.blocks:
         k = blk[0]
@@ -400,6 +402,16 @@ def _generate_domain(cfg: WebConfig, domains: list[str], di: int):
         has_dup_pair = dkind == "normal" and krng.random() < 0.10
         has_txt_page = dkind != "cross_redirect" and krng.random() < 0.15
         txt_url = f"{scheme}://{domain}/notes-{di}.txt"
+        # generator meta tag (specialization selection): blog CMSes and a
+        # forum engine; never mediawiki (that would change the per-site
+        # crawl link filter and shrink the fixture crawl)
+        gr = krng.random()
+        if dkind == "normal" and gr < 0.08:
+            generator_tag = "WordPress 6.2"
+        elif dkind == "normal" and gr < 0.12:
+            generator_tag = "XenForo 2.2"
+        else:
+            generator_tag = None
         # favicon / feed discovery surfaces (sniffRootDocument)
         icon_kind = "link" if krng.random() < 0.25 else "none"
         fr = krng.random()
@@ -510,6 +522,8 @@ def _generate_domain(cfg: WebConfig, domains: list[str], di: int):
                 if t != i and t not in targets:
                     targets.append(t)
 
+            if generator_tag:
+                spec.head_extra.append(("generator", generator_tag))
             if i == 0:
                 # root-only head links: favicon + feed (sniffRootDocument)
                 if icon_kind == "link":

@@ -1,11 +1,17 @@
 """Document metadata heuristics: pubdate sniffing, summary extraction,
 HTML feature detection.
 
-- ``sniff_pubdate`` — the reference chains ~12 heuristics
-  (``converting/processor/pubdate/*``): HTML5 <time datetime>, JSON-LD
-  datePublished, OpenGraph/RDFa article:published_time, meta date tags,
-  URL /yyyy/mm/ patterns, Last-Modified.  We implement the high-signal
-  subset in the same precedence order; result is a year clamped to
+- ``sniff_pubdate`` — the reference's full LOW-effort heuristic chain
+  (``PubDateSniffer.java:12-58``), in exact precedence order: JSON-LD
+  datePublished -> Microdata meta[itemprop=datePublished] -> OpenGraph
+  meta[property=article:published_time] -> RDFa
+  meta[property=datePublished] -> HTML5 <time> tags -> URL /yyyy/
+  pass 1 (year >= 2000, PubDateHeuristicUrlPatternPass1.java:12) ->
+  any <time> tag -> URL pass 2 (full validity window) -> Last-Modified
+  -> blind guess from the detected HTML standard
+  (PubDateFromHtmlStandard.blindGuess).  The DOMParsing passes run only
+  at HIGH effort in the reference and are skipped, exactly like the
+  reference's default LOW-effort path.  Result is a year clamped to
   [1995, 2030] like the reference's PubDate validity window.
 
 - ``extract_summary`` — reference fallback chain
@@ -29,21 +35,20 @@ from typing import Optional
 from .htmldoc import ParsedDoc
 
 _YEAR_RE = re.compile(r"\b(19[9][5-9]|20[0-2][0-9]|2030)\b")
-_URL_DATE_RE = re.compile(r"/(19[9][5-9]|20[0-2][0-9])/(0[1-9]|1[0-2])/")
+_URL_YEAR_RE = re.compile(r"/(\d{4})/")
 _ISO_DATE_RE = re.compile(r"\b(19[9][5-9]|20[0-2][0-9]|2030)-\d{2}(-\d{2})?")
 _LDJSON_DATE_RE = re.compile(r'"datePublished"\s*:\s*"([^"]+)"')
 
 MIN_YEAR, MAX_YEAR = 1995, 2030
 
-_DATE_META_KEYS = (
-    "article:published_time",
-    "datepublished",
-    "date",
-    "dc.date",
-    "dc.date.issued",
-    "article.published",
-    "parsely-pub-date",
-)
+# high-quality meta selectors, in reference chain order:
+# Microdata itemprop / OpenGraph / RDFa (PubDateSniffer.java:12-20)
+_HQ_META_KEYS = ("datepublished", "article:published_time")
+# low-signal extras kept after the reference chain's high-quality block
+_EXTRA_META_KEYS = ("date", "dc.date", "dc.date.issued", "article.published", "parsely-pub-date")
+
+# blind guess per detected HTML standard (PubDateFromHtmlStandard.java)
+_STANDARD_GUESS = {"HTML123": 1997, "HTML4": 2006, "XHTML": 2006, "HTML5": 2018}
 
 
 def _year_from(s: Optional[str]) -> Optional[int]:
@@ -58,26 +63,53 @@ def _year_from(s: Optional[str]) -> Optional[int]:
     return None
 
 
-def sniff_pubdate(doc: ParsedDoc, url: str, last_modified: Optional[str] = None) -> Optional[int]:
-    """-> publication year or None (heuristic precedence per the reference)."""
-    for key in _DATE_META_KEYS:
-        y = _year_from(doc.meta.get(key))
-        if y:
+def _url_year(url: str, min_year: int) -> Optional[int]:
+    """/yyyy/ path segments (PubDateHeuristicUrlPatternPass1/2)."""
+    path = url.split("://", 1)[-1]
+    slash = path.find("/")
+    path = path[slash:] if slash >= 0 else "/"
+    for m in _URL_YEAR_RE.finditer(path):
+        y = int(m.group(1))
+        if min_year <= y <= MAX_YEAR:
             return y
-    for blob in doc.ld_json:
+    return None
+
+
+def sniff_pubdate(doc: ParsedDoc, url: str, last_modified: Optional[str] = None) -> Optional[int]:
+    """-> publication year or None; the reference's LOW-effort chain in
+    exact precedence order (PubDateSniffer.java:12-58)."""
+    # -- high quality --
+    for blob in doc.ld_json:  # JSONLD first
         m = _LDJSON_DATE_RE.search(blob)
         if m:
             y = _year_from(m.group(1))
             if y:
                 return y
-    for dt in doc.time_datetimes:
+    for key in _HQ_META_KEYS:  # Microdata itemprop + OpenGraph + RDFa
+        y = _year_from(doc.meta.get(key))
+        if y:
+            return y
+    for key in _EXTRA_META_KEYS:
+        y = _year_from(doc.meta.get(key))
+        if y:
+            return y
+    for dt in doc.time_datetimes:  # Html5Itemprop/Article time tags
         y = _year_from(dt)
         if y:
             return y
-    m = _URL_DATE_RE.search(url)
-    if m:
-        return int(m.group(1))
-    return _year_from(last_modified)
+    # -- low quality (LOW effort: DOMParsing passes skipped, like the
+    # reference's default) --
+    y = _url_year(url, 2000)  # UrlPatternPass1: 1990s excluded
+    if y:
+        return y
+    y = _url_year(url, MIN_YEAR)  # UrlPatternPass2: full window
+    if y:
+        return y
+    y = _year_from(last_modified)
+    if y:
+        return y
+    std = getattr(doc, "html_standard", "UNKNOWN")
+    return _STANDARD_GUESS.get(std)
 
 
 def extract_summary(doc: ParsedDoc, max_len: int = 255, min_p_len: int = 32) -> str:

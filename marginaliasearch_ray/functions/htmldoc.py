@@ -100,6 +100,9 @@ class ParsedDoc:
     time_datetimes: list[str] = field(default_factory=list)  # <time datetime=...>
     ld_json: list[str] = field(default_factory=list)  # application/ld+json bodies
     first_p_texts: list[str] = field(default_factory=list)  # first few <p> texts
+    # detected document standard (doctype sniff): HTML5 / HTML4 / XHTML /
+    # HTML123 / UNKNOWN — feeds PubDateFromHtmlStandard.blindGuess
+    html_standard: str = "UNKNOWN"
 
 
 class _Walker(HTMLParser):
@@ -162,7 +165,7 @@ class _Walker(HTMLParser):
                 self.doc.meta_refresh.append(ad.get("content") or "")
             if (ad.get("name") or "").lower() == "robots":
                 self.doc.meta_robots = ad.get("content") or ""
-            key = (ad.get("name") or ad.get("property") or "").lower()
+            key = (ad.get("name") or ad.get("property") or ad.get("itemprop") or "").lower()
             if key and ad.get("content") and key not in self.doc.meta:
                 self.doc.meta[key] = ad["content"]
         elif tag == "time":
@@ -292,11 +295,34 @@ class _Walker(HTMLParser):
         return self.doc
 
 
+_DOCTYPE_RE = __import__("re").compile(r"<!doctype\s+([^>]*)>", __import__("re").I)
+
+
+def _sniff_html_standard(head: str) -> str:
+    """Doctype -> DocumentFormat analog (HtmlStandardExtractor semantics:
+    HTML5 bare doctype; 4.x/XHTML/older by the public identifier)."""
+    m = _DOCTYPE_RE.search(head)
+    if not m:
+        return "UNKNOWN"
+    decl = m.group(1).strip().lower()
+    if decl == "html":
+        return "HTML5"
+    if "xhtml" in decl:
+        return "XHTML"
+    if "html 4" in decl:
+        return "HTML4"
+    if "html 3" in decl or "html 2" in decl or "html//" in decl:
+        return "HTML123"
+    return "UNKNOWN"
+
+
 def parse_document(html: str) -> ParsedDoc:
     """Parse an HTML string; returns extracted text + link inventory."""
     w = _Walker()
     w.feed(html)
-    return w.finish()
+    doc = w.finish()
+    doc.html_standard = _sniff_html_standard(html[:256])
+    return doc
 
 
 def extract_text(html: str) -> str:

@@ -30,6 +30,12 @@ import ray.data as rd
 
 from ..functions.contenttype import decode_body, sniff_content_type
 from ..functions.docmeta import adjust_quality, detect_features, extract_summary, sniff_pubdate
+from ..functions.specialization import (
+    MIN_DOCUMENT_WORDS_FIXTURE,
+    select_specialization,
+    should_index,
+    validate_length,
+)
 from ..functions.htmldoc import parse_document
 from ..functions.links import extract_links
 from ..functions.lsh import content_hash, doc_lsh, hamming64_vec
@@ -115,6 +121,12 @@ def process_pages_batch(batch: pa.Table) -> pa.Table:
         if "noindex" in robots_meta or robots_meta.strip() == "none":
             state[i] = "disqualified_robots"
             continue
+        # specialization hooks (HtmlProcessorSpecializations.select +
+        # shouldIndex, HtmlDocumentProcessorPlugin.java:123-125)
+        spec = select_specialization(doc, u)
+        if not should_index(spec, u):
+            state[i] = "disqualified_spec"
+            continue
         title[i] = doc.title
         text[i] = doc.text
         length[i] = len(doc.text)
@@ -137,7 +149,9 @@ def process_pages_batch(batch: pa.Table) -> pa.Table:
                 ne += 1
         n_links_int[i] = ni
         n_links_ext[i] = ne
-        if length[i] == 0:
+        # min-length gate scaled by the specialization's lengthModifier
+        # (HtmlDocumentProcessorPlugin.java:158, DocumentLengthLogic)
+        if not validate_length(int(n_words[i]), spec, MIN_DOCUMENT_WORDS_FIXTURE):
             state[i] = "disqualified_length"
 
     out = pa.table(
