@@ -272,6 +272,16 @@ def _doc_keywords(sf_dir: str) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _doc_keyword_positions(sf_dir: str) -> pd.DataFrame:
+    import ray.data as rd
+
+    from marginaliasearch_ray.stages.textstats import extract_keyword_positions
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = extract_keyword_positions(docs, top_k=5).to_pandas()
+    return out.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
+
 def _doc_token_counts(sf_dir: str) -> pd.DataFrame:
     import ray.data as rd
 
@@ -465,6 +475,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": _rel("sessionize_events"),
         # text analysis (SQL-checked where expressible)
         "doc_keywords": _doc_keywords,
+        "doc_keyword_positions": _doc_keyword_positions,
         "doc_token_counts": _doc_token_counts,
         "doc_quality": _doc_quality,
         "doc_langid": _doc_langid,
@@ -707,6 +718,35 @@ def oracle_sql() -> dict[str, str]:
             FROM scored WHERE rn <= 5 GROUP BY doc_id ORDER BY doc_id
         """,
         # ---------------- exact dedup / embeddings (driver tables) ----------------
+        "doc_keyword_positions": """
+            WITH toks AS (
+                SELECT doc_id, u.t AS tok, u.i - 1 AS i
+                FROM documents,
+                     unnest(list_transform(
+                         list_filter(regexp_split_to_array(lower(text), '[[:space:]]+'),
+                                     x -> x != ''),
+                         (x, i) -> {'t': x, 'i': i})) AS r(u)
+            ), tf AS (
+                SELECT doc_id, tok, count(*) AS tf,
+                       string_agg(i, ',' ORDER BY i) AS positions,
+                       min(i) AS first_pos
+                FROM toks GROUP BY doc_id, tok
+            ), df AS (
+                SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok
+            ), n AS (SELECT count(*) AS n_docs FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.tok, tf.tf, tf.positions, tf.first_pos,
+                       row_number() OVER (
+                           PARTITION BY tf.doc_id
+                           ORDER BY tf.tf * ln(n.n_docs * 1.0 / (1 + df.df)) DESC,
+                                    tf.tok ASC) AS rn
+                FROM tf JOIN df USING (tok) CROSS JOIN n
+            )
+            SELECT doc_id, tok AS keyword, rn AS rank, tf,
+                   positions,
+                   (least(tf, 255) | (CASE WHEN first_pos < 8 THEN 256 ELSE 0 END))::BIGINT AS term_meta
+            FROM scored WHERE rn <= 5 ORDER BY doc_id, rn
+        """,
         "doc_exact_dedup": """
             SELECT text, min(doc_id) AS first_doc_id
             FROM documents GROUP BY text ORDER BY text

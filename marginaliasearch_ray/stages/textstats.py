@@ -79,7 +79,8 @@ def detect_language(batch: pd.DataFrame) -> pd.DataFrame:
     return batch
 
 
-def extract_keywords(docs, top_k: int = 5, id_col: str = "doc_id"):
+def extract_keywords(docs, top_k: int = 5, id_col: str = "doc_id",
+                     min_df: int = 1, max_vocab: int | None = None):
     """TF-IDF top-k keywords per document (the training-data stand-in for
     the reference's model-based keyword extractor,
     DocumentKeywordExtractor.java — reference loads OpenNLP models per
@@ -109,6 +110,14 @@ def extract_keywords(docs, top_k: int = 5, id_col: str = "doc_id"):
         .aggregate(Sum("df_part", alias_name="df"))
         .to_pandas()
     )
+    # scale valves for web-sized vocabularies (the broadcast idf map must
+    # stay small): drop hapax-style tokens below min_df, and cap the
+    # vocabulary at the max_vocab highest-df tokens.  Defaults keep the
+    # full vocabulary (fixture/driver scale).
+    if min_df > 1:
+        df_tbl = df_tbl[df_tbl.df >= min_df]
+    if max_vocab is not None and len(df_tbl) > max_vocab:
+        df_tbl = df_tbl.nlargest(max_vocab, "df")
     idf = {
         t: math.log(n_docs / (1 + d)) for t, d in zip(df_tbl.token, df_tbl.df)
     }
@@ -130,6 +139,72 @@ def extract_keywords(docs, top_k: int = 5, id_col: str = "doc_id"):
         return pd.DataFrame({id_col: batch[id_col], "keywords": out})
 
     return docs.map_batches(topk, batch_format="pandas")
+
+
+def extract_keyword_positions(docs, top_k: int = 5, id_col: str = "doc_id"):
+    """Keywords WITH token positions and term metadata — the
+    SlopDocumentRecord keywords-projection analog
+    (SlopDocumentRecord.java:43-46,127-150: words / metas / positions).
+
+    Per document: the top-k tf-idf terms (same scoring and tie order as
+    ``extract_keywords``), each with its 0-based token positions
+    (comma-joined, the VarintCodedSequence analog) and a term-metadata
+    bitmask: low byte = tf capped at 255, bit 8 = "lead" (first
+    occurrence within the first 8 tokens — the flags byte analog).
+    Fully SQL-oracle-checkable."""
+    import math
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    def df_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        counts: dict[str, int] = {}
+        for t in batch["text"].fillna(""):
+            for tok in set(t.lower().split()):
+                counts[tok] = counts.get(tok, 0) + 1
+        return pd.DataFrame({"token": list(counts), "df_part": list(counts.values())})
+
+    n_docs = docs.count()
+    df_tbl = (
+        docs.map_batches(df_partial, batch_format="pandas")
+        .groupby("token")
+        .aggregate(Sum("df_part", alias_name="df"))
+        .to_pandas()
+    )
+    idf = {t: math.log(n_docs / (1 + d)) for t, d in zip(df_tbl.token, df_tbl.df)}
+    idf_ref = ray.put(idf)
+
+    def topk_positions(batch: pd.DataFrame, _ref=idf_ref) -> pd.DataFrame:
+        idf_map = ray.get(_ref)
+        rows = {id_col: [], "keyword": [], "rank": [], "tf": [], "positions": [], "term_meta": []}
+        for _id, t in zip(batch[id_col], batch["text"].fillna("")):
+            toks = t.lower().split()
+            tf: dict[str, int] = {}
+            pos: dict[str, list[int]] = {}
+            for i, tok in enumerate(toks):
+                tf[tok] = tf.get(tok, 0) + 1
+                pos.setdefault(tok, []).append(i)
+            scored = sorted(
+                ((cnt * idf_map.get(tok, 0.0), tok) for tok, cnt in tf.items()),
+                key=lambda x: (-x[0], x[1]),
+            )
+            for rank, (_score, tok) in enumerate(scored[:top_k], start=1):
+                meta = min(tf[tok], 255)
+                if pos[tok][0] < 8:
+                    meta |= 0x100  # lead flag
+                rows[id_col].append(_id)
+                rows["keyword"].append(tok)
+                rows["rank"].append(rank)
+                rows["tf"].append(tf[tok])
+                rows["positions"].append(",".join(map(str, pos[tok])))
+                rows["term_meta"].append(meta)
+        out = pd.DataFrame(rows)
+        out["rank"] = out["rank"].astype("int64")
+        out["tf"] = out["tf"].astype("int64")
+        out["term_meta"] = out["term_meta"].astype("int64")
+        return out
+
+    return docs.map_batches(topk_positions, batch_format="pandas")
 
 
 def _token_hash64(tok: str) -> int:
