@@ -178,10 +178,15 @@ def run_bench() -> dict:
     return out
 
 
-def run_scaling() -> dict:
+def run_scaling(repeats: int = 2, settle_s: int = 45) -> dict:
+    """Same job at 8 and 32 cpus in fresh processes (the sandbox proxy for
+    N vs 4N nodes).  Each level runs ``repeats`` times with a settle pause
+    between runs and takes the fastest — back-to-back Ray sessions
+    otherwise interfere (session teardown + load-average scheduling skew
+    the following run by up to ~50% on this box)."""
     lo_cpus, hi_cpus = 8, 32
 
-    def run(ncpu: int) -> dict:
+    def run_once(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         p = subprocess.run(
             [sys.executable, __file__], env=env, capture_output=True, text=True
@@ -190,8 +195,22 @@ def run_scaling() -> dict:
             raise RuntimeError(f"bench at {ncpu} cpus failed:\n{p.stderr[-2000:]}")
         return json.loads(p.stdout.strip().splitlines()[-1])
 
-    lo = run(lo_cpus)
-    hi = run(hi_cpus)
+    first = True
+
+    def run_best(ncpu: int) -> dict:
+        nonlocal first
+        best = None
+        for _ in range(repeats):
+            if not first:
+                time.sleep(settle_s)
+            first = False
+            r = run_once(ncpu)
+            if best is None or r["value"] < best["value"]:
+                best = r
+        return best
+
+    lo = run_best(lo_cpus)
+    hi = run_best(hi_cpus)
     # efficiency on the distributed-throughput-bearing stages (crawl+convert)
     eff = (lo["value"] / hi["value"]) / (hi_cpus / lo_cpus)
     return {
