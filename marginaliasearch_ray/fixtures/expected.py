@@ -71,6 +71,7 @@ def _load_web(fix: Path) -> tuple[dict, list, dict]:
             pages["html"][i].as_py(),
             pages["status"][i].as_py(),
             pages["location"][i].as_py(),
+            pages["retry_after"][i].as_py(),
         )
         for i in range(pages.num_rows)
     }
@@ -161,7 +162,7 @@ def _build_discovery_expected(fix: Path, out: Path, limit: int = 10_000) -> None
     counts: dict[str, int] = {}
     for domain, r in results.items():
         for v in r.visits:
-            body, status, _loc = (web.get(v.url) or (b"", 404, None))
+            body, status = (web.get(v.url) or (b"", 404))[:2]
             if status != 200 or not body:
                 continue
             mime, charset = sniff_content_type(None, body)
@@ -180,7 +181,7 @@ def _build_discovery_expected(fix: Path, out: Path, limit: int = 10_000) -> None
     from ..pipelines.discovery import MIN_TEXT_CHARS
 
     for d, n in cands:
-        body, status, _loc = web.get(f"https://{d}/") or (b"", 404, None)
+        body, status = (web.get(f"https://{d}/") or (b"", 404))[:2]
         if status != 200 or not body:
             ok, why = False, "unreachable"
         else:
@@ -297,6 +298,8 @@ def _build_convert_expected(fix: Path, out: Path) -> None:
             state, n_words, dhash = "ok", 0, 0
             if status == 301:
                 state = "redirect"
+            elif status not in (200, None):
+                state = "fetch_error"
             else:
                 mime, charset = sniff_content_type(None, html)
                 if mime.startswith("text/plain"):

@@ -399,6 +399,13 @@ def _generate_domain(cfg: WebConfig, domains: list[str], di: int):
                     tgt = krng.randrange(n_pages)
                     if tgt != i and tgt not in redirect_idxs:
                         redirect_idxs[i] = tgt
+        # ~1.5% of non-root pages rate-limit (HTTP 429, retried by the
+        # client with the Retry-After interval); half carry the header
+        rl_idxs: dict[int, int] = {}  # ordinal -> retry_after seconds (0 = no header)
+        if dkind != "cross_redirect" and n_pages > 6:
+            for i in range(1, n_pages):
+                if i not in redirect_idxs and krng.random() < 0.015:
+                    rl_idxs[i] = krng.choice([0, 0, 1, 2, 4, 8, 30])
         has_dup_pair = dkind == "normal" and krng.random() < 0.10
         has_txt_page = dkind != "cross_redirect" and krng.random() < 0.15
         txt_url = f"{scheme}://{domain}/notes-{di}.txt"
@@ -468,6 +475,7 @@ def _generate_domain(cfg: WebConfig, domains: list[str], di: int):
                     lang,
                     200,
                     None,
+                    None,
                 )
             )
 
@@ -482,6 +490,7 @@ def _generate_domain(cfg: WebConfig, domains: list[str], di: int):
                     lang,
                     301,
                     urls[0],  # -> https://domain/home
+                    None,
                 )
             )
         elif dkind == "cross_redirect":
@@ -495,6 +504,7 @@ def _generate_domain(cfg: WebConfig, domains: list[str], di: int):
                     lang,
                     301,
                     f"https://{other}/",
+                    None,
                 )
             )
 
@@ -506,7 +516,12 @@ def _generate_domain(cfg: WebConfig, domains: list[str], di: int):
             if i in redirect_idxs:
                 # same-domain 301: no body, no outgoing links
                 ts = EPOCH_MS + di * 86_400_000 + i * 60_000
-                page_rows.append((url, ts, b"", "", lang, 301, urls[redirect_idxs[i]]))
+                page_rows.append((url, ts, b"", "", lang, 301, urls[redirect_idxs[i]], None))
+                continue
+            if i in rl_idxs:
+                # rate-limited page: 429 + optional Retry-After
+                ts = EPOCH_MS + di * 86_400_000 + i * 60_000
+                page_rows.append((url, ts, b"", "", lang, 429, None, rl_idxs[i] or None))
                 continue
             title = _sentence(prng, lex, 2, 6).title()
             spec = PageSpec(url=url, ordinal=i, title=title, charset=charset)
@@ -634,7 +649,7 @@ def _generate_domain(cfg: WebConfig, domains: list[str], di: int):
             text = simulate_tagger_text(spec)
             html_bytes = html_str.encode(charset, errors="replace")
             ts = EPOCH_MS + di * 86_400_000 + i * 60_000
-            page_rows.append((url, ts, html_bytes, text, lang, 200, None))
+            page_rows.append((url, ts, html_bytes, text, lang, 200, None, None))
             # a-kind first then meta_refresh — match emission order
             ordered = [e for e in spec.expected_links if e[1] == "a"] + [
                 e for e in spec.expected_links if e[1] == "meta_refresh"
@@ -656,6 +671,7 @@ def _generate_domain(cfg: WebConfig, domains: list[str], di: int):
                     lang,
                     200,
                     None,
+                    None,
                 )
             )
 
@@ -675,6 +691,7 @@ def _generate_domain(cfg: WebConfig, domains: list[str], di: int):
                     "",  # ground-truth text applies to the HTML tagger only
                     lang,
                     200,
+                    None,
                     None,
                 )
             )
@@ -700,6 +717,7 @@ def _generate_domain(cfg: WebConfig, domains: list[str], di: int):
                         text,
                         lang,
                         200,
+                        None,
                         None,
                     )
                 )
@@ -761,6 +779,7 @@ def generate_web(cfg: WebConfig, parallel: bool = False) -> dict:
             "lang": pa.array([r[4] for r in page_rows], pa.string()),
             "status": pa.array([r[5] for r in page_rows], pa.int16()),
             "location": pa.array([r[6] for r in page_rows], pa.string()),
+            "retry_after": pa.array([r[7] for r in page_rows], pa.int32()),
         }
     )
     seeds = pa.table(

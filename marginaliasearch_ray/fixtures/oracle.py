@@ -129,13 +129,11 @@ class OracleFrontier:
 
 
 def _web_get(web: dict, s: str):
-    """Normalize store entries: (html, status) or (html, status, location)."""
+    """Normalize store entries: (html, status[, location[, retry_after]])."""
     hit = web.get(s)
     if hit is None:
-        return b"", 404, None
-    if len(hit) == 2:
-        return hit[0], hit[1], None
-    return hit
+        return b"", 404, None, None
+    return tuple(hit) + (None,) * (4 - len(hit))
 
 
 def probe_domain_oracle(domain: str, web: dict) -> tuple[bool, bool]:
@@ -146,7 +144,7 @@ def probe_domain_oracle(domain: str, web: dict) -> tuple[bool, bool]:
         s = f"{proto}://{domain}/"
         if s not in web:
             continue  # connection error -> http fallback (DomainProber.java:52-66)
-        _html, status, location = _web_get(web, s)
+        _html, status, location, _ra = _web_get(web, s)
         if status == 200:
             return proto == "https", False
         if status == 301 and location:
@@ -195,6 +193,7 @@ def crawl_domain_oracle(
     ordinal = 0
     errors = 0
     pending_redirects: list[CanonUrl] = []
+    pending_extra_ms = [0]  # 429 retry time, applied at the chunk boundary
 
     def fetch_and_enqueue(u: CanonUrl, is_root: bool = False) -> int:
         """Simulated fetch: look up the web; parse + enqueue links on 200
@@ -203,11 +202,16 @@ def crawl_domain_oracle(
         (CrawlerRetreiver.sniffRootDocument order)."""
         nonlocal clock, ordinal
         s = str(u)
-        body, status, location = _web_get(web, s)
+        body, status, location, retry_after = _web_get(web, s)
         h = frontier._hash(u)
         res.visits.append(Visit(ordinal, s, clock, status, h))
         ordinal += 1
         clock += delay_ms
+        if status == 429:
+            from ..pipelines.crawl import rate_limit_extra_ms
+
+            pending_extra_ms[0] += rate_limit_extra_ms(retry_after)
+            return status
         if status == 301 and location:
             lu = parse_url(location)
             if lu is not None and lu.host == domain:
@@ -245,7 +249,9 @@ def crawl_domain_oracle(
     # --- root sniff (CrawlerRetreiver.sniffRootDocument); round 0 ---
     fetch_and_enqueue(root, is_root=True)
     frontier.add_visited(root)
-    # round-0 boundary: the root's redirect target lands at the head
+    # round-0 boundary: retry time + the root's redirect target
+    clock += pending_extra_ms[0]
+    pending_extra_ms[0] = 0
     for t in pending_redirects:
         frontier.add_first(t)
     pending_redirects = []
@@ -277,6 +283,8 @@ def crawl_domain_oracle(
     # for the next round) and emits at most max_per_domain fetches; the
     # redirect flush lands exactly at that boundary. ---
     while True:
+        clock += pending_extra_ms[0]  # 429 retry time at the boundary
+        pending_extra_ms[0] = 0
         for t in pending_redirects:
             frontier.add_first(t)
         pending_redirects = []

@@ -92,6 +92,9 @@ def process_pages_batch(batch: pa.Table) -> pa.Table:
         if statuses is not None and statuses[i] == 301:
             state[i] = "redirect"
             continue
+        if statuses is not None and statuses[i] not in (200, None):
+            state[i] = "fetch_error"  # e.g. 429 rate-limited rows
+            continue
         mime, charset = sniff_content_type(None, html)
         if mime.startswith("text/plain"):
             # plain-text plugin (PlainTextDocumentProcessorPlugin.java)

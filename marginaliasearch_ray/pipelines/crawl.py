@@ -224,7 +224,7 @@ class FrontierShard:
         for f in sorted(base.glob("part-*.parquet")):
             t = pq.read_table(
                 f,
-                columns=["domain", "url", "visit_ordinal", "virtual_ts_ms", "http_status", "location", "round", "links", "root_filter"],
+                columns=["domain", "url", "visit_ordinal", "virtual_ts_ms", "http_status", "location", "retry_after_ms", "round", "links", "root_filter"],
             )
             visits.extend(t.to_pylist())
         return self.state.resync_from_journal(visits)
@@ -378,13 +378,18 @@ class WebStore:
                 # legacy pages tables without a probe surface
                 batch = batch.append_column("status", pa.array([200] * len(urls), pa.int16()))
                 batch = batch.append_column("location", pa.array([None] * len(urls), pa.string()))
+            if "retry_after" not in batch.column_names:
+                batch = batch.append_column("retry_after", pa.array([None] * len(urls), pa.int32()))
             return batch.append_column("part", pa.array(parts, pa.int32()))
 
         import ray.data as rd
 
+        names = pads.dataset(pages_path).schema.names
         cols = ["url", "html"]
-        if "status" in pads.dataset(pages_path).schema.names:
+        if "status" in names:
             cols += ["status", "location"]
+        if "retry_after" in names:
+            cols += ["retry_after"]
         (
             rd.read_parquet(pages_path, columns=cols)
             .map_batches(add_part, batch_format="pyarrow")
@@ -399,7 +404,7 @@ class WebStore:
         web: dict[str, tuple] = {}
         if pdir.exists():
             tbl = pads.dataset(str(pdir)).to_table(
-                columns=["url", "html", "status", "location"]
+                columns=["url", "html", "status", "location", "retry_after"]
             )
             web = dict(
                 zip(
@@ -408,6 +413,7 @@ class WebStore:
                         tbl.column("html").to_pylist(),
                         tbl.column("status").to_pylist(),
                         tbl.column("location").to_pylist(),
+                        tbl.column("retry_after").to_pylist(),
                     ),
                 )
             )
@@ -418,11 +424,11 @@ class WebStore:
             self._cache.pop(old, None)
         return web
 
-    def lookup(self, part: int, url: str) -> tuple[Optional[bytes], int, Optional[str]]:
+    def lookup(self, part: int, url: str):
         hit = self._load(part).get(url)
         if hit is None:
-            return None, 404, None
-        return hit[0], hit[1], hit[2]
+            return None, 404, None, None
+        return hit
 
     def put_partitions_in_object_store(self) -> dict[int, "ray.ObjectRef"]:
         """Load every partition ONCE into the Ray object store as an Arrow
@@ -436,7 +442,7 @@ class WebStore:
         def _load_part(pdir: str) -> pa.Table:
             return (
                 pads.dataset(pdir)
-                .to_table(columns=["url", "html", "status", "location"])
+                .to_table(columns=["url", "html", "status", "location", "retry_after"])
                 .combine_chunks()
             )
 
@@ -485,6 +491,7 @@ def _lookup_urls(
     bodies: list[Optional[bytes]] = [None] * n
     statuses: list[int] = [404] * n
     locations: list[Optional[str]] = [None] * n
+    retry_afters: list[Optional[int]] = [None] * n
     by_part: dict[int, list[int]] = {}
     for i, p in enumerate(parts):
         by_part.setdefault(p, []).append(i)
@@ -502,19 +509,22 @@ def _lookup_urls(
             html_col = tbl.column("html")
             status_col = tbl.column("status")
             loc_col = tbl.column("location")
+            ra_col = tbl.column("retry_after")
             for j, i in enumerate(idxs):
                 k = pos[j].as_py()
                 if k is not None:
                     bodies[i] = html_col[k].as_py()
                     statuses[i] = status_col[k].as_py()
                     locations[i] = loc_col[k].as_py()
+                    retry_afters[i] = ra_col[k].as_py()
         else:
             for i in idxs:
-                body, status, loc = store.lookup(p, urls[i].as_py())
+                body, status, loc, ra = store.lookup(p, urls[i].as_py())
                 bodies[i] = body
                 statuses[i] = status
                 locations[i] = loc
-    return bodies, statuses, locations
+                retry_afters[i] = ra
+    return bodies, statuses, locations, retry_afters
 
 
 def _batch_bodies(
@@ -525,6 +535,14 @@ def _batch_bodies(
     num_shards: int,
 ):
     return _lookup_urls(batch.column("url"), parts, web_refs, store)
+
+
+def rate_limit_extra_ms(retry_after) -> int:
+    """Virtual time consumed by the HTTP client's 429 retry policy
+    (HttpFetcherImpl.java:668-701): up to 3 retries, each waiting
+    clamp(Retry-After, 1, 10) seconds (2 s when the header is absent)."""
+    interval_s = max(1, min(int(retry_after), 10)) if retry_after else 2
+    return 3 * interval_s * 1000
 
 
 def fetch_extract_batch(
@@ -554,7 +572,9 @@ def fetch_extract_batch(
         batch.column("supports_https").to_pylist() if "supports_https" in names else None
     )
     parts = [partition_of_domain(d, num_shards) for d in domains]
-    bodies, statuses, locations = _batch_bodies(batch, parts, web_refs, store, num_shards)
+    bodies, statuses, locations, retry_afters = _batch_bodies(
+        batch, parts, web_refs, store, num_shards
+    )
     out = {
         "http_status": [],
         "content_type": [],
@@ -598,6 +618,12 @@ def fetch_extract_batch(
             # 32 MiB response cap (WarcRecorder.java:45): truncated bodies
             # are dropped like the reference's truncated-binary filter
             body, status = None, 404
+        rl_extra_ms = 0
+        if status == 429:
+            # rate-limited: the HTTP client burned 3 retry intervals of
+            # virtual time; the owning shard advances the domain clock at
+            # the next emission boundary
+            rl_extra_ms = rate_limit_extra_ms(retry_afters[i])
         if status == 301 and location:
             # same-domain 301 -> addFirst at the owning shard
             # (CrawlerRetreiver.java:305-309,509-513); cross-domain
@@ -655,6 +681,7 @@ def fetch_extract_batch(
                 "root_filters": [],
                 "redirects": [],
                 "root_metas": [],
+                "rate_limits": [],
                 "pregated": True,
             },
         )
@@ -675,6 +702,8 @@ def fetch_extract_batch(
             r["redirects"].append(
                 (domain, ordinal, url_seen_hash_u(tl), str(tl), tl.proto, tl.host, tl.port, tl.path, tl.param)
             )
+        if rl_extra_ms:
+            r["rate_limits"].append((domain, ordinal, rl_extra_ms))
         if parsed_links:
             # Pre-run the scalable half of the admission gates here in the
             # fetch pool (DomainCrawlFrontier.addToQueue semantics minus
@@ -760,6 +789,13 @@ def fetch_extract_batch(
     res = res.append_column("links", pa.array(out["links"], pa.list_(pa.string())))
     res = res.append_column("root_filter", pa.array(out["root_filter"], pa.string()))
     res = res.append_column("location", pa.array(out["location"], pa.string()))
+    res = res.append_column(
+        "retry_after_ms",
+        pa.array(
+            [rate_limit_extra_ms(ra) if s == 429 else 0 for s, ra in zip(out["http_status"], retry_afters)],
+            pa.int32(),
+        ),
+    )
     res = res.append_column(
         "round", pa.array([round_no] * res.num_rows, pa.int32())
     )

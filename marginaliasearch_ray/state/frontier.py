@@ -143,6 +143,10 @@ class FrontierShardState:
         self._redirect_buf: list[tuple] = []
         # root-sniff favicon/feed discoveries awaiting apply
         self._root_meta_buf: list[tuple] = []
+        # 429 retry time awaiting clock application at the next emission
+        # (the virtual rendering of HttpFetcherImpl's client-level
+        # Retry-After retries): [(domain, vo, extra_ms)]
+        self._rate_limit_buf: list[tuple] = []
         self._status_buf: list[tuple[str, int, int]] = []
         self._filter_buf: list[tuple[str, str]] = []
         self.round = 0
@@ -284,12 +288,25 @@ class FrontierShardState:
         # observable effect on visit order or the delay schedule.  A
         # real-fetch deployment applies ``topdomain_permits`` as an
         # admission cap in the fetch-dispatch stage instead.
+        self._apply_rate_limits()  # 429 retry time -> domain clocks
         self._apply_redirects()  # addFirst at next emission head
         active = sorted(d for d, st in self.domains.items() if not st.done())
         for domain in active:
             self._emit_domain(self.domains[domain], max_per_domain, cols)
         self.round += 1
         return cols
+
+    def _apply_rate_limits(self) -> None:
+        """Advance each rate-limited domain's virtual clock by the retry
+        time its 429 fetches consumed (buffered during the round, applied
+        at the emission boundary — same boundary model as redirects)."""
+        if not self._rate_limit_buf:
+            return
+        for domain, _vo, extra_ms in self._rate_limit_buf:
+            st = self.domains.get(domain)
+            if st is not None:
+                st.clock_ms += extra_ms
+        self._rate_limit_buf.clear()
 
     def _apply_redirects(self) -> None:
         """addFirst the buffered same-domain 301 targets (reference
@@ -390,6 +407,7 @@ class FrontierShardState:
         pregated: bool = False,
         redirects: list | None = None,  # [(domain, vo, h, s, proto, host, port, path, param)]
         root_metas: list | None = None,  # [(domain, favicon_url, feed_resolved, cands)]
+        rate_limits: list | None = None,  # [(domain, vo, extra_ms)]
     ) -> None:
         """Called (possibly out of order, from many fetch workers) with the
         round's fetch outcomes and discovered links.
@@ -421,6 +439,8 @@ class FrontierShardState:
             self._redirect_buf.extend(redirects)
         if root_metas:
             self._root_meta_buf.extend(root_metas)
+        if rate_limits:
+            self._rate_limit_buf.extend(rate_limits)
         if root_filters:
             self._filter_buf.extend(root_filters)
 
@@ -521,6 +541,7 @@ class FrontierShardState:
             if st is None:
                 continue
             vs.sort(key=lambda v: (v.get("round", 0), v["visit_ordinal"]))
+            max_round = max(v.get("round", 0) for v in vs)
             pending_redirects: list = []
             last_round = None
             for v in vs:
@@ -562,6 +583,10 @@ class FrontierShardState:
                     lu = parse_url(v["location"])
                     if lu is not None and lu.host == st.domain:
                         pending_redirects.append(lu)
+                if rnd == max_round and (v.get("retry_after_ms") or 0) > 0:
+                    # extras from earlier rounds are already baked into the
+                    # recorded timestamps; only the final round's are pending
+                    self._rate_limit_buf.append((domain, v["visit_ordinal"], v["retry_after_ms"]))
                 if (v.get("http_status") or 0) < 0:
                     st.errors += 1  # ResultException-equivalent, replayed
                 st.next_ordinal = v["visit_ordinal"] + 1
@@ -632,6 +657,7 @@ class FrontierShardState:
             "pg_payloads": self._pg_payloads,
             "redirect_buf": self._redirect_buf,
             "root_meta_buf": self._root_meta_buf,
+            "rate_limit_buf": self._rate_limit_buf,
             "filter_buf": self._filter_buf,
             "status_buf": self._status_buf,
             "domains": [
@@ -673,6 +699,7 @@ class FrontierShardState:
         obj._pg_payloads = payload.get("pg_payloads", [])
         obj._redirect_buf = payload.get("redirect_buf", [])
         obj._root_meta_buf = payload.get("root_meta_buf", [])
+        obj._rate_limit_buf = payload.get("rate_limit_buf", [])
         obj._filter_buf = payload.get("filter_buf", [])
         obj._status_buf = payload["status_buf"]
         for d in payload["domains"]:

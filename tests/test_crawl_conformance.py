@@ -162,3 +162,33 @@ class TestRootSniffMeta:
             any_feed = any_feed or bool(want.feed_url)
         # the fixture must actually exercise both discoveries
         assert any_favicon and any_feed
+
+
+class TestRateLimit429:
+    """429 rows consume client-retry virtual time (HttpFetcherImpl.java:
+    668-701: <=3 retries at clamp(Retry-After,1,10)s); the clock advance
+    lands at the next emission boundary in both engine and oracle, so the
+    per-domain timestamp sequences must still match exactly (covered by
+    test_crawl_matches_oracle); here we assert the fixture actually
+    exercises the path and the retry time is visible in the schedule."""
+
+    def test_429_visits_present_and_delay_grows(self, small_web, oracle_result):
+        import pandas as pd
+
+        rows = []
+        for domain, r in oracle_result.items():
+            for v in r.visits:
+                rows.append((domain, v.ordinal, v.virtual_ts_ms, v.status))
+        df = pd.DataFrame(rows, columns=["domain", "vo", "ts", "status"])
+        rl = df[df.status == 429]
+        assert len(rl) > 0, "fixture must contain crawled 429 pages"
+        # any visit AFTER a 429 in the same domain shows the retry time:
+        # the gap from the LAST pre-429-boundary fetch exceeds the plain
+        # delay for at least one domain (extra is >= 3000 ms)
+        found_gap = False
+        for domain in rl.domain.unique():
+            sub = df[df.domain == domain].sort_values("vo").reset_index(drop=True)
+            gaps = sub.ts.diff().dropna()
+            if (gaps >= 3000 + 1000).any():
+                found_gap = True
+        assert found_gap
