@@ -406,6 +406,12 @@ def _generate_domain(cfg: WebConfig, domains: list[str], di: int):
             for i in range(1, n_pages):
                 if i not in redirect_idxs and krng.random() < 0.015:
                     rl_idxs[i] = krng.choice([0, 0, 1, 2, 4, 8, 30])
+            if di % 7 == 3 and not rl_idxs:
+                # deterministic floor so even tiny test webs exercise the
+                # 429 path: one rate-limited page on every 7th domain,
+                # placed on the crawlable chain (ordinal 2)
+                if 2 not in redirect_idxs:
+                    rl_idxs[2] = krng.choice([0, 2, 4])
         has_dup_pair = dkind == "normal" and krng.random() < 0.10
         has_txt_page = dkind != "cross_redirect" and krng.random() < 0.15
         txt_url = f"{scheme}://{domain}/notes-{di}.txt"

@@ -269,7 +269,7 @@ def crawl_domain_oracle(
             sm_starts.append(str(u))
     if sm_starts:
         def _fetch_xml(u: str):
-            body, status, _loc = _web_get(web, u)
+            body, status = _web_get(web, u)[:2]
             return body.decode("utf-8", "replace") if status == 200 and body else None
 
         for su in expand_sitemaps(sm_starts, _fetch_xml):

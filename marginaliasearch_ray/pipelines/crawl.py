@@ -760,7 +760,7 @@ def fetch_extract_batch(
                 spans.append((part, domain, favicon_url, None, start))
             else:
                 spans.append((part, domain, favicon_url, feed_resolved, None))
-        cbodies, cstatuses, _clocs = _lookup_urls(cand_urls, cand_parts, web_refs, store)
+        cbodies, cstatuses, _clocs, _cras = _lookup_urls(cand_urls, cand_parts, web_refs, store)
         for part, domain, favicon_url, feed_resolved, start in spans:
             cands = []
             if start is not None:
