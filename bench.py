@@ -103,10 +103,16 @@ def run_bench() -> dict:
     # (keyed by FIXTURE_VERSION so generator changes invalidate it)
     from marginaliasearch_ray.fixtures.cache import FIXTURE_VERSION
 
-    store_dir = f"/tmp/graft_bench/web_store_v{FIXTURE_VERSION}_{Path(SF_DIR).name}_{num_shards}"
+    store_dir = f"/tmp/graft_bench/web_store_v{FIXTURE_VERSION}s2_{Path(SF_DIR).name}_{num_shards}"
+    from marginaliasearch_ray.functions.hashing import hot_tops_from_seeds
     from marginaliasearch_ray.pipelines.crawl import WebStore
+    import pyarrow.parquet as _pq
 
-    WebStore.prepare(f"{fix}/pages.parquet", store_dir, num_shards)
+    _seed_domains = _pq.read_table(f"{fix}/seeds.parquet", columns=["domain"]).column("domain").to_pylist()
+    WebStore.prepare(
+        f"{fix}/pages.parquet", store_dir, num_shards,
+        hot_tops_from_seeds(_seed_domains, num_shards),
+    )
 
     def _crawl():
         t0 = time.perf_counter()
@@ -140,10 +146,11 @@ def run_bench() -> dict:
     queries["convert"] = round(convert_sec, 3)
 
     # --- secondary operator timings over driver tables ---
+    # (skipped for synthetic-only scaling corpora without driver tables)
     import __ray_entry__ as E
 
     qs = E.queries()
-    for name in (
+    for name in () if not os.path.exists(f"{SF_DIR}/documents.parquet") else (
         "agg_lineitem_pricing",
         "join_order_revenue",
         "topk_orders",
@@ -185,9 +192,12 @@ def run_scaling(repeats: int = 2, settle_s: int = 45) -> dict:
     otherwise interfere (session teardown + load-average scheduling skew
     the following run by up to ~50% on this box)."""
     lo_cpus, hi_cpus = 8, 32
+    # scaling runs on the 4x corpus so per-session constants amortize
+    # (see fixtures/cache.py "sfscale"); override with GRAFT_SCALING_SF
+    scale_sf = os.environ.get("GRAFT_SCALING_SF", "/root/testdata/sfscale")
 
     def run_once(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=scale_sf)
         p = subprocess.run(
             [sys.executable, __file__], env=env, capture_output=True, text=True
         )

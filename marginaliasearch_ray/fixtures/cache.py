@@ -27,6 +27,20 @@ _CONFIGS = {
         mega_pages=3000,
         crawl_depth_range=(50, 300),
     ),
+    # scaling-measurement corpus: ~4x sf0.1.  Fixed per-session costs
+    # (Ray init, actor spawn, stage barriers — a constant ~4-5 s) dominate
+    # the sf0.1 wall at 32 cpus and would measure session overhead, not
+    # pipeline scaling; the 100 TB question is throughput scaling, which
+    # needs enough work per session to amortize the constant.
+    "sfscale": WebConfig(
+        seed=42,
+        n_domains=8000,
+        min_pages=20,
+        max_pages=160,
+        mega_domains=4,
+        mega_pages=3000,
+        crawl_depth_range=(50, 300),
+    ),
 }
 
 

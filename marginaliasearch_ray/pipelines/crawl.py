@@ -47,7 +47,7 @@ import ray
 
 from ..functions.blocklist import is_url_blocked
 from ..functions.contenttype import decode_body, sniff_content_type
-from ..functions.hashing import partition_of_domain, url_seen_hash_u
+from ..functions.hashing import hot_tops_from_seeds, partition_of_domain, url_seen_hash_u
 from ..functions.htmldoc import parse_document
 from ..functions.linkfilter import FILTERS, select_link_filter_name
 from ..functions.links import extract_links
@@ -360,7 +360,7 @@ class WebStore:
         self._lru: list[int] = []
 
     @staticmethod
-    def prepare(pages_path: str, store_dir: str, num_parts: int) -> None:
+    def prepare(pages_path: str, store_dir: str, num_parts: int, extra_salted=None) -> None:
         out = Path(store_dir)
         if (out / "_DONE").exists():
             return
@@ -373,7 +373,7 @@ class WebStore:
             parts = np.empty(len(urls), dtype=np.int32)
             for i, u in enumerate(urls):
                 host = u.split("://", 1)[1].split("/", 1)[0]
-                parts[i] = partition_of_domain(host, num_parts)
+                parts[i] = partition_of_domain(host, num_parts, extra_salted)
             if "status" not in batch.column_names:
                 # legacy pages tables without a probe surface
                 batch = batch.append_column("status", pa.array([200] * len(urls), pa.int16()))
@@ -553,6 +553,7 @@ def fetch_extract_batch(
     web_refs: Optional[dict] = None,
     push: bool = True,
     round_no: int = 0,
+    extra_salted=None,
 ):
     """Fetch-sim + full document processing for one Arrow batch of fetch
     tasks.  With ``push=True`` discovered links go back to the owning shard
@@ -571,7 +572,7 @@ def fetch_extract_batch(
     supports_https_col = (
         batch.column("supports_https").to_pylist() if "supports_https" in names else None
     )
-    parts = [partition_of_domain(d, num_shards) for d in domains]
+    parts = [partition_of_domain(d, num_shards, extra_salted) for d in domains]
     bodies, statuses, locations, retry_afters = _batch_bodies(
         batch, parts, web_refs, store, num_shards
     )
@@ -950,7 +951,11 @@ def run_crawl(
     out.mkdir(parents=True, exist_ok=True)
 
     setup_marks: dict[str, float] = {}
-    WebStore.prepare(pages_path, str(store_dir), num_shards)
+    # adaptive skew salting, deterministic in the seed list (identical on
+    # resume); consulted by EVERY partition decision below
+    seeds = pq.read_table(seeds_path)
+    extra_salted = hot_tops_from_seeds(seeds.column("domain").to_pylist(), num_shards)
+    WebStore.prepare(pages_path, str(store_dir), num_shards, extra_salted)
     setup_marks["prepare"] = round(_time.perf_counter() - t_start, 2)
     # one shared plasma copy of each web partition for all fetch workers
     web_refs = WebStore(str(store_dir), num_shards).put_partitions_in_object_store()
@@ -976,7 +981,6 @@ def run_crawl(
         # distribute seeds + robots to owning shards; the sitemap
         # expansion runs as a concurrent Ray task (it is only needed at
         # each domain's first post-sniff emission, round 1)
-        seeds = pq.read_table(seeds_path)
         robots = pq.read_table(robots_path)
         rb = {
             robots.column("domain")[i].as_py(): (
@@ -1041,6 +1045,7 @@ def run_crawl(
             "store_dir": str(store_dir),
             "num_shards": num_shards,
             "web_refs": web_refs,
+            "extra_salted": extra_salted,
         }
         results = ray.get(
             [
@@ -1104,6 +1109,7 @@ def run_crawl(
             "shard_handles": shards,
             "web_refs": web_refs,
             "round_no": rnd,
+            "extra_salted": extra_salted,
         }
         if n_rows <= small_round_rows:
             # small-round fast path: these rounds don't justify a Dataset
