@@ -38,9 +38,15 @@ from ..functions.specialization import (
 )
 from ..functions.htmldoc import parse_document
 from ..functions.links import extract_links
+from ..functions.hashing import stable_hash64
 from ..functions.lsh import content_hash, doc_lsh, hamming64_vec
 from ..functions.quality import document_quality
 from ..model.urls import parse_url
+
+# dedup partition count: each partition holds COMPLETE domains
+# (hash(host) % N), so near-dup marking runs as one independent task per
+# partition with no groupby shuffle
+DEDUP_PARTS = 64
 
 
 def process_pages_batch(batch: pa.Table) -> pa.Table:
@@ -175,6 +181,12 @@ def process_pages_batch(batch: pa.Table) -> pa.Table:
             "features": pa.array(features, pa.int32()),
             "n_words": pa.array(n_words, pa.int32()),
             "state": pa.array(state, pa.string()),
+            # dedup partition: complete domains per partition by
+            # construction, so the near-dup pass never shuffles
+            "dpart": pa.array(
+                [stable_hash64(d) % DEDUP_PARTS if d else 0 for d in domain],
+                pa.int32(),
+            ),
         }
     )
     if "lang" in batch.column_names:
@@ -284,15 +296,30 @@ def convert_pages(
 
     docs_dir = stage_dir or out_dir or tempfile.mkdtemp(prefix="convert_docs_")
     docs_path = str(Path(docs_dir) / "docs")
-    ds.write_parquet(docs_path)
-    narrow = rd.read_parquet(
-        docs_path, columns=["domain", "url", "doc_hash", "n_words", "state"]
-    )
-    dups = narrow.groupby("domain").map_groups(
-        find_near_dup_urls, batch_format="pandas"
-    )
-    dup_df = dups.to_pandas()  # duplicate urls ONLY — the small side
-    dup_set = frozenset(dup_df["url"]) if "url" in dup_df.columns else frozenset()
+    # partitioned by dpart = hash(domain) % DEDUP_PARTS: a partitioned
+    # write does NOT shuffle (each task writes its rows into each
+    # partition dir), yet every partition holds complete domains — so the
+    # near-dup pass below is one independent task per partition over the
+    # narrow columns, replacing a sort-based groupby shuffle that
+    # dominated convert wall time at scale
+    ds.write_parquet(docs_path, partition_cols=["dpart"])
+
+    @ray.remote(num_cpus=1)
+    def _dedup_partition(pdir: str) -> list:
+        import pyarrow.dataset as pads
+
+        tbl = pads.dataset(pdir).to_table(
+            columns=["domain", "url", "doc_hash", "n_words", "state"]
+        )
+        pdf = tbl.to_pandas()
+        out: list[str] = []
+        for _, group in pdf.groupby("domain", sort=False):
+            out.extend(find_near_dup_urls(group)["url"])
+        return out
+
+    part_dirs = sorted(str(p) for p in Path(docs_path).glob("dpart=*"))
+    dup_lists = ray.get([_dedup_partition.remote(p) for p in part_dirs])
+    dup_set = frozenset(u for part in dup_lists for u in part)
     dup_ref = ray.put(dup_set)
     out = rd.read_parquet(docs_path).map_batches(
         _flag_near_dups,
