@@ -996,7 +996,7 @@ def run_crawl(
             depth = seeds.column("crawl_depth")[i].as_py()
             seed_urls = seeds.column("seed_urls")[i].as_py()
             rtxt, rstatus = rb.get(domain, (None, 404))
-            per_shard[partition_of_domain(domain, num_shards)].append(
+            per_shard[partition_of_domain(domain, num_shards, extra_salted)].append(
                 (domain, seed_urls, depth, rtxt, rstatus, [])
             )
         setup_marks["seeds_parsed"] = round(_time.perf_counter() - t_start, 2)

@@ -192,3 +192,51 @@ class TestRateLimit429:
             if (gaps >= 3000 + 1000).any():
                 found_gap = True
         assert found_gap
+
+
+class TestAdaptiveSalting:
+    """A hot top-domain (many sub-domains) triggers adaptive salted
+    sub-partitioning; the seed assignment, web-store partitioning and
+    probe lookups must agree, or every salted domain falsely probe-aborts
+    (regression: round-2 bug where seed distribution missed the salt)."""
+
+    def test_hot_top_domains_crawl_fully(self, tmp_path, tmp_out):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from marginaliasearch_ray.fixtures.generate import PageSpec, render_html, simulate_tagger_text
+        from marginaliasearch_ray.functions.hashing import hot_tops_from_seeds
+        from marginaliasearch_ray.pipelines.crawl import read_domain_meta, run_crawl
+
+        domains = [f"user{i}.bigtop.com" for i in range(20)]
+        assert hot_tops_from_seeds(domains, 3)  # the top must be detected hot
+        purls, phtml, ptext = [], [], []
+        for d in domains:
+            spec = PageSpec(url=f"https://{d}/", ordinal=0, title=f"Root {d}", charset="utf-8")
+            spec.blocks.append(("p", [("t", "hello world content")]))
+            purls.append(f"https://{d}/")
+            phtml.append(render_html(spec).encode())
+            ptext.append(simulate_tagger_text(spec))
+        n = len(purls)
+        pq.write_table(pa.table({
+            "url": pa.array(purls), "warc_ts": pa.array([0]*n, pa.timestamp("ms")),
+            "html": pa.array(phtml, pa.binary()), "text": pa.array(ptext),
+            "lang": pa.array(["en"]*n), "status": pa.array([200]*n, pa.int16()),
+            "location": pa.array([None]*n, pa.string()),
+            "retry_after": pa.array([None]*n, pa.int32()),
+        }), tmp_path / "pages.parquet")
+        pq.write_table(pa.table({
+            "domain": pa.array(domains), "crawl_depth": pa.array([5]*n, pa.int32()),
+            "seed_urls": pa.array([[u] for u in purls], pa.list_(pa.string())),
+        }), tmp_path / "seeds.parquet")
+        pq.write_table(pa.table({
+            "domain": pa.array(domains), "robots_txt": pa.array([""]*n),
+            "status": pa.array([200]*n, pa.int16()),
+        }), tmp_path / "robots.parquet")
+
+        run_crawl(str(tmp_path / "pages.parquet"), str(tmp_path / "seeds.parquet"),
+                  str(tmp_path / "robots.parquet"), tmp_out, num_shards=3, checkpoint=False)
+        meta = read_domain_meta(tmp_out)
+        assert len(meta) == 20
+        assert int(meta.aborted.sum()) == 0, meta[meta.aborted].domain.tolist()
+        assert (meta.visited >= 1).all()
