@@ -12,8 +12,15 @@ Design:
 - ``read_parquet(columns=...)`` prunes at the read;
 - extraction is a stateless ``map_batches`` over Arrow batches (worker
   processes keep nothing between batches — all state is per-call);
-- the near-dup pass is ``groupby(domain).map_groups`` — domains are the
-  natural partition and bounded in size (reference caps at ~10k docs);
+- the near-dup pass is SHUFFLE-FREE: docs are written partitioned by
+  ``dpart = hash(domain) % DEDUP_PARTS`` (a partitioned write moves no
+  rows, yet every partition holds complete domains), then one task per
+  partition reads only the narrow columns and runs the per-domain LSH
+  chain — document text never enters any exchange, and there is no
+  sort-based groupby (measured ~17 s of a 43 s convert wall at the 4x
+  corpus before this change);
+- the duplicate-url set (small) is broadcast back via ``ray.put`` and a
+  streaming map appends the flag;
 - output is partitioned parquet, resumable per partition.
 """
 
