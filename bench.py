@@ -214,6 +214,12 @@ def run_scaling(repeats: int = 2, settle_s: int = 45) -> dict:
                 best = r
         return best
 
+    # hardware scaling ceiling: this host's per-core clock drops as more
+    # cores go active (turbo behavior), so even a pure CPU spin scales at
+    # well under 1.0 from 8 to 32 processes.  Measure it so the pipeline's
+    # SOFTWARE scaling can be read separately from the host's clock curve.
+    hw = _cpu_scaling_baseline(lo_cpus, hi_cpus)
+
     lo = run_best(lo_cpus)
     hi = run_best(hi_cpus)
     # efficiency on the distributed-throughput-bearing stages (crawl+convert)
@@ -227,8 +233,31 @@ def run_scaling(repeats: int = 2, settle_s: int = 45) -> dict:
         "pages_per_sec_8": lo["convert_pages_per_sec"],
         "pages_per_sec_32": hi["convert_pages_per_sec"],
         "scaling_efficiency": round(eff, 3),
+        "hw_cpu_scaling_ceiling": round(hw, 3),
+        "scaling_efficiency_hw_normalized": round(min(eff / hw, 1.0), 3),
         "sf": lo["sf"],
     }
+
+
+def _cpu_scaling_baseline(lo_cpus: int, hi_cpus: int, n: int = 120_000_000) -> float:
+    """Pure-CPU spin at lo and hi process counts -> the host's own
+    scaling efficiency ceiling (1.0 on hardware with flat clocks)."""
+    import multiprocessing as mp
+
+    def rate(nproc: int) -> float:
+        t0 = time.perf_counter()
+        with mp.Pool(nproc) as p:
+            p.map(_spin, [n] * nproc)
+        return nproc * n / (time.perf_counter() - t0)
+
+    return (rate(hi_cpus) / rate(lo_cpus)) / (hi_cpus / lo_cpus)
+
+
+def _spin(n: int) -> int:
+    x = 0
+    for i in range(n):
+        x += i * i
+    return x
 
 
 if __name__ == "__main__":
