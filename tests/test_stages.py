@@ -249,3 +249,33 @@ class TestAnchorTags:
         want = ext.groupby("dst_url").size()
         got = out.set_index("url")["n_anchors"]
         assert got.sort_index().equals(want.sort_index().astype("int64"))
+
+
+class TestEmbeddingNearDupLsh:
+    def test_lsh_variant_recall_vs_exact(self):
+        import numpy as np
+        import ray.data as rd
+        from marginaliasearch_ray.stages.dedup import (
+            embedding_near_dup_lsh,
+            embedding_near_dup_pairs,
+        )
+
+        rng = np.random.default_rng(7)
+        base = rng.standard_normal((40, 16))
+        rows = []
+        vid = 0
+        for v in base:
+            rows.append({"vec_id": vid, "embedding": v.tolist()}); vid += 1
+            # a near-duplicate neighbour for every 4th vector
+            if vid % 4 == 0:
+                rows.append({"vec_id": vid, "embedding": (v + rng.standard_normal(16) * 0.01).tolist()}); vid += 1
+        ds = rd.from_items(rows)
+        exact = embedding_near_dup_pairs(ds, threshold=0.95)
+        approx = embedding_near_dup_lsh(ds, threshold=0.95)
+        exact_pairs = set(zip(exact.id_a, exact.id_b))
+        approx_pairs = set(zip(approx.id_a, approx.id_b))
+        assert exact_pairs, "fixture must contain near-dup pairs"
+        # LSH may miss pairs but must not invent them
+        assert approx_pairs <= exact_pairs
+        recall = len(approx_pairs & exact_pairs) / len(exact_pairs)
+        assert recall >= 0.8, recall
