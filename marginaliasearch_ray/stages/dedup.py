@@ -307,11 +307,26 @@ def embedding_near_dup_pairs(
         else:
             ids_b, mb = _block_np(tb, id_col)
         sims = ma @ mb.T
-        ai, bj = np.where((sims >= threshold) & (ids_a[:, None] < ids_b[None, :]))
+        if same:
+            # Within one block the id arrays are identical, so `<` alone
+            # yields each unordered pair exactly once.
+            ai, bj = np.where((sims >= threshold) & (ids_a[:, None] < ids_b[None, :]))
+        else:
+            # Cross-block: object-store block order carries NO id ordering —
+            # the block holding the larger ids may come first — so `<` would
+            # silently drop any pair whose smaller id lives in the later
+            # block.  Compare every cross pair (`!=`) and canonicalize to
+            # (min, max) below; each unordered block pair runs in exactly
+            # one task, so no duplicates arise.
+            ai, bj = np.where((sims >= threshold) & (ids_a[:, None] != ids_b[None, :]))
+        id_a = ids_a[ai]
+        id_b = ids_b[bj]
+        lo = np.minimum(id_a, id_b)
+        hi = np.maximum(id_a, id_b)
         return pd.DataFrame(
             {
-                "id_a": ids_a[ai],
-                "id_b": ids_b[bj],
+                "id_a": lo,
+                "id_b": hi,
                 "cosine": np.round(sims[ai, bj], 4),
             }
         )
@@ -325,7 +340,11 @@ def embedding_near_dup_pairs(
     if not parts:
         return _empty_pairs()
     out = pd.concat(parts, ignore_index=True)
-    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return (
+        out.drop_duplicates(subset=["id_a", "id_b"])
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
 
 
 def embedding_near_dup_lsh(
