@@ -57,30 +57,49 @@ def external_anchor_rows(links: rd.Dataset) -> rd.Dataset:
     return links.map_batches(explode, batch_format="pyarrow")
 
 
-def anchor_counts(links: rd.Dataset) -> pd.DataFrame:
+def anchor_counts(links: rd.Dataset, n_buckets: int = 256) -> pd.DataFrame:
     """``DomainLinks.countForUrl`` analog over the whole corpus:
     -> DataFrame(domain, url, n_anchors, n_src_domains, anchor_terms)
     where anchor_terms is the sorted unique anchor vocabulary for the url
-    (the terms the reference feeds into keyword extraction as LinkTexts)."""
+    (the terms the reference feeds into keyword extraction as LinkTexts).
 
-    def per_url(group: pd.DataFrame) -> pd.DataFrame:
-        terms = sorted(
-            {w for t in group["anchor_text"] for w in str(t).split() if w}
+    Shuffle shape: anchor rows are bucketed by hash(url) so the groupby
+    key is a fixed-width integer and each combine call receives a whole
+    bucket of urls at once; the per-bucket aggregate is vectorized pandas
+    (size / nunique / explode+drop_duplicates+join) — no one-row-per-url
+    frame construction.  Size ``n_buckets`` so one bucket's anchor rows
+    fit a worker's heap."""
+    from hashlib import blake2b
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        buckets = [
+            int.from_bytes(blake2b(u.encode(), digest_size=8).digest(), "little")
+            % n_buckets
+            for u in batch.column("url").to_pylist()
+        ]
+        return batch.append_column("_bucket", pa.array(buckets, pa.int64()))
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        agg = group.groupby("url", sort=True).agg(
+            domain=("domain", "first"),
+            n_anchors=("url", "size"),
+            n_src_domains=("src_domain", "nunique"),
         )
-        return pd.DataFrame(
-            {
-                "domain": [group["domain"].iloc[0]],
-                "url": [group["url"].iloc[0]],
-                "n_anchors": [len(group)],
-                "n_src_domains": [group["src_domain"].nunique()],
-                "anchor_terms": [" ".join(terms)],
-            }
-        )
+        terms = group.assign(_t=group["anchor_text"].astype(str).str.split())
+        terms = terms.explode("_t").dropna(subset=["_t"])
+        terms = terms[terms["_t"] != ""][["url", "_t"]]
+        terms = terms.drop_duplicates().sort_values(["url", "_t"])
+        joined = terms.groupby("url", sort=True)["_t"].agg(" ".join)
+        agg["anchor_terms"] = joined.reindex(agg.index).fillna("")
+        return agg.reset_index()[
+            ["domain", "url", "n_anchors", "n_src_domains", "anchor_terms"]
+        ]
 
     out = (
         external_anchor_rows(links)
-        .groupby("url")
-        .map_groups(per_url, batch_format="pandas")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
         .to_pandas()
     )
     if out.empty:

@@ -29,12 +29,46 @@ import ray.data as rd
 # ---------------------------------------------------------------------------
 
 
-def exact_dedup(ds: rd.Dataset, key: str = "text", id_col: str = "doc_id") -> rd.Dataset:
-    """Keep the minimum id per exact key value: groupby(key).min(id).
-    The shuffle moves only (key, id); at scale substitute key -> 128-bit
-    hash column first so payloads never move."""
-    out = ds.groupby(key).min(id_col)
-    return out
+def exact_dedup(
+    ds: rd.Dataset,
+    key: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> rd.Dataset:
+    """Keep the minimum id per exact key value, without ever using the
+    payload as a shuffle key.
+
+    Two-phase: (1) a vectorized per-batch partial aggregate collapses each
+    batch to one (key, local-min-id) row per distinct key and attaches a
+    64-bit-hash-derived ``_bucket`` column; (2) ``groupby(_bucket)`` — a
+    fixed-width integer shuffle key — co-locates all partials for a key,
+    and the per-bucket combine re-groups by the TRUE key (so hash
+    collisions cannot merge distinct keys; this is the tie-confirm) and
+    takes the global min.  The key bytes move once per distinct
+    (batch, key) pair because the output carries the key; the sort/shuffle
+    comparisons only ever touch the integer bucket.  Size ``n_buckets`` so
+    one bucket's distinct keys fit a worker's heap (corpus-distinct /
+    n_buckets rows per combine call)."""
+    min_col = f"min({id_col})"
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        agg = batch.groupby(key, sort=False)[id_col].min().reset_index()
+        agg["_bucket"] = [
+            int.from_bytes(blake2b(str(k).encode(), digest_size=8).digest(), "little")
+            % n_buckets
+            for k in agg[key]
+        ]
+        return agg
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        agg = group.groupby(key, sort=True)[id_col].min().reset_index()
+        return agg.rename(columns={id_col: min_col})[[key, min_col]]
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(combine, batch_format="pandas")
+    )
 
 
 # ---------------------------------------------------------------------------
