@@ -329,7 +329,17 @@ def _url_case(canon: str, rng: random.Random) -> tuple[str, str]:
         port = 443 if proto == "https" else 80
         return f"{proto}://{host}:{port}/{tail}", canon
     if r < 0.7:
-        return (f"{proto}://{host}/./{tail}", canon) if tail else (canon, canon)
+        # Raw (non-link-context) parses preserve dot segments: the URL is
+        # entirely url-safe chars, so the reference's
+        # shouldOmitUrlencodeRepair fast path applies and neither
+        # BasicURLNormalizer nor URI.normalize runs (EdgeUrl.java:218-225).
+        raw = f"{proto}://{host}/./{tail}" if tail else canon
+        return raw, raw
+    if r < 0.73:
+        # ...but a char that forces the urlencode-repair path routes the
+        # URL through BasicURLNormalizer, which DOES remove dot segments
+        # (space -> %20 re-encode on serialization).
+        return f"{proto}://{host}/./a b", f"{proto}://{host}/a%20b"
     if r < 0.85:
         raw = canon + ("&utm_source=x" if "?" in canon else "?utm_source=x")
         return raw, canon  # utm params are stripped by the sanitizer
@@ -460,13 +470,29 @@ def _generate_domain(cfg: WebConfig, domains: list[str], di: int):
         has_sitemap = 0.85 <= rr < 0.95
 
         depth = drng.randint(*cfg.crawl_depth_range)
-        seed_rows.append((domain, depth, [urls[0]]))
+        seeds = [urls[0]]
+        if n_pages > 1 and drng.random() < 0.05:
+            # dot-segment seed: raw EdgeUrl parses preserve '/./', so this
+            # gets its own seen identity (404s against the store) while the
+            # link-resolved clean path is visited separately — mirrors the
+            # reference's fast-path parse (EdgeUrl.java:218-225)
+            proto1, rest1 = urls[1].split("://", 1)
+            host1, _, tail1 = rest1.partition("/")
+            seeds.append(f"{proto1}://{host1}/./{tail1}")
+        seed_rows.append((domain, depth, seeds))
 
         if has_sitemap:
             # sitemap.xml listing a seeded ~40% sample of the domain's pages
             # (some otherwise-unreachable — the point of a sitemap)
             sample = sorted(drng.sample(range(n_pages), max(1, int(n_pages * 0.4))))
-            locs = "\n".join(f"  <url><loc>{urls[i]}</loc></url>" for i in sample)
+            loc_list = [urls[i] for i in sample]
+            if drng.random() < 0.05:
+                # dot-segment <loc>: SitemapRetriever parses locs with raw
+                # EdgeUrl.parse (SitemapRetriever.java:73) — dots preserved
+                proto1, rest1 = loc_list[0].split("://", 1)
+                host1, _, tail1 = rest1.partition("/")
+                loc_list.append(f"{proto1}://{host1}/./{tail1}")
+            locs = "\n".join(f"  <url><loc>{u}</loc></url>" for u in loc_list)
             xml = (
                 '<?xml version="1.0" encoding="UTF-8"?>\n'
                 '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'

@@ -148,7 +148,7 @@ def probe_domain_oracle(domain: str, web: dict) -> tuple[bool, bool]:
         if status == 200:
             return proto == "https", False
         if status == 301 and location:
-            lu = parse_url(location)
+            lu = parse_url(location, normalize_dots=True)
             if lu is not None and lu.host == domain:
                 return proto == "https", False  # internal follow -> Ok
             return True, True  # cross-domain redirect -> abort
@@ -213,7 +213,7 @@ def crawl_domain_oracle(
             pending_extra_ms[0] += rate_limit_extra_ms(retry_after)
             return status
         if status == 301 and location:
-            lu = parse_url(location)
+            lu = parse_url(location, normalize_dots=True)
             if lu is not None and lu.host == domain:
                 pending_redirects.append(lu)
             return status

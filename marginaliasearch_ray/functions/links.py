@@ -91,7 +91,9 @@ def resolve_relative_url(base: CanonUrl, s: str) -> str:
 
 
 def _resolve_and_parse(base: CanonUrl, s: str) -> Optional[CanonUrl]:
-    return parse_url(resolve_relative_url(base, s))
+    # Link resolution always dot-normalizes (LinkParser.java:43-44
+    # URI.normalize), unlike raw EdgeUrl parses.
+    return parse_url(resolve_relative_url(base, s), normalize_dots=True)
 
 
 def parse_anchor(base: CanonUrl, href: str, rel: str = "") -> Optional[CanonUrl]:

@@ -33,7 +33,9 @@ LIKELY_FEED_ENDPOINTS = [
 
 
 def _same_domain_link(root: CanonUrl, href: str) -> Optional[str]:
-    u = parse_url(resolve_relative_url(root, href))
+    # favicon/feed candidates go through linkParser.parseLink
+    # (CrawlerRetreiver.java:336,349) -> URI.normalize
+    u = parse_url(resolve_relative_url(root, href), normalize_dots=True)
     if u is not None and u.host == root.host:
         return str(u)
     return None

@@ -309,6 +309,68 @@ def _pct_decode(s: str) -> str:
     return out.decode("utf-8", errors="replace")
 
 
+_URL_SAFE = frozenset(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789-_.~"
+)
+
+
+def should_omit_encode_repair(url: str) -> bool:
+    """Reference ``EdgeUriFactory.shouldOmitUrlencodeRepair``
+    (EdgeUrl.java:380-435): a char-by-char heuristic for URLs that are
+    certainly valid as-is.  When it holds, the reference parses with
+    ``new URI(url)`` directly — NO urlencode repair and, crucially, NO
+    BasicURLNormalizer pass, so dot segments in the path survive."""
+    idx, n = 0, len(url)
+    # scheme
+    while idx < n - 2:
+        c = url[idx]
+        idx += 1
+        if c == ":":
+            break
+        if not (("a" <= c <= "z") or ("A" <= c <= "Z")):
+            return False
+    if idx + 1 >= n or url[idx] != "/" or url[idx + 1] != "/":
+        return False
+    idx += 2
+    # authority
+    while idx < n:
+        c = url[idx]
+        idx += 1
+        if c == "/":
+            break
+        if c == ":" or c == "@":
+            continue
+        if c not in _URL_SAFE:
+            return False
+    if idx >= n:
+        return True
+    # path
+    while idx < n:
+        c = url[idx]
+        idx += 1
+        if c == "?":
+            break
+        if c == "/":
+            continue
+        if c == "#":
+            return False
+        if c not in _URL_SAFE:
+            return False
+    if idx >= n:
+        return True
+    # query
+    while idx < n:
+        c = url[idx]
+        idx += 1
+        if c == "&" or c == "=":
+            continue
+        if c == "#":
+            return False
+        if c not in _URL_SAFE:
+            return False
+    return True
+
+
 _SCHEME_RE = re.compile(r"^([A-Za-z][A-Za-z0-9+.-]*):")
 # authority = [userinfo@]host[:port]
 _AUTHORITY_RE = re.compile(r"^(?:[^@/?#]*@)?(\[[^\]]*\]|[^:/?#]*)(?::(\d+))?$")
@@ -323,22 +385,31 @@ FAST_URL_RE = re.compile(
 )
 
 
-def parse_url(url: str) -> Optional[CanonUrl]:
+def parse_url(url: str, normalize_dots: Optional[bool] = None) -> Optional[CanonUrl]:
     """Lenient parse + canonicalize; None on unparseable input.
 
     Mirrors reference ``EdgeUriFactory.parseURILenient`` + ``new EdgeUrl(URI)``:
-    fragment dropped, %-encode repair, dot-segment normalization, host
-    lowercased, default port stripped, query sanitized+sorted, empty path -> '/'.
+    fragment dropped, %-encode repair, host lowercased, default port
+    stripped, query sanitized+sorted, empty path -> '/'.
 
-    Dot-segment normalization intentionally applies to EVERY parse (seeds,
-    sitemap <loc>s, journal URLs), not only the link-resolution path: the
-    reference routes every EdgeUrl parse through crawler-commons
-    ``BasicURLNormalizer.filter`` (EdgeUrl.java:215,248), which removes
-    '/./' and '/../' segments on raw strings too; LinkParser's
-    ``URI.normalize`` (LinkParser.java:43-44) is additional, not exclusive.
+    Dot-segment handling follows the reference exactly: a URL that passes
+    ``shouldOmitUrlencodeRepair`` is parsed by ``new URI(url)`` directly
+    (EdgeUrl.java:218-225) with dot segments PRESERVED — this is the path
+    raw seeds, sitemap <loc>s (SitemapRetriever.java:73) and journal URLs
+    take; only the lenient repair path runs crawler-commons
+    ``BasicURLNormalizer.filter`` (EdgeUrl.java:248), which removes '/./'
+    and '/../'.  The link-resolution path additionally applies
+    ``URI.normalize`` (LinkParser.java:43-44) regardless — callers there
+    pass ``normalize_dots=True``.
+
+    ``normalize_dots``: None = automatic (normalize only when the repair
+    path is taken, like a raw ``new EdgeUrl(String)``); True = always
+    (link-resolution context); False = never.
     """
     if not url:
         return None
+    if normalize_dots is None:
+        normalize_dots = not should_omit_encode_repair(url)
     m = _SCHEME_RE.match(url)
     if not m:
         return None
@@ -383,7 +454,9 @@ def parse_url(url: str) -> Optional[CanonUrl]:
     if not path:
         path = "/"
 
-    path = _pct_decode(_normalize_dot_segments(path))
+    if normalize_dots:
+        path = _normalize_dot_segments(path)
+    path = _pct_decode(path)
     if query:
         query = _pct_decode(query)
     param = sanitize_query_params(path, query if query else None)

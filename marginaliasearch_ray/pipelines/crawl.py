@@ -129,7 +129,7 @@ def _probe_domain_from_lookup(domain: str, lookup: dict) -> tuple[bool, bool]:
         if status == 200:
             return proto == "https", False
         if status == 301 and location:
-            lu = _parse(location)
+            lu = _parse(location, normalize_dots=True)
             if lu is not None and lu.host == domain:
                 # probe follows same-domain redirects internally, result Ok
                 return proto == "https", False
@@ -629,7 +629,9 @@ def fetch_extract_batch(
             # same-domain 301 -> addFirst at the owning shard
             # (CrawlerRetreiver.java:305-309,509-513); cross-domain
             # redirects are dropped, like the reference's loop
-            lu = parse_url(location)
+            # Location goes through linkParser.parseLink
+            # (WarcRecorder.java:214-216) -> URI.normalize
+            lu = parse_url(location, normalize_dots=True)
             if lu is not None and lu.host == domain:
                 redirect_target = lu
         if status == 200 and body:

@@ -580,7 +580,8 @@ class FrontierShardState:
                         if lu is not None:
                             self._add_to_queue(st, lu)
                 if (v.get("http_status") or 0) == 301 and v.get("location"):
-                    lu = parse_url(v["location"])
+                    # same link-context normalization as the live fetch path
+                    lu = parse_url(v["location"], normalize_dots=True)
                     if lu is not None and lu.host == st.domain:
                         pending_redirects.append(lu)
                 if rnd == max_round and (v.get("retry_after_ms") or 0) > 0:

@@ -27,11 +27,17 @@ from marginaliasearch_ray.model.urls import (
         ("https://example.com/page#frag", "https://example.com/page"),
         ("https://example.com", "https://example.com/"),
         ("https://example.com.", "https://example.com/"),
-        # dot segments + duplicate slashes
-        ("https://example.com/a/../b", "https://example.com/b"),
-        ("https://example.com/a/./b", "https://example.com/a/b"),
+        # dot segments survive a RAW parse (fast path, EdgeUrl.java:218-225:
+        # shouldOmitUrlencodeRepair -> new URI(url), no normalizer);
+        # duplicate slashes still collapse at serialization (urlencodePath
+        # skips empty segments)
+        ("https://example.com/a/../b", "https://example.com/a/../b"),
+        ("https://example.com/a/./b", "https://example.com/a/./b"),
         ("https://example.com//a//b/", "https://example.com/a/b/"),
-        ("https://example.com/../a", "https://example.com/a"),
+        ("https://example.com/../a", "https://example.com/../a"),
+        # ...but a char that forces the urlencode-repair path routes through
+        # BasicURLNormalizer, which removes dot segments (EdgeUrl.java:248)
+        ("https://example.com/a/../b c", "https://example.com/b%20c"),
         # percent repair
         ("https://example.com/a b/c", "https://example.com/a%20b/c"),
         ("https://example.com/a%20b/c", "https://example.com/a%20b/c"),
@@ -47,6 +53,21 @@ from marginaliasearch_ray.model.urls import (
 )
 def test_canonicalize(raw, expected):
     assert canonicalize(raw) == expected
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        # link-resolution context always applies URI.normalize
+        # (LinkParser.java:43-44), removing dot segments
+        ("https://example.com/a/../b", "https://example.com/b"),
+        ("https://example.com/a/./b", "https://example.com/a/b"),
+    ],
+)
+def test_link_context_normalizes_dots(raw, expected):
+    from marginaliasearch_ray.model.urls import parse_url
+
+    assert str(parse_url(raw, normalize_dots=True)) == expected
 
 
 @pytest.mark.parametrize("bad", ["", "nohost", "http://", "mailto:x@y.com", "//x/y"])
