@@ -457,7 +457,9 @@ def _generate_domain(cfg: WebConfig, domains: list[str], di: int):
                 (domain, "User-agent: *\nDisallow: /private/\n", 200)
             )
         elif rr < 0.85:
-            delay = drng.randint(2, 5)
+            # 2-8 s: values above 5 s exercise the reference's per-wait
+            # 5000 ms cap (CrawlDelayTimer.java:68)
+            delay = drng.randint(2, 8)
             robots_rows.append(
                 (domain, f"User-agent: *\nCrawl-delay: {delay}\n", 200)
             )

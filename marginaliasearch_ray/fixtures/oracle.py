@@ -43,6 +43,10 @@ MAX_ERRORS = 20  # CrawlerRetreiver.java:38
 QUEUE_SLACK = 10_000  # DomainCrawlFrontier.java:168
 DEFAULT_DELAY_MS = 1000  # CrawlDelayTimer.java:14
 
+# the oracle reuses the engine's exact timer arithmetic so any future
+# change keeps both sides aligned by construction
+from ..state.frontier import fetch_interval_ms, fetch_jitter_ms  # noqa: E402
+
 
 @dataclass
 class Visit:
@@ -189,7 +193,8 @@ def crawl_domain_oracle(
         res.seen_hashes = set(frontier.seen)
         return res
 
-    clock = 0
+    # initial delay after robots.txt (CrawlerRetreiver.java:125)
+    clock = fetch_interval_ms(delay_ms, 0, fetch_jitter_ms(domain, -1))
     ordinal = 0
     errors = 0
     pending_redirects: list[CanonUrl] = []
@@ -205,8 +210,9 @@ def crawl_domain_oracle(
         body, status, location, retry_after = _web_get(web, s)
         h = frontier._hash(u)
         res.visits.append(Visit(ordinal, s, clock, status, h))
+        # post-fetch wait (CrawlerRetreiver.java:471 waitFetchDelay())
+        clock += fetch_interval_ms(delay_ms, 0, fetch_jitter_ms(domain, ordinal))
         ordinal += 1
-        clock += delay_ms
         if status == 429:
             from ..pipelines.crawl import rate_limit_extra_ms
 

@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import pickle
 from collections import deque
+from hashlib import blake2b
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -56,7 +57,40 @@ from .cuckoo import CuckooFilter
 
 MAX_ERRORS = 20
 QUEUE_SLACK = 10_000
-DEFAULT_DELAY_MS = 1000
+DEFAULT_DELAY_MS = 1000  # CrawlDelayTimer DEFAULT_CRAWL_DELAY_MIN_MS
+DEFAULT_DELAY_MAX_MS = 2500  # CrawlDelayTimer DEFAULT_CRAWL_DELAY_MAX_MS
+MAX_WAIT_MS = 5000  # per-wait cap, CrawlDelayTimer.java:68
+JITTER_RANGE_MS = 150  # ThreadLocalRandom.nextLong(0, 150), java:62
+
+
+def fetch_jitter_ms(domain: str, seq: int) -> int:
+    """Seeded stand-in for CrawlDelayTimer's per-wait 0-150 ms jitter
+    (CrawlDelayTimer.java:62 ThreadLocalRandom): deterministic per
+    (domain, wait-sequence) so the live engine, journal resync and the
+    sequential oracle compute identical virtual schedules.  seq is the
+    visit ordinal the wait follows; -1 is the initial post-robots delay
+    (CrawlerRetreiver.java:125)."""
+    h = blake2b(f"{domain}#{seq}".encode(), digest_size=8).digest()
+    return int.from_bytes(h, "little") % JITTER_RANGE_MS
+
+
+def fetch_interval_ms(delay_ms: int, spent_ms: int, jitter_ms: int) -> int:
+    """Virtual-time port of ``CrawlDelayTimer.waitFetchDelay``
+    (CrawlDelayTimer.java:58-92): returns the full inter-fetch interval
+    (spent + slept).  ``delay_ms`` is the constructed timer's delayTime —
+    pass ``robots.crawl_delay_ms or DEFAULT_DELAY_MS`` like the
+    constructor's <=0 floor (java:23-28); because of that floor the
+    adaptive 2x-spent branch is unreachable from the live crawl loop
+    (every caller also passes spentTime=0, CrawlerRetreiver.java:471),
+    but it is ported and unit-tested for completeness."""
+    if delay_ms >= 1:
+        if spent_ms > delay_ms:
+            return spent_ms
+        return spent_ms + min(delay_ms - spent_ms, MAX_WAIT_MS) + jitter_ms
+    sleep_ms = min(max(2 * spent_ms, DEFAULT_DELAY_MS), DEFAULT_DELAY_MAX_MS)
+    if spent_ms > sleep_ms:
+        return spent_ms
+    return sleep_ms + jitter_ms
 
 # per-topDomain concurrent-fetch permits (LocalDomainCoordinator.java:25,88-100)
 # — consumed by a real-fetch dispatch stage; see note in next_batch().
@@ -175,6 +209,8 @@ class FrontierShardState:
         st = DomainState(domain=domain, depth=depth, sitemap_urls=list(sitemap_urls or []))
         st.robots = parse_robots_txt(robots_txt, robots_status)
         st.delay_ms = st.robots.crawl_delay_ms or DEFAULT_DELAY_MS
+        # initial delay after robots.txt (CrawlerRetreiver.java:125)
+        st.clock_ms = fetch_interval_ms(st.delay_ms, 0, fetch_jitter_ms(domain, -1))
         self.domains[domain] = st
         for s in seed_urls:
             u = parse_url(s)
@@ -340,8 +376,11 @@ class FrontierShardState:
             cols["seen_hash"].append(h)
             cols["filter_name"].append(st.filter_name)
             cols["supports_https"].append(st.supports_https)
+            # post-fetch wait (CrawlerRetreiver.java:471 waitFetchDelay())
+            st.clock_ms += fetch_interval_ms(
+                st.delay_ms, 0, fetch_jitter_ms(st.domain, st.next_ordinal)
+            )
             st.next_ordinal += 1
-            st.clock_ms += st.delay_ms
             n += 1
 
         if not st.sniffed:
@@ -591,7 +630,9 @@ class FrontierShardState:
                 if (v.get("http_status") or 0) < 0:
                     st.errors += 1  # ResultException-equivalent, replayed
                 st.next_ordinal = v["visit_ordinal"] + 1
-                st.clock_ms = v["virtual_ts_ms"] + st.delay_ms
+                st.clock_ms = v["virtual_ts_ms"] + fetch_interval_ms(
+                    st.delay_ms, 0, fetch_jitter_ms(domain, v["visit_ordinal"])
+                )
                 n += 1
             # the final round's redirects go to the live buffer: they are
             # addFirst'd at the next emission, same as a live round end

