@@ -214,9 +214,34 @@ class FrontierShard:
     def restore(self, path: str) -> None:
         self.state = FrontierShardState.from_bytes(Path(path).read_bytes())
 
+    def drain_refused_to(self, records_dir: str) -> int:
+        """Write the round's robots-refused rows to a durable sidecar in
+        this shard's journal dir (the WarcXEntityRefused records the
+        reference leaves in its WARCs, WarcRecorder.java:376-386).  Done
+        BEFORE the round's fetches dispatch, so a kill never loses a
+        refusal that gated this round's emission."""
+        rows = self.state.drain_refused()
+        if not rows:
+            return 0
+        # sibling of records/ so read_crawl_records' recursive glob never
+        # sweeps the sidecar's different schema into the record stream
+        base = Path(records_dir).parent / "refused" / f"shard={self.state.shard_id}"
+        base.mkdir(parents=True, exist_ok=True)
+        n = len(list(base.glob("refused-*.parquet")))
+        tbl = pa.table(
+            {
+                "domain": pa.array([r[0] for r in rows], pa.string()),
+                "url": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+        pq.write_table(tbl, base / f"refused-{n:05d}.parquet")
+        return len(rows)
+
     def resync(self, records_dir: str) -> int:
         """Journal replay (WARC-resync equivalent): rebuild this shard's
-        frontier state from its recorded part files."""
+        frontier state from its recorded part files, then re-apply the
+        refused sidecars with the 90/10 reprobe split
+        (CrawlerWarcResynchronizer.java:70-78)."""
         base = Path(records_dir) / f"shard={self.state.shard_id}"
         if not base.exists():
             return 0
@@ -227,7 +252,17 @@ class FrontierShard:
                 columns=["domain", "url", "visit_ordinal", "virtual_ts_ms", "http_status", "location", "retry_after_ms", "round", "links", "root_filter"],
             )
             visits.extend(t.to_pylist())
-        return self.state.resync_from_journal(visits)
+        n = self.state.resync_from_journal(visits)
+        refused = []
+        refused_base = Path(records_dir).parent / "refused" / f"shard={self.state.shard_id}"
+        for f in sorted(refused_base.glob("refused-*.parquet")):
+            t = pq.read_table(f)
+            refused.extend(
+                zip(t.column("domain").to_pylist(), t.column("url").to_pylist())
+            )
+        if refused:
+            self.state.apply_refused(refused)
+        return n
 
     def run_shard_crawl(
         self,
@@ -267,6 +302,7 @@ class FrontierShard:
             _t0 = _t.perf_counter()
             cols = self.state.next_batch(max_per_domain)
             t_emit += _t.perf_counter() - _t0
+            self.drain_refused_to(records_dir)
             if not cols["url"]:
                 if sitemap_ref is not None:
                     # sitemap expansion ran concurrently with round 0; it
@@ -1093,6 +1129,7 @@ def run_crawl(
         sitemap_ref = None
     for rnd in range(start_round, max_rounds):
         blobs = ray.get([s.next_batch.remote(max_per_domain) for s in shards])
+        ray.get([s.drain_refused_to.remote(str(records_dir)) for s in shards])
         tables = [_read_control_table(b) for b in blobs if b is not None]
         if not tables:
             if all(ray.get([s.is_idle.remote() for s in shards])):

@@ -92,6 +92,17 @@ def fetch_interval_ms(delay_ms: int, spent_ms: int, jitter_ms: int) -> int:
         return spent_ms
     return sleep_ms + jitter_ms
 
+def reprobe_refused(url: str) -> bool:
+    """Resync 90/10 split for refused URLs (CrawlerWarcResynchronizer.java:
+    70-78): ~10% of previously-refused URLs are NOT re-marked visited, so
+    they stay eligible for a re-probe if circumstances (robots rules)
+    changed.  The reference draws Math.random() per record; this is a
+    seeded per-URL split so the engine, the resume tests and repeated
+    resyncs agree deterministically — a documented deviation."""
+    h = blake2b(b"reprobe:" + url.encode(), digest_size=8).digest()
+    return int.from_bytes(h, "little") % 10 == 0
+
+
 # per-topDomain concurrent-fetch permits (LocalDomainCoordinator.java:25,88-100)
 # — consumed by a real-fetch dispatch stage; see note in next_batch().
 TOPDOMAIN_PERMITS = {
@@ -165,6 +176,10 @@ class FrontierShardState:
         # link/result buffers awaiting apply: list of (domain, visit_ordinal,
         # link_ordinal, dst_url) and (domain, visit_ordinal, status)
         self._link_buf: list[tuple[str, int, int, str]] = []
+        # robots-refused URLs awaiting journal write (the reference's
+        # WarcXEntityRefused records, WarcRecorder.java:376-386): list of
+        # (domain, url); drained to a durable sidecar every round
+        self._refused_buf: list[tuple[str, str]] = []
         # pre-gated payloads (fetch workers already ran the admission gates
         # and computed seen hashes): list of entry-lists, each entry
         # (domain, vo, seq, hash, url_str, proto, host, port, path, param)
@@ -222,6 +237,9 @@ class FrontierShardState:
         st.aborted = aborted
         if not aborted and not st.robots.is_allowed(str(root)):
             st.blocked = True
+            # the reference flags the probed root refused before aborting
+            # (CrawlerRetreiver.java:120-123)
+            self._refused_buf.append((domain, str(root)))
 
     def set_sitemaps(self, sitemap_map: dict[str, list[str]]) -> None:
         """Late sitemap delivery: the bootstrap sitemap expansion runs as a
@@ -414,6 +432,10 @@ class FrontierShardState:
         ):
             s, u, h = st.queue.popleft()
             if not st.robots.is_allowed(s):
+                # flagAsRobotsTxtError: refusal is journaled so resync can
+                # apply the 90/10 reprobe split (CrawlerRetreiver.java:222,
+                # WarcRecorder.java:376-386)
+                self._refused_buf.append((st.domain, s))
                 continue
             if not FILTERS[st.filter_name](u):
                 continue
@@ -560,6 +582,38 @@ class FrontierShardState:
     # frontier, then continue)
     # ------------------------------------------------------------------
 
+    def drain_refused(self) -> list[tuple[str, str]]:
+        """Hand the round's robots-refused (domain, url) rows to the caller
+        for the durable refused sidecar (WarcXEntityRefused-equivalent)."""
+        out = self._refused_buf
+        self._refused_buf = []
+        return out
+
+    def apply_refused(self, rows: list[tuple[str, str]]) -> int:
+        """Resync replay of refused records (CrawlerWarcResynchronizer.java:
+        70-78): ~90% are re-marked visited so they will never be re-fetched
+        even if robots rules changed; the seeded ~10% stay merely known and
+        get re-probed when a link re-enqueues them.  Deviation: the
+        reference's addVisited also increments visitedCnt here, silently
+        shrinking the remaining depth budget of a resumed crawl relative to
+        an uninterrupted one (DomainCrawlFrontier.addVisited counts every
+        known->visited flip); we mark WITHOUT counting so a resumed crawl
+        stays byte-equal to the never-killed run — the resume-equivalence
+        guarantee this engine tests for.  Returns the number marked."""
+        marked = 0
+        for domain, url in rows:
+            st = self.domains.get(domain)
+            if st is None:
+                continue
+            if reprobe_refused(url):
+                continue
+            u = parse_url(url)
+            if u is None:
+                continue
+            self._mark_seen(st, url_seen_hash_u(u), True)
+            marked += 1
+        return marked
+
     def resync_from_journal(self, visits: list[dict]) -> int:
         """Replay recorded visits (dicts with domain, url, visit_ordinal,
         virtual_ts_ms, http_status, location, links, root_filter, round)
@@ -696,6 +750,7 @@ class FrontierShardState:
             "cuckoo": self.cuckoo.to_bytes(),
             "cuckoo_saturated": self.cuckoo_saturated,
             "link_buf": self._link_buf,
+            "refused_buf": self._refused_buf,
             "pg_payloads": self._pg_payloads,
             "redirect_buf": self._redirect_buf,
             "root_meta_buf": self._root_meta_buf,
@@ -738,6 +793,7 @@ class FrontierShardState:
         obj.cuckoo = CuckooFilter.from_bytes(payload["cuckoo"])
         obj.cuckoo_saturated = payload.get("cuckoo_saturated", False)
         obj._link_buf = payload["link_buf"]
+        obj._refused_buf = payload.get("refused_buf", [])
         obj._pg_payloads = payload.get("pg_payloads", [])
         obj._redirect_buf = payload.get("redirect_buf", [])
         obj._root_meta_buf = payload.get("root_meta_buf", [])

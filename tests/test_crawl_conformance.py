@@ -240,3 +240,113 @@ class TestAdaptiveSalting:
         assert len(meta) == 20
         assert int(meta.aborted.sum()) == 0, meta[meta.aborted].domain.tolist()
         assert (meta.visited >= 1).all()
+
+
+class TestRefusedReprobe:
+    """Resync 90/10 reprobe of robots-refused URLs
+    (CrawlerWarcResynchronizer.java:70-78): after a resume where robots
+    rules CHANGED to allow previously-refused paths, only the seeded ~10%
+    reprobe subset is re-fetched; the rest stay marked visited."""
+
+    N_PRIVATE = 60
+
+    def _write_fixture(self, d, allow_private: bool):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        dom = "reprobe.test"
+        links = "".join(
+            f'<a href="/private/p{i}">x</a>' for i in range(self.N_PRIVATE)
+        ) + '<a href="/open/a">a</a>'
+        pages = [
+            (f"https://{dom}/", f"<html><head><title>r</title></head><body><p>{links}</p></body></html>"),
+            (f"https://{dom}/open/a", "<html><head><title>a</title></head><body><p>hello</p></body></html>"),
+        ] + [
+            (f"https://{dom}/private/p{i}", f"<html><head><title>p{i}</title></head><body><p>secret {i}</p></body></html>")
+            for i in range(self.N_PRIVATE)
+        ]
+        pq.write_table(
+            pa.table(
+                {
+                    "url": pa.array([u for u, _ in pages], pa.string()),
+                    "warc_ts": pa.array([1_577_836_800_000] * len(pages), pa.timestamp("ms")),
+                    "html": pa.array([h.encode() for _, h in pages], pa.binary()),
+                    "text": pa.array([""] * len(pages), pa.string()),
+                    "lang": pa.array(["en"] * len(pages), pa.string()),
+                    "status": pa.array([200] * len(pages), pa.int16()),
+                    "location": pa.array([None] * len(pages), pa.string()),
+                    "retry_after": pa.array([0] * len(pages), pa.int32()),
+                }
+            ),
+            d / "pages.parquet",
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "domain": pa.array([dom], pa.string()),
+                    "crawl_depth": pa.array([500], pa.int32()),
+                    "seed_urls": pa.array([[f"https://{dom}/"]], pa.list_(pa.string())),
+                }
+            ),
+            d / "seeds.parquet",
+        )
+        txt = "User-agent: *\n" + ("" if allow_private else "Disallow: /private/\n")
+        pq.write_table(
+            pa.table(
+                {
+                    "domain": pa.array([dom], pa.string()),
+                    "robots_txt": pa.array([txt], pa.string()),
+                    "status": pa.array([200], pa.int16()),
+                }
+            ),
+            d / f"robots_{'open' if allow_private else 'closed'}.parquet",
+        )
+
+    def test_reprobe_split_on_robots_change(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from marginaliasearch_ray.state.frontier import reprobe_refused
+
+        fix = tmp_path / "fix"
+        fix.mkdir()
+        self._write_fixture(fix, allow_private=False)
+        self._write_fixture(fix, allow_private=True)
+        out = tmp_path / "out"
+
+        run_crawl(
+            str(fix / "pages.parquet"),
+            str(fix / "seeds.parquet"),
+            str(fix / "robots_closed.parquet"),
+            str(out),
+            num_shards=2,
+            mode="async",
+        )
+        phase1 = _records(out)
+        assert not any("/private/" in u for u in phase1.url)
+
+        # every private URL was journaled refused
+        refused = []
+        for f in sorted((out / "refused").rglob("refused-*.parquet")):
+            t = pq.read_table(f)
+            refused.extend(t.column("url").to_pylist())
+        private = {f"https://reprobe.test/private/p{i}" for i in range(self.N_PRIVATE)}
+        assert private <= set(refused)
+
+        # resume with robots now allowing /private/: only the seeded ~10%
+        # reprobe subset is re-fetched
+        run_crawl(
+            str(fix / "pages.parquet"),
+            str(fix / "seeds.parquet"),
+            str(fix / "robots_open.parquet"),
+            str(out),
+            num_shards=2,
+            mode="async",
+            resume=True,
+        )
+        phase2 = _records(out)
+        fetched_private = {u for u in phase2.url if "/private/" in u}
+        expect_reprobe = {u for u in private if reprobe_refused(u)}
+        assert expect_reprobe, "fixture must contain at least one reprobe case"
+        assert len(expect_reprobe) < self.N_PRIVATE // 2
+        assert fetched_private == expect_reprobe
+        assert not phase2.duplicated(subset=["domain", "url"]).any()
