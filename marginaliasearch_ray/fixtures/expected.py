@@ -271,6 +271,7 @@ def _build_convert_expected(fix: Path, out: Path) -> None:
         should_index,
         validate_length,
     )
+    from ..functions.pdf import PDF_QUALITY, convert_pdf
     from ..functions.quality import document_quality
     from ..pipelines.convert import SIDELOAD_THRESHOLD
     from ..model.urls import parse_url
@@ -311,6 +312,15 @@ def _build_convert_expected(fix: Path, out: Path) -> None:
                     quality = PLAIN_TEXT_QUALITY
                     dhash = doc_lsh(body.lower().split())
                     if length == 0:
+                        state = "disqualified_length"
+                elif mime == "application/pdf":
+                    pdoc = convert_pdf(html)
+                    title = pdoc.title
+                    length = len(pdoc.text)
+                    n_words = len(pdoc.text.split())
+                    quality = PDF_QUALITY
+                    dhash = doc_lsh(pdoc.text.lower().split())
+                    if not validate_length(n_words, None, MIN_DOCUMENT_WORDS_FIXTURE):
                         state = "disqualified_length"
                 elif mime in ("text/html", "application/xhtml+xml"):
                     doc = parse_document(decode_body(html, charset))

@@ -494,6 +494,39 @@ def _generate_domain(cfg: WebConfig, domains: list[str], di: int):
                 proto1, rest1 = loc_list[0].split("://", 1)
                 host1, _, tail1 = rest1.partition("/")
                 loc_list.append(f"{proto1}://{host1}/./{tail1}")
+            if drng.random() < 0.6:
+                # sitemap-only PDF documents (the realistic PDF route: the
+                # link parser drops .pdf anchors via its binary-suffix list,
+                # LinkParser.java:27-34, but sitemap locs bypass it); the
+                # crawler records them unparsed, the converter's PDF plugin
+                # extracts (PdfDocumentProcessorPlugin.java)
+                from ..functions.pdf import make_pdf
+
+                n_pdfs = drng.randint(1, 2)
+                for pi in range(n_pdfs):
+                    pdf_url = f"{scheme}://{domain}/whitepaper{pi}.pdf"
+                    h1 = _sentence(drng, lex, 2, 5).title()
+                    pblocks = [("h1", h1)]
+                    if drng.random() < 0.4:
+                        pblocks.append(("p", "Abstract"))
+                        pblocks.append(("p", _sentence(drng, lex, 10, 20) + "."))
+                    if drng.random() < 0.15:
+                        # too-short PDF: exercises the length disqualifier
+                        pblocks.append(("p", _sentence(drng, lex, 2, 4)))
+                    else:
+                        for _ in range(drng.randint(2, 4)):
+                            pblocks.append(("p", _sentence(drng, lex, 12, 25) + "."))
+                    pdf_bytes = make_pdf(
+                        pblocks,
+                        meta_title=h1,
+                        compress=drng.random() < 0.5,
+                    )
+                    # text column stays empty: the CRAWLER records PDFs
+                    # unparsed; extraction is the converter's job
+                    page_rows.append(
+                        (pdf_url, EPOCH_MS + di * 86_400_000, pdf_bytes, "", lang, 200, None, None)
+                    )
+                    loc_list.append(pdf_url)
             locs = "\n".join(f"  <url><loc>{u}</loc></url>" for u in loc_list)
             xml = (
                 '<?xml version="1.0" encoding="UTF-8"?>\n'

@@ -68,6 +68,9 @@ def sniff_content_type(header_ct: Optional[str], body: bytes) -> tuple[str, str]
             cm = _CHARSET_PARAM_RE.search(ct)
             if cm:
                 charset = charset or cm.group(1)
+        elif body[:5] == b"%PDF-":
+            # crawler-commons MimeTypeDetector magic-byte detection
+            mime = "application/pdf"
         elif body.lstrip()[:5] == b"<?xml":
             # crawler-commons MimeTypeDetector runs before the fallback
             # sniffer (ContentTypeParser.java:18-19) and classifies XML

@@ -134,6 +134,7 @@ F_AFFILIATE = 1 << 3
 F_COOKIES = 1 << 4
 F_QUANTCAST = 1 << 5
 F_PARDOT = 1 << 6
+F_PDF = 1 << 7  # HtmlFeature.PDF (PdfDocumentProcessorPlugin.java:123)
 
 _TRACKING_HOSTS = ("google-analytics.com", "googletagmanager.com", "gtag/js")
 _ADTECH_HOSTS = ("doubleclick", "adservice", "googlesyndication")

@@ -36,7 +36,8 @@ import ray
 import ray.data as rd
 
 from ..functions.contenttype import decode_body, sniff_content_type
-from ..functions.docmeta import adjust_quality, detect_features, extract_summary, sniff_pubdate
+from ..functions.docmeta import F_PDF, adjust_quality, detect_features, extract_summary, sniff_pubdate
+from ..functions.pdf import PDF_PUB_YEAR, PDF_QUALITY, convert_pdf, pdf_description
 from ..functions.specialization import (
     MIN_DOCUMENT_WORDS_FIXTURE,
     select_specialization,
@@ -123,6 +124,24 @@ def process_pages_batch(batch: pa.Table) -> pa.Table:
             lsh[i] = content_hash(html)
             doc_hash[i] = doc_lsh(body.lower().split())
             if length[i] == 0:
+                state[i] = "disqualified_length"
+            continue
+        if mime == "application/pdf" or mime.startswith("application/pdf;"):
+            # PDF plugin (PdfDocumentProcessorPlugin.java:70-153): convert
+            # to heading/paragraph blocks, fixed quality -5, fixed pubdate
+            # 1993, PDF feature flag, length gate at factor 1.0
+            pdoc = convert_pdf(html)
+            title[i] = pdoc.title
+            text[i] = pdoc.text
+            length[i] = len(pdoc.text)
+            n_words[i] = len(pdoc.text.split())
+            quality[i] = PDF_QUALITY
+            pub_year[i] = PDF_PUB_YEAR
+            features[i] = F_PDF
+            summary[i] = pdf_description(pdoc)
+            lsh[i] = content_hash(html)
+            doc_hash[i] = doc_lsh(pdoc.text.lower().split())
+            if not validate_length(int(n_words[i]), None, MIN_DOCUMENT_WORDS_FIXTURE):
                 state[i] = "disqualified_length"
             continue
         if mime not in ("text/html", "application/xhtml+xml"):
