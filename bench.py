@@ -145,7 +145,11 @@ def run_bench() -> dict:
     import __ray_entry__ as E
 
     qs = E.queries()
-    for name in () if not os.path.exists(f"{SF_DIR}/documents.parquet") else (
+    secondary_enabled = (
+        os.path.exists(f"{SF_DIR}/documents.parquet")
+        and not os.environ.get("GRAFT_HEADLINE_ONLY")
+    )
+    for name in () if not secondary_enabled else (
         "agg_lineitem_pricing",
         "join_order_revenue",
         "topk_orders",
@@ -192,7 +196,12 @@ def run_scaling(repeats: int = 2, settle_s: int = 45) -> dict:
     scale_sf = os.environ.get("GRAFT_SCALING_SF", "/root/testdata/sfscale")
 
     def run_once(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=scale_sf)
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_SF_DIR=scale_sf,
+            GRAFT_HEADLINE_ONLY="1",  # crawl+convert only in the timed runs
+        )
         p = subprocess.run(
             [sys.executable, __file__], env=env, capture_output=True, text=True
         )
@@ -202,38 +211,47 @@ def run_scaling(repeats: int = 2, settle_s: int = 45) -> dict:
 
     first = True
 
-    def run_best(ncpu: int) -> dict:
+    def run_best(ncpu: int) -> tuple[dict, list[float]]:
         nonlocal first
-        best = None
+        best, vals = None, []
         for _ in range(repeats):
             if not first:
                 time.sleep(settle_s)
             first = False
             r = run_once(ncpu)
+            vals.append(r["value"])
             if best is None or r["value"] < best["value"]:
                 best = r
-        return best
+        return best, vals
 
     # hardware scaling ceiling: this host's per-core clock drops as more
     # cores go active (turbo behavior), so even a pure CPU spin scales at
     # well under 1.0 from 8 to 32 processes.  Measure it so the pipeline's
     # SOFTWARE scaling can be read separately from the host's clock curve.
-    hw = _cpu_scaling_baseline(lo_cpus, hi_cpus)
-
-    lo = run_best(lo_cpus)
-    hi = run_best(hi_cpus)
+    # Measured BEFORE and AFTER the pipeline runs; the max of the two is
+    # the cleanest available reading of the host's capability (co-tenant
+    # load only lowers it), so dividing by the max is conservative.
+    hw_pre = _cpu_scaling_baseline(lo_cpus, hi_cpus)
+    lo, lo_vals = run_best(lo_cpus)
+    hi, hi_vals = run_best(hi_cpus)
+    hw_post = _cpu_scaling_baseline(lo_cpus, hi_cpus)
+    hw = max(hw_pre, hw_post)
     # efficiency on the distributed-throughput-bearing stages (crawl+convert)
     eff = (lo["value"] / hi["value"]) / (hi_cpus / lo_cpus)
     return {
         "metric": "scaling efficiency (8 -> 32 cpus, same input)",
         "sec_8": lo["value"],
         "sec_32": hi["value"],
+        "sec_8_runs": lo_vals,
+        "sec_32_runs": hi_vals,
         "urls_per_sec_8": lo["crawl_urls_per_sec"],
         "urls_per_sec_32": hi["crawl_urls_per_sec"],
         "pages_per_sec_8": lo["convert_pages_per_sec"],
         "pages_per_sec_32": hi["convert_pages_per_sec"],
         "scaling_efficiency": round(eff, 3),
         "hw_cpu_scaling_ceiling": round(hw, 3),
+        "hw_ceiling_pre": round(hw_pre, 3),
+        "hw_ceiling_post": round(hw_post, 3),
         "scaling_efficiency_hw_normalized": round(min(eff / hw, 1.0), 3),
         "sf": lo["sf"],
     }
@@ -264,4 +282,15 @@ if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
-        print(json.dumps(run_bench()))
+        result = run_bench()
+        if not os.environ.get("GRAFT_HEADLINE_ONLY") and not os.environ.get(
+            "GRAFT_SKIP_SCALING"
+        ):
+            # embed the two-parallelism protocol (raw + hardware ceiling +
+            # normalized) so the per-round BENCH json carries the scaling
+            # evidence from one scripted run
+            try:
+                result["scaling"] = run_scaling(repeats=2, settle_s=30)
+            except Exception as ex:  # noqa: BLE001 — bench must still print
+                result["scaling"] = {"error": str(ex)[-500:]}
+        print(json.dumps(result))

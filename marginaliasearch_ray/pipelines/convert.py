@@ -277,19 +277,20 @@ def convert_pages(
     dedup: bool = True,
     batch_size: int = 256,
     num_blocks: Optional[int] = None,
-    stage_dir: Optional[str] = None,
 ) -> rd.Dataset:
     """Full converter pipeline; returns (and optionally writes) the
     processed-document Dataset.
 
     Dedup dataflow (one extraction pass, no full-text shuffle):
-    1. extract -> write the processed docs to partitioned parquet (the
-       converter's natural output materialization; resumable per file);
-    2. re-read ONLY (domain, url, doc_hash, n_words, state) — a pruned
-       columnar read, a few bytes/row — and run the per-domain LSH dedup
-       as a groupby over that narrow table;
+    1. extract once -> materialize the processed blocks in the object
+       store (plasma, spilling past the budget);
+    2. hash-shuffle ONLY (domain, url, doc_hash, n_words, state) — a few
+       bytes/row — into DEDUP_PARTS domain-complete parts (raw-Ray
+       num_returns split, no sort) and run the per-domain LSH dedup per
+       part;
     3. broadcast the duplicate-url set (``ray.put`` once) and append the
-       ``is_near_dup`` flag in a streaming map over the written docs.
+       ``is_near_dup`` flag in a streaming map over the materialized
+       blocks (written once, flagged, when ``out_dir`` is given).
     The broadcast side is the *duplicate* set only (empirically a few % of
     urls); domains >= SIDELOAD_THRESHOLD are excluded per the reference's
     simple-processing track, which also bounds groupby skew.
@@ -318,42 +319,55 @@ def convert_pages(
             return rd.read_parquet(out_dir)
         return ds
 
-    import tempfile
+    # One extraction pass, materialized as object-store blocks: the dedup
+    # flag depends on every row of a domain, so a barrier is inherent —
+    # holding the extracted blocks in plasma (Ray spills past the budget,
+    # which at 100 TB is the disk staging without the re-parse) replaces
+    # the round-2 parquet write + re-read that cost a constant ~7-15 s of
+    # disk wall at every parallelism level.
+    mat = ds.materialize()
+    block_refs = mat.to_arrow_refs()
+    n_parts = DEDUP_PARTS
 
-    docs_dir = stage_dir or out_dir or tempfile.mkdtemp(prefix="convert_docs_")
-    docs_path = str(Path(docs_dir) / "docs")
-    # partitioned by dpart = hash(domain) % DEDUP_PARTS: a partitioned
-    # write does NOT shuffle (each task writes its rows into each
-    # partition dir), yet every partition holds complete domains — so the
-    # near-dup pass below is one independent task per partition over the
-    # narrow columns, replacing a sort-based groupby shuffle that
-    # dominated convert wall time at scale
-    ds.write_parquet(docs_path, partition_cols=["dpart"])
+    # hand-rolled hash shuffle of the NARROW columns only (a few bytes per
+    # row): each block splits into DEDUP_PARTS sub-tables keyed by the
+    # precomputed dpart = hash(domain) % DEDUP_PARTS column (complete
+    # domains per part), each combine task pulls exactly its part's refs —
+    # no sort, no full-text movement, no driver materialization.
+    @ray.remote(num_cpus=1, num_returns=n_parts)
+    def _narrow_split(block: pa.Table):
+        import pyarrow.compute as pc
+
+        nar = block.select(["domain", "url", "doc_hash", "n_words", "state", "dpart"])
+        dp = nar.column("dpart")
+        return tuple(nar.filter(pc.equal(dp, d)) for d in range(n_parts))
 
     @ray.remote(num_cpus=1)
-    def _dedup_partition(pdir: str) -> list:
-        import pyarrow.dataset as pads
-
-        tbl = pads.dataset(pdir).to_table(
-            columns=["domain", "url", "doc_hash", "n_words", "state"]
-        )
-        pdf = tbl.to_pandas()
+    def _dedup_part(*parts: pa.Table) -> list:
+        tables = [p for p in parts if p.num_rows]
+        if not tables:
+            return []
+        pdf = pa.concat_tables(tables).to_pandas()
         out: list[str] = []
         for _, group in pdf.groupby("domain", sort=False):
             out.extend(find_near_dup_urls(group)["url"])
         return out
 
-    part_dirs = sorted(str(p) for p in Path(docs_path).glob("dpart=*"))
-    dup_lists = ray.get([_dedup_partition.remote(p) for p in part_dirs])
+    splits = [_narrow_split.remote(b) for b in block_refs]
+    dup_lists = ray.get(
+        [_dedup_part.remote(*[s[d] for s in splits]) for d in range(n_parts)]
+    )
     dup_set = frozenset(u for part in dup_lists for u in part)
     dup_ref = ray.put(dup_set)
-    out = rd.read_parquet(docs_path).map_batches(
+    out = mat.map_batches(
         _flag_near_dups,
         fn_kwargs={"dup_ref": dup_ref},
         batch_format="pyarrow",
     )
     if out_dir:
+        # resumable production materialization: the flagged docs land as
+        # partitioned parquet exactly once
         flagged = str(Path(out_dir) / "docs_flagged")
-        out.write_parquet(flagged)
+        out.write_parquet(flagged, partition_cols=["dpart"])
         return rd.read_parquet(flagged)
     return out
