@@ -63,7 +63,9 @@ def _convert_docs(sf_dir: str) -> pd.DataFrame:
     fix = fixture_dir_for(sf_dir)
     ds = convert_pages(f"{fix}/pages.parquet")
     out = ds.select_columns(
-        ["url", "domain", "title", "length", "quality", "links_internal", "links_external", "is_near_dup"]
+        ["url", "domain", "title", "length", "quality", "links_internal",
+         "links_external", "is_near_dup", "n_words", "pub_year", "summary",
+         "spec", "amended_words"]
     ).to_pandas()
     out["quality"] = out["quality"].round(4)
     return out.sort_values("url").reset_index(drop=True)
@@ -817,7 +819,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "convert_docs": f"""
             SELECT url, domain, title, length, round(quality, 4) AS quality,
-                   links_internal, links_external, is_near_dup
+                   links_internal, links_external, is_near_dup,
+                   n_words, pub_year, summary, spec, amended_words
             FROM read_parquet('{exp}/expected_convert.parquet')
             ORDER BY url
         """,

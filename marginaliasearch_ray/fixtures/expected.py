@@ -38,7 +38,7 @@ from .cache import FIXTURE_VERSION, config_for, fixture_dir_for
 
 EXPECTED_ROOT = "/tmp/graft_expected"
 # bump when ORACLE LOGIC changes without a fixture-generator change
-EXPECTED_VERSION = 4
+EXPECTED_VERSION = 6
 
 
 def expected_dir_for(sf_dir: str) -> str:
@@ -256,24 +256,19 @@ def _build_convert_expected(fix: Path, out: Path) -> None:
     content type — mirrors DomainProcessor.fullProcessing without any of
     the engine's distributed machinery."""
     from ..functions.contenttype import decode_body, sniff_content_type
-    from ..functions.docmeta import adjust_quality, detect_features
-    from ..functions.htmldoc import parse_document
-    from ..functions.links import extract_links
     from ..functions.lsh import doc_lsh, hamming64
     from ..functions.plaintext import (
         FIRST_N_LINES,
         PLAIN_TEXT_QUALITY,
+        plain_text_description,
         plain_text_title,
     )
     from ..functions.specialization import (
         MIN_DOCUMENT_WORDS_FIXTURE,
-        select_specialization,
-        should_index,
         validate_length,
     )
-    from ..functions.pdf import PDF_QUALITY, convert_pdf
-    from ..functions.quality import document_quality
-    from ..pipelines.convert import SIDELOAD_THRESHOLD
+    from ..functions.pdf import PDF_QUALITY, convert_pdf, pdf_description
+    from ..pipelines.convert import SIDELOAD_THRESHOLD, process_html_document
     from ..model.urls import parse_url
 
     pages = pq.read_table(fix / "pages.parquet")
@@ -286,6 +281,8 @@ def _build_convert_expected(fix: Path, out: Path) -> None:
     rows = {
         "url": [], "domain": [], "title": [], "length": [], "quality": [],
         "links_internal": [], "links_external": [], "is_near_dup": [],
+        "n_words": [], "pub_year": [], "summary": [], "spec": [],
+        "amended_words": [],
     }
     for domain in sorted(by_domain):
         idxs = by_domain[domain]
@@ -295,81 +292,74 @@ def _build_convert_expected(fix: Path, out: Path) -> None:
             html = pages["html"][i].as_py()
             status = pages["status"][i].as_py()
             u = parse_url(url)
-            title, length, quality, ni, ne = "", 0, 0.0, 0, 0
-            state, n_words, dhash = "ok", 0, 0
+            r = {
+                "state": "ok", "title": "", "length": 0, "quality": 0.0,
+                "n_words": 0, "doc_hash": 0, "ni": 0, "ne": 0,
+                "pub_year": 0, "summary": "", "spec": "", "amended_words": "",
+            }
             if status == 301:
-                state = "redirect"
+                r["state"] = "redirect"
             elif status not in (200, None):
-                state = "fetch_error"
+                r["state"] = "fetch_error"
             else:
                 mime, charset = sniff_content_type(None, html)
                 if mime.startswith("text/plain"):
                     body = decode_body(html, charset)
                     lines = body.splitlines()[:FIRST_N_LINES]
-                    title = plain_text_title(u.path, lines)
-                    length = len(body)
-                    n_words = len(body.split())
-                    quality = PLAIN_TEXT_QUALITY
-                    dhash = doc_lsh(body.lower().split())
-                    if length == 0:
-                        state = "disqualified_length"
+                    r["title"] = plain_text_title(u.path, lines)
+                    r["summary"] = plain_text_description(lines)
+                    r["pub_year"] = 1993  # PlainTextDocumentProcessorPlugin.java:102
+                    r["length"] = len(body)
+                    r["n_words"] = len(body.split())
+                    r["quality"] = PLAIN_TEXT_QUALITY
+                    r["doc_hash"] = doc_lsh(body.lower().split())
+                    if r["length"] == 0:
+                        r["state"] = "disqualified_length"
                 elif mime == "application/pdf":
                     pdoc = convert_pdf(html)
-                    title = pdoc.title
-                    length = len(pdoc.text)
-                    n_words = len(pdoc.text.split())
-                    quality = PDF_QUALITY
-                    dhash = doc_lsh(pdoc.text.lower().split())
-                    if not validate_length(n_words, None, MIN_DOCUMENT_WORDS_FIXTURE):
-                        state = "disqualified_length"
+                    r["summary"] = pdf_description(pdoc)
+                    r["pub_year"] = 1993  # PdfDocumentProcessorPlugin.java:123
+                    r["title"] = pdoc.title
+                    r["length"] = len(pdoc.text)
+                    r["n_words"] = len(pdoc.text.split())
+                    r["quality"] = PDF_QUALITY
+                    r["doc_hash"] = doc_lsh(pdoc.text.lower().split())
+                    if not validate_length(r["n_words"], None, MIN_DOCUMENT_WORDS_FIXTURE):
+                        r["state"] = "disqualified_length"
                 elif mime in ("text/html", "application/xhtml+xml"):
-                    doc = parse_document(decode_body(html, charset))
-                    rm = doc.meta_robots.lower()
-                    spec = select_specialization(doc, u)
-                    if "noindex" in rm or rm.strip() == "none":
-                        state = "disqualified_robots"
-                    elif not should_index(spec, u):
-                        state = "disqualified_spec"
-                    else:
-                        title = doc.title
-                        length = len(doc.text)
-                        n_words = len(doc.text.split())
-                        quality = adjust_quality(
-                            document_quality(doc, length, len(html)),
-                            detect_features(doc),
-                        )
-                        dhash = doc_lsh(doc.text.lower().split())
-                        for l in extract_links(u, doc):
-                            if l.host == u.host:
-                                ni += 1
-                            else:
-                                ne += 1
-                        if not validate_length(n_words, spec, MIN_DOCUMENT_WORDS_FIXTURE):
-                            state = "disqualified_length"
+                    # the EXACT per-document function the engine runs —
+                    # specialization prune / title / summary / pubdate
+                    # included by construction
+                    r.update(process_html_document(u, url, html, decode_body(html, charset)))
                 else:
-                    state = "not_html"
-            docs.append((url, title, length, quality, ni, ne, state, n_words, dhash))
+                    r["state"] = "not_html"
+            docs.append((url, r))
         # LshDocumentDeduplicator chain in url order (engine's deterministic
         # stream order); big domains take the simple track: no dedup
         docs.sort(key=lambda d: d[0])
         kept_hashes: list[int] = []
-        for url, title, length, quality, ni, ne, state, n_words, dhash in docs:
+        for url, r in docs:
             is_dup = False
-            if len(docs) < SIDELOAD_THRESHOLD and state == "ok" and n_words >= 100:
+            if len(docs) < SIDELOAD_THRESHOLD and r["state"] == "ok" and r["n_words"] >= 100:
                 for kh in kept_hashes:
-                    if hamming64(kh, dhash) < 2:
+                    if hamming64(kh, r["doc_hash"]) < 2:
                         is_dup = True
                         break
                 if not is_dup:
-                    kept_hashes.append(dhash)
+                    kept_hashes.append(r["doc_hash"])
             rows["url"].append(url)
             rows["domain"].append(domain)
-            rows["title"].append(title)
-            rows["length"].append(length)
-            rows["quality"].append(round(quality, 4))
-            rows["links_internal"].append(ni)
-            rows["links_external"].append(ne)
+            rows["title"].append(r["title"])
+            rows["length"].append(r["length"])
+            rows["quality"].append(round(r["quality"], 4))
+            rows["links_internal"].append(r["ni"])
+            rows["links_external"].append(r["ne"])
             rows["is_near_dup"].append(is_dup)
+            rows["n_words"].append(r["n_words"])
+            rows["pub_year"].append(r["pub_year"])
+            rows["summary"].append(r["summary"])
+            rows["spec"].append(r["spec"])
+            rows["amended_words"].append(r["amended_words"])
     pq.write_table(
         pa.table(
             {
@@ -381,6 +371,11 @@ def _build_convert_expected(fix: Path, out: Path) -> None:
                 "links_internal": pa.array(rows["links_internal"], pa.int32()),
                 "links_external": pa.array(rows["links_external"], pa.int32()),
                 "is_near_dup": pa.array(rows["is_near_dup"], pa.bool_()),
+                "n_words": pa.array(rows["n_words"], pa.int32()),
+                "pub_year": pa.array(rows["pub_year"], pa.int32()),
+                "summary": pa.array(rows["summary"], pa.string()),
+                "spec": pa.array(rows["spec"], pa.string()),
+                "amended_words": pa.array(rows["amended_words"], pa.string()),
             }
         ),
         out / "expected_convert.parquet",

@@ -1,0 +1,488 @@
+"""Bounded in-memory DOM for the converter's document-rewriting hooks.
+
+The reference's converting process leans on a jsoup DOM for everything the
+streaming tagger cannot express: branch pruning (``DomPruningFilter.java``),
+summary block scoring (``SummarizingDOMFilter.java``), the specialization
+``prune`` / ``getSummary`` / ``amendWords`` hooks
+(``HtmlProcessorSpecializations.java``), and the HIGH-effort pubdate passes
+(``PubDateHeuristicDOMParsingPass1/2.java``).  This module provides the
+minimal jsoup-shaped surface those ports need:
+
+- node types ``DomElement`` / ``DomText`` / ``DomComment`` with parent /
+  children links; adjacent text runs merge into a single ``DomText`` so
+  text-node granularity matches jsoup (``childNodeSize() == 1`` checks,
+  per-text-node length gates);
+- ``filter(node_filter)`` with jsoup ``NodeFilter`` semantics (head/tail
+  visits, CONTINUE / REMOVE / SKIP_CHILDREN / STOP; REMOVE detaches the
+  node before the parent's tail runs, exactly like ``NodeTraversor``);
+- a selector subset covering every pattern the ports use: ``tag``,
+  ``.class``, ``#id``, ``tag[attr]``, ``tag[attr=val]``, ``parent > child``
+  and comma unions;
+- ``text()`` with jsoup's block-level space insertion (approximate: blocks
+  and <br> contribute a separating space, whitespace runs collapse),
+  ``whole_text()`` raw, and ``inner_html_len()`` for the tag-density
+  heuristics (approximate serialization length — documented deviation, the
+  ratio test only needs a consistent measure);
+- ``tagger_text(root)``: the reference's tagged-string text extraction
+  (HtmlStringTagger.java:20-118 + SentenceExtractor.java:94-107) replayed
+  over a tree, byte-identical to the streaming walker on an unpruned tree
+  (tested against the fixture grammar ground truth) — this is what turns a
+  PRUNED tree back into document text, mirroring
+  ``SentenceExtractor.extractSentences(prunedDoc)``.
+
+The tree is built in the same single parse pass as the streaming walker
+(``htmldoc.parse_document(..., build_dom=True)``) — no second parse.  A
+node-count cap bounds memory on adversarial input; past the cap the tree
+stops growing (the streaming fields still cover the whole document) and
+``truncated`` is set.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, Iterator, Optional
+
+_WS_RE = re.compile(r"[ \t\n\x0c\r]+")
+
+# jsoup block-level elements (subset relevant to text()-spacing)
+_BLOCK_TAGS = frozenset(
+    "html head body p div section article aside main nav header footer "
+    "h1 h2 h3 h4 h5 h6 ul ol li dl dt dd table thead tbody tfoot tr td th "
+    "blockquote pre form fieldset address figure figcaption center hr "
+    "noscript br title script style".split()
+)
+
+MAX_DOM_NODES = 200_000
+
+# filter results (jsoup NodeFilter.FilterResult)
+CONTINUE, SKIP_CHILDREN, SKIP_ENTIRELY, REMOVE, STOP = range(5)
+
+
+class _Stop(Exception):
+    pass
+
+
+class DomNode:
+    __slots__ = ("parent",)
+
+    def __init__(self) -> None:
+        self.parent: Optional[DomElement] = None
+
+    def remove(self) -> None:
+        if self.parent is not None:
+            try:
+                self.parent.children.remove(self)
+            except ValueError:
+                pass
+            self.parent = None
+
+
+class DomText(DomNode):
+    __slots__ = ("whole_text",)
+
+    def __init__(self, text: str) -> None:
+        super().__init__()
+        self.whole_text = text
+
+    def text(self) -> str:
+        return _WS_RE.sub(" ", self.whole_text).strip()
+
+    def clone(self) -> "DomText":
+        return DomText(self.whole_text)
+
+
+class DomComment(DomNode):
+    __slots__ = ("data",)
+
+    def __init__(self, data: str) -> None:
+        super().__init__()
+        self.data = data
+
+    def clone(self) -> "DomComment":
+        return DomComment(self.data)
+
+
+class DomElement(DomNode):
+    __slots__ = ("tag", "attrs", "children")
+
+    def __init__(self, tag: str, attrs: Optional[dict] = None) -> None:
+        super().__init__()
+        self.tag = tag
+        self.attrs: dict = attrs if attrs is not None else {}
+        self.children: list[DomNode] = []
+
+    # -- structure ---------------------------------------------------------
+
+    def append_child(self, node: DomNode) -> "DomElement":
+        node.parent = self
+        self.children.append(node)
+        return self
+
+    def append_text(self, text: str) -> "DomElement":
+        """Append text, merging into a trailing DomText (jsoup granularity)."""
+        if self.children and isinstance(self.children[-1], DomText):
+            self.children[-1].whole_text += text
+        else:
+            self.append_child(DomText(text))
+        return self
+
+    def empty(self) -> "DomElement":
+        for c in self.children:
+            c.parent = None
+        self.children = []
+        return self
+
+    def clone(self) -> "DomElement":
+        el = DomElement(self.tag, dict(self.attrs))
+        for c in self.children:
+            cc = c.clone()
+            cc.parent = el
+            el.children.append(cc)
+        return el
+
+    def child_node_size(self) -> int:
+        return len(self.children)
+
+    def child_node(self, i: int) -> DomNode:
+        return self.children[i]
+
+    def next_sibling(self) -> Optional[DomNode]:
+        if self.parent is None:
+            return None
+        sibs = self.parent.children
+        try:
+            i = sibs.index(self)
+        except ValueError:
+            return None
+        return sibs[i + 1] if i + 1 < len(sibs) else None
+
+    def next_element_sibling(self) -> Optional["DomElement"]:
+        if self.parent is None:
+            return None
+        sibs = self.parent.children
+        try:
+            i = sibs.index(self)
+        except ValueError:
+            return None
+        for s in sibs[i + 1 :]:
+            if isinstance(s, DomElement):
+                return s
+        return None
+
+    # -- attributes --------------------------------------------------------
+
+    def attr(self, name: str) -> str:
+        return self.attrs.get(name) or ""
+
+    def id(self) -> str:
+        return self.attr("id")
+
+    def class_names(self) -> list[str]:
+        return self.attr("class").split()
+
+    def has_class(self, name: str) -> bool:
+        nl = name.lower()
+        return any(c.lower() == nl for c in self.class_names())
+
+    # -- traversal / search ------------------------------------------------
+
+    def iter_elements(self, include_self: bool = True) -> Iterator["DomElement"]:
+        """Document-order descendant elements (jsoup getAllElements order)."""
+        if include_self:
+            yield self
+        stack = [iter(self.children)]
+        while stack:
+            try:
+                node = next(stack[-1])
+            except StopIteration:
+                stack.pop()
+                continue
+            if isinstance(node, DomElement):
+                yield node
+                stack.append(iter(node.children))
+
+    def get_elements_by_tag(self, tag: str) -> list["DomElement"]:
+        t = tag.lower()
+        return [e for e in self.iter_elements() if e.tag == t]
+
+    def get_elements_by_class(self, cls: str) -> list["DomElement"]:
+        return [e for e in self.iter_elements() if e.has_class(cls)]
+
+    def get_element_by_id(self, eid: str) -> Optional["DomElement"]:
+        for e in self.iter_elements():
+            if e.attr("id") == eid:
+                return e
+        return None
+
+    # -- selector subset ---------------------------------------------------
+
+    _SEL_RE = re.compile(
+        r"^(?P<tag>[a-zA-Z][\w-]*|\*)?"
+        r"(?P<id>#[\w.:-]+)?"
+        r"(?P<cls>\.[\w-]+)?"
+        r"(?P<attr>\[[^\]]+\])?$"
+    )
+
+    @classmethod
+    def _match_simple(cls, el: "DomElement", sel: str) -> bool:
+        m = cls._SEL_RE.match(sel)
+        if not m:
+            return False
+        tag = m.group("tag")
+        if tag and tag != "*" and el.tag != tag.lower():
+            return False
+        if m.group("id") and el.attr("id") != m.group("id")[1:]:
+            return False
+        if m.group("cls") and not el.has_class(m.group("cls")[1:]):
+            return False
+        attr = m.group("attr")
+        if attr:
+            body = attr[1:-1]
+            if "=" in body:
+                k, v = body.split("=", 1)
+                v = v.strip("\"'")
+                if el.attr(k.strip()) != v:
+                    return False
+            elif not el.attrs.get(body.strip()):
+                return False
+        return True
+
+    def select(self, selector: str) -> list["DomElement"]:
+        """Comma-union of simple selectors; one `parent > child` level."""
+        out: list[DomElement] = []
+        seen: set[int] = set()
+        for part in selector.split(","):
+            part = part.strip()
+            if ">" in part:
+                ptag, csel = (s.strip() for s in part.split(">", 1))
+                for p in self.iter_elements():
+                    if not self._match_simple(p, ptag):
+                        continue
+                    for c in p.children:
+                        if isinstance(c, DomElement) and self._match_simple(c, csel):
+                            if id(c) not in seen:
+                                seen.add(id(c))
+                                out.append(c)
+            else:
+                for e in self.iter_elements():
+                    if self._match_simple(e, part) and id(e) not in seen:
+                        seen.add(id(e))
+                        out.append(e)
+        return out
+
+    def select_first(self, selector: str) -> Optional["DomElement"]:
+        found = self.select(selector)
+        return found[0] if found else None
+
+    # -- text --------------------------------------------------------------
+
+    def text(self) -> str:
+        """jsoup Element.text(): whitespace-normalized, block boundaries
+        contribute a separating space."""
+        parts: list[str] = []
+
+        def last_is_space() -> bool:
+            return not parts or parts[-1].endswith(" ")
+
+        def walk(n: DomNode) -> None:
+            if isinstance(n, DomText):
+                t = _WS_RE.sub(" ", n.whole_text)
+                if t:
+                    if t.startswith(" ") and last_is_space():
+                        t = t[1:]
+                    if t:
+                        parts.append(t)
+            elif isinstance(n, DomElement):
+                if n.tag in _BLOCK_TAGS and parts and not last_is_space():
+                    parts.append(" ")
+                for c in n.children:
+                    walk(c)
+                if n.tag in _BLOCK_TAGS and parts and not last_is_space():
+                    parts.append(" ")
+
+        for c in self.children:
+            walk(c)
+        return "".join(parts).strip()
+
+    def whole_text(self) -> str:
+        out: list[str] = []
+
+        def walk(n: DomNode) -> None:
+            if isinstance(n, DomText):
+                out.append(n.whole_text)
+            elif isinstance(n, DomElement):
+                for c in n.children:
+                    walk(c)
+
+        walk(self)
+        return "".join(out)
+
+    def inner_html_len(self) -> int:
+        """Approximate len(Element.html()): tags + attrs + raw text.  Only
+        used in density RATIOS (TagDensityHeuristic.java:47-49), where a
+        consistent measure is what matters."""
+        total = 0
+
+        def walk(n: DomNode) -> None:
+            nonlocal total
+            if isinstance(n, DomText):
+                total += len(n.whole_text)
+            elif isinstance(n, DomComment):
+                total += len(n.data) + 7  # <!-- -->
+            elif isinstance(n, DomElement):
+                total += 2 * len(n.tag) + 5  # <t></t>
+                for k, v in n.attrs.items():
+                    total += len(k) + (3 + len(v) if v else 0)
+                for c in n.children:
+                    walk(c)
+
+        for c in self.children:
+            walk(c)
+        return total
+
+    # -- jsoup NodeFilter --------------------------------------------------
+
+    def filter(self, node_filter) -> None:
+        """jsoup NodeTraversor.filter: head before children, tail after;
+        REMOVE (from head or tail) detaches the node so the parent's tail
+        aggregation never sees it; STOP aborts the whole traversal."""
+
+        def walk(node: DomNode, depth: int) -> int:
+            r = node_filter.head(node, depth)
+            if r == STOP:
+                raise _Stop
+            if r == REMOVE:
+                return REMOVE
+            if r == CONTINUE and isinstance(node, DomElement):
+                kept: list[DomNode] = []
+                for c in list(node.children):
+                    if walk(c, depth + 1) == REMOVE:
+                        c.parent = None
+                    else:
+                        kept.append(c)
+                node.children = kept
+            t = node_filter.tail(node, depth)
+            if t == STOP:
+                raise _Stop
+            return REMOVE if t == REMOVE else CONTINUE
+
+        try:
+            if walk(self, 0) == REMOVE:
+                self.remove()
+        except _Stop:
+            pass
+
+    def traverse(self, head: Callable[[DomNode, int], None],
+                 tail: Optional[Callable[[DomNode, int], None]] = None) -> None:
+        def walk(node: DomNode, depth: int) -> None:
+            head(node, depth)
+            if isinstance(node, DomElement):
+                for c in list(node.children):
+                    walk(c, depth + 1)
+            if tail is not None:
+                tail(node, depth)
+
+        walk(self, 0)
+
+
+class DomDocument(DomElement):
+    """Root node (#root in jsoup terms) with body()/head() accessors."""
+
+    __slots__ = ("truncated",)
+
+    def __init__(self) -> None:
+        super().__init__("#root")
+        self.truncated = False
+
+    def _find_tag(self, tag: str) -> Optional[DomElement]:
+        for e in self.iter_elements(include_self=False):
+            if e.tag == tag:
+                return e
+        return None
+
+    def body(self) -> DomElement:
+        return self._find_tag("body") or self
+
+    def head(self) -> DomElement:
+        return self._find_tag("head") or self
+
+    def title(self) -> str:
+        t = self._find_tag("title")
+        return t.text() if t is not None else ""
+
+    def clone(self) -> "DomDocument":
+        doc = DomDocument()
+        doc.truncated = self.truncated
+        for c in self.children:
+            cc = c.clone()
+            cc.parent = doc
+            doc.children.append(cc)
+        return doc
+
+
+def new_document() -> DomDocument:
+    """Blank document (reference `new Document(baseUri)` for the rebuild
+    specializations, XenForoSpecialization.java:28-30)."""
+    return DomDocument()
+
+
+# ---------------------------------------------------------------------------
+# Tagger replay: tree -> document text (byte-identical to the streaming
+# walker's extraction on an unpruned tree; the converter runs it on the
+# PRUNED tree, mirroring SentenceExtractor.extractSentences(prunedDoc))
+# ---------------------------------------------------------------------------
+
+
+def tagger_text(root: DomElement) -> str:
+    # local import: htmldoc imports this module
+    from .htmldoc import _EXCLUDED, _PUSH_TAG
+
+    out: list[list] = []  # [string, frozenset] emission frames
+    cur: list[str] = []
+    stack: list[int] = []
+    excluded_depth = 0
+
+    def close_ongoing() -> None:
+        if cur:
+            out.append(["".join(cur), frozenset(stack)])
+            cur.clear()
+
+    def walk(node: DomNode) -> None:
+        nonlocal excluded_depth
+        if isinstance(node, DomText):
+            if excluded_depth:
+                return
+            norm = _WS_RE.sub(" ", node.whole_text)
+            st = norm.strip()
+            if st:
+                cur.append(" ")
+                cur.append(st)
+            return
+        if not isinstance(node, DomElement):
+            return
+        kind = _PUSH_TAG.get(node.tag)
+        if kind is not None:
+            close_ongoing()
+            stack.append(kind)
+            if kind in _EXCLUDED:
+                excluded_depth += 1
+        for c in node.children:
+            walk(c)
+        if kind is not None:
+            out.append(["".join(cur), frozenset(stack)])
+            cur.clear()
+            stack.pop()
+            if kind in _EXCLUDED:
+                excluded_depth -= 1
+
+    for c in root.children:
+        walk(c)
+    close_ongoing()
+
+    compact: list[list] = []
+    for s, tags in out:
+        if compact and compact[-1][1] == tags:
+            compact[-1][0] += " " + s
+        else:
+            compact.append([s, tags])
+    return " ".join(s for s, _ in compact)

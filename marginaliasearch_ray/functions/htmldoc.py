@@ -37,6 +37,8 @@ from dataclasses import dataclass, field
 from html.parser import HTMLParser
 from typing import Optional
 
+from .dom import MAX_DOM_NODES, DomComment, DomDocument, DomElement
+
 # Tag-kind constants (reference HtmlTag enum; exclude flags per HtmlTag.java)
 SCRIPT, STYLE, FORM, CODE, TITLE, ANCHOR, NAV, HEADING = range(8)
 _EXCLUDED = frozenset((SCRIPT, STYLE, FORM))
@@ -103,13 +105,21 @@ class ParsedDoc:
     # detected document standard (doctype sniff): HTML5 / HTML4 / XHTML /
     # HTML123 / UNKNOWN — feeds PubDateFromHtmlStandard.blindGuess
     html_standard: str = "UNKNOWN"
+    # bounded DOM tree (built only with parse_document(build_dom=True);
+    # feeds the converter's prune / summary / pubdate-DOM hooks)
+    dom: Optional[DomDocument] = None
 
 
 class _Walker(HTMLParser):
-    def __init__(self) -> None:
+    def __init__(self, build_dom: bool = False) -> None:
         super().__init__(convert_charrefs=True)
         self.doc = ParsedDoc()
-        # full open-element stack: list of (tagname, pushed: bool)
+        # optional same-pass DOM build (no second parse): _open entries
+        # carry the corresponding DomElement so the current insertion
+        # point is the innermost open entry that has a node
+        self._dom: Optional[DomDocument] = DomDocument() if build_dom else None
+        self._dom_nodes = 0
+        # full open-element stack: list of (tagname, pushed: bool, node)
         self._open: list[list] = []
         # tagger stack of tag-kind ints, parallel "is interesting" markers
         self._tagstack: list[int] = []
@@ -145,6 +155,28 @@ class _Walker(HTMLParser):
             if t in _EXCLUDED:
                 return False
         return True
+
+    # -- DOM build (same pass) --------------------------------------------
+
+    def _dom_parent(self) -> Optional[DomElement]:
+        if self._dom is None:
+            return None
+        for entry in reversed(self._open):
+            if entry[2] is not None:
+                return entry[2]
+        return self._dom
+
+    def _dom_add_element(self, tag: str, attrs) -> Optional[DomElement]:
+        parent = self._dom_parent()
+        if parent is None:
+            return None
+        if self._dom_nodes >= MAX_DOM_NODES:
+            self._dom.truncated = True
+            return None
+        self._dom_nodes += 1
+        el = DomElement(tag, {k: (v if v is not None else "") for k, v in attrs})
+        parent.append_child(el)
+        return el
 
     # -- HTMLParser events -------------------------------------------------
 
@@ -205,6 +237,7 @@ class _Walker(HTMLParser):
             self._p_capture = True
             self._p_parts = []
 
+        node = self._dom_add_element(tag, attrs) if self._dom is not None else None
         kind = _PUSH_TAG.get(tag)
         pushed = kind is not None
         if pushed:
@@ -214,7 +247,7 @@ class _Walker(HTMLParser):
             if pushed:
                 self._pop_emit()
             return
-        self._open.append([tag, pushed])
+        self._open.append([tag, pushed, node])
 
     def handle_startendtag(self, tag: str, attrs) -> None:
         self.handle_starttag(tag, attrs)
@@ -251,7 +284,19 @@ class _Walker(HTMLParser):
                 return
         # stray end tag: ignore
 
+    def handle_comment(self, data: str) -> None:
+        parent = self._dom_parent()
+        if parent is not None and self._dom_nodes < MAX_DOM_NODES:
+            self._dom_nodes += 1
+            parent.append_child(DomComment(data))
+
     def handle_data(self, data: str) -> None:
+        if self._dom is not None and data:
+            parent = self._dom_parent()
+            if parent is not None and self._dom_nodes < MAX_DOM_NODES:
+                # append_text merges adjacent runs -> jsoup TextNode granularity
+                self._dom_nodes += 1
+                parent.append_text(data)
         if self._tagstack and self._tagstack[-1] == TITLE:
             self._title_parts.append(data)
         if self._script_depth > 0:
@@ -292,6 +337,7 @@ class _Walker(HTMLParser):
         self.doc.text = " ".join(s for s, _ in compact)
         self.doc.raw_text_len = sum(len(s) for s, _ in compact)
         self.doc.title = _normalise_ws("".join(self._title_parts)).strip()
+        self.doc.dom = self._dom
         return self.doc
 
 
@@ -316,9 +362,11 @@ def _sniff_html_standard(head: str) -> str:
     return "UNKNOWN"
 
 
-def parse_document(html: str) -> ParsedDoc:
-    """Parse an HTML string; returns extracted text + link inventory."""
-    w = _Walker()
+def parse_document(html: str, build_dom: bool = False) -> ParsedDoc:
+    """Parse an HTML string; returns extracted text + link inventory.
+    With ``build_dom=True`` the same pass also builds the bounded DOM tree
+    (``doc.dom``) used by the converter's prune/summary/pubdate hooks."""
+    w = _Walker(build_dom=build_dom)
     w.feed(html)
     doc = w.finish()
     doc.html_standard = _sniff_html_standard(html[:256])

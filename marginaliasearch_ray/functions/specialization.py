@@ -1,25 +1,44 @@
-"""HTML processor specializations: per-site-type indexing hooks.
+"""HTML processor specializations: per-site-type processing hooks.
 
 Reference ``HtmlProcessorSpecializations.java:38-108`` + the individual
 specializations: the generator meta tag (and a few domain rules) selects
-a specialization that contributes ``shouldIndex`` (URL-level document
-disqualification, HtmlDocumentProcessorPlugin.java:125) and
-``lengthModifier`` (scales the min-document-length gate,
-HtmlDocumentProcessorPlugin.java:158 / DocumentLengthLogic.java:81-84).
+a specialization that contributes
 
-The DOM-rewriting hooks (prune / getSummary) depend on a jsoup DOM the
-streaming parser does not build; their observable effect on this engine's
-output columns (title, extracted text) is covered by the tagger itself,
-so they are intentionally not modeled — documented deviation.
+- ``shouldIndex`` — URL-level document disqualification
+  (HtmlDocumentProcessorPlugin.java:125);
+- ``lengthModifier`` — scales the min-document-length gate
+  (HtmlDocumentProcessorPlugin.java:158 / DocumentLengthLogic.java:81-84);
+- ``prune`` — DOM rewriting before text/keyword extraction
+  (HtmlDocumentProcessorPlugin.java:129, DefaultSpecialization ->
+  DomPruningFilter(0.5); Wiki/Blog/XenForo/Mariadb rebuild the tree);
+- ``get_title`` / ``get_summary`` — per-site title/description overrides
+  (HtmlDocumentProcessorPlugin.java:153,179);
+- ``amend_words`` — extra keywords from site-specific markup
+  (HtmlDocumentProcessorPlugin.java:194; Blog tag lists, MariadbKb
+  <strong> terms).
+
+The DOM hooks run on the bounded tree from
+``parse_document(build_dom=True)``.  Convert-order note: the engine runs
+title / pubdate / amend_words on the ORIGINAL tree BEFORE ``prune`` so
+prune may mutate in place instead of cloning (the reference clones; the
+observable outputs are identical because it keeps both trees alive).
 """
 
 from __future__ import annotations
 
 import re
-from typing import Callable
+from typing import Callable, Optional
 
 from ..model.urls import CanonUrl
+from .dom import DomDocument, DomElement, new_document
+from .domops import (
+    DomPruningFilter,
+    extract_summary_dom,
+    title_chain,
+    truncate,
+)
 from .htmldoc import ParsedDoc
+from .stem import porter_stem
 
 # reference default is 250 (ConverterModule.java:18); the driver-facing
 # converter runs with the reference's own integration-test value of 32
@@ -120,3 +139,370 @@ def length_modifier(spec: str) -> float:
 def validate_length(n_words: int, spec: str, min_words: int) -> bool:
     """DocumentLengthLogic.validateLength: modifier * words >= min."""
     return length_modifier(spec) * n_words >= min_words
+
+
+# ---------------------------------------------------------------------------
+# DOM hooks (prune / get_title / get_summary / amend_words)
+# ---------------------------------------------------------------------------
+
+
+class DefaultSpec:
+    """DefaultSpecialization.java: svg removal + DomPruningFilter(0.5) on
+    body; TitleExtractor chain; SummaryExtractor chain."""
+
+    name = "default"
+
+    def prune(self, doc: DomDocument) -> DomDocument:
+        for svg in doc.get_elements_by_tag("svg"):
+            svg.remove()
+        doc.body().filter(DomPruningFilter(0.5))
+        return doc
+
+    def get_title(self, doc: DomDocument, url: str) -> str:
+        return title_chain(doc, url)
+
+    def get_summary(self, pruned: DomDocument, important_words=()) -> str:
+        return extract_summary_dom(pruned, important_words)
+
+    def amend_words(self, doc: DomDocument) -> list[str]:
+        return []
+
+
+class JavadocSpec(DefaultSpec):
+    """JavadocSpecialization.java: noscript removal; `.block` summary."""
+
+    name = "javadoc"
+
+    def prune(self, doc: DomDocument) -> DomDocument:
+        doc = super().prune(doc)
+        for el in doc.get_elements_by_tag("noscript"):
+            el.remove()
+        return doc
+
+    def get_summary(self, pruned: DomDocument, important_words=()) -> str:
+        blocks = pruned.get_elements_by_class("block")
+        if blocks:
+            return truncate(blocks[0].text(), 255)
+        return super().get_summary(pruned, important_words)
+
+
+class WikiSpec(DefaultSpec):
+    """WikiSpecialization.java: mediawiki junk removal, mw-content-text
+    root promotion, og:description summary, Special-page filtering."""
+
+    name = "wiki"
+
+    def prune(self, doc: DomDocument) -> DomDocument:
+        toc = doc.get_element_by_id("toc")
+        if toc is not None:
+            toc.remove()
+        for tag in ("table", "aside", "iframe", "noscript", "figure"):
+            for el in doc.get_elements_by_tag(tag):
+                el.remove()
+        for el in doc.get_elements_by_class("wikia-gallery"):
+            el.remove()
+        main_tag = doc.get_element_by_id("mw-content-text")
+        if main_tag is not None:
+            main_tag = main_tag.clone()
+            body = doc.body()
+            body.empty()
+            body.append_child(main_tag)
+            return doc
+        return super().prune(doc)
+
+    def get_summary(self, pruned: DomDocument, important_words=()) -> str:
+        og = pruned.select_first("meta[property=og:description]")
+        if og is not None:
+            desc = og.attr("content")
+            if desc and not desc.isspace():
+                return desc
+        return super().get_summary(pruned, important_words)
+
+
+class CppreferenceSpec(WikiSpec):
+    """CppreferenceSpecialization.java: t-nv/toc/mw-head junk removal,
+    std:: token expansion into the title, declaration-table summary."""
+
+    name = "cppreference"
+
+    def prune(self, doc: DomDocument) -> DomDocument:
+        for cls in ("t-nv", "toc", "mw-head", "printfooter", "cpp-footer-base"):
+            for el in doc.get_elements_by_class(cls):
+                el.remove()
+        title_el = doc.select_first("head > title") or doc.select_first("title")
+        if title_el is not None:
+            title = title_el.text()
+            extra = self.extract_extra_tokens(title)
+            if extra:
+                title_el.empty()
+                title_el.append_text(title + " " + " ".join(extra))
+        return doc
+
+    def get_summary(self, pruned: DomDocument, important_words=()) -> str:
+        decls = pruned.get_elements_by_class("t-dcl-begin")
+        if decls:
+            next_par = decls[0].next_element_sibling()
+            if next_par is not None:
+                return next_par.text()
+        return super().get_summary(pruned, important_words)
+
+    @staticmethod
+    def extract_extra_tokens(title: str) -> list[str]:
+        """CppreferenceSpecialization.extractExtraTokens: split
+        `std::foo::bar` declarations out of cppreference titles."""
+        if "::" not in title or "-" not in title:
+            return []
+        name = title.split("-", 1)[0]
+        while True:
+            lb = name.find("<")
+            rb = name.find(">")
+            if lb > 0 and rb > lb:
+                name = name[:lb] + name[rb + 1 :]
+            else:
+                break
+        tokens: list[str] = []
+        for part in re.split(r"\s*,\s*", name):
+            if part.endswith(")") and not part.endswith("()"):
+                paren = part.find("(")
+                if paren > 0:
+                    part = part[:paren]
+                elif paren == 0:
+                    part = part[1:-1]
+            part = part.strip()
+            if "::" in part:
+                tokens.append(part)
+                if part.startswith("std::"):
+                    tokens.append(part[5:])
+                    ss = part.find("::", 5)
+                    if ss > 0:
+                        tokens.append(part[:ss])
+                        tokens.append(part[ss + 2 :])
+        return tokens
+
+
+class BlogSpec(DefaultSpec):
+    """BlogSpecialization.java: comment/sidebar junk filter, <article>
+    root promotion, tag-list keyword amendment."""
+
+    name = "blog"
+
+    _BAD_CLASS = ("comment", "reply", "sidebar", "header", "footer", "nav")
+    _BAD_ID = ("comments", "header", "footer", "nav")
+
+    class _PruneFilter:
+        def head(self, node, depth: int) -> int:
+            from .dom import CONTINUE, REMOVE
+
+            if isinstance(node, DomElement):
+                if node.tag == "noscript":
+                    return REMOVE
+                classes = node.attr("class")
+                nid = node.attr("id")
+                for bad in BlogSpec._BAD_CLASS:
+                    if bad in classes:
+                        return REMOVE
+                for bad in BlogSpec._BAD_ID:
+                    if bad in nid:
+                        return REMOVE
+            return CONTINUE
+
+        def tail(self, node, depth: int) -> int:
+            from .dom import CONTINUE
+
+            return CONTINUE
+
+    def prune(self, doc: DomDocument) -> DomDocument:
+        doc.filter(self._PruneFilter())
+        articles = doc.get_elements_by_tag("article")
+        if articles:
+            art = articles[0].clone()
+            body = doc.body()
+            body.empty()
+            body.append_child(art)
+            return doc
+        return super().prune(doc)
+
+    def amend_words(self, doc: DomDocument) -> list[str]:
+        tags = extract_blog_tags(doc)
+        if not tags:
+            return []
+        out = {porter_stem(t) for t in tags}
+        out.update("tag:" + t for t in tags)
+        return sorted(out)
+
+
+_TAG_SPLIT_RE = re.compile(r"\s+")
+_TAG_NOISE_RE = re.compile(r"[^a-zA-Z0-9]")
+
+
+def _clean_blog_tag(tag: str) -> str:
+    """BlogTagExtractor.cleanTag (BlogSpecialization.java:139-161)."""
+    parts = _TAG_SPLIT_RE.split(tag)
+    if len(parts) > 3:
+        return ""
+    for i, p in enumerate(parts):
+        if p.startswith("#"):
+            parts[i] = p[1:]
+        elif p.startswith("(") and p.endswith(")"):
+            parts[i] = ""
+        else:
+            parts[i] = _TAG_NOISE_RE.sub("", p)
+        if parts[i] == "tags":
+            parts[i] = ""
+    return "_".join(p for p in parts if p and not p.isspace())
+
+
+def extract_blog_tags(doc: DomDocument) -> set[str]:
+    """BlogTagExtractor (BlogSpecialization.java:117-196): <a class~=tag>
+    or href^=/tag/, plus every link under a class~=tags container; >5
+    cleaned tags means a global tag listing — dropped."""
+    raw: set[str] = set()
+    look_for_tags = [-1]
+
+    def head(node, depth: int) -> None:
+        if not isinstance(node, DomElement):
+            return
+        if look_for_tags[0] < 0:
+            if "tags" in node.attr("class"):
+                look_for_tags[0] = depth
+            if node.tag == "a" and (
+                "tag" in node.attr("class") or node.attr("href").startswith("/tag/")
+            ):
+                raw.add(node.text())
+        elif node.tag == "a":
+            raw.add(node.text())
+
+    def tail(node, depth: int) -> None:
+        if depth <= look_for_tags[0]:
+            look_for_tags[0] = -1
+
+    doc.traverse(head, tail)
+    cleaned = {c for c in (_clean_blog_tag(t.lower()) for t in raw) if c}
+    if len(cleaned) > 5:
+        return set()
+    return cleaned
+
+
+class XenForoSpec(DefaultSpec):
+    """XenForoSpecialization.java: rebuild the document as an article of
+    `user: text` paragraphs from .message-inner posts; bbWrapper summary;
+    1.25 length modifier."""
+
+    name = "xenforo"
+
+    def prune(self, doc: DomDocument) -> DomDocument:
+        new_doc = new_document()
+        body = DomElement("body")
+        new_doc.append_child(body)
+        article = DomElement("article")
+        body.append_child(article)
+        times = doc.get_elements_by_tag("time")
+        if times:
+            dt = times[0].attr("datetime")
+            time_tag = DomElement("time", {"datetime": dt, "pubdate": "pubdate"})
+            time_tag.append_text(dt)
+            article.append_child(time_tag)
+        for post in doc.get_elements_by_class("message-inner"):
+            user = " ".join(e.text() for e in post.get_elements_by_class("message-name"))
+            text = " ".join(e.text() for e in post.get_elements_by_class("bbWrapper"))
+            p = DomElement("p")
+            p.append_text(user + ": " + text)
+            article.append_child(p)
+        return new_doc
+
+    def get_summary(self, pruned: DomDocument, important_words=()) -> str:
+        parts: list[str] = []
+        total = 0
+        for p_tag in pruned.get_elements_by_class("bbWrapper"):
+            if total > 512:
+                break
+            text = p_tag.text()
+            if not text or text.isspace():
+                continue
+            parts.append(text)
+            parts.append(" ")
+            total += len(text) + 1
+        from .domops import MAX_SUMMARY_LENGTH, abbreviate
+
+        return abbreviate("".join(parts), MAX_SUMMARY_LENGTH, "")
+
+
+class PhpBBSpec(DefaultSpec):
+    name = "phpbb"  # shouldIndex-only override (PhpBBSpecialization.java)
+
+
+class GogStoreSpec(DefaultSpec):
+    """GogStoreSpecialization.java: age-gate removal, .description
+    summary, product-card title."""
+
+    name = "gog"
+
+    def prune(self, doc: DomDocument) -> DomDocument:
+        doc = super().prune(doc)
+        for el in doc.get_elements_by_class("age-gate"):
+            el.remove()
+        return doc
+
+    def get_summary(self, pruned: DomDocument, important_words=()) -> str:
+        descs = pruned.get_elements_by_class("description")
+        if descs:
+            return truncate(descs[0].text(), 255)
+        return super().get_summary(pruned, important_words)
+
+    def get_title(self, doc: DomDocument, url: str) -> str:
+        cards = doc.get_elements_by_class("productcard-basics__title")
+        if cards:
+            return truncate(cards[0].text(), 128)
+        return super().get_title(doc, url)
+
+
+class MariadbKbSpec(DefaultSpec):
+    """MariadbKbSpecialization.java: #content promotion (comments
+    dropped), <strong> term amendment with bigrams."""
+
+    name = "mariadbkb"
+
+    def prune(self, doc: DomDocument) -> DomDocument:
+        new_doc = new_document()
+        body = DomElement("body")
+        new_doc.append_child(body)
+        comments = doc.get_element_by_id("comments")
+        if comments is not None:
+            comments.remove()
+        content = doc.get_element_by_id("content")
+        if content is not None:
+            section = DomElement("section")
+            for child in content.children:
+                cc = child.clone()
+                cc.parent = section
+                section.children.append(cc)
+            body.append_child(section)
+        return new_doc
+
+    def amend_words(self, doc: DomDocument) -> list[str]:
+        out: set[str] = set()
+        for elem in doc.get_elements_by_tag("strong"):
+            text = elem.text()
+            if ":" in text or "(" in text:
+                continue
+            keywords = text.lower().split()
+            if len(keywords) > 4:
+                continue
+            out.update(keywords)
+            for i in range(1, len(keywords)):
+                out.add(keywords[i - 1] + "_" + keywords[i])
+        return sorted(out)
+
+
+SPEC_OBJECTS: dict[str, DefaultSpec] = {
+    s.name: s
+    for s in (
+        DefaultSpec(), JavadocSpec(), WikiSpec(), CppreferenceSpec(),
+        BlogSpec(), XenForoSpec(), PhpBBSpec(), GogStoreSpec(),
+        MariadbKbSpec(),
+    )
+}
+
+
+def spec_object(name: str) -> DefaultSpec:
+    return SPEC_OBJECTS.get(name) or SPEC_OBJECTS["default"]

@@ -1,0 +1,157 @@
+"""Porter stemmer (Porter, 1980, "An algorithm for suffix stripping").
+
+Standard public algorithm; the reference uses OpenNLP's PorterStemmer for
+blog tag keywords (BlogSpecialization.java:97-100).  This is a compact
+implementation of the classic 5-step algorithm.
+"""
+
+from __future__ import annotations
+
+_VOWELS = "aeiou"
+
+
+def _is_cons(word: str, i: int) -> bool:
+    c = word[i]
+    if c in _VOWELS:
+        return False
+    if c == "y":
+        return i == 0 or not _is_cons(word, i - 1)
+    return True
+
+
+def _measure(stem: str) -> int:
+    """Number of VC sequences."""
+    m = 0
+    prev_c = None
+    for i in range(len(stem)):
+        c = _is_cons(stem, i)
+        if prev_c is False and c:
+            m += 1
+        prev_c = c
+    return m
+
+
+def _has_vowel(stem: str) -> bool:
+    return any(not _is_cons(stem, i) for i in range(len(stem)))
+
+
+def _ends_double_cons(word: str) -> bool:
+    return (
+        len(word) >= 2
+        and word[-1] == word[-2]
+        and _is_cons(word, len(word) - 1)
+    )
+
+
+def _cvc(word: str) -> bool:
+    if len(word) < 3:
+        return False
+    if not (
+        _is_cons(word, len(word) - 3)
+        and not _is_cons(word, len(word) - 2)
+        and _is_cons(word, len(word) - 1)
+    ):
+        return False
+    return word[-1] not in "wxy"
+
+
+def _replace(word: str, suffix: str, repl: str, min_measure: int) -> str | None:
+    if word.endswith(suffix):
+        stem = word[: len(word) - len(suffix)]
+        if _measure(stem) > min_measure:
+            return stem + repl
+    return None
+
+
+def porter_stem(word: str) -> str:
+    w = word.lower()
+    if len(w) <= 2:
+        return w
+
+    # step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif w.endswith("ss"):
+        pass
+    elif w.endswith("s"):
+        w = w[:-1]
+
+    # step 1b
+    if w.endswith("eed"):
+        if _measure(w[:-3]) > 0:
+            w = w[:-1]
+    elif w.endswith("ed") and _has_vowel(w[:-2]):
+        w = w[:-2]
+        w = _step1b_fixup(w)
+    elif w.endswith("ing") and _has_vowel(w[:-3]):
+        w = w[:-3]
+        w = _step1b_fixup(w)
+
+    # step 1c
+    if w.endswith("y") and _has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+
+    # step 2
+    for suf, repl in (
+        ("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
+        ("anci", "ance"), ("izer", "ize"), ("abli", "able"),
+        ("alli", "al"), ("entli", "ent"), ("eli", "e"), ("ousli", "ous"),
+        ("ization", "ize"), ("ation", "ate"), ("ator", "ate"),
+        ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
+        ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"),
+        ("biliti", "ble"),
+    ):
+        r = _replace(w, suf, repl, 0)
+        if r is not None:
+            w = r
+            break
+
+    # step 3
+    for suf, repl in (
+        ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+        ("ical", "ic"), ("ful", ""), ("ness", ""),
+    ):
+        r = _replace(w, suf, repl, 0)
+        if r is not None:
+            w = r
+            break
+
+    # step 4
+    for suf in (
+        "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+        "ment", "ent", "ou", "ism", "ate", "iti", "ous", "ive", "ize",
+    ):
+        if w.endswith(suf):
+            stem = w[: len(w) - len(suf)]
+            if _measure(stem) > 1:
+                w = stem
+            break
+    else:
+        if w.endswith("ion"):
+            stem = w[:-3]
+            if _measure(stem) > 1 and stem and stem[-1] in "st":
+                w = stem
+
+    # step 5a
+    if w.endswith("e"):
+        stem = w[:-1]
+        m = _measure(stem)
+        if m > 1 or (m == 1 and not _cvc(stem)):
+            w = stem
+    # step 5b
+    if _ends_double_cons(w) and w.endswith("l") and _measure(w) > 1:
+        w = w[:-1]
+
+    return w
+
+
+def _step1b_fixup(w: str) -> str:
+    if w.endswith(("at", "bl", "iz")):
+        return w + "e"
+    if _ends_double_cons(w) and w[-1] not in "lsz":
+        return w[:-1]
+    if _measure(w) == 1 and _cvc(w):
+        return w + "e"
+    return w

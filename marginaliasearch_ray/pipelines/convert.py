@@ -36,12 +36,14 @@ import ray
 import ray.data as rd
 
 from ..functions.contenttype import decode_body, sniff_content_type
-from ..functions.docmeta import F_PDF, adjust_quality, detect_features, extract_summary, sniff_pubdate
+from ..functions.docmeta import F_PDF, adjust_quality, detect_features, sniff_pubdate
+from ..functions.dom import tagger_text
 from ..functions.pdf import PDF_PUB_YEAR, PDF_QUALITY, convert_pdf, pdf_description
 from ..functions.specialization import (
     MIN_DOCUMENT_WORDS_FIXTURE,
     select_specialization,
     should_index,
+    spec_object,
     validate_length,
 )
 from ..functions.htmldoc import parse_document
@@ -55,6 +57,74 @@ from ..model.urls import parse_url
 # (hash(host) % N), so near-dup marking runs as one independent task per
 # partition with no groupby shuffle
 DEDUP_PARTS = 64
+
+
+def process_html_document(u, url_str: str, html: str, decoded: str) -> dict:
+    """Per-document HTML processing, shared verbatim by the distributed
+    engine (process_pages_batch) and the sequential conformance oracle
+    (fixtures/expected._build_convert_expected) so the two can never
+    drift.
+
+    Mirrors HtmlDocumentProcessorPlugin.createDetails
+    (HtmlDocumentProcessorPlugin.java:103-204):
+
+    - meta-robots gate; specialization select + shouldIndex
+      (HtmlProcessorSpecializations.select);
+    - length/quality from the UNPRUNED document (getLength(doc),
+      DocumentValuator);
+    - title / pubdate(HIGH) / amend_words on the ORIGINAL tree —
+      the reference keeps both trees alive; running these before the
+      destructive ``prune`` gives identical outputs without the clone;
+    - ``spec.prune`` (DomPruningFilter for default) then document text =
+      tagger over the PRUNED tree (dld <- extractSentences(prunedDoc)),
+      which also feeds n_words, the dedup LSH, and the length gate;
+    - ``spec.get_summary`` on the pruned tree (plugin line 179).
+
+    If the DOM was truncated by the node cap (adversarially large
+    documents), the hooks are skipped and the streaming extraction is
+    used whole — bounded memory beats hook fidelity at that size."""
+    doc = parse_document(decoded, build_dom=True)
+    out = {
+        "state": "ok", "title": "", "text": "", "length": 0, "n_words": 0,
+        "quality": 0.0, "pub_year": 0, "summary": "", "features": 0,
+        "doc_hash": 0, "lsh": content_hash(html), "ni": 0, "ne": 0,
+        "spec": "", "amended_words": "",
+    }
+    robots_meta = doc.meta_robots.lower()
+    if "noindex" in robots_meta or robots_meta.strip() == "none":
+        out["state"] = "disqualified_robots"
+        return out
+    spec_name = select_specialization(doc, u)
+    out["spec"] = spec_name
+    if not should_index(spec_name, u):
+        out["state"] = "disqualified_spec"
+        return out
+    out["length"] = len(doc.text)
+    out["features"] = detect_features(doc)
+    out["quality"] = adjust_quality(
+        document_quality(doc, len(doc.text), len(html)), out["features"]
+    )
+    out["pub_year"] = sniff_pubdate(doc, url_str) or 0
+    for l in extract_links(u, doc):
+        if l.host == u.host:
+            out["ni"] += 1
+        else:
+            out["ne"] += 1
+    if doc.dom is None or doc.dom.truncated:
+        out["title"] = doc.title
+        out["text"] = doc.text
+    else:
+        spec = spec_object(spec_name)
+        out["title"] = spec.get_title(doc.dom, url_str)
+        out["amended_words"] = " ".join(spec.amend_words(doc.dom))
+        pruned = spec.prune(doc.dom)
+        out["text"] = tagger_text(pruned)
+        out["summary"] = spec.get_summary(pruned)
+    out["n_words"] = len(out["text"].split())
+    out["doc_hash"] = doc_lsh(out["text"].lower().split())
+    if not validate_length(out["n_words"], spec_name, MIN_DOCUMENT_WORDS_FIXTURE):
+        out["state"] = "disqualified_length"
+    return out
 
 
 def process_pages_batch(batch: pa.Table) -> pa.Table:
@@ -96,6 +166,8 @@ def process_pages_batch(batch: pa.Table) -> pa.Table:
     features = np.zeros(n, dtype=np.int32)
     n_words = np.zeros(n, dtype=np.int32)
     state = ["ok"] * n  # doc-level gate outcome (DocumentProcessor.java:85-92)
+    spec_col = [""] * n
+    amended = [""] * n
 
     for i, (u_s, html) in enumerate(zip(urls, htmls)):
         u = parse_url(u_s)
@@ -148,46 +220,24 @@ def process_pages_batch(batch: pa.Table) -> pa.Table:
             state[i] = "not_html"
             continue  # non-HTML payloads (e.g. sitemaps) carry no text
         decoded = decode_body(html, charset)
-        doc = parse_document(decoded)
-        # doc-level gates (HtmlDocumentProcessorPlugin.java:110-127 /
-        # DocumentProcessor.java:85-92): meta-robots noindex disqualifies;
-        # empty extraction disqualifies on length
-        robots_meta = doc.meta_robots.lower()
-        if "noindex" in robots_meta or robots_meta.strip() == "none":
-            state[i] = "disqualified_robots"
-            continue
-        # specialization hooks (HtmlProcessorSpecializations.select +
-        # shouldIndex, HtmlDocumentProcessorPlugin.java:123-125)
-        spec = select_specialization(doc, u)
-        if not should_index(spec, u):
-            state[i] = "disqualified_spec"
-            continue
-        title[i] = doc.title
-        text[i] = doc.text
-        length[i] = len(doc.text)
-        n_words[i] = len(doc.text.split())
-        features[i] = detect_features(doc)
-        quality[i] = adjust_quality(
-            document_quality(doc, len(doc.text), len(html)), int(features[i])
-        )
-        pub_year[i] = sniff_pubdate(doc, u_s) or 0
-        summary[i] = extract_summary(doc)
-        lsh[i] = content_hash(html)
-        words = doc.text.lower().split()
-        doc_hash[i] = doc_lsh(words)
-        links = extract_links(u, doc)
-        ni = ne = 0
-        for l in links:
-            if l.host == u.host:
-                ni += 1
-            else:
-                ne += 1
-        n_links_int[i] = ni
-        n_links_ext[i] = ne
-        # min-length gate scaled by the specialization's lengthModifier
-        # (HtmlDocumentProcessorPlugin.java:158, DocumentLengthLogic)
-        if not validate_length(int(n_words[i]), spec, MIN_DOCUMENT_WORDS_FIXTURE):
-            state[i] = "disqualified_length"
+        # full plugin chain incl. specialization prune / title / summary /
+        # HIGH-effort pubdate — shared with the sequential oracle
+        r = process_html_document(u, u_s, html, decoded)
+        state[i] = r["state"]
+        title[i] = r["title"]
+        text[i] = r["text"]
+        length[i] = r["length"]
+        n_words[i] = r["n_words"]
+        features[i] = r["features"]
+        quality[i] = r["quality"]
+        pub_year[i] = r["pub_year"]
+        summary[i] = r["summary"]
+        lsh[i] = r["lsh"]
+        doc_hash[i] = r["doc_hash"]
+        n_links_int[i] = r["ni"]
+        n_links_ext[i] = r["ne"]
+        spec_col[i] = r["spec"]
+        amended[i] = r["amended_words"]
 
     out = pa.table(
         {
@@ -207,6 +257,8 @@ def process_pages_batch(batch: pa.Table) -> pa.Table:
             "features": pa.array(features, pa.int32()),
             "n_words": pa.array(n_words, pa.int32()),
             "state": pa.array(state, pa.string()),
+            "spec": pa.array(spec_col, pa.string()),
+            "amended_words": pa.array(amended, pa.string()),
             # dedup partition: complete domains per partition by
             # construction, so the near-dup pass never shuffles
             "dpart": pa.array(

@@ -1,88 +1,202 @@
-"""Pubdate sniffing / summary extraction / feature detection unit tests
-(reference heuristics: converting/processor/pubdate/*, summary/*,
-logic/FeatureExtractor.java)."""
+"""Pubdate sniffing / summary extraction / feature detection unit tests.
+
+The pubdate cases are ported from the reference's own PubDateSnifferTest
+(converting-process/test/.../pubdate/PubDateSnifferTest.java) — same
+inputs, same expected years — plus DOM-pass cases for the HIGH-effort
+heuristics (the production path: HtmlDocumentProcessorPlugin.java:167
+calls the sniffer with runExpensive=true).  Summary cases exercise the
+faithful SummaryExtractor chain (DomFilter -> TagDensity -> og -> meta ->
+Fallback)."""
 
 from marginaliasearch_ray.functions.docmeta import (
     F_AFFILIATE,
     F_JS,
     F_TRACKING,
     adjust_quality,
+    attempt_parse_date,
+    date_from_highest_year_looking_substring,
     detect_features,
-    extract_summary,
     sniff_pubdate,
 )
+from marginaliasearch_ray.functions.domops import extract_summary_dom
 from marginaliasearch_ray.functions.htmldoc import parse_document
 
-URL = "https://example.com/blog/post"
+URL = "https://www.example.com/"
+
+
+def parse(html: str):
+    return parse_document(html, build_dom=True)
+
+
+class TestPubDateParser:
+    def test_year_from_text(self):
+        # PubDateSnifferTest.testGetYearFromText
+        assert date_from_highest_year_looking_substring("&copy; 2005-2010 Bob Dobbs") == 2007
+        assert date_from_highest_year_looking_substring("&copy; 99 Bob Dobbs") is None
+        assert date_from_highest_year_looking_substring("&copy; 1939 Bob Dobbs") is None
+        assert date_from_highest_year_looking_substring("In the year 2525, if man is still alive") is None
+
+    def test_attempt_parse(self):
+        # PubDateSnifferTest.testParse
+        assert attempt_parse_date("2022-01-01") == 2022
+        assert attempt_parse_date("2022-08-24T14:39:14Z") == 2022
+        assert attempt_parse_date("2022-08-24T14:39:14") == 2022
+        assert attempt_parse_date("Sun, 21 Oct 2018 12:16:24 GMT") == 2018
+        assert attempt_parse_date("July 13, 2006") == 2006
 
 
 class TestPubdate:
+    def test_html5_article_time(self):
+        # PubDateSnifferTest.testHtml5A: <time pubdate>
+        doc = parse(
+            '<!doctype html><html><article>'
+            '<time pubdate="pubdate" datetime="2022-08-24">time</time>'
+            "Wow, sure lor 'em boss</article></html>"
+        )
+        assert sniff_pubdate(doc, URL) == 2022
+
+    def test_html5_bare_time(self):
+        # PubDateSnifferTest.testHtml5B: bare <time> is low-quality
+        doc = parse(
+            "<!doctype html><html><time>2022-08-24</time>"
+            "Wow, sure lor 'em boss</html>"
+        )
+        assert sniff_pubdate(doc, URL) == 2022
+
+    def test_html5_time_text_date(self):
+        # PubDateSnifferTest.testHtml5C
+        doc = parse(
+            '<!doctype html><html>'
+            '<time class="published" datetime="July 13, 2006">July 13, 2006</time>'
+            "Wow, sure lor 'em boss</html>"
+        )
+        assert sniff_pubdate(doc, URL) == 2006
+
+    def test_microdata(self):
+        doc = parse(
+            '<!doctype html><html><meta itemprop="datePublished" content="2022-08-24" /></html>'
+        )
+        assert sniff_pubdate(doc, URL) == 2022
+
+    def test_rdfa(self):
+        doc = parse(
+            '<!doctype html><html><meta property="datePublished" content="2022-08-24" /></html>'
+        )
+        assert sniff_pubdate(doc, URL) == 2022
+
     def test_og_published_time(self):
-        doc = parse_document(
+        doc = parse(
             '<html><head><meta property="article:published_time" '
             'content="2019-05-02T10:00:00Z"></head><body></body></html>'
         )
         assert sniff_pubdate(doc, URL) == 2019
 
     def test_ld_json(self):
-        doc = parse_document(
+        doc = parse(
             '<html><head><script type="application/ld+json">'
             '{"@type":"Article","datePublished":"2017-03-04"}'
             "</script></head><body></body></html>"
         )
         assert sniff_pubdate(doc, URL) == 2017
 
-    def test_time_tag(self):
-        doc = parse_document(
-            '<html><body><time datetime="2021-11-30">Nov 30</time></body></html>'
+    def test_ld_json_graph(self):
+        # PubDateSnifferTest.testLDWithGraph (abridged payload)
+        doc = parse(
+            '<html><script type="application/ld+json">'
+            '{"@context":"https://schema.org","@graph":[{"@type":"Organization",'
+            '"name":"X"},{"@type":"Article","datePublished":"2016-12-27T21:01:36-06:00"}]}'
+            "</script></html>"
         )
-        assert sniff_pubdate(doc, URL) == 2021
+        assert sniff_pubdate(doc, URL) == 2016
 
     def test_url_pattern(self):
-        doc = parse_document("<html><body></body></html>")
-        assert sniff_pubdate(doc, "https://x.com/2013/07/my-post") == 2013
-
-    def test_precedence_meta_over_url(self):
-        doc = parse_document(
-            '<html><head><meta name="date" content="2009-01-01"></head></html>'
+        # PubDateSnifferTest.testPath
+        doc = parse("<!doctype html><html><title>No date in the HTML</title></html>")
+        assert (
+            sniff_pubdate(doc, "https://www.example.com/articles/2022/04/how-to-detect-dates")
+            == 2022
         )
-        assert sniff_pubdate(doc, "https://x.com/2013/07/post") == 2009
+
+    def test_dom_pass1_copyright(self):
+        # PubDateHeuristicDOMParsingPass1: short "Copyright"-bearing text
+        # node -> plain year-range midpoint (no era bias in pass 1)
+        doc = parse(
+            "<!doctype html><html><body><p>Hi</p>"
+            "<footer>Copyright 2005-2010 Bob Dobbs</footer></body></html>"
+        )
+        assert sniff_pubdate(doc, URL) == 2007
+
+    def test_dom_pass2_era_clamped(self):
+        # "&copy;" decodes to "©" at parse (jsoup does the same), so pass 1
+        # misses and pass 2 era-biases the range toward HTML5, clamped to
+        # the observed max
+        doc = parse(
+            "<!doctype html><html><body><p>Hi</p>"
+            "<footer>&copy; 2005-2010 Bob Dobbs</footer></body></html>"
+        )
+        assert sniff_pubdate(doc, URL) == 2010
+
+    def test_dom_pass1_byline_class(self):
+        doc = parse(
+            '<html><body><div class="entry-meta">Posted on March 3, 2016</div>'
+            "<p>hello</p></body></html>"
+        )
+        assert sniff_pubdate(doc, URL) == 2016
+
+    def test_dom_pass2_year_node(self):
+        doc = parse(
+            "<!doctype html><html><body><p>Best viewed in 1998</p></body></html>"
+        )
+        assert sniff_pubdate(doc, URL) == 1998
 
     def test_invalid_year_rejected(self):
-        doc = parse_document(
-            '<html><head><meta name="date" content="1850-01-01"></head></html>'
+        doc = parse(
+            '<html><head><meta property="datePublished" content="1850-01-01"></head></html>'
         )
         assert sniff_pubdate(doc, URL) is None
 
 
 class TestSummary:
-    def test_meta_description_wins(self):
-        doc = parse_document(
-            '<html><head><meta name="description" content="The desc."></head>'
-            "<body><p>A long paragraph of body text that is certainly long "
-            "enough.</p></body></html>"
-        )
-        assert extract_summary(doc) == "The desc."
+    def _summary(self, html: str) -> str:
+        doc = parse(html)
+        return extract_summary_dom(doc.dom)
 
-    def test_og_description_fallback(self):
-        doc = parse_document(
-            '<html><head><meta property="og:description" content="OG desc"></head>'
+    def test_prose_block_wins(self):
+        # DomFilterHeuristic: a large prose block beats the meta tag
+        prose = (
+            "The quick brown fox jumped over the lazy dog and then went on "
+            "to write a lengthy essay about the experience of jumping over "
+            "dogs in the modern era, with footnotes and careful attention "
+            "to detail throughout the work."
+        )
+        out = self._summary(
+            f'<html><head><meta name="description" content="The desc."></head>'
+            f"<body><article><p>{prose}</p></article></body></html>"
+        )
+        assert out.startswith("The quick brown fox")
+
+    def test_meta_description_fallback(self):
+        # no body text at all -> meta description heuristic
+        out = self._summary(
+            '<html><head><meta name="description" content="The desc."></head>'
             "<body></body></html>"
         )
-        assert extract_summary(doc) == "OG desc"
+        assert out == "The desc."
 
-    def test_first_paragraph_fallback(self):
-        doc = parse_document(
-            "<html><body><p>short</p><p>This paragraph is long enough to serve "
-            "as the document summary text.</p></body></html>"
-        )
-        assert extract_summary(doc).startswith("This paragraph is long enough")
+    def test_truncation_255(self):
+        prose = "word " * 200
+        out = self._summary(f"<html><body><article><p>{prose}</p></article></body></html>")
+        assert len(out) <= 255
 
-    def test_truncation(self):
-        doc = parse_document(
-            f'<html><head><meta name="description" content="{"x" * 400}"></head></html>'
+    def test_nav_furniture_removed(self):
+        # SummaryExtractor.extractSummary removes header/nav/ul/li first
+        out = self._summary(
+            "<html><body><nav><a href='/'>One</a><a href='/b'>Two</a></nav>"
+            "<ul><li>item one</li><li>item two</li></ul>"
+            "<p>A modest paragraph of real body prose, just barely long "
+            "enough to be collected by the density heuristic.</p></body></html>"
         )
-        assert len(extract_summary(doc)) == 255
+        assert "item one" not in out and "One" not in out
 
 
 class TestFeatures:

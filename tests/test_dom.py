@@ -1,0 +1,246 @@
+"""Bounded-DOM + DOM-operator unit tests.
+
+Covers the jsoup-shaped tree (functions/dom.py), the DomPruningFilter /
+SummarizingDOMFilter / TitleExtractor ports (functions/domops.py), and the
+specialization prune/get_summary/get_title/amend_words hooks
+(functions/specialization.py).  The Cppreference title-token cases are
+ported verbatim from the reference's CppreferenceSpecializationTest."""
+
+from marginaliasearch_ray.functions.dom import (
+    CONTINUE,
+    REMOVE,
+    DomElement,
+    DomText,
+    tagger_text,
+)
+from marginaliasearch_ray.functions.domops import (
+    DomPruningFilter,
+    abbreviate,
+    count_occurrences_of_any_word,
+    length_of_text,
+    title_chain,
+)
+from marginaliasearch_ray.functions.htmldoc import parse_document
+from marginaliasearch_ray.functions.specialization import (
+    CppreferenceSpec,
+    spec_object,
+)
+from marginaliasearch_ray.functions.stem import porter_stem
+
+
+def dom(html: str):
+    return parse_document(html, build_dom=True).dom
+
+
+PROSE = (
+    "A generously long paragraph of real prose that keeps going for a "
+    "while so that signal-rate accounting has plenty of text to work "
+    "with across the nodes of this branch of the document tree."
+)
+
+
+class TestDomTree:
+    def test_structure_and_attrs(self):
+        d = dom('<html><body><div id="a" class="x y"><p>hi</p></div></body></html>')
+        div = d.get_element_by_id("a")
+        assert div is not None and div.class_names() == ["x", "y"]
+        assert div.has_class("X")  # case-insensitive
+        assert [e.tag for e in d.get_elements_by_tag("p")] == ["p"]
+
+    def test_text_merges_adjacent_runs(self):
+        d = dom("<p>one <b>two</b> three</p>")
+        p = d.get_elements_by_tag("p")[0]
+        # three children: text, <b>, text (jsoup granularity)
+        kinds = [type(c).__name__ for c in p.children]
+        assert kinds == ["DomText", "DomElement", "DomText"]
+        assert p.text() == "one two three"
+
+    def test_select_subset(self):
+        d = dom(
+            '<html><head><title>T</title><meta name="description" content="D">'
+            '</head><body><time datetime="2020-01-01">x</time></body></html>'
+        )
+        assert d.select_first("head > title").text() == "T"
+        assert d.select_first("meta[name=description]").attr("content") == "D"
+        assert d.select_first("time[datetime]") is not None
+        assert d.select_first("time[datetime=2020-01-01]") is not None
+        assert d.select_first("time[datetime=1999]") is None
+
+    def test_filter_remove_detaches_before_parent_tail(self):
+        d = dom("<div><span>kill</span><b>keep</b></div>")
+
+        class F:
+            def head(self, node, depth):
+                return CONTINUE
+
+            def tail(self, node, depth):
+                if isinstance(node, DomElement) and node.tag == "span":
+                    return REMOVE
+                return CONTINUE
+
+        d.filter(F())
+        assert d.text() == "keep"
+
+    def test_clone_is_deep_and_detached(self):
+        d = dom("<div><p>x</p></div>")
+        div = d.get_elements_by_tag("div")[0]
+        c = div.clone()
+        c.get_elements_by_tag("p")[0].remove()
+        assert div.text() == "x" and c.text() == ""
+
+    def test_tagger_text_matches_streaming_walker(self):
+        html = (
+            "<html><head><title>T</title><style>css</style></head><body>"
+            "<nav><a href='/'>A</a></nav><h1>H</h1><p>body <a href='/x'>link</a>"
+            " tail</p><pre>code</pre><script>js</script></body></html>"
+        )
+        doc = parse_document(html, build_dom=True)
+        assert tagger_text(doc.dom) == doc.text
+
+
+class TestDomPruning:
+    def test_always_purge_tags_and_classes(self):
+        d = dom(
+            f"<html><body><nav>menu</nav><footer>foot</footer>"
+            f'<div class="cookie-banner">cookies!</div>'
+            f'<div role="dialog">modal</div><div aria-hidden="true">hidden</div>'
+            f"<article><p>{PROSE}</p></article></body></html>"
+        )
+        d.body().filter(DomPruningFilter(0.5))
+        t = d.body().text()
+        assert "menu" not in t and "foot" not in t and "cookies" not in t
+        assert "modal" not in t and "hidden" not in t
+        assert "generously long paragraph" in t
+
+    def test_link_farm_pruned_prose_kept(self):
+        links = "".join(f'<a href="/{i}">link {i}</a>' for i in range(10))
+        d = dom(
+            f"<html><body><article><p>{PROSE}</p></article>"
+            f"<div><ul><li>{links}</li><li>{links}</li><li>{links}</li></ul></div>"
+            "</body></html>"
+        )
+        d.body().filter(DomPruningFilter(0.5))
+        t = d.body().text()
+        assert "generously long paragraph" in t and "link 3" not in t
+
+    def test_length_of_text_reference_semantics(self):
+        # MeasureLengthVisitor excludes the final character (i < end)
+        assert length_of_text("abc") == 2
+        assert length_of_text("  a  b  ") == 2  # trimmed, run-collapsed
+        assert length_of_text("") == 0
+        assert length_of_text("  ") == 0
+
+
+class TestDomOps:
+    def test_count_occurrences_word_boundaries(self):
+        assert count_occurrences_of_any_word("the Cookie jar", ["cookie"]) == 1
+        assert count_occurrences_of_any_word("cookies here", ["cookie"]) == 0
+        assert count_occurrences_of_any_word("a-cookie-b", ["cookie"]) == 1
+
+    def test_abbreviate(self):
+        assert abbreviate("x" * 200, 128) == "x" * 125 + "..."
+        assert abbreviate("x" * 100, 128) == "x" * 100
+        assert abbreviate("x" * 300, 255, "") == "x" * 255
+
+    def test_title_chain_fallbacks(self):
+        assert title_chain(dom("<html><head><title>T</title></head><body><h1>H</h1></body></html>"), "u") == "T"
+        assert title_chain(dom("<html><body><h1>H1</h1><h2>H2</h2></body></html>"), "u") == "H1"
+        assert title_chain(dom("<html><body><h3>H3</h3></body></html>"), "u") == "H3"
+        assert title_chain(dom("<html><body><p>p</p></body></html>"), "https://u/") == "https://u/"
+
+
+class TestSpecializations:
+    def test_cppreference_extra_tokens(self):
+        # CppreferenceSpecializationTest.testTitleMagic, verbatim
+        ret = CppreferenceSpec.extract_extra_tokens(
+            "std::multimap<Key, T, Compare, Allocator>::crend - cppreference.com"
+        )
+        assert "std::multimap::crend" in ret
+        assert "multimap::crend" in ret
+        assert "std::multimap" in ret
+        assert "crend" in ret
+        ret = CppreferenceSpec.extract_extra_tokens(
+            "std::coroutine_handle<Promise>::operator(), "
+            "std::coroutine_handle<Promise>::resume - cppreference.com"
+        )
+        assert "std::coroutine_handle::operator()" in ret
+        assert "std::coroutine_handle::resume" in ret
+
+    def test_javadoc_block_summary(self):
+        spec = spec_object("javadoc")
+        d = dom(
+            '<html><body><div class="block">A stream of elements supporting '
+            "sequential and parallel aggregate operations.</div></body></html>"
+        )
+        assert spec.get_summary(d).startswith("A stream of elements")
+
+    def test_wiki_content_promotion(self):
+        spec = spec_object("wiki")
+        d = dom(
+            "<html><body><table><tr><td>infobox junk</td></tr></table>"
+            f'<div id="toc">contents</div><div id="mw-content-text"><p>{PROSE}</p></div>'
+            "<aside>sidebar</aside></body></html>"
+        )
+        pruned = spec.prune(d)
+        t = tagger_text(pruned)
+        assert "generously long paragraph" in t
+        assert "infobox" not in t and "contents" not in t and "sidebar" not in t
+
+    def test_wiki_og_description_summary(self):
+        spec = spec_object("wiki")
+        d = dom(
+            '<html><head><meta property="og:description" content="From the wiki."></head>'
+            "<body><p>text</p></body></html>"
+        )
+        assert spec.get_summary(d) == "From the wiki."
+
+    def test_xenforo_rebuild(self):
+        spec = spec_object("xenforo")
+        d = dom(
+            '<html><body><time datetime="2021-03-04">x</time>'
+            '<div class="message-inner"><span class="message-name">alice</span>'
+            '<div class="bbWrapper">hello forum</div></div>'
+            '<div class="message-inner"><span class="message-name">bob</span>'
+            '<div class="bbWrapper">hi alice</div></div></body></html>'
+        )
+        pruned = spec.prune(d)
+        t = tagger_text(pruned)
+        assert "alice: hello forum" in t and "bob: hi alice" in t
+        assert "2021-03-04" in t  # pubdate time tag re-emitted
+
+    def test_gog_title_and_summary(self):
+        spec = spec_object("gog")
+        d = dom(
+            '<html><body><h1 class="productcard-basics__title">Stellar Game</h1>'
+            '<div class="description">An epic space adventure.</div></body></html>'
+        )
+        assert spec.get_title(d, "u") == "Stellar Game"
+        assert spec.get_summary(d) == "An epic space adventure."
+
+    def test_mariadb_content_and_strong_words(self):
+        spec = spec_object("mariadbkb")
+        d = dom(
+            '<html><body><div id="content"><p>The <strong>storage engine</strong> '
+            f"layer. {PROSE}</p></div>"
+            '<div id="comments"><p>comment junk</p></div></body></html>'
+        )
+        assert spec.amend_words(d) == ["engine", "storage", "storage_engine"]
+        pruned = spec.prune(d)
+        t = tagger_text(pruned)
+        assert "storage engine" in t and "comment junk" not in t
+
+    def test_blog_article_promotion_and_tags(self):
+        spec = spec_object("blog")
+        d = dom(
+            "<html><body><div class='sidebar'>blogroll</div>"
+            f"<article><p>{PROSE}</p>"
+            "<div class='tags'><a href='/tag/python'>Python</a>"
+            "<a href='/tag/testing'>Testing</a></div></article>"
+            "<div id='comments'><p>first post!</p></div></body></html>"
+        )
+        words = spec.amend_words(d)
+        assert "tag:python" in words and porter_stem("testing") in words
+        pruned = spec.prune(d)
+        t = tagger_text(pruned)
+        assert "generously long paragraph" in t
+        assert "blogroll" not in t and "first post" not in t
