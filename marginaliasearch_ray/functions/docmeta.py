@@ -37,9 +37,10 @@ from __future__ import annotations
 import json
 import re
 from datetime import date, datetime
+from email.utils import parsedate_to_datetime
 from typing import Optional
 
-from .dom import DomElement, DomText
+from .dom import CONTINUE, STOP, DomElement, DomText
 from .htmldoc import ParsedDoc
 
 _YEAR_RE = re.compile(r"\b(19[9][5-9]|20[0-2][0-9]|2030)\b")
@@ -88,8 +89,6 @@ def _parse_8601(s: str) -> Optional[int]:
 
 def _parse_1123(s: str) -> Optional[int]:
     try:
-        from email.utils import parsedate_to_datetime
-
         return parsedate_to_datetime(s).year
     except Exception:
         return None
@@ -195,8 +194,6 @@ def dom_parsing_pass1(dom, standard: str) -> Optional[int]:
     found: list[int] = []
 
     def head(node, depth: int) -> int:
-        from .dom import CONTINUE, STOP
-
         if isinstance(node, DomText):
             text = node.whole_text
             if len(text) < 32 and (
@@ -235,8 +232,6 @@ def dom_parsing_pass1(dom, standard: str) -> Optional[int]:
 
         @staticmethod
         def tail(node, depth):
-            from .dom import CONTINUE
-
             return CONTINUE
 
     dom.filter(_F())
@@ -276,8 +271,6 @@ def dom_parsing_pass2(dom, standard: str) -> Optional[int]:
     class _F:
         @staticmethod
         def head(node, depth):
-            from .dom import CONTINUE, STOP
-
             if isinstance(node, DomText):
                 text = node.whole_text
                 if is_possible_candidate(text):
@@ -293,8 +286,6 @@ def dom_parsing_pass2(dom, standard: str) -> Optional[int]:
 
         @staticmethod
         def tail(node, depth):
-            from .dom import CONTINUE
-
             return CONTINUE
 
     dom.filter(_F())
@@ -328,14 +319,27 @@ def sniff_pubdate(
         if y:
             return y
     if dom is not None:
-        for sel, attr in (
-            ("meta[itemprop=datePublished]", "content"),  # Microdata
-            ("meta[property=article:published_time]", "content"),  # OpenGraph
-            ("meta[property=datePublished]", "content"),  # RDFa
-            ("time[itemprop=datePublished]", "content"),  # Html5Itemprop
-            ("time[pubdate=pubdate]", "datetime"),  # Html5Article
-        ):
-            for el in dom.select(sel):
+        # heuristic priority order (Microdata, OpenGraph, RDFa,
+        # Html5Itemprop, Html5Article) with ONE tree walk: bucket the
+        # meta/time hits per pattern, then drain buckets in that order —
+        # identical to five sequential document-order selects
+        pats = (
+            ("meta", "itemprop", "datePublished", "content"),
+            ("meta", "property", "article:published_time", "content"),
+            ("meta", "property", "datePublished", "content"),
+            ("time", "itemprop", "datePublished", "content"),
+            ("time", "pubdate", "pubdate", "datetime"),
+        )
+        buckets: list[list] = [[] for _ in pats]
+        for el in dom.iter_elements():
+            t = el.tag
+            if t == "meta" or t == "time":
+                attrs = el.attrs
+                for j, (ptag, k, v, _a) in enumerate(pats):
+                    if t == ptag and attrs.get(k) == v:
+                        buckets[j].append(el)
+        for j, (_t, _k, _v, attr) in enumerate(pats):
+            for el in buckets[j]:
                 y = attempt_parse_date(el.attr(attr))
                 if y:
                     return y

@@ -57,6 +57,62 @@ MAX_DOM_NODES = 200_000
 # filter results (jsoup NodeFilter.FilterResult)
 CONTINUE, SKIP_CHILDREN, SKIP_ENTIRELY, REMOVE, STOP = range(5)
 
+_SEL_PART_RE = re.compile(
+    r"^(?P<tag>[a-zA-Z][\w-]*|\*)?"
+    r"(?P<id>#[\w.:-]+)?"
+    r"(?P<cls>\.[\w-]+)?"
+    r"(?P<attr>\[[^\]]+\])?$"
+)
+
+# selector-string -> compiled parts; the converter uses a small fixed set
+# of selectors, so this memo is effectively a constant table
+_SEL_CACHE: dict = {}
+
+
+def _parse_spec(sel: str):
+    """One simple selector -> (tag, id, class, attr_key, attr_val) with
+    None for absent dimensions; None (no match possible) if unparseable."""
+    m = _SEL_PART_RE.match(sel)
+    if not m or not sel:
+        return None
+    tag = m.group("tag")
+    tag = tag.lower() if tag and tag != "*" else None
+    eid = m.group("id")[1:] if m.group("id") else None
+    cls = m.group("cls")[1:] if m.group("cls") else None
+    ak = av = None
+    attr = m.group("attr")
+    if attr:
+        body = attr[1:-1]
+        if "=" in body:
+            k, v = body.split("=", 1)
+            ak, av = k.strip(), v.strip("\"'")
+        else:
+            ak = body.strip()
+    return (tag, eid, cls, ak, av)
+
+
+def _compile_selector(selector: str) -> list:
+    """Comma selector -> [(0, spec, None)] simple / [(1, parent, child)]
+    one-level child-combinator parts.  Unparseable parts are dropped (the
+    previous per-element regex matcher also matched them to nothing)."""
+    parts = _SEL_CACHE.get(selector)
+    if parts is not None:
+        return parts
+    parts = []
+    for raw in selector.split(","):
+        raw = raw.strip()
+        if ">" in raw:
+            p_s, c_s = (s.strip() for s in raw.split(">", 1))
+            p_spec, c_spec = _parse_spec(p_s), _parse_spec(c_s)
+            if p_spec is not None and c_spec is not None:
+                parts.append((1, p_spec, c_spec))
+        else:
+            spec = _parse_spec(raw)
+            if spec is not None:
+                parts.append((0, spec, None))
+    _SEL_CACHE[selector] = parts
+    return parts
+
 
 class _Stop(Exception):
     pass
@@ -216,63 +272,59 @@ class DomElement(DomNode):
 
     # -- selector subset ---------------------------------------------------
 
-    _SEL_RE = re.compile(
-        r"^(?P<tag>[a-zA-Z][\w-]*|\*)?"
-        r"(?P<id>#[\w.:-]+)?"
-        r"(?P<cls>\.[\w-]+)?"
-        r"(?P<attr>\[[^\]]+\])?$"
-    )
-
-    @classmethod
-    def _match_simple(cls, el: "DomElement", sel: str) -> bool:
-        m = cls._SEL_RE.match(sel)
-        if not m:
+    @staticmethod
+    def _match_spec(el: "DomElement", spec: tuple) -> bool:
+        tag, eid, cls, ak, av = spec
+        if tag is not None and el.tag != tag:
             return False
-        tag = m.group("tag")
-        if tag and tag != "*" and el.tag != tag.lower():
+        if eid is not None and el.attrs.get("id") != eid:
             return False
-        if m.group("id") and el.attr("id") != m.group("id")[1:]:
+        if cls is not None and not el.has_class(cls):
             return False
-        if m.group("cls") and not el.has_class(m.group("cls")[1:]):
-            return False
-        attr = m.group("attr")
-        if attr:
-            body = attr[1:-1]
-            if "=" in body:
-                k, v = body.split("=", 1)
-                v = v.strip("\"'")
-                if el.attr(k.strip()) != v:
+        if ak is not None:
+            if av is None:
+                if not el.attrs.get(ak):
                     return False
-            elif not el.attrs.get(body.strip()):
+            elif (el.attrs.get(ak) or "") != av:
                 return False
         return True
 
+    def _matches(self, el: "DomElement", parts: list) -> bool:
+        for kind, a, b in parts:
+            if kind == 0:
+                if self._match_spec(el, a):
+                    return True
+            else:  # parent > child: el matches child, direct parent matches
+                p = el.parent
+                if (
+                    el is not self
+                    and self._match_spec(el, b)
+                    and isinstance(p, DomElement)
+                    and self._match_spec(p, a)
+                ):
+                    return True
+        return False
+
     def select(self, selector: str) -> list["DomElement"]:
-        """Comma-union of simple selectors; one `parent > child` level."""
-        out: list[DomElement] = []
-        seen: set[int] = set()
-        for part in selector.split(","):
-            part = part.strip()
-            if ">" in part:
-                ptag, csel = (s.strip() for s in part.split(">", 1))
-                for p in self.iter_elements():
-                    if not self._match_simple(p, ptag):
-                        continue
-                    for c in p.children:
-                        if isinstance(c, DomElement) and self._match_simple(c, csel):
-                            if id(c) not in seen:
-                                seen.add(id(c))
-                                out.append(c)
-            else:
-                for e in self.iter_elements():
-                    if self._match_simple(e, part) and id(e) not in seen:
-                        seen.add(id(e))
-                        out.append(e)
-        return out
+        """Comma-union of simple selectors (one `parent > child` level),
+        returned in document order — jsoup Selector semantics.  The
+        selector string is compiled once (module-level memo); the tree is
+        walked exactly once regardless of how many comma parts the
+        selector has."""
+        parts = _compile_selector(selector)
+        if not parts:
+            return []
+        return [e for e in self.iter_elements() if self._matches(e, parts)]
 
     def select_first(self, selector: str) -> Optional["DomElement"]:
-        found = self.select(selector)
-        return found[0] if found else None
+        """First match in document order, early-exit (jsoup selectFirst)."""
+        parts = _compile_selector(selector)
+        if not parts:
+            return None
+        for e in self.iter_elements():
+            if self._matches(e, parts):
+                return e
+        return None
 
     # -- text --------------------------------------------------------------
 

@@ -30,7 +30,7 @@ import re
 from typing import Callable, Optional
 
 from ..model.urls import CanonUrl
-from .dom import DomDocument, DomElement, new_document
+from .dom import CONTINUE, REMOVE, DomDocument, DomElement, new_document
 from .domops import (
     DomPruningFilter,
     extract_summary_dom,
@@ -291,8 +291,6 @@ class BlogSpec(DefaultSpec):
 
     class _PruneFilter:
         def head(self, node, depth: int) -> int:
-            from .dom import CONTINUE, REMOVE
-
             if isinstance(node, DomElement):
                 if node.tag == "noscript":
                     return REMOVE
@@ -307,8 +305,6 @@ class BlogSpec(DefaultSpec):
             return CONTINUE
 
         def tail(self, node, depth: int) -> int:
-            from .dom import CONTINUE
-
             return CONTINUE
 
     def prune(self, doc: DomDocument) -> DomDocument:
