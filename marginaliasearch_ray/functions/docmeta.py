@@ -188,6 +188,94 @@ def _pass1_parse(text: str, standard: str) -> Optional[int]:
     return attempt_parse_date(text)
 
 
+def _pass1_node(node, standard: str) -> Optional[int]:
+    """PubDateHeuristicDOMParsingPass1's per-node logic (branch order
+    preserved); -> year if this node yields one."""
+    if isinstance(node, DomText):
+        text = node.whole_text
+        if len(text) < 32 and (
+            "ublished" in text
+            or "opyright" in text
+            or "Posted on" in text
+            or "&copy;" in text
+            or "(c)" in text
+        ):
+            return _pass1_parse(text, standard)
+    elif isinstance(node, DomElement):
+        classes = set(node.class_names())
+        if classes & _PASS1_COMMON_CLASSES or "footer-info-lastmod" in node.attr("id"):
+            y = _pass1_parse(node.text(), standard)
+            if y is not None:
+                return y
+        if node.tag == "b" and node.child_node_size() == 1:
+            child = node.child_node(0)
+            sib = node.next_sibling()
+            if (
+                isinstance(child, DomText)
+                and child.whole_text == "Posted:"
+                and isinstance(sib, DomText)
+            ):
+                return _pass1_parse(sib.whole_text, standard)
+    return None
+
+
+def dom_low_quality_passes(dom, standard: str, effort_high: bool = True) -> Optional[int]:
+    """DOMParsingPass1 -> Html5AnyTimeTag -> DOMParsingPass2 in ONE tree
+    walk.  The reference runs three sequential full walks
+    (PubDateHeuristicDOMParsingPass1 / Html5AnyTimeTagHeuristic /
+    PubDateHeuristicDOMParsingPass2); because pass1 beats time beats
+    pass2 regardless of document position, collecting all three in a
+    single walk and replaying each pass's early-exit over the collected
+    document-order candidates is output-identical."""
+    pass1_hit: list[int] = []
+    time_hit: list[int] = []  # first parseable <time> in doc order
+    pass2_cands: list[int] = []
+
+    class _F:
+        @staticmethod
+        def head(node, depth):
+            if effort_high:
+                y = _pass1_node(node, standard)
+                if y is not None:
+                    pass1_hit.append(y)
+                    return STOP  # pass1 wins outright; later passes moot
+            if isinstance(node, DomElement):
+                if not time_hit and node.tag == "time":
+                    y = attempt_parse_date(node.attr("datetime")) or attempt_parse_date(
+                        node.whole_text()
+                    )
+                    if y:
+                        time_hit.append(y)
+            elif effort_high and isinstance(node, DomText):
+                text = node.whole_text
+                if is_possible_candidate(text):
+                    if standard == "UNKNOWN":
+                        y = date_from_highest_year_looking_substring(text)
+                    else:
+                        y = date_from_highest_year_looking_substring(text, standard)
+                    if y is not None:
+                        pass2_cands.append(y)
+            return CONTINUE
+
+        @staticmethod
+        def tail(node, depth):
+            return CONTINUE
+
+    dom.filter(_F())
+    if pass1_hit:
+        return pass1_hit[0]
+    if time_hit:
+        return time_hit[0]
+    # pass2 replay: each candidate overwrites state; the walk stops at the
+    # first plausible one, else the last candidate stands
+    ans: Optional[int] = None
+    for y in pass2_cands:
+        ans = y
+        if is_guess_plausible(standard, y):
+            break
+    return ans
+
+
 def dom_parsing_pass1(dom, standard: str) -> Optional[int]:
     """Copyright notices / byline classes / old-phpBB "Posted:" markers
     (PubDateHeuristicDOMParsingPass1.java)."""
@@ -357,26 +445,15 @@ def sniff_pubdate(
     y = _url_year(url, 2000)  # UrlPatternPass1: 1990s excluded
     if y:
         return y
-    if dom is not None and effort_high:  # DOMParsingPass1
-        y = dom_parsing_pass1(dom, std)
+    if dom is not None:  # DOMParsingPass1 / Html5AnyTimeTag / DOMParsingPass2
+        y = dom_low_quality_passes(dom, std, effort_high)
         if y:
             return y
-    if dom is not None:  # Html5AnyTimeTag
-        for el in dom.get_elements_by_tag("time"):
-            y = attempt_parse_date(el.attr("datetime")) or attempt_parse_date(
-                el.whole_text()
-            )
-            if y:
-                return y
     else:
         for dt in doc.time_datetimes:
             y = attempt_parse_date(dt)
             if y:
                 return y
-    if dom is not None and effort_high:  # DOMParsingPass2
-        y = dom_parsing_pass2(dom, std)
-        if y:
-            return y
     y = _url_year(url, MIN_YEAR)  # UrlPatternPass2: full window
     if y:
         return y

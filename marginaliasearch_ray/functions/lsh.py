@@ -47,13 +47,11 @@ def _fold_lsh(hashes: np.ndarray) -> int:
         ^ (h >> _U32(20))
         ^ (h >> _U32(26))
     ) & _U32(63)
-    counters = np.bincount(field, weights=value, minlength=64).astype(np.int64)
+    neg = value < 0
+    counters = np.bincount(field[neg], minlength=64).astype(np.int64)
+    counters -= np.bincount(field[~neg], minlength=64)
     # Java: bit = (int field) >>> 31 — the int32 sign bit
-    bits = (counters < 0).astype(np.uint64)
-    out = np.uint64(0)
-    for b in bits:  # 64 iterations, negligible
-        out = (out << np.uint64(1)) | b
-    return int(out)
+    return int.from_bytes(np.packbits(counters > 0).tobytes(), "big")
 
 
 def content_hash(body: bytes) -> int:
@@ -90,13 +88,24 @@ def java_string_hash(s: str) -> int:
     return h - 0x100000000 if h >= 0x80000000 else h
 
 
+# word -> uint32 Java hash memo: natural-language vocabulary is Zipfian,
+# so across a converter actor's lifetime the hit rate is ~99%; bounded to
+# keep long-lived actors from growing without limit
+_WORD_HASH_CACHE: dict = {}
+_WORD_HASH_CACHE_MAX = 1 << 20
+
+
 def doc_lsh(words: list[str]) -> int:
     """Unordered word LSH over lowercase tokens."""
     if not words:
         return 0
-    hashes = np.fromiter(
-        (java_string_hash(w) & 0xFFFFFFFF for w in words), dtype=np.uint32, count=len(words)
-    )
+    cache = _WORD_HASH_CACHE
+    if len(cache) > _WORD_HASH_CACHE_MAX:
+        cache.clear()
+    misses = [w for w in words if w not in cache]
+    for w in misses:
+        cache[w] = java_string_hash(w) & 0xFFFFFFFF
+    hashes = np.fromiter((cache[w] for w in words), dtype=np.uint32, count=len(words))
     return _fold_lsh(hashes)
 
 

@@ -222,3 +222,52 @@ class TestFeatures:
         assert adjust_quality(-5.0, F_TRACKING) == -7.5
         assert adjust_quality(5.0, F_TRACKING) == 0.0  # positive clamps to 0
         assert adjust_quality(-1.0, 0) == -1.0
+
+
+class TestMergedLowQualityWalk:
+    """dom_low_quality_passes (one walk) must equal the sequential
+    pass1 -> any-<time> -> pass2 chain on every fixture document."""
+
+    def test_equivalence_on_fixture_corpus(self):
+        import pyarrow.parquet as pq
+
+        from marginaliasearch_ray.fixtures.cache import fixture_dir_for
+        from marginaliasearch_ray.functions.docmeta import (
+            attempt_parse_date,
+            dom_low_quality_passes,
+            dom_parsing_pass1,
+            dom_parsing_pass2,
+        )
+
+        fix = fixture_dir_for("/root/testdata/sf0.001")
+        pages = pq.read_table(f"{fix}/pages.parquet", columns=["html", "status"])
+        n = 0
+        for html, status in zip(
+            pages["html"].to_pylist(), pages["status"].to_pylist()
+        ):
+            if status not in (200, None):
+                continue
+            try:
+                text = html.decode("utf-8", "replace") if isinstance(html, bytes) else html
+            except Exception:
+                continue
+            doc = parse(text)
+            if doc.dom is None or doc.dom.truncated:
+                continue
+            std = getattr(doc, "html_standard", "UNKNOWN")
+
+            def sequential(dom, standard):
+                y = dom_parsing_pass1(dom, standard)
+                if y:
+                    return y
+                for el in dom.get_elements_by_tag("time"):
+                    y = attempt_parse_date(el.attr("datetime")) or attempt_parse_date(
+                        el.whole_text()
+                    )
+                    if y:
+                        return y
+                return dom_parsing_pass2(dom, standard)
+
+            assert dom_low_quality_passes(doc.dom, std) == sequential(doc.dom, std)
+            n += 1
+        assert n > 50  # the corpus actually exercised the comparison
