@@ -434,6 +434,46 @@ def _media_features(sf_dir: str) -> pd.DataFrame:
     )
 
 
+_SIDELOAD_COLS = [
+    "url", "domain", "title", "n_words", "quality", "pub_year", "summary",
+    "state", "generator", "features", "synthetic_terms", "text",
+]
+
+
+def _sideload(source: str) -> Callable[[str], pd.DataFrame]:
+    """Distributed sideload pipeline over the deterministic SQLite/dirtree
+    fixtures; the oracle is the sequential full-scan conversion in
+    fixtures/expected.py (`expected_sideload.parquet`)."""
+
+    def run(sf_dir: str) -> pd.DataFrame:
+        from marginaliasearch_ray.fixtures.sideload import (
+            ENCYCLOPEDIA_BASE_URL,
+            sideload_fixture_dir_for,
+        )
+        from marginaliasearch_ray.pipelines import sideload as sl
+
+        fix = sideload_fixture_dir_for(sf_dir)
+        cols = list(_SIDELOAD_COLS)
+        # small ranges so the correctness gate exercises MULTI-range reads
+        # (thread grouping / join correctness across range boundaries)
+        if source == "wiki":
+            ds = sl.sideload_encyclopedia(
+                f"{fix}/enc.db", ENCYCLOPEDIA_BASE_URL, range_rows=32
+            )
+        elif source == "stackexchange":
+            ds = sl.sideload_stackexchange(f"{fix}/se.db", threads_per_task=16)
+        elif source == "reddit":
+            ds = sl.sideload_reddit([f"{fix}/reddit.db"], range_rows=32)
+            cols.append("score")
+        else:
+            ds = sl.sideload_dirtree(f"{fix}/tree_spec.json")
+        out = ds.select_columns(cols).to_pandas()
+        out["quality"] = out["quality"].round(4)
+        return out.sort_values("url").reset_index(drop=True)
+
+    return run
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -493,6 +533,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing
         "media_bytes": _media_bytes,
         "media_features": _media_features,
+        # sideloaders (range-sharded SQLite / dirtree readers + converter)
+        "sideload_encyclopedia": _sideload("wiki"),
+        "sideload_stackexchange": _sideload("stackexchange"),
+        "sideload_reddit": _sideload("reddit"),
+        "sideload_dirtree": _sideload("docs_tree"),
     }
 
 
@@ -527,6 +572,17 @@ _LANG_SQL_PROFILES = {
 def _sql_lang_list(lang: str) -> str:
     words = _LANG_SQL_PROFILES[lang]
     return "[" + ",".join("'" + w.encode().decode("unicode_escape") + "'" for w in words) + "]"
+
+
+def _sideload_oracle(exp: str, source: str, score: bool = False) -> str:
+    extra = ", score" if score else ""
+    return f"""
+        SELECT url, domain, title, n_words, round(quality, 4) AS quality,
+               pub_year, summary, state, generator, features,
+               synthetic_terms, text{extra}
+        FROM read_parquet('{exp}/expected_sideload.parquet')
+        WHERE source = '{source}' ORDER BY url
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -829,6 +885,10 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{exp}/expected_pagerank.parquet')
             ORDER BY rank DESC, domain
         """,
+        "sideload_encyclopedia": _sideload_oracle(exp, "wiki"),
+        "sideload_stackexchange": _sideload_oracle(exp, "stackexchange"),
+        "sideload_reddit": _sideload_oracle(exp, "reddit", score=True),
+        "sideload_dirtree": _sideload_oracle(exp, "docs_tree"),
         "recrawl_decisions": f"""
             SELECT url, domain, decision, hamming, had_etag, sampled
             FROM read_parquet('{exp}/expected_recrawl.parquet')

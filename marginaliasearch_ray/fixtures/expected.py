@@ -38,7 +38,7 @@ from .cache import FIXTURE_VERSION, config_for, fixture_dir_for
 
 EXPECTED_ROOT = "/tmp/graft_expected"
 # bump when ORACLE LOGIC changes without a fixture-generator change
-EXPECTED_VERSION = 6
+EXPECTED_VERSION = 7
 
 
 def expected_dir_for(sf_dir: str) -> str:
@@ -55,6 +55,7 @@ def expected_dir_for(sf_dir: str) -> str:
         _build_recrawl_expected(fix, out)
         _build_discovery_expected(fix, out)
         _build_sketch_expected(sf_dir, out)
+        _build_sideload_expected(sf_dir, out)
         done.touch()
     return str(out)
 
@@ -566,3 +567,97 @@ def _expected_lsh_ann(emb: pa.Table, out: Path, k: int = 10, n_bits: int = 8) ->
         }
     )
     pq.write_table(pa.Table.from_pandas(rows, preserve_index=False), out / "expected_lsh_ann.parquet")
+
+
+# ---------------------------------------------------------------------------
+# sideload family (SQLite dumps / dirtree -> processed documents)
+# ---------------------------------------------------------------------------
+
+
+def _build_sideload_expected(sf_dir: str, out: Path) -> None:
+    """Sequential sideload oracle: one single-threaded full scan per
+    SQLite dump / dirtree, rows converted with the same per-document
+    functions the engine uses (the precedent set by
+    ``_build_convert_expected``) but NONE of the distributed machinery —
+    no rowid/threadId range sharding, no Ray tasks, no map_batches.  What
+    the comparison therefore proves is that the engine's range-sharded
+    parallel read + conversion reproduces the sequential scan exactly
+    (coverage: no range dropped/duplicated, thread grouping intact across
+    range boundaries, comment->submission join correct per range)."""
+    from datetime import datetime, timezone
+    from pathlib import Path as _P
+
+    from ..pipelines.sideload import (
+        SIDELOAD_NOW_YEAR,
+        process_sideload_document,
+        process_stackexchange_thread,
+    )
+    from ..functions.docmeta import F_COOKIES, F_TRACKING_ADTECH
+    from ..sources.sideload import (
+        iter_encyclopedia_rows,
+        iter_reddit_rows,
+        iter_stackexchange_threads,
+        load_dirtree_specs,
+    )
+    from .sideload import (
+        ENCYCLOPEDIA_BASE_URL,
+        STACKEXCHANGE_DOMAIN,
+        sideload_fixture_dir_for,
+    )
+
+    fix = _P(sideload_fixture_dir_for(sf_dir))
+    rows: list[dict] = []
+
+    for r in iter_encyclopedia_rows(str(fix / "enc.db"), ENCYCLOPEDIA_BASE_URL):
+        d = process_sideload_document(
+            r["url"], r["html"], "wiki", SIDELOAD_NOW_YEAR, ["encyclopedia", "wiki"]
+        )
+        if d is not None:
+            rows.append({**d, "source": "wiki", "score": 0})
+
+    for t in iter_stackexchange_threads(str(fix / "se.db")):
+        d = process_stackexchange_thread(STACKEXCHANGE_DOMAIN, t)
+        rows.append({**d, "source": "stackexchange", "score": 0})
+
+    for r in iter_reddit_rows(str(fix / "reddit.db")):
+        url = "https://old.reddit.com" + r["permalink"]
+        from ..sources.sideload import render_reddit_html
+
+        html = render_reddit_html(r["title"], r["subreddit"], r["body"])
+        year = datetime.fromtimestamp(
+            int(r["created_utc"]), tz=timezone.utc
+        ).year
+        extra = []
+        if r["author"] and r["author"] != "[deleted]":
+            extra.append(r["author"])
+        d = process_sideload_document(url, html, "forum", year, extra)
+        if d is None:
+            continue
+        if d["state"] == "ok":
+            d["features"] |= F_COOKIES | F_TRACKING_ADTECH
+            d["synthetic_terms"] += " special:cookies special:scripts special:adtech"
+        rows.append({**d, "source": "reddit", "score": int(r["score"])})
+
+    for spec in load_dirtree_specs(str(fix / "tree_spec.json")):
+        base = spec["baseUrl"]
+        if not base.endswith("/"):
+            base += "/"
+        root = _P(spec["dir"])
+        kws = list(spec.get("keywords", []))
+        for p in sorted(root.rglob("*")):
+            if p.is_file() and p.suffix.lower() in (".html", ".htm"):
+                url = base + str(p.relative_to(root))
+                if url.endswith("/index.html"):
+                    url = url[: -len("index.html")]
+                d = process_sideload_document(
+                    url, p.read_text(), "docs", SIDELOAD_NOW_YEAR, kws
+                )
+                if d is not None:
+                    rows.append({**d, "source": "docs_tree", "score": 0})
+
+    df = pd.DataFrame(rows).sort_values("url").reset_index(drop=True)
+    df["text"] = df.pop("text")  # keep text last for readable parquet
+    pq.write_table(
+        pa.Table.from_pandas(df, preserve_index=False),
+        out / "expected_sideload.parquet",
+    )

@@ -476,6 +476,7 @@ F_COOKIES = 1 << 4
 F_QUANTCAST = 1 << 5
 F_PARDOT = 1 << 6
 F_PDF = 1 << 7  # HtmlFeature.PDF (PdfDocumentProcessorPlugin.java:123)
+F_SHORT_DOCUMENT = 1 << 8  # HtmlFeature.SHORT_DOCUMENT (sideload length miss)
 
 _TRACKING_HOSTS = ("google-analytics.com", "googletagmanager.com", "gtag/js")
 _ADTECH_HOSTS = ("doubleclick", "adservice", "googlesyndication")
