@@ -49,7 +49,7 @@ def _crawl_records(sf_dir: str) -> pd.DataFrame:
     recs = (
         read_crawl_records(str(out))
         .select_columns(
-            ["domain", "url", "visit_ordinal", "virtual_ts_ms", "http_status"]
+            ["domain", "url", "visit_ordinal", "virtual_ts_ms", "http_status", "has_cookies"]
         )
         .to_pandas()
     )
@@ -65,7 +65,7 @@ def _convert_docs(sf_dir: str) -> pd.DataFrame:
     out = ds.select_columns(
         ["url", "domain", "title", "length", "quality", "links_internal",
          "links_external", "is_near_dup", "n_words", "pub_year", "summary",
-         "spec", "amended_words"]
+         "spec", "amended_words", "has_cookies"]
     ).to_pandas()
     out["quality"] = out["quality"].round(4)
     return out.sort_values("url").reset_index(drop=True)
@@ -855,7 +855,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # ---------------- crawl engine: sequential-oracle fixtures ----------------
         "crawl_records": f"""
-            SELECT domain, url, visit_ordinal, virtual_ts_ms, http_status
+            SELECT domain, url, visit_ordinal, virtual_ts_ms, http_status, has_cookies
             FROM read_parquet('{exp}/expected_crawl_records.parquet')
             ORDER BY domain, visit_ordinal
         """,
@@ -876,7 +876,7 @@ def oracle_sql() -> dict[str, str]:
         "convert_docs": f"""
             SELECT url, domain, title, length, round(quality, 4) AS quality,
                    links_internal, links_external, is_near_dup,
-                   n_words, pub_year, summary, spec, amended_words
+                   n_words, pub_year, summary, spec, amended_words, has_cookies
             FROM read_parquet('{exp}/expected_convert.parquet')
             ORDER BY url
         """,

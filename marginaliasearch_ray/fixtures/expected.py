@@ -73,6 +73,7 @@ def _load_web(fix: Path) -> tuple[dict, list, dict]:
             pages["status"][i].as_py(),
             pages["location"][i].as_py(),
             pages["retry_after"][i].as_py(),
+            pages["set_cookie"][i].as_py() if "set_cookie" in pages.column_names else "",
         )
         for i in range(pages.num_rows)
     }
@@ -104,7 +105,7 @@ def _build_crawl_expected(fix: Path, out: Path) -> None:
     # (__ray_entry__._crawl_records -> run_crawl default, 200)
     results = crawl_web_oracle(seeds, web, robots, max_per_domain=200)
 
-    rec = {"domain": [], "url": [], "visit_ordinal": [], "virtual_ts_ms": [], "http_status": []}
+    rec = {"domain": [], "url": [], "visit_ordinal": [], "virtual_ts_ms": [], "http_status": [], "has_cookies": []}
     meta = {"domain": [], "favicon_url": [], "feed_url": [], "visited": [], "excluded": []}
     for domain, r in sorted(results.items()):
         for v in r.visits:
@@ -113,6 +114,7 @@ def _build_crawl_expected(fix: Path, out: Path) -> None:
             rec["visit_ordinal"].append(v.ordinal)
             rec["virtual_ts_ms"].append(v.virtual_ts_ms)
             rec["http_status"].append(v.status)
+            rec["has_cookies"].append(v.has_cookies)
         meta["domain"].append(domain)
         meta["favicon_url"].append(r.favicon_url)
         meta["feed_url"].append(r.feed_url)
@@ -126,6 +128,7 @@ def _build_crawl_expected(fix: Path, out: Path) -> None:
                 "visit_ordinal": pa.array(rec["visit_ordinal"], pa.int32()),
                 "virtual_ts_ms": pa.array(rec["virtual_ts_ms"], pa.int64()),
                 "http_status": pa.array(rec["http_status"], pa.int16()),
+                "has_cookies": pa.array(rec["has_cookies"], pa.bool_()),
             }
         ),
         out / "expected_crawl_records.parquet",
@@ -283,7 +286,7 @@ def _build_convert_expected(fix: Path, out: Path) -> None:
         "url": [], "domain": [], "title": [], "length": [], "quality": [],
         "links_internal": [], "links_external": [], "is_near_dup": [],
         "n_words": [], "pub_year": [], "summary": [], "spec": [],
-        "amended_words": [],
+        "amended_words": [], "has_cookies": [],
     }
     for domain in sorted(by_domain):
         idxs = by_domain[domain]
@@ -297,6 +300,11 @@ def _build_convert_expected(fix: Path, out: Path) -> None:
                 "state": "ok", "title": "", "length": 0, "quality": 0.0,
                 "n_words": 0, "doc_hash": 0, "ni": 0, "ne": 0,
                 "pub_year": 0, "summary": "", "spec": "", "amended_words": "",
+                "sc": bool(
+                    pages["set_cookie"][i].as_py()
+                    if "set_cookie" in pages.column_names
+                    else ""
+                ),
             }
             if status == 301:
                 r["state"] = "redirect"
@@ -339,7 +347,9 @@ def _build_convert_expected(fix: Path, out: Path) -> None:
         # stream order); big domains take the simple track: no dedup
         docs.sort(key=lambda d: d[0])
         kept_hashes: list[int] = []
+        cookie_jar = False  # DomainCookies jar over the same url order
         for url, r in docs:
+            cookie_jar = cookie_jar or r["sc"]
             is_dup = False
             if len(docs) < SIDELOAD_THRESHOLD and r["state"] == "ok" and r["n_words"] >= 100:
                 for kh in kept_hashes:
@@ -361,6 +371,7 @@ def _build_convert_expected(fix: Path, out: Path) -> None:
             rows["summary"].append(r["summary"])
             rows["spec"].append(r["spec"])
             rows["amended_words"].append(r["amended_words"])
+            rows["has_cookies"].append(cookie_jar)
     pq.write_table(
         pa.table(
             {
@@ -377,6 +388,7 @@ def _build_convert_expected(fix: Path, out: Path) -> None:
                 "summary": pa.array(rows["summary"], pa.string()),
                 "spec": pa.array(rows["spec"], pa.string()),
                 "amended_words": pa.array(rows["amended_words"], pa.string()),
+                "has_cookies": pa.array(rows["has_cookies"], pa.bool_()),
             }
         ),
         out / "expected_convert.parquet",

@@ -33,6 +33,7 @@ anchors, pre, nav, script, style, form; head: title, optional meta charset
 
 from __future__ import annotations
 
+import hashlib
 import random
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -345,6 +346,26 @@ def _url_case(canon: str, rng: random.Random) -> tuple[str, str]:
         return raw, canon  # utm params are stripped by the sanitizer
     flipped = ("http" + canon[len("https"):]) if proto == "https" else ("https" + canon[len("http"):])
     return flipped, flipped  # scheme is identity-preserved by the parser
+
+
+def synthetic_set_cookie(url: str, status: int) -> str:
+    """Deterministic Set-Cookie response header for the synthetic web:
+    ~1/2 of domains run a session-cookie stack; there the root sets a
+    session id half the time and other 200/301 responses a third of the
+    time.  Feeds the engine's DomainCookies jar (DomainCookies.java) and
+    the converter's COOKIES feature (DocumentProcessor.java:111-116)."""
+    if status not in (200, 301):
+        return ""
+    rest = url.split("://", 1)[1]
+    host, _, path = rest.partition("/")
+    if int(hashlib.md5(host.encode()).hexdigest(), 16) % 2 != 0:
+        return ""
+    h = hashlib.md5(url.encode()).hexdigest()
+    # roots set a cookie only half the time so some domains' jars fill
+    # mid-crawl — exercising the false->true transition in visit order
+    if int(h, 16) % (2 if not path else 3) != 0:
+        return ""
+    return f"sid={h[:8]}; Path=/; HttpOnly"
 
 
 def _generate_domain(cfg: WebConfig, domains: list[str], di: int):
@@ -847,6 +868,9 @@ def generate_web(cfg: WebConfig, parallel: bool = False) -> dict:
             "status": pa.array([r[5] for r in page_rows], pa.int16()),
             "location": pa.array([r[6] for r in page_rows], pa.string()),
             "retry_after": pa.array([r[7] for r in page_rows], pa.int32()),
+            "set_cookie": pa.array(
+                [synthetic_set_cookie(r[0], r[5]) for r in page_rows], pa.string()
+            ),
         }
     )
     seeds = pa.table(

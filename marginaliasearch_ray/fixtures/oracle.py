@@ -55,6 +55,9 @@ class Visit:
     virtual_ts_ms: int
     status: int
     seen_hash: int
+    # DomainCookies jar state at this response (updateCookieStore runs
+    # before the X-Has-Cookies mark, WarcRecorder.java:114,140)
+    has_cookies: bool = False
 
 
 @dataclass
@@ -133,11 +136,13 @@ class OracleFrontier:
 
 
 def _web_get(web: dict, s: str):
-    """Normalize store entries: (html, status[, location[, retry_after]])."""
+    """Normalize store entries:
+    (html, status[, location[, retry_after[, set_cookie]]])."""
     hit = web.get(s)
     if hit is None:
-        return b"", 404, None, None
-    return tuple(hit) + (None,) * (4 - len(hit))
+        return b"", 404, None, None, ""
+    out = tuple(hit) + (None,) * (5 - len(hit))
+    return out[:4] + (out[4] or "",)
 
 
 def probe_domain_oracle(domain: str, web: dict) -> tuple[bool, bool]:
@@ -148,7 +153,7 @@ def probe_domain_oracle(domain: str, web: dict) -> tuple[bool, bool]:
         s = f"{proto}://{domain}/"
         if s not in web:
             continue  # connection error -> http fallback (DomainProber.java:52-66)
-        _html, status, location, _ra = _web_get(web, s)
+        _html, status, location, _ra, _sc = _web_get(web, s)
         if status == 200:
             return proto == "https", False
         if status == 301 and location:
@@ -199,6 +204,7 @@ def crawl_domain_oracle(
     errors = 0
     pending_redirects: list[CanonUrl] = []
     pending_extra_ms = [0]  # 429 retry time, applied at the chunk boundary
+    cookie_jar = [False]  # DomainCookies: monotone non-empty flag
 
     def fetch_and_enqueue(u: CanonUrl, is_root: bool = False) -> int:
         """Simulated fetch: look up the web; parse + enqueue links on 200
@@ -207,9 +213,11 @@ def crawl_domain_oracle(
         (CrawlerRetreiver.sniffRootDocument order)."""
         nonlocal clock, ordinal
         s = str(u)
-        body, status, location, retry_after = _web_get(web, s)
+        body, status, location, retry_after, set_cookie = _web_get(web, s)
         h = frontier._hash(u)
-        res.visits.append(Visit(ordinal, s, clock, status, h))
+        if set_cookie:
+            cookie_jar[0] = True  # jar updates before the record's flag
+        res.visits.append(Visit(ordinal, s, clock, status, h, cookie_jar[0]))
         # post-fetch wait (CrawlerRetreiver.java:471 waitFetchDelay())
         clock += fetch_interval_ms(delay_ms, 0, fetch_jitter_ms(domain, ordinal))
         ordinal += 1
@@ -235,18 +243,20 @@ def crawl_domain_oracle(
                 from ..functions.rootsniff import sniff_favicon_url, sniff_feed_url
 
                 res.favicon_url = sniff_favicon_url(u, doc.icon_href)
+                def probe_fetch(cu: str):
+                    # the probe response runs through the domain cookie
+                    # jar too (validateFeedUrl passes `cookies`,
+                    # CrawlerRetreiver.java:442); sniff_feed_url calls
+                    # this only for robots-allowed candidates, in order,
+                    # stopping at the first valid feed — exactly the set
+                    # the reference fetches
+                    pbody, pstatus, _pl, _pr, psc = _web_get(web, cu)
+                    if psc:
+                        cookie_jar[0] = True
+                    return pbody if pstatus == 200 else None
+
                 res.feed_url = (
-                    sniff_feed_url(
-                        u,
-                        doc.feed_href,
-                        robots,
-                        lambda cu: (
-                            _web_get(web, cu)[0]
-                            if _web_get(web, cu)[1] == 200
-                            else None
-                        ),
-                    )
-                    or ""
+                    sniff_feed_url(u, doc.feed_href, robots, probe_fetch) or ""
                 )
             for link in extract_links(u, doc):
                 frontier.add_to_queue(link)

@@ -36,7 +36,13 @@ import ray
 import ray.data as rd
 
 from ..functions.contenttype import decode_body, sniff_content_type
-from ..functions.docmeta import F_PDF, adjust_quality, detect_features, sniff_pubdate
+from ..functions.docmeta import (
+    F_COOKIES,
+    F_PDF,
+    adjust_quality,
+    detect_features,
+    sniff_pubdate,
+)
 from ..functions.dom import tagger_text
 from ..functions.pdf import PDF_PUB_YEAR, PDF_QUALITY, convert_pdf, pdf_description
 from ..functions.specialization import (
@@ -269,6 +275,14 @@ def process_pages_batch(batch: pa.Table) -> pa.Table:
     )
     if "lang" in batch.column_names:
         out = out.append_column("lang", batch.column("lang"))
+    # Set-Cookie pass-through: the per-document jar flag needs the
+    # domain's URL-ordered prefix, which only the narrow per-domain pass
+    # can see — ship the 1-bit response fact, resolve there
+    if "set_cookie" in batch.column_names:
+        sc = [bool(v) for v in batch.column("set_cookie").to_pylist()]
+    else:
+        sc = [False] * out.num_rows
+    out = out.append_column("sc_flag", pa.array(sc, pa.bool_()))
     return out
 
 
@@ -309,17 +323,41 @@ def find_near_dup_urls(group: pd.DataFrame) -> pd.DataFrame:
 
 
 def _flag_near_dups(batch: pa.Table, dup_ref) -> pa.Table:
-    """Broadcast flag-back: the (small) duplicate-url set lives in the
-    object store (``ray.put`` once); every map task ``ray.get``s it
-    (zero-copy, node-local after the first touch) and appends the boolean
-    column — document text never enters a shuffle.  Stateless task form so
-    the stage parallelizes across the whole pool."""
+    """Broadcast flag-back: the (small) duplicate-url set and the
+    per-domain first-cookie-url map live in the object store (``ray.put``
+    once); every map task ``ray.get``s them (zero-copy, node-local after
+    the first touch) and appends the boolean columns — document text
+    never enters a shuffle.  ``has_cookies`` renders the DomainCookies
+    jar in the converter's canonical URL order: the jar is monotone, so
+    the flag is ``url >= first cookie-setting url`` of the domain
+    (DocumentProcessor.java:111-116 consumes the crawler's X-Has-Cookies;
+    this converter reads the raw web table, so the jar is re-derived over
+    the same per-domain URL order the dedup chain uses)."""
     import ray
 
-    dups: frozenset = ray.get(dup_ref)
+    dups, first_cookie = ray.get(dup_ref)
     urls = batch.column("url").to_pylist()
+    domains = batch.column("domain").to_pylist()
     flags = np.fromiter((u in dups for u in urls), dtype=bool, count=len(urls))
-    return batch.append_column("is_near_dup", pa.array(flags))
+    ck = np.fromiter(
+        (
+            (fc := first_cookie.get(d)) is not None and u >= fc
+            for d, u in zip(domains, urls)
+        ),
+        dtype=bool,
+        count=len(urls),
+    )
+    batch = batch.drop_columns(["sc_flag"])
+    batch = batch.append_column("is_near_dup", pa.array(flags))
+    batch = batch.append_column("has_cookies", pa.array(ck))
+    # the COOKIES feature bit lands POST-valuation, only on docs that
+    # produced details (DocumentProcessor.java:111-116) — quality is
+    # untouched (adjustQuality already ran inside the plugin)
+    states = np.asarray(batch.column("state").to_pylist())
+    feats = batch.column("features").to_numpy(zero_copy_only=False).copy()
+    feats[ck & (states == "ok")] |= F_COOKIES
+    i = batch.schema.get_field_index("features")
+    return batch.set_column(i, "features", pa.array(feats, pa.int32()))
 
 
 def convert_pages(
@@ -357,7 +395,9 @@ def convert_pages(
         import pyarrow.dataset as pads
 
         names = pads.dataset(pages_path).schema.names
-        columns = [c for c in ("url", "html", "lang", "status") if c in names]
+        columns = [
+            c for c in ("url", "html", "lang", "status", "set_cookie") if c in names
+        ]
     ds = rd.read_parquet(pages_path, columns=columns)
     # split-without-shuffle so a single large parquet file fans out across
     # the CPU pool (the read stays one pass; blocks are sliced views)
@@ -390,27 +430,40 @@ def convert_pages(
     def _narrow_split(block: pa.Table):
         import pyarrow.compute as pc
 
-        nar = block.select(["domain", "url", "doc_hash", "n_words", "state", "dpart"])
+        nar = block.select(
+            ["domain", "url", "doc_hash", "n_words", "state", "dpart", "sc_flag"]
+        )
         dp = nar.column("dpart")
         return tuple(nar.filter(pc.equal(dp, d)) for d in range(n_parts))
 
     @ray.remote(num_cpus=1)
-    def _dedup_part(*parts: pa.Table) -> list:
+    def _dedup_part(*parts: pa.Table) -> tuple:
         tables = [p for p in parts if p.num_rows]
         if not tables:
-            return []
+            return [], {}
         pdf = pa.concat_tables(tables).to_pandas()
-        out: list[str] = []
-        for _, group in pdf.groupby("domain", sort=False):
-            out.extend(find_near_dup_urls(group)["url"])
-        return out
+        dups: list[str] = []
+        # DomainCookies analog for the converter's URL-ordered pass: the
+        # jar is monotone, so has_cookies(doc) reduces to
+        # url >= min(url where the response set a cookie) — per-DOMAIN
+        # data (one url per cookie domain), broadcastable
+        first_cookie: dict[str, str] = {}
+        for dom, group in pdf.groupby("domain", sort=False):
+            dups.extend(find_near_dup_urls(group)["url"])
+            with_cookie = group.loc[group["sc_flag"], "url"]
+            if len(with_cookie):
+                first_cookie[dom] = with_cookie.min()
+        return dups, first_cookie
 
     splits = [_narrow_split.remote(b) for b in block_refs]
-    dup_lists = ray.get(
+    part_results = ray.get(
         [_dedup_part.remote(*[s[d] for s in splits]) for d in range(n_parts)]
     )
-    dup_set = frozenset(u for part in dup_lists for u in part)
-    dup_ref = ray.put(dup_set)
+    dup_set = frozenset(u for dups, _ in part_results for u in dups)
+    first_cookie_map = {}
+    for _, fc in part_results:
+        first_cookie_map.update(fc)  # domains never split across parts
+    dup_ref = ray.put((dup_set, first_cookie_map))
     out = mat.map_batches(
         _flag_near_dups,
         fn_kwargs={"dup_ref": dup_ref},

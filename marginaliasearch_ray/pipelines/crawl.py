@@ -85,6 +85,7 @@ _FETCH_COLS = [
     ("seen_hash", pa.uint64()),
     ("filter_name", pa.string()),
     ("supports_https", pa.bool_()),
+    ("cookies_before", pa.bool_()),
 ]
 
 
@@ -249,7 +250,7 @@ class FrontierShard:
         for f in sorted(base.glob("part-*.parquet")):
             t = pq.read_table(
                 f,
-                columns=["domain", "url", "visit_ordinal", "virtual_ts_ms", "http_status", "location", "retry_after_ms", "round", "links", "root_filter"],
+                columns=["domain", "url", "visit_ordinal", "virtual_ts_ms", "http_status", "location", "retry_after_ms", "round", "links", "root_filter", "has_cookies"],
             )
             visits.extend(t.to_pylist())
         n = self.state.resync_from_journal(visits)
@@ -416,6 +417,8 @@ class WebStore:
                 batch = batch.append_column("location", pa.array([None] * len(urls), pa.string()))
             if "retry_after" not in batch.column_names:
                 batch = batch.append_column("retry_after", pa.array([None] * len(urls), pa.int32()))
+            if "set_cookie" not in batch.column_names:
+                batch = batch.append_column("set_cookie", pa.array([""] * len(urls), pa.string()))
             return batch.append_column("part", pa.array(parts, pa.int32()))
 
         import ray.data as rd
@@ -426,6 +429,8 @@ class WebStore:
             cols += ["status", "location"]
         if "retry_after" in names:
             cols += ["retry_after"]
+        if "set_cookie" in names:
+            cols += ["set_cookie"]
         (
             rd.read_parquet(pages_path, columns=cols)
             .map_batches(add_part, batch_format="pyarrow")
@@ -440,7 +445,7 @@ class WebStore:
         web: dict[str, tuple] = {}
         if pdir.exists():
             tbl = pads.dataset(str(pdir)).to_table(
-                columns=["url", "html", "status", "location", "retry_after"]
+                columns=["url", "html", "status", "location", "retry_after", "set_cookie"]
             )
             web = dict(
                 zip(
@@ -450,6 +455,7 @@ class WebStore:
                         tbl.column("status").to_pylist(),
                         tbl.column("location").to_pylist(),
                         tbl.column("retry_after").to_pylist(),
+                        tbl.column("set_cookie").to_pylist(),
                     ),
                 )
             )
@@ -463,7 +469,7 @@ class WebStore:
     def lookup(self, part: int, url: str):
         hit = self._load(part).get(url)
         if hit is None:
-            return None, 404, None, None
+            return None, 404, None, None, ""
         return hit
 
     def put_partitions_in_object_store(self) -> dict[int, "ray.ObjectRef"]:
@@ -478,7 +484,9 @@ class WebStore:
         def _load_part(pdir: str) -> pa.Table:
             return (
                 pads.dataset(pdir)
-                .to_table(columns=["url", "html", "status", "location", "retry_after"])
+                .to_table(
+                    columns=["url", "html", "status", "location", "retry_after", "set_cookie"]
+                )
                 .combine_chunks()
             )
 
@@ -528,6 +536,7 @@ def _lookup_urls(
     statuses: list[int] = [404] * n
     locations: list[Optional[str]] = [None] * n
     retry_afters: list[Optional[int]] = [None] * n
+    set_cookies: list[str] = [""] * n
     by_part: dict[int, list[int]] = {}
     for i, p in enumerate(parts):
         by_part.setdefault(p, []).append(i)
@@ -546,6 +555,9 @@ def _lookup_urls(
             status_col = tbl.column("status")
             loc_col = tbl.column("location")
             ra_col = tbl.column("retry_after")
+            sc_col = (
+                tbl.column("set_cookie") if "set_cookie" in tbl.column_names else None
+            )
             for j, i in enumerate(idxs):
                 k = pos[j].as_py()
                 if k is not None:
@@ -553,14 +565,17 @@ def _lookup_urls(
                     statuses[i] = status_col[k].as_py()
                     locations[i] = loc_col[k].as_py()
                     retry_afters[i] = ra_col[k].as_py()
+                    if sc_col is not None:
+                        set_cookies[i] = sc_col[k].as_py() or ""
         else:
             for i in idxs:
-                body, status, loc, ra = store.lookup(p, urls[i].as_py())
+                body, status, loc, ra, sc = store.lookup(p, urls[i].as_py())
                 bodies[i] = body
                 statuses[i] = status
                 locations[i] = loc
                 retry_afters[i] = ra
-    return bodies, statuses, locations, retry_afters
+                set_cookies[i] = sc or ""
+    return bodies, statuses, locations, retry_afters, set_cookies
 
 
 def _batch_bodies(
@@ -608,8 +623,16 @@ def fetch_extract_batch(
     supports_https_col = (
         batch.column("supports_https").to_pylist() if "supports_https" in names else None
     )
+    cookies_before_col = (
+        batch.column("cookies_before").to_pylist() if "cookies_before" in names else None
+    )
+    # DomainCookies jar per domain in this chunk (DomainCookies.java):
+    # seeded from the shard's state at emission, advanced in visit order —
+    # a domain never spans two chunks within a round, so this cumulative OR
+    # is exactly the sequential jar state
+    cookie_jar: dict[str, bool] = {}
     parts = [partition_of_domain(d, num_shards, extra_salted) for d in domains]
-    bodies, statuses, locations, retry_afters = _batch_bodies(
+    bodies, statuses, locations, retry_afters, set_cookies = _batch_bodies(
         batch, parts, web_refs, store, num_shards
     )
     out = {
@@ -622,6 +645,7 @@ def fetch_extract_batch(
         "links": [],
         "root_filter": [],
         "location": [],
+        "has_cookies": [],
     }
     # link routing buffers, keyed by shard
     route: dict[int, dict[str, list]] = {}
@@ -655,6 +679,15 @@ def fetch_extract_batch(
             # 32 MiB response cap (WarcRecorder.java:45): truncated bodies
             # are dropped like the reference's truncated-binary filter
             body, status = None, 404
+        # updateCookieStore runs before the X-Has-Cookies mark
+        # (WarcRecorder.java:114,140), so a response that sets the first
+        # cookie is itself flagged
+        jar = cookie_jar.get(domain)
+        if jar is None:
+            jar = bool(cookies_before_col[i]) if cookies_before_col else False
+        new_cookie = bool(set_cookies[i])
+        jar = jar or new_cookie
+        cookie_jar[domain] = jar
         rl_extra_ms = 0
         if status == 429:
             # rate-limited: the HTTP client burned 3 retry intervals of
@@ -705,6 +738,7 @@ def fetch_extract_batch(
         out["links"].append(links)
         out["root_filter"].append(root_filter or "")
         out["location"].append(location or "")
+        out["has_cookies"].append(jar)
 
         r = route.setdefault(
             part,
@@ -721,12 +755,15 @@ def fetch_extract_batch(
                 "redirects": [],
                 "root_metas": [],
                 "rate_limits": [],
+                "cookie_domains": [],
                 "pregated": True,
             },
         )
         r["domains"].append(domain)
         r["ordinals"].append(ordinal)
         r["statuses"].append(status)
+        if new_cookie and domain not in r["cookie_domains"]:
+            r["cookie_domains"].append(domain)
         if root_filter is not None and root_filter != "default":
             r["root_filters"].append((domain, root_filter))
         if root_sniff is not None:
@@ -799,14 +836,20 @@ def fetch_extract_batch(
                 spans.append((part, domain, favicon_url, None, start))
             else:
                 spans.append((part, domain, favicon_url, feed_resolved, None))
-        cbodies, cstatuses, _clocs, _cras = _lookup_urls(cand_urls, cand_parts, web_refs, store)
+        cbodies, cstatuses, _clocs, _cras, cscs = _lookup_urls(cand_urls, cand_parts, web_refs, store)
         for part, domain, favicon_url, feed_resolved, start in spans:
             cands = []
             if start is not None:
                 for j, ep in enumerate(LIKELY_FEED_ENDPOINTS):
                     k = start + j
                     ok = cstatuses[k] == 200 and looks_like_feed(cbodies[k])
-                    cands.append((cand_urls[k], ok))
+                    # probe responses go through the domain's cookie jar
+                    # too (validateFeedUrl passes `cookies`,
+                    # CrawlerRetreiver.java:442); the shard applies the
+                    # Set-Cookie flag only for candidates the reference
+                    # actually fetches (robots-allowed, up to the first
+                    # valid feed)
+                    cands.append((cand_urls[k], ok, bool(cscs[k])))
             route[part]["root_metas"].append((domain, favicon_url, feed_resolved, cands))
 
     if push:
@@ -828,6 +871,7 @@ def fetch_extract_batch(
     res = res.append_column("links", pa.array(out["links"], pa.list_(pa.string())))
     res = res.append_column("root_filter", pa.array(out["root_filter"], pa.string()))
     res = res.append_column("location", pa.array(out["location"], pa.string()))
+    res = res.append_column("has_cookies", pa.array(out["has_cookies"], pa.bool_()))
     res = res.append_column(
         "retry_after_ms",
         pa.array(

@@ -145,6 +145,9 @@ class DomainState:
     sitemap_urls: list = field(default_factory=list)
     sitemap_enqueued: bool = False
     filter_name: str = "default"  # per-site link filter (LinkFilterSelector)
+    # DomainCookies jar (DomainCookies.java): cookies are never cleared, so
+    # the per-response X-Has-Cookies flag reduces to this monotone bool
+    has_cookies: bool = False
 
     def increase_depth(self, factor: float = 1.5, max_absolute: int = 2500) -> None:
         """Reference ``DomainCrawlFrontier.increaseDepth`` (applied on
@@ -198,6 +201,10 @@ class FrontierShardState:
         self._rate_limit_buf: list[tuple] = []
         self._status_buf: list[tuple[str, int, int]] = []
         self._filter_buf: list[tuple[str, str]] = []
+        # domains whose fetched chunk saw a Set-Cookie (DomainCookies jar
+        # became non-empty); applied to DomainState.has_cookies at the
+        # round boundary
+        self._cookie_buf: set[str] = set()
         self.round = 0
 
     # ------------------------------------------------------------------
@@ -333,6 +340,11 @@ class FrontierShardState:
             # the shard actor then only does cap + seen-set + enqueue
             "filter_name": [],
             "supports_https": [],
+            # DomainCookies jar state at emission: the fetch worker seeds
+            # its in-chunk cumulative Set-Cookie OR from this (a domain
+            # never spans two chunks within a round, and rounds barrier at
+            # the shard, so the combination is exactly the sequential jar)
+            "cookies_before": [],
         }
         # NOTE on per-topDomain permits: the reference's semaphores
         # (LocalDomainCoordinator) bound *wall-clock* concurrency against a
@@ -394,6 +406,7 @@ class FrontierShardState:
             cols["seen_hash"].append(h)
             cols["filter_name"].append(st.filter_name)
             cols["supports_https"].append(st.supports_https)
+            cols["cookies_before"].append(st.has_cookies)
             # post-fetch wait (CrawlerRetreiver.java:471 waitFetchDelay())
             st.clock_ms += fetch_interval_ms(
                 st.delay_ms, 0, fetch_jitter_ms(st.domain, st.next_ordinal)
@@ -469,6 +482,7 @@ class FrontierShardState:
         redirects: list | None = None,  # [(domain, vo, h, s, proto, host, port, path, param)]
         root_metas: list | None = None,  # [(domain, favicon_url, feed_resolved, cands)]
         rate_limits: list | None = None,  # [(domain, vo, extra_ms)]
+        cookie_domains: list | None = None,  # domains whose chunk saw Set-Cookie
     ) -> None:
         """Called (possibly out of order, from many fetch workers) with the
         round's fetch outcomes and discovered links.
@@ -504,6 +518,8 @@ class FrontierShardState:
             self._rate_limit_buf.extend(rate_limits)
         if root_filters:
             self._filter_buf.extend(root_filters)
+        if cookie_domains:
+            self._cookie_buf.update(cookie_domains)
 
     def apply_buffered(self) -> None:
         """Deterministically apply buffered outcomes: per domain, statuses
@@ -518,21 +534,31 @@ class FrontierShardState:
             if feed_resolved:
                 st.feed_url = feed_resolved
             else:
-                # guessFeedUrl: first robots-allowed candidate that looked
-                # like a feed (CrawlerRetreiver.java:424-434)
-                for cand_url, feedish in cands:
-                    if not feedish:
-                        continue
+                # guessFeedUrl: candidates are probed in order, skipping
+                # robots-refused ones, stopping at the first that looks
+                # like a feed (CrawlerRetreiver.java:424-434).  Every
+                # PROBED candidate's response runs through the domain
+                # cookie jar (validateFeedUrl passes `cookies`), so the
+                # Set-Cookie flags apply with the same gating/stop rule.
+                for cand_url, feedish, set_cookie in cands:
                     if st.robots is not None and not st.robots.is_allowed(cand_url):
                         continue
-                    st.feed_url = cand_url
-                    break
+                    if set_cookie:
+                        st.has_cookies = True
+                    if feedish:
+                        st.feed_url = cand_url
+                        break
         self._root_meta_buf.clear()
         for domain, fname in sorted(self._filter_buf):
             st = self.domains.get(domain)
             if st is not None and fname in FILTERS:
                 st.filter_name = fname
         self._filter_buf.clear()
+        for domain in self._cookie_buf:
+            st = self.domains.get(domain)
+            if st is not None:
+                st.has_cookies = True
+        self._cookie_buf.clear()
         for domain, _ordinal, status in sorted(self._status_buf):
             st = self.domains.get(domain)
             if st is not None and status < 0:
@@ -683,6 +709,10 @@ class FrontierShardState:
                     self._rate_limit_buf.append((domain, v["visit_ordinal"], v["retry_after_ms"]))
                 if (v.get("http_status") or 0) < 0:
                     st.errors += 1  # ResultException-equivalent, replayed
+                if v.get("has_cookies"):
+                    # jar is monotone: any replayed visit with the flag
+                    # proves the domain's cookie jar is non-empty
+                    st.has_cookies = True
                 st.next_ordinal = v["visit_ordinal"] + 1
                 st.clock_ms = v["virtual_ts_ms"] + fetch_interval_ms(
                     st.delay_ms, 0, fetch_jitter_ms(domain, v["visit_ordinal"])
@@ -756,6 +786,7 @@ class FrontierShardState:
             "root_meta_buf": self._root_meta_buf,
             "rate_limit_buf": self._rate_limit_buf,
             "filter_buf": self._filter_buf,
+            "cookie_buf": self._cookie_buf,
             "status_buf": self._status_buf,
             "domains": [
                 {
@@ -779,6 +810,7 @@ class FrontierShardState:
                     "sitemap_urls": st.sitemap_urls,
                     "sitemap_enqueued": st.sitemap_enqueued,
                     "filter_name": st.filter_name,
+                    "has_cookies": st.has_cookies,
                 }
                 for st in self.domains.values()
             ],
@@ -799,6 +831,7 @@ class FrontierShardState:
         obj._root_meta_buf = payload.get("root_meta_buf", [])
         obj._rate_limit_buf = payload.get("rate_limit_buf", [])
         obj._filter_buf = payload.get("filter_buf", [])
+        obj._cookie_buf = set(payload.get("cookie_buf", ()))
         obj._status_buf = payload["status_buf"]
         for d in payload["domains"]:
             st = DomainState(domain=d["domain"], depth=d["depth"])
@@ -821,5 +854,6 @@ class FrontierShardState:
             st.sitemap_urls = d.get("sitemap_urls", [])
             st.sitemap_enqueued = d.get("sitemap_enqueued", False)
             st.filter_name = d.get("filter_name", "default")
+            st.has_cookies = d.get("has_cookies", False)
             obj.domains[st.domain] = st
         return obj

@@ -47,6 +47,7 @@ def oracle_result(small_web):
             pages["status"][i].as_py(),
             pages["location"][i].as_py(),
             pages["retry_after"][i].as_py(),
+            pages["set_cookie"][i].as_py(),
         )
         for i in range(pages.num_rows)
     }

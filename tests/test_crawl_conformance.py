@@ -50,6 +50,8 @@ class TestConformance:
             assert list(sub.virtual_ts_ms) == [v.virtual_ts_ms for v in want.visits]
             # seen hashes recorded per visit
             assert list(sub.seen_hash) == [v.seen_hash for v in want.visits]
+            # DomainCookies jar state per visit (X-Has-Cookies analog)
+            assert list(sub.has_cookies) == [v.has_cookies for v in want.visits]
             # delay spacing invariant
             ts = list(sub.virtual_ts_ms)
             for a, b in zip(ts, ts[1:]):
@@ -115,6 +117,14 @@ class TestAsyncMode:
             sub = recs[recs.domain == domain].sort_values("visit_ordinal")
             assert list(sub.url) == [v.url for v in want.visits], domain
             assert list(sub.virtual_ts_ms) == [v.virtual_ts_ms for v in want.visits]
+            # the cookie jar survives the kill: journal replay restores it
+            assert list(sub.has_cookies) == [v.has_cookies for v in want.visits]
+
+    def test_cookie_jar_exercised(self, oracle_result):
+        """The fixture web must produce BOTH flag values, or the
+        conformance assertions above prove nothing about cookies."""
+        flags = [v.has_cookies for r in oracle_result.values() for v in r.visits]
+        assert any(flags) and not all(flags)
 
 
 class TestResume:
