@@ -65,7 +65,7 @@ def _convert_docs(sf_dir: str) -> pd.DataFrame:
     out = ds.select_columns(
         ["url", "domain", "title", "length", "quality", "links_internal",
          "links_external", "is_near_dup", "n_words", "pub_year", "summary",
-         "spec", "amended_words", "has_cookies"]
+         "spec", "amended_words", "has_cookies", "features"]
     ).to_pandas()
     out["quality"] = out["quality"].round(4)
     return out.sort_values("url").reset_index(drop=True)
@@ -876,7 +876,8 @@ def oracle_sql() -> dict[str, str]:
         "convert_docs": f"""
             SELECT url, domain, title, length, round(quality, 4) AS quality,
                    links_internal, links_external, is_near_dup,
-                   n_words, pub_year, summary, spec, amended_words, has_cookies
+                   n_words, pub_year, summary, spec, amended_words, has_cookies,
+                   features
             FROM read_parquet('{exp}/expected_convert.parquet')
             ORDER BY url
         """,

@@ -271,6 +271,7 @@ def _build_convert_expected(fix: Path, out: Path) -> None:
         MIN_DOCUMENT_WORDS_FIXTURE,
         validate_length,
     )
+    from ..functions.docmeta import F_COOKIES, F_PDF
     from ..functions.pdf import PDF_QUALITY, convert_pdf, pdf_description
     from ..pipelines.convert import SIDELOAD_THRESHOLD, process_html_document
     from ..model.urls import parse_url
@@ -286,7 +287,7 @@ def _build_convert_expected(fix: Path, out: Path) -> None:
         "url": [], "domain": [], "title": [], "length": [], "quality": [],
         "links_internal": [], "links_external": [], "is_near_dup": [],
         "n_words": [], "pub_year": [], "summary": [], "spec": [],
-        "amended_words": [], "has_cookies": [],
+        "amended_words": [], "has_cookies": [], "features": [],
     }
     for domain in sorted(by_domain):
         idxs = by_domain[domain]
@@ -300,6 +301,7 @@ def _build_convert_expected(fix: Path, out: Path) -> None:
                 "state": "ok", "title": "", "length": 0, "quality": 0.0,
                 "n_words": 0, "doc_hash": 0, "ni": 0, "ne": 0,
                 "pub_year": 0, "summary": "", "spec": "", "amended_words": "",
+                "features": 0,
                 "sc": bool(
                     pages["set_cookie"][i].as_py()
                     if "set_cookie" in pages.column_names
@@ -332,6 +334,7 @@ def _build_convert_expected(fix: Path, out: Path) -> None:
                     r["length"] = len(pdoc.text)
                     r["n_words"] = len(pdoc.text.split())
                     r["quality"] = PDF_QUALITY
+                    r["features"] = F_PDF
                     r["doc_hash"] = doc_lsh(pdoc.text.lower().split())
                     if not validate_length(r["n_words"], None, MIN_DOCUMENT_WORDS_FIXTURE):
                         r["state"] = "disqualified_length"
@@ -372,6 +375,9 @@ def _build_convert_expected(fix: Path, out: Path) -> None:
             rows["spec"].append(r["spec"])
             rows["amended_words"].append(r["amended_words"])
             rows["has_cookies"].append(cookie_jar)
+            rows["features"].append(
+                r["features"] | (F_COOKIES if cookie_jar and r["state"] == "ok" else 0)
+            )
     pq.write_table(
         pa.table(
             {
@@ -389,6 +395,7 @@ def _build_convert_expected(fix: Path, out: Path) -> None:
                 "spec": pa.array(rows["spec"], pa.string()),
                 "amended_words": pa.array(rows["amended_words"], pa.string()),
                 "has_cookies": pa.array(rows["has_cookies"], pa.bool_()),
+                "features": pa.array(rows["features"], pa.int64()),
             }
         ),
         out / "expected_convert.parquet",

@@ -91,7 +91,9 @@ def render_html(p: PageSpec) -> str:
     out = ["<html><head><title>", p.title, "</title>"]
     if p.charset != "utf-8":
         out.append(f'<meta http-equiv="content-type" content="text/html; charset={p.charset}">')
-    for kind, payload in p.head_extra:
+    for extra in p.head_extra:
+        kind = extra[0]
+        payload = extra[1] if len(extra) > 1 else None
         if kind == "meta_refresh":
             out.append(f'<meta http-equiv="refresh" content="{payload}">')
         elif kind == "base":
@@ -102,6 +104,25 @@ def render_html(p: PageSpec) -> str:
             out.append(f'<link rel="alternate" type="application/rss+xml" href="{payload}">')
         elif kind == "generator":
             out.append(f'<meta name="generator" content="{payload}">')
+        elif kind == "og":
+            out.append(f'<meta property="og:description" content="{extra[1]}">')
+            out.append('<meta property="og:image" content="/og.png">')
+        elif kind == "twitter":
+            out.append(f'<meta name="twitter:description" content="{extra[1]}">')
+        elif kind == "robots_meta":
+            out.append(f'<meta name="robots" content="{extra[1]}">')
+        elif kind == "linkrel":
+            out.append(f'<link rel="{extra[1]}" href="{extra[2]}">')
+        elif kind == "tracker":
+            out.append(f'<script src="{extra[1]}"></script>')
+        elif kind == "head_script":
+            out.append(f"<script>{extra[1]}</script>")
+        elif kind == "gmpg":
+            out.append('<meta profile="http://gmpg.org/xfn/11" name="profile">')
+        elif kind == "viewport":
+            out.append("<viewport></viewport>")
+        elif kind == "ldjson":
+            out.append(f'<script type="application/ld+json">{extra[1]}</script>')
     out.append("</head>\n<body>\n")
     for blk in p.blocks:
         k = blk[0]
@@ -174,6 +195,13 @@ def simulate_tagger_text(p: PageSpec) -> str:
     flush(frozenset())
     text_node(p.title, False)
     emit_close(frozenset({TITLE}))
+    # head scripts (tracker/inline/ld+json extras) are pushed SCRIPT
+    # frames: the tagger emits an empty close for each, same as body
+    # scripts — the metas/links around them are void tags (invisible)
+    for extra in p.head_extra:
+        if extra[0] in ("tracker", "head_script", "ldjson"):
+            flush(frozenset())
+            emit_close(frozenset({SCRIPT}))
 
     for blk in p.blocks:
         k = blk[0]
@@ -647,6 +675,41 @@ def _generate_domain(cfg: WebConfig, domains: list[str], di: int):
                 spec.head_extra.append(("meta_refresh", content))
                 spec.expected_links.append((urls[t], "meta_refresh", ""))
 
+            # FeatureExtractor surfaces (head-scoped, text-invisible):
+            # opengraph/twitter metas, robots meta, link rels, tracking
+            # scripts — exercised so convert's features column carries
+            # real signal at every scale
+            fr = prng.random()
+            if fr < 0.2:
+                spec.head_extra.append(("og", _sentence(prng, lex, 3, 8)))
+            if 0.1 < fr < 0.25:
+                spec.head_extra.append(("twitter", _sentence(prng, lex, 3, 6)))
+            if 0.2 < fr < 0.3:
+                spec.head_extra.append(("robots_meta", "index, follow"))
+            if 0.28 < fr < 0.36:
+                rel = ("preload", "preconnect", "dns-prefetch", "amphtml",
+                       "apple-touch-icon", "webmention", "me")[prng.randrange(7)]
+                spec.head_extra.append(("linkrel", rel, f"/{rel}-{i}"))
+            if 0.34 < fr < 0.42:
+                src = (
+                    "https://www.googletagmanager.com/gtag.js",
+                    "https://static.doubleclick.net/ad.js",
+                    "https://cdn.twitter.com/widgets.js",
+                    "https://www.google-analytics.com/analytics.js",
+                    "https://example-cdn.net/jquery.min.js",
+                )[prng.randrange(5)]
+                spec.head_extra.append(("tracker", src))
+            if 0.4 < fr < 0.44:
+                spec.head_extra.append(
+                    ("head_script", "ga('create', 'UA-%d-1');" % prng.randint(1, 99))
+                )
+            if 0.43 < fr < 0.46:
+                spec.head_extra.append(("gmpg",))
+            if 0.45 < fr < 0.48:
+                spec.head_extra.append(("viewport",))
+            if 0.47 < fr < 0.49:
+                spec.head_extra.append(("ldjson", '{"@type": "Article"}'))
+
             # body blocks
             n_blocks = prng.randint(3, 8)
             anchor_targets = list(targets)
@@ -712,6 +775,39 @@ def _generate_domain(cfg: WebConfig, domains: list[str], di: int):
                     spec.blocks.append(("style", f".c{b} {{ color: #{prng.randint(0, 0xFFFFFF):06x}; }}"))
                 else:
                     spec.blocks.append(("form", [f"q{b}", "submit"]))
+
+            # body-level feature draws (existing grammar shapes only, so
+            # the tagger-text ground truth derives automatically):
+            # GA-answers spam heading clusters, ChatGPT-farm headings,
+            # Amazon affiliate links, recipe-word paragraphs
+            fr2 = prng.random()
+            if fr2 < 0.03:
+                for gq in range(6):
+                    spec.blocks.append(
+                        ("h", 2, f"What Is {_sentence(prng, lex, 1, 2).title()}?")
+                    )
+            elif fr2 < 0.06:
+                spec.blocks.append(
+                    ("h", 2, f"Benefits Of {_sentence(prng, lex, 1, 2).title()}")
+                )
+                spec.blocks.append(("h", 3, "Key Takeaways"))
+            elif fr2 < 0.09:
+                amzn = "https://amzn.to/%04x" % prng.randint(0, 0xFFFF)
+                spec.blocks.append(
+                    ("p", [
+                        ("t", _sentence(prng, lex, 3, 6)),
+                        ("a", amzn, "buy it here", ""),
+                    ])
+                )
+                # a real (relevance-passing) cross-domain link: part of the
+                # ground-truth link graph like any other anchor
+                a_kind_links.append((amzn, amzn, "buy it here"))
+            elif fr2 < 0.13:
+                recipe = (
+                    "recipe ingredients instructions bake simmer tbsp tsp "
+                    "cups flour butter sugar dough whisk preheat oven"
+                )
+                spec.blocks.append(("p", [("t", recipe + " " + recipe)]))
 
             # leftover targets go into a trailing nav block so the page
             # graph stays connected

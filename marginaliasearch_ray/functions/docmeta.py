@@ -467,47 +467,256 @@ def sniff_pubdate(
     return _STANDARD_GUESS.get(std)
 
 
-# feature bits (subset of reference HtmlFeature enum, stable ordering)
-F_JS = 1 << 0
-F_TRACKING = 1 << 1
-F_TRACKING_ADTECH = 1 << 2
-F_AFFILIATE = 1 << 3
-F_COOKIES = 1 << 4
-F_QUANTCAST = 1 << 5
-F_PARDOT = 1 << 6
-F_PDF = 1 << 7  # HtmlFeature.PDF (PdfDocumentProcessorPlugin.java:123)
-F_SHORT_DOCUMENT = 1 << 8  # HtmlFeature.SHORT_DOCUMENT (sideload length miss)
+# Feature bits at the reference HtmlFeature enum ORDINALS
+# (common/model/.../HtmlFeature.java).  The reference's int encoding keeps
+# only ordinals < 32 (getFeatureBit returns 0 past that); this engine's
+# features column is int64, so ordinals >= 32 are encoded too — the low 32
+# bits match the reference's database encoding exactly.
+F_MEDIA = 1 << 0
+F_JS = 1 << 1
+F_AFFILIATE = 1 << 2  # AFFILIATE_LINK
+F_TRACKING = 1 << 3
+F_TRACKING_ADTECH = 1 << 4
+F_KEBAB_CASE_URL = 1 << 5
+F_LONG_URL = 1 << 6
+F_CLOUDFLARE = 1 << 7
+F_CDN = 1 << 8
+F_VIEWPORT = 1 << 9
+F_COOKIES = 1 << 10
+F_CATEGORY_FOOD = 1 << 11
+F_ADVERTISEMENT = 1 << 12
+F_CATEGORY_CRAFTS = 1 << 13
+F_GA_SPAM = 1 << 14
+F_PDF = 1 << 15
+F_POPOVER = 1 << 16
+F_CONSENT = 1 << 17
+F_SHORT_DOCUMENT = 1 << 18
+F_THIRD_PARTY_REQUESTS = 1 << 19
+F_OPENGRAPH = 1 << 20
+F_OPENGRAPH_IMAGE = 1 << 21
+F_TWITTERCARD = 1 << 22
+F_TWITTERCARD_IMAGE = 1 << 23
+F_FONTAWESOME = 1 << 24
+F_GOOGLEFONTS = 1 << 25
+F_DNS_PREFETCH = 1 << 26
+F_PRELOAD = 1 << 27
+F_PRECONNECT = 1 << 28
+F_PINGBACK = 1 << 29
+F_FEED = 1 << 30
+F_WEBMENTION = 1 << 31
+F_INDIEAUTH = 1 << 32
+F_ME_TAG = 1 << 33
+F_NEXT_TAG = 1 << 34
+F_AMPHTML = 1 << 35
+F_JSON_LD = 1 << 36
+F_ORIGIN_TRIAL = 1 << 37
+F_PROFILE_GMPG = 1 << 38
+F_QUANTCAST = 1 << 39
+F_COOKIELAW = 1 << 40
+F_DIDOMI = 1 << 41
+F_PARDOT = 1 << 42
+F_ONESIGNAL = 1 << 43
+F_DATE_TAG = 1 << 44
+F_NOSCRIPT_TAG = 1 << 45
+F_ROBOTS_INDEX = 1 << 46
+F_ROBOTS_FOLLOW = 1 << 47
+F_ROBOTS_NOODP = 1 << 48
+F_ROBOTS_NOYDIR = 1 << 49
+F_DOFOLLOW_LINK = 1 << 50
+F_APPLE_TOUCH_ICON = 1 << 51
+F_S3 = 1 << 52
 
-_TRACKING_HOSTS = ("google-analytics.com", "googletagmanager.com", "gtag/js")
-_ADTECH_HOSTS = ("doubleclick", "adservice", "googlesyndication")
-_AFFILIATE_HOSTS = ("amzn.to", "amazon.com/exec", "awin1.com")
+# FeatureExtractor.java:28-69 tracker lists (published constants)
+_INNOCENT_TRACKERS = ("twitter.com", "bing.com", "msn.com", "mail.ru/counter")
+_ADTECH_TRACKERS = (
+    "publir.com", "adform.net", "connect.facebook", "facebook.com/tr",
+    "absbygoogle.com", "adnxs.com", "monsterinsights", "googletagmanager.com",
+    "googlesyndication.com", "smartadserver.com", "doubleclick.com",
+    "doubleclick.net", "2mdn.com", "dmtry.com", "amazon-adsystem.com",
+    "alexametrics.com", "rubiconproject.com", "chango.com",
+    "d5nxst8fruw4z.cloudfront.net", "d31qbv1cthcecs.cloudfront.net",
+    "linkedin.com", "perfectaudience.com", "marketingautomation.services",
+    "usefathom", "adthrive", "wordads", "wa_smart",
+    "personalized-ads-consent", "_taboola", "nativeads", "skimlinks",
+    "moapt", "juicyads.com", "counter.yadro.ru",
+)
 
 
-def detect_features(doc: ParsedDoc, headers: str = "") -> int:
+def _tracking_bits(src: str) -> int:
+    """invasive -> TRACKING|ADTECH, naive -> TRACKING
+    (FeatureExtractor.hasInvasiveTrackingScript / hasNaiveTrackingScript)."""
+    for t in _ADTECH_TRACKERS:
+        if t in src:
+            return F_TRACKING | F_TRACKING_ADTECH
+    for t in _INNOCENT_TRACKERS:
+        if t in src:
+            return F_TRACKING
+    return 0
+
+
+def detect_features(
+    doc: ParsedDoc, url_path: str = "", headers: str = ""
+) -> int:
+    """Full FeatureExtractor.getFeatures parity
+    (FeatureExtractor.java:91-350) over the streaming-parse surfaces;
+    CATEGORY_FOOD/CRAFTS and GA_SPAM via functions.topics.  ``headers``
+    is the raw response header block (CDN/S3 checks) — empty when the
+    source carries no headers (the synthetic web), as in the reference
+    when headers are absent."""
+    from .topics import GA_PREFIXES, google_answers_spam
+
     mask = 0
-    if doc.n_script_tags > 0:
-        mask |= F_JS
-    for src in doc.script_srcs:
-        s = src.lower()
-        if any(h in s for h in _TRACKING_HOSTS):
+
+    # GA answers spam: per-level question-prefix heading stats
+    stats: dict[int, list] = {}
+    for lvl, text in zip(doc.heading_levels, doc.headings):
+        pos, tot = stats.get(lvl, (0, 0))
+        if text.startswith(GA_PREFIXES):
+            pos += 1
+        stats[lvl] = (pos, tot + 1)
+    if google_answers_spam(stats):
+        mask |= F_GA_SPAM
+
+    if url_path.count("-") > 3:  # isKebabCase
+        mask |= F_KEBAB_CASE_URL
+    if len(url_path) > 64:
+        mask |= F_LONG_URL
+
+    for typ in doc.script_types:
+        if typ.lower() == "application/ld+json":
+            mask |= F_JSON_LD
+        else:
+            mask |= F_JS
+
+    if doc.has_viewport_tag:
+        mask |= F_VIEWPORT
+    for _href, rel in doc.a_links:
+        if rel == "dofollow":
+            mask |= F_DOFOLLOW_LINK
+            break
+    if doc.has_date_tag:
+        mask |= F_DATE_TAG
+    if doc.has_noscript:
+        mask |= F_NOSCRIPT_TAG
+
+    _LINK_RELS = {
+        "webmention": F_WEBMENTION, "me": F_ME_TAG, "next": F_NEXT_TAG,
+        "dns-prefetch": F_DNS_PREFETCH, "preload": F_PRELOAD,
+        "preconnect": F_PRECONNECT, "amphtml": F_AMPHTML,
+        "apple-touch-icon": F_APPLE_TOUCH_ICON,
+    }
+    for rel, href, flags in doc.head_links:
+        if flags & 3:  # onerror / onload: sneaky JS loading
+            mask |= F_JS
+        if flags & 4:
+            mask |= F_PINGBACK
+        if "indieauth" in href:
+            mask |= F_INDIEAUTH
+        mask |= _LINK_RELS.get(rel, 0)
+        if rel == "alternate" and flags & 8:
+            mask |= F_FEED
+
+    for name, content, prop, profile, http_equiv in doc.head_metas:
+        if name == "robots":
+            if "noindex" not in content and "index" in content:
+                mask |= F_ROBOTS_INDEX
+            if "nofollow" not in content and "follow" in content:
+                mask |= F_ROBOTS_FOLLOW
+            if "noodp" in content:
+                mask |= F_ROBOTS_NOODP
+            if "noydir" in content:
+                mask |= F_ROBOTS_NOYDIR
+        if "gmpg" in profile:
+            mask |= F_PROFILE_GMPG
+        if prop == "og:description":
+            mask |= F_OPENGRAPH
+        if prop == "og:image":
+            mask |= F_OPENGRAPH_IMAGE
+        if name == "twitter:description":
+            mask |= F_TWITTERCARD
+        if name == "twitter:image":
+            mask |= F_TWITTERCARD_IMAGE
+        if http_equiv == "origin-trial":
+            mask |= F_ORIGIN_TRIAL
+
+    if doc.has_media_tag:
+        mask |= F_MEDIA
+
+    if doc.script_didomi:
+        mask |= F_DIDOMI
+    for src, text in zip(doc.script_srcs, doc.script_texts):
+        mask |= _tracking_bits(src)
+        if "OneSignalSDK" in src:
+            mask |= F_ONESIGNAL
+        if "_ga=" in text or "ga('create'" in text:
             mask |= F_TRACKING
-        if any(h in s for h in _ADTECH_HOSTS):
-            mask |= F_TRACKING_ADTECH
-        if "quantserve" in s or "quantcast" in s:
-            mask |= F_QUANTCAST
-        if "pardot" in s:
+        if "_tmr" in text:
+            mask |= F_TRACKING
+        if "'pd.js'" in text:
             mask |= F_PARDOT
+        if "https://cmp.quantcast.com" in text or "https://quantcast.mgr.consensu.org" in text:
+            mask |= F_QUANTCAST
+        if "https://cdn.cookielaw.org" in text:
+            mask |= F_COOKIELAW
+        if "_linkedin_data_partner_id" in text:
+            mask |= F_TRACKING | F_TRACKING_ADTECH
+        if "window.OneSignal" in text:
+            mask |= F_ONESIGNAL
+        if "connect.facebook.net" in text:
+            mask |= F_TRACKING | F_TRACKING_ADTECH
+        if "hotjar.com" in text:
+            mask |= F_TRACKING
+
+    for src in doc.noscript_tracking_srcs:
+        mask |= _tracking_bits(src)
+
+    # scriptTags.html().contains("google-analytics.com"): the combined
+    # outerHTML of every script tag — srcs and inline bodies both count
+    if any(
+        "google-analytics.com" in s
+        for s in doc.script_srcs + doc.script_texts
+    ):
+        mask |= F_TRACKING
+
     for href, _rel in doc.a_links:
-        if any(h in href.lower() for h in _AFFILIATE_HOSTS):
-            mask |= F_AFFILIATE
-    if headers and "set-cookie:" in headers.lower():
-        mask |= F_COOKIES
+        h = href.lower()
+        if "amzn.to/" in h or ("amazon.com/" in h and "tag=" in h):
+            mask |= F_AFFILIATE  # isAmazonAffiliateLink
+            break
+
+    if headers:
+        hl = headers.lower()
+        if "cf-ray" in hl or "server: cloudflare" in hl:
+            mask |= F_CLOUDFLARE | F_CDN
+        if "x-amz-cf-id" in hl:
+            mask |= F_CDN
+        if "x-fastly-request-id" in hl:
+            mask |= F_CDN
+        if "server: amazons3" in hl:
+            mask |= F_S3
+
+    return mask
+
+
+def detect_topic_features(words: list[str]) -> int:
+    """CATEGORY_FOOD / CATEGORY_CRAFTS via the AdHoc keyword-weight
+    detectors (FeatureExtractor.java:343-347) — separated from
+    detect_features because it runs over the extracted WORDS, which the
+    caller already has (re-tokenizing here would double the work)."""
+    from .topics import topic_categories
+
+    food, crafts = topic_categories(words)
+    mask = 0
+    if food:
+        mask |= F_CATEGORY_FOOD
+    if crafts:
+        mask |= F_CATEGORY_CRAFTS
     return mask
 
 
 def adjust_quality(quality: float, mask: int) -> float:
-    """Reference ``DocumentValuator.adjustQuality``: feature penalties;
-    a positive adjusted score clamps to 0."""
+    """Reference ``DocumentValuator.adjustQuality:86-131``: feature
+    penalties/bonuses; a positive adjusted score clamps to 0."""
     adj = 0.0
     if mask & F_TRACKING_ADTECH:
         adj -= 2.5
@@ -515,12 +724,22 @@ def adjust_quality(quality: float, mask: int) -> float:
         adj -= 2.5
     if mask & F_AFFILIATE:
         adj -= 1.5
+    if mask & F_GA_SPAM:
+        adj -= 1.0
     if mask & F_COOKIES:
         adj -= 1.0
-    if mask & F_QUANTCAST:
+    if mask & F_KEBAB_CASE_URL:
+        adj -= 2.0
+    if mask & F_COOKIELAW:
         adj -= 1.0
     if mask & F_PARDOT:
         adj -= 1.0
+    if mask & F_QUANTCAST:
+        adj -= 1.0
+    if mask & F_WEBMENTION:
+        adj += 1.0
+    if mask & F_INDIEAUTH:
+        adj += 1.0
     if quality + adj > 0:
         return 0.0
     return quality + adj

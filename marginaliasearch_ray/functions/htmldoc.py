@@ -69,6 +69,13 @@ _VOID_TAGS = frozenset(
     "area base br col embed hr img input link meta param source track wbr".split()
 )
 
+# tags that force the head closed (jsoup auto-closes <head> at the first
+# body-content element); gates the head-scoped FeatureExtractor surfaces
+_BODY_START_TAGS = frozenset(
+    "body frameset div p span a table ul ol li h1 h2 h3 h4 h5 h6 article"
+    " section main header footer form img pre blockquote nav aside".split()
+)
+
 _WS_RE = re.compile(r"[ \t\n\x0c\r]+")
 
 
@@ -94,9 +101,21 @@ class ParsedDoc:
     raw_text_len: int = 0  # total length of emitted tagged strings (quality calc)
     n_script_tags: int = 0
     script_srcs: list[str] = field(default_factory=list)  # src attr per <script>
+    script_types: list[str] = field(default_factory=list)  # type attr, aligned
+    script_texts: list[str] = field(default_factory=list)  # inline text, aligned
+    script_didomi: bool = False  # any <script didomi/javascript> attr name
     script_inline_len: int = 0  # total inline script text length
     has_create_element: bool = False  # inline script contains '.createElement('
     headings: list[str] = field(default_factory=list)  # h1-h3 text, doc order
+    heading_levels: list[int] = field(default_factory=list)  # aligned with headings
+    # FeatureExtractor surfaces (FeatureExtractor.java:92-307)
+    head_links: list[tuple] = field(default_factory=list)  # (rel, href, flags)
+    head_metas: list[tuple] = field(default_factory=list)  # (name, content, property, profile, http_equiv)
+    has_viewport_tag: bool = False  # literal <viewport> element in head
+    has_date_tag: bool = False
+    has_noscript: bool = False
+    has_media_tag: bool = False  # object / audio / video
+    noscript_tracking_srcs: list[str] = field(default_factory=list)  # iframe/img src inside <noscript>
     meta: dict = field(default_factory=dict)  # name/property -> content (first wins)
     script_head: str = ""  # first ~4 KB of inline script text (site sniffing)
     time_datetimes: list[str] = field(default_factory=list)  # <time datetime=...>
@@ -132,6 +151,11 @@ class _Walker(HTMLParser):
         self._heading_parts: list[str] = []
         self._p_capture = False
         self._p_parts: list[str] = []
+        self._script_text_parts: list[str] = []
+        # head/body split for the head-scoped FeatureExtractor surfaces:
+        # jsoup auto-closes <head> at the first body-content tag
+        self._in_head = True
+        self._noscript_depth = 0
 
     # -- tagger mechanics --------------------------------------------------
 
@@ -181,6 +205,8 @@ class _Walker(HTMLParser):
     # -- HTMLParser events -------------------------------------------------
 
     def handle_starttag(self, tag: str, attrs) -> None:
+        if self._in_head and tag in _BODY_START_TAGS:
+            self._in_head = False
         ad = None
         if tag == "a":
             ad = dict(attrs)
@@ -191,6 +217,22 @@ class _Walker(HTMLParser):
         elif tag == "iframe":
             ad = dict(attrs)
             self.doc.iframe_links.append(ad.get("src") or "")
+            if self._noscript_depth > 0:
+                self.doc.noscript_tracking_srcs.append(ad.get("src") or "")
+        elif tag == "img":
+            if self._noscript_depth > 0:
+                ad = dict(attrs)
+                self.doc.noscript_tracking_srcs.append(ad.get("src") or "")
+        elif tag == "noscript":
+            self.doc.has_noscript = True
+            self._noscript_depth += 1
+        elif tag == "viewport":
+            if self._in_head:
+                self.doc.has_viewport_tag = True
+        elif tag == "date":
+            self.doc.has_date_tag = True
+        elif tag in ("object", "audio", "video"):
+            self.doc.has_media_tag = True
         elif tag == "meta":
             ad = dict(attrs)
             if (ad.get("http-equiv") or "").lower() == "refresh":
@@ -200,6 +242,16 @@ class _Walker(HTMLParser):
             key = (ad.get("name") or ad.get("property") or ad.get("itemprop") or "").lower()
             if key and ad.get("content") and key not in self.doc.meta:
                 self.doc.meta[key] = ad["content"]
+            if self._in_head:
+                self.doc.head_metas.append(
+                    (
+                        ad.get("name") or "",
+                        ad.get("content") or "",
+                        ad.get("property") or "",
+                        ad.get("profile") or "",
+                        ad.get("http-equiv") or "",
+                    )
+                )
         elif tag == "time":
             ad = dict(attrs)
             if ad.get("datetime"):
@@ -208,6 +260,16 @@ class _Walker(HTMLParser):
             ad = dict(attrs)
             rel = (ad.get("rel") or "").lower()
             typ = (ad.get("type") or "").lower()
+            if self._in_head:
+                flags = (
+                    (1 if "onerror" in ad else 0)
+                    | (2 if "onload" in ad else 0)
+                    | (4 if "pingback" in ad else 0)
+                    | (8 if ad.get("type") is not None else 0)
+                )
+                self.doc.head_links.append(
+                    (ad.get("rel") or "", ad.get("href") or "", flags)
+                )
             if rel in ("next", "prev"):
                 self.doc.rel_next_prev.append(ad.get("href") or "")
             elif rel in ("icon", "shortcut icon") and ad.get("href"):
@@ -229,8 +291,14 @@ class _Walker(HTMLParser):
             ad = dict(attrs)
             self.doc.n_script_tags += 1
             self.doc.script_srcs.append(ad.get("src") or "")
+            self.doc.script_types.append(ad.get("type") or "")
+            if "didomi/javascript" in ad or ("didomi" in ad and "javascript" in ad):
+                # jsoup keeps "didomi/javascript" as one attr name;
+                # html.parser splits it at the slash
+                self.doc.script_didomi = True
             self._script_depth += 1
             self._script_is_ldjson = (ad.get("type") or "").lower() == "application/ld+json"
+            self._script_text_parts = []
         elif tag in ("h1", "h2", "h3"):
             self._heading_depth += 1
         elif tag == "p" and len(self.doc.first_p_texts) < 4:
@@ -269,6 +337,10 @@ class _Walker(HTMLParser):
                     if t == "script":
                         self._script_depth = max(0, self._script_depth - 1)
                         self._script_is_ldjson = False
+                        self.doc.script_texts.append("".join(self._script_text_parts))
+                        self._script_text_parts = []
+                    elif t == "noscript":
+                        self._noscript_depth = max(0, self._noscript_depth - 1)
                     elif t == "p" and self._p_capture:
                         self._p_capture = False
                         txt = _normalise_ws("".join(self._p_parts)).strip()
@@ -279,6 +351,7 @@ class _Walker(HTMLParser):
                         self.doc.headings.append(
                             _normalise_ws("".join(self._heading_parts)).strip()
                         )
+                        self.doc.heading_levels.append(int(t[1]))
                         self._heading_parts = []
                 del self._open[i:]
                 return
@@ -300,6 +373,7 @@ class _Walker(HTMLParser):
         if self._tagstack and self._tagstack[-1] == TITLE:
             self._title_parts.append(data)
         if self._script_depth > 0:
+            self._script_text_parts.append(data)
             if self._script_is_ldjson:
                 self.doc.ld_json.append(data)
             if not (self.doc.script_srcs and self.doc.script_srcs[-1]):
@@ -337,6 +411,10 @@ class _Walker(HTMLParser):
         self.doc.text = " ".join(s for s, _ in compact)
         self.doc.raw_text_len = sum(len(s) for s, _ in compact)
         self.doc.title = _normalise_ws("".join(self._title_parts)).strip()
+        # pad per-script inline texts for scripts never explicitly closed
+        while len(self.doc.script_texts) < len(self.doc.script_srcs):
+            self.doc.script_texts.append("".join(self._script_text_parts))
+            self._script_text_parts = []
         self.doc.dom = self._dom
         return self.doc
 

@@ -44,6 +44,11 @@ def script_penalty(doc: ParsedDoc) -> int:
     penalty += doc.script_inline_len / 1000.0
     if doc.has_create_element:
         penalty += 1.0
+    # head <link onerror/onload>: sneaky JS loading, +1 each
+    # (DocumentValuator.getScriptPenalty:77-81)
+    for _rel, _href, flags in doc.head_links:
+        if flags & 3:
+            penalty += 1.0
     return int(penalty)
 
 

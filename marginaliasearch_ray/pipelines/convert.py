@@ -41,6 +41,7 @@ from ..functions.docmeta import (
     F_PDF,
     adjust_quality,
     detect_features,
+    detect_topic_features,
     sniff_pubdate,
 )
 from ..functions.dom import tagger_text
@@ -106,7 +107,7 @@ def process_html_document(u, url_str: str, html: str, decoded: str) -> dict:
         out["state"] = "disqualified_spec"
         return out
     out["length"] = len(doc.text)
-    out["features"] = detect_features(doc)
+    out["features"] = detect_features(doc, u.path)
     out["quality"] = adjust_quality(
         document_quality(doc, len(doc.text), len(html)), out["features"]
     )
@@ -126,7 +127,12 @@ def process_html_document(u, url_str: str, html: str, decoded: str) -> dict:
         pruned = spec.prune(doc.dom)
         out["text"] = tagger_text(pruned)
         out["summary"] = spec.get_summary(pruned)
-    out["n_words"] = len(out["text"].split())
+    words = out["text"].split()
+    # CATEGORY_FOOD/CRAFTS over the extracted words (the reference's dld
+    # is built from the pruned tree, same source as this text); category
+    # bits never feed adjustQuality, so the ordering is equivalent
+    out["features"] |= detect_topic_features(words)
+    out["n_words"] = len(words)
     out["doc_hash"] = doc_lsh(out["text"].lower().split())
     if not validate_length(out["n_words"], spec_name, MIN_DOCUMENT_WORDS_FIXTURE):
         out["state"] = "disqualified_length"
@@ -169,7 +175,7 @@ def process_pages_batch(batch: pa.Table) -> pa.Table:
     n_links_ext = np.zeros(n, dtype=np.int32)
     pub_year = np.zeros(n, dtype=np.int32)  # 0 = unknown
     summary = [""] * n
-    features = np.zeros(n, dtype=np.int32)
+    features = np.zeros(n, dtype=np.int64)  # ordinals >= 32 use the high bits
     n_words = np.zeros(n, dtype=np.int32)
     state = ["ok"] * n  # doc-level gate outcome (DocumentProcessor.java:85-92)
     spec_col = [""] * n
@@ -260,7 +266,7 @@ def process_pages_batch(batch: pa.Table) -> pa.Table:
             "links_external": pa.array(n_links_ext, pa.int32()),
             "pub_year": pa.array(pub_year, pa.int32()),
             "summary": pa.array(summary, pa.string()),
-            "features": pa.array(features, pa.int32()),
+            "features": pa.array(features, pa.int64()),
             "n_words": pa.array(n_words, pa.int32()),
             "state": pa.array(state, pa.string()),
             "spec": pa.array(spec_col, pa.string()),
@@ -357,7 +363,7 @@ def _flag_near_dups(batch: pa.Table, dup_ref) -> pa.Table:
     feats = batch.column("features").to_numpy(zero_copy_only=False).copy()
     feats[ck & (states == "ok")] |= F_COOKIES
     i = batch.schema.get_field_index("features")
-    return batch.set_column(i, "features", pa.array(feats, pa.int32()))
+    return batch.set_column(i, "features", pa.array(feats, pa.int64()))
 
 
 def convert_pages(

@@ -41,6 +41,7 @@ from ..functions.docmeta import (
     F_TRACKING_ADTECH,
     F_COOKIES,
     detect_features,
+    detect_topic_features,
 )
 from ..functions.dom import tagger_text
 from ..functions.domops import truncate
@@ -94,7 +95,9 @@ def process_sideload_document(
         out["state"] = "disqualified_spec"
         return out
 
-    features = detect_features(doc) | F_JS | F_TRACKING
+    # SideloaderProcessing.java:96-101 forces JS+TRACKING on top of the
+    # plugin's own extraction
+    features = detect_features(doc, u.path) | F_JS | F_TRACKING
     if doc.dom is None or doc.dom.truncated:
         out["title"] = doc.title
         out["text"] = doc.text
@@ -104,6 +107,7 @@ def process_sideload_document(
         pruned = spec.prune(doc.dom)
         out["text"] = tagger_text(pruned)
         out["summary"] = spec.get_summary(pruned)
+    features |= detect_topic_features(out["text"].split())
     out["n_words"] = len(out["text"].split())
     out["doc_hash"] = doc_lsh(out["text"].lower().split())
     # SIDELOAD: a length miss flags SHORT_DOCUMENT instead of disqualifying

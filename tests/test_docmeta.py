@@ -214,9 +214,18 @@ class TestFeatures:
         )
         assert detect_features(doc) & F_AFFILIATE
 
-    def test_cookies_header(self):
+    def test_cdn_headers(self):
+        from marginaliasearch_ray.functions.docmeta import (
+            F_CDN,
+            F_CLOUDFLARE,
+            F_S3,
+        )
+
         doc = parse_document("<html><body></body></html>")
-        assert detect_features(doc, "Set-Cookie: a=1") != 0
+        m = detect_features(doc, "", "Cf-Ray: abc\nServer: cloudflare")
+        assert m & F_CLOUDFLARE and m & F_CDN
+        assert detect_features(doc, "", "X-Amz-Cf-Id: 1") & F_CDN
+        assert detect_features(doc, "", "Server: AmazonS3") & F_S3
 
     def test_adjust_quality(self):
         assert adjust_quality(-5.0, F_TRACKING) == -7.5
