@@ -397,11 +397,25 @@ def adhoc_test_p(stemmed_words: list[str], term_values: dict) -> float:
     return sum(values.values()) * (sqrt(AVG_LENGTH) / sqrt(max(AVG_LENGTH, count)))
 
 
+_STEM_CACHE: dict[str, str] = {}
+_STEM_CACHE_MAX = 200_000
+
+
+def _stem_cached(w: str) -> str:
+    s = _STEM_CACHE.get(w)
+    if s is None:
+        if len(_STEM_CACHE) > _STEM_CACHE_MAX:
+            _STEM_CACHE.clear()
+        s = _STEM_CACHE[w] = porter_stem(w)
+    return s
+
+
 def topic_categories(words: list[str]) -> tuple[bool, bool]:
     """-> (CATEGORY_FOOD, CATEGORY_CRAFTS) per FeatureExtractor.java:343-347:
     recipe>0.5 wins; else woodworking>0.3 or textile>0.3 -> crafts
-    (mutually exclusive)."""
-    stemmed = [porter_stem(w.lower()) for w in words]
+    (mutually exclusive).  Stems are memoized per worker (word frequency
+    is zipfian, so the cache hit rate is ~1 after the first few docs)."""
+    stemmed = [_stem_cached(w.lower()) for w in words]
     d = _detectors()
     if adhoc_test_p(stemmed, d["recipe"]) > 0.5:
         return True, False
