@@ -408,51 +408,90 @@ def _build_convert_expected(fix: Path, out: Path) -> None:
 
 
 def _build_recrawl_expected(fix: Path, out: Path, sample_seed: int = 42) -> None:
-    """Sequential recrawl decisions (CrawlerRevisitor semantics) — one
-    python loop over prev_crawl rows against the live pages dict."""
-    from hashlib import blake2b
+    """Sequential recrawl decisions (CrawlerRevisitor.java:57-59,97-184
+    semantics): per domain, old documents in stored order, the adaptive
+    skip policy (skipProb = retained/recrawled with the volume-tier
+    clamps, SUMMARY hard-skip at >=5 recrawled & >80% retained, 10%
+    SUMMARY->FULL upgrade) replayed with the same domain-seeded RNG
+    protocol the engine uses (the reference draws Math.random(); the
+    seeded protocol is the deterministic spec both sides implement).
+    This loop is INDEPENDENT of the engine's map_groups implementation —
+    one python pass, no Ray."""
+    import random as _random
 
     from ..functions.lsh import content_hash, hamming64
-    from ..pipelines.recrawl import LSH_SAME_DISTANCE
+    from ..model.urls import parse_url as _parse_url
+    from ..pipelines.recrawl import LSH_SAME_DISTANCE, SUMMARY_TOP_DOMAINS
 
     pages = pq.read_table(fix / "pages.parquet", columns=["url", "html"])
     live = {
         pages["url"][i].as_py(): content_hash(pages["html"][i].as_py() or b"")
         for i in range(pages.num_rows)
     }
-    prev = pq.read_table(fix / "prev_crawl.parquet", columns=["url", "domain", "body", "etag"])
-    rows = {"url": [], "domain": [], "decision": [], "hamming": [], "had_etag": [], "sampled": []}
+    prev = pq.read_table(
+        fix / "prev_crawl.parquet",
+        columns=["ordinal", "url", "domain", "body", "etag"],
+    )
+    by_domain: dict[str, list[tuple]] = {}
     for i in range(prev.num_rows):
-        url = prev["url"][i].as_py()
-        body = prev["body"][i].as_py() or b""
-        etag = prev["etag"][i].as_py()
-        sampled = (
-            int.from_bytes(
-                blake2b((url + str(sample_seed)).encode(), digest_size=4).digest(),
-                "little",
+        by_domain.setdefault(prev["domain"][i].as_py(), []).append(
+            (
+                prev["ordinal"][i].as_py(),
+                prev["url"][i].as_py(),
+                prev["body"][i].as_py() or b"",
+                prev["etag"][i].as_py(),
             )
-            / 2**32
-            < 1.0
         )
-        prev_lsh = content_hash(body)
-        live_lsh = live.get(url, 0)
-        ham = hamming64(prev_lsh, live_lsh)
-        if not sampled:
-            decision = "skipped"
-        elif url not in live:
-            decision = "removed"
-        elif etag is not None and ham == 0:
-            decision = "not_modified"
-        elif ham < LSH_SAME_DISTANCE:
-            decision = "unchanged"
-        else:
-            decision = "changed"
-        rows["url"].append(url)
-        rows["domain"].append(prev["domain"][i].as_py())
-        rows["decision"].append(decision)
-        rows["hamming"].append(ham)
-        rows["had_etag"].append(etag is not None)
-        rows["sampled"].append(sampled)
+
+    rows = {"url": [], "domain": [], "decision": [], "hamming": [], "had_etag": [], "sampled": []}
+    for domain, docs in by_domain.items():
+        docs.sort(key=lambda d: d[0])
+        u = _parse_url(f"https://{domain}/")
+        top = u.top_domain if u is not None else domain
+        rng = _random.Random(f"{domain}|{sample_seed}")
+        summary = top in SUMMARY_TOP_DOMAINS
+        if summary and rng.random() > 0.9:
+            summary = False
+        recrawled = retained = skipped = 0
+        for _ord, url, body, etag in docs:
+            prev_lsh = content_hash(body)
+            live_lsh = live.get(url, 0)
+            ham = hamming64(prev_lsh, live_lsh)
+            if summary and recrawled >= 5 and retained > 0.8 * recrawled:
+                skip_prob = 1.0
+            elif recrawled == 0:
+                skip_prob = 0.0
+            else:
+                skip_prob = retained / recrawled
+                if skipped + recrawled > 10_000:
+                    skip_prob = min(max(skip_prob, 0.75), 0.99)
+                elif skipped + recrawled > 1000:
+                    skip_prob = min(max(skip_prob, 0.5), 0.75)
+                elif recrawled > 25:
+                    skip_prob = min(skip_prob, 0.50)
+                else:
+                    skip_prob = 0.0
+            if rng.random() < skip_prob:
+                decision = "skipped"
+                skipped += 1
+            else:
+                if url not in live:
+                    decision = "removed"
+                elif etag is not None and ham == 0:
+                    decision = "not_modified"
+                elif ham < LSH_SAME_DISTANCE:
+                    decision = "unchanged"
+                else:
+                    decision = "changed"
+                recrawled += 1
+                if decision in ("not_modified", "unchanged"):
+                    retained += 1
+            rows["url"].append(url)
+            rows["domain"].append(domain)
+            rows["decision"].append(decision)
+            rows["hamming"].append(ham)
+            rows["had_etag"].append(etag is not None)
+            rows["sampled"].append(decision != "skipped")
     pq.write_table(
         pa.table(
             {

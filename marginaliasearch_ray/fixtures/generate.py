@@ -268,10 +268,12 @@ class WebConfig:
 
 def _domain_names(cfg: WebConfig, rng: random.Random) -> list[str]:
     names = []
-    shared_tops = ["shared-host.com", "blogfarm.net"]
+    # blogspot/wordpress: SUMMARY-recrawl-strategy tops
+    # (CrawlerRetreiver.getRecrawlStrategy) and reference permit constants
+    shared_tops = ["shared-host.com", "blogfarm.net", "blogspot.com", "wordpress.com"]
     for i in range(cfg.n_domains):
         r = rng.random()
-        if r < 0.10:
+        if r < 0.14:
             names.append(f"user{i}.{shared_tops[i % len(shared_tops)]}")
         elif r < 0.15:
             names.append(f"site{i}.example.co.uk")
@@ -1014,6 +1016,7 @@ def generate_prev_crawl(pages: pa.Table, seed: int = 42) -> pa.Table:
     htmls = pages.column("html").to_pylist()
     ts = pages.column("warc_ts").to_pylist()
     rows = []
+    ordinals: dict[str, int] = {}  # per-domain stored order (crawl order)
     for u, h, t in zip(urls, htmls, ts):
         r = rng.random()
         if r < 0.10:
@@ -1023,8 +1026,10 @@ def generate_prev_crawl(pages: pa.Table, seed: int = 42) -> pa.Table:
             body = h.replace(b"<body>", b"<body><p>changed content here</p>", 1)
         host = u.split("://", 1)[1].split("/", 1)[0]
         etag = f'"{rng.getrandbits(64):016x}"' if rng.random() < 0.7 else None
+        ordinals[host] = ordinals.get(host, -1) + 1
         rows.append(
             (
+                ordinals[host],
                 host,
                 u,
                 "127.0.0.1",
@@ -1039,21 +1044,22 @@ def generate_prev_crawl(pages: pa.Table, seed: int = 42) -> pa.Table:
                 "Thu, 01 Jan 2020 00:00:00 GMT" if rng.random() < 0.5 else None,
             )
         )
-    cols = list(zip(*rows)) if rows else [[] for _ in range(12)]
+    cols = list(zip(*rows)) if rows else [[] for _ in range(13)]
     return pa.table(
         {
-            "domain": pa.array(cols[0], pa.string()),
-            "url": pa.array(cols[1], pa.string()),
-            "ip": pa.array(cols[2], pa.string()),
-            "cookies": pa.array(cols[3], pa.bool_()),
-            "http_status": pa.array(cols[4], pa.int16()),
-            "timestamp_ms": pa.array(cols[5], pa.int64()),
-            "content_type": pa.array(cols[6], pa.string()),
-            "body": pa.array(cols[7], pa.binary()),
-            "request_time_ms": pa.array(cols[8], pa.int16()),
-            "headers": pa.array(cols[9], pa.string()),
-            "etag": pa.array(cols[10], pa.string()),
-            "last_modified": pa.array(cols[11], pa.string()),
+            "ordinal": pa.array(cols[0], pa.int32()),
+            "domain": pa.array(cols[1], pa.string()),
+            "url": pa.array(cols[2], pa.string()),
+            "ip": pa.array(cols[3], pa.string()),
+            "cookies": pa.array(cols[4], pa.bool_()),
+            "http_status": pa.array(cols[5], pa.int16()),
+            "timestamp_ms": pa.array(cols[6], pa.int64()),
+            "content_type": pa.array(cols[7], pa.string()),
+            "body": pa.array(cols[8], pa.binary()),
+            "request_time_ms": pa.array(cols[9], pa.int16()),
+            "headers": pa.array(cols[10], pa.string()),
+            "etag": pa.array(cols[11], pa.string()),
+            "last_modified": pa.array(cols[12], pa.string()),
         }
     )
 

@@ -10,9 +10,12 @@ Reference: ``CrawlerRevisitor.java:45-184`` + ``CrawlDataReference.java:84-121``
 - otherwise compare content LSH: hamming < 4 => ``unchanged`` (the
   reference counts it as retained), else ``changed``;
 - URL gone from the live web => ``removed`` (404 path);
-- probabilistic skip sampling (seeded bernoulli, p = retained/recrawled
-  clamped by volume tiers — CrawlerRevisitor.java:57-59,108-134) decides
-  which URLs are revisited at all in SUMMARY-strategy domains.
+- the ADAPTIVE skip policy (CrawlerRevisitor.java:57-59,97-134): per
+  domain, in stored order, skipProb = retained/recrawled clamped by
+  volume tiers, SUMMARY-strategy domains (substack/blogspot/wordpress
+  topDomains, 10% upgraded to FULL) hard-skip once >=5 recrawled with
+  >80% retained — replayed with a domain-seeded RNG so the engine and
+  the sequential oracle are draw-for-draw identical.
 
 Ray shape: both sides are reduced to NARROW per-url rows inside
 ``map_batches`` (the previous crawl keeps (url, domain, prev_lsh,
@@ -31,6 +34,7 @@ import ray
 import ray.data as rd
 
 from ..functions.lsh import content_hash, hamming64_vec
+from ..model.urls import parse_url
 
 LSH_SAME_DISTANCE = 4  # CrawlDataReference.isContentBodySame
 
@@ -52,36 +56,105 @@ def _live_lsh_dataset(pages_path: str) -> rd.Dataset:
     return ds.map_batches(hash_batch, batch_format="pyarrow")
 
 
+SUMMARY_TOP_DOMAINS = ("substack.com", "blogspot.com", "wordpress.com")
+# CrawlerRetreiver.getRecrawlStrategy:177-183
+
+
+def _revisit_policy(group: pd.DataFrame, sample_seed: int) -> pd.DataFrame:
+    """The reference's sequential per-domain revisit policy
+    (CrawlerRevisitor.java:57-59,97-134), replayed over the domain's old
+    documents in STORED order with a domain-seeded RNG (the reference
+    uses Math.random(); seeding keeps the engine and the sequential
+    oracle draw-for-draw identical):
+
+    - strategy SUMMARY for substack/blogspot/wordpress topDomains, 10%
+      upgraded to FULL (one upfront draw, SUMMARY domains only);
+    - per doc: skipProb = retained/recrawled (NaN -> recrawl while cold),
+      clamped by volume tier ([0,0.5] past 25 recrawls, [0.5,0.75] past
+      1000 processed, [0.75,0.99] past 10000); SUMMARY hard-skips
+      (p=1.0) once >=5 recrawled and >80% retained;
+    - one draw per doc; skipped docs keep the stored copy (decision
+      "skipped"), recrawled docs classify against the live fetch and
+      retained counts not_modified/unchanged.
+    """
+    import random as _random
+
+    group = group.sort_values("ordinal")
+    domain = group["domain"].iloc[0]
+    top = parse_url(f"https://{domain}/")
+    top_domain = top.top_domain if top is not None else domain
+    rng = _random.Random(f"{domain}|{sample_seed}")
+    summary = top_domain in SUMMARY_TOP_DOMAINS
+    if summary and rng.random() > 0.9:
+        summary = False  # upgraded to FULL
+
+    exists = pd.notna(group["live_lsh"]).to_numpy()
+    live_lsh = group["live_lsh"].fillna(0).to_numpy().astype(np.uint64)
+    prev_lsh = group["prev_lsh"].to_numpy().astype(np.uint64)
+    had_etag = group["had_etag"].to_numpy()
+    ham = hamming64_vec(prev_lsh, live_lsh)
+
+    n = len(group)
+    decision = np.empty(n, dtype=object)
+    recrawled = retained = skipped = 0
+    for i in range(n):
+        if summary and recrawled >= 5 and retained > 0.8 * recrawled:
+            skip_prob = 1.0
+        elif recrawled == 0:
+            skip_prob = 0.0  # java: retained/0 is NaN, draw < NaN is false
+        else:
+            skip_prob = retained / recrawled
+            if skipped + recrawled > 10_000:
+                skip_prob = min(max(skip_prob, 0.75), 0.99)
+            elif skipped + recrawled > 1000:
+                skip_prob = min(max(skip_prob, 0.5), 0.75)
+            elif recrawled > 25:
+                skip_prob = min(skip_prob, 0.50)
+            else:
+                skip_prob = 0.0
+        if rng.random() < skip_prob:
+            decision[i] = "skipped"
+            skipped += 1
+            continue
+        if not exists[i]:
+            decision[i] = "removed"
+        elif had_etag[i] and ham[i] == 0:
+            decision[i] = "not_modified"
+        elif ham[i] < LSH_SAME_DISTANCE:
+            decision[i] = "unchanged"
+        else:
+            decision[i] = "changed"
+        recrawled += 1
+        if decision[i] in ("not_modified", "unchanged"):
+            retained += 1
+
+    return pd.DataFrame(
+        {
+            "url": group["url"].to_numpy(),
+            "domain": group["domain"].to_numpy(),
+            "decision": decision,
+            "hamming": ham,
+            "had_etag": had_etag,
+            "sampled": decision != "skipped",
+        }
+    )
+
+
 def recrawl(
     prev_crawl_path: str,
     pages_path: str,
     sample_seed: int = 42,
-    revisit_fraction: float = 1.0,
     num_partitions: int = 16,
 ) -> rd.Dataset:
     """-> Dataset(url, domain, decision, hamming, had_etag, sampled) where
-    decision in {not_modified, unchanged, changed, removed, skipped}."""
+    decision in {not_modified, unchanged, changed, removed, skipped};
+    ``sampled`` = the doc was actually recrawled (not skipped by the
+    adaptive policy)."""
     live = _live_lsh_dataset(pages_path)
 
     def prev_narrow(batch: pd.DataFrame) -> pd.DataFrame:
-        # hash + drop bodies at the read; seeded per-URL bernoulli is
-        # deterministic in the url string
-        from hashlib import blake2b
-
+        # hash + drop bodies at the read
         urls = batch["url"].tolist()
-        sampled = np.array(
-            [
-                int.from_bytes(
-                    blake2b(
-                        (u + str(sample_seed)).encode(), digest_size=4
-                    ).digest(),
-                    "little",
-                )
-                / 2**32
-                < revisit_fraction
-                for u in urls
-            ]
-        )
         prev_lsh = np.fromiter(
             (content_hash(b or b"") for b in batch["body"].tolist()),
             dtype=np.uint64,
@@ -91,57 +164,34 @@ def recrawl(
             {
                 "url": urls,
                 "domain": batch["domain"].tolist(),
+                "ordinal": batch["ordinal"].tolist()
+                if "ordinal" in batch.columns
+                else range(len(urls)),
                 "prev_lsh": prev_lsh,
                 "had_etag": pd.notna(batch["etag"]).to_numpy(),
-                "sampled": sampled,
             }
         )
 
-    prev = rd.read_parquet(
-        prev_crawl_path, columns=["url", "domain", "body", "etag"]
-    ).map_batches(prev_narrow, batch_format="pandas")
+    cols = ["url", "domain", "body", "etag"]
+    import pyarrow.dataset as pads
+
+    if "ordinal" in pads.dataset(prev_crawl_path).schema.names:
+        cols.append("ordinal")
+    prev = rd.read_parquet(prev_crawl_path, columns=cols).map_batches(
+        prev_narrow, batch_format="pandas"
+    )
 
     joined = prev.join(
         live, "left_outer", num_partitions=num_partitions, on=("url",)
     )
 
-    def classify(batch: pd.DataFrame) -> pd.DataFrame:
-        exists = pd.notna(batch["live_lsh"]).to_numpy()
-        live_lsh = (
-            batch["live_lsh"].fillna(0).to_numpy().astype(np.uint64)
-        )
-        prev_lsh = batch["prev_lsh"].to_numpy().astype(np.uint64)
-        sampled = batch["sampled"].to_numpy()
-        had_etag = batch["had_etag"].to_numpy()
-        ham = hamming64_vec(prev_lsh, live_lsh)
-        decision = np.where(
-            ~sampled,
-            "skipped",
-            np.where(
-                ~exists,
-                "removed",
-                np.where(
-                    # ETag match models the conditional-request 304 path: the
-                    # fixture's identical-body rows carry the same content,
-                    # so an etag + identical content => 304.
-                    had_etag & (ham == 0),
-                    "not_modified",
-                    np.where(ham < LSH_SAME_DISTANCE, "unchanged", "changed"),
-                ),
-            ),
-        )
-        return pd.DataFrame(
-            {
-                "url": batch["url"],
-                "domain": batch["domain"],
-                "decision": decision,
-                "hamming": ham,
-                "had_etag": had_etag,
-                "sampled": sampled,
-            }
-        )
-
-    return joined.map_batches(classify, batch_format="pandas")
+    # per-domain sequential policy over NARROW rows (url, ordinal, two
+    # hashes, two flags); the policy is inherently order-dependent per
+    # domain (running retained/recrawled counters), so map_groups is the
+    # minimal shuffle that expresses it
+    return joined.groupby("domain").map_groups(
+        lambda g: _revisit_policy(g, sample_seed), batch_format="pandas"
+    )
 
 
 def recrawl_metadata(decisions: rd.Dataset) -> pd.DataFrame:

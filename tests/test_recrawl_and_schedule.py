@@ -29,13 +29,41 @@ class TestRecrawl:
         assert nm.had_etag.all()
         assert (nm.hamming == 0).all()
 
-    def test_sampling_skips(self, small_web):
+    def test_adaptive_skip_policy(self, small_web):
+        """CrawlerRevisitor skip policy: no skips while the domain is cold
+        (skipProb = 0 until >25 recrawled), skips appear on big
+        mostly-retained domains, and the seeded draws are deterministic."""
+        import pyarrow.parquet as pq
+
         d = small_web["dir"]
-        out = recrawl(
-            f"{d}/prev_crawl.parquet", f"{d}/pages.parquet", revisit_fraction=0.5
+        out = recrawl(f"{d}/prev_crawl.parquet", f"{d}/pages.parquet").to_pandas()
+        prev = pq.read_table(
+            f"{d}/prev_crawl.parquet", columns=["url", "ordinal"]
         ).to_pandas()
-        frac = (out.decision == "skipped").mean()
-        assert 0.3 < frac < 0.7  # seeded bernoulli around 0.5
+        out = out.merge(prev, on="url")
+        # FULL-strategy domains: the tiers gate skipping entirely until
+        # recrawled > 25, so a skip can appear at 0-based ordinal 26 at
+        # the earliest; SUMMARY domains (blogspot/wordpress/substack
+        # tops) may hard-skip from position 6
+        from marginaliasearch_ray.pipelines.recrawl import SUMMARY_TOP_DOMAINS
+
+        full = out[~out.domain.str.endswith(SUMMARY_TOP_DOMAINS)]
+        early = full[full.ordinal < 26]
+        assert (early.decision != "skipped").all()
+        summary = out[out.domain.str.endswith(SUMMARY_TOP_DOMAINS)]
+        if len(summary):
+            # the hard-skip path engages on mostly-retained SUMMARY domains
+            assert (summary.ordinal[summary.decision == "skipped"] >= 5).all()
+        # the mega domain is large and ~70% retained -> the policy kicks in
+        big = out.groupby("domain").size().idxmax()
+        big_rows = out[out.domain == big]
+        if len(big_rows) > 40:
+            assert (big_rows.decision == "skipped").any()
+        # determinism: same seed, same draws
+        out2 = recrawl(f"{d}/prev_crawl.parquet", f"{d}/pages.parquet").to_pandas()
+        assert out.sort_values("url").decision.tolist() == out2.merge(
+            prev, on="url"
+        ).sort_values("url").decision.tolist()
 
     def test_metadata_rollup(self, small_web):
         d = small_web["dir"]
