@@ -81,6 +81,7 @@ class PageSpec:
     ordinal: int
     title: str
     charset: str  # "utf-8" | "iso-8859-1"
+    html_attrs: str = ""  # e.g. ' data-adblockkey="..."' (AcceptableAds)
     head_extra: list = field(default_factory=list)  # ("meta_refresh", content) | ("base", href)
     blocks: list = field(default_factory=list)
     # ground-truth outgoing canonical links (dst_canonical, kind)
@@ -88,7 +89,7 @@ class PageSpec:
 
 
 def render_html(p: PageSpec) -> str:
-    out = ["<html><head><title>", p.title, "</title>"]
+    out = [f"<html{p.html_attrs}><head><title>", p.title, "</title>"]
     if p.charset != "utf-8":
         out.append(f'<meta http-equiv="content-type" content="text/html; charset={p.charset}">')
     for extra in p.head_extra:
@@ -296,7 +297,18 @@ def _page_path(rng: random.Random, ordinal: int) -> str:
         return f"/private/p{ordinal}.html"  # robots-gated on some domains
     if r < 0.85:
         return f"/view?id={ordinal}"  # allowlisted param
-    return f"/articles/{rng.choice(LEXICON)}-{ordinal}"
+    if r < 0.955:
+        return f"/articles/{rng.choice(LEXICON)}-{ordinal}"
+    if r < 0.97:
+        # kebab-case path: >3 dashes (F_KEBAB_CASE_URL, quality -2)
+        w = [rng.choice(LEXICON) for _ in range(4)]
+        return f"/articles/{w[0]}-{w[1]}-{w[2]}-{w[3]}-{ordinal}"
+    if r < 0.985:
+        # trailing-slash tag listing: converter isDisqualified path gate
+        seg = rng.choice(("tag", "tags", "category", "section"))
+        return f"/{seg}/{rng.choice(LEXICON)}/"
+    # Mastodon-style user feed (%40 = '@', canonical-encoded)
+    return f"/%40{rng.choice(LEXICON)}"
 
 
 def _messy_variant(canon: str, rng: random.Random) -> str:
@@ -642,7 +654,13 @@ def _generate_domain(cfg: WebConfig, domains: list[str], di: int):
                 page_rows.append((url, ts, b"", "", lang, 429, None, rl_idxs[i] or None))
                 continue
             title = _sentence(prng, lex, 2, 6).title()
+            if prng.random() < 0.004:
+                title = "phpinfo()"  # converter isDisqualified title gate
             spec = PageSpec(url=url, ordinal=i, title=title, charset=charset)
+            if prng.random() < 0.007:
+                # Acceptable Ads tag (domain-squatter signature) — the
+                # converter disqualifies these (AcceptableAds.java)
+                spec.html_attrs = f' data-adblockkey="k{prng.getrandbits(32):08x}"'
 
             # choose same-domain link targets: chain + seeded extras
             targets = []

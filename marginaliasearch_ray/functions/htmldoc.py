@@ -114,6 +114,8 @@ class ParsedDoc:
     has_viewport_tag: bool = False  # literal <viewport> element in head
     has_date_tag: bool = False
     has_noscript: bool = False
+    # <html data-adblockkey>: the Acceptable Ads tag (AcceptableAds.java:15-17)
+    html_adblockkey: bool = False
     has_media_tag: bool = False  # object / audio / video
     noscript_tracking_srcs: list[str] = field(default_factory=list)  # iframe/img src inside <noscript>
     meta: dict = field(default_factory=dict)  # name/property -> content (first wins)
@@ -226,6 +228,11 @@ class _Walker(HTMLParser):
         elif tag == "noscript":
             self.doc.has_noscript = True
             self._noscript_depth += 1
+        elif tag == "html":
+            for k, _v in attrs:
+                if k == "data-adblockkey":
+                    self.doc.html_adblockkey = True
+                    break
         elif tag == "viewport":
             if self._in_head:
                 self.doc.has_viewport_tag = True

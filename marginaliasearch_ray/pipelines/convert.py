@@ -65,6 +65,15 @@ from ..model.urls import parse_url
 # partition with no groupby shuffle
 DEDUP_PARTS = 64
 
+import re as _re
+
+# HtmlDocumentProcessorPlugin.java:223 mastodonFeedRegex
+_MASTODON_FEED_RE = _re.compile(r"^/@[^/]+/?$")
+# HtmlDocumentProcessorPlugin.java:244-259 "annoying blog crap"
+_LISTING_PATH_SEGMENTS = (
+    "/tag/", "/tags/", "/category/", "/categories/", "/section/", "/sections/"
+)
+
 
 def process_html_document(u, url_str: str, html: str, decoded: str) -> dict:
     """Per-document HTML processing, shared verbatim by the distributed
@@ -97,6 +106,11 @@ def process_html_document(u, url_str: str, html: str, decoded: str) -> dict:
         "doc_hash": 0, "lsh": content_hash(html), "ni": 0, "ne": 0,
         "spec": "", "amended_words": "",
     }
+    if doc.html_adblockkey:
+        # Acceptable Ads tag: in practice domain squatters — disqualify
+        # (HtmlDocumentProcessorPlugin.java:110-112, AcceptableAds.java)
+        out["state"] = "disqualified_ads"
+        return out
     robots_meta = doc.meta_robots.lower()
     if "noindex" in robots_meta or robots_meta.strip() == "none":
         out["state"] = "disqualified_robots"
@@ -111,6 +125,21 @@ def process_html_document(u, url_str: str, html: str, decoded: str) -> dict:
     out["quality"] = adjust_quality(
         document_quality(doc, len(doc.text), len(html)), out["features"]
     )
+    # isDisqualified (HtmlDocumentProcessorPlugin.java:225-263): leaked
+    # phpinfo pages, Mastodon-style /@user feeds, and trailing-slash
+    # tag/category/section listing pages; checked on the RAW title,
+    # after valuation (DisqualificationReason.QUALITY)
+    path = u.path
+    if (
+        doc.title == "phpinfo()"
+        or _MASTODON_FEED_RE.match(path)
+        or (
+            path.endswith("/")
+            and any(seg in path for seg in _LISTING_PATH_SEGMENTS)
+        )
+    ):
+        out["state"] = "disqualified_quality"
+        return out
     out["pub_year"] = sniff_pubdate(doc, url_str) or 0
     for l in extract_links(u, doc):
         if l.host == u.host:

@@ -216,3 +216,38 @@ class TestAdjustQuality:
         assert adjust_quality(-10.0, F_GA_SPAM) == -11.0
         assert adjust_quality(-10.0, F_WEBMENTION) == -9.0
         assert adjust_quality(-0.5, F_WEBMENTION) == 0.0  # clamp
+
+
+class TestConverterDisqualifiers:
+    """AcceptableAds + isDisqualified gates
+    (HtmlDocumentProcessorPlugin.java:110-112,225-263)."""
+
+    BODY = "<p>" + "real content words here for the body. " * 20 + "</p>"
+
+    def _state(self, url, html):
+        from marginaliasearch_ray.pipelines.convert import process_html_document
+        from marginaliasearch_ray.model.urls import parse_url
+
+        u = parse_url(url)
+        return process_html_document(u, str(u), html.encode(), html)["state"]
+
+    def test_adblockkey_disqualifies(self):
+        h = f'<html data-adblockkey="k1"><head><title>T</title></head><body>{self.BODY}</body></html>'
+        assert self._state("https://d.com/a", h) == "disqualified_ads"
+
+    def test_phpinfo_title(self):
+        h = f"<html><head><title>phpinfo()</title></head><body>{self.BODY}</body></html>"
+        assert self._state("https://d.com/a", h) == "disqualified_quality"
+
+    def test_listing_paths(self):
+        h = f"<html><head><title>T</title></head><body>{self.BODY}</body></html>"
+        for p in ("/tag/x/", "/tags/x/", "/category/x/", "/sections/x/"):
+            assert self._state(f"https://d.com{p}", h) == "disqualified_quality", p
+        # no trailing slash -> not a listing page
+        assert self._state("https://d.com/tag/x", h) == "ok"
+
+    def test_mastodon_feed(self):
+        h = f"<html><head><title>T</title></head><body>{self.BODY}</body></html>"
+        assert self._state("https://d.com/%40alice", h) == "disqualified_quality"
+        # subdirectories are fine (regex anchors the whole path)
+        assert self._state("https://d.com/%40alice/posts/3", h) == "ok"
