@@ -162,6 +162,8 @@ def run_bench() -> dict:
         "embed_topk",
         "media_bytes",
         "pagerank_domains",
+        "recrawl_decisions",
+        "sideload_encyclopedia",
     ):
         t0 = time.perf_counter()
         qs[name](SF_DIR)
