@@ -244,3 +244,53 @@ class TestSpecializations:
         t = tagger_text(pruned)
         assert "generously long paragraph" in t
         assert "blogroll" not in t and "first post" not in t
+
+
+class TestLengthOfText:
+    """length_of_text regex form vs the reference's per-char loop
+    (MeasureLengthVisitor.java:22-50), reimplemented here verbatim as the
+    independent check."""
+
+    @staticmethod
+    def _reference_loop(whole_text: str) -> int:
+        JAVA_WS = " \t\n\x0b\x0c\r\x1c\x1d\x1e\x1f"
+        n = len(whole_text)
+        start, end = 0, n - 1
+        while start < n and whole_text[start] in JAVA_WS:
+            start += 1
+        while end >= 0 and whole_text[end] in JAVA_WS:
+            end -= 1
+        length = 0
+        last_ws = False
+        for i in range(start, end):
+            if whole_text[i] in JAVA_WS:
+                if not last_ws:
+                    length += 1
+                last_ws = True
+            else:
+                length += 1
+                last_ws = False
+        return length
+
+    def test_equivalence(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from marginaliasearch_ray.functions.domops import length_of_text
+
+        @settings(max_examples=300, deadline=None)
+        @given(st.text(alphabet=" \t\n\x0b\x0c\r\x1c\x1d\x1e\x1fabcé .,!", max_size=60))
+        def check(s):
+            assert length_of_text(s) == self._reference_loop(s)
+
+        check()
+
+    def test_known_values(self):
+        from marginaliasearch_ray.functions.domops import length_of_text
+
+        assert length_of_text("") == 0
+        assert length_of_text("   ") == 0
+        assert length_of_text("a") == 0  # final char excluded
+        assert length_of_text("ab") == 1
+        assert length_of_text("  a  b  ") == 2  # 'a', one collapsed run
+        assert length_of_text("word another") == 11
