@@ -91,13 +91,20 @@ def _parse_spec(sel: str):
     return (tag, eid, cls, ak, av)
 
 
-def _compile_selector(selector: str) -> list:
-    """Comma selector -> [(0, spec, None)] simple / [(1, parent, child)]
-    one-level child-combinator parts.  Unparseable parts are dropped (the
+def _compile_selector(selector: str):
+    """Comma selector -> (tags, ids, classes, parts): single-dimension
+    simple parts (bare tag / #id / .class) are bucketed into frozensets
+    for O(1) matching — the converter's hot selectors (furniture removal,
+    tag-density blocks) are all of that shape; everything else stays in
+    ``parts`` as [(0, spec, None)] simple / [(1, parent, child)]
+    child-combinator entries.  Unparseable parts are dropped (the
     previous per-element regex matcher also matched them to nothing)."""
-    parts = _SEL_CACHE.get(selector)
-    if parts is not None:
-        return parts
+    compiled = _SEL_CACHE.get(selector)
+    if compiled is not None:
+        return compiled
+    tags: set = set()
+    ids: set = set()
+    classes: set = set()
     parts = []
     for raw in selector.split(","):
         raw = raw.strip()
@@ -108,10 +115,20 @@ def _compile_selector(selector: str) -> list:
                 parts.append((1, p_spec, c_spec))
         else:
             spec = _parse_spec(raw)
-            if spec is not None:
+            if spec is None:
+                continue
+            tag, eid, cls, ak, av = spec
+            if eid is None and cls is None and ak is None and tag is not None:
+                tags.add(tag)
+            elif tag is None and cls is None and ak is None and eid is not None:
+                ids.add(eid)
+            elif tag is None and eid is None and ak is None and cls is not None:
+                classes.add(cls.lower())
+            else:
                 parts.append((0, spec, None))
-    _SEL_CACHE[selector] = parts
-    return parts
+    compiled = (frozenset(tags), frozenset(ids), frozenset(classes), parts)
+    _SEL_CACHE[selector] = compiled
+    return compiled
 
 
 class _Stop(Exception):
@@ -289,7 +306,16 @@ class DomElement(DomNode):
                 return False
         return True
 
-    def _matches(self, el: "DomElement", parts: list) -> bool:
+    def _matches(self, el: "DomElement", compiled) -> bool:
+        tags, ids, classes, parts = compiled
+        if el.tag in tags:
+            return True
+        if ids and el.attrs.get("id") in ids:
+            return True
+        if classes:
+            cv = el.attrs.get("class")
+            if cv and any(c.lower() in classes for c in cv.split()):
+                return True
         for kind, a, b in parts:
             if kind == 0:
                 if self._match_spec(el, a):
@@ -311,18 +337,18 @@ class DomElement(DomNode):
         selector string is compiled once (module-level memo); the tree is
         walked exactly once regardless of how many comma parts the
         selector has."""
-        parts = _compile_selector(selector)
-        if not parts:
+        compiled = _compile_selector(selector)
+        if not (compiled[0] or compiled[1] or compiled[2] or compiled[3]):
             return []
-        return [e for e in self.iter_elements() if self._matches(e, parts)]
+        return [e for e in self.iter_elements() if self._matches(e, compiled)]
 
     def select_first(self, selector: str) -> Optional["DomElement"]:
         """First match in document order, early-exit (jsoup selectFirst)."""
-        parts = _compile_selector(selector)
-        if not parts:
+        compiled = _compile_selector(selector)
+        if not (compiled[0] or compiled[1] or compiled[2] or compiled[3]):
             return None
         for e in self.iter_elements():
-            if self._matches(e, parts):
+            if self._matches(e, compiled):
                 return e
         return None
 
@@ -394,10 +420,17 @@ class DomElement(DomNode):
 
     # -- jsoup NodeFilter --------------------------------------------------
 
-    def filter(self, node_filter) -> None:
+    def filter(self, node_filter, undo_log: Optional[list] = None) -> None:
         """jsoup NodeTraversor.filter: head before children, tail after;
         REMOVE (from head or tail) detaches the node so the parent's tail
-        aggregation never sees it; STOP aborts the whole traversal."""
+        aggregation never sees it; STOP aborts the whole traversal.
+
+        ``undo_log``: when given, every parent whose child list is about
+        to change gets ``(parent, original_children)`` appended once, so
+        the caller can restore the pre-filter tree with
+        :func:`undo_filter` — the cheap alternative to cloning the whole
+        tree for a read-mostly filter (DomFilterHeuristic's defensive
+        ``doc.clone()``; the filter itself only detaches h1-h3)."""
 
         def walk(node: DomNode, depth: int) -> int:
             r = node_filter.head(node, depth)
@@ -407,12 +440,18 @@ class DomElement(DomNode):
                 return REMOVE
             if r == CONTINUE and isinstance(node, DomElement):
                 kept: list[DomNode] = []
-                for c in list(node.children):
+                dropped = False
+                original = list(node.children)
+                for c in original:
                     if walk(c, depth + 1) == REMOVE:
                         c.parent = None
+                        dropped = True
                     else:
                         kept.append(c)
-                node.children = kept
+                if dropped:
+                    if undo_log is not None:
+                        undo_log.append((node, original))
+                    node.children = kept
             t = node_filter.tail(node, depth)
             if t == STOP:
                 raise _Stop
@@ -435,6 +474,16 @@ class DomElement(DomNode):
                 tail(node, depth)
 
         walk(self, 0)
+
+
+def undo_filter(undo_log: list) -> None:
+    """Restore a tree mutated by ``filter(..., undo_log=...)``: reinstate
+    each parent's original child list in reverse mutation order (inner
+    detachments are undone before the outer subtree is reattached)."""
+    for parent, original in reversed(undo_log):
+        parent.children = original
+        for c in original:
+            c.parent = parent
 
 
 class DomDocument(DomElement):

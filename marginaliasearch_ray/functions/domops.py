@@ -37,6 +37,7 @@ from .dom import (
     DomElement,
     DomNode,
     DomText,
+    undo_filter,
 )
 
 MAX_TITLE_LENGTH = 128  # ConverterModule.java:19
@@ -379,12 +380,22 @@ class SummarizingDOMFilter:
 
 
 def _dom_filter_heuristic(doc: DomElement, important_words: Collection[str]) -> str:
-    """DomFilterHeuristic.java: SummarizingDOMFilter over a body clone."""
-    working = doc.clone()
+    """DomFilterHeuristic.java: SummarizingDOMFilter over the body.
+
+    The reference runs the filter on a defensive ``doc.clone()`` so the
+    h1-h3 removals don't leak into the later heuristics of the chain.
+    Cloning the whole tree costs ~20% of the converter's per-document
+    budget; the filter's only mutation is detaching h1-h3 subtrees, so we
+    run it destructively with an undo log and restore the tree after the
+    summary is read — observationally identical to the clone."""
     f = SummarizingDOMFilter()
-    body = working.body() if hasattr(working, "body") else working
-    body.filter(f)
-    return f.get_summary(MAX_SUMMARY_LENGTH + 32, important_words)
+    body = doc.body() if hasattr(doc, "body") else doc
+    undo: list = []
+    body.filter(f, undo_log=undo)
+    try:
+        return f.get_summary(MAX_SUMMARY_LENGTH + 32, important_words)
+    finally:
+        undo_filter(undo)
 
 
 def _a_tag_density(elem: DomElement) -> float:

@@ -139,6 +139,7 @@ class _Walker(HTMLParser):
         # carry the corresponding DomElement so the current insertion
         # point is the innermost open entry that has a node
         self._dom: Optional[DomDocument] = DomDocument() if build_dom else None
+        self._dom_cur: Optional[DomElement] = self._dom
         self._dom_nodes = 0
         # full open-element stack: list of (tagname, pushed: bool, node)
         self._open: list[list] = []
@@ -185,12 +186,20 @@ class _Walker(HTMLParser):
     # -- DOM build (same pass) --------------------------------------------
 
     def _dom_parent(self) -> Optional[DomElement]:
+        """Current DOM insertion point — cached (``_dom_cur``), updated on
+        open/close instead of scanning the open-element stack per text
+        node / element add (the scan was O(depth) on every node)."""
+        return self._dom_cur
+
+    def _dom_recompute_cur(self) -> None:
         if self._dom is None:
-            return None
+            self._dom_cur = None
+            return
         for entry in reversed(self._open):
             if entry[2] is not None:
-                return entry[2]
-        return self._dom
+                self._dom_cur = entry[2]
+                return
+        self._dom_cur = self._dom
 
     def _dom_add_element(self, tag: str, attrs) -> Optional[DomElement]:
         parent = self._dom_parent()
@@ -323,6 +332,8 @@ class _Walker(HTMLParser):
                 self._pop_emit()
             return
         self._open.append([tag, pushed, node])
+        if node is not None:
+            self._dom_cur = node
 
     def handle_startendtag(self, tag: str, attrs) -> None:
         self.handle_starttag(tag, attrs)
@@ -361,6 +372,8 @@ class _Walker(HTMLParser):
                         self.doc.heading_levels.append(int(t[1]))
                         self._heading_parts = []
                 del self._open[i:]
+                if self._dom is not None:
+                    self._dom_recompute_cur()
                 return
         # stray end tag: ignore
 

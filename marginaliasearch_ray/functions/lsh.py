@@ -47,11 +47,10 @@ def _fold_lsh(hashes: np.ndarray) -> int:
         ^ (h >> _U32(20))
         ^ (h >> _U32(26))
     ) & _U32(63)
-    neg = value < 0
-    counters = np.bincount(field[neg], minlength=64).astype(np.int64)
-    counters -= np.bincount(field[~neg], minlength=64)
-    # Java: bit = (int field) >>> 31 — the int32 sign bit
-    return int.from_bytes(np.packbits(counters > 0).tobytes(), "big")
+    # Java: bit = (int fields[i]) >>> 31 — set iff the vote sum is
+    # negative.  One weighted bincount (exact: ±1 sums in float64).
+    sums = np.bincount(field, weights=value, minlength=64)
+    return int.from_bytes(np.packbits(sums < 0).tobytes(), "big")
 
 
 def content_hash(body: bytes) -> int:

@@ -294,3 +294,72 @@ class TestLengthOfText:
         assert length_of_text("ab") == 1
         assert length_of_text("  a  b  ") == 2  # 'a', one collapsed run
         assert length_of_text("word another") == 11
+
+
+class TestFilterUndoLog:
+    """filter(undo_log=...) + undo_filter restores the exact pre-filter
+    tree, and _dom_filter_heuristic (which uses it in place of the
+    reference's defensive clone) returns the clone-identical summary and
+    leaves the document unchanged for the rest of the heuristic chain."""
+
+    def _sample_doc(self):
+        from marginaliasearch_ray.functions.htmldoc import parse_document
+
+        html = (
+            "<html><head><title>T</title></head><body>"
+            "<h1>Big header</h1>"
+            "<div><p>" + ("Some generously long article text. " * 12) + "</p>"
+            "<h2>Nested <b>header</b></h2>"
+            "<p>" + ("More body prose for the ratio test. " * 12) + "</p></div>"
+            "<h3>tail header</h3>"
+            "</body></html>"
+        )
+        return parse_document(html, build_dom=True).dom
+
+    @staticmethod
+    def _shape(el):
+        from marginaliasearch_ray.functions.dom import DomElement, DomText
+
+        out = []
+
+        def walk(n):
+            if isinstance(n, DomText):
+                out.append(("#text", n.whole_text))
+            elif isinstance(n, DomElement):
+                out.append((n.tag, tuple(sorted(n.attrs.items()))))
+                for c in n.children:
+                    assert c.parent is n
+                    walk(c)
+
+        walk(el)
+        return out
+
+    def test_undo_restores_exactly(self):
+        from marginaliasearch_ray.functions.dom import undo_filter
+        from marginaliasearch_ray.functions.domops import SummarizingDOMFilter
+
+        doc = self._sample_doc()
+        before = self._shape(doc)
+        undo = []
+        doc.body().filter(SummarizingDOMFilter(), undo_log=undo)
+        assert self._shape(doc) != before  # h1-h3 actually detached
+        undo_filter(undo)
+        assert self._shape(doc) == before
+
+    def test_heuristic_matches_clone_semantics(self):
+        from marginaliasearch_ray.functions.domops import (
+            SummarizingDOMFilter,
+            _dom_filter_heuristic,
+            MAX_SUMMARY_LENGTH,
+        )
+
+        doc = self._sample_doc()
+        clone = doc.clone()
+        f = SummarizingDOMFilter()
+        clone.body().filter(f)
+        expected = f.get_summary(MAX_SUMMARY_LENGTH + 32, ())
+
+        before = self._shape(doc)
+        got = _dom_filter_heuristic(doc, ())
+        assert got == expected
+        assert self._shape(doc) == before  # chain sees the unmutated doc
