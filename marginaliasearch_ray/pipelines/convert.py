@@ -433,10 +433,13 @@ def convert_pages(
         columns = [
             c for c in ("url", "html", "lang", "status", "set_cookie") if c in names
         ]
-    ds = rd.read_parquet(pages_path, columns=columns)
-    # split-without-shuffle so a single large parquet file fans out across
-    # the CPU pool (the read stays one pass; blocks are sliced views)
-    ds = ds.repartition(num_blocks)
+    # split AT the read (override_num_blocks) so a single large parquet
+    # file fans out across the CPU pool without the extra full pass over
+    # the html payloads that a post-read repartition() costs (measured 2x
+    # on the sf0.1 corpus: the repartition is a copy + barrier)
+    ds = rd.read_parquet(
+        pages_path, columns=columns, override_num_blocks=num_blocks
+    )
     ds = ds.map_batches(
         process_pages_batch, batch_format="pyarrow", batch_size=batch_size
     )
