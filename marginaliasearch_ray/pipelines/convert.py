@@ -191,6 +191,14 @@ def process_pages_batch(batch: pa.Table) -> pa.Table:
         if "status" in batch.column_names
         else None
     )
+    # X-Adblock-Key response header (headers-bearing sources: WARC);
+    # AcceptableAds.hasAcceptableAdsHeader, DocumentProcessor.java:89 —
+    # disqualifies BEFORE content-type dispatch, unlike the tag variant
+    adblock_hdr = (
+        batch.column("x_adblock_key").to_pylist()
+        if "x_adblock_key" in batch.column_names
+        else None
+    )
     n = len(urls)
     domain = [""] * n
     top = [""] * n
@@ -221,6 +229,9 @@ def process_pages_batch(batch: pa.Table) -> pa.Table:
             continue
         if statuses is not None and statuses[i] not in (200, None):
             state[i] = "fetch_error"  # e.g. 429 rate-limited rows
+            continue
+        if adblock_hdr is not None and adblock_hdr[i]:
+            state[i] = "disqualified_ads"
             continue
         mime, charset = sniff_content_type(None, html)
         if mime.startswith("text/plain"):
@@ -431,7 +442,9 @@ def convert_pages(
 
         names = pads.dataset(pages_path).schema.names
         columns = [
-            c for c in ("url", "html", "lang", "status", "set_cookie") if c in names
+            c
+            for c in ("url", "html", "lang", "status", "set_cookie", "x_adblock_key")
+            if c in names
         ]
     # split AT the read (override_num_blocks) so a single large parquet
     # file fans out across the CPU pool without the extra full pass over

@@ -96,6 +96,7 @@ def warc_bytes_to_page_rows(data: bytes) -> dict[str, list]:
     """One WARC file's response records -> pages-schema columns."""
     cols: dict[str, list] = {
         "url": [], "warc_ts": [], "html": [], "status": [], "location": [],
+        "x_adblock_key": [],
     }
     for rec in iter_warc_records(data):
         h = rec["headers"]
@@ -110,6 +111,9 @@ def warc_bytes_to_page_rows(data: bytes) -> dict[str, list]:
         cols["html"].append(body)
         cols["status"].append(status)
         cols["location"].append(http_headers.get("location"))
+        # Acceptable Ads response-header variant (AcceptableAds.java:20-24,
+        # gated at DocumentProcessor.java:89 before content-type dispatch)
+        cols["x_adblock_key"].append("x-adblock-key" in http_headers)
     return cols
 
 
@@ -124,6 +128,7 @@ def read_warc_pages(paths: str | list[str]):
     def parse(batch: dict) -> pa.Table:
         out: dict[str, list] = {
             "url": [], "warc_ts": [], "html": [], "status": [], "location": [],
+            "x_adblock_key": [],
         }
         for data in batch["bytes"]:
             cols = warc_bytes_to_page_rows(data)
@@ -136,6 +141,7 @@ def read_warc_pages(paths: str | list[str]):
                 "html": pa.array(out["html"], pa.binary()),
                 "status": pa.array(out["status"], pa.int16()),
                 "location": pa.array(out["location"], pa.string()),
+                "x_adblock_key": pa.array(out["x_adblock_key"], pa.bool_()),
             }
         )
 

@@ -68,3 +68,40 @@ class TestWarcRoundTrip:
         assert states["https://w.example.com/old"] == "redirect"
         assert states["https://w.example.com/"] == "ok"
         assert out.set_index("url").loc["https://w.example.com/notes.txt", "quality"] == -1.0
+
+
+class TestAcceptableAdsHeader:
+    """X-Adblock-Key response header (AcceptableAds.java:20-24): the
+    header variant disqualifies before content-type dispatch
+    (DocumentProcessor.java:89) — exercised through the WARC source,
+    the only headers-bearing path."""
+
+    def test_header_disqualifies(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from marginaliasearch_ray.pipelines.convert import convert_pages
+
+        recs = list(RECORDS) + [
+            {
+                "url": "https://squat.example.com/",
+                "ts_ms": 1_577_837_000_000,
+                "status": 200,
+                "headers": {"X-Adblock-Key": "MFwwDQ_squatter_key"},
+                "body": b"<html><head><title>Buy this domain</title></head>"
+                + b"<body><p>" + b"parked domain words " * 30 + b"</p></body></html>",
+            }
+        ]
+        p = tmp_path / "ads.warc.gz"
+        write_warc(p, recs)
+        ds = read_warc_pages(str(p))
+        df = ds.to_pandas()
+        assert df.set_index("url").loc["https://squat.example.com/", "x_adblock_key"]
+        assert not df.set_index("url").loc["https://w.example.com/", "x_adblock_key"]
+
+        pages_pq = tmp_path / "pages.parquet"
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), pages_pq)
+        out = convert_pages(str(pages_pq), dedup=False).to_pandas()
+        states = dict(zip(out.url, out.state))
+        assert states["https://squat.example.com/"] == "disqualified_ads"
+        assert states["https://w.example.com/"] == "ok"  # no header, unaffected
