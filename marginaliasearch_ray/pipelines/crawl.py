@@ -478,7 +478,16 @@ class WebStore:
         each rebuilding a python dict — the single-node analog of each
         node holding its partition's slice in shared memory).  Loading is
         one parallel task per partition whose return value lands directly
-        in plasma.  Returns {partition: ObjectRef(Table(url, html))}."""
+        in plasma.  Returns {partition: ObjectRef(Table(url, html))}.
+
+        Memory envelope: this stand-in for "the internet" pins the whole
+        pages corpus in the object store, so single-node runs require
+        corpus <= object-store budget (Ray spills past it, at IO cost).
+        That is a property of the fetch SIMULATION, not the engine: in a
+        real deployment the fetch stage does network IO and this store
+        does not exist; on a multi-node cluster each node would pin only
+        its own partition-aligned slice.  The per-worker dict fallback
+        (LRU of 2 partitions) covers the no-plasma path."""
 
         @ray.remote(num_cpus=1)
         def _load_part(pdir: str) -> pa.Table:
