@@ -363,3 +363,105 @@ class TestFilterUndoLog:
         got = _dom_filter_heuristic(doc, ())
         assert got == expected
         assert self._shape(doc) == before  # chain sees the unmutated doc
+
+
+class TestSelectorFastPath:
+    """The set-bucketed selector compilation (tags/#ids/.classes as
+    frozensets) must be observationally identical to a naive
+    part-by-part matcher over the same selector grammar, on random
+    trees and on every selector the converter actually uses."""
+
+    SELECTORS = [
+        "header,nav,#header,#nav,#navigation,.header,.nav,.navigation,ul,li",
+        "p,div,section,article,font,center",
+        "p,div,section,article,font,center,td,h1,h2,h3,h4,h5,h6,tr,th",
+        "head > title",
+        "h1",
+        "meta[name=og:description]",
+        "meta[name=description]",
+        "div.header",  # multi-dimension: stays on the slow path
+        "a[href]",
+    ]
+
+    @staticmethod
+    def _naive_matches(root, el, selector):
+        """Independent reference: evaluate each comma part directly."""
+        def spec_match(e, tag, eid, cls, ak, av):
+            if tag and tag != "*" and e.tag != tag:
+                return False
+            if eid and e.attrs.get("id") != eid:
+                return False
+            if cls and not any(c.lower() == cls.lower() for c in e.class_names()):
+                return False
+            if ak is not None:
+                if av is None:
+                    return bool(e.attrs.get(ak))
+                return (e.attrs.get(ak) or "") == av
+            return True
+
+        import re
+        part_re = re.compile(
+            r"^([a-zA-Z][\w-]*|\*)?(?:#([\w.:-]+))?(?:\.([\w-]+))?"
+            r"(?:\[([^\]=]+)(?:=([^\]]*))?\])?$"
+        )
+        for raw in selector.split(","):
+            raw = raw.strip()
+            if ">" in raw:
+                ps, cs = (s.strip() for s in raw.split(">", 1))
+                pm, cm = part_re.match(ps), part_re.match(cs)
+                if not (pm and cm):
+                    continue
+                from marginaliasearch_ray.functions.dom import DomElement
+                p = el.parent
+                if (
+                    el is not root
+                    and spec_match(el, *cm.groups())
+                    and isinstance(p, DomElement)
+                    and spec_match(p, *pm.groups())
+                ):
+                    return True
+            else:
+                m = part_re.match(raw)
+                if m and raw and spec_match(el, *m.groups()):
+                    return True
+        return False
+
+    def test_equivalence_on_random_trees(self):
+        import random
+
+        from marginaliasearch_ray.functions.dom import DomDocument, DomElement, DomText
+
+        tags = ["div", "p", "nav", "header", "ul", "li", "a", "meta", "h1", "title", "head", "font"]
+        classes = ["", "header", "nav", "navigation", "x"]
+        ids = ["", "header", "nav", "navigation", "y"]
+        rng = random.Random(42)
+        for trial in range(40):
+            doc = DomDocument()
+            nodes = [doc]
+            for _ in range(rng.randint(5, 60)):
+                parent = rng.choice(nodes)
+                attrs = {}
+                if rng.random() < 0.5:
+                    c = rng.choice(classes)
+                    if c:
+                        attrs["class"] = c
+                if rng.random() < 0.3:
+                    i = rng.choice(ids)
+                    if i:
+                        attrs["id"] = i
+                if rng.random() < 0.3:
+                    attrs["name"] = rng.choice(["description", "og:description", "z"])
+                if rng.random() < 0.3:
+                    attrs["href"] = rng.choice(["", "/a"])
+                el = DomElement(rng.choice(tags), attrs)
+                parent.append_child(el)
+                parent.append_text("t")
+                nodes.append(el)
+            for sel in self.SELECTORS:
+                got = {id(e) for e in doc.select(sel)}
+                want = {
+                    id(e)
+                    for e in doc.iter_elements()
+                    if self._naive_matches(doc, e, sel)
+                }
+                assert got == want, (trial, sel)
