@@ -169,6 +169,22 @@ def run_bench() -> dict:
         qs[name](SF_DIR)
         queries[name] = round(time.perf_counter() - t0, 3)
 
+    if secondary_enabled:
+        # keyword extraction with the scale valves engaged (min_df prunes
+        # hapax tokens before the DF shuffle, max_vocab caps the broadcast
+        # IDF map) — the driver query runs valve-less for oracle parity,
+        # so the 100-TB configuration is exercised here instead
+        import ray.data as _rd
+
+        from marginaliasearch_ray.stages.textstats import extract_keywords
+
+        t0 = time.perf_counter()
+        docs = _rd.read_parquet(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+        )
+        extract_keywords(docs, min_df=2, max_vocab=50_000).count()
+        queries["doc_keywords_valved"] = round(time.perf_counter() - t0, 3)
+
     out = {
         "metric": "crawl+convert (sequential) wall time over sf-scale synthetic web",
         "value": round(headline_sec, 3),
