@@ -229,18 +229,24 @@ def run_scaling(repeats: int = 2, settle_s: int = 45) -> dict:
 
     first = True
 
-    def run_best(ncpu: int) -> tuple[dict, list[float]]:
+    def run_best(ncpu: int) -> tuple[dict, list[float], list[list[float]]]:
         nonlocal first
-        best, vals = None, []
+        best, vals, loads = None, [], []
         for _ in range(repeats):
             if not first:
                 time.sleep(settle_s)
             first = False
+            pre_load = os.getloadavg()[0]
             r = run_once(ncpu)
+            # contention context: 1-min loadavg before the run (should be
+            # ~0 on a quiet host) and right after (includes our own run's
+            # tail; a value far above ncpu means a co-tenant burst landed
+            # inside the timed window)
+            loads.append([round(pre_load, 1), round(os.getloadavg()[0], 1)])
             vals.append(r["value"])
             if best is None or r["value"] < best["value"]:
                 best = r
-        return best, vals
+        return best, vals, loads
 
     # hardware scaling ceiling: this host's per-core clock drops as more
     # cores go active (turbo behavior), so even a pure CPU spin scales at
@@ -250,8 +256,8 @@ def run_scaling(repeats: int = 2, settle_s: int = 45) -> dict:
     # the cleanest available reading of the host's capability (co-tenant
     # load only lowers it), so dividing by the max is conservative.
     hw_pre = _cpu_scaling_baseline(lo_cpus, hi_cpus)
-    lo, lo_vals = run_best(lo_cpus)
-    hi, hi_vals = run_best(hi_cpus)
+    lo, lo_vals, lo_loads = run_best(lo_cpus)
+    hi, hi_vals, hi_loads = run_best(hi_cpus)
     hw_post = _cpu_scaling_baseline(lo_cpus, hi_cpus)
     hw = max(hw_pre, hw_post)
     # efficiency on the distributed-throughput-bearing stages (crawl+convert)
@@ -262,6 +268,8 @@ def run_scaling(repeats: int = 2, settle_s: int = 45) -> dict:
         "sec_32": hi["value"],
         "sec_8_runs": lo_vals,
         "sec_32_runs": hi_vals,
+        "loadavg_8_runs": lo_loads,
+        "loadavg_32_runs": hi_loads,
         "urls_per_sec_8": lo["crawl_urls_per_sec"],
         "urls_per_sec_32": hi["crawl_urls_per_sec"],
         "pages_per_sec_8": lo["convert_pages_per_sec"],
