@@ -34,7 +34,9 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass, field
+from html import unescape as _unescape
 from html.parser import HTMLParser
+from html.parser import starttagopen as _starttagopen
 from typing import Optional
 
 from .dom import MAX_DOM_NODES, DomComment, DomDocument, DomElement
@@ -159,6 +161,81 @@ class _Walker(HTMLParser):
         # jsoup auto-closes <head> at the first body-content tag
         self._in_head = True
         self._noscript_depth = 0
+
+    # -- one-shot parse loop -------------------------------------------------
+
+    def fast_parse(self, data: str) -> None:
+        """One-shot replacement for ``feed(data)`` + ``close()`` — emits
+        the identical event stream for complete input with
+        ``convert_charrefs=True``, dropping only the machinery that
+        incremental feeding needs: ``updatepos`` line/col bookkeeping,
+        the split-trailing-charref guard, and the dead ``&``-branches
+        (with convert_charrefs on, ``interesting`` never matches ``&``).
+        Mirrors ``html.parser.HTMLParser.goahead`` (CPython 3.11) with
+        ``end=1``; every tag / comment / declaration is still parsed by
+        the UNmodified stdlib methods (``parse_starttag``,
+        ``parse_endtag``, ``parse_comment``, ``parse_pi``,
+        ``parse_html_declaration``), so tokenization semantics are the
+        stdlib's own.  Equivalence is property-tested against
+        feed+close in ``tests/test_hostile_inputs.py``."""
+        self.rawdata = rawdata = data
+        i, n = 0, len(rawdata)
+        starttag_match = _starttagopen.match
+        find = rawdata.find
+        startswith = rawdata.startswith
+        handle_data = self.handle_data
+        while i < n:
+            if self.cdata_elem:
+                match = self.interesting.search(rawdata, i)
+                if match is None:
+                    # EOF inside <script>/<style>: the stdlib drops the
+                    # unterminated cdata run (close() never flushes it)
+                    i = n
+                    break
+                j = match.start()
+                if i < j:
+                    handle_data(rawdata[i:j])
+            else:
+                j = find("<", i)
+                if j < 0:
+                    j = n
+                if i < j:
+                    handle_data(_unescape(rawdata[i:j]))
+            i = j
+            if i == n:
+                break
+            if starttag_match(rawdata, i):  # < + letter
+                k = self.parse_starttag(i)
+            elif startswith("</", i):
+                k = self.parse_endtag(i)
+            elif startswith("<!--", i):
+                k = self.parse_comment(i)
+            elif startswith("<?", i):
+                k = self.parse_pi(i)
+            elif startswith("<!", i):
+                k = self.parse_html_declaration(i)
+            elif i + 1 < n:
+                handle_data("<")
+                k = i + 1
+            else:
+                break
+            if k < 0:
+                # unterminated construct at EOF — goahead's end=1 recovery
+                k = find(">", i + 1)
+                if k < 0:
+                    k = find("<", i + 1)
+                    if k < 0:
+                        k = i + 1
+                else:
+                    k += 1
+                if self.cdata_elem:
+                    handle_data(rawdata[i:k])
+                else:
+                    handle_data(_unescape(rawdata[i:k]))
+            i = k
+        if i < n and not self.cdata_elem:
+            handle_data(_unescape(rawdata[i:n]))
+        self.rawdata = ""  # finish()'s close() becomes a no-op
 
     # -- tagger mechanics --------------------------------------------------
 
@@ -465,7 +542,7 @@ def parse_document(html: str, build_dom: bool = False) -> ParsedDoc:
     With ``build_dom=True`` the same pass also builds the bounded DOM tree
     (``doc.dom``) used by the converter's prune/summary/pubdate hooks."""
     w = _Walker(build_dom=build_dom)
-    w.feed(html)
+    w.fast_parse(html)
     doc = w.finish()
     doc.html_standard = _sniff_html_standard(html[:256])
     return doc

@@ -69,3 +69,155 @@ class TestHostileUrls:
     def test_empty_and_garbage(self):
         for bad in ("", ":", "http://", "https://:80/", "///x"):
             assert parse_url(bad) is None or True  # must not raise
+
+
+class TestFastParseEquivalence:
+    """fast_parse (one-shot goahead, htmldoc.py) must emit the identical
+    event stream as the stdlib feed()+close() path it replaces.  Checked
+    by comparing raw event logs on adversarial markup, and full ParsedDoc
+    surfaces on fixture pages."""
+
+    @staticmethod
+    def _events(drive_fast: bool, html: str) -> list:
+        from marginaliasearch_ray.functions.htmldoc import _Walker
+
+        class Recorder(_Walker):
+            def __init__(self):
+                super().__init__(build_dom=False)
+                self.events = []
+
+            def handle_starttag(self, tag, attrs):
+                self.events.append(("start", tag, tuple(attrs)))
+                super().handle_starttag(tag, attrs)
+
+            def handle_startendtag(self, tag, attrs):
+                self.events.append(("startend", tag, tuple(attrs)))
+                super().handle_startendtag(tag, attrs)
+
+            def handle_endtag(self, tag):
+                self.events.append(("end", tag))
+                super().handle_endtag(tag)
+
+            def handle_data(self, data):
+                self.events.append(("data", data))
+                super().handle_data(data)
+
+            def handle_comment(self, data):
+                self.events.append(("comment", data))
+                super().handle_comment(data)
+
+            def handle_decl(self, decl):
+                self.events.append(("decl", decl))
+
+            def handle_pi(self, data):
+                self.events.append(("pi", data))
+
+        r = Recorder()
+        if drive_fast:
+            r.fast_parse(html)
+        else:
+            r.feed(html)
+            r.close()
+        # merge adjacent data events: chunk boundaries are the one
+        # permitted difference (all consumers concatenate)
+        merged: list = []
+        for ev in r.events:
+            if ev[0] == "data" and merged and merged[-1][0] == "data":
+                merged[-1] = ("data", merged[-1][1] + ev[1])
+            else:
+                merged.append(ev)
+        return merged
+
+    CASES = [
+        "<html><body><p>one<p>two<h1>head<p>after</body>",
+        "<b><i>x</b></i><a href='/y'>link</a>",
+        "</div></p><p>ok</p></body></html></html>",
+        "<div>" * 50 + "x&amp;y &lt;z&gt; &#65; &#x42; &notareal;" + "</div>" * 50,
+        "<script>var a = '<div>not a tag</div>';</script>after",
+        "<script>unterminated cdata...",
+        "<style>p { color: red } /* </b> */</style>x",
+        "<ScRiPt TyPe='text/x'>X</sCrIpT>tail",
+        "<!-- comment --><!-- unterminated",
+        "<!doctype html><p>x</p>",
+        "<!DOCTYPE HTML PUBLIC \"-//W3C//DTD HTML 4.01//EN\">x",
+        "<![CDATA[ raw ]]>y",
+        "<?php echo 1 ?>z",
+        "<?unterminated-pi",
+        "<a href=\"x&amp;y\" title='q&quot;r' checked novalue=>t</a>",
+        "<a href=/bare/value>b</a>",
+        "<a/>selfclose<br/><span attr='v'/>w",
+        "<a href=",
+        "<a href='unterminated",
+        "text < not a tag > more",
+        "x<3 and y<z",
+        "ends with amp &",
+        "ends with lt <",
+        "ends with charref &amp",
+        "&amp;start <p>mid&#65;dle</p> eñd&#x131;",
+        "</>empty endtag</ >space<//>doubled",
+        "</tag attr='>'>after",
+        "<tag attr='>'>after",
+        "<div\x00weird>x</div\x00weird>",
+        "<p> nbsp&nbsp;mix</p>",
+        "< p>leading space not tag</ p>",
+        "<<double<<lt<p>ok</p>",
+        "<!bogus comment>tail",
+        "<div a=1 a=2 A=3>dup attrs</div>",
+    ]
+
+    def test_adversarial_cases(self):
+        for html in self.CASES:
+            assert self._events(True, html) == self._events(False, html), repr(html)
+
+    def test_random_markup(self):
+        import random
+
+        rng = random.Random(7)
+        atoms = [
+            "<p>", "</p>", "<a href='/x'>", "</a>", "<script>", "</script>",
+            "<style>", "</style>", "text", "&amp;", "&#65;", "&bogus", "&",
+            "<", ">", "<!--", "-->", "<!", "<?", "/>", "<div class='c'>",
+            "'", '"', "=", " ", "\n", "é", ";", "<br/>", "<b", "</", "!",
+        ]
+        for trial in range(300):
+            html = "".join(rng.choice(atoms) for _ in range(rng.randint(1, 40)))
+            assert self._events(True, html) == self._events(False, html), repr(html)
+
+    def test_fixture_pages_identical(self):
+        """Full ParsedDoc equality on real corpus pages (both drivers)."""
+        import glob
+
+        import pyarrow.parquet as pq
+
+        from marginaliasearch_ray.functions.contenttype import (
+            decode_body,
+            sniff_content_type,
+        )
+        from marginaliasearch_ray.functions.htmldoc import _Walker
+
+        paths = sorted(glob.glob("/tmp/graft_fixtures/v*/sf0.01/pages.parquet"))
+        if not paths:
+            import pytest
+
+            pytest.skip("no fixture cache present")
+        t = pq.read_table(paths[-1], columns=["html"])
+        n = 0
+        for body in t.column("html").to_pylist():
+            if not body:
+                continue
+            mime, cs = sniff_content_type(None, body)
+            if not mime.startswith("text/html"):
+                continue
+            html = decode_body(body, cs)
+            a, b = _Walker(build_dom=True), _Walker(build_dom=True)
+            a.fast_parse(html)
+            b.feed(html)
+            b.close()
+            da, db = a.finish(), b.finish()
+            assert da.text == db.text
+            assert da.title == db.title
+            assert da.a_links == db.a_links
+            assert da.meta == db.meta
+            assert da.headings == db.headings
+            n += 1
+        assert n > 100  # the sweep actually ran
