@@ -328,6 +328,27 @@ def _doc_langid(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _doc_geo(sf_dir: str) -> pd.DataFrame:
+    """GeoIp/ASN enrichment (DomainProcessor.addIpInfo,
+    DomainProcessor.java:310-348): per-document resolved ip, country,
+    ASN, org, cloud flag, and the ip:/as:/special: term string.  The
+    simulated resolution (md5 low-64 mod 2^32) and the range tables are
+    shared with the SQL oracle, which recomputes every per-row lookup."""
+    import ray.data as rd
+
+    from marginaliasearch_ray.stages.geo import doc_geo
+
+    out = (
+        doc_geo(
+            rd.read_parquet(
+                f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+            )
+        )
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _doc_fingerprint(sf_dir: str) -> pd.DataFrame:
     import ray.data as rd
 
@@ -522,6 +543,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": _doc_quality,
         "doc_langid": _doc_langid,
         "doc_fingerprint": _doc_fingerprint,
+        "doc_geo": _doc_geo,
         # dedup family
         "doc_exact_dedup": _doc_exact_dedup,
         "minhash_dedup_pairs": _minhash_dedup_pairs,
@@ -582,6 +604,66 @@ def _sideload_oracle(exp: str, source: str, score: bool = False) -> str:
                synthetic_terms, text{extra}
         FROM read_parquet('{exp}/expected_sideload.parquet')
         WHERE source = '{source}' ORDER BY url
+    """
+
+
+def _doc_geo_sql() -> str:
+    """SQL oracle for the geo/ASN enrichment: recomputes the simulated
+    resolution (md5_number_lower(source) mod 2^32 — the same function the
+    engine uses, functions/geoip.py) and every range lookup against the
+    dictionary embedded as VALUES.  The per-ASN term tail is a constant
+    of the dictionary (configuration, not computation) and is embedded
+    precomputed."""
+    from marginaliasearch_ray.functions.geoip import (
+        ASN_ORGS,
+        ASN_RANGES,
+        COUNTRY_RANGES,
+        is_cloudy,
+        sql_asn_terms,
+    )
+
+    cvals = ", ".join(f"({lo}, {hi}, '{cc}')" for lo, hi, cc in COUNTRY_RANGES)
+    avals = ", ".join(
+        f"({lo}, {hi}, {asn}, '{ASN_ORGS[asn]}', "
+        f"{'TRUE' if is_cloudy(ASN_ORGS[asn]) else 'FALSE'}, "
+        f"'{sql_asn_terms(asn)}')"
+        for lo, hi, asn in ASN_RANGES
+    )
+    return f"""
+        WITH base AS (
+            SELECT doc_id, source,
+                   md5_number_lower(source) % 4294967296 AS ipint
+            FROM documents
+        ), ipd AS (
+            SELECT doc_id, source, ipint,
+                   CAST((ipint >> 24) & 255 AS VARCHAR) || '.' ||
+                   CAST((ipint >> 16) & 255 AS VARCHAR) || '.' ||
+                   CAST((ipint >> 8) & 255 AS VARCHAR) || '.' ||
+                   CAST(ipint & 255 AS VARCHAR) AS ip
+            FROM base
+        ), withcc AS (
+            SELECT i.*, COALESCE(c.country, '') AS geo_country
+            FROM ipd i
+            LEFT JOIN (VALUES {cvals}) AS c(lo, hi, country)
+              ON i.ipint BETWEEN c.lo AND c.hi
+        ), withasn AS (
+            SELECT w.*,
+                   COALESCE(a.asn, 0) AS asn,
+                   COALESCE(a.org, '') AS as_org,
+                   COALESCE(a.cloud, FALSE) AS is_cloud,
+                   COALESCE(a.terms, '') AS asn_terms
+            FROM withcc w
+            LEFT JOIN (VALUES {avals}) AS a(lo, hi, asn, org, cloud, terms)
+              ON w.ipint BETWEEN a.lo AND a.hi
+        )
+        SELECT doc_id, source, ip, geo_country, asn, as_org, is_cloud,
+               'ip:' || ip
+               || CASE WHEN geo_country <> ''
+                       THEN ' ip:' || lower(geo_country) ELSE '' END
+               || CASE WHEN asn <> 0
+                       THEN ' as:' || asn || ' ' || asn_terms ELSE '' END
+               AS geo_terms
+        FROM withasn ORDER BY doc_id
     """
 
 
@@ -750,6 +832,7 @@ def oracle_sql() -> dict[str, str]:
                    ) AS UBIGINT) AS fingerprint
             FROM documents ORDER BY doc_id
         """,
+        "doc_geo": _doc_geo_sql(),
         "doc_keywords": """
             WITH toks AS (
                 SELECT doc_id,

@@ -279,3 +279,66 @@ class TestEmbeddingNearDupLsh:
         assert approx_pairs <= exact_pairs
         recall = len(approx_pairs & exact_pairs) / len(exact_pairs)
         assert recall >= 0.8, recall
+
+
+class TestGeoIp:
+    """GeoIp/ASN lookups (functions/geoip.py vs DomainProcessor.addIpInfo
+    DomainProcessor.java:325-348 and IpRangeMapping floor+bounds)."""
+
+    @staticmethod
+    def _host_in_segment(seg: int) -> str:
+        from marginaliasearch_ray.functions.geoip import _SEG, resolve_ip_int
+
+        for i in range(100000):
+            h = f"host{i}.example.com"
+            if resolve_ip_int(h) // _SEG == seg:
+                return h
+        raise AssertionError(f"no host found for segment {seg}")
+
+    def test_country_gap_blank(self):
+        from marginaliasearch_ray.functions.geoip import lookup_geo_batch
+
+        h = self._host_in_segment(5)  # country gap, ASN 16509 (AMAZON-02)
+        r = lookup_geo_batch([h])
+        assert r["geo_country"] == [""]
+        assert r["asn"] == [16509]
+        assert r["is_cloud"] == [True]
+        # term order: ip:addr, (no country), as:asn, org parts, cloud
+        terms = r["geo_terms"][0].split()
+        assert terms[0].startswith("ip:") and "." in terms[0]
+        assert terms[1] == "as:16509"
+        assert terms[2:] == ["as:amazon", "as:02", "special:cloud"]
+
+    def test_asn_gap(self):
+        from marginaliasearch_ray.functions.geoip import lookup_geo_batch
+
+        h = self._host_in_segment(15)  # country BR, no ASN
+        r = lookup_geo_batch([h])
+        assert r["geo_country"] == ["BR"]
+        assert r["asn"] == [0] and r["as_org"] == [""] and r["is_cloud"] == [False]
+        assert r["geo_terms"][0].split()[1] == "ip:br"
+        assert not any(t.startswith("as:") for t in r["geo_terms"][0].split())
+
+    def test_non_cloud_org(self):
+        from marginaliasearch_ray.functions.geoip import lookup_geo_batch
+
+        h = self._host_in_segment(0)  # US, ASN 701 UUNET-MCI (not cloudy)
+        r = lookup_geo_batch([h])
+        assert r["asn"] == [701] and r["is_cloud"] == [False]
+        assert "special:cloud" not in r["geo_terms"][0]
+
+    def test_stage_over_dataset(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from marginaliasearch_ray.stages.geo import doc_geo
+
+        df = pd.DataFrame(
+            {"doc_id": [1, 2], "source": ["srcA.example", "srcB.example"]}
+        )
+        out = doc_geo(rd.from_pandas(df)).to_pandas().sort_values("doc_id")
+        assert list(out.columns) == [
+            "doc_id", "source", "ip", "geo_country", "asn", "as_org",
+            "is_cloud", "geo_terms",
+        ]
+        assert out.ip.str.count(r"\.").eq(3).all()
