@@ -415,6 +415,20 @@ def _embed_topk(sf_dir: str) -> pd.DataFrame:
     return out[["query_no", "vec_id", "cosine", "rank"]].reset_index(drop=True)
 
 
+def _embedding_near_dup_lsh(sf_dir: str) -> pd.DataFrame:
+    """The 100-TB scale path for embedding near-dup: hyperplane-LSH
+    bucketing + hamming-1 multi-probe + per-bucket verify (one groupby,
+    no O(n^2) stage).  Deterministic (fixed-seed planes), so it is
+    oracled exactly against the sequential replica in
+    fixtures/expected.py."""
+    import ray.data as rd
+
+    from marginaliasearch_ray.stages.dedup import embedding_near_dup_lsh
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dup_lsh(ds, threshold=0.45)
+
+
 def _lsh_ann_topk(sf_dir: str) -> pd.DataFrame:
     import ray.data as rd
 
@@ -549,6 +563,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_pairs": _minhash_dedup_pairs,
         "simhash_pairs": _simhash_pairs,
         "embedding_near_dup": _embedding_near_dup,
+        "embedding_near_dup_lsh": _embedding_near_dup_lsh,
         # similarity search
         "embed_topk": _embed_topk,
         "lsh_ann_topk": _lsh_ann_topk,
@@ -935,6 +950,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_no, vec_id, cosine, rank
             FROM read_parquet('{exp}/expected_lsh_ann.parquet')
             ORDER BY rank
+        """,
+        "embedding_near_dup_lsh": f"""
+            SELECT id_a, id_b, cosine
+            FROM read_parquet('{exp}/expected_emb_lsh.parquet')
+            ORDER BY id_a, id_b
         """,
         # ---------------- crawl engine: sequential-oracle fixtures ----------------
         "crawl_records": f"""

@@ -38,7 +38,7 @@ from .cache import FIXTURE_VERSION, config_for, fixture_dir_for
 
 EXPECTED_ROOT = "/tmp/graft_expected"
 # bump when ORACLE LOGIC changes without a fixture-generator change
-EXPECTED_VERSION = 7
+EXPECTED_VERSION = 8
 
 
 def expected_dir_for(sf_dir: str) -> str:
@@ -530,6 +530,7 @@ def _build_sketch_expected(sf_dir: str, out: Path) -> None:
     if emb_path.exists():
         emb = pq.read_table(emb_path)
         _expected_lsh_ann(emb, out)
+        _expected_emb_lsh(emb, out)
 
 
 def _expected_minhash(ids, texts, out: Path, threshold: float = 0.5) -> None:
@@ -625,6 +626,49 @@ def _expected_lsh_ann(emb: pa.Table, out: Path, k: int = 10, n_bits: int = 8) ->
         }
     )
     pq.write_table(pa.Table.from_pandas(rows, preserve_index=False), out / "expected_lsh_ann.parquet")
+
+
+def _expected_emb_lsh(
+    emb: pa.Table, out: Path, threshold: float = 0.45, n_bits: int = 8
+) -> None:
+    """Sequential replica of stages.dedup.embedding_near_dup_lsh: the
+    hyperplane signatures, hamming-1 multi-probe bucket explosion, sorted
+    per-bucket cap, and pairwise verify, all in one thread with plain
+    dicts — independent of the Ray groupby path under test.  The LSH
+    variant is deterministic (fixed-seed planes), so exact equality is
+    the right check."""
+    from ..stages.ann import _normalize, _signatures
+    from ..stages.dedup import _MAX_BUCKET
+
+    ids = emb["vec_id"].to_pylist()
+    mat = _normalize(np.stack(emb["embedding"].to_pylist()).astype(np.float64))
+    sigs = _signatures(mat, n_bits, mat.shape[1])
+    buckets: dict[int, dict] = {}
+    for r, s in enumerate(sigs):
+        s = int(s)
+        for b in [s] + [s ^ (1 << k) for k in range(n_bits)]:
+            buckets.setdefault(b, {})[ids[r]] = r  # id -> row; dupes collapse
+    pairs: dict[tuple, float] = {}
+    for members in buckets.values():
+        mids = sorted(members)[:_MAX_BUCKET]
+        for x in range(len(mids)):
+            rx = members[mids[x]]
+            for y in range(x + 1, len(mids)):
+                c = float(mat[rx] @ mat[members[mids[y]]])
+                if c >= threshold:
+                    pairs[(mids[x], mids[y])] = float(np.round(c, 4))
+    keys = sorted(pairs)
+    rows = pd.DataFrame(
+        {
+            "id_a": [k[0] for k in keys],
+            "id_b": [k[1] for k in keys],
+            "cosine": [pairs[k] for k in keys],
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(rows, preserve_index=False),
+        out / "expected_emb_lsh.parquet",
+    )
 
 
 # ---------------------------------------------------------------------------
