@@ -430,29 +430,38 @@ class DomElement(DomNode):
         the caller can restore the pre-filter tree with
         :func:`undo_filter` — the cheap alternative to cloning the whole
         tree for a read-mostly filter (DomFilterHeuristic's defensive
-        ``doc.clone()``; the filter itself only detaches h1-h3)."""
+        ``doc.clone()``; the filter itself only detaches h1-h3).
+
+        The child-list copy is deferred until a child is actually
+        REMOVEd, so read-only filters (the pubdate passes, most
+        SummarizingDOMFilter walks) allocate nothing per element."""
+        head_fn = node_filter.head
+        tail_fn = node_filter.tail
 
         def walk(node: DomNode, depth: int) -> int:
-            r = node_filter.head(node, depth)
+            r = head_fn(node, depth)
             if r == STOP:
                 raise _Stop
             if r == REMOVE:
                 return REMOVE
             if r == CONTINUE and isinstance(node, DomElement):
-                kept: list[DomNode] = []
-                dropped = False
-                original = list(node.children)
-                for c in original:
+                children = node.children
+                removed: Optional[list[int]] = None
+                for i, c in enumerate(children):
                     if walk(c, depth + 1) == REMOVE:
                         c.parent = None
-                        dropped = True
-                    else:
-                        kept.append(c)
-                if dropped:
+                        if removed is None:
+                            removed = [i]
+                        else:
+                            removed.append(i)
+                if removed is not None:
                     if undo_log is not None:
-                        undo_log.append((node, original))
-                    node.children = kept
-            t = node_filter.tail(node, depth)
+                        undo_log.append((node, list(children)))
+                    rs = set(removed)
+                    node.children = [
+                        c for i, c in enumerate(children) if i not in rs
+                    ]
+            t = tail_fn(node, depth)
             if t == STOP:
                 raise _Stop
             return REMOVE if t == REMOVE else CONTINUE

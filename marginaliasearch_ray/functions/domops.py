@@ -186,6 +186,70 @@ class DomPruningFilter:
         return False
 
 
+def prune_default(el: DomElement, prune_threshold: float) -> None:
+    """Single-pass specialization of ``el.filter(DomPruningFilter(t))`` —
+    the converter's hottest DOM walk (it runs on every document's body).
+    Replicates the generic NodeFilter protocol's observable behavior
+    exactly (equivalence-tested in ``tests/test_domops.py``): one
+    post-order recursion carrying (signal, noise, tree_size) as locals
+    instead of per-node ``_NodeData`` allocations + an ``id()``-keyed
+    dict, with the always-purge check and the depth<=1 / signal==0 /
+    signal-rate decisions applied in the reference's tail order
+    (DomPruningFilter.java:36-77)."""
+    threshold = prune_threshold
+    purge = DomPruningFilter._should_always_purge
+
+    def walk(node: DomNode, depth: int) -> tuple[bool, int, int, int]:
+        # -> (remove, signal, noise, tree_size)
+        if isinstance(node, DomText):
+            sig = length_of_text(node.whole_text)
+            if depth <= 1:
+                return (False, sig, 0, 1)
+            # noise==0: only the signal==0 rule can fire for text nodes
+            return (sig == 0, sig, 0, 1)
+        if not isinstance(node, DomElement):
+            # comments: signal node with no children -> signal==0 rule
+            return (depth > 1, 0, 0, 1)
+        sig = 0
+        noise = 0
+        tree = 1
+        as_noise = node.tag == "a"  # _is_signal inverse
+        children = node.children
+        removed = None
+        cd = depth + 1
+        for i, c in enumerate(children):
+            rm, s, n, t = walk(c, cd)
+            if rm:
+                c.parent = None
+                if removed is None:
+                    removed = {i}
+                else:
+                    removed.add(i)
+                continue
+            if as_noise:
+                noise += n + s
+            else:
+                sig += s
+                noise += n
+            tree += t
+        if removed is not None:
+            node.children = [
+                c for i, c in enumerate(children) if i not in removed
+            ]
+        if purge(node):
+            return (True, sig, noise, tree)
+        if depth <= 1:
+            return (False, sig, noise, tree)
+        if sig == 0:
+            return (True, sig, noise, tree)
+        if noise > 0 and tree > 3 and sig / (sig + noise) < threshold:
+            return (True, sig, noise, tree)
+        return (False, sig, noise, tree)
+
+    if walk(el, 0)[0]:
+        el.remove()
+
+
 # ---------------------------------------------------------------------------
 # HeuristicTextUtil
 # ---------------------------------------------------------------------------

@@ -34,6 +34,7 @@ from .dom import CONTINUE, REMOVE, DomDocument, DomElement, new_document
 from .domops import (
     DomPruningFilter,
     extract_summary_dom,
+    prune_default,
     title_chain,
     truncate,
 )
@@ -155,7 +156,7 @@ class DefaultSpec:
     def prune(self, doc: DomDocument) -> DomDocument:
         for svg in doc.get_elements_by_tag("svg"):
             svg.remove()
-        doc.body().filter(DomPruningFilter(0.5))
+        prune_default(doc.body(), 0.5)
         return doc
 
     def get_title(self, doc: DomDocument, url: str) -> str:

@@ -465,3 +465,110 @@ class TestSelectorFastPath:
                     if self._naive_matches(doc, e, sel)
                 }
                 assert got == want, (trial, sel)
+
+
+def _dump(node, out=None):
+    """Structural fingerprint of a DOM subtree (tags, attrs, text, order)."""
+    from marginaliasearch_ray.functions.dom import DomComment, DomElement, DomText
+
+    if out is None:
+        out = []
+    if isinstance(node, DomText):
+        out.append(("T", node.whole_text))
+    elif isinstance(node, DomComment):
+        out.append(("C", node.data))
+    elif isinstance(node, DomElement):
+        out.append(("E", node.tag, tuple(sorted(node.attrs.items()))))
+        for c in node.children:
+            _dump(c, out)
+        out.append(("/E", node.tag))
+    return out
+
+
+class TestPruneDefaultEquivalence:
+    """prune_default (the single-pass specialization) must be
+    observationally identical to the generic
+    ``body.filter(DomPruningFilter(t))`` protocol on any tree."""
+
+    def _random_doc(self, rng):
+        from marginaliasearch_ray.functions.dom import (
+            DomComment,
+            DomDocument,
+            DomElement,
+        )
+
+        tags = ["div", "p", "a", "nav", "footer", "span", "ul", "li",
+                "body", "iframe", "table", "td"]
+        classes = ["", "cookie", "menu", "content", "x", "toolbar"]
+        roles = ["", "navigation", "main", "alert"]
+        texts = ["", "x", "hi there", PROSE, "click", "  ", "a b"]
+        doc = DomDocument()
+        body = DomElement("body")
+        doc.append_child(DomElement("head"))
+        doc.append_child(body)
+        nodes = [body]
+        for _ in range(rng.randint(3, 80)):
+            parent = rng.choice(nodes)
+            r = rng.random()
+            if r < 0.25:
+                parent.append_text(rng.choice(texts))
+            elif r < 0.30:
+                parent.append_child(DomComment("c" * rng.randint(0, 9)))
+            else:
+                attrs = {}
+                if rng.random() < 0.3:
+                    attrs["class"] = rng.choice(classes)
+                if rng.random() < 0.15:
+                    attrs["role"] = rng.choice(roles)
+                if rng.random() < 0.1:
+                    attrs["aria-hidden"] = rng.choice(["true", "false"])
+                el = DomElement(rng.choice(tags), attrs)
+                parent.append_child(el)
+                nodes.append(el)
+        return doc
+
+    def test_equivalence_on_random_trees(self):
+        import random
+
+        from marginaliasearch_ray.functions.domops import (
+            DomPruningFilter,
+            prune_default,
+        )
+
+        rng = random.Random(7)
+        for trial in range(120):
+            doc = self._random_doc(rng)
+            for threshold in (0.5, 0.2, 0.9):
+                a = doc.clone()
+                b = doc.clone()
+                a.body().filter(DomPruningFilter(threshold))
+                prune_default(b.body(), threshold)
+                assert _dump(a) == _dump(b), (trial, threshold)
+
+    def test_equivalence_on_fixture_pages(self, small_web):
+        from marginaliasearch_ray.functions.contenttype import (
+            decode_body,
+            sniff_content_type,
+        )
+        from marginaliasearch_ray.functions.domops import (
+            DomPruningFilter,
+            prune_default,
+        )
+
+        t = small_web["tables"]["pages"]
+        n = 0
+        for html in t.column("html").to_pylist():
+            if html is None:
+                continue
+            mime, charset = sniff_content_type(None, html)
+            if not mime.startswith("text/html"):
+                continue
+            doc = parse_document(decode_body(html, charset), build_dom=True).dom
+            a = doc.clone()
+            a.body().filter(DomPruningFilter(0.5))
+            prune_default(doc.body(), 0.5)
+            assert _dump(a) == _dump(doc)
+            n += 1
+            if n >= 400:
+                break
+        assert n > 50
