@@ -36,6 +36,7 @@ import re
 from dataclasses import dataclass, field
 from html import unescape as _unescape
 from html.parser import HTMLParser
+from html.parser import endtagfind as _endtagfind
 from html.parser import starttagopen as _starttagopen
 from typing import Optional
 
@@ -79,6 +80,22 @@ _BODY_START_TAGS = frozenset(
 )
 
 _WS_RE = re.compile(r"[ \t\n\x0c\r]+")
+
+# Attribute-less start tag (`<div>`, `<br/>`, `<p  >`): the dominant tag
+# shape in real markup.  Tag-name charset is the stdlib's own
+# tagfind_tolerant class, so whenever this matches, the stdlib
+# ``parse_starttag`` would tokenize the identical (tag, no-attrs, endpos)
+# event — anything else falls back to the stdlib method (equivalence
+# property-tested against feed+close in tests/test_hostile_inputs.py).
+_SIMPLE_START_RE = re.compile(r"<([a-zA-Z][^\t\n\r\f />\x00]*)\s*(/?)>")
+
+# tags whose start events carry walker side effects beyond the tag stack
+# and DOM build — one set probe gates the _handle_special_start chain so
+# the common structural tags (div/span/li/...) skip ~16 comparisons
+_SPECIAL_START = frozenset(
+    "a frame iframe img noscript html viewport date object audio video"
+    " meta time link base script h1 h2 h3 p".split()
+)
 
 
 def _normalise_ws(s: str) -> str:
@@ -205,9 +222,34 @@ class _Walker(HTMLParser):
             if i == n:
                 break
             if starttag_match(rawdata, i):  # < + letter
-                k = self.parse_starttag(i)
+                m = _SIMPLE_START_RE.match(rawdata, i)
+                if m is not None:
+                    # attribute-less fast path — bypasses the stdlib's
+                    # check_for_whole_start_tag + attrfind loop
+                    tag = m.group(1).lower()
+                    self.lasttag = tag
+                    if m.group(2):
+                        self.handle_startendtag(tag, [])
+                    else:
+                        self.handle_starttag(tag, [])
+                        if tag in self.CDATA_CONTENT_ELEMENTS:
+                            self.set_cdata_mode(tag)
+                    k = m.end()
+                else:
+                    k = self.parse_starttag(i)
             elif startswith("</", i):
-                k = self.parse_endtag(i)
+                if self.cdata_elem is None:
+                    # well-formed `</tag>` fast path: the stdlib's own
+                    # endtagfind regex, ending at the first '>' — the
+                    # same event + endpos parse_endtag would produce
+                    m = _endtagfind.match(rawdata, i)
+                    if m is not None:
+                        self.handle_endtag(m.group(1).lower())
+                        k = m.end()
+                    else:
+                        k = self.parse_endtag(i)
+                else:
+                    k = self.parse_endtag(i)
             elif startswith("<!--", i):
                 k = self.parse_comment(i)
             elif startswith("<?", i):
@@ -286,7 +328,10 @@ class _Walker(HTMLParser):
             self._dom.truncated = True
             return None
         self._dom_nodes += 1
-        el = DomElement(tag, {k: (v if v is not None else "") for k, v in attrs})
+        el = DomElement(
+            tag,
+            {k: (v if v is not None else "") for k, v in attrs} if attrs else None,
+        )
         parent.append_child(el)
         return el
 
@@ -295,6 +340,23 @@ class _Walker(HTMLParser):
     def handle_starttag(self, tag: str, attrs) -> None:
         if self._in_head and tag in _BODY_START_TAGS:
             self._in_head = False
+        if tag in _SPECIAL_START:
+            self._handle_special_start(tag, attrs)
+        node = self._dom_add_element(tag, attrs) if self._dom is not None else None
+        kind = _PUSH_TAG.get(tag)
+        pushed = kind is not None
+        if pushed:
+            self._push(kind)
+        if tag in _VOID_TAGS:
+            # immediate head+tail (jsoup visits void elements' tail right away)
+            if pushed:
+                self._pop_emit()
+            return
+        self._open.append([tag, pushed, node])
+        if node is not None:
+            self._dom_cur = node
+
+    def _handle_special_start(self, tag: str, attrs) -> None:
         ad = None
         if tag == "a":
             ad = dict(attrs)
@@ -397,20 +459,6 @@ class _Walker(HTMLParser):
         elif tag == "p" and len(self.doc.first_p_texts) < 4:
             self._p_capture = True
             self._p_parts = []
-
-        node = self._dom_add_element(tag, attrs) if self._dom is not None else None
-        kind = _PUSH_TAG.get(tag)
-        pushed = kind is not None
-        if pushed:
-            self._push(kind)
-        if tag in _VOID_TAGS:
-            # immediate head+tail (jsoup visits void elements' tail right away)
-            if pushed:
-                self._pop_emit()
-            return
-        self._open.append([tag, pushed, node])
-        if node is not None:
-            self._dom_cur = node
 
     def handle_startendtag(self, tag: str, attrs) -> None:
         self.handle_starttag(tag, attrs)
