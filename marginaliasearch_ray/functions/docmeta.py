@@ -231,37 +231,37 @@ def dom_low_quality_passes(dom, standard: str, effort_high: bool = True) -> Opti
     time_hit: list[int] = []  # first parseable <time> in doc order
     pass2_cands: list[int] = []
 
-    class _F:
-        @staticmethod
-        def head(node, depth):
-            if effort_high:
-                y = _pass1_node(node, standard)
+    # direct preorder recursion — this walk is read-only, so the generic
+    # NodeFilter protocol (head/tail dispatch per node) is pure overhead;
+    # node order and early-stop semantics match dom.filter exactly
+    def _walk(node) -> bool:  # -> True = STOP (pass1 hit)
+        if effort_high:
+            y = _pass1_node(node, standard)
+            if y is not None:
+                pass1_hit.append(y)
+                return True  # pass1 wins outright; later passes moot
+        if isinstance(node, DomElement):
+            if not time_hit and node.tag == "time":
+                y = attempt_parse_date(node.attr("datetime")) or attempt_parse_date(
+                    node.whole_text()
+                )
+                if y:
+                    time_hit.append(y)
+            for c in node.children:
+                if _walk(c):
+                    return True
+        elif effort_high and isinstance(node, DomText):
+            text = node.whole_text
+            if is_possible_candidate(text):
+                if standard == "UNKNOWN":
+                    y = date_from_highest_year_looking_substring(text)
+                else:
+                    y = date_from_highest_year_looking_substring(text, standard)
                 if y is not None:
-                    pass1_hit.append(y)
-                    return STOP  # pass1 wins outright; later passes moot
-            if isinstance(node, DomElement):
-                if not time_hit and node.tag == "time":
-                    y = attempt_parse_date(node.attr("datetime")) or attempt_parse_date(
-                        node.whole_text()
-                    )
-                    if y:
-                        time_hit.append(y)
-            elif effort_high and isinstance(node, DomText):
-                text = node.whole_text
-                if is_possible_candidate(text):
-                    if standard == "UNKNOWN":
-                        y = date_from_highest_year_looking_substring(text)
-                    else:
-                        y = date_from_highest_year_looking_substring(text, standard)
-                    if y is not None:
-                        pass2_cands.append(y)
-            return CONTINUE
+                    pass2_cands.append(y)
+        return False
 
-        @staticmethod
-        def tail(node, depth):
-            return CONTINUE
-
-    dom.filter(_F())
+    _walk(dom)
     if pass1_hit:
         return pass1_hit[0]
     if time_hit:

@@ -379,6 +379,46 @@ class SummarizingDOMFilter:
                 return REMOVE
         return CONTINUE
 
+    def run(self, root: DomElement, undo_log: Optional[list] = None) -> None:
+        """Single-pass specialization of ``root.filter(self, undo_log)``
+        — same statistics / pos / h1-h3 detachments as the generic
+        NodeFilter protocol (equivalence-tested), one direct recursion
+        with the pos counter and aggregation inlined."""
+        stats = self.statistics
+        pos = self.pos
+
+        def walk(node: DomNode) -> bool:  # -> detach node?
+            my_pos = self.cnt
+            pos[id(node)] = my_pos
+            self.cnt += 1
+            if isinstance(node, DomText):
+                stats[id(node)] = _NodeStats(
+                    node, 0, _alpha_text_length(node.whole_text), my_pos
+                )
+                return False
+            if not isinstance(node, DomElement):
+                return False
+            children = node.children
+            removed = None
+            for i, c in enumerate(children):
+                if walk(c):
+                    c.parent = None
+                    if removed is None:
+                        removed = {i}
+                    else:
+                        removed.add(i)
+            if removed is not None:
+                if undo_log is not None:
+                    undo_log.append((node, list(children)))
+                node.children = [
+                    c for i, c in enumerate(children) if i not in removed
+                ]
+            stats[id(node)] = self._aggregate(node)
+            return node.tag in ("h1", "h2", "h3")
+
+        if walk(root):
+            root.remove()
+
     def _aggregate(self, e: DomElement) -> _NodeStats:
         text = 0
         tag = 0
@@ -455,7 +495,7 @@ def _dom_filter_heuristic(doc: DomElement, important_words: Collection[str]) -> 
     f = SummarizingDOMFilter()
     body = doc.body() if hasattr(doc, "body") else doc
     undo: list = []
-    body.filter(f, undo_log=undo)
+    f.run(body, undo_log=undo)
     try:
         return f.get_summary(MAX_SUMMARY_LENGTH + 32, important_words)
     finally:

@@ -164,6 +164,7 @@ class _Walker(HTMLParser):
         self._open: list[list] = []
         # tagger stack of tag-kind ints, parallel "is interesting" markers
         self._tagstack: list[int] = []
+        self._excluded_depth = 0  # count of open SCRIPT/STYLE/FORM kinds
         self._cur: list[str] = []  # accumulated string pieces
         self._out: list[tuple[str, frozenset]] = []
         self._title_parts: list[str] = []
@@ -290,17 +291,17 @@ class _Walker(HTMLParser):
     def _push(self, kind: int) -> None:
         self._close_ongoing()
         self._tagstack.append(kind)
+        if kind in _EXCLUDED:
+            self._excluded_depth += 1
 
     def _pop_emit(self) -> None:
         self._out.append(("".join(self._cur), frozenset(self._tagstack)))
-        self._tagstack.pop()
+        if self._tagstack.pop() in _EXCLUDED:
+            self._excluded_depth -= 1
         self._cur = []
 
     def _should_process(self) -> bool:
-        for t in self._tagstack:
-            if t in _EXCLUDED:
-                return False
-        return True
+        return self._excluded_depth == 0
 
     # -- DOM build (same pass) --------------------------------------------
 
@@ -531,13 +532,15 @@ class _Walker(HTMLParser):
             self._heading_parts.append(data)
         if self._p_capture:
             self._p_parts.append(data)
-        if not self._should_process():
+        if self._excluded_depth:
             return
-        norm = _normalise_ws(data)
-        if not norm.strip():
+        # strip-then-collapse == collapse-then-strip for these classes;
+        # whitespace-only runs (most inter-tag data) skip the regex
+        s = data.strip()
+        if not s:
             return
         self._cur.append(" ")
-        self._cur.append(norm.strip())
+        self._cur.append(_WS_RE.sub(" ", s))
 
     def finish(self) -> ParsedDoc:
         self.close()

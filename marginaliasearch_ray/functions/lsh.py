@@ -71,11 +71,14 @@ def content_hash(body: bytes) -> int:
     if f.size == 0:
         return 0
     # rolling 32-bit window: next_i = b[i] | b[i-1]<<8 | b[i-2]<<16 | b[i-3]<<24
+    # built with in-place shifted-slice ORs (no zeros_like scratch arrays)
     nxt = f.copy()
-    for shift, off in ((8, 1), (16, 2), (24, 3)):
-        sh = np.zeros_like(f)
-        sh[off:] = f[:-off]
-        nxt |= sh << _U32(shift)
+    if f.size > 1:
+        nxt[1:] |= f[:-1] << _U32(8)
+    if f.size > 2:
+        nxt[2:] |= f[:-2] << _U32(16)
+    if f.size > 3:
+        nxt[3:] |= f[:-3] << _U32(24)
     return _fold_lsh(_hash_int_vec(nxt))
 
 

@@ -498,7 +498,7 @@ class TestPruneDefaultEquivalence:
         )
 
         tags = ["div", "p", "a", "nav", "footer", "span", "ul", "li",
-                "body", "iframe", "table", "td"]
+                "body", "iframe", "table", "td", "h1", "h2", "h3"]
         classes = ["", "cookie", "menu", "content", "x", "toolbar"]
         roles = ["", "navigation", "main", "alert"]
         texts = ["", "x", "hi there", PROSE, "click", "  ", "a b"]
@@ -570,5 +570,68 @@ class TestPruneDefaultEquivalence:
             assert _dump(a) == _dump(doc)
             n += 1
             if n >= 400:
+                break
+        assert n > 50
+
+
+class TestSummarizeRunEquivalence:
+    """SummarizingDOMFilter.run must be observationally identical to the
+    generic filter protocol: same summary, same statistics keys/values,
+    same tree mutation + undo restore."""
+
+    def test_equivalence_on_random_trees(self):
+        import random
+
+        from marginaliasearch_ray.functions.dom import undo_filter
+        from marginaliasearch_ray.functions.domops import SummarizingDOMFilter
+
+        helper = TestPruneDefaultEquivalence()
+        rng = random.Random(99)
+        for trial in range(80):
+            doc = helper._random_doc(rng)
+            # sprinkle h1-h3 so the REMOVE branch exercises
+            a, b = doc.clone(), doc.clone()
+            fa, fb = SummarizingDOMFilter(), SummarizingDOMFilter()
+            undo_a, undo_b = [], []
+            a.body().filter(fa, undo_log=undo_a)
+            fb.run(b.body(), undo_log=undo_b)
+            assert _dump(a) == _dump(b), trial
+            for words in ((), ("prose", "document")):
+                assert fa.get_summary(287, words) == fb.get_summary(287, words)
+            sa = sorted(
+                (s.pos, s.tag_length, s.text_length) for s in fa.statistics.values()
+            )
+            sb = sorted(
+                (s.pos, s.tag_length, s.text_length) for s in fb.statistics.values()
+            )
+            assert sa == sb, trial
+            undo_filter(undo_a)
+            undo_filter(undo_b)
+            assert _dump(a) == _dump(b) == _dump(doc), trial
+
+    def test_equivalence_on_fixture_pages(self, small_web):
+        from marginaliasearch_ray.functions.contenttype import (
+            decode_body,
+            sniff_content_type,
+        )
+        from marginaliasearch_ray.functions.domops import SummarizingDOMFilter
+
+        t = small_web["tables"]["pages"]
+        n = 0
+        for html in t.column("html").to_pylist():
+            if html is None:
+                continue
+            mime, charset = sniff_content_type(None, html)
+            if not mime.startswith("text/html"):
+                continue
+            doc = parse_document(decode_body(html, charset), build_dom=True).dom
+            a = doc.clone()
+            fa, fb = SummarizingDOMFilter(), SummarizingDOMFilter()
+            a.body().filter(fa)
+            fb.run(doc.body())
+            assert _dump(a) == _dump(doc)
+            assert fa.get_summary(287, ()) == fb.get_summary(287, ())
+            n += 1
+            if n >= 300:
                 break
         assert n > 50
