@@ -24,6 +24,23 @@ from marginaliasearch_ray.stages.textstats import BPE_RE_SQL
 
 _DEF_SF = "/root/testdata/sf0.001"
 
+# split single-file driver tables into enough blocks that per-doc map
+# stages run wide (the testdata parquet files are one row group; Ray's
+# default 128 MB block target would read each as ONE block and serialize
+# every downstream map_batches).  At real scale inputs are many shard
+# files and this is a no-op floor.
+_READ_BLOCKS = 32
+
+
+def _read_table(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(
+        f"{sf_dir}/{table}.parquet", columns=columns,
+        override_num_blocks=_READ_BLOCKS,
+    )
+
+
 
 # ---------------------------------------------------------------------------
 # crawl-shaped queries (synthetic fixture web derived from sf scale)
@@ -263,7 +280,7 @@ def _doc_keywords(sf_dir: str) -> pd.DataFrame:
 
     from marginaliasearch_ray.stages.textstats import extract_keywords
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read_table(sf_dir, "documents", ["doc_id", "text"])
     out = extract_keywords(docs, top_k=5).to_pandas()
     out["keywords"] = out["keywords"].map(lambda v: ",".join(v))
     return out.sort_values("doc_id").reset_index(drop=True)
@@ -279,7 +296,7 @@ def _doc_keyword_positions(sf_dir: str) -> pd.DataFrame:
 
     from marginaliasearch_ray.stages.textstats import extract_keyword_positions
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read_table(sf_dir, "documents", ["doc_id", "text"])
     out = extract_keyword_positions(docs, top_k=5).to_pandas()
     return out.sort_values(["doc_id", "rank"]).reset_index(drop=True)
 
@@ -290,7 +307,7 @@ def _doc_token_counts(sf_dir: str) -> pd.DataFrame:
     from marginaliasearch_ray.stages.textstats import token_stats
 
     out = (
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        _read_table(sf_dir, "documents", ["doc_id", "text"])
         .map_batches(token_stats, batch_format="pandas")
         .select_columns(["doc_id", "n_tokens_ws", "n_tokens_bpe"])
         .to_pandas()
@@ -304,7 +321,7 @@ def _doc_quality(sf_dir: str) -> pd.DataFrame:
     from marginaliasearch_ray.stages.textstats import quality_stats
 
     out = (
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        _read_table(sf_dir, "documents", ["doc_id", "text"])
         .map_batches(quality_stats, batch_format="pandas")
         .select_columns(
             ["doc_id", "n_chars", "punct_ratio", "stopword_ratio", "mean_token_len"]
@@ -320,7 +337,7 @@ def _doc_langid(sf_dir: str) -> pd.DataFrame:
     from marginaliasearch_ray.stages.textstats import detect_language
 
     out = (
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        _read_table(sf_dir, "documents", ["doc_id", "text"])
         .map_batches(detect_language, batch_format="pandas")
         .select_columns(["doc_id", "lang_pred"])
         .to_pandas()
@@ -355,7 +372,7 @@ def _doc_fingerprint(sf_dir: str) -> pd.DataFrame:
     from marginaliasearch_ray.stages.textstats import fingerprint
 
     out = (
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        _read_table(sf_dir, "documents", ["doc_id", "text"])
         .map_batches(fingerprint, batch_format="pandas")
         .select_columns(["doc_id", "fingerprint"])
         .to_pandas()
@@ -369,7 +386,7 @@ def _doc_exact_dedup(sf_dir: str) -> pd.DataFrame:
 
     from marginaliasearch_ray.stages.dedup import exact_dedup
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_table(sf_dir, "documents", ["doc_id", "text"])
     out = exact_dedup(ds).to_pandas()
     out = out.rename(columns={"min(doc_id)": "first_doc_id"})
     return out.sort_values("text").reset_index(drop=True)
@@ -380,7 +397,7 @@ def _minhash_dedup_pairs(sf_dir: str) -> pd.DataFrame:
 
     from marginaliasearch_ray.stages.dedup import minhash_lsh_pairs
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_table(sf_dir, "documents", ["doc_id", "text"])
     out = minhash_lsh_pairs(ds, threshold=0.5)
     out["jaccard"] = out["jaccard"].round(6)
     return out
@@ -391,7 +408,7 @@ def _simhash_pairs(sf_dir: str) -> pd.DataFrame:
 
     from marginaliasearch_ray.stages.dedup import simhash_near_dup_pairs
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_table(sf_dir, "documents", ["doc_id", "text"])
     return simhash_near_dup_pairs(ds, max_hamming=3)
 
 
@@ -400,7 +417,7 @@ def _embedding_near_dup(sf_dir: str) -> pd.DataFrame:
 
     from marginaliasearch_ray.stages.dedup import embedding_near_dup_pairs
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = _read_table(sf_dir, "embeddings")
     return embedding_near_dup_pairs(ds, threshold=0.45)
 
 
@@ -409,7 +426,7 @@ def _embed_topk(sf_dir: str) -> pd.DataFrame:
 
     from marginaliasearch_ray.stages.ann import brute_force_topk
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = _read_table(sf_dir, "embeddings")
     first = ds.take(1)[0]["embedding"]
     out = brute_force_topk(ds, np.array([first]), k=10)
     return out[["query_no", "vec_id", "cosine", "rank"]].reset_index(drop=True)
@@ -425,7 +442,7 @@ def _embedding_near_dup_lsh(sf_dir: str) -> pd.DataFrame:
 
     from marginaliasearch_ray.stages.dedup import embedding_near_dup_lsh
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = _read_table(sf_dir, "embeddings")
     return embedding_near_dup_lsh(ds, threshold=0.45)
 
 
@@ -434,7 +451,7 @@ def _lsh_ann_topk(sf_dir: str) -> pd.DataFrame:
 
     from marginaliasearch_ray.stages.ann import lsh_topk
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = _read_table(sf_dir, "embeddings")
     first = ds.take(1)[0]["embedding"]
     out = lsh_topk(ds, np.array([first]), k=10)
     return out[["query_no", "vec_id", "cosine", "rank"]].reset_index(drop=True)
@@ -445,7 +462,7 @@ def _media_bytes(sf_dir: str) -> pd.DataFrame:
 
     from marginaliasearch_ray.stages.multimodal import decode_media, documents_as_media
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read_table(sf_dir, "documents", ["doc_id", "text"])
     out = (
         decode_media(documents_as_media(docs))
         .select_columns(["media_id", "n_bytes"])
@@ -459,7 +476,7 @@ def _media_features(sf_dir: str) -> pd.DataFrame:
 
     from marginaliasearch_ray.stages.multimodal import decode_media, documents_as_media
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read_table(sf_dir, "documents", ["doc_id", "text"])
     out = decode_media(documents_as_media(docs)).to_pandas()
     out["f0"] = out["features"].map(lambda v: round(v[0], 6))
     return (

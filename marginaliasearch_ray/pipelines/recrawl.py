@@ -39,10 +39,18 @@ from ..model.urls import parse_url
 LSH_SAME_DISTANCE = 4  # CrawlDataReference.isContentBodySame
 
 
+HASH_READ_BLOCKS = 64  # split body-bearing reads below the 128 MB default
+# block target so the hash map runs wide (same lesson as the converter's
+# override_num_blocks read split); at multi-node scale the input is many
+# shard files and this override is a no-op safety floor
+
+
 def _live_lsh_dataset(pages_path: str) -> rd.Dataset:
     """Dataset(url, live_lsh): content LSH of the live web, hashed at the
     read — html bodies never leave the map task."""
-    ds = rd.read_parquet(pages_path, columns=["url", "html"])
+    ds = rd.read_parquet(
+        pages_path, columns=["url", "html"], override_num_blocks=HASH_READ_BLOCKS
+    )
 
     def hash_batch(b: pa.Table) -> pa.Table:
         urls = b.column("url").to_pylist()
@@ -177,9 +185,9 @@ def recrawl(
 
     if "ordinal" in pads.dataset(prev_crawl_path).schema.names:
         cols.append("ordinal")
-    prev = rd.read_parquet(prev_crawl_path, columns=cols).map_batches(
-        prev_narrow, batch_format="pandas"
-    )
+    prev = rd.read_parquet(
+        prev_crawl_path, columns=cols, override_num_blocks=HASH_READ_BLOCKS
+    ).map_batches(prev_narrow, batch_format="pandas")
 
     joined = prev.join(
         live, "left_outer", num_partitions=num_partitions, on=("url",)

@@ -23,7 +23,13 @@ from ray.data.aggregate import Count, Mean, Sum
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    # the testdata tables are single-row-group files; without the block
+    # override Ray reads each as ONE block (128 MB default target) and
+    # every downstream map runs serially.  A no-op floor for sharded
+    # multi-file inputs at real scale.
+    return rd.read_parquet(
+        f"{sf_dir}/{table}.parquet", columns=columns, override_num_blocks=32
+    )
 
 
 def agg_lineitem_pricing(sf_dir: str) -> pd.DataFrame:
