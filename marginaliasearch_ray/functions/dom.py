@@ -485,6 +485,36 @@ class DomElement(DomNode):
         walk(self, 0)
 
 
+def prune_where(root: DomElement, predicate: Callable[["DomElement"], bool]) -> None:
+    """Specialized ``root.filter(F)`` for the common filter shape whose
+    ``head`` REMOVEs elements matching a predicate and whose ``tail`` is
+    a no-op (Blog/Mariadb specialization prunes): preorder walk, matched
+    elements detach with their subtrees unvisited — identical observable
+    behavior to the generic NodeFilter protocol, without per-node
+    head/tail dispatch (equivalence-tested in tests/test_dom.py)."""
+
+    def walk(el: DomElement) -> None:
+        children = el.children
+        removed = None
+        for i, c in enumerate(children):
+            if isinstance(c, DomElement):
+                if predicate(c):
+                    c.parent = None
+                    if removed is None:
+                        removed = {i}
+                    else:
+                        removed.add(i)
+                else:
+                    walk(c)
+        if removed is not None:
+            el.children = [c for i, c in enumerate(children) if i not in removed]
+
+    if predicate(root):
+        root.remove()
+        return
+    walk(root)
+
+
 def undo_filter(undo_log: list) -> None:
     """Restore a tree mutated by ``filter(..., undo_log=...)``: reinstate
     each parent's original child list in reverse mutation order (inner

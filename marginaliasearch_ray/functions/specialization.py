@@ -30,7 +30,7 @@ import re
 from typing import Callable, Optional
 
 from ..model.urls import CanonUrl
-from .dom import CONTINUE, REMOVE, DomDocument, DomElement, new_document
+from .dom import CONTINUE, REMOVE, DomDocument, DomElement, new_document, prune_where
 from .domops import (
     DomPruningFilter,
     extract_summary_dom,
@@ -291,25 +291,33 @@ class BlogSpec(DefaultSpec):
     _BAD_ID = ("comments", "header", "footer", "nav")
 
     class _PruneFilter:
+        """Kept as the generic-protocol reference for the equivalence
+        test; the hot path uses prune_where with the same predicate."""
+
         def head(self, node, depth: int) -> int:
-            if isinstance(node, DomElement):
-                if node.tag == "noscript":
-                    return REMOVE
-                classes = node.attr("class")
-                nid = node.attr("id")
-                for bad in BlogSpec._BAD_CLASS:
-                    if bad in classes:
-                        return REMOVE
-                for bad in BlogSpec._BAD_ID:
-                    if bad in nid:
-                        return REMOVE
+            if isinstance(node, DomElement) and BlogSpec._is_junk(node):
+                return REMOVE
             return CONTINUE
 
         def tail(self, node, depth: int) -> int:
             return CONTINUE
 
+    @staticmethod
+    def _is_junk(node: DomElement) -> bool:
+        if node.tag == "noscript":
+            return True
+        classes = node.attr("class")
+        nid = node.attr("id")
+        for bad in BlogSpec._BAD_CLASS:
+            if bad in classes:
+                return True
+        for bad in BlogSpec._BAD_ID:
+            if bad in nid:
+                return True
+        return False
+
     def prune(self, doc: DomDocument) -> DomDocument:
-        doc.filter(self._PruneFilter())
+        prune_where(doc, self._is_junk)
         articles = doc.get_elements_by_tag("article")
         if articles:
             art = articles[0].clone()

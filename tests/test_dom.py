@@ -635,3 +635,28 @@ class TestSummarizeRunEquivalence:
             if n >= 300:
                 break
         assert n > 50
+
+
+class TestPruneWhereEquivalence:
+    def test_blog_prune_matches_generic_filter(self):
+        import random
+
+        from marginaliasearch_ray.functions.dom import prune_where
+        from marginaliasearch_ray.functions.specialization import BlogSpec
+
+        helper = TestPruneDefaultEquivalence()
+        rng = random.Random(5)
+        for trial in range(60):
+            doc = helper._random_doc(rng)
+            # sprinkle blog-junk markers
+            for el in list(doc.iter_elements()):
+                if rng.random() < 0.15:
+                    el.attrs["class"] = rng.choice(
+                        ["comment", "reply x", "sidebar", "fine"]
+                    )
+                if rng.random() < 0.1:
+                    el.attrs["id"] = rng.choice(["comments", "main", "nav"])
+            a, b = doc.clone(), doc.clone()
+            a.filter(BlogSpec._PruneFilter())
+            prune_where(b, BlogSpec._is_junk)
+            assert _dump(a) == _dump(b), trial
