@@ -33,32 +33,41 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Datas
 
 
 def agg_lineitem_pricing(sf_dir: str) -> pd.DataFrame:
-    """TPC-H Q1 shape: partial aggregation happens inside Ray's hash
-    aggregate; the shuffle carries only per-block partials."""
+    """TPC-H Q1 shape: explicit partial aggregation inside each batch —
+    the shuffle then carries ~6 rows per block instead of every lineitem
+    row through the sort-based groupby (Mean decomposes into
+    sum-of-discount / row-count partials)."""
     ds = _read(
         sf_dir,
         "lineitem",
         ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
 
-    def add_revenue(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        rev = pc.multiply(b["l_extendedprice"], pc.subtract(1.0, b["l_discount"]))
-        return b.append_column("revenue", rev)
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b["revenue"] = b["l_extendedprice"] * (1.0 - b["l_discount"])
+        return b.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            part_qty=("l_quantity", "sum"),
+            part_base=("l_extendedprice", "sum"),
+            part_rev=("revenue", "sum"),
+            part_disc=("l_discount", "sum"),
+            part_n=("l_quantity", "size"),
+        )
 
     out = (
-        ds.map_batches(add_revenue, batch_format="pyarrow")
+        ds.map_batches(partial, batch_format="pandas")
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base_price"),
-            Sum("revenue", alias_name="sum_revenue"),
-            Mean("l_discount", alias_name="avg_disc"),
-            Count(alias_name="n_rows"),
+            Sum("part_qty", alias_name="sum_qty"),
+            Sum("part_base", alias_name="sum_base_price"),
+            Sum("part_rev", alias_name="sum_revenue"),
+            Sum("part_disc", alias_name="sum_disc"),
+            Sum("part_n", alias_name="n_rows"),
         )
         .to_pandas()
     )
+    out["avg_disc"] = out["sum_disc"] / out["n_rows"]
+    out = out.drop(columns=["sum_disc"])
+    out["n_rows"] = out["n_rows"].astype("int64")
     for c in ("sum_qty", "sum_base_price", "sum_revenue", "avg_disc"):
         out[c] = out[c].round(4)
     return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
@@ -71,22 +80,28 @@ def join_order_revenue(sf_dir: str) -> pd.DataFrame:
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
     seg_map_ref = ray.put(dict(zip(cust.c_custkey, cust.c_mktsegment)))
 
-    def attach_segment(batch: pd.DataFrame, _ref=seg_map_ref) -> pd.DataFrame:
+    def attach_segment_partial(batch: pd.DataFrame, _ref=seg_map_ref) -> pd.DataFrame:
         seg = ray.get(_ref)
         batch["c_mktsegment"] = batch["o_custkey"].map(seg).fillna("UNKNOWN")
-        return batch
+        # pre-aggregate inside the batch: the shuffle moves one row per
+        # segment per block instead of one per order
+        return batch.groupby("c_mktsegment", as_index=False).agg(
+            part_rev=("o_totalprice", "sum"),
+            part_n=("o_totalprice", "size"),
+        )
 
     out = (
         _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-        .map_batches(attach_segment, batch_format="pandas")
+        .map_batches(attach_segment_partial, batch_format="pandas")
         .groupby("c_mktsegment")
         .aggregate(
-            Sum("o_totalprice", alias_name="revenue"),
-            Count(alias_name="n_orders"),
+            Sum("part_rev", alias_name="revenue"),
+            Sum("part_n", alias_name="n_orders"),
         )
         .to_pandas()
     )
     out["revenue"] = out["revenue"].round(4)
+    out["n_orders"] = out["n_orders"].astype("int64")
     return out.sort_values("c_mktsegment").reset_index(drop=True)
 
 
