@@ -411,7 +411,7 @@ def convert_pages(
     out_dir: Optional[str] = None,
     columns: Optional[list[str]] = None,
     dedup: bool = True,
-    batch_size: int = 256,
+    batch_size: int = 512,
     num_blocks: Optional[int] = None,
 ) -> rd.Dataset:
     """Full converter pipeline; returns (and optionally writes) the
@@ -432,11 +432,14 @@ def convert_pages(
     simple-processing track, which also bounds groupby skew.
 
     ``num_blocks`` splits the read so a single large parquet file still
-    fans out across the whole CPU pool (default: 4x available CPUs)."""
+    fans out across the whole CPU pool (default: 1 per CPU — measured
+    fastest at 32 cpus on the sf0.1 corpus: 7.9 s vs 9.3 s at 4x; the
+    extract cost is uniform per row, so work-stealing slack buys nothing
+    here, and at real scale the input is many shard files anyway)."""
     import ray
 
     if num_blocks is None:
-        num_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * 4)
+        num_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)))
     if columns is None:
         import pyarrow.dataset as pads
 
