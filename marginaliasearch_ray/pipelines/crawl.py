@@ -432,7 +432,9 @@ class WebStore:
         if "set_cookie" in names:
             cols += ["set_cookie"]
         (
-            rd.read_parquet(pages_path, columns=cols)
+            # single-file corpora read as ONE block without the override
+            # (128 MB default target), serializing the store build
+            rd.read_parquet(pages_path, columns=cols, override_num_blocks=64)
             .map_batches(add_part, batch_format="pyarrow")
             .write_parquet(str(out), partition_cols=["part"])
         )

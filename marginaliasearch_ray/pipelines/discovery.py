@@ -132,7 +132,8 @@ def discover_domains(
         return pd.DataFrame({"domain": doms, "accepted": acc, "reason": reasons})
 
     verdicts = (
-        rd.read_parquet(pages_path, columns=["url", "html"])
+        # override: single-file corpora otherwise read as one block
+        rd.read_parquet(pages_path, columns=["url", "html"], override_num_blocks=32)
         .map_batches(evaluate_where_read, batch_format="pyarrow")
         .to_pandas()  # <= one verdict row per candidate — the small side
     )
