@@ -163,6 +163,19 @@ class TestFastParseEquivalence:
         "<<double<<lt<p>ok</p>",
         "<!bogus comment>tail",
         "<div a=1 a=2 A=3>dup attrs</div>",
+        # fast-path boundaries: attribute-less start tags + strict end tags
+        "<div/>tail",
+        "<div />tail",
+        "<div/ >not selfclose</div>",
+        "<div\x0bweird>vtab in name</div\x0bweird>",
+        "<div,comma>odd name</div,comma>",
+        "<DIV>case</DIV>",
+        "<a/b>slash in middle",
+        "</ div>space end</div >trailing",
+        "</div attr=x>attr in end tag",
+        "<script/>selfclosed script not cdata</script>after",
+        "<script >cdata <b>inside</b></script >tail",
+        "<pre  >ws before gt</pre\t>",
     ]
 
     def test_adversarial_cases(self):
