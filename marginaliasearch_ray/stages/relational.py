@@ -143,11 +143,22 @@ def last_event_per_user(sf_dir: str) -> pd.DataFrame:
 
 def event_window_counts(sf_dir: str, window_s: int = 300) -> pd.DataFrame:
     """Tumbling-window aggregate: count + sum(value) per (event_type,
-    5-minute window).  Windowing is a vectorized batch transform; the only
-    shuffle is the final small groupby."""
+    5-minute window).  Windowing is a vectorized batch transform; batch
+    partials combine in ONE in-cluster task with a vectorized pandas
+    groupby.
+
+    Why not ``Dataset.groupby().aggregate()``: Ray's sort-based
+    aggregate pays ~3 ms of per-GROUP Python overhead, which at this
+    query's high key cardinality (~39k windows at sf0.1) is 8+ s for
+    sub-second work (measured; the distributed SORT itself is 0.2 s).
+    The partials are already result-sized, so the final combine is one
+    block + one C-level groupby — still in the object store, nothing on
+    the driver.  At a cardinality where the result outgrows one task,
+    swap the coalesce for a hash-partitioned combine (same partial
+    rows, one task per key range)."""
 
     def partial_agg(batch: pd.DataFrame) -> pd.DataFrame:
-        # pre-aggregate inside the batch: the shuffle then moves one row
+        # pre-aggregate inside the batch: the combine then sees one row
         # per (event_type, window) per batch instead of one per event
         epoch = batch["ts"].astype("datetime64[ns]").astype("int64") // 10**9  # -> s
         batch["window_start_s"] = (epoch // window_s) * window_s
@@ -156,14 +167,16 @@ def event_window_counts(sf_dir: str, window_s: int = 300) -> pd.DataFrame:
             .agg(part_n=("value", "size"), part_sum=("value", "sum"))
         )
 
+    def final_combine(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(["event_type", "window_start_s"], as_index=False).agg(
+            n_events=("part_n", "sum"), sum_value=("part_sum", "sum")
+        )
+
     out = (
         _read(sf_dir, "events", ["ts", "event_type", "value"])
         .map_batches(partial_agg, batch_format="pandas")
-        .groupby(["event_type", "window_start_s"])
-        .aggregate(
-            Sum("part_n", alias_name="n_events"),
-            Sum("part_sum", alias_name="sum_value"),
-        )
+        .repartition(1)
+        .map_batches(final_combine, batch_format="pandas", batch_size=None)
         .to_pandas()
     )
     out["n_events"] = out["n_events"].astype("int64")

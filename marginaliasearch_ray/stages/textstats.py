@@ -103,11 +103,18 @@ def extract_keywords(docs, top_k: int = 5, id_col: str = "doc_id",
                 counts[tok] = counts.get(tok, 0) + 1
         return pd.DataFrame({"token": list(counts), "df_part": list(counts.values())})
 
+    def df_combine(b: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized combine of the per-batch partials — Ray's
+        # sort-based aggregate pays ~3 ms/group of Python overhead,
+        # ruinous at vocabulary cardinality; the DF table is bounded by
+        # the broadcast-idf constraint anyway, so one task holds it
+        return b.groupby("token", as_index=False).agg(df=("df_part", "sum"))
+
     n_docs = docs.count()
     df_tbl = (
         docs.map_batches(df_partial, batch_format="pandas")
-        .groupby("token")
-        .aggregate(Sum("df_part", alias_name="df"))
+        .repartition(1)
+        .map_batches(df_combine, batch_format="pandas", batch_size=None)
         .to_pandas()
     )
     # scale valves for web-sized vocabularies (the broadcast idf map must
@@ -164,11 +171,18 @@ def extract_keyword_positions(docs, top_k: int = 5, id_col: str = "doc_id"):
                 counts[tok] = counts.get(tok, 0) + 1
         return pd.DataFrame({"token": list(counts), "df_part": list(counts.values())})
 
+    def df_combine(b: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized combine of the per-batch partials — Ray's
+        # sort-based aggregate pays ~3 ms/group of Python overhead,
+        # ruinous at vocabulary cardinality; the DF table is bounded by
+        # the broadcast-idf constraint anyway, so one task holds it
+        return b.groupby("token", as_index=False).agg(df=("df_part", "sum"))
+
     n_docs = docs.count()
     df_tbl = (
         docs.map_batches(df_partial, batch_format="pandas")
-        .groupby("token")
-        .aggregate(Sum("df_part", alias_name="df"))
+        .repartition(1)
+        .map_batches(df_combine, batch_format="pandas", batch_size=None)
         .to_pandas()
     )
     idf = {t: math.log(n_docs / (1 + d)) for t, d in zip(df_tbl.token, df_tbl.df)}
