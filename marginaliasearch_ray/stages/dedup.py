@@ -148,6 +148,9 @@ _MAX_BUCKET = 500  # skew guard: a band bucket larger than this is a
 
 
 def _bucket_pairs(group: pd.DataFrame, id_col: str) -> pd.DataFrame:
+    """Per-bucket candidate pairs — the per-group reference shape; the
+    pipeline uses the vectorized :func:`_band_bucket_pairs` (equivalence
+    tested in tests/test_stages.py)."""
     ids = sorted(group[id_col].unique())[:_MAX_BUCKET]
     if len(ids) < 2:
         return pd.DataFrame({"id_a": [], "id_b": []})
@@ -157,6 +160,42 @@ def _bucket_pairs(group: pd.DataFrame, id_col: str) -> pd.DataFrame:
             a.append(ids[i])
             b.append(ids[j])
     return pd.DataFrame({"id_a": a, "id_b": b})
+
+
+def _band_bucket_pairs(b: pd.DataFrame, id_col: str) -> pd.DataFrame:
+    """All (band, band_hash) buckets' candidate pairs in one vectorized
+    pass: sort by bucket key, find run boundaries, and emit triu pairs
+    per run — identical output set to ``groupby(bucket).map_groups(
+    _bucket_pairs)``, without Ray's ~35 µs/group dispatch (at 16
+    bands/doc the bucket count is ~16x the corpus).  Buckets of size 1
+    (the overwhelming majority) cost two comparisons."""
+    n = len(b)
+    if n == 0:
+        return pd.DataFrame({"id_a": [], "id_b": []})
+    b = b.sort_values(["band", "band_hash", id_col], kind="mergesort")
+    band = b["band"].to_numpy()
+    bh = b["band_hash"].to_numpy()
+    ids = b[id_col].to_numpy()
+    new = np.empty(n, dtype=bool)
+    new[0] = True
+    new[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+    starts = np.flatnonzero(new)
+    ends = np.append(starts[1:], n)
+    a_out, b_out = [], []
+    for s, e in zip(starts, ends):
+        if e - s < 2:
+            continue
+        uids = np.unique(ids[s:e])[:_MAX_BUCKET]
+        if len(uids) < 2:
+            continue
+        ia, ib = np.triu_indices(len(uids), k=1)
+        a_out.append(uids[ia])
+        b_out.append(uids[ib])
+    if not a_out:
+        return pd.DataFrame({"id_a": [], "id_b": []})
+    return pd.DataFrame(
+        {"id_a": np.concatenate(a_out), "id_b": np.concatenate(b_out)}
+    )
 
 
 def jaccard(a, b) -> float:
@@ -175,9 +214,18 @@ def minhash_lsh_pairs(
     bands = docs.map_batches(
         minhash_batch, batch_format="pandas", fn_kwargs={"id_col": id_col}
     )
+    # band rows are NARROW (id, band, hash) at 16 rows/doc; one combine
+    # task holds them comfortably to ~10M docs — past that, swap the
+    # coalesce for a hash partition on band_hash (complete buckets per
+    # part) and run _band_bucket_pairs per part
     cand = (
-        bands.groupby(["band", "band_hash"])
-        .map_groups(_bucket_pairs, batch_format="pandas", fn_kwargs={"id_col": id_col})
+        bands.repartition(1)
+        .map_batches(
+            _band_bucket_pairs,
+            batch_format="pandas",
+            batch_size=None,
+            fn_kwargs={"id_col": id_col},
+        )
         .to_pandas()  # candidate PAIRS only — the small side
     )
     if cand.empty:

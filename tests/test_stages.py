@@ -342,3 +342,32 @@ class TestGeoIp:
             "is_cloud", "geo_terms",
         ]
         assert out.ip.str.count(r"\.").eq(3).all()
+
+
+def test_band_bucket_pairs_matches_per_group_reference():
+    import numpy as np
+    import pandas as pd
+
+    from marginaliasearch_ray.stages.dedup import _band_bucket_pairs, _bucket_pairs
+
+    rng = np.random.default_rng(3)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "doc_id": rng.integers(0, 900, n),
+            "band": rng.integers(0, 4, n),
+            "band_hash": rng.integers(0, 300, n).astype(np.uint64),
+        }
+    )
+    fast = _band_bucket_pairs(df, "doc_id")
+    ref = pd.concat(
+        [
+            _bucket_pairs(g, "doc_id")
+            for _, g in df.groupby(["band", "band_hash"], sort=False)
+        ],
+        ignore_index=True,
+    )
+    norm = lambda d: sorted(map(tuple, d[["id_a", "id_b"]].to_numpy().tolist()))
+    assert norm(fast) == norm(ref)
+    empty = _band_bucket_pairs(df.iloc[0:0], "doc_id")
+    assert list(empty.columns) == ["id_a", "id_b"] and len(empty) == 0
