@@ -627,6 +627,7 @@ def fetch_extract_batch(
     shards = shard_handles
     domains = batch.column("domain").to_pylist()
     urls = batch.column("url").to_pylist()
+    ordinals = batch.column("visit_ordinal").to_pylist()
     names = batch.column_names
     filter_names = (
         batch.column("filter_name").to_pylist() if "filter_name" in names else None
@@ -675,7 +676,7 @@ def fetch_extract_batch(
         body = bodies[i]
         status = statuses[i]
         location = locations[i]
-        ordinal = batch.column("visit_ordinal")[i].as_py()
+        ordinal = ordinals[i]
         links: list[str] = []
         parsed_links: list = []
         redirect_target = None  # parsed same-domain 301 Location
