@@ -102,30 +102,47 @@ def pagerank(
 
 @ray.remote(num_cpus=1)
 class _EdgePartition:
-    """Stateful edge partition for iterative PageRank: resolves its edge
-    blocks to int index arrays ONCE in ``__init__`` (vectorized
-    ``pc.index_in``), then serves per-iteration dense partial
-    contribution sums as cheap actor calls — no per-iteration task
-    scheduling, no re-shipping of the edge data."""
+    """Stateful edge partition for iterative PageRank.  One plasma read:
+    ``__init__`` concatenates its blocks' endpoint columns and reports the
+    partition's local domain universe (``local_domains``); after the
+    driver unions those, ``resolve`` turns the columns into int index
+    arrays ONCE (vectorized ``pc.index_in``) and drops the strings.  Per
+    iteration the actor serves dense partial contribution sums as cheap
+    calls — no per-iteration task scheduling, no re-shipping of edges."""
 
-    def __init__(self, tbl_refs: list, domains_arr: pa.Array):
+    def __init__(self, tbl_refs: list):
         srcs, dsts = [], []
         for ref in tbl_refs:
             tbl = ray.get(ref)
-            srcs.append(
-                pc.index_in(tbl.column("src_domain"), value_set=domains_arr)
-                .combine_chunks()
-                .to_numpy(zero_copy_only=False)
-                .astype(np.int64)
-            )
-            dsts.append(
-                pc.index_in(tbl.column("dst_domain"), value_set=domains_arr)
-                .combine_chunks()
-                .to_numpy(zero_copy_only=False)
-                .astype(np.int64)
-            )
-        self.src = np.concatenate(srcs) if srcs else np.zeros(0, dtype=np.int64)
-        self.dst = np.concatenate(dsts) if dsts else np.zeros(0, dtype=np.int64)
+            srcs.append(tbl.column("src_domain"))
+            dsts.append(tbl.column("dst_domain"))
+        self._src_col = pa.chunked_array(
+            [c for col in srcs for c in col.chunks] or [pa.array([], pa.string())]
+        )
+        self._dst_col = pa.chunked_array(
+            [c for col in dsts for c in col.chunks] or [pa.array([], pa.string())]
+        )
+        self.src = np.zeros(0, dtype=np.int64)
+        self.dst = np.zeros(0, dtype=np.int64)
+
+    def local_domains(self) -> set:
+        """This partition's domain universe (both endpoints)."""
+        return set(pc.unique(self._src_col).to_pylist()) | set(
+            pc.unique(self._dst_col).to_pylist()
+        )
+
+    def resolve(self, domains_arr: pa.Array) -> None:
+        self.src = (
+            pc.index_in(self._src_col, value_set=domains_arr)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        self.dst = (
+            pc.index_in(self._dst_col, value_set=domains_arr)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        self._src_col = self._dst_col = None
 
     def contrib(self, contrib_vec: np.ndarray, n: int) -> np.ndarray:
         out = np.zeros(n)
@@ -134,14 +151,6 @@ class _EdgePartition:
 
     def outdeg(self, n: int) -> np.ndarray:
         return np.bincount(self.src, minlength=n).astype(np.float64)
-
-
-@ray.remote(num_cpus=1)
-def _block_domains(tbl: pa.Table) -> set:
-    """Per-block domain universe (both endpoints), one vectorized pass."""
-    return set(pc.unique(tbl.column("src_domain")).to_pylist()) | set(
-        pc.unique(tbl.column("dst_domain")).to_pylist()
-    )
 
 
 def _pagerank_distributed(
@@ -173,11 +182,17 @@ def _pagerank_distributed(
     # is n_actors regardless of how finely the input was blocked
     edges = edges_ds.select_columns(["src_domain", "dst_domain"]).materialize()
     block_refs = edges.to_arrow_refs()
-    # domain universe: per-block vectorized uniques, union on the driver
-    # (a set of domain names — the small side); out-degrees come from the
-    # actors' own index arrays below, so no Ray groupby is needed at all
+    # spawn the edge-partition actors FIRST: their one plasma read feeds
+    # both the domain universe (per-actor vectorized uniques, union on the
+    # driver — the small side) and the index resolution; out-degrees come
+    # from the actors' own index arrays, so no Ray groupby is needed
+    n_actors = max(1, min(len(block_refs), n_blocks // 2 or 1))
+    groups: list[list] = [[] for _ in range(n_actors)]
+    for i, ref in enumerate(block_refs):
+        groups[i % n_actors].append(ref)
+    actors = [_EdgePartition.remote(g) for g in groups]
     domains_set: set = set()
-    for part in ray.get([_block_domains.remote(r) for r in block_refs]):
+    for part in ray.get([a.local_domains.remote() for a in actors]):
         domains_set |= part
     domains = sorted(domains_set)
     n = len(domains)
@@ -191,11 +206,7 @@ def _pagerank_distributed(
     rank = teleport.copy()
 
     domains_arr = pa.array(domains, pa.string())
-    n_actors = max(1, min(len(block_refs), n_blocks // 2 or 1))
-    groups: list[list] = [[] for _ in range(n_actors)]
-    for i, ref in enumerate(block_refs):
-        groups[i % n_actors].append(ref)
-    actors = [_EdgePartition.remote(g, domains_arr) for g in groups]
+    ray.get([a.resolve.remote(domains_arr) for a in actors])
 
     outdeg = np.sum(ray.get([a.outdeg.remote(n) for a in actors]), axis=0)
     dangling = outdeg == 0
