@@ -486,6 +486,56 @@ def _media_features(sf_dir: str) -> pd.DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# training-data curation (stages/curate.py)
+# ---------------------------------------------------------------------------
+
+# stratified-sample rates: a zero stratum, fractional strata, and a default
+_SAMPLE_RATES = {"src0": 0.0, "src1": 0.25, "src2": 0.5, "src3": 0.75}
+_SAMPLE_DEFAULT = 0.9
+_SAMPLE_SEED = 42
+
+
+def _doc_gopher(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style repetition/shape rules (arXiv:2112.11446 A1) as a
+    stateless map_batches stage; every metric recomputed by the SQL
+    oracle from the same exact spec."""
+    from marginaliasearch_ray.stages.curate import gopher_stats
+
+    ds = _read_table(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(gopher_stats, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _dedup_clusters(sf_dir: str) -> pd.DataFrame:
+    """Near-dup PAIR list -> connected components -> one canonical doc per
+    cluster.  Pairs come from the (already driver-verified) MinHash+LSH
+    stage; the oracle recomputes the components with a recursive-CTE
+    transitive closure over the sequential-oracle pair fixture."""
+    from marginaliasearch_ray.stages.curate import dedup_clusters
+    from marginaliasearch_ray.stages.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        _read_table(sf_dir, "documents", ["doc_id", "text"]), threshold=0.5
+    )
+    docs = _read_table(sf_dir, "documents", ["doc_id", "n_chars"])
+    out = dedup_clusters(docs, pairs, id_col="doc_id", quality_col="n_chars").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _doc_sample_stratified(sf_dir: str) -> pd.DataFrame:
+    """Seeded per-stratum Bernoulli sample (deterministic hash membership:
+    resharding cannot change the sample) — SQL-native oracle via the
+    md5_number_lower convention shared with doc_fingerprint."""
+    from marginaliasearch_ray.stages.curate import stratified_sample
+
+    ds = _read_table(sf_dir, "documents", ["doc_id", "source"])
+    out = stratified_sample(
+        ds, _SAMPLE_RATES, default_rate=_SAMPLE_DEFAULT, seed=_SAMPLE_SEED
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 _SIDELOAD_COLS = [
     "url", "domain", "title", "n_words", "quality", "pub_year", "summary",
     "state", "generator", "features", "synthetic_terms", "text",
@@ -587,6 +637,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing
         "media_bytes": _media_bytes,
         "media_features": _media_features,
+        # training-data curation
+        "doc_gopher": _doc_gopher,
+        "dedup_clusters": _dedup_clusters,
+        "doc_sample_stratified": _doc_sample_stratified,
         # sideloaders (range-sharded SQLite / dirtree readers + converter)
         "sideload_encyclopedia": _sideload("wiki"),
         "sideload_stackexchange": _sideload("stackexchange"),
@@ -919,6 +973,97 @@ def oracle_sql() -> dict[str, str]:
                    positions,
                    (least(tf, 255) | (CASE WHEN first_pos < 8 THEN 256 ELSE 0 END))::BIGINT AS term_meta
             FROM scored WHERE rn <= 5 ORDER BY doc_id, rn
+        """,
+        # ---------------- training-data curation ----------------
+        # metrics are deliberately UNROUNDED: each is an int/int division
+        # computed identically (int -> double) on both sides, so values are
+        # bit-equal (see stages/curate.py gopher_stats).
+        "doc_gopher": """
+            WITH sized AS (
+                SELECT doc_id, coalesce(text, '') AS text,
+                       CASE WHEN coalesce(text, '') = ''
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE string_split(text, ' ') END AS words,
+                       CASE WHEN coalesce(text, '') = '' THEN 0
+                            ELSE len(string_split(text, ' ')) END AS n_words
+                FROM documents
+            ), bi AS (
+                SELECT s.doc_id, s.words[g.i] AS w1, s.words[g.i + 1] AS w2,
+                       count(*) AS c
+                FROM sized s, unnest(generate_series(1, s.n_words - 1)) AS g(i)
+                GROUP BY 1, 2, 3
+            ), bitop AS (
+                SELECT doc_id, w1, w2, c,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY c DESC, w1, w2) AS rn
+                FROM bi
+            ), tri AS (
+                SELECT s.doc_id, count(*) AS total,
+                       count(DISTINCT [s.words[g.i], s.words[g.i + 1],
+                                       s.words[g.i + 2]]) AS dst
+                FROM sized s, unnest(generate_series(1, s.n_words - 2)) AS g(i)
+                GROUP BY 1
+            ), metrics AS (
+                SELECT s.doc_id, s.n_words::BIGINT AS n_words,
+                       CASE WHEN s.n_words = 0 THEN 0.0
+                            ELSE (length(s.text) - (s.n_words - 1)) * 1.0
+                                 / s.n_words END AS mean_word_len,
+                       CASE WHEN s.n_words = 0 THEN 0.0
+                            ELSE len(list_filter(s.words,
+                                     x -> contains(x, '#') OR contains(x, '...')))
+                                 * 1.0 / s.n_words END AS frac_symbol_words,
+                       coalesce(b.c * (length(b.w1) + length(b.w2) + 1) * 1.0
+                                / length(s.text), 0.0) AS top_bigram_frac,
+                       coalesce(1.0 - t.dst * 1.0 / t.total, 0.0)
+                           AS frac_dup_trigrams
+                FROM sized s
+                LEFT JOIN bitop b ON b.doc_id = s.doc_id AND b.rn = 1
+                LEFT JOIN tri t ON t.doc_id = s.doc_id
+            )
+            SELECT *,
+                   (n_words BETWEEN 50 AND 100000
+                    AND mean_word_len BETWEEN 3.0 AND 10.0
+                    AND frac_symbol_words <= 0.10
+                    AND top_bigram_frac <= 0.18
+                    AND frac_dup_trigrams <= 0.30) AS gopher_pass
+            FROM metrics ORDER BY doc_id
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE edges AS (
+                SELECT id_a AS a, id_b AS b
+                FROM read_parquet('{exp}/expected_minhash.parquet')
+                UNION
+                SELECT id_b AS a, id_a AS b
+                FROM read_parquet('{exp}/expected_minhash.parquet')
+            ), reach(a, b) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            ), comp AS (
+                SELECT a AS node, least(a, min(b)) AS cluster_id
+                FROM reach GROUP BY a
+            ), labeled AS (
+                SELECT d.doc_id,
+                       coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+                       d.n_chars
+                FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+            ), ranked AS (
+                SELECT doc_id, cluster_id,
+                       row_number() OVER (PARTITION BY cluster_id
+                                          ORDER BY n_chars DESC, doc_id) AS rn
+                FROM labeled
+            )
+            SELECT doc_id, cluster_id, rn = 1 AS keep
+            FROM ranked ORDER BY doc_id
+        """,
+        "doc_sample_stratified": f"""
+            SELECT doc_id, source FROM documents
+            WHERE (md5_number_lower(concat({_SAMPLE_SEED}, '|', doc_id))
+                   % 4294967296) / 4294967296.0
+                  < CASE source
+                        {' '.join(f"WHEN '{k}' THEN {v}" for k, v in _SAMPLE_RATES.items())}
+                        ELSE {_SAMPLE_DEFAULT} END
+            ORDER BY doc_id
         """,
         "doc_exact_dedup": """
             SELECT text, min(doc_id) AS first_doc_id
