@@ -457,6 +457,20 @@ def _lsh_ann_topk(sf_dir: str) -> pd.DataFrame:
     return out[["query_no", "vec_id", "cosine", "rank"]].reset_index(drop=True)
 
 
+def _ivf_ann_topk(sf_dir: str) -> pd.DataFrame:
+    """IVF ANN scale path: sampled k-means coarse quantizer + nprobe cell
+    scan (stages/ann.py ivf_topk).  Deterministic, so oracled exactly
+    against the sequential replica in fixtures/expected.py."""
+    import ray.data as rd
+
+    from marginaliasearch_ray.stages.ann import ivf_topk
+
+    ds = _read_table(sf_dir, "embeddings")
+    first = ds.take(1)[0]["embedding"]
+    out = ivf_topk(ds, np.array([first]), k=10)
+    return out[["query_no", "vec_id", "cosine", "rank"]].reset_index(drop=True)
+
+
 def _media_bytes(sf_dir: str) -> pd.DataFrame:
     import ray.data as rd
 
@@ -521,6 +535,40 @@ def _dedup_clusters(sf_dir: str) -> pd.DataFrame:
     docs = _read_table(sf_dir, "documents", ["doc_id", "n_chars"])
     out = dedup_clusters(docs, pairs, id_col="doc_id", quality_col="n_chars").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _doc_decontaminate(sf_dir: str) -> pd.DataFrame:
+    """Benchmark n-gram decontamination: docs with doc_id % 10 == 0 play
+    the eval suite; any other doc sharing a 13-gram is flagged."""
+    from marginaliasearch_ray.stages.curate import decontaminate
+
+    ds = _read_table(sf_dir, "documents", ["doc_id", "text"])
+    bench = ds.map_batches(
+        lambda b: b[b["doc_id"] % 10 == 0], batch_format="pandas"
+    )
+    out = decontaminate(ds, bench).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _doc_dup_ngrams(sf_dir: str) -> pd.DataFrame:
+    """Span-level duplication stats (Lee et al. 2021): of each doc's
+    distinct 13-grams, how many occur in >= 1 other document."""
+    from marginaliasearch_ray.stages.curate import dup_ngram_stats
+
+    ds = _read_table(sf_dir, "documents", ["doc_id", "text"])
+    out = dup_ngram_stats(ds).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _source_report(sf_dir: str) -> pd.DataFrame:
+    """Per-source corpus report card (token totals + language mix),
+    partial-aggregated inside batches; the shuffle moves only
+    sources x batches rows."""
+    from marginaliasearch_ray.stages.textstats import source_report
+
+    ds = _read_table(sf_dir, "documents", ["doc_id", "source", "text"])
+    out = source_report(ds).to_pandas()
+    return out.sort_values("source").reset_index(drop=True)
 
 
 def _doc_sample_stratified(sf_dir: str) -> pd.DataFrame:
@@ -634,6 +682,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "embed_topk": _embed_topk,
         "lsh_ann_topk": _lsh_ann_topk,
+        "ivf_ann_topk": _ivf_ann_topk,
         # multimodal plumbing
         "media_bytes": _media_bytes,
         "media_features": _media_features,
@@ -641,6 +690,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_gopher": _doc_gopher,
         "dedup_clusters": _dedup_clusters,
         "doc_sample_stratified": _doc_sample_stratified,
+        "doc_decontaminate": _doc_decontaminate,
+        "doc_dup_ngrams": _doc_dup_ngrams,
+        "source_report": _source_report,
         # sideloaders (range-sharded SQLite / dirtree readers + converter)
         "sideload_encyclopedia": _sideload("wiki"),
         "sideload_stackexchange": _sideload("stackexchange"),
@@ -1056,6 +1108,85 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, cluster_id, rn = 1 AS keep
             FROM ranked ORDER BY doc_id
         """,
+        "doc_decontaminate": """
+            WITH sized AS (
+                SELECT doc_id, CASE WHEN coalesce(text, '') = ''
+                                    THEN CAST([] AS VARCHAR[])
+                                    ELSE string_split(text, ' ') END AS words
+                FROM documents
+            ), grams AS (
+                SELECT doc_id,
+                       array_to_string(list_slice(words, g.i, g.i + 12), ' ')
+                           AS gram
+                FROM sized, unnest(generate_series(1, len(words) - 12)) AS g(i)
+            ), bench_grams AS (
+                SELECT DISTINCT gram FROM grams WHERE doc_id % 10 = 0
+            ), hits AS (
+                SELECT DISTINCT g.doc_id
+                FROM grams g JOIN bench_grams b USING (gram)
+                WHERE g.doc_id % 10 != 0
+            )
+            SELECT d.doc_id, d.doc_id % 10 = 0 AS is_benchmark,
+                   h.doc_id IS NOT NULL AS contaminated
+            FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+            ORDER BY d.doc_id
+        """,
+        "source_report": f"""
+            WITH s AS (
+                SELECT source, coalesce(text, '') AS filled, text,
+                       list_distinct(list_filter(
+                           regexp_split_to_array(lower(coalesce(text, '')),
+                                                 '[[:space:]]+'),
+                           x -> x != '')) AS ws
+                FROM documents
+            ), per AS (
+                SELECT source,
+                       len(string_split(filled, ' '))::BIGINT AS ntok,
+                       length(filled)::BIGINT AS nch,
+                       CASE WHEN {cjk} THEN 0
+                            WHEN {lmax} = 0 THEN 0
+                            WHEN {lang_counts['en']} = {lmax} THEN 1
+                            ELSE 0 END AS is_en
+                FROM s
+            )
+            SELECT source,
+                   count(*)::BIGINT AS n_docs,
+                   sum(ntok)::BIGINT AS total_tokens_ws,
+                   sum(nch)::BIGINT AS total_chars,
+                   sum(is_en)::BIGINT AS n_english,
+                   sum(ntok) * 1.0 / count(*) AS mean_tokens_ws
+            FROM per GROUP BY source ORDER BY source
+        """,
+        "doc_dup_ngrams": """
+            WITH sized AS (
+                SELECT doc_id, CASE WHEN coalesce(text, '') = ''
+                                    THEN CAST([] AS VARCHAR[])
+                                    ELSE string_split(text, ' ') END AS words
+                FROM documents
+            ), grams AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(list_slice(words, g.i, g.i + 12), ' ')
+                           AS gram
+                FROM sized, unnest(generate_series(1, len(words) - 12)) AS g(i)
+            ), totals AS (
+                SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+            ), shared AS (
+                SELECT gram FROM grams
+                GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+            ), dups AS (
+                SELECT g.doc_id, count(*) AS nd
+                FROM grams g JOIN shared s USING (gram) GROUP BY g.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(t.n, 0)::BIGINT AS n_grams,
+                   coalesce(p.nd, 0)::BIGINT AS n_dup_grams,
+                   CASE WHEN coalesce(t.n, 0) = 0 THEN 0.0
+                        ELSE coalesce(p.nd, 0) * 1.0 / t.n END AS frac_dup
+            FROM documents d
+            LEFT JOIN totals t USING (doc_id)
+            LEFT JOIN dups p ON p.doc_id = d.doc_id
+            ORDER BY d.doc_id
+        """,
         "doc_sample_stratified": f"""
             SELECT doc_id, source FROM documents
             WHERE (md5_number_lower(concat({_SAMPLE_SEED}, '|', doc_id))
@@ -1111,6 +1242,11 @@ def oracle_sql() -> dict[str, str]:
         "lsh_ann_topk": f"""
             SELECT query_no, vec_id, cosine, rank
             FROM read_parquet('{exp}/expected_lsh_ann.parquet')
+            ORDER BY rank
+        """,
+        "ivf_ann_topk": f"""
+            SELECT query_no, vec_id, cosine, rank
+            FROM read_parquet('{exp}/expected_ivf_ann.parquet')
             ORDER BY rank
         """,
         "embedding_near_dup_lsh": f"""

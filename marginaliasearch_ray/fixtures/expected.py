@@ -23,6 +23,9 @@ Tables (cached under /tmp/graft_expected/v{FIXTURE_VERSION}/{sf}):
                             pigeonhole bucketing is exact, so brute force
                             is a genuinely independent check)
 - expected_lsh_ann        — sequential hyperplane-LSH top-k
+- expected_ivf_ann        — sequential IVF top-k (same sampled k-means
+                            spec run in one thread, assignment scan over
+                            the id-ordered corpus)
 """
 
 from __future__ import annotations
@@ -38,7 +41,7 @@ from .cache import FIXTURE_VERSION, config_for, fixture_dir_for
 
 EXPECTED_ROOT = "/tmp/graft_expected"
 # bump when ORACLE LOGIC changes without a fixture-generator change
-EXPECTED_VERSION = 8
+EXPECTED_VERSION = 9
 
 
 def expected_dir_for(sf_dir: str) -> str:
@@ -530,6 +533,7 @@ def _build_sketch_expected(sf_dir: str, out: Path) -> None:
     if emb_path.exists():
         emb = pq.read_table(emb_path)
         _expected_lsh_ann(emb, out)
+        _expected_ivf_ann(emb, out)
         _expected_emb_lsh(emb, out)
 
 
@@ -626,6 +630,50 @@ def _expected_lsh_ann(emb: pa.Table, out: Path, k: int = 10, n_bits: int = 8) ->
         }
     )
     pq.write_table(pa.Table.from_pandas(rows, preserve_index=False), out / "expected_lsh_ann.parquet")
+
+
+def _expected_ivf_ann(
+    emb: pa.Table,
+    out: Path,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    train_rate: float = 0.5,
+    train_seed: int = 7,
+) -> None:
+    """Sequential replica of stages.ann.ivf_topk: the hash-picked
+    training sample in id order, the seeded k-means, the nprobe cell
+    selection and the assignment-filtered scan, all single-threaded over
+    the id-ordered corpus.  The stage is deterministic by construction,
+    so exact equality is the right check."""
+    from ..stages.ann import _kmeans, _normalize
+    from ..stages.curate import _sample_u32
+
+    ids = np.array(emb["vec_id"].to_pylist())
+    mat = _normalize(np.stack(emb["embedding"].to_pylist()).astype(np.float64))
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    q = mat[0:1]  # query = first vec by id (matches __ray_entry__._ivf_ann_topk)
+    picked = np.array([_sample_u32(train_seed, int(i)) < train_rate for i in ids])
+    cent = _kmeans(mat[picked], n_centroids)
+    probes = np.argsort(-(q @ cent.T), kind="stable", axis=1)[0, :nprobe]
+    assign = np.argmax(mat @ cent.T, axis=1)
+    mask = np.isin(assign, probes)
+    sims = (q @ mat[mask].T)[0]
+    sub_ids = ids[mask]
+    order2 = np.lexsort((sub_ids, -sims))[:k]
+    rows = pd.DataFrame(
+        {
+            "query_no": 0,
+            "vec_id": sub_ids[order2],
+            "cosine": np.round(sims[order2], 4),
+            "rank": np.arange(1, len(order2) + 1),
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(rows, preserve_index=False),
+        out / "expected_ivf_ann.parquet",
+    )
 
 
 def _expected_emb_lsh(

@@ -3,11 +3,19 @@
 - ``brute_force_topk``: the exact baseline — per-batch numpy matmul of the
   corpus against a BROADCAST query matrix (``ray.put`` once), per-batch
   top-k, merged on the driver (k x n_queries rows per batch, tiny).
-- ``lsh_topk``: the scale path — random-hyperplane signatures bucket the
+- ``lsh_topk``: a scale path — random-hyperplane signatures bucket the
   corpus (one groupby); queries probe their own bucket plus all buckets
   at hamming distance <= 1, so the matmul touches a small corpus slice.
   Recall is approximate by construction; the test suite measures it
   against brute force.
+- ``ivf_topk``: the other standard scale path (IVF coarse quantizer):
+  spherical k-means centroids trained on a deterministic hash-picked
+  SAMPLE (collected small — at 100 TB the rate is set so the sample is
+  ~1M vectors, standard IVF practice), broadcast once; each batch assigns
+  its vectors to the nearest centroid and only scans vectors whose cell
+  one of the query's ``nprobe`` nearest centroids owns.  Fully
+  deterministic (seeded init, fixed iterations, id-ordered training), so
+  it is oracled exactly against a sequential replica.
 """
 
 from __future__ import annotations
@@ -50,6 +58,96 @@ def brute_force_topk(
         return pd.DataFrame(rows)
 
     cand = emb.map_batches(batch_topk, batch_format="pandas").to_pandas()
+    out = []
+    for qi, g in cand.groupby("query_no"):
+        g = g.sort_values(["cosine", id_col], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1)
+        out.append(g)
+    res = pd.concat(out, ignore_index=True)
+    res["cosine"] = res["cosine"].round(4)
+    return res
+
+
+_IVF_SEED = 0x1CF
+
+
+def _kmeans(train: np.ndarray, n_centroids: int, iters: int = 10) -> np.ndarray:
+    """Deterministic spherical k-means over normalized training rows.
+    Seeded init, fixed iteration count, empty clusters keep their old
+    centroid — every op is order-stable, so a sequential replica over the
+    same id-ordered sample reproduces the centroids bit-for-bit."""
+    rng = np.random.default_rng(_IVF_SEED)
+    k = min(n_centroids, len(train))
+    cent = train[rng.choice(len(train), size=k, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(train @ cent.T, axis=1)
+        sums = np.zeros_like(cent)
+        np.add.at(sums, assign, train)
+        counts = np.bincount(assign, minlength=k)
+        empty = counts == 0
+        sums[empty] = cent[empty]
+        cent = _normalize(sums)
+    return cent
+
+
+def ivf_topk(
+    emb: rd.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    train_rate: float = 0.5,
+    train_seed: int = 7,
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """IVF ANN -> DataFrame(query_no, vec_id, cosine, rank).
+
+    Train (small side): hash-picked sample rows stream out of one
+    ``map_batches`` filter and are collected in id order; k-means runs on
+    the driver.  Search: centroids + query probe lists broadcast once;
+    each corpus batch assigns its own vectors (one matmul) and scans only
+    the probed cells — per-batch output is k x n_queries rows, merged
+    tiny.  The corpus is never materialized and nothing shuffles."""
+    from .curate import _sample_u32
+
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+
+    def pick(b: pd.DataFrame) -> pd.DataFrame:
+        keep = [_sample_u32(train_seed, i) < train_rate for i in b[id_col]]
+        return b[np.asarray(keep, dtype=bool)]
+
+    sample = emb.map_batches(pick, batch_format="pandas").to_pandas()
+    sample = sample.sort_values(id_col)
+    train = _normalize(np.stack(sample["embedding"].to_numpy()).astype(np.float64))
+    cent = _kmeans(train, n_centroids)
+    # nprobe nearest centroids per query (argsort is stable -> smaller
+    # centroid index wins ties, same as the sequential replica)
+    probes = np.argsort(-(q @ cent.T), kind="stable", axis=1)[:, :nprobe]
+    side_ref = ray.put((cent, q, probes))
+
+    def batch_scan(batch: pd.DataFrame, _ref=side_ref) -> pd.DataFrame:
+        c, qm, pr = ray.get(_ref)
+        m = _normalize(np.stack(batch["embedding"].to_numpy()).astype(np.float64))
+        ids = batch[id_col].to_numpy()
+        assign = np.argmax(m @ c.T, axis=1)
+        rows = {"query_no": [], id_col: [], "cosine": []}
+        for qi in range(len(qm)):
+            mask = np.isin(assign, pr[qi])
+            if not mask.any():
+                continue
+            sims = qm[qi] @ m[mask].T
+            sub_ids = ids[mask]
+            kk = min(k, len(sims))
+            part = np.argpartition(-sims, kk - 1)[:kk]
+            rows["query_no"].extend([qi] * kk)
+            rows[id_col].extend(sub_ids[part])
+            rows["cosine"].extend(sims[part])
+        return pd.DataFrame(rows)
+
+    cand = emb.map_batches(batch_scan, batch_format="pandas").to_pandas()
+    if cand.empty:
+        return pd.DataFrame({"query_no": [], id_col: [], "cosine": [], "rank": []})
     out = []
     for qi, g in cand.groupby("query_no"):
         g = g.sort_values(["cosine", id_col], ascending=[False, True]).head(k)

@@ -203,6 +203,181 @@ def dedup_clusters(
 
 
 # ---------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap)
+# ---------------------------------------------------------------------------
+
+DECONTAM_NGRAM = 13  # the published convention (GPT-3, arXiv:2005.14165 C)
+
+
+def _doc_ngrams(words: list[str], n: int) -> set[str]:
+    """All n-grams of a word list, joined with single spaces."""
+    if len(words) < n:
+        return set()
+    return {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
+
+
+def decontaminate(
+    docs: rd.Dataset,
+    bench: rd.Dataset,
+    n: int = DECONTAM_NGRAM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> rd.Dataset:
+    """Flag training documents sharing any word n-gram with a benchmark
+    suite -> Dataset(doc_id, is_benchmark, contaminated).
+
+    The standard eval-set decontamination step (GPT-3 used 13-gram
+    overlap): ``bench`` is the SMALL side by definition (eval suites are
+    thousands of documents against a 100-TB corpus), so its distinct
+    n-grams are collected once and broadcast (``ray.put``); the corpus
+    then streams through one stateless ``map_batches`` membership probe —
+    no shuffle, no corpus materialization.  At extreme benchmark sizes
+    the frozenset swaps for a Bloom filter with a verify pass, same
+    envelope.
+
+    Spec (mirrored by the SQL oracle): words split on single spaces,
+    n-grams joined with single spaces; ``contaminated`` is False for
+    benchmark members themselves."""
+
+    def bench_rows(b: pd.DataFrame) -> pd.DataFrame:
+        ids, grams = [], []
+        for i, t in zip(b[id_col], b[text_col].fillna("")):
+            ids.append(i)
+            grams.append(sorted(_doc_ngrams(t.split(" ") if t else [], n)))
+        return pd.DataFrame({id_col: ids, "grams": grams})
+
+    collected = bench.map_batches(bench_rows, batch_format="pandas").to_pandas()
+    bench_ids = frozenset(collected[id_col])
+    bench_grams = frozenset(g for gs in collected["grams"] for g in gs)
+    side_ref = ray.put((bench_ids, bench_grams))
+
+    def flag(b: pd.DataFrame, _ref=side_ref) -> pd.DataFrame:
+        ids_set, grams_set = ray.get(_ref)
+        is_bench, contam = [], []
+        for i, t in zip(b[id_col], b[text_col].fillna("")):
+            member = i in ids_set
+            is_bench.append(member)
+            contam.append(
+                not member
+                and not grams_set.isdisjoint(
+                    _doc_ngrams(t.split(" ") if t else [], n)
+                )
+            )
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy(),
+                "is_benchmark": np.asarray(is_bench, dtype=bool),
+                "contaminated": np.asarray(contam, dtype=bool),
+            }
+        )
+
+    return docs.map_batches(flag, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# cross-document duplicated-span statistics
+# ---------------------------------------------------------------------------
+
+
+def dup_ngram_stats(
+    ds: rd.Dataset,
+    n: int = DECONTAM_NGRAM,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> rd.Dataset:
+    """Per-document duplicated-span statistics -> Dataset(doc_id, n_grams,
+    n_dup_grams, frac_dup): of a document's DISTINCT word n-grams, how
+    many also occur in at least one OTHER document.
+
+    The span-level dup signal of Lee et al. 2021 (arXiv:2107.06499):
+    doc-level near-dup misses boilerplate shared across otherwise-distinct
+    pages; a high ``frac_dup`` flags them.
+
+    Scale shape — two narrow-row shuffles, no payload moves twice:
+    1. each batch emits distinct ``(gram, doc_id)`` rows keyed by an
+       integer gram-hash bucket; ``groupby(bucket)`` co-locates every
+       holder of a gram (a gram lives in exactly one bucket, so the
+       shared/not verdict is exact), and the per-bucket combine emits
+       ``(doc_id, dup-count partial)`` rows — result-sized;
+    2. those partials union with the per-doc gram totals (a plain map)
+       and one ``groupby`` on an integer doc-hash bucket sums them per
+       document.  Size ``n_buckets`` so one bucket's gram rows fit a
+       worker's heap, exactly like ``stages/dedup.py exact_dedup``."""
+
+    def _bucket_of(s: str, mod: int) -> int:
+        return int.from_bytes(
+            md5(s.encode()).digest()[:8], "little"
+        ) % mod
+
+    def gram_rows(b: pd.DataFrame) -> pd.DataFrame:
+        grams, ids = [], []
+        for i, t in zip(b[id_col], b[text_col].fillna("")):
+            for g in _doc_ngrams(t.split(" ") if t else [], n):
+                grams.append(g)
+                ids.append(i)
+        out = pd.DataFrame({id_col: ids, "gram": grams})
+        out["_bucket"] = np.asarray(
+            [_bucket_of(g, n_buckets) for g in out["gram"]], dtype=np.int64
+        )
+        return out
+
+    def bucket_dups(group: pd.DataFrame) -> pd.DataFrame:
+        holders = group.groupby("gram", sort=False)[id_col].nunique()
+        shared = group[group["gram"].map(holders) >= 2]
+        cnt = shared.groupby(id_col, sort=False).size()
+        return pd.DataFrame(
+            {
+                id_col: cnt.index.to_numpy(),
+                "n_grams": np.zeros(len(cnt), dtype=np.int64),
+                "n_dup_grams": cnt.to_numpy().astype(np.int64),
+            }
+        )
+
+    def totals(b: pd.DataFrame) -> pd.DataFrame:
+        counts = [
+            len(_doc_ngrams(t.split(" ") if t else [], n))
+            for t in b[text_col].fillna("")
+        ]
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy(),
+                "n_grams": np.asarray(counts, dtype=np.int64),
+                "n_dup_grams": np.zeros(len(counts), dtype=np.int64),
+            }
+        )
+
+    dups = (
+        ds.map_batches(gram_rows, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(bucket_dups, batch_format="pandas")
+    )
+    partials = ds.map_batches(totals, batch_format="pandas").union(dups)
+
+    def doc_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_dbucket"] = np.asarray(
+            [_bucket_of(str(i), n_buckets) for i in b[id_col]], dtype=np.int64
+        )
+        return b
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        agg = group.groupby(id_col, sort=True).agg(
+            n_grams=("n_grams", "max"), n_dup_grams=("n_dup_grams", "sum")
+        )
+        agg = agg.reset_index()
+        denom = np.maximum(agg["n_grams"].to_numpy(), 1)
+        agg["frac_dup"] = agg["n_dup_grams"].to_numpy() / denom.astype(np.float64)
+        return agg
+
+    return (
+        partials.map_batches(doc_bucket, batch_format="pandas")
+        .groupby("_dbucket")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
 # seeded stratified sampling
 # ---------------------------------------------------------------------------
 

@@ -246,3 +246,56 @@ def fingerprint(batch: pd.DataFrame) -> pd.DataFrame:
         fps[i] = h
     batch["fingerprint"] = fps
     return batch
+
+
+def source_report(ds) -> "object":
+    """Per-source corpus report card -> Dataset(source, n_docs,
+    total_tokens_ws, total_chars, n_english, mean_tokens_ws): the
+    composed stats sweep a curation run starts with (what is in this
+    corpus, per source / dump / crawl-batch?).
+
+    Scale shape: token counting + language ID + char totals run inside
+    each batch (vectorized, see ``token_stats``/``detect_language``),
+    then collapse to ONE partial row per (batch, source) — so the final
+    ``groupby`` only moves sources x batches tiny rows, never documents.
+    Source cardinality is low (dumps / crawl batches), so the
+    low-cardinality Dataset groupby path applies (NOTES_ROUND4:
+    high-cardinality aggregates use the repartition+pandas combine
+    instead)."""
+    import ray.data as rd  # noqa: F401  (documents the return type)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b = token_stats(b)
+        b = detect_language(b)
+        b["_chars"] = b["text"].fillna("").str.len().astype("int64")
+        b["_is_en"] = (b["lang_pred"] == "en").astype("int64")
+        g = b.groupby("source", sort=False).agg(
+            n_docs=("source", "size"),
+            total_tokens_ws=("n_tokens_ws", "sum"),
+            total_chars=("_chars", "sum"),
+            n_english=("_is_en", "sum"),
+        )
+        return g.reset_index()
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            group.groupby("source", sort=True)
+            .agg(
+                n_docs=("n_docs", "sum"),
+                total_tokens_ws=("total_tokens_ws", "sum"),
+                total_chars=("total_chars", "sum"),
+                n_english=("n_english", "sum"),
+            )
+            .reset_index()
+        )
+        g["mean_tokens_ws"] = g["total_tokens_ws"].to_numpy() / g[
+            "n_docs"
+        ].to_numpy().astype(np.float64)
+        return g
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("source")
+        .map_groups(combine, batch_format="pandas")
+    )

@@ -8,8 +8,11 @@ import ray.data as rd
 from marginaliasearch_ray.stages.curate import (
     _components_min_label,
     _doc_gopher,
+    _doc_ngrams,
     _sample_u32,
+    decontaminate,
     dedup_clusters,
+    dup_ngram_stats,
     gopher_stats,
     stratified_sample,
 )
@@ -102,6 +105,112 @@ class TestDedupClusters:
         out = dedup_clusters(docs, pd.DataFrame(columns=["id_a", "id_b"])).to_pandas()
         assert list(out["cluster_id"]) == [4, 5]
         assert out["keep"].all()
+
+
+class TestDecontaminate:
+    def test_ngrams(self):
+        assert _doc_ngrams(["a", "b", "c"], 2) == {"a b", "b c"}
+        assert _doc_ngrams(["a"], 2) == set()
+
+    def test_overlap_flags(self, ray_session):
+        shared = " ".join(f"w{i}" for i in range(13))
+        docs = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id": [1, 2, 3],
+                    "text": [
+                        shared,  # the benchmark doc
+                        "prefix " + shared + " suffix",  # contains the 13-gram
+                        " ".join(f"x{i}" for i in range(20)),  # clean
+                    ],
+                }
+            )
+        )
+        bench = docs.map_batches(
+            lambda b: b[b["doc_id"] == 1], batch_format="pandas"
+        )
+        out = (
+            decontaminate(docs, bench, n=13)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert list(out["is_benchmark"]) == [True, False, False]
+        assert list(out["contaminated"]) == [False, True, False]
+
+    def test_short_docs_never_flagged(self, ray_session):
+        docs = rd.from_pandas(
+            pd.DataFrame({"doc_id": [1, 2], "text": ["a b c", "a b c"]})
+        )
+        bench = docs.map_batches(
+            lambda b: b[b["doc_id"] == 1], batch_format="pandas"
+        )
+        out = decontaminate(docs, bench, n=13).to_pandas()
+        assert not out["contaminated"].any()
+
+
+class TestDupNgramStats:
+    def test_shared_span_counted(self, ray_session):
+        span = " ".join(f"s{i}" for i in range(4))
+        docs = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id": [1, 2, 3],
+                    "text": [
+                        "a b " + span,  # shares the 4-gram span with doc 2
+                        span + " x y",
+                        " ".join(f"u{i}" for i in range(8)),  # unique
+                    ],
+                }
+            )
+        )
+        out = (
+            dup_ngram_stats(docs, n=4, n_buckets=8)
+            .to_pandas()
+            .sort_values("doc_id")
+            .set_index("doc_id")
+        )
+        # doc 1: grams at offsets 0..2 -> 3 grams, only the pure span gram
+        # is shared; same for doc 2; doc 3 has 5 grams, none shared
+        assert list(out["n_grams"]) == [3, 3, 5]
+        assert list(out["n_dup_grams"]) == [1, 1, 0]
+        assert out.loc[3, "frac_dup"] == 0.0
+        assert out.loc[1, "frac_dup"] == 1 / 3
+
+    def test_short_docs_zero(self, ray_session):
+        docs = rd.from_pandas(
+            pd.DataFrame({"doc_id": [1, 2], "text": ["a b", "a b"]})
+        )
+        out = dup_ngram_stats(docs, n=13).to_pandas()
+        assert (out["n_grams"] == 0).all()
+        assert (out["frac_dup"] == 0.0).all()
+
+
+class TestSourceReport:
+    def test_totals_and_language_mix(self, ray_session):
+        from marginaliasearch_ray.stages.textstats import source_report
+
+        docs = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id": [1, 2, 3],
+                    "source": ["a", "a", "b"],
+                    "text": [
+                        "the and of it is",  # english stopwords
+                        "x y",
+                        "und der die das nicht",  # german
+                    ],
+                }
+            )
+        )
+        out = (
+            source_report(docs).to_pandas().sort_values("source").set_index("source")
+        )
+        assert list(out["n_docs"]) == [2, 1]
+        assert out.loc["a", "total_tokens_ws"] == 7
+        assert out.loc["a", "n_english"] == 1
+        assert out.loc["b", "n_english"] == 0
+        assert out.loc["a", "mean_tokens_ws"] == 3.5
 
 
 class TestStratifiedSample:

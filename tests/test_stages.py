@@ -124,6 +124,31 @@ class TestAnn:
         # probing bucket + hamming-1 neighbors: expect decent recall
         assert len(exact & approx) >= 5
 
+    def test_ivf_recall_and_self_hit(self):
+        from marginaliasearch_ray.stages.ann import ivf_topk
+
+        ds, m = self._emb(n=400)
+        q = m[3]
+        exact = set(brute_force_topk(ds, np.array([q]), k=10).vec_id)
+        approx = ivf_topk(ds, np.array([q]), k=10, n_centroids=8, nprobe=3)
+        # the query vector's own cell is always probed first -> self hit
+        assert approx.vec_id.iloc[0] == 3 and approx.cosine.iloc[0] == 1.0
+        assert len(exact & set(approx.vec_id)) >= 5
+
+    def test_ivf_deterministic_across_block_layouts(self):
+        import ray.data as rd
+
+        from marginaliasearch_ray.stages.ann import ivf_topk
+
+        _, m = self._emb(n=300)
+        rows = [{"vec_id": i, "embedding": m[i].tolist()} for i in range(300)]
+        q = np.array([m[0]])
+        a = ivf_topk(rd.from_items(rows).repartition(1), q, k=10)
+        b = ivf_topk(rd.from_items(rows[::-1]).repartition(7), q, k=10)
+        pd.testing.assert_frame_equal(
+            a.reset_index(drop=True), b.reset_index(drop=True)
+        )
+
 
 class TestTextStats:
     def test_token_counts(self):
