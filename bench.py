@@ -183,6 +183,8 @@ def run_bench() -> dict:
         "pagerank_domains",
         "recrawl_decisions",
         "sideload_encyclopedia",
+        "doc_dup_ngrams",
+        "ivf_ann_topk",
     ):
         t0 = time.perf_counter()
         qs[name](SF_DIR)
