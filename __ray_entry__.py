@@ -571,6 +571,16 @@ def _source_report(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("source").reset_index(drop=True)
 
 
+def _hll_distinct_text(sf_dir: str) -> pd.DataFrame:
+    """HyperLogLog distinct count of document texts — deterministic
+    sketch, so the SQL oracle recomputes the identical estimate
+    (stages/sketch.py for the integer-exact estimator spec)."""
+    from marginaliasearch_ray.stages.sketch import hll_distinct
+
+    ds = _read_table(sf_dir, "documents", ["text"])
+    return hll_distinct(ds, "text")
+
+
 def _doc_sample_stratified(sf_dir: str) -> pd.DataFrame:
     """Seeded per-stratum Bernoulli sample (deterministic hash membership:
     resharding cannot change the sample) — SQL-native oracle via the
@@ -693,6 +703,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_decontaminate": _doc_decontaminate,
         "doc_dup_ngrams": _doc_dup_ngrams,
         "source_report": _source_report,
+        "hll_distinct_text": _hll_distinct_text,
         # sideloaders (range-sharded SQLite / dirtree readers + converter)
         "sideload_encyclopedia": _sideload("wiki"),
         "sideload_stackexchange": _sideload("stackexchange"),
@@ -1156,6 +1167,40 @@ def oracle_sql() -> dict[str, str]:
                    sum(is_en)::BIGINT AS n_english,
                    sum(ntok) * 1.0 / count(*) AS mean_tokens_ws
             FROM per GROUP BY source ORDER BY source
+        """,
+        # HLL spec (stages/sketch.py): md5_number_lower value hash,
+        # p=12 -> 4096 registers, rank = 53 - bit_length(h >> 12),
+        # INTEGER harmonic sum S = sum 2^(53-reg) (exact), one float
+        # expression, small-range linear-counting correction.
+        "hll_distinct_text": """
+            WITH h AS (
+                SELECT md5_number_lower(text)::UBIGINT AS hv
+                FROM documents WHERE text IS NOT NULL
+            ), rb AS (
+                SELECT (hv % 4096)::BIGINT AS bucket,
+                       CASE WHEN hv // 4096 = 0 THEN 53
+                            ELSE 53 - length(bin(hv // 4096)) END AS rho
+                FROM h
+            ), regs AS (
+                SELECT bucket, max(rho) AS reg FROM rb GROUP BY bucket
+            ), agg AS (
+                SELECT count(*) AS n_nonzero,
+                       sum((1::BIGINT << (53 - reg))::HUGEINT) AS s_present
+                FROM regs
+            ), est AS (
+                SELECT n_nonzero,
+                       (0.7213 / (1.0 + 1.079 / 4096)) * 4096 * 4096
+                           * 9007199254740992.0
+                           / (s_present
+                              + (4096 - n_nonzero)::HUGEINT
+                                * 9007199254740992::HUGEINT)::DOUBLE AS e_raw
+                FROM agg
+            )
+            SELECT n_nonzero::BIGINT AS n_nonzero_registers,
+                   round(CASE WHEN e_raw <= 2.5 * 4096 AND n_nonzero < 4096
+                              THEN 4096 * ln(4096 / (4096 - n_nonzero)::DOUBLE)
+                              ELSE e_raw END, 4) AS n_distinct_est
+            FROM est
         """,
         "doc_dup_ngrams": """
             WITH sized AS (
