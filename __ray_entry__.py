@@ -581,6 +581,16 @@ def _hll_distinct_text(sf_dir: str) -> pd.DataFrame:
     return hll_distinct(ds, "text")
 
 
+def _doc_pack_sequences(sf_dir: str) -> pd.DataFrame:
+    """Greedy range-local packing of docs into 2048-token training
+    sequences (stages/curate.py pack_sequences)."""
+    from marginaliasearch_ray.stages.curate import pack_sequences
+
+    ds = _read_table(sf_dir, "documents", ["doc_id", "text"])
+    out = pack_sequences(ds, budget=2048, range_size=64).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _doc_sample_stratified(sf_dir: str) -> pd.DataFrame:
     """Seeded per-stratum Bernoulli sample (deterministic hash membership:
     resharding cannot change the sample) — SQL-native oracle via the
@@ -704,6 +714,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dup_ngrams": _doc_dup_ngrams,
         "source_report": _source_report,
         "hll_distinct_text": _hll_distinct_text,
+        "doc_pack_sequences": _doc_pack_sequences,
         # sideloaders (range-sharded SQLite / dirtree readers + converter)
         "sideload_encyclopedia": _sideload("wiki"),
         "sideload_stackexchange": _sideload("stackexchange"),
@@ -1201,6 +1212,29 @@ def oracle_sql() -> dict[str, str]:
                               THEN 4096 * ln(4096 / (4096 - n_nonzero)::DOUBLE)
                               ELSE e_raw END, 4) AS n_distinct_est
             FROM est
+        """,
+        "doc_pack_sequences": """
+            WITH RECURSIVE t AS (
+                SELECT doc_id, (doc_id // 64)::BIGINT AS range_id,
+                       len(string_split(coalesce(text, ''), ' '))::BIGINT
+                           AS n_tokens,
+                       row_number() OVER (PARTITION BY doc_id // 64
+                                          ORDER BY doc_id) AS rn
+                FROM documents
+            ), walk(range_id, rn, doc_id, n_tokens, seq_no, seq_offset) AS (
+                SELECT range_id, rn, doc_id, n_tokens, 0::BIGINT, 0::BIGINT
+                FROM t WHERE rn = 1
+                UNION ALL
+                SELECT t.range_id, t.rn, t.doc_id, t.n_tokens,
+                       CASE WHEN w.seq_offset + w.n_tokens + t.n_tokens <= 2048
+                            THEN w.seq_no ELSE w.seq_no + 1 END,
+                       CASE WHEN w.seq_offset + w.n_tokens + t.n_tokens <= 2048
+                            THEN w.seq_offset + w.n_tokens ELSE 0::BIGINT END
+                FROM walk w
+                JOIN t ON t.range_id = w.range_id AND t.rn = w.rn + 1
+            )
+            SELECT doc_id, range_id, seq_no, seq_offset, n_tokens
+            FROM walk ORDER BY doc_id
         """,
         "doc_dup_ngrams": """
             WITH sized AS (

@@ -378,6 +378,74 @@ def dup_ngram_stats(
 
 
 # ---------------------------------------------------------------------------
+# training-sequence packing
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    ds: rd.Dataset,
+    budget: int = 2048,
+    range_size: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> rd.Dataset:
+    """Greedy-pack documents into fixed-token training sequences ->
+    Dataset(doc_id, range_id, seq_no, seq_offset, n_tokens).
+
+    The sample-packing step of LLM training-data prep: walk documents in
+    id order and append each to the current sequence while it fits
+    (``running_end + n_tokens <= budget``), else start the next sequence;
+    an oversized document opens its own sequence at offset 0.
+
+    Packing is deliberately RANGE-LOCAL (``range_id = doc_id //
+    range_size``, sequences never span ranges) — the published practice
+    packs within shards, which makes the operator embarrassingly
+    parallel, reshard-stable, and resumable per range.  Only narrow
+    ``(id, range, token-count)`` rows shuffle (one int-keyed groupby);
+    document payloads never move."""
+
+    def add_counts(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy(),
+                "range_id": (b[id_col] // range_size).astype("int64").to_numpy(),
+                "n_tokens": b[text_col]
+                .fillna("")
+                .str.split(" ")
+                .str.len()
+                .astype("int64")
+                .to_numpy(),
+            }
+        )
+        return out
+
+    def pack(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(id_col).reset_index(drop=True)
+        seq = np.zeros(len(g), dtype=np.int64)
+        off = np.zeros(len(g), dtype=np.int64)
+        s = end = 0
+        for i, n in enumerate(g["n_tokens"].to_numpy()):
+            if i == 0:
+                end = n
+            elif end + n <= budget:
+                off[i] = end
+                end += n
+            else:
+                s += 1
+                end = n
+            seq[i] = s
+        g["seq_no"] = seq
+        g["seq_offset"] = off
+        return g[[id_col, "range_id", "seq_no", "seq_offset", "n_tokens"]]
+
+    return (
+        ds.map_batches(add_counts, batch_format="pandas")
+        .groupby("range_id")
+        .map_groups(pack, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
 # seeded stratified sampling
 # ---------------------------------------------------------------------------
 

@@ -13,6 +13,7 @@ from marginaliasearch_ray.stages.curate import (
     decontaminate,
     dedup_clusters,
     dup_ngram_stats,
+    pack_sequences,
     gopher_stats,
     stratified_sample,
 )
@@ -211,6 +212,52 @@ class TestSourceReport:
         assert out.loc["a", "n_english"] == 1
         assert out.loc["b", "n_english"] == 0
         assert out.loc["a", "mean_tokens_ws"] == 3.5
+
+
+class TestPackSequences:
+    def _docs(self, token_counts, range_size=100):
+        return rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id": range(len(token_counts)),
+                    "text": [" ".join(["w"] * n) for n in token_counts],
+                }
+            )
+        )
+
+    def test_greedy_fill_and_rollover(self, ray_session):
+        # budget 10: [4,5] fill seq 0 (end=9); 2 would exceed -> seq 1;
+        # 8 exceeds 2+8=10<=10 fits! offsets checked below
+        out = (
+            pack_sequences(self._docs([4, 5, 2, 8, 3]), budget=10, range_size=100)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert list(out["seq_no"]) == [0, 0, 1, 1, 2]
+        assert list(out["seq_offset"]) == [0, 4, 0, 2, 0]
+
+    def test_oversize_doc_owns_a_sequence(self, ray_session):
+        out = (
+            pack_sequences(self._docs([3, 50, 3]), budget=10, range_size=100)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert list(out["seq_no"]) == [0, 1, 2]
+        assert list(out["seq_offset"]) == [0, 0, 0]
+
+    def test_ranges_pack_independently(self, ray_session):
+        # range_size=2 -> each pair of ids restarts at seq 0 / offset 0
+        out = (
+            pack_sequences(self._docs([4, 4, 4, 4]), budget=10, range_size=2)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert list(out["range_id"]) == [0, 0, 1, 1]
+        assert list(out["seq_no"]) == [0, 0, 0, 0]
+        assert list(out["seq_offset"]) == [0, 4, 0, 4]
 
 
 class TestStratifiedSample:
