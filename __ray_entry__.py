@@ -591,6 +591,27 @@ def _doc_pack_sequences(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _curate_pipeline(sf_dir: str) -> pd.DataFrame:
+    """End-to-end curation: Gopher gate -> minhash-cluster canonical
+    keep -> stratified sample -> sequence packing, one lazy pipeline
+    (stages/curate.py curate_pipeline)."""
+    from marginaliasearch_ray.stages.curate import curate_pipeline
+    from marginaliasearch_ray.stages.dedup import minhash_lsh_pairs
+
+    docs = _read_table(sf_dir, "documents", ["doc_id", "source", "text", "n_chars"])
+    pairs = minhash_lsh_pairs(
+        _read_table(sf_dir, "documents", ["doc_id", "text"]), threshold=0.5
+    )
+    out = curate_pipeline(
+        docs,
+        pairs,
+        _SAMPLE_RATES,
+        default_rate=_SAMPLE_DEFAULT,
+        seed=_SAMPLE_SEED,
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _doc_sample_stratified(sf_dir: str) -> pd.DataFrame:
     """Seeded per-stratum Bernoulli sample (deterministic hash membership:
     resharding cannot change the sample) — SQL-native oracle via the
@@ -715,6 +736,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_report": _source_report,
         "hll_distinct_text": _hll_distinct_text,
         "doc_pack_sequences": _doc_pack_sequences,
+        "curate_pipeline": _curate_pipeline,
         # sideloaders (range-sharded SQLite / dirtree readers + converter)
         "sideload_encyclopedia": _sideload("wiki"),
         "sideload_stackexchange": _sideload("stackexchange"),
@@ -1212,6 +1234,112 @@ def oracle_sql() -> dict[str, str]:
                               THEN 4096 * ln(4096 / (4096 - n_nonzero)::DOUBLE)
                               ELSE e_raw END, 4) AS n_distinct_est
             FROM est
+        """,
+        # Composed oracle: the gopher / cluster / sample fragments are the
+        # same SQL as their standalone oracles, chained into the packing
+        # walk over the survivor set.
+        "curate_pipeline": f"""
+            WITH RECURSIVE sized AS (
+                SELECT doc_id, coalesce(text, '') AS text,
+                       CASE WHEN coalesce(text, '') = ''
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE string_split(text, ' ') END AS words,
+                       CASE WHEN coalesce(text, '') = '' THEN 0
+                            ELSE len(string_split(text, ' ')) END AS n_words
+                FROM documents
+            ), bi AS (
+                SELECT s.doc_id, s.words[g.i] AS w1, s.words[g.i + 1] AS w2,
+                       count(*) AS c
+                FROM sized s, unnest(generate_series(1, s.n_words - 1)) AS g(i)
+                GROUP BY 1, 2, 3
+            ), bitop AS (
+                SELECT doc_id, w1, w2, c,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY c DESC, w1, w2) AS rn
+                FROM bi
+            ), tri AS (
+                SELECT s.doc_id, count(*) AS total,
+                       count(DISTINCT [s.words[g.i], s.words[g.i + 1],
+                                       s.words[g.i + 2]]) AS dst
+                FROM sized s, unnest(generate_series(1, s.n_words - 2)) AS g(i)
+                GROUP BY 1
+            ), metrics AS (
+                SELECT s.doc_id, s.n_words::BIGINT AS n_words,
+                       CASE WHEN s.n_words = 0 THEN 0.0
+                            ELSE (length(s.text) - (s.n_words - 1)) * 1.0
+                                 / s.n_words END AS mean_word_len,
+                       CASE WHEN s.n_words = 0 THEN 0.0
+                            ELSE len(list_filter(s.words,
+                                     x -> contains(x, '#') OR contains(x, '...')))
+                                 * 1.0 / s.n_words END AS frac_symbol_words,
+                       coalesce(b.c * (length(b.w1) + length(b.w2) + 1) * 1.0
+                                / length(s.text), 0.0) AS top_bigram_frac,
+                       coalesce(1.0 - t.dst * 1.0 / t.total, 0.0)
+                           AS frac_dup_trigrams
+                FROM sized s
+                LEFT JOIN bitop b ON b.doc_id = s.doc_id AND b.rn = 1
+                LEFT JOIN tri t ON t.doc_id = s.doc_id
+            ), pass_docs AS (
+                SELECT doc_id FROM metrics
+                WHERE n_words BETWEEN 50 AND 100000
+                  AND mean_word_len BETWEEN 3.0 AND 10.0
+                  AND frac_symbol_words <= 0.10
+                  AND top_bigram_frac <= 0.18
+                  AND frac_dup_trigrams <= 0.30
+            ), edges AS (
+                SELECT id_a AS a, id_b AS b
+                FROM read_parquet('{exp}/expected_minhash.parquet')
+                UNION
+                SELECT id_b AS a, id_a AS b
+                FROM read_parquet('{exp}/expected_minhash.parquet')
+            ), reach(a, b) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            ), comp AS (
+                SELECT a AS node, least(a, min(b)) AS cluster_id
+                FROM reach GROUP BY a
+            ), labeled AS (
+                SELECT d.doc_id,
+                       coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+                       d.n_chars
+                FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+            ), ranked AS (
+                SELECT doc_id, cluster_id,
+                       row_number() OVER (PARTITION BY cluster_id
+                                          ORDER BY n_chars DESC, doc_id) AS rn
+                FROM labeled
+            ), survivors AS (
+                SELECT d.doc_id,
+                       len(string_split(coalesce(d.text, ''), ' '))::BIGINT
+                           AS n_tokens
+                FROM documents d
+                JOIN pass_docs p ON p.doc_id = d.doc_id
+                JOIN ranked k ON k.doc_id = d.doc_id AND k.rn = 1
+                WHERE (md5_number_lower(concat({_SAMPLE_SEED}, '|', d.doc_id))
+                       % 4294967296) / 4294967296.0
+                      < CASE d.source
+                            {' '.join(f"WHEN '{k}' THEN {v}" for k, v in _SAMPLE_RATES.items())}
+                            ELSE {_SAMPLE_DEFAULT} END
+            ), t AS (
+                SELECT doc_id, (doc_id // 64)::BIGINT AS range_id, n_tokens,
+                       row_number() OVER (PARTITION BY doc_id // 64
+                                          ORDER BY doc_id) AS rn
+                FROM survivors
+            ), walk(range_id, rn, doc_id, n_tokens, seq_no, seq_offset) AS (
+                SELECT range_id, rn, doc_id, n_tokens, 0::BIGINT, 0::BIGINT
+                FROM t WHERE rn = 1
+                UNION ALL
+                SELECT t.range_id, t.rn, t.doc_id, t.n_tokens,
+                       CASE WHEN w.seq_offset + w.n_tokens + t.n_tokens <= 2048
+                            THEN w.seq_no ELSE w.seq_no + 1 END,
+                       CASE WHEN w.seq_offset + w.n_tokens + t.n_tokens <= 2048
+                            THEN w.seq_offset + w.n_tokens ELSE 0::BIGINT END
+                FROM walk w
+                JOIN t ON t.range_id = w.range_id AND t.rn = w.rn + 1
+            )
+            SELECT doc_id, range_id, seq_no, seq_offset, n_tokens
+            FROM walk ORDER BY doc_id
         """,
         "doc_pack_sequences": """
             WITH RECURSIVE t AS (

@@ -378,6 +378,65 @@ def dup_ngram_stats(
 
 
 # ---------------------------------------------------------------------------
+# end-to-end curation pipeline
+# ---------------------------------------------------------------------------
+
+
+def curate_pipeline(
+    docs: rd.Dataset,
+    pairs: pd.DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    seed: int = 0,
+    budget: int = 2048,
+    range_size: int = 64,
+) -> rd.Dataset:
+    """The composed curation flow a training run feeds from, as ONE lazy
+    Dataset pipeline: Gopher quality gate -> near-dup cluster canonical
+    keep -> seeded stratified sample -> sequence packing.
+
+    Input is a documents table (doc_id, source, text, n_chars) plus the
+    near-dup PAIR list (small side, e.g. ``dedup.minhash_lsh_pairs``);
+    output is Dataset(doc_id, range_id, seq_no, seq_offset, n_tokens)
+    for exactly the surviving documents.  Every constituent stage is
+    individually driver-verified; this operator pins their composition.
+
+    Scale: the gates chain as stateless ``map_batches`` over one pass of
+    the corpus (Gopher metrics + cluster/drop broadcast lookups + hash
+    sampling fuse into the same stream); only the packing groupby
+    shuffles, and it moves narrow count rows."""
+    labels = _components_min_label(pairs)
+    # keep-verdict per cluster needs member quality — pair-touched rows
+    # only, same envelope as dedup_clusters
+    keep_cols = docs.map_batches(
+        lambda b: b[["doc_id", "n_chars"]], batch_format="pandas"
+    )
+    drops = set(
+        dedup_clusters(keep_cols, pairs)
+        .map_batches(lambda b: b[~b["keep"]][["doc_id"]], batch_format="pandas")
+        .to_pandas()["doc_id"]
+    )
+    side_ref = ray.put((drops, dict(rates)))
+
+    def gate(b: pd.DataFrame, _ref=side_ref) -> pd.DataFrame:
+        dr, r = ray.get(_ref)
+        g = gopher_stats(b[["doc_id", "source", "text"]].copy())
+        keep = g["gopher_pass"].to_numpy()
+        keep &= np.asarray([i not in dr for i in b["doc_id"]], dtype=bool)
+        thr = np.asarray(
+            [r.get(s, default_rate) for s in b["source"]], dtype=np.float64
+        )
+        u = np.asarray(
+            [_sample_u32(seed, i) for i in b["doc_id"]], dtype=np.float64
+        )
+        keep &= u < thr
+        return b[["doc_id", "text"]][keep]
+
+    survivors = docs.map_batches(gate, batch_format="pandas")
+    return pack_sequences(survivors, budget=budget, range_size=range_size)
+
+
+# ---------------------------------------------------------------------------
 # training-sequence packing
 # ---------------------------------------------------------------------------
 

@@ -10,6 +10,7 @@ from marginaliasearch_ray.stages.curate import (
     _doc_gopher,
     _doc_ngrams,
     _sample_u32,
+    curate_pipeline,
     decontaminate,
     dedup_clusters,
     dup_ngram_stats,
@@ -258,6 +259,41 @@ class TestPackSequences:
         assert list(out["range_id"]) == [0, 0, 1, 1]
         assert list(out["seq_no"]) == [0, 0, 0, 0]
         assert list(out["seq_offset"]) == [0, 4, 0, 4]
+
+
+class TestCuratePipeline:
+    def test_composed_gate_dedup_sample_pack(self, ray_session):
+        good = " ".join(f"word{i}xy" for i in range(80))  # 80 tokens, passes
+        bad = "# " * 60  # all symbol words -> gopher fail
+        docs = pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "source": ["a", "a", "a", "b"],
+                "text": [good, good + " tail", bad.strip(), good],
+                "n_chars": [len(good), len(good) + 5, 120, len(good)],
+            }
+        )
+        # 0 and 1 are near-dups; 1 has more chars -> canonical, 0 dropped.
+        pairs = pd.DataFrame({"id_a": [0], "id_b": [1], "sim": [0.9]})
+        out = (
+            curate_pipeline(
+                rd.from_pandas(docs),
+                pairs,
+                rates={"b": 0.0},  # stratum b sampled out entirely
+                default_rate=1.0,
+                seed=7,
+                budget=200,
+                range_size=1000,
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        # survivor: doc 1 only (0 = dup-dropped, 2 = gopher fail, 3 = rate 0)
+        assert list(out["doc_id"]) == [1]
+        assert list(out["n_tokens"]) == [81]
+        assert list(out["seq_no"]) == [0]
+        assert list(out["seq_offset"]) == [0]
 
 
 class TestStratifiedSample:
