@@ -505,6 +505,53 @@ def _media_features(sf_dir: str) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 # stratified-sample rates: a zero stratum, fractional strata, and a default
+# DuckDB mirror of _enrich_text (shared by the cleaning oracles): PII
+# tokens at the same modular positions, 8-word lines with 2-of-3
+# terminal punctuation, per-source boilerplate first line.
+_ENRICH_SQL = """
+    WITH sized AS (
+        SELECT doc_id, source,
+               string_split(coalesce(text, ''), ' ') AS words,
+               CASE WHEN coalesce(text, '') = '' THEN 0
+                    ELSE len(string_split(coalesce(text, ''), ' '))
+                    END AS n
+        FROM documents
+    ), w AS (
+        SELECT s.doc_id, g.i, (g.i - 1) // 8 AS line_no,
+               CASE WHEN (s.doc_id + g.i) % 13 = 0
+                    THEN concat('user', s.doc_id, '@example.com')
+                    WHEN (s.doc_id + g.i) % 17 = 0
+                    THEN concat('10.', s.doc_id % 256, '.', g.i % 256, '.7')
+                    WHEN (s.doc_id + g.i) % 19 = 0
+                    THEN concat('+4930',
+                                lpad((s.doc_id % 1000)::VARCHAR, 3, '0'),
+                                lpad((g.i % 1000)::VARCHAR, 3, '0'))
+                    ELSE s.words[g.i] END AS tok
+        FROM sized s, unnest(generate_series(1, s.n)) AS g(i)
+    ), ln AS (
+        SELECT doc_id, line_no,
+               concat(string_agg(tok, ' ' ORDER BY i),
+                      CASE WHEN line_no % 3 <> 2 THEN '.' ELSE '' END)
+                   AS line
+        FROM w GROUP BY doc_id, line_no
+    ), enriched AS (
+        SELECT s.doc_id,
+               concat('home about contact ', s.source, ' terms.',
+                      coalesce(concat(chr(10), b.body), '')) AS text2
+        FROM sized s LEFT JOIN (
+            SELECT doc_id,
+                   string_agg(line, chr(10) ORDER BY line_no) AS body
+            FROM ln GROUP BY doc_id
+        ) b USING (doc_id)
+    )
+"""
+
+from marginaliasearch_ray.stages.clean import (  # noqa: E402
+    PII_EMAIL as _PII_EMAIL_SQL,
+    PII_IPV4 as _PII_IPV4_SQL,
+    PII_PHONE as _PII_PHONE_SQL,
+)
+
 _SAMPLE_RATES = {"src0": 0.0, "src1": 0.25, "src2": 0.5, "src3": 0.75}
 _SAMPLE_DEFAULT = 0.9
 _SAMPLE_SEED = 42
@@ -588,6 +635,95 @@ def _doc_pack_sequences(sf_dir: str) -> pd.DataFrame:
 
     ds = _read_table(sf_dir, "documents", ["doc_id", "text"])
     out = pack_sequences(ds, budget=2048, range_size=64).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_ENRICH_WPL = 8  # words per enriched line
+
+
+def _enrich_text(doc_id: int, source: str, text: str) -> str:
+    """Deterministic web-noise enrichment shared by the cleaning queries
+    and their SQL oracles: inject synthetic PII tokens (emails/IPv4 at
+    fixed modular positions), group words into 8-word lines with 2 of 3
+    lines terminal-punctuated, and prepend a per-source boilerplate
+    navigation line.  The sf documents are single-line word salad; this
+    makes the PII / C4 / boilerplate driver checks exercise real
+    matches while staying exactly recomputable in DuckDB."""
+    words = text.split(" ") if text else []
+    toks = []
+    for i, w in enumerate(words, start=1):
+        if (doc_id + i) % 13 == 0:
+            toks.append(f"user{doc_id}@example.com")
+        elif (doc_id + i) % 17 == 0:
+            toks.append(f"10.{doc_id % 256}.{i % 256}.7")
+        elif (doc_id + i) % 19 == 0:
+            toks.append(f"+4930{doc_id % 1000:03d}{i % 1000:03d}")
+        else:
+            toks.append(w)
+    lines = [f"home about contact {source} terms."]
+    for start in range(0, len(toks), _ENRICH_WPL):
+        line_no = start // _ENRICH_WPL
+        body = " ".join(toks[start:start + _ENRICH_WPL])
+        lines.append(body + ("." if line_no % 3 != 2 else ""))
+    return "\n".join(lines)
+
+
+def _enriched_docs(sf_dir: str):
+    ds = _read_table(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def enrich(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(),
+                "text2": [
+                    _enrich_text(int(i), s, t)
+                    for i, s, t in zip(
+                        b["doc_id"], b["source"], b["text"].fillna("")
+                    )
+                ],
+            }
+        )
+
+    return ds.map_batches(enrich, batch_format="pandas")
+
+
+def _pii_redact_docs(sf_dir: str) -> pd.DataFrame:
+    """Email/IPv4/phone detection + masking over web-noise-enriched
+    documents (stages/clean.py pii_redact)."""
+    from marginaliasearch_ray.stages.clean import pii_redact
+
+    out = pii_redact(_enriched_docs(sf_dir), text_col="text2").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _c4_line_filter(sf_dir: str) -> pd.DataFrame:
+    """C4-style line/page cleaning over enriched documents
+    (stages/clean.py line_filter)."""
+    from marginaliasearch_ray.stages.clean import line_filter
+
+    out = line_filter(_enriched_docs(sf_dir), text_col="text2").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _boilerplate_lines(sf_dir: str) -> pd.DataFrame:
+    """Corpus-level boilerplate-line removal (lines repeated across >= 5
+    distinct docs) over enriched documents (stages/clean.py
+    boilerplate_strip)."""
+    from marginaliasearch_ray.stages.clean import boilerplate_strip
+
+    out = boilerplate_strip(
+        _enriched_docs(sf_dir), min_docs=5, text_col="text2"
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _doc_quality_score(sf_dir: str) -> pd.DataFrame:
+    """Hashed linear quality-classifier scoring, actor-pool model stage
+    (stages/clean.py quality_score)."""
+    from marginaliasearch_ray.stages.clean import quality_score
+
+    ds = _read_table(sf_dir, "documents", ["doc_id", "text"])
+    out = quality_score(ds, concurrency=4).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -735,6 +871,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dup_ngrams": _doc_dup_ngrams,
         "source_report": _source_report,
         "hll_distinct_text": _hll_distinct_text,
+        "pii_redact_docs": _pii_redact_docs,
+        "c4_line_filter": _c4_line_filter,
+        "boilerplate_lines": _boilerplate_lines,
+        "doc_quality_score": _doc_quality_score,
         "doc_pack_sequences": _doc_pack_sequences,
         "curate_pipeline": _curate_pipeline,
         # sideloaders (range-sharded SQLite / dirtree readers + converter)
@@ -1234,6 +1374,98 @@ def oracle_sql() -> dict[str, str]:
                               THEN 4096 * ln(4096 / (4096 - n_nonzero)::DOUBLE)
                               ELSE e_raw END, 4) AS n_distinct_est
             FROM est
+        """,
+        # Cleaning oracles share the deterministic web-noise enrichment
+        # CTE (_ENRICH_SQL == __ray_entry__._enrich_text, spec-for-spec).
+        "pii_redact_docs": _ENRICH_SQL + """
+            , masked AS (
+                SELECT doc_id, text2,
+                       regexp_replace(text2, '""" + _PII_EMAIL_SQL + """',
+                                      '<EMAIL>', 'g') AS t1
+                FROM enriched
+            ), masked2 AS (
+                SELECT doc_id, text2, t1,
+                       regexp_replace(t1, '""" + _PII_IPV4_SQL + """',
+                                      '<IP>', 'g') AS t2
+                FROM masked
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(text2, '""" + _PII_EMAIL_SQL + """'))::BIGINT AS n_email,
+                   len(regexp_extract_all(t1, '""" + _PII_IPV4_SQL + """'))::BIGINT AS n_ipv4,
+                   len(regexp_extract_all(t2, '""" + _PII_PHONE_SQL + """'))::BIGINT AS n_phone,
+                   regexp_replace(t2, '""" + _PII_PHONE_SQL + """',
+                                  '<PHONE>', 'g') AS text_redacted
+            FROM masked2
+        """,
+        "c4_line_filter": _ENRICH_SQL + """
+            , lines AS (
+                SELECT e.doc_id, g.i AS li,
+                       string_split(e.text2, chr(10))[g.i] AS line
+                FROM enriched e,
+                     unnest(generate_series(
+                         1, len(string_split(e.text2, chr(10))))) AS g(i)
+            ), verdict AS (
+                SELECT doc_id, li, line,
+                       (list_contains(['.', '!', '?', '"'], right(line, 1))
+                        AND len(string_split(line, ' ')) >= 5
+                        AND NOT contains(lower(line), 'javascript')) AS keep
+                FROM lines
+            ), perdoc AS (
+                SELECT doc_id, count(*) AS n_lines,
+                       count(*) FILTER (keep) AS n_kept,
+                       coalesce(string_agg(line, chr(10) ORDER BY li)
+                                FILTER (keep), '') AS clean
+                FROM verdict GROUP BY doc_id
+            )
+            SELECT e.doc_id, p.n_lines::BIGINT AS n_lines,
+                   p.n_kept::BIGINT AS n_kept,
+                   (p.n_kept >= 3
+                    AND NOT contains(lower(e.text2), 'lorem ipsum')
+                    AND NOT contains(e.text2, '{')) AS keep_doc,
+                   p.clean AS text_clean
+            FROM enriched e JOIN perdoc p USING (doc_id)
+        """,
+        "boilerplate_lines": _ENRICH_SQL + """
+            , lines AS (
+                SELECT e.doc_id, g.i AS li,
+                       string_split(e.text2, chr(10))[g.i] AS line
+                FROM enriched e,
+                     unnest(generate_series(
+                         1, len(string_split(e.text2, chr(10))))) AS g(i)
+            ), freq AS (
+                SELECT line, count(DISTINCT doc_id) AS c
+                FROM lines GROUP BY line
+            )
+            SELECT l.doc_id, count(*)::BIGINT AS n_lines,
+                   count(*) FILTER (f.c >= 5)::BIGINT AS n_boiler,
+                   coalesce(string_agg(l.line, chr(10) ORDER BY l.li)
+                            FILTER (f.c < 5), '') AS text_clean
+            FROM lines l JOIN freq f USING (line)
+            GROUP BY l.doc_id
+        """,
+        # Quality-score spec (stages/clean.py QualityScorer): integer-exact
+        # 32-bit-quantized weight sum, one float division chain.
+        "doc_quality_score": """
+            WITH s AS (
+                SELECT doc_id,
+                       CASE WHEN coalesce(text, '') = '' THEN 0
+                            ELSE len(string_split(text, ' ')) END AS n,
+                       CASE WHEN coalesce(text, '') = '' THEN 0
+                            ELSE list_sum(list_transform(
+                                string_split(text, ' '),
+                                t -> (md5_number_lower(concat(
+                                          '', md5_number_lower(t) % 65536))
+                                      % 4294967296)::BIGINT)) END AS wsum
+                FROM documents
+            )
+            SELECT doc_id, n::BIGINT AS n_tokens,
+                   CASE WHEN n = 0 THEN 0.0
+                        ELSE (wsum::DOUBLE / n) / 2147483648.0 - 1.0
+                        END AS score,
+                   CASE WHEN n = 0 THEN FALSE
+                        ELSE (wsum::DOUBLE / n) / 2147483648.0 - 1.0 > 0.0
+                        END AS label
+            FROM s
         """,
         # Composed oracle: the gopher / cluster / sample fragments are the
         # same SQL as their standalone oracles, chained into the packing

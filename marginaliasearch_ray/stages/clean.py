@@ -1,0 +1,320 @@
+"""Web-text cleaning operators: PII redaction, C4-style line filtering,
+corpus-level boilerplate-line removal, and hashed linear quality scoring.
+
+These are the page-content cleaning steps public LLM-data pipelines run
+between crawling and training (C4, Raffel et al. 2020 §2.2; RefinedWeb,
+Penedo et al. 2023 §3; Dolma, Soldaini et al. 2024) — the reference engine
+stops at converter-side quality gates, so this module is additive surface.
+Every rule is pinned to an exact spec a DuckDB oracle recomputes (regex
+patterns are written to the RE2 ∩ Python-`re` common subset and
+parity-tested), so the driver hash-checks values.
+
+Scale shape: PII redaction, line filtering and scoring are stateless
+``map_batches`` stages (one streaming pass, nothing materializes);
+boilerplate removal is the one corpus-sized exchange and moves ONLY
+narrow ``(line_hash, doc_id)`` rows through a bucketed groupby before a
+broadcast-filtered second pass — the document text itself never shuffles.
+"""
+
+from __future__ import annotations
+
+import re
+from hashlib import md5
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data as rd
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to syntax with identical semantics in Python `re`
+# and DuckDB's RE2 (no backrefs, no lookaround); parity is pinned by
+# tests/test_clean.py and the driver oracle.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+\d{8,15}"
+
+_PII_ORDER = (
+    ("email", PII_EMAIL, "<EMAIL>"),
+    ("ipv4", PII_IPV4, "<IP>"),
+    ("phone", PII_PHONE, "<PHONE>"),
+)
+
+
+def pii_redact(
+    ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text"
+) -> rd.Dataset:
+    """Detect and mask emails / IPv4 literals / international phone
+    numbers -> Dataset(doc_id, n_email, n_ipv4, n_phone, text_redacted).
+
+    Counts are taken before masking; masking applies in the fixed order
+    email -> ipv4 -> phone (an email's host can contain digits, so email
+    masking must run first — the order is part of the spec).
+
+    Stateless ``map_batches`` over pandas ``.str`` kernels (compiled-once
+    module-level patterns); one streaming pass, no shuffle."""
+
+    def redact(b: pd.DataFrame) -> pd.DataFrame:
+        t = b[text_col].fillna("")
+        out = pd.DataFrame({id_col: b[id_col].to_numpy()})
+        for name, pat, mask in _PII_ORDER:
+            out[f"n_{name}"] = t.str.count(pat).to_numpy().astype(np.int64)
+            t = t.str.replace(pat, mask, regex=True)
+        out["text_redacted"] = t.to_numpy()
+        return out
+
+    return ds.map_batches(redact, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# C4-style line filtering
+# ---------------------------------------------------------------------------
+
+# C4 (Raffel et al. 2020 §2.2): keep lines ending in terminal punctuation
+# with >= 5 words; drop lines mentioning javascript; drop pages with
+# "lorem ipsum" or '{'; keep pages with >= 3 surviving lines.
+C4_TERMINAL = ('.', '!', '?', '"')
+C4_MIN_LINE_WORDS = 5
+C4_MIN_KEPT_LINES = 3
+C4_LINE_BAN = "javascript"
+C4_DOC_BAN = ("lorem ipsum", "{")
+
+
+def line_filter(
+    ds: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_words: int = C4_MIN_LINE_WORDS,
+    min_kept_lines: int = C4_MIN_KEPT_LINES,
+) -> rd.Dataset:
+    """C4 line/page cleaning -> Dataset(doc_id, n_lines, n_kept,
+    keep_doc, text_clean).
+
+    Spec (mirrored by the SQL oracle):
+    - lines = split on '\\n'; words within a line = split on single
+      spaces;
+    - a line is kept iff it ends with one of ``.!?"``, has >=
+      ``min_line_words`` words, and does not contain 'javascript'
+      (case-insensitive);
+    - ``text_clean`` = kept lines joined with '\\n' in original order;
+    - ``keep_doc`` = >= ``min_kept_lines`` kept lines AND the ORIGINAL
+      text contains neither 'lorem ipsum' (case-insensitive) nor '{'.
+
+    Stateless ``map_batches``; the per-line loop is Python but tiny per
+    row (string splits), embarrassingly parallel across the pool."""
+
+    def clean(b: pd.DataFrame) -> pd.DataFrame:
+        n_lines, n_kept, keep_doc, cleaned = [], [], [], []
+        for t in b[text_col].fillna(""):
+            lines = t.split("\n") if t else []
+            kept = [
+                ln
+                for ln in lines
+                if ln.endswith(C4_TERMINAL)
+                and len(ln.split(" ")) >= min_line_words
+                and C4_LINE_BAN not in ln.lower()
+            ]
+            low = t.lower()
+            n_lines.append(len(lines))
+            n_kept.append(len(kept))
+            keep_doc.append(
+                len(kept) >= min_kept_lines
+                and C4_DOC_BAN[0] not in low
+                and C4_DOC_BAN[1] not in t
+            )
+            cleaned.append("\n".join(kept))
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy(),
+                "n_lines": np.asarray(n_lines, dtype=np.int64),
+                "n_kept": np.asarray(n_kept, dtype=np.int64),
+                "keep_doc": np.asarray(keep_doc, dtype=bool),
+                "text_clean": cleaned,
+            }
+        )
+
+    return ds.map_batches(clean, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# corpus-level boilerplate-line removal
+# ---------------------------------------------------------------------------
+
+
+def _hash64(s: str) -> int:
+    """Little-endian bytes 8..16 of the md5 digest — the repo's shared
+    token-hash convention, equal to DuckDB's ``md5_number_lower`` (see
+    stages/textstats.py ``_token_hash64``)."""
+    return int.from_bytes(md5(s.encode()).digest()[8:16], "little")
+
+
+def _hash64s(s: str) -> int:
+    """``_hash64`` reinterpreted as SIGNED int64 (two's complement) — the
+    value DuckDB's ``md5_number_lower(...)::BIGINT`` arithmetic and an
+    Arrow int64 column both carry, so hashes compare equal end to end."""
+    h = _hash64(s)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def boilerplate_strip(
+    ds: rd.Dataset,
+    min_docs: int = 5,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> rd.Dataset:
+    """Remove lines that repeat across >= ``min_docs`` DISTINCT documents
+    (navigation bars, cookie banners, copyright footers) -> Dataset(
+    doc_id, n_lines, n_boiler, text_clean).  Dolma-style corpus-level
+    boilerplate removal; every occurrence of a hot line is dropped.
+
+    Scale shape — the text never shuffles:
+    1. one pass emits DISTINCT ``(line_hash, doc_id)`` narrow rows keyed
+       by ``line_hash % n_buckets``; a ``groupby(bucket)`` co-locates
+       every holder of a line (a line lives in exactly one bucket, so
+       the distinct-doc count is exact), and per-bucket combines emit
+       only the hashes with count >= ``min_docs``;
+    2. that hot set is tiny by construction (a line repeated across
+       ``min_docs``+ documents is boilerplate, not content), so it
+       broadcasts via ``ray.put`` into a second stateless filter pass.
+    Collisions: verdicts key on the 64-bit line hash (2^-64 per-pair
+    false-merge, the same envelope as ``dedup.exact_dedup`` buckets)."""
+
+    def line_rows(b: pd.DataFrame) -> pd.DataFrame:
+        hashes: set[tuple[int, int]] = set()
+        for i, t in zip(b[id_col], b[text_col].fillna("")):
+            for ln in t.split("\n") if t else []:
+                hashes.add((_hash64s(ln), i))
+        h = np.fromiter((x for x, _ in hashes), dtype=np.int64, count=len(hashes))
+        d = np.fromiter((x for _, x in hashes), dtype=np.int64, count=len(hashes))
+        return pd.DataFrame(
+            {
+                "line_hash": h,
+                id_col: d,
+                "_bucket": (h.view(np.uint64) % np.uint64(n_buckets)).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    def hot_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = g.groupby("line_hash", sort=False)[id_col].nunique()
+        hot = cnt[cnt >= min_docs]
+        return pd.DataFrame({"line_hash": hot.index.to_numpy().astype(np.int64)})
+
+    hot = (
+        ds.map_batches(line_rows, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(hot_in_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    hot_hashes = hot["line_hash"] if "line_hash" in hot.columns else []
+    hot_ref = ray.put(frozenset(int(x) for x in hot_hashes))
+
+    def strip(b: pd.DataFrame, _ref=hot_ref) -> pd.DataFrame:
+        hotset = ray.get(_ref)
+        n_lines, n_boiler, cleaned = [], [], []
+        for t in b[text_col].fillna(""):
+            lines = t.split("\n") if t else []
+            kept = [ln for ln in lines if _hash64s(ln) not in hotset]
+            n_lines.append(len(lines))
+            n_boiler.append(len(lines) - len(kept))
+            cleaned.append("\n".join(kept))
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy(),
+                "n_lines": np.asarray(n_lines, dtype=np.int64),
+                "n_boiler": np.asarray(n_boiler, dtype=np.int64),
+                "text_clean": cleaned,
+            }
+        )
+
+    return ds.map_batches(strip, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# hashed linear quality scoring
+# ---------------------------------------------------------------------------
+
+QUALITY_DIM = 65536
+
+
+class QualityScorer:
+    """FastText-style hashed linear document scorer as an actor-pool
+    stage: the weight table (the "model") is built ONCE per actor in
+    ``__init__``; ``__call__`` scores batches with one vectorized gather.
+
+    Deterministic model spec (DuckDB-recomputable, so the driver can
+    hash-check real scores instead of trusting a stub): bucket(token) =
+    hash64(token) % dim; the weight table is QUANTIZED to 32-bit ints
+    (like an int8/int32-quantized production model) w32[b] = hash64(
+    str(b)) % 2^32, and score = (Σ w32[bucket(tok)] / n_tokens) / 2^31
+    - 1 ∈ [-1, 1) — the sum is integer-exact, so engine and oracle agree
+    bit-for-bit regardless of summation order.  Empty documents score
+    0.0; label = score > 0.  Swapping in trained weights (a numpy file
+    broadcast via ``ray.put``) changes ``__init__`` only — the scoring
+    path is the production shape.
+    """
+
+    def __init__(
+        self,
+        dim: int = QUALITY_DIM,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ):
+        self.dim = dim
+        self.id_col = id_col
+        self.text_col = text_col
+        self.weights = np.fromiter(
+            (_hash64(str(b)) % (1 << 32) for b in range(dim)),
+            dtype=np.int64,
+            count=dim,
+        )
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        n_tokens, scores = [], []
+        for t in b[self.text_col].fillna(""):
+            toks = t.split(" ") if t else []
+            n_tokens.append(len(toks))
+            if not toks:
+                scores.append(0.0)
+                continue
+            idx = np.fromiter(
+                (_hash64(w) % self.dim for w in toks),
+                dtype=np.int64,
+                count=len(toks),
+            )
+            wsum = int(self.weights[idx].sum())  # integer-exact
+            scores.append(wsum / len(toks) / float(1 << 31) - 1.0)
+        score = np.asarray(scores, dtype=np.float64)
+        return pd.DataFrame(
+            {
+                self.id_col: b[self.id_col].to_numpy(),
+                "n_tokens": np.asarray(n_tokens, dtype=np.int64),
+                "score": score,
+                "label": score > 0.0,
+            }
+        )
+
+
+def quality_score(
+    ds: rd.Dataset,
+    dim: int = QUALITY_DIM,
+    concurrency: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> rd.Dataset:
+    """Score documents with the hashed linear model -> Dataset(doc_id,
+    n_tokens, score, label).  Actor pool so the weight table is built
+    once per actor, not per batch."""
+    return ds.map_batches(
+        QualityScorer,
+        fn_constructor_kwargs={
+            "dim": dim, "id_col": id_col, "text_col": text_col,
+        },
+        concurrency=concurrency,
+        batch_format="pandas",
+    )

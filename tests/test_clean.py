@@ -1,0 +1,191 @@
+"""Web-text cleaning stages (stages/clean.py): PII redaction, C4 line
+filtering, corpus boilerplate removal, hashed quality scoring."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from marginaliasearch_ray.stages.clean import (
+    PII_EMAIL,
+    PII_IPV4,
+    PII_PHONE,
+    QualityScorer,
+    _hash64,
+    _hash64s,
+    boilerplate_strip,
+    line_filter,
+    pii_redact,
+    quality_score,
+)
+
+
+class TestHashConvention:
+    def test_matches_duckdb_md5_number_lower(self):
+        for s in ["", "hello", "a line of text."]:
+            (ref,) = duckdb.sql(
+                "select md5_number_lower(?)", params=[s]
+            ).fetchone()
+            assert _hash64(s) == ref
+            signed = _hash64s(s)
+            assert signed == (ref if ref < 1 << 63 else ref - (1 << 64))
+
+
+class TestPiiRedact:
+    def test_counts_and_masks(self, ray_session):
+        t = "mail user5@example.com ip 10.0.255.3 tel +4915112345678 end"
+        out = (
+            pii_redact(rd.from_pandas(pd.DataFrame({"doc_id": [1], "text": [t]})))
+            .to_pandas()
+            .iloc[0]
+        )
+        assert (out["n_email"], out["n_ipv4"], out["n_phone"]) == (1, 1, 1)
+        assert out["text_redacted"] == "mail <EMAIL> ip <IP> tel <PHONE> end"
+
+    def test_email_masked_before_ip_and_phone(self, ray_session):
+        # digits-heavy email host must not leak an IP/phone count
+        t = "x 1.2.3.4@a5.b6.com y"
+        out = (
+            pii_redact(rd.from_pandas(pd.DataFrame({"doc_id": [1], "text": [t]})))
+            .to_pandas()
+            .iloc[0]
+        )
+        assert (out["n_email"], out["n_ipv4"], out["n_phone"]) == (1, 0, 0)
+        assert out["text_redacted"] == "x <EMAIL> y"
+
+    def test_duckdb_regex_parity(self):
+        texts = [
+            "a b@c.de f 999.999.999.999 +123456789012345678",
+            "nothing here",
+            "two a@b.co c@d.org and 1.2.3.4 5.6.7.8 +12345678",
+        ]
+        for t in texts:
+            for pat in (PII_EMAIL, PII_IPV4, PII_PHONE):
+                (n, rep) = duckdb.sql(
+                    "select len(regexp_extract_all(?, ?)),"
+                    " regexp_replace(?, ?, 'X', 'g')",
+                    params=[t, pat, t, pat],
+                ).fetchone()
+                import re
+
+                assert n == len(re.findall(pat, t))
+                assert rep == re.sub(pat, "X", t)
+
+
+class TestLineFilter:
+    def _run(self, text, ray_session=None):
+        return (
+            line_filter(
+                rd.from_pandas(pd.DataFrame({"doc_id": [1], "text": [text]}))
+            )
+            .to_pandas()
+            .iloc[0]
+        )
+
+    def test_rules(self, ray_session):
+        text = "\n".join(
+            [
+                "this line has enough words and ends well.",  # kept
+                "too short.",  # < 5 words
+                "no terminal punctuation at all here",  # no punct
+                "enable javascript to view this content.",  # banned word
+                'a quoted ending also counts as terminal "',  # kept
+                "five words ending with bang!",  # kept
+            ]
+        )
+        out = self._run(text)
+        assert (out["n_lines"], out["n_kept"]) == (6, 3)
+        assert bool(out["keep_doc"]) is True
+        assert out["text_clean"].split("\n")[0].endswith("well.")
+
+    def test_doc_level_bans(self, ray_session):
+        good = "this line has enough words and ends well."
+        text = "\n".join([good] * 3) + "\nLorem Ipsum dolor sit amet."
+        assert bool(self._run(text)["keep_doc"]) is False
+        text2 = "\n".join([good] * 3) + "\nvar x = { a: 1 };"
+        assert bool(self._run(text2)["keep_doc"]) is False
+        text3 = "\n".join([good] * 2)  # only 2 kept lines
+        assert bool(self._run(text3)["keep_doc"]) is False
+
+    def test_empty(self, ray_session):
+        out = self._run("")
+        assert (out["n_lines"], out["n_kept"]) == (0, 0)
+        assert bool(out["keep_doc"]) is False and out["text_clean"] == ""
+
+
+class TestBoilerplateStrip:
+    def test_hot_lines_removed_everywhere(self, ray_session):
+        footer = "copyright acme all rights reserved"
+        rare = "a rare shared line"
+        docs = pd.DataFrame(
+            {
+                "doc_id": range(7),
+                "text": [
+                    f"unique content {i}\n{footer}" + ("\n" + rare if i < 2 else "")
+                    for i in range(7)
+                ],
+            }
+        )
+        out = (
+            boilerplate_strip(rd.from_pandas(docs), min_docs=5)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        # footer occurs in 7 docs -> stripped; rare line in 2 docs -> kept
+        assert list(out["n_boiler"]) == [1] * 7
+        assert out.loc[0, "text_clean"] == f"unique content 0\n{rare}"
+        assert out.loc[6, "text_clean"] == "unique content 6"
+
+    def test_threshold_boundary(self, ray_session):
+        line = "exactly at the threshold"
+        docs = pd.DataFrame(
+            {"doc_id": range(5), "text": [f"own {i}\n{line}" for i in range(5)]}
+        )
+        out = boilerplate_strip(rd.from_pandas(docs), min_docs=5).to_pandas()
+        assert list(out["n_boiler"]) == [1] * 5
+        out4 = boilerplate_strip(
+            rd.from_pandas(docs.iloc[:4]), min_docs=5
+        ).to_pandas()
+        assert list(out4["n_boiler"]) == [0] * 4
+
+    def test_duplicate_line_within_one_doc_counts_once(self, ray_session):
+        # same line twice in ONE doc = 1 distinct doc -> not boilerplate
+        docs = pd.DataFrame(
+            {"doc_id": [1], "text": ["rep\nrep\nrep\nrep\nrep\nrep"]}
+        )
+        out = boilerplate_strip(rd.from_pandas(docs), min_docs=5).to_pandas()
+        assert list(out["n_boiler"]) == [0]
+
+
+class TestQualityScore:
+    def test_matches_spec(self, ray_session):
+        texts = ["alpha beta gamma", "", "alpha alpha"]
+        out = (
+            quality_score(
+                rd.from_pandas(
+                    pd.DataFrame({"doc_id": [0, 1, 2], "text": texts})
+                ),
+                dim=128,
+                concurrency=2,
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+        def w32(tok):
+            b = _hash64(tok) % 128
+            return _hash64(str(b)) % (1 << 32)
+
+        exp0 = (w32("alpha") + w32("beta") + w32("gamma")) / 3 / float(1 << 31) - 1.0
+        assert out.loc[0, "score"] == exp0  # integer-exact spec: bit-equal
+        assert out.loc[1, "score"] == 0.0 and not out.loc[1, "label"]
+        assert out.loc[2, "score"] == (2 * w32("alpha")) / 2 / float(1 << 31) - 1.0
+        assert list(out["n_tokens"]) == [3, 0, 2]
+        assert bool(out.loc[0, "label"]) == (exp0 > 0)
+
+    def test_weights_built_once_per_actor(self):
+        s = QualityScorer(dim=16)
+        assert s.weights.shape == (16,)
+        assert np.all(s.weights >= 0) and np.all(s.weights < 1 << 32)
