@@ -842,6 +842,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_join_customers": _rel("semi_join_customers"),
         "schedule_customers": _rel("schedule_customers"),
         "sessionize_events": _rel("sessionize_events"),
+        "click_attribution": _rel("click_attribution"),
+        "repeat_orders": _rel("repeat_orders"),
         # text analysis (SQL-checked where expressible)
         "doc_keywords": _doc_keywords,
         "doc_keyword_positions": _doc_keyword_positions,
@@ -1058,6 +1060,47 @@ def oracle_sql() -> dict[str, str]:
         """,
         "source_counts": """
             SELECT source, count(*) AS n_docs FROM documents GROUP BY source ORDER BY source
+        """,
+        # as-of join spec (stages/relational.py asof_join): most recent
+        # strictly-prior view in (ts, event_id) order, -1 sentinels.
+        "click_attribution": """
+            WITH w AS (
+                SELECT event_id, user_id, event_type, ts,
+                       last_value(CASE WHEN event_type = 'view'
+                                       THEN event_id END IGNORE NULLS)
+                           OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING) AS view_event_id,
+                       last_value(CASE WHEN event_type = 'view'
+                                       THEN ts END IGNORE NULLS)
+                           OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING) AS view_ts
+                FROM events
+            )
+            SELECT event_id, user_id,
+                   coalesce(view_event_id, -1)::BIGINT AS view_event_id,
+                   coalesce(epoch_us(ts) - epoch_us(view_ts), -1)::BIGINT
+                       AS lag_us
+            FROM w WHERE event_type = 'click' ORDER BY event_id
+        """,
+        # range-join spec (stages/relational.py range_join): same-customer
+        # order pairs at most 30 days apart, directional (later order,
+        # ties by larger key).
+        "repeat_orders": """
+            SELECT a.o_custkey,
+                   a.o_orderkey AS key_a, b.o_orderkey AS key_b,
+                   ((epoch_us(b.o_orderdate) - epoch_us(a.o_orderdate))
+                    // 86400000000)::BIGINT AS gap_days
+            FROM orders a JOIN orders b
+              ON a.o_custkey = b.o_custkey
+             AND b.o_orderdate >= a.o_orderdate
+             AND b.o_orderdate <= a.o_orderdate + INTERVAL 30 DAY
+             AND (b.o_orderdate > a.o_orderdate
+                  OR b.o_orderkey > a.o_orderkey)
+            ORDER BY key_a, key_b
         """,
         "sessionize_events": """
             WITH gaps AS (

@@ -307,3 +307,254 @@ def source_counts(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("source").reset_index(drop=True)
+
+
+def asof_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    key_col: str,
+    ts_col: str,
+    order_col: str,
+    value_cols: dict[str, str],
+    n_buckets: int = 64,
+) -> rd.Dataset:
+    """Keyed as-of join — an operator Ray Data has no primitive for: each
+    left row picks up ``value_cols`` from the most recent right row of
+    the SAME key that is STRICTLY earlier in ``(ts, order)``
+    lexicographic order (NaN/NaT when no prior right row exists).
+    ``order_col`` makes equal-timestamp resolution deterministic; a right
+    row at exactly the left row's ``(ts, order)`` is NOT eligible.
+
+    Partitioning assumption (documented per the custom-operator contract):
+    rows co-locate by ``hash(key) % n_buckets``, so one bucket's rows
+    must fit a worker — size ``n_buckets`` to the key-cardinality skew
+    exactly like ``dedup.exact_dedup``.  Inside a bucket the merge is
+    vectorized: one stable sort + a grouped forward-fill (no per-key
+    Python).  Only the narrow projected columns shuffle."""
+    out_cols = list(value_cols.values())
+    left_cols = [c for c in left.schema().names]
+
+    def tag(side: int):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            t = pd.DataFrame()
+            if side == 0:
+                for c in left_cols:
+                    t[c] = b[c]
+                for oc in out_cols:
+                    t[oc] = np.nan
+            else:
+                t[key_col] = b[key_col]
+                t[ts_col] = b[ts_col]
+                t[order_col] = b[order_col]
+                for c in left_cols:
+                    if c not in t.columns:
+                        t[c] = np.nan
+                for rc, oc in value_cols.items():
+                    t[oc] = b[rc]
+            t["_side"] = np.int8(side)
+            t["_bucket"] = np.asarray(
+                [_hash_bucket(k, n_buckets) for k in b[key_col]], dtype=np.int64
+            )
+            # both union sides must present identical column order
+            return t[left_cols + out_cols + ["_side", "_bucket"]]
+
+        return fn
+
+    tagged = left.map_batches(tag(0), batch_format="pandas").union(
+        right.map_batches(tag(1), batch_format="pandas")
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            [key_col, ts_col, order_col, "_side"], kind="mergesort"
+        ).reset_index(drop=True)
+        g[out_cols] = g.groupby(key_col, sort=False)[out_cols].ffill()
+        out = g[g["_side"] == 0]
+        return out[left_cols + out_cols]
+
+    return tagged.groupby("_bucket").map_groups(merge, batch_format="pandas")
+
+
+def _hash_bucket(key, mod: int) -> int:
+    from hashlib import md5
+
+    return int.from_bytes(md5(str(key).encode()).digest()[8:16], "little") % mod
+
+
+def click_attribution(sf_dir: str) -> pd.DataFrame:
+    """Attribute each click event to the user's most recent strictly-prior
+    view event (the classic last-touch attribution as-of join) ->
+    (event_id, user_id, view_event_id, lag_us); -1 sentinels when the
+    click has no prior view.  SQL oracle: last_value(...IGNORE NULLS)
+    over (PARTITION BY user ORDER BY ts, event_id ROWS ... 1 PRECEDING)."""
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def typed(t: str):
+        return lambda b: b.loc[
+            b["event_type"] == t, ["event_id", "user_id", "ts"]
+        ]
+
+    clicks = ev.map_batches(typed("click"), batch_format="pandas")
+    views = ev.map_batches(typed("view"), batch_format="pandas")
+    joined = asof_join(
+        clicks,
+        views,
+        key_col="user_id",
+        ts_col="ts",
+        order_col="event_id",
+        value_cols={"event_id": "view_event_id", "ts": "view_ts"},
+    ).to_pandas()
+    lag = (
+        joined["ts"].astype("datetime64[us]").astype("int64")
+        - joined["view_ts"].astype("datetime64[us]").astype("int64")
+    )
+    joined["lag_us"] = np.where(joined["view_ts"].isna(), -1, lag).astype("int64")
+    joined["view_event_id"] = (
+        joined["view_event_id"].fillna(-1).astype("int64")
+    )
+    out = joined[["event_id", "user_id", "view_event_id", "lag_us"]]
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def range_join(
+    points: rd.Dataset,
+    intervals: rd.Dataset,
+    key_col: str,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    point_keep: dict[str, str],
+    interval_keep: dict[str, str],
+    n_buckets: int = 64,
+) -> rd.Dataset:
+    """Keyed interval join — the second non-equi join Ray Data lacks a
+    primitive for: emit one row per (point, interval) pair of the same
+    key with ``start <= point <= end`` (inclusive both ends), carrying
+    the renamed ``point_keep`` / ``interval_keep`` columns.
+
+    Partitioning assumption (documented per the custom-operator
+    contract): rows co-locate by ``hash(key) % n_buckets`` so only the
+    narrow projected columns shuffle, and ONE KEY's point x interval
+    candidate product must fit a worker (true for per-entity event data;
+    for keys with huge fan-in, pre-split intervals by coarse time bands
+    into composite keys first).  Inside a bucket the match runs per key
+    on sorted numpy arrays: points sorted once, a searchsorted window per
+    interval, no Python per-pair work."""
+    p_out = list(point_keep.values())
+    i_out = list(interval_keep.values())
+
+    def tag_points(b: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame({key_col: b[key_col], "_p": b[point_col]})
+        for src, dst in point_keep.items():
+            t[dst] = b[src]
+        t["_bucket"] = np.asarray(
+            [_hash_bucket(k, n_buckets) for k in b[key_col]], dtype=np.int64
+        )
+        return t
+
+    def tag_intervals(b: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame(
+            {key_col: b[key_col], "_s": b[start_col], "_e": b[end_col]}
+        )
+        for src, dst in interval_keep.items():
+            t[dst] = b[src]
+        t["_bucket"] = np.asarray(
+            [_hash_bucket(k, n_buckets) for k in b[key_col]], dtype=np.int64
+        )
+        return t
+
+    # the two sides have different schemas; a composite union would force
+    # null padding, so ship the (small) interval side per bucket via a
+    # pandas groupby dict broadcast in the object store
+    iv = intervals.map_batches(tag_intervals, batch_format="pandas").to_pandas()
+    iv_ref = ray.put({b: g.drop(columns="_bucket") for b, g in iv.groupby("_bucket")})
+
+    def match(b: pd.DataFrame, _ref=iv_ref) -> pd.DataFrame:
+        by_bucket = ray.get(_ref)
+        outs = []
+        for bucket, pts in b.groupby("_bucket"):
+            ivg = by_bucket.get(bucket)
+            if ivg is None or pts.empty:
+                continue
+            for key, pk in pts.groupby(key_col):
+                ik = ivg[ivg[key_col] == key]
+                if ik.empty:
+                    continue
+                pv = pk["_p"].to_numpy()
+                order = np.argsort(pv, kind="stable")
+                pv_sorted = pv[order]
+                lo = np.searchsorted(pv_sorted, ik["_s"].to_numpy(), "left")
+                hi = np.searchsorted(pv_sorted, ik["_e"].to_numpy(), "right")
+                n_per = hi - lo
+                if not n_per.sum():
+                    continue
+                i_idx = np.repeat(np.arange(len(ik)), n_per)
+                p_idx = order[
+                    np.concatenate(
+                        [np.arange(l, h) for l, h in zip(lo, hi) if h > l]
+                    )
+                ]
+                row = {key_col: np.repeat(key, len(i_idx))}
+                for c in p_out:
+                    row[c] = pk[c].to_numpy()[p_idx]
+                for c in i_out:
+                    row[c] = ik[c].to_numpy()[i_idx]
+                outs.append(pd.DataFrame(row))
+        if not outs:
+            return pd.DataFrame(
+                {c: pd.Series(dtype="object") for c in [key_col] + p_out + i_out}
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return points.map_batches(tag_points, batch_format="pandas").map_batches(
+        match, batch_format="pandas"
+    )
+
+
+def repeat_orders(sf_dir: str, window_days: int = 30) -> pd.DataFrame:
+    """Repeat purchases: pairs of orders by the same customer at most
+    ``window_days`` apart (directional: the later order, ties by key) ->
+    (o_custkey, key_a, key_b, gap_days).  The keyed range-join shape."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def to_interval(b: pd.DataFrame) -> pd.DataFrame:
+        t = b.rename(columns={"o_orderkey": "key_a"})
+        t["start"] = t["o_orderdate"]
+        t["end"] = t["o_orderdate"] + pd.Timedelta(days=window_days)
+        t["date_a"] = t["o_orderdate"]
+        return t[["o_custkey", "key_a", "start", "end", "date_a"]]
+
+    intervals = orders.map_batches(to_interval, batch_format="pandas")
+    joined = range_join(
+        orders,
+        intervals,
+        key_col="o_custkey",
+        point_col="o_orderdate",
+        start_col="start",
+        end_col="end",
+        point_keep={"o_orderkey": "key_b", "o_orderdate": "date_b"},
+        interval_keep={"key_a": "key_a", "date_a": "date_a"},
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        if b.empty:
+            return pd.DataFrame(
+                {
+                    "o_custkey": pd.Series(dtype="int64"),
+                    "key_a": pd.Series(dtype="int64"),
+                    "key_b": pd.Series(dtype="int64"),
+                    "gap_days": pd.Series(dtype="int64"),
+                }
+            )
+        da = b["date_a"].astype("datetime64[us]").astype("int64")
+        db = b["date_b"].astype("datetime64[us]").astype("int64")
+        keep = (db > da) | ((db == da) & (b["key_b"].to_numpy() > b["key_a"].to_numpy()))
+        out = b[keep].copy()
+        out["gap_days"] = (
+            (db[keep] - da[keep]) // (86_400 * 10**6)
+        ).astype("int64")
+        out["o_custkey"] = out["o_custkey"].astype("int64")
+        return out[["o_custkey", "key_a", "key_b", "gap_days"]]
+
+    out = joined.map_batches(finish, batch_format="pandas").to_pandas()
+    return out.sort_values(["key_a", "key_b"]).reset_index(drop=True)

@@ -396,3 +396,115 @@ def test_band_bucket_pairs_matches_per_group_reference():
     assert norm(fast) == norm(ref)
     empty = _band_bucket_pairs(df.iloc[0:0], "doc_id")
     assert list(empty.columns) == ["id_a", "id_b"] and len(empty) == 0
+
+
+class TestAsofJoin:
+    def _run(self, left, right, **kw):
+        import ray.data as rd
+
+        from marginaliasearch_ray.stages.relational import asof_join
+
+        return (
+            asof_join(
+                rd.from_pandas(left),
+                rd.from_pandas(right),
+                key_col="k",
+                ts_col="ts",
+                order_col="oid",
+                value_cols={"oid": "r_oid"},
+                **kw,
+            )
+            .to_pandas()
+            .sort_values("lid")
+            .reset_index(drop=True)
+        )
+
+    def test_strictly_prior_and_per_key(self, ray_session):
+        import pandas as pd
+
+        left = pd.DataFrame(
+            {"lid": [1, 2, 3], "k": [1, 1, 2], "ts": [10, 30, 10], "oid": [100, 101, 102]}
+        )
+        right = pd.DataFrame(
+            {"k": [1, 1, 2], "ts": [5, 20, 50], "oid": [7, 8, 9]}
+        )
+        out = self._run(left, right)
+        # lid=1: right ts 5 < 10 -> oid 7; lid=2: ts 20 < 30 -> oid 8;
+        # lid=3 (key 2): only right ts 50 > 10 -> no match
+        assert list(out["r_oid"].fillna(-1)) == [7.0, 8.0, -1.0]
+
+    def test_equal_ts_order_breaks_ties_strictly(self, ray_session):
+        import pandas as pd
+
+        # right row at the exact same (ts, order) as left is NOT eligible;
+        # right row at same ts but smaller order IS
+        left = pd.DataFrame({"lid": [1, 2], "k": [1, 1], "ts": [10, 10], "oid": [5, 9]})
+        right = pd.DataFrame({"k": [1, 1], "ts": [10, 10], "oid": [5, 6]})
+        out = self._run(left, right)
+        # left oid=5: right (10,5) equal -> ineligible; nothing earlier -> NaN
+        # left oid=9: right (10,6) and (10,5) earlier -> latest is oid 6
+        assert np.isnan(out.loc[0, "r_oid"]) and out.loc[1, "r_oid"] == 6.0
+
+    def test_consecutive_rights_pick_latest(self, ray_session):
+        import pandas as pd
+
+        left = pd.DataFrame({"lid": [1], "k": [1], "ts": [100], "oid": [0]})
+        right = pd.DataFrame({"k": [1, 1, 1], "ts": [1, 2, 3], "oid": [11, 12, 13]})
+        out = self._run(left, right)
+        assert out.loc[0, "r_oid"] == 13.0
+
+
+class TestRangeJoin:
+    def _run(self, points, intervals):
+        import ray.data as rd
+
+        from marginaliasearch_ray.stages.relational import range_join
+
+        return (
+            range_join(
+                rd.from_pandas(points),
+                rd.from_pandas(intervals),
+                key_col="k",
+                point_col="p",
+                start_col="s",
+                end_col="e",
+                point_keep={"pid": "pid"},
+                interval_keep={"iid": "iid"},
+            )
+            .to_pandas()
+        )
+
+    @staticmethod
+    def _sorted(df):
+        return df.sort_values(["pid", "iid"]).reset_index(drop=True)
+
+    def test_inclusive_bounds_and_keys(self, ray_session):
+        import pandas as pd
+
+        points = pd.DataFrame(
+            {"k": [1, 1, 1, 2], "p": [5, 10, 20, 10], "pid": [1, 2, 3, 4]}
+        )
+        intervals = pd.DataFrame(
+            {"k": [1, 1, 2], "s": [5, 11, 0], "e": [10, 30, 9], "iid": [7, 8, 9]}
+        )
+        out = self._sorted(self._run(points, intervals))
+        # pid1(p=5): in [5,10] only; pid2(p=10): in [5,10] (inclusive end);
+        # pid3(p=20): in [11,30]; pid4(key 2, p=10): [0,9] excludes 10
+        assert list(zip(out["pid"], out["iid"])) == [(1, 7), (2, 7), (3, 8)]
+
+    def test_overlapping_intervals_emit_all_matches(self, ray_session):
+        import pandas as pd
+
+        points = pd.DataFrame({"k": [1], "p": [10], "pid": [1]})
+        intervals = pd.DataFrame(
+            {"k": [1, 1, 1], "s": [0, 5, 10], "e": [100, 15, 10], "iid": [1, 2, 3]}
+        )
+        out = self._run(points, intervals)
+        assert sorted(out["iid"]) == [1, 2, 3]
+
+    def test_no_matches_empty(self, ray_session):
+        import pandas as pd
+
+        points = pd.DataFrame({"k": [1], "p": [50], "pid": [1]})
+        intervals = pd.DataFrame({"k": [1], "s": [0], "e": [10], "iid": [1]})
+        assert len(self._run(points, intervals)) == 0
