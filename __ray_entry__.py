@@ -568,6 +568,45 @@ def _doc_gopher(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _dedup_components(sf_dir: str) -> pd.DataFrame:
+    """DISTRIBUTED connected components (stages/graph.py edge-partition
+    actors + min-label propagation with pointer jumping) over the MinHash
+    near-dup pair list, labels applied to the full doc table via a
+    broadcast lookup.  Exercises the scale path of the driver-side
+    ``_components_min_label`` fast path against the same recursive-CTE
+    transitive-closure oracle."""
+    import ray as _ray
+    import ray.data as _rd
+
+    from marginaliasearch_ray.stages.dedup import minhash_lsh_pairs
+    from marginaliasearch_ray.stages.graph import connected_components
+
+    pairs = minhash_lsh_pairs(
+        _read_table(sf_dir, "documents", ["doc_id", "text"]), threshold=0.5
+    )
+    cc = connected_components(_rd.from_pandas(pairs[["id_a", "id_b"]]))
+    label_ref = _ray.put(dict(zip(cc["node"], cc["cluster_id"])))
+
+    def assign(b: pd.DataFrame, _ref=label_ref) -> pd.DataFrame:
+        lut = _ray.get(_ref)
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(),
+                "cluster_id": np.asarray(
+                    [lut.get(int(i), int(i)) for i in b["doc_id"]],
+                    dtype=np.int64,
+                ),
+            }
+        )
+
+    out = (
+        _read_table(sf_dir, "documents", ["doc_id"])
+        .map_batches(assign, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _dedup_clusters(sf_dir: str) -> pd.DataFrame:
     """Near-dup PAIR list -> connected components -> one canonical doc per
     cluster.  Pairs come from the (already driver-verified) MinHash+LSH
@@ -868,6 +907,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data curation
         "doc_gopher": _doc_gopher,
         "dedup_clusters": _dedup_clusters,
+        "dedup_components": _dedup_components,
         "doc_sample_stratified": _doc_sample_stratified,
         "doc_decontaminate": _doc_decontaminate,
         "doc_dup_ngrams": _doc_dup_ngrams,
@@ -1334,6 +1374,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, cluster_id, rn = 1 AS keep
             FROM ranked ORDER BY doc_id
+        """,
+        "dedup_components": f"""
+            WITH RECURSIVE edges AS (
+                SELECT id_a AS a, id_b AS b
+                FROM read_parquet('{exp}/expected_minhash.parquet')
+                UNION
+                SELECT id_b AS a, id_a AS b
+                FROM read_parquet('{exp}/expected_minhash.parquet')
+            ), reach(a, b) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            ), comp AS (
+                SELECT a AS node, least(a, min(b)) AS cluster_id
+                FROM reach GROUP BY a
+            )
+            SELECT d.doc_id,
+                   coalesce(c.cluster_id, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+            ORDER BY d.doc_id
         """,
         "doc_decontaminate": """
             WITH sized AS (

@@ -1,0 +1,132 @@
+"""Distributed graph operators: connected components over an edge list.
+
+The scale path promised by ``curate._components_min_label``'s envelope
+note: when a near-dup pair list (or any edge list — link graphs, entity
+matches) outgrows driver memory, the components run as PageRank-style
+edge-partition actors (``pipelines/rank.py _EdgePartition``): edges are
+read from plasma ONCE into per-actor int index arrays, and each
+iteration broadcasts only the O(#nodes) label vector.
+
+Algorithm: min-label propagation with pointer jumping — per round every
+edge relaxes both endpoints to the smaller label (dense ``np.minimum.at``
+partials per actor, ``np.minimum`` reduce on the driver), then the
+driver path-compresses (``labels = labels[labels]``), giving fixpoint in
+O(log diameter) rounds instead of O(diameter).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+
+@ray.remote(num_cpus=1)
+class _CCEdgePartition:
+    """One partition of the edge list.  ``__init__`` pulls its blocks'
+    endpoint columns from plasma; ``resolve`` converts them to compact
+    int index arrays once (vectorized ``pc.index_in``); ``minstep``
+    serves a dense per-partition label-minimum per iteration."""
+
+    def __init__(self, tbl_refs: list, col_a: str, col_b: str):
+        xs, ys = [], []
+        for ref in tbl_refs:
+            tbl = ray.get(ref)
+            xs.append(tbl.column(col_a))
+            ys.append(tbl.column(col_b))
+        empty = pa.chunked_array([pa.array([], pa.int64())])
+        self._a_col = pa.chunked_array(
+            [c for col in xs for c in col.chunks] or empty.chunks
+        )
+        self._b_col = pa.chunked_array(
+            [c for col in ys for c in col.chunks] or empty.chunks
+        )
+        self.a = np.zeros(0, dtype=np.int64)
+        self.b = np.zeros(0, dtype=np.int64)
+
+    def local_nodes(self) -> set:
+        return set(pc.unique(self._a_col).to_pylist()) | set(
+            pc.unique(self._b_col).to_pylist()
+        )
+
+    def resolve(self, nodes_arr: pa.Array) -> None:
+        self.a = (
+            pc.index_in(self._a_col, value_set=nodes_arr)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        self.b = (
+            pc.index_in(self._b_col, value_set=nodes_arr)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        self._a_col = self._b_col = None
+
+    def minstep(self, labels: np.ndarray) -> np.ndarray:
+        # callers pass a ray.put ref; Ray dereferences it zero-copy
+        m = np.minimum(labels[self.a], labels[self.b])
+        part = labels.copy()
+        np.minimum.at(part, self.a, m)
+        np.minimum.at(part, self.b, m)
+        return part
+
+
+def connected_components(
+    edges: rd.Dataset,
+    col_a: str = "id_a",
+    col_b: str = "id_b",
+    max_iter: int = 64,
+) -> pd.DataFrame:
+    """Connected components of an undirected edge list -> DataFrame(node,
+    cluster_id) for every PAIR-TOUCHED node, with ``cluster_id`` = the
+    smallest node id in the component (the exact labeling of
+    ``curate._components_min_label``, which remains the small-edge-list
+    fast path).
+
+    Scale envelope: the edge list stays in plasma, partitioned across
+    actors; per iteration only the O(#pair-touched nodes) label vector
+    broadcasts — the same vector the driver-side fast path would hold,
+    so anything the fast path could label, this labels without the
+    driver ever seeing an edge."""
+    tbl = edges.select_columns([col_a, col_b]).materialize()
+    block_refs = tbl.to_arrow_refs()
+    n_cpu = max(4, int(ray.cluster_resources().get("CPU", 8)))
+    n_actors = max(1, min(len(block_refs), n_cpu // 2 or 1))
+    groups: list[list] = [[] for _ in range(n_actors)]
+    for i, ref in enumerate(block_refs):
+        groups[i % n_actors].append(ref)
+    actors = [_CCEdgePartition.remote(g, col_a, col_b) for g in groups]
+    try:
+        nodes_set: set = set()
+        for part in ray.get([a.local_nodes.remote() for a in actors]):
+            nodes_set |= part
+        nodes = np.array(sorted(nodes_set), dtype=np.int64)
+        n = len(nodes)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    "node": pd.Series(dtype="int64"),
+                    "cluster_id": pd.Series(dtype="int64"),
+                }
+            )
+        ray.get([a.resolve.remote(pa.array(nodes, pa.int64())) for a in actors])
+
+        labels = np.arange(n, dtype=np.int64)
+        for _ in range(max_iter):
+            labels_ref = ray.put(labels)
+            parts = ray.get([a.minstep.remote(labels_ref) for a in actors])
+            new = np.minimum.reduce(parts) if parts else labels
+            new = new[new]  # pointer jumping: hop toward the root
+            if np.array_equal(new, labels):
+                break
+            labels = new
+        # full path compression so every node points at its root
+        while not np.array_equal(labels, labels[labels]):
+            labels = labels[labels]
+        return pd.DataFrame({"node": nodes, "cluster_id": nodes[labels]})
+    finally:
+        for a in actors:
+            ray.kill(a)

@@ -508,3 +508,40 @@ class TestRangeJoin:
         points = pd.DataFrame({"k": [1], "p": [50], "pid": [1]})
         intervals = pd.DataFrame({"k": [1], "s": [0], "e": [10], "iid": [1]})
         assert len(self._run(points, intervals)) == 0
+
+
+class TestConnectedComponents:
+    def _cc(self, edges):
+        import ray.data as rd
+
+        from marginaliasearch_ray.stages.graph import connected_components
+
+        df = pd.DataFrame(edges, columns=["id_a", "id_b"])
+        out = connected_components(rd.from_pandas(df))
+        return dict(zip(out["node"], out["cluster_id"]))
+
+    def test_chain_and_star(self, ray_session):
+        # chain 5-4-3-2-1 (worst-case diameter) + star 10-{11,12,13}
+        lab = self._cc([(5, 4), (4, 3), (3, 2), (2, 1), (10, 11), (12, 10), (10, 13)])
+        assert all(lab[i] == 1 for i in (1, 2, 3, 4, 5))
+        assert all(lab[i] == 10 for i in (10, 11, 12, 13))
+
+    def test_matches_driver_side_fast_path(self, ray_session):
+        from marginaliasearch_ray.stages.curate import _components_min_label
+
+        rng = np.random.default_rng(3)
+        edges = [
+            (int(a), int(b))
+            for a, b in rng.integers(0, 200, size=(300, 2))
+            if a != b
+        ]
+        df = pd.DataFrame(edges, columns=["id_a", "id_b"])
+        want = _components_min_label(df)
+        got = self._cc(edges)
+        assert got == want
+
+    def test_empty_edges(self, ray_session):
+        assert self._cc([]) == {}
+
+    def test_self_loop_only(self, ray_session):
+        assert self._cc([(7, 7)]) == {7: 7}
