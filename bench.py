@@ -185,6 +185,10 @@ def run_bench() -> dict:
         "sideload_encyclopedia",
         "doc_dup_ngrams",
         "ivf_ann_topk",
+        "curate_pipeline",
+        "boilerplate_lines",
+        "click_attribution",
+        "dedup_components",
     ):
         t0 = time.perf_counter()
         qs[name](SF_DIR)
