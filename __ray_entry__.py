@@ -766,6 +766,21 @@ def _doc_quality_score(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+_LM_THRESHOLDS = (3.40, 3.41)  # head/middle/tail cuts for the sf corpus
+
+
+def _doc_lm_scores(sf_dir: str) -> pd.DataFrame:
+    """CCNet-style unigram-LM perplexity bucketing (stages/clean.py
+    unigram_lm_scores): LM trained on the corpus itself, mean-NLL score,
+    head/middle/tail buckets.  Bit-exact SQL oracle (glibc ln on both
+    sides, sequential sums)."""
+    from marginaliasearch_ray.stages.clean import unigram_lm_scores
+
+    ds = _read_table(sf_dir, "documents", ["doc_id", "text"])
+    out = unigram_lm_scores(ds, thresholds=_LM_THRESHOLDS).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _curate_pipeline(sf_dir: str) -> pd.DataFrame:
     """End-to-end curation: Gopher gate -> minhash-cluster canonical
     keep -> stratified sample -> sequence packing, one lazy pipeline
@@ -917,6 +932,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_line_filter": _c4_line_filter,
         "boilerplate_lines": _boilerplate_lines,
         "doc_quality_score": _doc_quality_score,
+        "doc_lm_scores": _doc_lm_scores,
         "doc_pack_sequences": _doc_pack_sequences,
         "curate_pipeline": _curate_pipeline,
         # sideloaders (range-sharded SQLite / dirtree readers + converter)
@@ -1569,6 +1585,44 @@ def oracle_sql() -> dict[str, str]:
                         ELSE (wsum::DOUBLE / n) / 2147483648.0 - 1.0 > 0.0
                         END AS label
             FROM s
+        """,
+        # unigram-LM spec (stages/clean.py unigram_lm_scores): glibc ln on
+        # both sides, sequential in-token-order sums (list_sum over an
+        # ORDER BY list), one float division chain -> bit-equal.
+        "doc_lm_scores": f"""
+            WITH sized AS (
+                SELECT doc_id,
+                       CASE WHEN coalesce(text, '') = ''
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE string_split(text, ' ') END AS words
+                FROM documents
+            ), toks AS (
+                SELECT s.doc_id, g.i, s.words[g.i] AS tok
+                FROM sized s,
+                     unnest(generate_series(1, len(s.words))) AS g(i)
+            ), cnt AS (
+                SELECT tok, count(*) AS c FROM toks GROUP BY tok
+            ), tot AS (
+                SELECT sum(c)::BIGINT AS t FROM cnt
+            ), lp AS (
+                SELECT tok, ln(c::DOUBLE / (SELECT t FROM tot)) AS l
+                FROM cnt
+            ), per AS (
+                SELECT t.doc_id,
+                       list_sum(list(l ORDER BY t.i)) AS s,
+                       count(*) AS n
+                FROM toks t JOIN lp USING (tok) GROUP BY t.doc_id
+            ), scored AS (
+                SELECT s2.doc_id, len(s2.words)::BIGINT AS n_tokens,
+                       CASE WHEN p.doc_id IS NULL THEN 0.0
+                            ELSE -(p.s / p.n) END AS nll
+                FROM sized s2 LEFT JOIN per p USING (doc_id)
+            )
+            SELECT doc_id, n_tokens, nll,
+                   CASE WHEN nll < {_LM_THRESHOLDS[0]} THEN 'head'
+                        WHEN nll < {_LM_THRESHOLDS[1]} THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM scored ORDER BY doc_id
         """,
         # Composed oracle: the gopher / cluster / sample fragments are the
         # same SQL as their standalone oracles, chained into the packing

@@ -318,3 +318,98 @@ def quality_score(
         concurrency=concurrency,
         batch_format="pandas",
     )
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM perplexity scoring (CCNet-style)
+# ---------------------------------------------------------------------------
+
+
+def unigram_lm_scores(
+    ds: rd.Dataset,
+    thresholds: tuple[float, float] = (3.0, 4.0),
+    min_df: int = 1,
+    max_vocab: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> rd.Dataset:
+    """CCNet-style LM quality bucketing (Wenzek et al. 2020): train a
+    unigram LM on the corpus itself, score each document by mean negative
+    log-likelihood, and bucket into head/middle/tail -> Dataset(doc_id,
+    n_tokens, nll, bucket).
+
+    Exact spec (the SQL oracle recomputes it bit-for-bit): p(tok) =
+    count(tok)/total over whitespace tokens; per-doc nll = -(Σ ln p(tok_i)
+    in token order / n) — glibc ``log`` on both sides and a SEQUENTIAL
+    left-to-right sum (plain Python float accumulation here, ``list_sum``
+    over an order-preserved list there), so no summation-order ULP skew.
+    Tokens pruned by the valves score as unknowns at ln(0.5/total).
+    Empty documents score 0.0.  bucket = head / middle / tail by the
+    ``thresholds`` cut points (nll < t1, < t2, else).
+
+    Scale shape: pass 1 is the TF-IDF DF pattern — per-batch Counter
+    partials combine into a result-sized vocab (``min_df`` prunes the
+    hapax tail and ``max_vocab`` caps the table at web scale, exactly
+    like ``textstats.extract_keywords``); the logprob table broadcasts
+    once via ``ray.put``; pass 2 is a stateless streaming map."""
+    import math
+    from collections import Counter
+
+    def partial_counts(b: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for t in b[text_col].fillna(""):
+            if t:
+                c.update(t.split(" "))
+        return pd.DataFrame(
+            {"token": list(c.keys()), "cnt": np.fromiter(c.values(), dtype=np.int64)}
+        )
+
+    combined = (
+        ds.map_batches(partial_counts, batch_format="pandas")
+        .repartition(1)
+        .map_batches(
+            lambda b: b.groupby("token", as_index=False)["cnt"].sum(),
+            batch_format="pandas",
+            batch_size=None,
+        )
+        .to_pandas()
+    )
+    total = int(combined["cnt"].sum())
+    kept = combined[combined["cnt"] >= min_df]
+    if max_vocab is not None and len(kept) > max_vocab:
+        kept = kept.sort_values(["cnt", "token"], ascending=[False, True]).head(
+            max_vocab
+        )
+    lp = {
+        t: math.log(c / total) for t, c in zip(kept["token"], kept["cnt"])
+    }
+    unk = math.log(0.5 / total) if total else 0.0
+    lp_ref = ray.put((lp, unk))
+    t1, t2 = thresholds
+
+    def score(b: pd.DataFrame, _ref=lp_ref) -> pd.DataFrame:
+        table, unk_lp = ray.get(_ref)
+        ns, nlls = [], []
+        for t in b[text_col].fillna(""):
+            toks = t.split(" ") if t else []
+            ns.append(len(toks))
+            if not toks:
+                nlls.append(0.0)
+                continue
+            s = 0.0
+            for tok in toks:  # sequential sum: ULP-exact vs list_sum
+                s += table.get(tok, unk_lp)
+            nlls.append(-(s / len(toks)))
+        nll = np.asarray(nlls, dtype=np.float64)
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy(),
+                "n_tokens": np.asarray(ns, dtype=np.int64),
+                "nll": nll,
+                "bucket": np.select(
+                    [nll < t1, nll < t2], ["head", "middle"], "tail"
+                ),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pandas")

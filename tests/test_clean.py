@@ -189,3 +189,58 @@ class TestQualityScore:
         s = QualityScorer(dim=16)
         assert s.weights.shape == (16,)
         assert np.all(s.weights >= 0) and np.all(s.weights < 1 << 32)
+
+
+class TestUnigramLmScores:
+    def _run(self, texts, **kw):
+        from marginaliasearch_ray.stages.clean import unigram_lm_scores
+
+        ds = rd.from_pandas(
+            pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        )
+        return (
+            unigram_lm_scores(ds, **kw)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    def test_hand_checked_nll(self, ray_session):
+        import math
+
+        # corpus: a a a b  -> p(a)=3/4, p(b)=1/4
+        out = self._run(["a a a", "b"])
+        lp_a, lp_b = math.log(3 / 4), math.log(1 / 4)
+        assert out.loc[0, "nll"] == -((lp_a + lp_a + lp_a) / 3)
+        assert out.loc[1, "nll"] == -lp_b
+        assert list(out["n_tokens"]) == [3, 1]
+
+    def test_buckets_and_empty(self, ray_session):
+        out = self._run(["a a a", "b", ""], thresholds=(0.5, 1.0))
+        # doc0 nll=ln(4/3)~0.29 -> head; doc1 nll=ln(4)~1.39 -> tail;
+        # empty -> nll 0.0 -> head
+        assert list(out["bucket"]) == ["head", "tail", "head"]
+        assert out.loc[2, "nll"] == 0.0 and out.loc[2, "n_tokens"] == 0
+
+    def test_valves_unknown_smoothing(self, ray_session):
+        import math
+
+        # min_df=2 prunes 'b' (count 1): it scores as ln(0.5/total)
+        out = self._run(["a a a", "b"], min_df=2)
+        assert out.loc[1, "nll"] == -math.log(0.5 / 4)
+
+    def test_deterministic_across_layouts(self, ray_session):
+        texts = [f"w{i % 7} w{i % 3} common" for i in range(50)]
+        a = self._run(texts)
+        b_ds = rd.from_pandas(
+            pd.DataFrame({"doc_id": range(50), "text": texts})
+        ).repartition(11)
+        from marginaliasearch_ray.stages.clean import unigram_lm_scores
+
+        b = (
+            unigram_lm_scores(b_ds)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
