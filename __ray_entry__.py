@@ -667,6 +667,40 @@ def _hll_distinct_text(sf_dir: str) -> pd.DataFrame:
     return hll_distinct(ds, "text")
 
 
+def _bloom_membership(sf_dir: str) -> pd.DataFrame:
+    """Distributed Bloom filter (stages/sketch.py): build over document
+    texts (OR-mergeable partials), broadcast once, probe the texts
+    themselves (always member) and a '|probe'-suffixed variant (mostly
+    non-member; deterministic false positives).  The SQL oracle
+    simulates the exact filter — set-bit positions from the same
+    md5_number_lower chain — so false positives must match too."""
+    import ray as _ray
+
+    from marginaliasearch_ray.stages.sketch import bloom_build, bloom_probe
+
+    docs = _read_table(sf_dir, "documents", ["doc_id", "text"])
+    words_ref = _ray.put(bloom_build(docs, "text"))
+
+    def add_alt(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["alt"] = b["text"].fillna("") + "|probe"
+        return b
+
+    probed = bloom_probe(
+        bloom_probe(
+            docs.map_batches(add_alt, batch_format="pandas"),
+            "text",
+            words_ref,
+            "member_self",
+        ),
+        "alt",
+        words_ref,
+        "member_alt",
+    ).to_pandas()
+    out = probed[["doc_id", "member_self", "member_alt"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _doc_pack_sequences(sf_dir: str) -> pd.DataFrame:
     """Greedy range-local packing of docs into 2048-token training
     sequences (stages/curate.py pack_sequences)."""
@@ -933,6 +967,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_lines": _boilerplate_lines,
         "doc_quality_score": _doc_quality_score,
         "doc_lm_scores": _doc_lm_scores,
+        "bloom_membership": _bloom_membership,
         "doc_pack_sequences": _doc_pack_sequences,
         "curate_pipeline": _curate_pipeline,
         # sideloaders (range-sharded SQLite / dirtree readers + converter)
@@ -1585,6 +1620,31 @@ def oracle_sql() -> dict[str, str]:
                         ELSE (wsum::DOUBLE / n) / 2147483648.0 - 1.0 > 0.0
                         END AS label
             FROM s
+        """,
+        # Bloom spec (stages/sketch.py): bit positions =
+        # md5_number_lower(j || '|' || value) % m for j in 1..k; the
+        # oracle simulates the filter itself, false positives included.
+        "bloom_membership": """
+            WITH bits AS (
+                SELECT DISTINCT
+                       md5_number_lower(concat(r.j, '|', text)) % 4096 AS pos
+                FROM documents, range(1, 5) AS r(j)
+                WHERE text IS NOT NULL
+            )
+            SELECT d.doc_id,
+                   CASE WHEN d.text IS NULL THEN FALSE ELSE (
+                       SELECT count(*) FROM range(1, 5) r(j)
+                       WHERE md5_number_lower(concat(r.j, '|', d.text))
+                             % 4096 IN (SELECT pos FROM bits)
+                   ) = 4 END AS member_self,
+                   (
+                       SELECT count(*) FROM range(1, 5) r(j)
+                       WHERE md5_number_lower(concat(
+                                 r.j, '|',
+                                 concat(coalesce(d.text, ''), '|probe')))
+                             % 4096 IN (SELECT pos FROM bits)
+                   ) = 4 AS member_alt
+            FROM documents d ORDER BY d.doc_id
         """,
         # unigram-LM spec (stages/clean.py unigram_lm_scores): glibc ln on
         # both sides, sequential in-token-order sums (list_sum over an

@@ -101,3 +101,95 @@ def hll_distinct(
         .map_batches(combine, batch_format="pandas", batch_size=None)
         .to_pandas()
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (mergeable membership sketch)
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 4096  # bits
+BLOOM_K = 4  # hash functions
+
+
+def _bloom_positions(v: str, m: int = BLOOM_M, k: int = BLOOM_K) -> list[int]:
+    """The k bit positions of a value: ``md5_number_lower(j || '|' || v)
+    % m`` for j in 1..k — DuckDB-recomputable, so the oracle simulates
+    the EXACT filter (false positives included), not exact membership."""
+    return [_hash64(f"{j}|{v}") % m for j in range(1, k + 1)]
+
+
+def bloom_build(
+    ds: rd.Dataset,
+    col: str,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> np.ndarray:
+    """Distributed Bloom-filter build -> the filter as a packed uint64
+    word array (m/64 words) ready to broadcast via ``ray.put``.
+
+    Scale shape (same monoid argument as ``hll_distinct``): each batch
+    collapses to its DISTINCT set-bit positions (narrow int rows, at
+    most min(m, k x batch_rows) per batch); one ``repartition(1)`` +
+    vectorized OR-combine merges them — merged side is filter-sized, not
+    value-sized, and bitwise-OR is commutative + associative so block
+    layout cannot change the filter.  At extreme block counts the merge
+    gains one bit-range tree level, same OR semantics."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        pos: set[int] = set()
+        for v in b[col]:
+            if v is None:
+                continue
+            pos.update(_bloom_positions(v, m, k))
+        return pd.DataFrame(
+            {"pos": np.fromiter(pos, dtype=np.int64, count=len(pos))}
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pandas")
+        .repartition(1)
+        .map_batches(
+            lambda b: pd.DataFrame({"pos": b["pos"].unique()}),
+            batch_format="pandas",
+            batch_size=None,
+        )
+        .to_pandas()
+    )
+    words = np.zeros(m // 64, dtype=np.uint64)
+    if len(merged):
+        p = merged["pos"].to_numpy()
+        np.bitwise_or.at(words, p // 64, np.uint64(1) << (p % 64).astype(np.uint64))
+    return words
+
+
+def bloom_probe(
+    ds: rd.Dataset,
+    col: str,
+    words_ref,
+    out_col: str = "member",
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> rd.Dataset:
+    """Probe a broadcast Bloom filter (``ray.put(bloom_build(...))``):
+    appends BOOL ``out_col`` = all k bits set.  Stateless streaming map —
+    the filter ships once per worker via plasma, never per batch."""
+    import ray as _ray
+
+    def probe(b: pd.DataFrame, _ref=words_ref) -> pd.DataFrame:
+        words = _ray.get(_ref)
+        hits = []
+        for v in b[col]:
+            if v is None:
+                hits.append(False)
+                continue
+            hits.append(
+                all(
+                    words[p // 64] >> np.uint64(p % 64) & np.uint64(1)
+                    for p in _bloom_positions(v, m, k)
+                )
+            )
+        b = b.copy()
+        b[out_col] = np.asarray(hits, dtype=bool)
+        return b
+
+    return ds.map_batches(probe, batch_format="pandas")
