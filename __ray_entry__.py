@@ -932,6 +932,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": _rel("sessionize_events"),
         "click_attribution": _rel("click_attribution"),
         "repeat_orders": _rel("repeat_orders"),
+        "event_sliding_counts": _rel("event_sliding_counts"),
         # text analysis (SQL-checked where expressible)
         "doc_keywords": _doc_keywords,
         "doc_keyword_positions": _doc_keyword_positions,
@@ -1176,6 +1177,20 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(epoch_us(ts) - epoch_us(view_ts), -1)::BIGINT
                        AS lag_us
             FROM w WHERE event_type = 'click' ORDER BY event_id
+        """,
+        # hopping-window spec (stages/relational.py event_sliding_counts):
+        # 600 s windows every 300 s -> each event in 2 windows.
+        "event_sliding_counts": """
+            SELECT event_type, ws AS window_start_s,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM (
+                SELECT event_type, value,
+                       (epoch_us(ts) // 1000000 // 300) * 300
+                           - g.o * 300 AS ws
+                FROM events, unnest(generate_series(0, 1)) AS g(o)
+            )
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # range-join spec (stages/relational.py range_join): same-customer
         # order pairs at most 30 days apart, directional (later order,

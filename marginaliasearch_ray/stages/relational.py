@@ -558,3 +558,47 @@ def repeat_orders(sf_dir: str, window_days: int = 30) -> pd.DataFrame:
 
     out = joined.map_batches(finish, batch_format="pandas").to_pandas()
     return out.sort_values(["key_a", "key_b"]).reset_index(drop=True)
+
+
+def event_sliding_counts(
+    sf_dir: str, window_s: int = 600, hop_s: int = 300
+) -> pd.DataFrame:
+    """HOPPING (sliding) window aggregate: count + sum(value) per
+    (event_type, 10-minute window hopping every 5 minutes) — each event
+    lands in window_s/hop_s windows.  The window fan-out happens INSIDE
+    the batch (vectorized repeat), then the same result-sized partial
+    combine as ``event_window_counts``; the shuffle never sees one row
+    per (event x window), only one per (type, window) per batch."""
+    n_win = window_s // hop_s
+
+    def partial_agg(batch: pd.DataFrame) -> pd.DataFrame:
+        epoch = batch["ts"].astype("datetime64[ns]").astype("int64") // 10**9
+        last = (epoch // hop_s) * hop_s  # latest window containing the event
+        reps = np.arange(n_win, dtype=np.int64) * hop_s
+        starts = np.repeat(last.to_numpy(), n_win) - np.tile(reps, len(batch))
+        fan = pd.DataFrame(
+            {
+                "event_type": np.repeat(batch["event_type"].to_numpy(), n_win),
+                "window_start_s": starts,
+                "value": np.repeat(batch["value"].to_numpy(), n_win),
+            }
+        )
+        return fan.groupby(["event_type", "window_start_s"], as_index=False).agg(
+            part_n=("value", "size"), part_sum=("value", "sum")
+        )
+
+    def final_combine(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(["event_type", "window_start_s"], as_index=False).agg(
+            n_events=("part_n", "sum"), sum_value=("part_sum", "sum")
+        )
+
+    out = (
+        _read(sf_dir, "events", ["ts", "event_type", "value"])
+        .map_batches(partial_agg, batch_format="pandas")
+        .repartition(1)
+        .map_batches(final_combine, batch_format="pandas", batch_size=None)
+        .to_pandas()
+    )
+    out["n_events"] = out["n_events"].astype("int64")
+    out["sum_value"] = out["sum_value"].round(4)
+    return out.sort_values(["event_type", "window_start_s"]).reset_index(drop=True)

@@ -234,3 +234,92 @@ class TestFastParseEquivalence:
             assert da.headings == db.headings
             n += 1
         assert n > 100  # the sweep actually ran
+
+
+class TestHostileCleaningInputs:
+    """The cleaning/curation stages must survive unicode garbage, huge
+    tokens, NUL bytes, and all-empty batches without crashing, and their
+    outputs must stay schema-stable."""
+
+    def _ds(self, texts):
+        import pandas as pd
+        import ray.data as rd
+
+        return rd.from_pandas(
+            pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        )
+
+    HOSTILE = [
+        "",
+        None,
+        "\x00nul\x00bytes\x00",
+        "ðŸ¦„" * 500,
+        "a" * 100_000,  # one huge token
+        "word " * 5000,  # long doc
+        "Ù…Ø±Ø­Ø¨Ø§ Ð¼Ð¸Ñ€ ä¸–ç•Œ ‮ rtl-override",
+        "\n\n\n\n",
+        " leading and trailing  spaces   ",
+        "tab\tand\rcarriage",
+    ]
+
+    def test_pii_redact_survives(self, ray_session):
+        from marginaliasearch_ray.stages.clean import pii_redact
+
+        out = pii_redact(self._ds(self.HOSTILE)).to_pandas()
+        assert len(out) == len(self.HOSTILE)
+        assert set(out.columns) == {
+            "doc_id", "n_email", "n_ipv4", "n_phone", "text_redacted",
+        }
+
+    def test_line_filter_survives(self, ray_session):
+        from marginaliasearch_ray.stages.clean import line_filter
+
+        out = line_filter(self._ds(self.HOSTILE)).to_pandas()
+        assert len(out) == len(self.HOSTILE)
+        assert (out["n_kept"] <= out["n_lines"]).all()
+
+    def test_boilerplate_strip_survives(self, ray_session):
+        from marginaliasearch_ray.stages.clean import boilerplate_strip
+
+        out = boilerplate_strip(self._ds(self.HOSTILE), min_docs=2).to_pandas()
+        assert len(out) == len(self.HOSTILE)
+        assert (out["n_boiler"] >= 0).all()
+
+    def test_lm_scores_survive(self, ray_session):
+        import numpy as np
+
+        from marginaliasearch_ray.stages.clean import unigram_lm_scores
+
+        out = unigram_lm_scores(self._ds(self.HOSTILE)).to_pandas()
+        assert len(out) == len(self.HOSTILE)
+        assert np.isfinite(out["nll"]).all()
+
+    def test_quality_score_survives(self, ray_session):
+        import numpy as np
+
+        from marginaliasearch_ray.stages.clean import quality_score
+
+        out = quality_score(self._ds(self.HOSTILE), concurrency=1).to_pandas()
+        assert len(out) == len(self.HOSTILE)
+        assert np.isfinite(out["score"]).all()
+
+    def test_gopher_survives(self, ray_session):
+        from marginaliasearch_ray.stages.curate import gopher_stats
+
+        out = gopher_stats(
+            self._ds(self.HOSTILE).to_pandas()[["doc_id", "text"]].assign(
+                text=lambda d: d["text"]
+            )
+        )
+        assert len(out) == len(self.HOSTILE)
+
+    def test_bloom_survives(self, ray_session):
+        import ray
+
+        from marginaliasearch_ray.stages.sketch import bloom_build, bloom_probe
+
+        ds = self._ds(self.HOSTILE)
+        ref = ray.put(bloom_build(ds, "text"))
+        out = bloom_probe(ds, "text", ref).to_pandas()
+        # all non-null inputs are members of their own filter
+        assert out["member"].sum() == sum(1 for t in self.HOSTILE if t is not None)
