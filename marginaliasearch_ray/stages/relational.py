@@ -433,82 +433,80 @@ def range_join(
     the renamed ``point_keep`` / ``interval_keep`` columns.
 
     Partitioning assumption (documented per the custom-operator
-    contract): rows co-locate by ``hash(key) % n_buckets`` so only the
-    narrow projected columns shuffle, and ONE KEY's point x interval
-    candidate product must fit a worker (true for per-entity event data;
-    for keys with huge fan-in, pre-split intervals by coarse time bands
-    into composite keys first).  Inside a bucket the match runs per key
-    on sorted numpy arrays: points sorted once, a searchsorted window per
-    interval, no Python per-pair work."""
+    contract): BOTH sides co-shuffle as narrow projected rows keyed by
+    ``hash(key) % n_buckets`` — neither side materializes anywhere — and
+    ONE KEY's point x interval candidate product must fit a worker (true
+    for per-entity event data; for keys with huge fan-in, pre-split
+    intervals by coarse time bands into composite keys first).  Inside a
+    bucket the match runs per key on sorted numpy arrays: points sorted
+    once, a searchsorted window per interval, no Python per-pair work."""
     p_out = list(point_keep.values())
     i_out = list(interval_keep.values())
+    # one union schema for both sides (the other side's columns ride as
+    # NaN padding: a handful of narrow projected columns, not the tables)
+    all_cols = [key_col, "_p", "_s", "_e"] + p_out + i_out
 
-    def tag_points(b: pd.DataFrame) -> pd.DataFrame:
-        t = pd.DataFrame({key_col: b[key_col], "_p": b[point_col]})
-        for src, dst in point_keep.items():
-            t[dst] = b[src]
-        t["_bucket"] = np.asarray(
-            [_hash_bucket(k, n_buckets) for k in b[key_col]], dtype=np.int64
-        )
-        return t
+    def tag(side: int):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            t = pd.DataFrame({key_col: b[key_col]})
+            if side == 0:
+                t["_p"] = b[point_col]
+                for src, dst in point_keep.items():
+                    t[dst] = b[src]
+            else:
+                t["_s"] = b[start_col]
+                t["_e"] = b[end_col]
+                for src, dst in interval_keep.items():
+                    t[dst] = b[src]
+            for c in all_cols:
+                if c not in t.columns:
+                    t[c] = np.nan
+            t["_side"] = np.int8(side)
+            t["_bucket"] = np.asarray(
+                [_hash_bucket(k, n_buckets) for k in b[key_col]], dtype=np.int64
+            )
+            return t[all_cols + ["_side", "_bucket"]]
 
-    def tag_intervals(b: pd.DataFrame) -> pd.DataFrame:
-        t = pd.DataFrame(
-            {key_col: b[key_col], "_s": b[start_col], "_e": b[end_col]}
-        )
-        for src, dst in interval_keep.items():
-            t[dst] = b[src]
-        t["_bucket"] = np.asarray(
-            [_hash_bucket(k, n_buckets) for k in b[key_col]], dtype=np.int64
-        )
-        return t
+        return fn
 
-    # the two sides have different schemas; a composite union would force
-    # null padding, so ship the (small) interval side per bucket via a
-    # pandas groupby dict broadcast in the object store
-    iv = intervals.map_batches(tag_intervals, batch_format="pandas").to_pandas()
-    iv_ref = ray.put({b: g.drop(columns="_bucket") for b, g in iv.groupby("_bucket")})
+    tagged = points.map_batches(tag(0), batch_format="pandas").union(
+        intervals.map_batches(tag(1), batch_format="pandas")
+    )
 
-    def match(b: pd.DataFrame, _ref=iv_ref) -> pd.DataFrame:
-        by_bucket = ray.get(_ref)
+    def match(g: pd.DataFrame) -> pd.DataFrame:
         outs = []
-        for bucket, pts in b.groupby("_bucket"):
-            ivg = by_bucket.get(bucket)
-            if ivg is None or pts.empty:
+        for key, rows in g.groupby(key_col, sort=False):
+            pk = rows[rows["_side"] == 0]
+            ik = rows[rows["_side"] == 1]
+            if pk.empty or ik.empty:
                 continue
-            for key, pk in pts.groupby(key_col):
-                ik = ivg[ivg[key_col] == key]
-                if ik.empty:
-                    continue
-                pv = pk["_p"].to_numpy()
-                order = np.argsort(pv, kind="stable")
-                pv_sorted = pv[order]
-                lo = np.searchsorted(pv_sorted, ik["_s"].to_numpy(), "left")
-                hi = np.searchsorted(pv_sorted, ik["_e"].to_numpy(), "right")
-                n_per = hi - lo
-                if not n_per.sum():
-                    continue
-                i_idx = np.repeat(np.arange(len(ik)), n_per)
-                p_idx = order[
-                    np.concatenate(
-                        [np.arange(l, h) for l, h in zip(lo, hi) if h > l]
-                    )
-                ]
-                row = {key_col: np.repeat(key, len(i_idx))}
-                for c in p_out:
-                    row[c] = pk[c].to_numpy()[p_idx]
-                for c in i_out:
-                    row[c] = ik[c].to_numpy()[i_idx]
-                outs.append(pd.DataFrame(row))
+            pv = pk["_p"].to_numpy()
+            order = np.argsort(pv, kind="stable")
+            pv_sorted = pv[order]
+            lo = np.searchsorted(pv_sorted, ik["_s"].to_numpy(), "left")
+            hi = np.searchsorted(pv_sorted, ik["_e"].to_numpy(), "right")
+            n_per = hi - lo
+            if not n_per.sum():
+                continue
+            i_idx = np.repeat(np.arange(len(ik)), n_per)
+            p_idx = order[
+                np.concatenate(
+                    [np.arange(l, h) for l, h in zip(lo, hi) if h > l]
+                )
+            ]
+            row = {key_col: np.repeat(key, len(i_idx))}
+            for c in p_out:
+                row[c] = pk[c].to_numpy()[p_idx]
+            for c in i_out:
+                row[c] = ik[c].to_numpy()[i_idx]
+            outs.append(pd.DataFrame(row))
         if not outs:
             return pd.DataFrame(
                 {c: pd.Series(dtype="object") for c in [key_col] + p_out + i_out}
             )
         return pd.concat(outs, ignore_index=True)
 
-    return points.map_batches(tag_points, batch_format="pandas").map_batches(
-        match, batch_format="pandas"
-    )
+    return tagged.groupby("_bucket").map_groups(match, batch_format="pandas")
 
 
 def repeat_orders(sf_dir: str, window_days: int = 30) -> pd.DataFrame:
