@@ -500,6 +500,41 @@ def _media_features(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _media_resized(sf_dir: str) -> pd.DataFrame:
+    """Actor-pool resize/transcode plumbing (stages/multimodal.py
+    ResizeStage): payload shrunk to <= 64 bytes (deterministic
+    prefix-truncation fake; pixel path stubbed), size metadata + content
+    hash oracled.  Text payloads are ASCII, so DuckDB's char ops equal
+    the engine's byte ops."""
+    from marginaliasearch_ray.stages.multimodal import (
+        documents_as_media,
+        resize_media,
+    )
+
+    docs = _read_table(sf_dir, "documents", ["doc_id", "text"])
+    out = (
+        resize_media(documents_as_media(docs), max_bytes=64)
+        .select_columns(["media_id", "n_bytes_in", "n_bytes_out", "payload_hash"])
+        .to_pandas()
+    )
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
+def _media_frames(sf_dir: str) -> pd.DataFrame:
+    """Frame-sampling explode (stages/multimodal.py frame_sample): 32-byte
+    frames, every 3rd kept, one row per kept frame."""
+    from marginaliasearch_ray.stages.multimodal import (
+        documents_as_media,
+        frame_sample,
+    )
+
+    docs = _read_table(sf_dir, "documents", ["doc_id", "text"])
+    out = frame_sample(
+        documents_as_media(docs), frame_bytes=32, every_n=3
+    ).to_pandas()
+    return out.sort_values(["media_id", "frame_index"]).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # training-data curation (stages/curate.py)
 # ---------------------------------------------------------------------------
@@ -953,6 +988,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_ann_topk": _ivf_ann_topk,
         # multimodal plumbing
         "media_bytes": _media_bytes,
+        "media_resized": _media_resized,
+        "media_frames": _media_frames,
         "media_features": _media_features,
         # training-data curation
         "doc_gopher": _doc_gopher,
@@ -1898,6 +1935,31 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(text)) AS n_bytes,
                    round((md5_number_upper(text) % 4294967296) / 4294967296.0, 6) AS f0
             FROM documents ORDER BY doc_id
+        """,
+        # resize fake = prefix truncation; text payloads are ASCII so char
+        # ops == byte ops (asserted over the testdata tables)
+        "media_resized": """
+            SELECT doc_id AS media_id,
+                   length(coalesce(text, ''))::BIGINT AS n_bytes_in,
+                   least(length(coalesce(text, '')), 64)::BIGINT
+                       AS n_bytes_out,
+                   md5_number_lower(left(coalesce(text, ''), 64))
+                       AS payload_hash
+            FROM documents ORDER BY doc_id
+        """,
+        # frame fake = consecutive 32-byte chunks, every 3rd kept
+        "media_frames": """
+            WITH t AS (
+                SELECT doc_id, coalesce(text, '') AS txt,
+                       (length(coalesce(text, '')) + 31) // 32 AS n_frames
+                FROM documents
+            )
+            SELECT t.doc_id AS media_id, g.i AS frame_index,
+                   least(32, length(t.txt) - g.i * 32)::BIGINT AS frame_len,
+                   md5_number_lower(substr(t.txt, g.i * 32 + 1, 32))
+                       AS frame_hash
+            FROM t, unnest(generate_series(0, t.n_frames - 1, 3)) AS g(i)
+            ORDER BY media_id, frame_index
         """,
         # ---------------- sketch family: sequential-oracle fixtures ----------------
         "minhash_dedup_pairs": f"""

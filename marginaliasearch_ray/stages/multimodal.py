@@ -112,3 +112,122 @@ def documents_as_media(docs: rd.Dataset) -> rd.Dataset:
         )
 
     return docs.map_batches(wrap, batch_format="pyarrow")
+
+
+def _bytes_hash64(b: bytes) -> int:
+    """md5_number_lower of raw bytes (unsigned, the repo's shared hash
+    convention) — compared directly against DuckDB's UBIGINT."""
+    from hashlib import md5
+
+    return int.from_bytes(md5(b).digest()[8:16], "little")
+
+
+class ResizeStage:
+    """Actor-pool resize/transcode stage: shrink each payload to at most
+    ``max_bytes`` and emit size metadata + a content hash of the result.
+
+    Plumbing is real (actor pool, small batches, payload replaced not
+    duplicated); the actual pixel-aware resample is STUBBED like
+    ``DecodeStage`` — ``real_resize=True`` raises at the callsite, the
+    deterministic fake truncates the byte stream (prefix bytes), which a
+    DuckDB oracle recomputes exactly for text-backed payloads."""
+
+    def __init__(self, max_bytes: int = 64, real_resize: bool = False):
+        self.max_bytes = max_bytes
+        self.real_resize = real_resize
+        # a real implementation would initialize the codec context here
+
+    def _resize(self, payload: bytes) -> bytes:
+        if self.real_resize:
+            raise NotImplementedError(
+                "pixel-aware resampling requires image libraries not "
+                "present in this environment; run with real_resize=False"
+            )
+        return (payload or b"")[: self.max_bytes]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from hashlib import md5
+
+        payloads = batch.column("payload").to_pylist()
+        resized = [self._resize(p) for p in payloads]
+        out = batch.drop_columns(["payload"])
+        out = out.append_column(
+            "n_bytes_in",
+            pa.array([len(p or b"") for p in payloads], pa.int64()),
+        )
+        out = out.append_column(
+            "n_bytes_out", pa.array([len(r) for r in resized], pa.int64())
+        )
+        # content hash in the repo's md5_number_lower convention so the
+        # oracle can recompute it from the source column
+        out = out.append_column(
+            "payload_hash",
+            pa.array([_bytes_hash64(r) for r in resized], pa.uint64()),
+        )
+        out = out.append_column("payload", pa.array(resized, pa.binary()))
+        return out
+
+
+def resize_media(
+    media: rd.Dataset,
+    max_bytes: int = 64,
+    concurrency: int = 2,
+    batch_size: int = 64,
+) -> rd.Dataset:
+    return media.map_batches(
+        ResizeStage,
+        fn_constructor_kwargs={"max_bytes": max_bytes},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def frame_sample(
+    media: rd.Dataset,
+    frame_bytes: int = 32,
+    every_n: int = 3,
+    concurrency: int = 2,
+    batch_size: int = 64,
+) -> rd.Dataset:
+    """Frame-sampling stage (the video path's explode shape): treat each
+    payload as consecutive ``frame_bytes``-sized frames, keep every
+    ``every_n``-th frame (0, n, 2n, ...), one OUTPUT ROW PER KEPT FRAME
+    -> (media_id, frame_index, frame_len, frame_hash).
+
+    The row explosion happens inside the batch (flat_map shape) so block
+    sizes stay bounded by ``batch_size x frames/payload``; a real
+    container demuxer would replace the fixed-size chunking in
+    ``__init__``-held codec state, same output layout."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, idxs, lens, hashes = [], [], [], []
+        for mid, payload in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            p = payload or b""
+            n_frames = (len(p) + frame_bytes - 1) // frame_bytes
+            for fi in range(0, n_frames, every_n):
+                chunk = p[fi * frame_bytes:(fi + 1) * frame_bytes]
+                ids.append(mid)
+                idxs.append(fi)
+                lens.append(len(chunk))
+                hashes.append(_bytes_hash64(chunk))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_index": pa.array(idxs, pa.int64()),
+                "frame_len": pa.array(lens, pa.int64()),
+                "frame_hash": pa.array(hashes, pa.uint64()),
+            }
+        )
+
+    return media.map_batches(
+        explode,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

@@ -545,3 +545,57 @@ class TestConnectedComponents:
 
     def test_self_loop_only(self, ray_session):
         assert self._cc([(7, 7)]) == {7: 7}
+
+
+class TestMultimodalResizeFrames:
+    def _media(self, texts):
+        from marginaliasearch_ray.stages.multimodal import documents_as_media
+
+        return documents_as_media(
+            _docs([{"doc_id": i, "text": t} for i, t in enumerate(texts)])
+        )
+
+    def test_resize_truncates_and_hashes(self, ray_session):
+        from hashlib import md5
+
+        from marginaliasearch_ray.stages.multimodal import resize_media
+
+        out = (
+            resize_media(self._media(["x" * 100, "short", ""]), max_bytes=10)
+            .to_pandas()
+            .sort_values("media_id")
+            .reset_index(drop=True)
+        )
+        assert list(out["n_bytes_in"]) == [100, 5, 0]
+        assert list(out["n_bytes_out"]) == [10, 5, 0]
+        want = int.from_bytes(md5(b"x" * 10).digest()[8:16], "little")
+        assert int(out.loc[0, "payload_hash"]) == want
+        # resized payload itself rides along for downstream stages
+        assert bytes(out.loc[0, "payload"]) == b"x" * 10
+
+    def test_resize_real_path_stubbed(self):
+        import pytest as _pytest
+
+        from marginaliasearch_ray.stages.multimodal import ResizeStage
+
+        with _pytest.raises(NotImplementedError):
+            ResizeStage(real_resize=True)._resize(b"abc")
+
+    def test_frame_sample_explode(self, ray_session):
+        from marginaliasearch_ray.stages.multimodal import frame_sample
+
+        # 10 bytes -> frames of 4: [0:4],[4:8],[8:10]; every 2nd -> 0, 2
+        out = (
+            frame_sample(self._media(["abcdefghij"]), frame_bytes=4, every_n=2)
+            .to_pandas()
+            .sort_values("frame_index")
+            .reset_index(drop=True)
+        )
+        assert list(out["frame_index"]) == [0, 2]
+        assert list(out["frame_len"]) == [4, 2]
+
+    def test_frame_sample_empty_payload_no_rows(self, ray_session):
+        from marginaliasearch_ray.stages.multimodal import frame_sample
+
+        out = frame_sample(self._media(["", "ab"]), frame_bytes=4).to_pandas()
+        assert list(out["media_id"]) == [1]
