@@ -702,6 +702,17 @@ def _hll_distinct_text(sf_dir: str) -> pd.DataFrame:
     return hll_distinct(ds, "text")
 
 
+def _doc_dedup_spans(sf_dir: str) -> pd.DataFrame:
+    """Duplicated-span REMOVAL (stages/curate.py dedup_spans): the Lee et
+    al. 2021 rewrite — drop words covered by any 13-gram shared across
+    >= 2 distinct documents."""
+    from marginaliasearch_ray.stages.curate import dedup_spans
+
+    ds = _read_table(sf_dir, "documents", ["doc_id", "text"])
+    out = dedup_spans(ds).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _bloom_membership(sf_dir: str) -> pd.DataFrame:
     """Distributed Bloom filter (stages/sketch.py): build over document
     texts (OR-mergeable partials), broadcast once, probe the texts
@@ -1006,6 +1017,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_score": _doc_quality_score,
         "doc_lm_scores": _doc_lm_scores,
         "bloom_membership": _bloom_membership,
+        "doc_dedup_spans": _doc_dedup_spans,
         "doc_pack_sequences": _doc_pack_sequences,
         "curate_pipeline": _curate_pipeline,
         # sideloaders (range-sharded SQLite / dirtree readers + converter)
@@ -1672,6 +1684,48 @@ def oracle_sql() -> dict[str, str]:
                         ELSE (wsum::DOUBLE / n) / 2147483648.0 - 1.0 > 0.0
                         END AS label
             FROM s
+        """,
+        # span-removal spec (stages/curate.py dedup_spans): a word is
+        # removed iff covered by a 13-gram present in >= 2 distinct docs
+        "doc_dedup_spans": """
+            WITH sized AS (
+                SELECT doc_id, coalesce(text, '') AS text,
+                       CASE WHEN coalesce(text, '') = ''
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE string_split(text, ' ') END AS words
+                FROM documents
+            ), grams AS (
+                SELECT doc_id, g.i AS pos,
+                       array_to_string(list_slice(words, g.i, g.i + 12), ' ')
+                           AS gram
+                FROM sized,
+                     unnest(generate_series(1, len(words) - 12)) AS g(i)
+            ), shared AS (
+                SELECT gram FROM grams
+                GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+            ), covered AS (
+                SELECT DISTINCT g.doc_id, c.i AS wpos
+                FROM grams g JOIN shared s USING (gram),
+                     unnest(generate_series(g.pos, g.pos + 12)) AS c(i)
+            ), words_pos AS (
+                SELECT s.doc_id, g.i AS wpos, s.words[g.i] AS word
+                FROM sized s,
+                     unnest(generate_series(1, len(s.words))) AS g(i)
+            ), perdoc AS (
+                SELECT w.doc_id,
+                       count(*) FILTER (c.wpos IS NOT NULL) AS n_removed,
+                       coalesce(string_agg(w.word, ' ' ORDER BY w.wpos)
+                                FILTER (c.wpos IS NULL), '') AS clean
+                FROM words_pos w
+                LEFT JOIN covered c
+                  ON c.doc_id = w.doc_id AND c.wpos = w.wpos
+                GROUP BY w.doc_id
+            )
+            SELECT s.doc_id, len(s.words)::BIGINT AS n_words,
+                   coalesce(p.n_removed, 0)::BIGINT AS n_removed,
+                   coalesce(p.clean, '') AS text_clean
+            FROM sized s LEFT JOIN perdoc p USING (doc_id)
+            ORDER BY s.doc_id
         """,
         # Bloom spec (stages/sketch.py): bit positions =
         # md5_number_lower(j || '|' || value) % m for j in 1..k; the

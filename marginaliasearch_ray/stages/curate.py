@@ -542,3 +542,103 @@ def stratified_sample(
         return b[u < thr]
 
     return ds.map_batches(keep, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# duplicated-span REMOVAL (the rewrite step of Lee et al. 2021)
+# ---------------------------------------------------------------------------
+
+
+def dedup_spans(
+    ds: rd.Dataset,
+    n: int = DECONTAM_NGRAM,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> rd.Dataset:
+    """REMOVE duplicated spans: drop every word covered by a word n-gram
+    that also occurs in at least one OTHER document -> Dataset(doc_id,
+    n_words, n_removed, text_clean).  ``dup_ngram_stats`` measures this
+    signal; this operator performs the actual Lee et al. 2021
+    (arXiv:2107.06499) rewrite.
+
+    Spec (SQL-recomputable): gram at 0-based start i covers word
+    positions [i, i+n-1]; a word survives iff no shared gram covers it;
+    ``text_clean`` = surviving words joined by single spaces in order.
+
+    Scale shape: pass 1 is ``dup_ngram_stats``'s narrow
+    ``(gram, doc_id)`` bucket shuffle, with per-bucket combines emitting
+    ``(doc_id, gram_hash)`` rows for SHARED grams only — the rows are
+    bounded by the corpus's duplicated-gram mass, the same
+    result-proportional envelope as the near-dup pair list, so they
+    collect into a broadcast per-doc verdict map (if a corpus's dup mass
+    outgrew that, swap the broadcast for a doc-bucketed second shuffle —
+    the verdict rows are already keyed by doc).  Pass 2 re-derives gram
+    positions where the text already lives and rewrites locally; the
+    text itself never shuffles."""
+
+    def _bucket_of(s: str, mod: int) -> int:
+        return int.from_bytes(md5(s.encode()).digest()[:8], "little") % mod
+
+    def gram_rows(b: pd.DataFrame) -> pd.DataFrame:
+        grams, ids = [], []
+        for i, t in zip(b[id_col], b[text_col].fillna("")):
+            for g in _doc_ngrams(t.split(" ") if t else [], n):
+                grams.append(g)
+                ids.append(i)
+        out = pd.DataFrame({id_col: ids, "gram": grams})
+        out["_bucket"] = np.asarray(
+            [_bucket_of(g, n_buckets) for g in out["gram"]], dtype=np.int64
+        )
+        return out
+
+    def shared_rows(group: pd.DataFrame) -> pd.DataFrame:
+        holders = group.groupby("gram", sort=False)[id_col].nunique()
+        shared = group[group["gram"].map(holders) >= 2]
+        return shared[[id_col, "gram"]]
+
+    shared = (
+        ds.map_batches(gram_rows, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(shared_rows, batch_format="pandas")
+        .to_pandas()
+    )
+    verdicts: dict = {}
+    if "gram" in shared.columns:
+        for i, g in zip(shared[id_col], shared["gram"]):
+            verdicts.setdefault(int(i), set()).add(g)
+    verdicts_ref = ray.put(verdicts)
+
+    def rewrite(b: pd.DataFrame, _ref=verdicts_ref) -> pd.DataFrame:
+        vd = ray.get(_ref)
+        n_words, n_removed, cleaned = [], [], []
+        for i, t in zip(b[id_col], b[text_col].fillna("")):
+            words = t.split(" ") if t else []
+            nw = len(words)
+            mine = vd.get(int(i))
+            if not mine or nw < n:
+                n_words.append(nw)
+                n_removed.append(0)
+                cleaned.append(t if t else "")
+                continue
+            # coverage via a difference array over shared gram starts
+            delta = np.zeros(nw + 1, dtype=np.int64)
+            for s in range(nw - n + 1):
+                if " ".join(words[s : s + n]) in mine:
+                    delta[s] += 1
+                    delta[s + n] -= 1
+            covered = np.cumsum(delta[:-1]) > 0
+            kept = [w for w, c in zip(words, covered) if not c]
+            n_words.append(nw)
+            n_removed.append(int(covered.sum()))
+            cleaned.append(" ".join(kept))
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy(),
+                "n_words": np.asarray(n_words, dtype=np.int64),
+                "n_removed": np.asarray(n_removed, dtype=np.int64),
+                "text_clean": cleaned,
+            }
+        )
+
+    return ds.map_batches(rewrite, batch_format="pandas")

@@ -320,3 +320,47 @@ class TestStratifiedSample:
             rd.from_pandas(df), {"a": 0.1}, default_rate=1.0, seed=1
         ).to_pandas()
         assert len(out) == 50
+
+
+class TestDedupSpans:
+    def _run(self, texts, n=3):
+        from marginaliasearch_ray.stages.curate import dedup_spans
+
+        ds = rd.from_pandas(
+            pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        )
+        return (
+            dedup_spans(ds, n=n)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    def test_shared_span_removed_from_both(self, ray_session):
+        # 'x y z' appears in docs 0 and 1 -> those 3 words vanish from both
+        out = self._run(["a b x y z c", "d x y z e f", "g h i j k l"])
+        assert out.loc[0, "text_clean"] == "a b c"
+        assert out.loc[1, "text_clean"] == "d e f"
+        assert out.loc[2, "text_clean"] == "g h i j k l"
+        assert list(out["n_removed"]) == [3, 3, 0]
+        assert list(out["n_words"]) == [6, 6, 6]
+
+    def test_overlapping_spans_union_coverage(self, ray_session):
+        # doc0 shares 'x y z' AND 'y z w' with doc1 -> coverage is the
+        # union [x..w], 4 words removed once
+        out = self._run(["a x y z w b", "x y z w"])
+        assert out.loc[0, "text_clean"] == "a b"
+        assert out.loc[0, "n_removed"] == 4
+        assert out.loc[1, "text_clean"] == ""
+        assert out.loc[1, "n_removed"] == 4
+
+    def test_within_doc_repeat_not_shared(self, ray_session):
+        # the trigram repeats only WITHIN one doc -> 1 distinct doc -> kept
+        out = self._run(["x y z q x y z", "unrelated words here"])
+        assert out.loc[0, "n_removed"] == 0
+        assert out.loc[0, "text_clean"] == "x y z q x y z"
+
+    def test_short_and_empty_docs_untouched(self, ray_session):
+        out = self._run(["a b", ""], n=3)
+        assert list(out["n_removed"]) == [0, 0]
+        assert list(out["text_clean"]) == ["a b", ""]
