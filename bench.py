@@ -189,6 +189,7 @@ def run_bench() -> dict:
         "boilerplate_lines",
         "click_attribution",
         "dedup_components",
+        "doc_dedup_spans",
     ):
         t0 = time.perf_counter()
         qs[name](SF_DIR)
