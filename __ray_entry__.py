@@ -571,8 +571,11 @@ _ENRICH_SQL = """
         FROM w GROUP BY doc_id, line_no
     ), enriched AS (
         SELECT s.doc_id,
+               -- '||' (not concat) so a NULL body yields NULL -> '' and an
+               -- empty-text doc enriches to the boilerplate line ONLY,
+               -- matching _enrich_text byte-for-byte
                concat('home about contact ', s.source, ' terms.',
-                      coalesce(concat(chr(10), b.body), '')) AS text2
+                      coalesce(chr(10) || b.body, '')) AS text2
         FROM sized s LEFT JOIN (
             SELECT doc_id,
                    string_agg(line, chr(10) ORDER BY line_no) AS body

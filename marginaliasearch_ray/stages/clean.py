@@ -145,10 +145,11 @@ def line_filter(
 
 
 def _hash64(s: str) -> int:
-    """Little-endian bytes 8..16 of the md5 digest — the repo's shared
-    token-hash convention, equal to DuckDB's ``md5_number_lower`` (see
-    stages/textstats.py ``_token_hash64``)."""
-    return int.from_bytes(md5(s.encode()).digest()[8:16], "little")
+    """The repo's shared 64-bit hash (== DuckDB ``md5_number_lower``) —
+    delegates to the single canonical definition."""
+    from marginaliasearch_ray.stages.textstats import md5_number_lower
+
+    return md5_number_lower(s)
 
 
 def _hash64s(s: str) -> int:
@@ -251,9 +252,11 @@ class QualityScorer:
     hash-check real scores instead of trusting a stub): bucket(token) =
     hash64(token) % dim; the weight table is QUANTIZED to 32-bit ints
     (like an int8/int32-quantized production model) w32[b] = hash64(
-    str(b)) % 2^32, and score = (Σ w32[bucket(tok)] / n_tokens) / 2^31
-    - 1 ∈ [-1, 1) — the sum is integer-exact, so engine and oracle agree
-    bit-for-bit regardless of summation order.  Empty documents score
+    str(b)) % 2^32, and score = (double(Σ w32[bucket(tok)]) / n_tokens)
+    / 2^31 - 1 ∈ [-1, 1) — the sum is integer-exact and the int->double
+    rounding happens at the same point as the oracle's ``::DOUBLE`` cast,
+    so engine and oracle agree bit-for-bit regardless of summation order
+    or document length.  Empty documents score
     0.0; label = score > 0.  Swapping in trained weights (a numpy file
     broadcast via ``ray.put``) changes ``__init__`` only — the scoring
     path is the production shape.
@@ -288,7 +291,10 @@ class QualityScorer:
                 count=len(toks),
             )
             wsum = int(self.weights[idx].sum())  # integer-exact
-            scores.append(wsum / len(toks) / float(1 << 31) - 1.0)
+            # float(wsum) FIRST (== the oracle's wsum::DOUBLE): for docs
+            # past ~4M tokens wsum exceeds 2^53 and dividing the big int
+            # directly would round differently by 1 ulp
+            scores.append(float(wsum) / len(toks) / float(1 << 31) - 1.0)
         score = np.asarray(scores, dtype=np.float64)
         return pd.DataFrame(
             {

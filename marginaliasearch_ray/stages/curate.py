@@ -216,6 +216,38 @@ def _doc_ngrams(words: list[str], n: int) -> set[str]:
     return {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
 
 
+def _gram_hash(g: str) -> int:
+    """63-bit gram hash (md5_number_lower mod 2^63, int64-positive) — the
+    value that shuffles in place of the gram string; 2^-63 per-pair
+    false-merge, the ``dedup.exact_dedup`` envelope."""
+    from marginaliasearch_ray.stages.textstats import md5_number_lower
+
+    return md5_number_lower(g) % (1 << 63)
+
+
+def _gram_hash_rows(
+    b: pd.DataFrame, n: int, n_buckets: int, id_col: str, text_col: str
+) -> pd.DataFrame:
+    """One batch's DISTINCT (doc, gram) pairs as NARROW hashed rows
+    ``(id_col, gram_hash, _bucket)``: the n-word gram strings never leave
+    the batch — only 64-bit hashes move through the shuffle (shared by
+    ``dup_ngram_stats`` and ``dedup_spans`` so the two operators cannot
+    diverge on what counts as a duplicated span)."""
+    hashes, ids = [], []
+    for i, t in zip(b[id_col], b[text_col].fillna("")):
+        for g in _doc_ngrams(t.split(" ") if t else [], n):
+            hashes.append(_gram_hash(g))
+            ids.append(i)
+    h = np.asarray(hashes, dtype=np.int64)
+    return pd.DataFrame(
+        {
+            id_col: np.asarray(ids, dtype=np.int64),
+            "gram_hash": h,
+            "_bucket": h % n_buckets,
+        }
+    )
+
+
 def decontaminate(
     docs: rd.Dataset,
     bench: rd.Dataset,
@@ -295,7 +327,7 @@ def dup_ngram_stats(
     pages; a high ``frac_dup`` flags them.
 
     Scale shape — two narrow-row shuffles, no payload moves twice:
-    1. each batch emits distinct ``(gram, doc_id)`` rows keyed by an
+    1. each batch emits distinct ``(gram_hash, doc_id)`` rows keyed by an
        integer gram-hash bucket; ``groupby(bucket)`` co-locates every
        holder of a gram (a gram lives in exactly one bucket, so the
        shared/not verdict is exact), and the per-bucket combine emits
@@ -305,26 +337,12 @@ def dup_ngram_stats(
        document.  Size ``n_buckets`` so one bucket's gram rows fit a
        worker's heap, exactly like ``stages/dedup.py exact_dedup``."""
 
-    def _bucket_of(s: str, mod: int) -> int:
-        return int.from_bytes(
-            md5(s.encode()).digest()[:8], "little"
-        ) % mod
-
     def gram_rows(b: pd.DataFrame) -> pd.DataFrame:
-        grams, ids = [], []
-        for i, t in zip(b[id_col], b[text_col].fillna("")):
-            for g in _doc_ngrams(t.split(" ") if t else [], n):
-                grams.append(g)
-                ids.append(i)
-        out = pd.DataFrame({id_col: ids, "gram": grams})
-        out["_bucket"] = np.asarray(
-            [_bucket_of(g, n_buckets) for g in out["gram"]], dtype=np.int64
-        )
-        return out
+        return _gram_hash_rows(b, n, n_buckets, id_col, text_col)
 
     def bucket_dups(group: pd.DataFrame) -> pd.DataFrame:
-        holders = group.groupby("gram", sort=False)[id_col].nunique()
-        shared = group[group["gram"].map(holders) >= 2]
+        holders = group.groupby("gram_hash", sort=False)[id_col].nunique()
+        shared = group[group["gram_hash"].map(holders) >= 2]
         cnt = shared.groupby(id_col, sort=False).size()
         return pd.DataFrame(
             {
@@ -357,7 +375,7 @@ def dup_ngram_stats(
     def doc_bucket(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
         b["_dbucket"] = np.asarray(
-            [_bucket_of(str(i), n_buckets) for i in b[id_col]], dtype=np.int64
+            [_gram_hash(str(i)) % n_buckets for i in b[id_col]], dtype=np.int64
         )
         return b
 
@@ -577,25 +595,13 @@ def dedup_spans(
     positions where the text already lives and rewrites locally; the
     text itself never shuffles."""
 
-    def _bucket_of(s: str, mod: int) -> int:
-        return int.from_bytes(md5(s.encode()).digest()[:8], "little") % mod
-
     def gram_rows(b: pd.DataFrame) -> pd.DataFrame:
-        grams, ids = [], []
-        for i, t in zip(b[id_col], b[text_col].fillna("")):
-            for g in _doc_ngrams(t.split(" ") if t else [], n):
-                grams.append(g)
-                ids.append(i)
-        out = pd.DataFrame({id_col: ids, "gram": grams})
-        out["_bucket"] = np.asarray(
-            [_bucket_of(g, n_buckets) for g in out["gram"]], dtype=np.int64
-        )
-        return out
+        return _gram_hash_rows(b, n, n_buckets, id_col, text_col)
 
     def shared_rows(group: pd.DataFrame) -> pd.DataFrame:
-        holders = group.groupby("gram", sort=False)[id_col].nunique()
-        shared = group[group["gram"].map(holders) >= 2]
-        return shared[[id_col, "gram"]]
+        holders = group.groupby("gram_hash", sort=False)[id_col].nunique()
+        shared = group[group["gram_hash"].map(holders) >= 2]
+        return shared[[id_col, "gram_hash"]]
 
     shared = (
         ds.map_batches(gram_rows, batch_format="pandas")
@@ -604,9 +610,9 @@ def dedup_spans(
         .to_pandas()
     )
     verdicts: dict = {}
-    if "gram" in shared.columns:
-        for i, g in zip(shared[id_col], shared["gram"]):
-            verdicts.setdefault(int(i), set()).add(g)
+    if "gram_hash" in shared.columns:
+        for i, g in zip(shared[id_col], shared["gram_hash"]):
+            verdicts.setdefault(int(i), set()).add(int(g))
     verdicts_ref = ray.put(verdicts)
 
     def rewrite(b: pd.DataFrame, _ref=verdicts_ref) -> pd.DataFrame:
@@ -624,7 +630,7 @@ def dedup_spans(
             # coverage via a difference array over shared gram starts
             delta = np.zeros(nw + 1, dtype=np.int64)
             for s in range(nw - n + 1):
-                if " ".join(words[s : s + n]) in mine:
+                if _gram_hash(" ".join(words[s : s + n])) in mine:
                     delta[s] += 1
                     delta[s + n] -= 1
             covered = np.cumsum(delta[:-1]) > 0

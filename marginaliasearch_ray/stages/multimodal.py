@@ -117,9 +117,9 @@ def documents_as_media(docs: rd.Dataset) -> rd.Dataset:
 def _bytes_hash64(b: bytes) -> int:
     """md5_number_lower of raw bytes (unsigned, the repo's shared hash
     convention) — compared directly against DuckDB's UBIGINT."""
-    from hashlib import md5
+    from marginaliasearch_ray.stages.textstats import md5_number_lower
 
-    return int.from_bytes(md5(b).digest()[8:16], "little")
+    return md5_number_lower(b)
 
 
 class ResizeStage:

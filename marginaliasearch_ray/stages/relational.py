@@ -376,9 +376,9 @@ def asof_join(
 
 
 def _hash_bucket(key, mod: int) -> int:
-    from hashlib import md5
+    from marginaliasearch_ray.stages.textstats import md5_number_lower
 
-    return int.from_bytes(md5(str(key).encode()).digest()[8:16], "little") % mod
+    return md5_number_lower(str(key)) % mod
 
 
 def click_attribution(sf_dir: str) -> pd.DataFrame:
@@ -485,7 +485,10 @@ def range_join(
             pv_sorted = pv[order]
             lo = np.searchsorted(pv_sorted, ik["_s"].to_numpy(), "left")
             hi = np.searchsorted(pv_sorted, ik["_e"].to_numpy(), "right")
-            n_per = hi - lo
+            # inverted intervals (end < start) match nothing; without the
+            # clamp a negative width crashes np.repeat (or cancels against
+            # positive widths in the sum guard below)
+            n_per = np.maximum(hi - lo, 0)
             if not n_per.sum():
                 continue
             i_idx = np.repeat(np.arange(len(ik)), n_per)

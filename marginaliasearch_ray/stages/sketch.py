@@ -30,7 +30,9 @@ HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
 
 
 def _hash64(v: str) -> int:
-    return int.from_bytes(md5(v.encode()).digest()[8:16], "little")
+    from marginaliasearch_ray.stages.textstats import md5_number_lower
+
+    return md5_number_lower(v)
 
 
 def _batch_registers(values, m: int = HLL_M) -> np.ndarray:

@@ -221,13 +221,23 @@ def extract_keyword_positions(docs, top_k: int = 5, id_col: str = "doc_id"):
     return docs.map_batches(topk_positions, batch_format="pandas")
 
 
-def _token_hash64(tok: str) -> int:
-    """64-bit token hash == DuckDB ``md5_number_lower`` (little-endian of
-    md5 digest bytes 8..16) — chosen so the fingerprint is verifiable by a
-    pure-SQL oracle."""
+def md5_number_lower(v: str | bytes) -> int:
+    """THE repo-wide 64-bit hash convention: little-endian bytes 8..16 of
+    the md5 digest, equal to DuckDB's ``md5_number_lower`` — every oracled
+    hash (fingerprints, sketches, gram/line buckets, media payloads) MUST
+    route through this one definition so a drift cannot break a single
+    query family silently."""
     from hashlib import md5
 
-    return int.from_bytes(md5(tok.encode()).digest()[8:16], "little")
+    return int.from_bytes(
+        md5(v if isinstance(v, bytes) else v.encode()).digest()[8:16], "little"
+    )
+
+
+def _token_hash64(tok: str) -> int:
+    """64-bit token hash == DuckDB ``md5_number_lower`` — chosen so the
+    fingerprint is verifiable by a pure-SQL oracle."""
+    return md5_number_lower(tok)
 
 
 FNV_OFFSET = 1469598103934665603

@@ -509,6 +509,18 @@ class TestRangeJoin:
         intervals = pd.DataFrame({"k": [1], "s": [0], "e": [10], "iid": [1]})
         assert len(self._run(points, intervals)) == 0
 
+    def test_inverted_interval_matches_nothing(self, ray_session):
+        import pandas as pd
+
+        # end < start must neither crash np.repeat nor cancel a valid
+        # match's width in the per-key sum (review finding)
+        points = pd.DataFrame({"k": [1, 1], "p": [10, 20], "pid": [1, 2]})
+        intervals = pd.DataFrame(
+            {"k": [1, 1], "s": [20, 5], "e": [5, 15], "iid": [1, 2]}
+        )
+        out = self._sorted(self._run(points, intervals))
+        assert list(zip(out["pid"], out["iid"])) == [(1, 2)]
+
 
 class TestConnectedComponents:
     def _cc(self, edges):
