@@ -584,6 +584,44 @@ _ENRICH_SQL = """
     )
 """
 
+# DuckDB mirror of _enrich_noise (normalize / line-dedup oracles):
+# 6-word lines; body line_no % 4 == 1 -> constant nav line with double
+# space + tab + BEL + trailing space; % 5 == 2 -> decomposed-accent
+# prefix; intro line leads with a space.
+_ENRICH_NOISE_SQL = """
+    WITH sized AS (
+        SELECT doc_id,
+               string_split(coalesce(text, ''), ' ') AS words,
+               CASE WHEN coalesce(text, '') = '' THEN 0
+                    ELSE len(string_split(coalesce(text, ''), ' '))
+                    END AS n
+        FROM documents
+    ), w AS (
+        SELECT s.doc_id, g.i, (g.i - 1) // 6 AS line_no, s.words[g.i] AS tok
+        FROM sized s, unnest(generate_series(1, s.n)) AS g(i)
+    ), ln AS (
+        SELECT doc_id, line_no,
+               CASE WHEN line_no % 4 = 1
+                    THEN 'subscribe  to our' || chr(9) || 'newsletter'
+                         || chr(7) || ' .'
+                    WHEN line_no % 5 = 2
+                    THEN 'cafe' || chr(769) || ' '
+                         || string_agg(tok, ' ' ORDER BY i)
+                    ELSE string_agg(tok, ' ' ORDER BY i) || '.'
+                    END AS line
+        FROM w GROUP BY doc_id, line_no
+    ), enriched AS (
+        SELECT s.doc_id,
+               ' intro for doc ' || s.doc_id || ' .'
+               || coalesce(chr(10) || b.body, '') AS text2
+        FROM sized s LEFT JOIN (
+            SELECT doc_id,
+                   string_agg(line, chr(10) ORDER BY line_no) AS body
+            FROM ln GROUP BY doc_id
+        ) b USING (doc_id)
+    )
+"""
+
 from marginaliasearch_ray.stages.clean import (  # noqa: E402
     PII_EMAIL as _PII_EMAIL_SQL,
     PII_IPV4 as _PII_IPV4_SQL,
@@ -839,6 +877,64 @@ def _boilerplate_lines(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _enrich_noise(doc_id: int, text: str) -> str:
+    """Deterministic unicode/dup-line noise enrichment shared by the
+    normalize / line-dedup queries and their SQL oracles (the sf
+    documents are clean ASCII word salad): 6-word lines; every 4th body
+    line is a CONSTANT nav line carrying a double space, a tab, a C0
+    control char and a trailing space (within-doc duplicates + every
+    normalize rule); every 5th is prefixed with a combining-acute
+    sequence (NFC change); the intro line leads with a space (trim)."""
+    words = text.split(" ") if text else []
+    lines = [f" intro for doc {doc_id} ."]
+    for start in range(0, len(words), 6):
+        line_no = start // 6
+        body = " ".join(words[start:start + 6])
+        if line_no % 4 == 1:
+            lines.append("subscribe  to our\tnewsletter\x07 .")
+        elif line_no % 5 == 2:
+            lines.append("cafe\u0301 " + body)  # decomposed; NFC -> café
+        else:
+            lines.append(body + ".")
+    return "\n".join(lines)
+
+
+def _noise_docs(sf_dir: str):
+    ds = _read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def enrich(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(),
+                "text2": [
+                    _enrich_noise(int(i), t)
+                    for i, t in zip(b["doc_id"], b["text"].fillna(""))
+                ],
+            }
+        )
+
+    return ds.map_batches(enrich, batch_format="pandas")
+
+
+def _doc_normalize(sf_dir: str) -> pd.DataFrame:
+    """Unicode NFC + control-strip + whitespace canonicalization over
+    noise-enriched documents (stages/clean.py normalize_text); DuckDB
+    nfc_normalize is parity-exact with Python NFC."""
+    from marginaliasearch_ray.stages.clean import normalize_text
+
+    out = normalize_text(_noise_docs(sf_dir), text_col="text2").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _doc_line_dedup(sf_dir: str) -> pd.DataFrame:
+    """Within-document duplicate-line removal over noise-enriched
+    documents (stages/clean.py line_dedup)."""
+    from marginaliasearch_ray.stages.clean import line_dedup
+
+    out = line_dedup(_noise_docs(sf_dir), text_col="text2").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _doc_quality_score(sf_dir: str) -> pd.DataFrame:
     """Hashed linear quality-classifier scoring, actor-pool model stage
     (stages/clean.py quality_score)."""
@@ -1019,6 +1115,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_lines": _boilerplate_lines,
         "doc_quality_score": _doc_quality_score,
         "doc_lm_scores": _doc_lm_scores,
+        "doc_normalize": _doc_normalize,
+        "doc_line_dedup": _doc_line_dedup,
         "bloom_membership": _bloom_membership,
         "doc_dedup_spans": _doc_dedup_spans,
         "doc_pack_sequences": _doc_pack_sequences,
@@ -1754,6 +1852,54 @@ def oracle_sql() -> dict[str, str]:
                              % 4096 IN (SELECT pos FROM bits)
                    ) = 4 AS member_alt
             FROM documents d ORDER BY d.doc_id
+        """,
+        # normalize spec (stages/clean.py normalize_text) over the
+        # noise-enriched docs (_ENRICH_NOISE_SQL == _enrich_noise):
+        # NFC -> tab->space -> strip C0/DEL -> collapse spaces -> trim.
+        "doc_normalize": _ENRICH_NOISE_SQL + r"""
+            , norm AS (
+                SELECT doc_id, text2,
+                       trim(regexp_replace(regexp_replace(
+                            replace(nfc_normalize(text2), chr(9), ' '),
+                            '[\x00-\x08\x0b-\x1f\x7f]', '', 'g'),
+                            ' {2,}', ' ', 'g'), ' ') AS t
+                FROM enriched
+            )
+            SELECT doc_id, (t <> text2) AS changed,
+                   length(text2)::BIGINT AS n_chars_raw,
+                   length(t)::BIGINT AS n_chars_norm,
+                   t AS text_norm
+            FROM norm ORDER BY doc_id
+        """,
+        # line-dedup spec (stages/clean.py line_dedup): first occurrence
+        # of each exact line survives, original order preserved.
+        "doc_line_dedup": _ENRICH_NOISE_SQL + """
+            , lines AS (
+                SELECT e.doc_id, g.i AS li,
+                       string_split(e.text2, chr(10))[g.i] AS line
+                FROM enriched e,
+                     unnest(generate_series(
+                         1,
+                         CASE WHEN e.text2 = '' THEN 0
+                              ELSE len(string_split(e.text2, chr(10)))
+                              END)) AS g(i)
+            ), marked AS (
+                SELECT doc_id, li, line,
+                       row_number() OVER (PARTITION BY doc_id, line
+                                          ORDER BY li) AS rn
+                FROM lines
+            ), agg AS (
+                SELECT doc_id, count(*)::BIGINT AS n_lines,
+                       count(*) FILTER (rn > 1)::BIGINT AS n_dupes,
+                       coalesce(string_agg(line, chr(10) ORDER BY li)
+                                FILTER (rn = 1), '') AS text_clean
+                FROM marked GROUP BY doc_id
+            )
+            SELECT e.doc_id, coalesce(a.n_lines, 0)::BIGINT AS n_lines,
+                   coalesce(a.n_dupes, 0)::BIGINT AS n_dupes,
+                   coalesce(a.text_clean, '') AS text_clean
+            FROM enriched e LEFT JOIN agg a USING (doc_id)
+            ORDER BY e.doc_id
         """,
         # unigram-LM spec (stages/clean.py unigram_lm_scores): glibc ln on
         # both sides, sequential in-token-order sums (list_sum over an

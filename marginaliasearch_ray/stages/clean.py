@@ -237,6 +237,103 @@ def boilerplate_strip(
 
 
 # ---------------------------------------------------------------------------
+# Unicode text normalization
+# ---------------------------------------------------------------------------
+
+# Control characters stripped by normalize_text: C0 controls except \t
+# (mapped to space first) and \n (line structure is preserved), plus DEL.
+# The class is written to the RE2 ∩ Python-`re` common subset.
+_CTRL_CLASS = r"[\x00-\x08\x0b-\x1f\x7f]"
+
+
+def normalize_text(
+    ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text"
+) -> rd.Dataset:
+    """Canonicalize web text -> Dataset(doc_id, changed, n_chars_raw,
+    n_chars_norm, text_norm).
+
+    Exact spec, applied in order (each step mirrored by the SQL oracle —
+    DuckDB ``nfc_normalize`` is parity-exact with Python
+    ``unicodedata.normalize('NFC', ...)``, verified over combining
+    sequences / ligatures / fullwidth forms):
+
+    1. Unicode NFC normalization;
+    2. tabs become single spaces;
+    3. C0 control characters (except newline) and DEL are removed;
+    4. runs of 2+ spaces collapse to one;
+    5. leading/trailing SPACES (only) of the whole text are trimmed.
+
+    ``changed`` = the result differs from the raw text; char counts are
+    codepoint counts on both sides.  Stateless ``map_batches`` over
+    pandas ``.str`` kernels; one streaming pass, no shuffle."""
+
+    def norm(b: pd.DataFrame) -> pd.DataFrame:
+        raw = b[text_col].fillna("")
+        t = raw.str.normalize("NFC")
+        t = t.str.replace("\t", " ", regex=False)
+        t = t.str.replace(_CTRL_CLASS, "", regex=True)
+        t = t.str.replace(" {2,}", " ", regex=True)
+        t = t.str.strip(" ")
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy(),
+                "changed": (t != raw).to_numpy(),
+                "n_chars_raw": raw.str.len().to_numpy().astype(np.int64),
+                "n_chars_norm": t.str.len().to_numpy().astype(np.int64),
+                "text_norm": t.to_numpy(),
+            }
+        )
+
+    return ds.map_batches(norm, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# within-document duplicate-line removal
+# ---------------------------------------------------------------------------
+
+
+def line_dedup(
+    ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text"
+) -> rd.Dataset:
+    """Drop repeated lines WITHIN each document, keeping the first
+    occurrence in order -> Dataset(doc_id, n_lines, n_dupes, text_clean).
+
+    A cheap single-doc cleaning step (repeated nav fragments, chat logs,
+    scraped pagination) that complements the corpus-level
+    ``boilerplate_strip``: no cross-document state, so it is a stateless
+    ``map_batches`` pass — embarrassingly parallel, no shuffle.
+
+    Spec (mirrored by the SQL oracle): lines = split on '\\n' (empty
+    text has zero lines); a line is a duplicate iff the SAME byte string
+    appeared earlier in the document; ``text_clean`` joins survivors
+    with '\\n' in original order."""
+
+    def dedupe(b: pd.DataFrame) -> pd.DataFrame:
+        n_lines, n_dupes, cleaned = [], [], []
+        for t in b[text_col].fillna(""):
+            lines = t.split("\n") if t else []
+            seen: set[str] = set()
+            kept = []
+            for ln in lines:
+                if ln not in seen:
+                    seen.add(ln)
+                    kept.append(ln)
+            n_lines.append(len(lines))
+            n_dupes.append(len(lines) - len(kept))
+            cleaned.append("\n".join(kept))
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy(),
+                "n_lines": np.asarray(n_lines, dtype=np.int64),
+                "n_dupes": np.asarray(n_dupes, dtype=np.int64),
+                "text_clean": cleaned,
+            }
+        )
+
+    return ds.map_batches(dedupe, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
 # hashed linear quality scoring
 # ---------------------------------------------------------------------------
 

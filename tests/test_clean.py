@@ -244,3 +244,109 @@ class TestUnigramLmScores:
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestNormalizeText:
+    def _run(self, texts):
+        from marginaliasearch_ray.stages.clean import normalize_text
+
+        ds = rd.from_pandas(
+            pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        )
+        return (
+            normalize_text(ds)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    def test_rules(self, ray_session):
+        out = self._run(
+            [
+                "café au lait",          # NFC composes
+                "a\tb",                        # tab -> space
+                "a \x07 b\x00c",               # C0 controls stripped
+                "a  b   c",                    # space runs collapse
+                "  padded  ",                  # outer spaces trimmed
+                "keep\nlines\n",               # newlines preserved
+                "clean ascii",
+                "",
+            ]
+        )
+        assert out.loc[0, "text_norm"] == "café au lait"
+        assert out.loc[1, "text_norm"] == "a b"
+        assert out.loc[2, "text_norm"] == "a bc"
+        assert out.loc[3, "text_norm"] == "a b c"
+        assert out.loc[4, "text_norm"] == "padded"
+        assert out.loc[5, "text_norm"] == "keep\nlines\n"
+        assert out.loc[6, "text_norm"] == "clean ascii"
+        assert bool(out.loc[6, "changed"]) is False
+        assert bool(out.loc[0, "changed"]) is True
+        assert out.loc[7, "text_norm"] == "" and out.loc[7, "n_chars_norm"] == 0
+        # codepoint counts: decomposed 'cafe'+U+0301 span is one longer
+        assert out.loc[0, "n_chars_raw"] == out.loc[0, "n_chars_norm"] + 1
+
+    def test_duckdb_parity(self, ray_session):
+        texts = [
+            "café \x07  x\ty ",
+            "ﬁne ｆｕｌｌ Å",
+            "a\x00b\x1fc\x7fd",
+            "",
+            "plain",
+        ]
+        mine = self._run(texts)
+        ref = duckdb.sql(
+            r"""
+            SELECT trim(regexp_replace(regexp_replace(
+                       replace(nfc_normalize(t), chr(9), ' '),
+                       '[\x00-\x08\x0b-\x1f\x7f]', '', 'g'),
+                       ' {2,}', ' ', 'g'), ' ') AS t
+            FROM (SELECT unnest(?) AS t)
+            """,
+            params=[texts],
+        ).df()
+        assert list(mine["text_norm"]) == list(ref["t"])
+
+    def test_hostile(self, ray_session):
+        out = self._run([None, "\x00" * 50, "x" * 100000, "́́"])
+        assert out.loc[0, "text_norm"] == ""
+        assert out.loc[1, "text_norm"] == ""
+        assert out.loc[2, "n_chars_norm"] == 100000
+
+
+class TestLineDedup:
+    def _run(self, texts):
+        from marginaliasearch_ray.stages.clean import line_dedup
+
+        ds = rd.from_pandas(
+            pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        )
+        return (
+            line_dedup(ds)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    def test_first_occurrence_kept_in_order(self, ray_session):
+        out = self._run(["b\na\nb\nc\na\nb"])
+        assert out.loc[0, "text_clean"] == "b\na\nc"
+        assert out.loc[0, "n_lines"] == 6 and out.loc[0, "n_dupes"] == 3
+
+    def test_no_cross_document_state(self, ray_session):
+        out = self._run(["same line", "same line"])
+        assert list(out["n_dupes"]) == [0, 0]
+        assert list(out["text_clean"]) == ["same line", "same line"]
+
+    def test_empty_and_blank_lines(self, ray_session):
+        out = self._run(["", "\n\n", "a\n\nb\n\na"])
+        assert out.loc[0, "n_lines"] == 0 and out.loc[0, "text_clean"] == ""
+        # "\n\n" = three empty lines; duplicates collapse to one
+        assert out.loc[1, "n_lines"] == 3 and out.loc[1, "n_dupes"] == 2
+        assert out.loc[2, "text_clean"] == "a\n\nb"
+
+    def test_hostile(self, ray_session):
+        out = self._run([None, "x\n" * 5000 + "y"])
+        assert out.loc[0, "n_lines"] == 0
+        assert out.loc[1, "n_dupes"] == 4999
+        assert out.loc[1, "text_clean"] == "x\ny"
