@@ -994,6 +994,17 @@ def _doc_sample_stratified(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _doc_rank_deciles(sf_dir: str) -> pd.DataFrame:
+    """Exact distributed global rank (row_number over (n_chars, doc_id))
+    with percentile + decile annotation — stages/order.py global_rank
+    (sampled range splitters, bincount offsets, per-bucket local sort)."""
+    from marginaliasearch_ray.stages.order import global_rank
+
+    ds = _read_table(sf_dir, "documents", ["doc_id", "n_chars"])
+    out = global_rank(ds, key_col="n_chars", id_col="doc_id").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 _SIDELOAD_COLS = [
     "url", "domain", "title", "n_words", "quality", "pub_year", "summary",
     "state", "generator", "features", "synthetic_terms", "text",
@@ -1120,6 +1131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_membership": _bloom_membership,
         "doc_dedup_spans": _doc_dedup_spans,
         "doc_pack_sequences": _doc_pack_sequences,
+        "doc_rank_deciles": _doc_rank_deciles,
         "curate_pipeline": _curate_pipeline,
         # sideloaders (range-sharded SQLite / dirtree readers + converter)
         "sideload_encyclopedia": _sideload("wiki"),
@@ -2106,6 +2118,17 @@ def oracle_sql() -> dict[str, str]:
                         {' '.join(f"WHEN '{k}' THEN {v}" for k, v in _SAMPLE_RATES.items())}
                         ELSE {_SAMPLE_DEFAULT} END
             ORDER BY doc_id
+        """,
+        "doc_rank_deciles": """
+            SELECT doc_id, n_chars, rank,
+                   CAST(rank AS DOUBLE) / CAST(total AS DOUBLE) AS pct,
+                   ((rank - 1) * 10) // total AS decile
+            FROM (
+                SELECT doc_id, n_chars,
+                       row_number() OVER (ORDER BY n_chars, doc_id) AS rank,
+                       count(*) OVER () AS total
+                FROM documents
+            ) ORDER BY doc_id
         """,
         "doc_exact_dedup": """
             SELECT text, min(doc_id) AS first_doc_id

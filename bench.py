@@ -190,6 +190,7 @@ def run_bench() -> dict:
         "click_attribution",
         "dedup_components",
         "doc_dedup_spans",
+        "doc_rank_deciles",
     ):
         t0 = time.perf_counter()
         qs[name](SF_DIR)
