@@ -1005,6 +1005,43 @@ def _doc_rank_deciles(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _doc_top_per_source(sf_dir: str) -> pd.DataFrame:
+    """Per-group top-k (the per-site doc cap of C4/Gopher curation):
+    top 3 docs per source by (n_chars DESC, doc_id) with within-group
+    rank — stages/order.py group_topk (per-batch partial top-k, one
+    narrow bucket shuffle, vectorized per-bucket final)."""
+    from marginaliasearch_ray.stages.order import group_topk
+
+    ds = _read_table(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    out = group_topk(
+        ds, group_col="source", order_col="n_chars", k=3, id_col="doc_id"
+    ).to_pandas()[["source", "doc_id", "n_chars", "rn"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_QUANTILE_QS = (0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99)
+
+
+def _doc_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact distributed quantiles of n_chars by bucket selection
+    (stages/order.py exact_quantiles): rank = max(1, ceil(q*N)); only
+    the buckets holding a target rank are shuffled."""
+    from marginaliasearch_ray.stages.order import exact_quantiles
+
+    ds = _read_table(sf_dir, "documents", ["doc_id", "n_chars"])
+    return exact_quantiles(ds, "n_chars", qs=_QUANTILE_QS, id_col="doc_id")
+
+
+def _vocab_topk(sf_dir: str) -> pd.DataFrame:
+    """Exact corpus-wide top-100 token frequencies — stages/textstats.py
+    vocab_topk (per-batch value_counts partials, one token-hash bucket
+    shuffle, per-bucket sum+top-k, driver merges <= buckets*k rows)."""
+    from marginaliasearch_ray.stages.textstats import vocab_topk
+
+    ds = _read_table(sf_dir, "documents", ["doc_id", "text"])
+    return vocab_topk(ds, k=100)
+
+
 _SIDELOAD_COLS = [
     "url", "domain", "title", "n_words", "quality", "pub_year", "summary",
     "state", "generator", "features", "synthetic_terms", "text",
@@ -1132,6 +1169,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dedup_spans": _doc_dedup_spans,
         "doc_pack_sequences": _doc_pack_sequences,
         "doc_rank_deciles": _doc_rank_deciles,
+        "doc_top_per_source": _doc_top_per_source,
+        "doc_quantiles": _doc_quantiles,
+        "vocab_topk": _vocab_topk,
         "curate_pipeline": _curate_pipeline,
         # sideloaders (range-sharded SQLite / dirtree readers + converter)
         "sideload_encyclopedia": _sideload("wiki"),
@@ -2129,6 +2169,45 @@ def oracle_sql() -> dict[str, str]:
                        count(*) OVER () AS total
                 FROM documents
             ) ORDER BY doc_id
+        """,
+        "doc_top_per_source": """
+            SELECT source, doc_id, n_chars, rn
+            FROM (
+                SELECT source, doc_id, n_chars,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY n_chars DESC, doc_id
+                       ) AS rn
+                FROM documents
+            ) WHERE rn <= 3 ORDER BY doc_id
+        """,
+        "doc_quantiles": f"""
+            WITH qs AS (
+                SELECT CAST(unnest([{', '.join(repr(q) for q in _QUANTILE_QS)}])
+                            AS DOUBLE) AS q
+            ),
+            ranked AS (
+                SELECT n_chars, row_number() OVER (ORDER BY n_chars) AS r
+                FROM documents
+            ),
+            tot AS (SELECT count(*) AS n FROM documents)
+            SELECT q,
+                   GREATEST(1, CAST(ceil(q * n) AS BIGINT)) AS rank,
+                   (SELECT n_chars FROM ranked
+                    WHERE r = GREATEST(1, CAST(ceil(q * n) AS BIGINT))) AS value
+            FROM qs, tot ORDER BY q
+        """,
+        "vocab_topk": """
+            SELECT token, cnt,
+                   row_number() OVER (ORDER BY cnt DESC, token) AS rank
+            FROM (
+                SELECT token, count(*) AS cnt
+                FROM (SELECT unnest(string_split(text, ' ')) AS token
+                      FROM documents)
+                WHERE token <> ''
+                GROUP BY token
+            )
+            ORDER BY cnt DESC, token LIMIT 100
         """,
         "doc_exact_dedup": """
             SELECT text, min(doc_id) AS first_doc_id

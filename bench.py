@@ -191,6 +191,8 @@ def run_bench() -> dict:
         "dedup_components",
         "doc_dedup_spans",
         "doc_rank_deciles",
+        "doc_top_per_source",
+        "vocab_topk",
     ):
         t0 = time.perf_counter()
         qs[name](SF_DIR)

@@ -24,25 +24,25 @@ key alone), so the ``id`` tiebreak is always resolved locally.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 import ray
 import ray.data as rd
 
 
-def global_rank(
+def _sample_splitters(
     ds: rd.Dataset,
     key_col: str,
-    id_col: str = "doc_id",
-    n_buckets: int = 64,
-    sample_mod: int = 8,
-) -> rd.Dataset:
-    """Exact global rank under the total order ``(key, id)`` ->
-    Dataset(id, key, rank, pct, decile).
+    id_col: str,
+    n_buckets: int,
+    sample_mod: int,
+) -> np.ndarray:
+    """Deterministic hash-picked key sample -> sorted unique splitters.
 
-    ``rank`` is 1-based ``row_number() OVER (ORDER BY key, id)``;
-    ``pct`` = rank/total (one exact-int double division — bit-equal to
-    the SQL oracle); ``decile`` = ((rank-1)*10) // total in 0..9."""
+    Splitters steer only bucket BALANCE; every construction built on them
+    stays exact regardless of sample quality."""
     from marginaliasearch_ray.stages.textstats import md5_number_lower
 
     def sample(b: pd.DataFrame) -> pd.DataFrame:
@@ -71,9 +71,17 @@ def global_rank(
     )
     if len(samp) >= n_buckets:
         idx = np.linspace(0, len(samp) - 1, n_buckets + 1)[1:-1].astype(int)
-        splitters = np.unique(samp[idx])
-    else:
-        splitters = np.unique(samp)
+        return np.unique(samp[idx])
+    return np.unique(samp)
+
+
+def _bucketize(
+    ds: rd.Dataset, key_col: str, id_col: str, splitters: np.ndarray
+) -> rd.Dataset:
+    """Materialized narrow (id, key, _bucket) projection — one pruned
+    read shared by the count pass and the rank/selection shuffle.
+    Equal keys always land in the same bucket (searchsorted on the key
+    alone), so tiebreaks resolve locally downstream."""
     spl_ref = ray.put(splitters)
 
     def with_bucket(b: pd.DataFrame) -> pd.DataFrame:
@@ -95,8 +103,12 @@ def global_rank(
     # keyed is consumed twice (count pass + rank shuffle); materialize the
     # NARROW (id, key, bucket) projection once so the upstream pruned read
     # is not re-executed per consumer — ~16-24 B/row, spillable.
-    keyed = ds.map_batches(with_bucket, batch_format="pandas").materialize()
-    nb = len(splitters) + 1
+    return ds.map_batches(with_bucket, batch_format="pandas").materialize()
+
+
+def _bucket_sizes(keyed: rd.Dataset, nb: int) -> np.ndarray:
+    """Exact per-bucket row counts via per-batch bincount partials
+    (each partial is nb rows — result-sized, never data-sized)."""
 
     def bucket_counts(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -116,6 +128,25 @@ def global_rank(
     )
     sizes = np.zeros(nb, dtype=np.int64)
     sizes[cnt.index.to_numpy()] = cnt.to_numpy()
+    return sizes
+
+
+def global_rank(
+    ds: rd.Dataset,
+    key_col: str,
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    sample_mod: int = 8,
+) -> rd.Dataset:
+    """Exact global rank under the total order ``(key, id)`` ->
+    Dataset(id, key, rank, pct, decile).
+
+    ``rank`` is 1-based ``row_number() OVER (ORDER BY key, id)``;
+    ``pct`` = rank/total (one exact-int double division — bit-equal to
+    the SQL oracle); ``decile`` = ((rank-1)*10) // total in 0..9."""
+    splitters = _sample_splitters(ds, key_col, id_col, n_buckets, sample_mod)
+    keyed = _bucketize(ds, key_col, id_col, splitters)
+    sizes = _bucket_sizes(keyed, len(splitters) + 1)
     total = max(int(sizes.sum()), 1)
     offsets = np.concatenate(([np.int64(0)], np.cumsum(sizes)[:-1]))
     off_ref = ray.put(offsets)
@@ -137,3 +168,129 @@ def global_rank(
         )
 
     return keyed.groupby("_bucket").map_groups(rank_group, batch_format="pandas")
+
+
+def exact_quantiles(
+    ds: rd.Dataset,
+    key_col: str,
+    qs: tuple[float, ...] = (0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99),
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    sample_mod: int = 8,
+) -> pd.DataFrame:
+    """EXACT quantiles by distributed selection -> tiny df(q, rank, value).
+
+    ``rank`` = max(1, ceil(q·N)); ``value`` = the key at that 1-based
+    global rank under ORDER BY key.  Unlike ``global_rank`` this never
+    ranks every row: the count pass locates which bucket holds each
+    target rank, only THOSE buckets are shuffled (≤ len(qs) of them),
+    and each selects its local order statistic after one local sort.
+    The corpus-stats primitive behind length/quality threshold picking
+    (e.g. "drop the bottom 5% by n_chars")."""
+    splitters = _sample_splitters(ds, key_col, id_col, n_buckets, sample_mod)
+    keyed = _bucketize(ds, key_col, id_col, splitters)
+    sizes = _bucket_sizes(keyed, len(splitters) + 1)
+    total = int(sizes.sum())
+    if total == 0:
+        return pd.DataFrame(
+            {"q": np.array(qs, dtype=np.float64),
+             "rank": np.zeros(len(qs), dtype=np.int64),
+             "value": pd.Series([None] * len(qs))}
+        )
+    offsets = np.concatenate(([np.int64(0)], np.cumsum(sizes)[:-1]))
+    ranks = np.array(
+        [max(1, math.ceil(q * total)) for q in qs], dtype=np.int64
+    )
+    ends = np.cumsum(sizes)
+    bucket_of = np.searchsorted(ends, ranks, side="left")
+    # bucket -> list of (q, global rank, 0-based local position)
+    want: dict[int, list[tuple[float, int, int]]] = {}
+    for q, r, b in zip(qs, ranks, bucket_of):
+        want.setdefault(int(b), []).append((q, int(r), int(r - offsets[b] - 1)))
+    want_ref = ray.put(want)
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        w = ray.get(want_ref)[int(g["_bucket"].iloc[0])]
+        keys = np.sort(g[key_col].to_numpy())
+        return pd.DataFrame(
+            {
+                "q": np.array([q for q, _, _ in w], dtype=np.float64),
+                "rank": np.array([r for _, r, _ in w], dtype=np.int64),
+                "value": keys[[p for _, _, p in w]],
+            }
+        )
+
+    needed = np.array(sorted(want), dtype=np.int64)
+    out = (
+        keyed.map_batches(
+            lambda b, _n=needed: b[np.isin(b["_bucket"].to_numpy(), _n)],
+            batch_format="pandas",
+        )
+        .groupby("_bucket")
+        .map_groups(pick, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("q").reset_index(drop=True)
+
+
+def group_topk(
+    ds: rd.Dataset,
+    group_col: str,
+    order_col: str,
+    k: int = 5,
+    id_col: str = "doc_id",
+    descending: bool = True,
+    n_buckets: int = 64,
+) -> rd.Dataset:
+    """Per-group top-k (``row_number() OVER (PARTITION BY group ORDER BY
+    order [DESC], id) <= k``) -> Dataset(group, id, order, rn).
+
+    The per-domain / per-source cap step of corpus curation (C4 and
+    Gopher both bound docs per site).  Scale shape:
+
+    1. per-batch PARTIAL top-k: one vectorized sort + ``groupby.head(k)``
+       — at most k rows per (group, batch) survive, so the shuffle only
+       ever carries candidate rows, never the data;
+    2. candidates co-located with ONE ``groupby(bucket)`` shuffle where
+       ``bucket = hash(group) % n_buckets`` — each group lives entirely
+       in one bucket, so the bucket-local answer is exact, and one
+       map_groups call finishes MANY groups vectorized (no per-group
+       Python dispatch at group cardinality);
+    3. per-bucket final: pandas sort + ``groupby.head(k)`` + cumcount rn.
+
+    Only the narrow (group, order, id) projection moves; join wide
+    payloads back on ``id`` afterwards if needed.
+    """
+    asc = [True, not descending, True]
+    cols = [group_col, order_col, id_col]
+
+    def partial_topk(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            e = pd.DataFrame({c: [] for c in cols})
+            e["_bucket"] = pd.Series([], dtype=np.int64)
+            return e
+        b = b[cols].sort_values(cols, ascending=asc, kind="mergesort")
+        out = b.groupby(group_col, sort=False).head(k)
+        # deterministic per-run bucket: only CO-LOCATION depends on it
+        # (every row of a group gets the same bucket), not the result.
+        out = out.assign(
+            _bucket=(
+                pd.util.hash_pandas_object(
+                    out[group_col], index=False, hash_key="0" * 16
+                ).to_numpy()
+                % n_buckets
+            ).astype(np.int64)
+        )
+        return out
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[cols].sort_values(cols, ascending=asc, kind="mergesort")
+        out = g.groupby(group_col, sort=False).head(k).copy()
+        out["rn"] = out.groupby(group_col, sort=False).cumcount() + 1
+        return out
+
+    return (
+        ds.map_batches(partial_topk, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(bucket_topk, batch_format="pandas")
+    )

@@ -309,3 +309,62 @@ def source_report(ds) -> "object":
         .groupby("source")
         .map_groups(combine, batch_format="pandas")
     )
+
+
+def vocab_topk(ds, k: int = 100, text_col: str = "text",
+               n_buckets: int = 64) -> pd.DataFrame:
+    """EXACT corpus-wide top-k token frequencies -> tiny df(token, cnt,
+    rank) — the vocabulary-building / hot-word primitive.
+
+    Scale shape (the classic two-level frequency reduction):
+
+    1. per-batch PARTIAL counts (``value_counts``) collapse each batch to
+       its distinct-token cardinality before anything moves;
+    2. partials co-locate with ONE ``groupby(bucket)`` shuffle where
+       ``bucket = hash(token) % n_buckets`` — every token lives entirely
+       in one bucket, so a per-bucket sum + top-k is exact;
+    3. the driver merges ≤ n_buckets*k candidate rows.
+
+    Tokens are whitespace-split (``string_split(text, ' ')`` parity with
+    the DuckDB oracle; empty tokens dropped on both sides); ties broken
+    by token codepoint order (UTF-8 byte order == codepoint order).
+    """
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b[text_col].fillna("").str.split(" ").explode()
+        toks = toks[toks != ""]
+        vc = toks.value_counts()
+        out = pd.DataFrame(
+            {
+                "token": vc.index.to_numpy().astype(object),
+                "cnt": vc.to_numpy().astype(np.int64),
+            }
+        )
+        out["_b"] = (
+            pd.util.hash_pandas_object(
+                out["token"], index=False, hash_key="0" * 16
+            ).to_numpy()
+            % n_buckets
+        ).astype(np.int64)
+        return out
+
+    def bucket_top(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("token", sort=False)["cnt"].sum().reset_index()
+        return s.sort_values(
+            ["cnt", "token"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    cand = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_b")
+        .map_groups(bucket_top, batch_format="pandas")
+        .to_pandas()
+    )
+    out = (
+        cand.sort_values(["cnt", "token"], ascending=[False, True],
+                         kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out

@@ -5,7 +5,7 @@ import pandas as pd
 import pytest
 import ray.data as rd
 
-from marginaliasearch_ray.stages.order import global_rank
+from marginaliasearch_ray.stages.order import global_rank, group_topk
 
 
 def _oracle(df: pd.DataFrame, key: str, idc: str) -> pd.DataFrame:
@@ -80,3 +80,76 @@ def test_global_rank_single_key_value():
     got = _run(df, n_buckets=8)
     exp = _oracle(df, "score", "doc_id")
     pd.testing.assert_frame_equal(got, exp)
+
+
+def _topk_oracle(
+    df: pd.DataFrame, group: str, order: str, idc: str, k: int, descending=True
+) -> pd.DataFrame:
+    out = df.sort_values(
+        [group, order, idc], ascending=[True, not descending, True], kind="mergesort"
+    )
+    out = out.groupby(group, sort=False).head(k).copy()
+    out["rn"] = out.groupby(group, sort=False).cumcount() + 1
+    return (
+        out[[group, order, idc, "rn"]]
+        .sort_values([group, "rn"])
+        .reset_index(drop=True)
+    )
+
+
+def _run_topk(df: pd.DataFrame, k: int, **kw) -> pd.DataFrame:
+    ds = rd.from_pandas(df).repartition(9)
+    return (
+        group_topk(ds, group_col="grp", order_col="score", k=k, id_col="doc_id", **kw)
+        .to_pandas()[["grp", "score", "doc_id", "rn"]]
+        .sort_values(["grp", "rn"])
+        .reset_index(drop=True)
+    )
+
+
+def test_group_topk_with_ties_across_blocks():
+    rng = np.random.RandomState(11)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(2000, dtype=np.int64),
+            "grp": [f"g{i % 23}" for i in range(2000)],
+            # heavy score ties so the doc_id tiebreak decides membership
+            "score": rng.randint(0, 9, size=2000).astype(np.int64),
+        }
+    )
+    got = _run_topk(df, k=4, n_buckets=8)
+    exp = _topk_oracle(df, "grp", "score", "doc_id", 4)
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_group_topk_ascending_and_small_groups():
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(10, dtype=np.int64),
+            "grp": ["a"] * 7 + ["b", "b", "c"],  # c smaller than k
+            "score": np.float64([5, 1, 3, 3, 9, 2, 8, 4, 4, 7]),
+        }
+    )
+    got = _run_topk(df, k=3, descending=False)
+    exp = _topk_oracle(df, "grp", "score", "doc_id", 3, descending=False)
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_exact_quantiles_vs_sorted_oracle():
+    import math
+
+    from marginaliasearch_ray.stages.order import exact_quantiles
+
+    rng = np.random.RandomState(5)
+    vals = rng.randint(0, 10_000, size=3001).astype(np.int64)
+    df = pd.DataFrame({"doc_id": np.arange(3001, dtype=np.int64), "score": vals})
+    qs = (0.01, 0.1, 0.5, 0.9, 0.99, 1.0)
+    got = exact_quantiles(
+        rd.from_pandas(df).repartition(7), "score", qs=qs, id_col="doc_id",
+        n_buckets=16, sample_mod=4,
+    )
+    s = np.sort(vals)
+    exp_ranks = [max(1, math.ceil(q * 3001)) for q in qs]
+    assert got["q"].tolist() == list(qs)
+    assert got["rank"].tolist() == exp_ranks
+    assert got["value"].tolist() == [int(s[r - 1]) for r in exp_ranks]

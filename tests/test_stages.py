@@ -611,3 +611,27 @@ class TestMultimodalResizeFrames:
 
         out = frame_sample(self._media(["", "ab"]), frame_bytes=4).to_pandas()
         assert list(out["media_id"]) == [1]
+
+
+class TestVocabTopk:
+    def test_exact_vs_counter_oracle_with_ties(self):
+        from collections import Counter
+
+        import ray.data as rd
+
+        from marginaliasearch_ray.stages.textstats import vocab_topk
+
+        rng = np.random.RandomState(13)
+        words = [f"w{i}" for i in range(50)] + ["tie_a", "tie_b", "tie_c"]
+        texts = [
+            " ".join(rng.choice(words, size=rng.randint(1, 40)))
+            + ("  doubled  spaces" if i % 7 == 0 else "")
+            for i in range(400)
+        ]
+        df = pd.DataFrame({"doc_id": np.arange(400), "text": texts})
+        got = vocab_topk(rd.from_pandas(df).repartition(9), k=20, n_buckets=8)
+
+        c = Counter(t for x in texts for t in x.split(" ") if t)
+        exp = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+        assert list(zip(got["token"], got["cnt"])) == exp
+        assert got["rank"].tolist() == list(range(1, 21))
