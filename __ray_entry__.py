@@ -994,6 +994,48 @@ def _doc_sample_stratified(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _cms_token_counts(sf_dir: str) -> pd.DataFrame:
+    """Count-min sketch point queries for the top-10 tokens (true top-10
+    from vocab_topk; estimates from stages/sketch.py cms_token_counts) —
+    est >= true, equal when the probed cells are collision-free.  The
+    SQL oracle recomputes each probed counter as the sum of counts of
+    ALL tokens sharing that md5 bucket, then takes the row minimum."""
+    from marginaliasearch_ray.stages.sketch import cms_token_counts
+
+    top = _vocab_topk(sf_dir).head(10)
+    ds = _read_table(sf_dir, "documents", ["doc_id", "text"])
+    est = cms_token_counts(ds, top["token"].tolist())
+    out = top.rename(columns={"cnt": "true_cnt"}).merge(
+        est, left_on="token", right_on="probe"
+    )[["token", "true_cnt", "rank", "est_cnt"]]
+    return out.sort_values("rank").reset_index(drop=True)
+
+
+def _semdedup_keep(sf_dir: str) -> pd.DataFrame:
+    """SemDeDup (arXiv:2303.09540): k-means clusters + within-cluster
+    cosine pruning, greedy keep in id order — stages/dedup.py semdedup
+    (sampled k-means small side, broadcast centroids, one cluster
+    groupby).  Deterministic; oracled against a sequential replica."""
+    from marginaliasearch_ray.stages.dedup import semdedup
+
+    ds = _read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = semdedup(ds, threshold=0.45).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def _doc_sample_weighted(sf_dir: str) -> pd.DataFrame:
+    """Importance sample: keep with p = min(1, 0.5*n_chars/1000),
+    deterministic hash membership — stages/curate.py weighted_sample
+    (stateless map_batches filter, no shuffle)."""
+    from marginaliasearch_ray.stages.curate import weighted_sample
+
+    ds = _read_table(sf_dir, "documents", ["doc_id", "n_chars"])
+    out = weighted_sample(
+        ds, rate=0.5, weight_col="n_chars", scale=1000.0, seed=7
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _doc_rank_deciles(sf_dir: str) -> pd.DataFrame:
     """Exact distributed global rank (row_number over (n_chars, doc_id))
     with percentile + decile annotation — stages/order.py global_rank
@@ -1172,6 +1214,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_per_source": _doc_top_per_source,
         "doc_quantiles": _doc_quantiles,
         "vocab_topk": _vocab_topk,
+        "doc_sample_weighted": _doc_sample_weighted,
+        "semdedup_keep": _semdedup_keep,
+        "cms_token_counts": _cms_token_counts,
         "curate_pipeline": _curate_pipeline,
         # sideloaders (range-sharded SQLite / dirtree readers + converter)
         "sideload_encyclopedia": _sideload("wiki"),
@@ -2209,6 +2254,39 @@ def oracle_sql() -> dict[str, str]:
             )
             ORDER BY cnt DESC, token LIMIT 100
         """,
+        "cms_token_counts": """
+            WITH tf AS (
+                SELECT token, count(*) AS cnt
+                FROM (SELECT unnest(string_split(text, ' ')) AS token
+                      FROM documents)
+                WHERE token <> '' GROUP BY token
+            ),
+            probes AS (
+                SELECT token, cnt AS true_cnt,
+                       row_number() OVER (ORDER BY cnt DESC, token) AS rank
+                FROM tf ORDER BY cnt DESC, token LIMIT 10
+            ),
+            est AS (
+                SELECT p.token, p.true_cnt, p.rank, j.j,
+                       (SELECT CAST(sum(t.cnt) AS BIGINT) FROM tf t
+                        WHERE md5_number_lower(concat(j.j, '|', t.token)) % 1024
+                            = md5_number_lower(concat(j.j, '|', p.token)) % 1024
+                       ) AS row_est
+                FROM probes p
+                CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) j
+            )
+            SELECT token, true_cnt, rank, min(row_est) AS est_cnt
+            FROM est GROUP BY token, true_cnt, rank ORDER BY rank
+        """,
+        "doc_sample_weighted": """
+            SELECT doc_id, n_chars,
+                   LEAST(1.0, 0.5 * (n_chars / 1000.0)) AS p
+            FROM documents
+            WHERE (md5_number_lower(concat(7, '|', doc_id)) % 4294967296)
+                  / 4294967296.0
+                  < LEAST(1.0, 0.5 * (n_chars / 1000.0))
+            ORDER BY doc_id
+        """,
         "doc_exact_dedup": """
             SELECT text, min(doc_id) AS first_doc_id
             FROM documents GROUP BY text ORDER BY text
@@ -2291,6 +2369,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, cosine
             FROM read_parquet('{exp}/expected_emb_lsh.parquet')
             ORDER BY id_a, id_b
+        """,
+        "semdedup_keep": f"""
+            SELECT vec_id, cluster, keep
+            FROM read_parquet('{exp}/expected_semdedup.parquet')
+            ORDER BY vec_id
         """,
         # ---------------- crawl engine: sequential-oracle fixtures ----------------
         "crawl_records": f"""

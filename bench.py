@@ -193,6 +193,7 @@ def run_bench() -> dict:
         "doc_rank_deciles",
         "doc_top_per_source",
         "vocab_topk",
+        "semdedup_keep",
     ):
         t0 = time.perf_counter()
         qs[name](SF_DIR)

@@ -41,7 +41,7 @@ from .cache import FIXTURE_VERSION, config_for, fixture_dir_for
 
 EXPECTED_ROOT = "/tmp/graft_expected"
 # bump when ORACLE LOGIC changes without a fixture-generator change
-EXPECTED_VERSION = 9
+EXPECTED_VERSION = 10
 
 
 def expected_dir_for(sf_dir: str) -> str:
@@ -535,6 +535,7 @@ def _build_sketch_expected(sf_dir: str, out: Path) -> None:
         _expected_lsh_ann(emb, out)
         _expected_ivf_ann(emb, out)
         _expected_emb_lsh(emb, out)
+        _expected_semdedup(emb, out)
 
 
 def _expected_minhash(ids, texts, out: Path, threshold: float = 0.5) -> None:
@@ -673,6 +674,47 @@ def _expected_ivf_ann(
     pq.write_table(
         pa.Table.from_pandas(rows, preserve_index=False),
         out / "expected_ivf_ann.parquet",
+    )
+
+
+def _expected_semdedup(
+    emb: pa.Table,
+    out: Path,
+    threshold: float = 0.45,
+    n_centroids: int = 16,
+    train_rate: float = 0.5,
+    train_seed: int = 7,
+) -> None:
+    """Sequential replica of stages.dedup.semdedup: the hash-picked
+    training sample in id order, the seeded k-means, the assignment and
+    the id-order greedy keep per cluster, all single-threaded.  The
+    stage is deterministic by construction, so exact equality is the
+    right check."""
+    from ..stages.ann import _kmeans, _normalize
+    from ..stages.curate import _sample_u32
+
+    ids = np.array(emb["vec_id"].to_pylist())
+    mat = _normalize(np.stack(emb["embedding"].to_pylist()).astype(np.float64))
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    picked = np.array([_sample_u32(train_seed, int(i)) < train_rate for i in ids])
+    cent = _kmeans(mat[picked], n_centroids)
+    assign = np.argmax(mat @ cent.T, axis=1)
+    keep = np.zeros(len(ids), dtype=bool)
+    for c in np.unique(assign):
+        idx = np.where(assign == c)[0]  # already in ascending id order
+        kept: list[int] = []
+        for i in idx:
+            if kept and float(np.max(mat[kept] @ mat[i])) >= threshold:
+                continue
+            keep[i] = True
+            kept.append(int(i))
+    rows = pd.DataFrame(
+        {"vec_id": ids, "cluster": assign.astype(np.int64), "keep": keep}
+    )
+    pq.write_table(
+        pa.Table.from_pandas(rows, preserve_index=False),
+        out / "expected_semdedup.parquet",
     )
 
 

@@ -562,6 +562,36 @@ def stratified_sample(
     return ds.map_batches(keep, batch_format="pandas")
 
 
+def weighted_sample(
+    ds: rd.Dataset,
+    rate: float,
+    weight_col: str,
+    scale: float,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Per-row importance sample: keep with p = min(1, rate·weight/scale),
+    deterministic hash membership (same u32 convention as
+    ``stratified_sample``, so resharding / re-running cannot change the
+    sample).  The continuous sibling of the per-stratum rates — e.g.
+    upweight long documents when rebalancing a token mixture.
+
+    Stateless ``map_batches`` filter; no shuffle.  ``p`` is emitted for
+    audit.  Float parity with the SQL oracle: p is computed as
+    ``rate * (weight / scale)`` in double, exactly the oracle's
+    ``LEAST(1.0, rate * (w / scale))``."""
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        w = b[weight_col].to_numpy().astype(np.float64)
+        p = np.minimum(1.0, rate * (w / scale))
+        u = np.asarray([_sample_u32(seed, i) for i in b[id_col]], dtype=np.float64)
+        out = b[u < p].copy()
+        out["p"] = p[u < p]
+        return out
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # duplicated-span REMOVAL (the rewrite step of Lee et al. 2021)
 # ---------------------------------------------------------------------------

@@ -22,6 +22,7 @@ from hashlib import blake2b
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray
 import ray.data as rd
 
 # ---------------------------------------------------------------------------
@@ -481,4 +482,89 @@ def embedding_near_dup_lsh(
         out.drop_duplicates(subset=["id_a", "id_b"])
         .sort_values(["id_a", "id_b"])
         .reset_index(drop=True)
+    )
+
+
+def semdedup(
+    emb: rd.Dataset,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    train_rate: float = 0.5,
+    train_seed: int = 7,
+    id_col: str = "vec_id",
+) -> rd.Dataset:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup via
+    k-means clustering + within-cluster cosine pruning -> Dataset(vec_id,
+    cluster, keep).
+
+    1. a deterministic hash-picked sample trains the seeded spherical
+       k-means on the driver (same small-side protocol as
+       stages.ann.ivf_topk; the corpus never materializes);
+    2. centroids broadcast once; a stateless ``map_batches`` matmul
+       assigns each vector to its cluster;
+    3. ONE ``groupby(cluster)`` shuffle co-locates each cluster; the keep
+       set is greedy in id order — a vector is dropped iff cosine >=
+       threshold against an already-KEPT smaller id.  Deterministic under
+       any partitioning (the paper keeps the lowest-centroid-similarity
+       member per duplicate group; we keep the smallest id — same dedup
+       semantics, reproducible).
+
+    Within-cluster work is O(|cluster|^2): size n_centroids ~ N/1000 at
+    corpus scale so clusters stay bounded (the paper runs 50k clusters
+    on LAION-440M)."""
+    from .ann import _kmeans, _normalize
+    from .curate import _sample_u32
+
+    def pick(b: pd.DataFrame) -> pd.DataFrame:
+        keep = np.asarray(
+            [_sample_u32(train_seed, i) < train_rate for i in b[id_col]],
+            dtype=bool,
+        )
+        return b[keep]
+
+    sample = emb.map_batches(pick, batch_format="pandas").to_pandas()
+    sample = sample.sort_values(id_col)
+    train = _normalize(np.stack(sample["embedding"].to_numpy()).astype(np.float64))
+    cent_ref = ray.put(_kmeans(train, n_centroids))
+
+    def assign(b: pd.DataFrame, _ref=cent_ref) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {id_col: pd.Series([], dtype=np.int64),
+                 "cluster": pd.Series([], dtype=np.int64),
+                 "embedding": pd.Series([], dtype=object)}
+            )
+        c = ray.get(_ref)
+        m = _normalize(np.stack(b["embedding"].to_numpy()).astype(np.float64))
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy(),
+                "cluster": np.argmax(m @ c.T, axis=1).astype(np.int64),
+                "embedding": [r.tolist() for r in m],
+            }
+        )
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col)
+        m = np.stack(g["embedding"].to_numpy())
+        sims = m @ m.T
+        keep = np.zeros(len(g), dtype=bool)
+        kept: list[int] = []
+        for i in range(len(g)):
+            if kept and sims[i, kept].max() >= threshold:
+                continue
+            keep[i] = True
+            kept.append(i)
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(),
+                "cluster": g["cluster"].to_numpy(),
+                "keep": keep,
+            }
+        )
+
+    return (
+        emb.map_batches(assign, batch_format="pandas")
+        .groupby("cluster")
+        .map_groups(prune, batch_format="pandas")
     )

@@ -21,6 +21,7 @@ from hashlib import md5
 
 import numpy as np
 import pandas as pd
+import ray
 import ray.data as rd
 
 HLL_P = 12  # 2^12 = 4096 registers; ~1.04/sqrt(m) = 1.6% standard error
@@ -195,3 +196,72 @@ def bloom_probe(
         return b
 
     return ds.map_batches(probe, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (mergeable frequency sketch)
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def _cms_bucket(j: int, tok: str, width: int = CMS_WIDTH) -> int:
+    """Row-j bucket for a token — the canonical md5_number_lower chain
+    (LE bytes 8..16), so the DuckDB oracle recomputes it exactly."""
+    from .textstats import md5_number_lower
+
+    return md5_number_lower(f"{j}|{tok}") % width
+
+
+def cms_token_counts(
+    ds: rd.Dataset,
+    probes: list[str],
+    text_col: str = "text",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> pd.DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) over whitespace
+    tokens, + point queries -> df(probe, est_cnt).
+
+    est = min over depth rows of the probed counter; overestimates only
+    (collisions add).  Scale shape mirrors ``hll_distinct``: each batch
+    collapses to at most depth*width narrow (cell, cnt) partial rows,
+    one ``repartition(1)`` + vectorized sum-combine merges them — the
+    merged side is register-count-sized, never corpus-sized (counters
+    are a commutative monoid, so merge order cannot change the result).
+    """
+    probes_ref = ray.put([str(p) for p in probes])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b[text_col].fillna("").str.split(" ").explode()
+        toks = toks[toks != ""]
+        vc = toks.value_counts()
+        cells = np.empty(len(vc) * depth, dtype=np.int64)
+        cnts = np.empty(len(vc) * depth, dtype=np.int64)
+        for i, (tok, cnt) in enumerate(vc.items()):
+            for j in range(depth):
+                cells[i * depth + j] = j * width + _cms_bucket(j, tok, width)
+                cnts[i * depth + j] = cnt
+        df = pd.DataFrame({"cell": cells, "cnt": cnts})
+        return df.groupby("cell", as_index=False)["cnt"].sum()
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        reg = np.zeros(depth * width, dtype=np.int64)
+        np.add.at(reg, b["cell"].to_numpy(), b["cnt"].to_numpy())
+        ps = ray.get(probes_ref)
+        est = [
+            int(min(reg[j * width + _cms_bucket(j, p, width)] for j in range(depth)))
+            for p in ps
+        ]
+        return pd.DataFrame(
+            {"probe": ps, "est_cnt": np.array(est, dtype=np.int64)}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .repartition(1)
+        # batch_size=None: the single block must reach combine() whole
+        .map_batches(combine, batch_format="pandas", batch_size=None)
+        .to_pandas()
+    )

@@ -106,3 +106,41 @@ class TestBloom:
         ref = ray.put(bloom_build(ds, "text"))
         out = bloom_probe(ds, "text", ref).to_pandas()
         assert list(out["member"]) == [True, False, True]
+
+
+class TestCountMin:
+    def test_overestimates_only_and_matches_sequential_sim(self):
+        import ray.data as rd
+
+        from marginaliasearch_ray.stages.sketch import _cms_bucket, cms_token_counts
+
+        rng = np.random.RandomState(9)
+        words = [f"tok{i}" for i in range(300)]
+        texts = [
+            " ".join(rng.choice(words, size=rng.randint(5, 60))) for _ in range(200)
+        ]
+        df = pd.DataFrame({"doc_id": np.arange(200), "text": texts})
+        # width 32 << 300 distinct tokens -> guaranteed collisions
+        probes = ["tok0", "tok7", "tok123", "absent_token"]
+        got = cms_token_counts(
+            rd.from_pandas(df).repartition(7), probes, depth=3, width=32
+        )
+
+        from collections import Counter
+
+        true = Counter(t for x in texts for t in x.split(" ") if t)
+        # sequential sketch simulation
+        reg = {}
+        for tok, cnt in true.items():
+            for j in range(3):
+                cell = j * 32 + _cms_bucket(j, tok, 32)
+                reg[cell] = reg.get(cell, 0) + cnt
+        exp = [
+            min(reg.get(j * 32 + _cms_bucket(j, p, 32), 0) for j in range(3))
+            for p in probes
+        ]
+        assert got["probe"].tolist() == probes
+        assert got["est_cnt"].tolist() == exp
+        for p, e in zip(probes, exp):
+            assert e >= true.get(p, 0)
+        assert got["est_cnt"].tolist()[-1] >= 0  # absent token: pure collision mass

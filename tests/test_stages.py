@@ -635,3 +635,79 @@ class TestVocabTopk:
         exp = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
         assert list(zip(got["token"], got["cnt"])) == exp
         assert got["rank"].tolist() == list(range(1, 21))
+
+
+class TestSemDedup:
+    def _mk(self, rng, n_groups=12, dup_per_group=3, dim=16):
+        # planted near-dup groups: base vector + tiny noise copies
+        rows = []
+        vid = 0
+        for g in range(n_groups):
+            base = rng.randn(dim)
+            base /= np.linalg.norm(base)
+            for _ in range(dup_per_group):
+                v = base + rng.randn(dim) * 0.01
+                rows.append((vid, (v / np.linalg.norm(v)).tolist()))
+                vid += 1
+        return pd.DataFrame({"vec_id": [r[0] for r in rows],
+                             "embedding": [r[1] for r in rows]})
+
+    def test_drops_planted_dups_keeps_smallest_id(self):
+        import ray.data as rd
+
+        from marginaliasearch_ray.stages.dedup import semdedup
+
+        df = self._mk(np.random.RandomState(21))
+        out = (
+            semdedup(rd.from_pandas(df).repartition(5), threshold=0.9,
+                     n_centroids=6, train_rate=1.0)
+            .to_pandas().sort_values("vec_id").reset_index(drop=True)
+        )
+        assert len(out) == len(df)
+        # every planted triple keeps exactly its smallest id when the
+        # triple lands in one cluster (same-cluster check via output)
+        cl = out.set_index("vec_id")["cluster"]
+        kept = out.set_index("vec_id")["keep"]
+        for g in range(12):
+            ids = [3 * g, 3 * g + 1, 3 * g + 2]
+            if len({int(cl[i]) for i in ids}) == 1:
+                assert kept[ids[0]]
+                assert not kept[ids[1]] and not kept[ids[2]]
+
+    def test_deterministic_across_partitioning(self):
+        import ray.data as rd
+
+        from marginaliasearch_ray.stages.dedup import semdedup
+
+        df = self._mk(np.random.RandomState(4), n_groups=8)
+        outs = []
+        for parts in (2, 11):
+            out = (
+                semdedup(rd.from_pandas(df).repartition(parts),
+                         threshold=0.9, n_centroids=4, train_rate=0.5)
+                .to_pandas().sort_values("vec_id").reset_index(drop=True)
+            )
+            outs.append(out)
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+class TestWeightedSample:
+    def test_membership_matches_hash_rule(self):
+        import ray.data as rd
+
+        from marginaliasearch_ray.stages.curate import _sample_u32, weighted_sample
+
+        df = pd.DataFrame(
+            {"doc_id": np.arange(500, dtype=np.int64),
+             "n_chars": np.random.RandomState(2).randint(1, 3000, 500).astype(np.int64)}
+        )
+        out = (
+            weighted_sample(rd.from_pandas(df).repartition(7), rate=0.5,
+                            weight_col="n_chars", scale=1000.0, seed=7)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        p = np.minimum(1.0, 0.5 * (df["n_chars"].to_numpy() / 1000.0))
+        u = np.array([_sample_u32(7, i) for i in df["doc_id"]])
+        exp = df[u < p].reset_index(drop=True)
+        assert out["doc_id"].tolist() == exp["doc_id"].tolist()
+        assert np.allclose(out["p"].to_numpy(), p[u < p])
