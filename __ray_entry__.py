@@ -994,6 +994,35 @@ def _doc_sample_stratified(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _doc_chunks(sf_dir: str) -> pd.DataFrame:
+    """Overlapping word-window chunking (64-word windows, 16 overlap) —
+    stages/curate.py chunk_documents (stateless flat expansion, no
+    shuffle; the RAG / embedding-prep splitter)."""
+    from marginaliasearch_ray.stages.curate import chunk_documents
+
+    ds = _read_table(sf_dir, "documents", ["doc_id", "text"])
+    out = chunk_documents(ds, chunk_words=64, overlap=16).to_pandas()
+    return out.sort_values(["doc_id", "chunk_no"]).reset_index(drop=True)
+
+
+_MIXTURE_TARGETS = {"src0": 0.2, "src1": 0.1, "src2": 0.05}
+_MIXTURE_SEED = 5
+
+
+def _mixture_sample(sf_dir: str) -> pd.DataFrame:
+    """Token-budget mixture construction: per-source rate =
+    min(1, share·total_tokens/source_tokens), then deterministic hash
+    sampling — stages/curate.py mixture_sample (result-sized token
+    totals + one stateless filter pass)."""
+    from marginaliasearch_ray.stages.curate import mixture_sample
+
+    ds = _read_table(sf_dir, "documents", ["doc_id", "source", "text"])
+    out = mixture_sample(ds, _MIXTURE_TARGETS, seed=_MIXTURE_SEED).to_pandas()
+    return (
+        out[["doc_id", "source"]].sort_values("doc_id").reset_index(drop=True)
+    )
+
+
 def _cms_token_counts(sf_dir: str) -> pd.DataFrame:
     """Count-min sketch point queries for the top-10 tokens (true top-10
     from vocab_topk; estimates from stages/sketch.py cms_token_counts) —
@@ -1217,6 +1246,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample_weighted": _doc_sample_weighted,
         "semdedup_keep": _semdedup_keep,
         "cms_token_counts": _cms_token_counts,
+        "doc_chunks": _doc_chunks,
+        "mixture_sample": _mixture_sample,
         "curate_pipeline": _curate_pipeline,
         # sideloaders (range-sharded SQLite / dirtree readers + converter)
         "sideload_encyclopedia": _sideload("wiki"),
@@ -2253,6 +2284,48 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY token
             )
             ORDER BY cnt DESC, token LIMIT 100
+        """,
+        "doc_chunks": """
+            WITH d AS (
+                SELECT doc_id, string_split(text, ' ') AS ws,
+                       len(string_split(text, ' ')) AS n
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, ws, n,
+                       CASE WHEN n <= 64 THEN CAST(1 AS BIGINT)
+                            ELSE 1 + CAST(ceil((n - 64) / 48.0) AS BIGINT)
+                       END AS n_chunks
+                FROM d
+            )
+            SELECT doc_id, k AS chunk_no,
+                   least(CAST(64 AS BIGINT), n - k * 48) AS n_words,
+                   array_to_string(
+                       ws[(k * 48 + 1):least(k * 48 + 64, n)], ' '
+                   ) AS text_chunk
+            FROM c, unnest(generate_series(0, n_chunks - 1)) AS t(k)
+            ORDER BY doc_id, chunk_no
+        """,
+        "mixture_sample": f"""
+            WITH tok AS (
+                SELECT doc_id, source, len(string_split(text, ' ')) AS n
+                FROM documents
+            ),
+            tot AS (SELECT source, sum(n) AS src_n FROM tok GROUP BY source),
+            allt AS (SELECT sum(n) AS total FROM tok),
+            rates AS (
+                SELECT source,
+                       LEAST(1.0, (CASE source
+                           {' '.join(f"WHEN '{k}' THEN {v}" for k, v in _MIXTURE_TARGETS.items())}
+                           ELSE 0.0 END * CAST(total AS DOUBLE))
+                           / CAST(src_n AS DOUBLE)) AS rate
+                FROM tot, allt
+            )
+            SELECT t.doc_id, t.source
+            FROM tok t JOIN rates r USING (source)
+            WHERE (md5_number_lower(concat({_MIXTURE_SEED}, '|', t.doc_id))
+                   % 4294967296) / 4294967296.0 < r.rate
+            ORDER BY doc_id
         """,
         "cms_token_counts": """
             WITH tf AS (

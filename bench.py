@@ -194,6 +194,7 @@ def run_bench() -> dict:
         "doc_top_per_source",
         "vocab_topk",
         "semdedup_keep",
+        "doc_chunks",
     ):
         t0 = time.perf_counter()
         qs[name](SF_DIR)

@@ -17,6 +17,7 @@ ever moves through broadcast lookups inside ``map_batches``.
 
 from __future__ import annotations
 
+import math
 from collections import Counter
 from hashlib import md5
 
@@ -678,3 +679,104 @@ def dedup_spans(
         )
 
     return ds.map_batches(rewrite, batch_format="pandas")
+
+
+def chunk_documents(
+    ds: rd.Dataset,
+    chunk_words: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> rd.Dataset:
+    """Split each document into overlapping word windows -> Dataset(
+    doc_id, chunk_no, n_words, text_chunk) — the long-document prep step
+    for embedding / RAG / fixed-context training corpora.
+
+    Chunk k starts at word k·stride (stride = chunk_words − overlap);
+    #chunks = 1 if n <= chunk_words else 1 + ceil((n−chunk)/stride), so
+    the final window always reaches the last word and no window is fully
+    contained in its predecessor.  Words are the whitespace-split list
+    INCLUDING empty tokens (``string_split(text, ' ')`` parity with the
+    DuckDB oracle — a chunk's join reconstructs the original spacing).
+
+    Stateless flat expansion: map-only, no shuffle, no state — each
+    batch expands independently, so this scales linearly."""
+    stride = chunk_words - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be < chunk_words")
+
+    def expand(b: pd.DataFrame) -> pd.DataFrame:
+        ids_out: list = []
+        chunk_no: list[int] = []
+        n_words: list[int] = []
+        chunks: list[str] = []
+        for i, t in zip(b[id_col].to_numpy(), b[text_col].fillna("").to_numpy()):
+            ws = t.split(" ")
+            n = len(ws)
+            n_chunks = (
+                1 if n <= chunk_words
+                else 1 + math.ceil((n - chunk_words) / stride)
+            )
+            for k in range(n_chunks):
+                s = k * stride
+                piece = ws[s : s + chunk_words]
+                ids_out.append(i)
+                chunk_no.append(k)
+                n_words.append(len(piece))
+                chunks.append(" ".join(piece))
+        return pd.DataFrame(
+            {
+                id_col: np.asarray(ids_out),
+                "chunk_no": np.asarray(chunk_no, dtype=np.int64),
+                "n_words": np.asarray(n_words, dtype=np.int64),
+                "text_chunk": chunks,
+            }
+        )
+
+    return ds.map_batches(expand, batch_format="pandas")
+
+
+def mixture_sample(
+    ds: rd.Dataset,
+    targets: dict[str, float],
+    seed: int = 0,
+    id_col: str = "doc_id",
+    stratum_col: str = "source",
+    text_col: str = "text",
+) -> rd.Dataset:
+    """Token-budget mixture construction: sample each source at
+    rate = min(1, target_share·total_tokens / source_tokens) so the
+    EXPECTED sampled token mass hits the target proportions (sources
+    absent from ``targets`` drop).  The data-mixing planner of
+    Pile/Gopher-style corpora, composed from this repo's primitives:
+
+    1. per-source token totals via batch partial aggregation (tiny,
+       result-sized — the same shape as ``source_report``);
+    2. rates computed on the driver (|sources| numbers);
+    3. one stateless ``stratified_sample`` filter pass — deterministic
+       hash membership, no shuffle anywhere.
+
+    Token count = whitespace-split length including empty tokens
+    (``len(string_split(text, ' '))`` oracle parity)."""
+
+    def tok_partial(b: pd.DataFrame) -> pd.DataFrame:
+        n = b[text_col].fillna("").str.split(" ").str.len().astype("int64")
+        g = pd.DataFrame({stratum_col: b[stratum_col], "n": n})
+        return g.groupby(stratum_col, as_index=False)["n"].sum()
+
+    tot = (
+        ds.map_batches(tok_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby(stratum_col)["n"]
+        .sum()
+    )
+    total = float(int(tot.sum()))
+    rates = {
+        s: min(1.0, (share * total) / float(tot[s]))
+        for s, share in targets.items()
+        if s in tot.index
+    }
+    return stratified_sample(
+        ds, rates, default_rate=0.0, seed=seed,
+        id_col=id_col, stratum_col=stratum_col,
+    )

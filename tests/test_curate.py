@@ -364,3 +364,62 @@ class TestDedupSpans:
         out = self._run(["a b", ""], n=3)
         assert list(out["n_removed"]) == [0, 0]
         assert list(out["text_clean"]) == ["a b", ""]
+
+
+class TestChunkDocuments:
+    def test_windows_cover_and_overlap(self):
+        import ray.data as rd
+
+        from marginaliasearch_ray.stages.curate import chunk_documents
+
+        texts = {
+            1: " ".join(f"w{i}" for i in range(10)),   # one short chunk
+            2: " ".join(f"x{i}" for i in range(13)),   # 13 words, chunk 8/ovl 3
+            3: "",                                      # one empty-token chunk
+            4: "a  b",                                  # double space preserved
+        }
+        df = pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+        out = (
+            chunk_documents(rd.from_pandas(df).repartition(3),
+                            chunk_words=8, overlap=3)
+            .to_pandas().sort_values(["doc_id", "chunk_no"]).reset_index(drop=True)
+        )
+        # doc 2: 13 words, stride 5 -> starts 0 and 5 (start-5 window
+        # already reaches word 12, so no third chunk)
+        d2 = out[out["doc_id"] == 2]
+        assert d2["n_words"].tolist() == [8, 8]
+        assert d2["text_chunk"].iloc[1].split(" ")[0] == "x5"
+        # reconstruction: stripping the overlap re-yields the word stream
+        words = []
+        for _, r in d2.iterrows():
+            ws = r["text_chunk"].split(" ")
+            words.extend(ws if not words else ws[3:])
+        assert " ".join(words) == texts[2]
+        assert out[out["doc_id"] == 3]["text_chunk"].tolist() == [""]
+        assert out[out["doc_id"] == 4]["text_chunk"].tolist() == ["a  b"]
+        assert out[out["doc_id"] == 4]["n_words"].tolist() == [3]
+
+
+class TestMixtureSample:
+    def test_rates_hit_target_token_shares(self):
+        import ray.data as rd
+
+        from marginaliasearch_ray.stages.curate import mixture_sample
+
+        rng = np.random.RandomState(3)
+        rows = []
+        for i in range(3000):
+            src = f"s{i % 3}"
+            rows.append((i, src, " ".join(["tok"] * rng.randint(5, 50))))
+        df = pd.DataFrame(rows, columns=["doc_id", "source", "text"])
+        out = (
+            mixture_sample(rd.from_pandas(df).repartition(7),
+                           {"s0": 0.15, "s1": 0.05}, seed=11)
+            .to_pandas()
+        )
+        assert set(out["source"]) <= {"s0", "s1"}  # s2 dropped
+        ntok = df.set_index("doc_id")["text"].str.split(" ").str.len()
+        total = ntok.sum()
+        got0 = ntok[out[out["source"] == "s0"]["doc_id"]].sum() / total
+        got1 = ntok[out[out["source"] == "s1"]["doc_id"]].sum() / total
+        assert abs(got0 - 0.15) < 0.02 and abs(got1 - 0.05) < 0.015
