@@ -88,6 +88,36 @@ def _convert_docs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("url").reset_index(drop=True)
 
 
+def _hits_domains(sf_dir: str) -> pd.DataFrame:
+    """Kleinberg HITS hubs/authorities over the crawl link graph — the
+    DISTRIBUTED path (pipelines/rank.py hits: edge-partition actors, two
+    broadcast-vector rounds per iteration) vs the sequential hits_local
+    replica in the oracle fixture."""
+    import ray.data as rd
+
+    from marginaliasearch_ray.fixtures.cache import fixture_dir_for
+    from marginaliasearch_ray.pipelines.rank import hits
+
+    fix = fixture_dir_for(sf_dir)
+    links = rd.read_parquet(f"{fix}/links.parquet")
+
+    def to_domains(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src_domain": batch["src_url"].str.extract(r"://([^/:]+)", expand=False),
+                "dst_domain": batch["dst_url"].str.extract(r"://([^/:]+)", expand=False),
+            }
+        )
+
+    edges = links.map_batches(to_domains, batch_format="pandas")
+    out = hits(edges, mode="distributed")
+    out["authority"] = out["authority"].round(8)
+    out["hub"] = out["hub"].round(8)
+    return out.sort_values(
+        ["authority", "domain"], ascending=[False, True]
+    ).reset_index(drop=True)
+
+
 def _pagerank_domains(sf_dir: str) -> pd.DataFrame:
     import ray.data as rd
 
@@ -994,6 +1024,20 @@ def _doc_sample_stratified(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+_SPLIT_SEED = 3
+
+
+def _doc_splits(sf_dir: str) -> pd.DataFrame:
+    """Deterministic 98/1/1 train/val/test assignment by hash interval —
+    stages/curate.py assign_splits (stateless; resharding or corpus
+    growth never moves an existing doc between splits)."""
+    from marginaliasearch_ray.stages.curate import assign_splits
+
+    ds = _read_table(sf_dir, "documents", ["doc_id", "source"])
+    out = assign_splits(ds, seed=_SPLIT_SEED).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _doc_chunks(sf_dir: str) -> pd.DataFrame:
     """Overlapping word-window chunking (64-word windows, 16 overlap) —
     stages/curate.py chunk_documents (stateless flat expansion, no
@@ -1175,6 +1219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_records": _crawl_records,
         "convert_docs": _convert_docs,
         "pagerank_domains": _pagerank_domains,
+        "hits_domains": _hits_domains,
         "url_canonicalize": _url_canonicalize,
         "recrawl_decisions": _recrawl_decisions,
         "recrawl_meta": _recrawl_meta,
@@ -1248,6 +1293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_token_counts": _cms_token_counts,
         "doc_chunks": _doc_chunks,
         "mixture_sample": _mixture_sample,
+        "doc_splits": _doc_splits,
         "curate_pipeline": _curate_pipeline,
         # sideloaders (range-sharded SQLite / dirtree readers + converter)
         "sideload_encyclopedia": _sideload("wiki"),
@@ -2285,6 +2331,18 @@ def oracle_sql() -> dict[str, str]:
             )
             ORDER BY cnt DESC, token LIMIT 100
         """,
+        "doc_splits": f"""
+            SELECT doc_id, source,
+                   CASE WHEN u < 0.98 THEN 'train'
+                        WHEN u < 0.99 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+                SELECT doc_id, source,
+                       (md5_number_lower(concat({_SPLIT_SEED}, '|', doc_id))
+                        % 4294967296) / 4294967296.0 AS u
+                FROM documents
+            ) ORDER BY doc_id
+        """,
         "doc_chunks": """
             WITH d AS (
                 SELECT doc_id, string_split(text, ' ') AS ws,
@@ -2480,6 +2538,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT domain, rank
             FROM read_parquet('{exp}/expected_pagerank.parquet')
             ORDER BY rank DESC, domain
+        """,
+        "hits_domains": f"""
+            SELECT domain, authority, hub
+            FROM read_parquet('{exp}/expected_hits.parquet')
+            ORDER BY authority DESC, domain
         """,
         "sideload_encyclopedia": _sideload_oracle(exp, "wiki"),
         "sideload_stackexchange": _sideload_oracle(exp, "stackexchange"),

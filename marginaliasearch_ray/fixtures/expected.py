@@ -41,7 +41,7 @@ from .cache import FIXTURE_VERSION, config_for, fixture_dir_for
 
 EXPECTED_ROOT = "/tmp/graft_expected"
 # bump when ORACLE LOGIC changes without a fixture-generator change
-EXPECTED_VERSION = 10
+EXPECTED_VERSION = 11
 
 
 def expected_dir_for(sf_dir: str) -> str:
@@ -249,6 +249,24 @@ def _build_pagerank_expected(fix: Path, out: Path) -> None:
     df = pd.DataFrame({"domain": domains, "rank": np.round(rank, 8)})
     df = df.sort_values(["rank", "domain"], ascending=[False, True]).reset_index(drop=True)
     pq.write_table(pa.Table.from_pandas(df, preserve_index=False), out / "expected_pagerank.parquet")
+
+    # HITS over the same graph: sequential replica of the distributed
+    # two-round (forward/reverse partial) iteration in pipelines.rank.hits
+    from ..pipelines.rank import hits_local
+
+    auth, hub = hits_local(domains, src, dst)
+    hdf = pd.DataFrame(
+        {"domain": domains,
+         "authority": np.round(auth, 8),
+         "hub": np.round(hub, 8)}
+    )
+    hdf = hdf.sort_values(
+        ["authority", "domain"], ascending=[False, True]
+    ).reset_index(drop=True)
+    pq.write_table(
+        pa.Table.from_pandas(hdf, preserve_index=False),
+        out / "expected_hits.parquet",
+    )
 
 
 # ---------------------------------------------------------------------------

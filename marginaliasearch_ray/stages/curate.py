@@ -780,3 +780,29 @@ def mixture_sample(
         ds, rates, default_rate=0.0, seed=seed,
         id_col=id_col, stratum_col=stratum_col,
     )
+
+
+def assign_splits(
+    ds: rd.Dataset,
+    fractions: tuple[float, ...] = (0.98, 0.01, 0.01),
+    names: tuple[str, ...] = ("train", "val", "test"),
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Deterministic train/val/test assignment: split = the interval of
+    [0,1) that the doc's hash u32 falls in (cumulative fraction
+    boundaries).  Hash membership means resharding, re-running, or
+    growing the corpus never moves an existing doc between splits — the
+    property RNG-based splitting lacks.  Stateless map_batches, no
+    shuffle."""
+    bounds = np.cumsum(np.asarray(fractions, dtype=np.float64))
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        u = np.asarray([_sample_u32(seed, i) for i in b[id_col]], dtype=np.float64)
+        idx = np.searchsorted(bounds, u, side="right")
+        idx = np.minimum(idx, len(names) - 1)  # guard fp edge at 1.0
+        out = b.copy()
+        out["split"] = np.asarray(names, dtype=object)[idx]
+        return out
+
+    return ds.map_batches(tag, batch_format="pandas")

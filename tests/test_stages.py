@@ -711,3 +711,38 @@ class TestWeightedSample:
         exp = df[u < p].reset_index(drop=True)
         assert out["doc_id"].tolist() == exp["doc_id"].tolist()
         assert np.allclose(out["p"].to_numpy(), p[u < p])
+
+
+class TestHits:
+    def test_star_graph_authority_and_hub(self):
+        from marginaliasearch_ray.pipelines.rank import hits
+
+        # hub -> {a, b, c}: hub is the only hub, a/b/c equal authorities
+        edges = _docs(
+            [
+                {"src_domain": "hub", "dst_domain": "a"},
+                {"src_domain": "hub", "dst_domain": "b"},
+                {"src_domain": "hub", "dst_domain": "c"},
+            ]
+        )
+        out = hits(edges, mode="local").set_index("domain")
+        assert abs(out.loc["hub", "hub"] - 1.0) < 1e-9
+        assert abs(out.loc["a", "authority"] - 1 / np.sqrt(3)) < 1e-9
+        assert out.loc["hub", "authority"] == 0.0
+        assert out.loc["a", "hub"] == 0.0
+
+    def test_distributed_matches_local(self):
+        from marginaliasearch_ray.pipelines.rank import hits
+
+        rng = np.random.default_rng(5)
+        doms = [f"d{i}" for i in range(25)]
+        rows = [
+            {"src_domain": doms[rng.integers(25)], "dst_domain": doms[rng.integers(25)]}
+            for _ in range(80)
+        ]
+        edges = _docs(rows)
+        loc = hits(edges, mode="local")
+        dist = hits(edges, mode="distributed")
+        merged = loc.merge(dist, on="domain", suffixes=("_l", "_d"))
+        assert np.allclose(merged.authority_l, merged.authority_d, atol=1e-9)
+        assert np.allclose(merged.hub_l, merged.hub_d, atol=1e-9)
