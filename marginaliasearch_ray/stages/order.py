@@ -42,8 +42,14 @@ def _sample_splitters(
     """Deterministic hash-picked key sample -> sorted unique splitters.
 
     Splitters steer only bucket BALANCE; every construction built on them
-    stays exact regardless of sample quality."""
+    stays exact regardless of sample quality.  Each batch additionally
+    caps its contribution to 4·n_buckets evenly-spaced keys of its local
+    sorted sample, so the driver collects at most O(n_buckets · #blocks)
+    keys — bounded at any corpus size — instead of 1/sample_mod of the
+    data."""
     from marginaliasearch_ray.stages.textstats import md5_number_lower
+
+    per_batch_cap = 4 * n_buckets
 
     def sample(b: pd.DataFrame) -> pd.DataFrame:
         if len(b) == 0:  # repartition can emit column-less empty blocks
@@ -62,7 +68,11 @@ def _sample_splitters(
                 dtype=bool,
                 count=len(ids),
             )
-        return pd.DataFrame({key_col: b[key_col].to_numpy()[m]})
+        keys = b[key_col].to_numpy()[m]
+        if len(keys) > per_batch_cap:
+            ks = np.sort(keys)
+            keys = ks[np.linspace(0, len(ks) - 1, per_batch_cap).astype(int)]
+        return pd.DataFrame({key_col: keys})
 
     sdf = ds.map_batches(sample, batch_format="pandas").to_pandas()
     # an all-empty sample (tiny input) yields a column-less frame
