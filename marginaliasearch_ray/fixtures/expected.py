@@ -674,7 +674,10 @@ def _expected_ivf_ann(
     ids, mat = ids[order], mat[order]
     q = mat[0:1]  # query = first vec by id (matches __ray_entry__._ivf_ann_topk)
     picked = np.array([_sample_u32(train_seed, int(i)) < train_rate for i in ids])
-    cent = _kmeans(mat[picked], n_centroids)
+    # same id-order MAX_TRAIN cap as the engine (no-op at sf sizes)
+    from ..stages.ann import MAX_TRAIN
+
+    cent = _kmeans(mat[picked][:MAX_TRAIN], n_centroids)
     probes = np.argsort(-(q @ cent.T), kind="stable", axis=1)[0, :nprobe]
     assign = np.argmax(mat @ cent.T, axis=1)
     mask = np.isin(assign, probes)
@@ -716,7 +719,10 @@ def _expected_semdedup(
     order = np.argsort(ids)
     ids, mat = ids[order], mat[order]
     picked = np.array([_sample_u32(train_seed, int(i)) < train_rate for i in ids])
-    cent = _kmeans(mat[picked], n_centroids)
+    # same id-order MAX_TRAIN cap as the engine (no-op at sf sizes)
+    from ..stages.ann import MAX_TRAIN
+
+    cent = _kmeans(mat[picked][:MAX_TRAIN], n_centroids)
     assign = np.argmax(mat @ cent.T, axis=1)
     keep = np.zeros(len(ids), dtype=bool)
     for c in np.unique(assign):

@@ -70,6 +70,8 @@ def brute_force_topk(
 
 
 _IVF_SEED = 0x1CF
+# driver-side k-means training-set bound (vectors); sample keeps id order
+MAX_TRAIN = 100_000
 
 
 def _kmeans(train: np.ndarray, n_centroids: int, iters: int = 10) -> np.ndarray:
@@ -118,7 +120,11 @@ def ivf_topk(
         return b[np.asarray(keep, dtype=bool)]
 
     sample = emb.map_batches(pick, batch_format="pandas").to_pandas()
-    sample = sample.sort_values(id_col)
+    # id-order truncation bounds the driver-side training set at any
+    # corpus size (standard IVF practice: train on a capped sample);
+    # deterministic and resharding-stable because the collected sample is
+    # sorted by id BEFORE the cut.  No-op below the cap.
+    sample = sample.sort_values(id_col).head(MAX_TRAIN)
     train = _normalize(np.stack(sample["embedding"].to_numpy()).astype(np.float64))
     cent = _kmeans(train, n_centroids)
     # nprobe nearest centroids per query (argsort is stable -> smaller

@@ -512,7 +512,7 @@ def semdedup(
     Within-cluster work is O(|cluster|^2): size n_centroids ~ N/1000 at
     corpus scale so clusters stay bounded (the paper runs 50k clusters
     on LAION-440M)."""
-    from .ann import _kmeans, _normalize
+    from .ann import MAX_TRAIN, _kmeans, _normalize
     from .curate import _sample_u32
 
     def pick(b: pd.DataFrame) -> pd.DataFrame:
@@ -523,7 +523,11 @@ def semdedup(
         return b[keep]
 
     sample = emb.map_batches(pick, batch_format="pandas").to_pandas()
-    sample = sample.sort_values(id_col)
+    # id-order truncation bounds the driver-side training set at any
+    # corpus size (standard IVF practice: train on a capped sample);
+    # deterministic and resharding-stable because the collected sample is
+    # sorted by id BEFORE the cut.  No-op below the cap.
+    sample = sample.sort_values(id_col).head(MAX_TRAIN)
     train = _normalize(np.stack(sample["embedding"].to_numpy()).astype(np.float64))
     cent_ref = ray.put(_kmeans(train, n_centroids))
 
