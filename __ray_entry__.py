@@ -2324,7 +2324,8 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (ORDER BY cnt DESC, token) AS rank
             FROM (
                 SELECT token, count(*) AS cnt
-                FROM (SELECT unnest(string_split(text, ' ')) AS token
+                FROM (SELECT unnest(string_split(coalesce(text, ''), ' '))
+                          AS token
                       FROM documents)
                 WHERE token <> ''
                 GROUP BY token
@@ -2345,8 +2346,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_chunks": """
             WITH d AS (
-                SELECT doc_id, string_split(text, ' ') AS ws,
-                       len(string_split(text, ' ')) AS n
+                SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws,
+                       len(string_split(coalesce(text, ''), ' ')) AS n
                 FROM documents
             ),
             c AS (
@@ -2366,7 +2367,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "mixture_sample": f"""
             WITH tok AS (
-                SELECT doc_id, source, len(string_split(text, ' ')) AS n
+                SELECT doc_id, source,
+                       len(string_split(coalesce(text, ''), ' ')) AS n
                 FROM documents
             ),
             tot AS (SELECT source, sum(n) AS src_n FROM tok GROUP BY source),
@@ -2388,7 +2390,8 @@ def oracle_sql() -> dict[str, str]:
         "cms_token_counts": """
             WITH tf AS (
                 SELECT token, count(*) AS cnt
-                FROM (SELECT unnest(string_split(text, ' ')) AS token
+                FROM (SELECT unnest(string_split(coalesce(text, ''), ' '))
+                          AS token
                       FROM documents)
                 WHERE token <> '' GROUP BY token
             ),

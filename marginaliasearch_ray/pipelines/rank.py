@@ -159,27 +159,15 @@ class _EdgePartition:
         return np.bincount(self.src, minlength=n).astype(np.float64)
 
 
-def _pagerank_distributed(
-    edges_ds: rd.Dataset,
-    damping: float,
-    tol: float,
-    max_iter: int,
-    personalize: list[str] | None,
-) -> pd.DataFrame:
-    """Distributed power iteration without per-iteration Dataset runs:
+def _spawn_edge_actors(edges_ds: rd.Dataset) -> tuple[list, list[str]]:
+    """Shared bootstrap for the iterative graph algorithms (PageRank,
+    HITS): materialize the narrow edge projection, leave its Arrow blocks
+    in plasma, spawn round-robin edge-partition actors, union their local
+    domain universes on the driver (the small side), and resolve every
+    actor's endpoint columns to int index arrays ONCE.
 
-    - one-time: the edge table's Arrow blocks stay in plasma
-      (``to_arrow_refs``) and are resolved to int index arrays by
-      parallel tasks (vectorized ``pc.index_in``);
-    - per iteration: one task per block computes a DENSE partial
-      contribution vector from the broadcast contrib array (``ray.put``
-      once per iteration, zero-copy reads), the driver sums K partials.
-
-    The rank/contrib vectors are O(#domains) — ~80 MB at 10^7 domains —
-    which is the same broadcast envelope the rest of the engine uses for
-    domain-keyed side data; the edge table (the big side) never moves
-    after the one-time prep.  At extreme domain counts the dense partials
-    would switch to per-dst-range partitioning (documented trade-off)."""
+    -> (actors, sorted domain list).  The caller owns actor lifetime
+    (kill in a finally)."""
     import ray as _ray
 
     n_blocks = max(4, int(_ray.cluster_resources().get("CPU", 8)))
@@ -201,6 +189,33 @@ def _pagerank_distributed(
     for part in ray.get([a.local_domains.remote() for a in actors]):
         domains_set |= part
     domains = sorted(domains_set)
+    domains_arr = pa.array(domains, pa.string())
+    ray.get([a.resolve.remote(domains_arr) for a in actors])
+    return actors, domains
+
+
+def _pagerank_distributed(
+    edges_ds: rd.Dataset,
+    damping: float,
+    tol: float,
+    max_iter: int,
+    personalize: list[str] | None,
+) -> pd.DataFrame:
+    """Distributed power iteration without per-iteration Dataset runs:
+
+    - one-time: the edge table's Arrow blocks stay in plasma
+      (``to_arrow_refs``) and are resolved to int index arrays by
+      parallel tasks (vectorized ``pc.index_in``);
+    - per iteration: one task per block computes a DENSE partial
+      contribution vector from the broadcast contrib array (``ray.put``
+      once per iteration, zero-copy reads), the driver sums K partials.
+
+    The rank/contrib vectors are O(#domains) — ~80 MB at 10^7 domains —
+    which is the same broadcast envelope the rest of the engine uses for
+    domain-keyed side data; the edge table (the big side) never moves
+    after the one-time prep.  At extreme domain counts the dense partials
+    would switch to per-dst-range partitioning (documented trade-off)."""
+    actors, domains = _spawn_edge_actors(edges_ds)
     n = len(domains)
     if personalize:
         pset = set(personalize)
@@ -210,9 +225,6 @@ def _pagerank_distributed(
     else:
         teleport = np.full(n, 1.0 / n)
     rank = teleport.copy()
-
-    domains_arr = pa.array(domains, pa.string())
-    ray.get([a.resolve.remote(domains_arr) for a in actors])
 
     outdeg = np.sum(ray.get([a.outdeg.remote(n) for a in actors]), axis=0)
     dangling = outdeg == 0
@@ -291,27 +303,12 @@ def hits(
 
 
 def _hits_distributed(edges_ds: rd.Dataset, max_iter: int) -> pd.DataFrame:
-    import ray as _ray
-
-    n_blocks = max(4, int(_ray.cluster_resources().get("CPU", 8)))
-    edges = edges_ds.select_columns(["src_domain", "dst_domain"]).materialize()
-    block_refs = edges.to_arrow_refs()
-    n_actors = max(1, min(len(block_refs), n_blocks // 2 or 1))
-    groups: list[list] = [[] for _ in range(n_actors)]
-    for i, ref in enumerate(block_refs):
-        groups[i % n_actors].append(ref)
-    actors = [_EdgePartition.remote(g) for g in groups]
-    domains_set: set = set()
-    for part in ray.get([a.local_domains.remote() for a in actors]):
-        domains_set |= part
-    domains = sorted(domains_set)
+    actors, domains = _spawn_edge_actors(edges_ds)
     n = len(domains)
     if n == 0:
         for a in actors:
             ray.kill(a)
         return pd.DataFrame({"domain": [], "authority": [], "hub": []})
-    domains_arr = pa.array(domains, pa.string())
-    ray.get([a.resolve.remote(domains_arr) for a in actors])
     hub = np.full(n, 1.0 / np.sqrt(n))
     auth = np.zeros(n)
     try:

@@ -117,7 +117,14 @@ def ivf_topk(
 
     def pick(b: pd.DataFrame) -> pd.DataFrame:
         keep = [_sample_u32(train_seed, i) < train_rate for i in b[id_col]]
-        return b[np.asarray(keep, dtype=bool)]
+        hit = b[np.asarray(keep, dtype=bool)]
+        # per-batch id-order cap: the global first-MAX_TRAIN-by-id is a
+        # subset of the union of per-batch first-MAX_TRAIN-by-id, so the
+        # driver collect is bounded (MAX_TRAIN x n_blocks) with a
+        # bit-identical final training set after the global cut below.
+        if len(hit) > MAX_TRAIN:
+            hit = hit.sort_values(id_col).head(MAX_TRAIN)
+        return hit
 
     sample = emb.map_batches(pick, batch_format="pandas").to_pandas()
     # id-order truncation bounds the driver-side training set at any

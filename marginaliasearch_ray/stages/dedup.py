@@ -520,7 +520,12 @@ def semdedup(
             [_sample_u32(train_seed, i) < train_rate for i in b[id_col]],
             dtype=bool,
         )
-        return b[keep]
+        hit = b[keep]
+        # per-batch id-order cap (see ann.pick): bounds the driver collect
+        # without changing the post-cut training set.
+        if len(hit) > MAX_TRAIN:
+            hit = hit.sort_values(id_col).head(MAX_TRAIN)
+        return hit
 
     sample = emb.map_batches(pick, batch_format="pandas").to_pandas()
     # id-order truncation bounds the driver-side training set at any
@@ -544,7 +549,7 @@ def semdedup(
             {
                 id_col: b[id_col].to_numpy(),
                 "cluster": np.argmax(m @ c.T, axis=1).astype(np.int64),
-                "embedding": [r.tolist() for r in m],
+                "embedding": list(m),
             }
         )
 
