@@ -1147,6 +1147,17 @@ def _doc_quantiles(sf_dir: str) -> pd.DataFrame:
     return exact_quantiles(ds, "n_chars", qs=_QUANTILE_QS, id_col="doc_id")
 
 
+def _inverted_postings(sf_dir: str) -> pd.DataFrame:
+    """Inverted-index posting rows (term, doc_id, tf, posting_ord) —
+    stages/index.py inverted_postings (per-batch exact tf rows, one
+    term-hash bucket shuffle, vectorized per-bucket ordinal pass)."""
+    from marginaliasearch_ray.stages.index import inverted_postings
+
+    ds = _read_table(sf_dir, "documents", ["doc_id", "text"])
+    out = inverted_postings(ds).to_pandas()
+    return out.sort_values(["term", "doc_id"]).reset_index(drop=True)
+
+
 def _vocab_topk(sf_dir: str) -> pd.DataFrame:
     """Exact corpus-wide top-100 token frequencies — stages/textstats.py
     vocab_topk (per-batch value_counts partials, one token-hash bucket
@@ -1294,6 +1305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": _doc_chunks,
         "mixture_sample": _mixture_sample,
         "doc_splits": _doc_splits,
+        "inverted_postings": _inverted_postings,
         "curate_pipeline": _curate_pipeline,
         # sideloaders (range-sharded SQLite / dirtree readers + converter)
         "sideload_encyclopedia": _sideload("wiki"),
@@ -2331,6 +2343,22 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY token
             )
             ORDER BY cnt DESC, token LIMIT 100
+        """,
+        "inverted_postings": """
+            SELECT term, doc_id, tf,
+                   row_number() OVER (
+                       PARTITION BY term ORDER BY doc_id
+                   ) AS posting_ord
+            FROM (
+                SELECT token AS term, doc_id, count(*) AS tf
+                FROM (SELECT doc_id,
+                             unnest(string_split(coalesce(text, ''), ' '))
+                                 AS token
+                      FROM documents)
+                WHERE token <> ''
+                GROUP BY token, doc_id
+            )
+            ORDER BY term, doc_id
         """,
         "doc_splits": f"""
             SELECT doc_id, source,

@@ -746,3 +746,35 @@ class TestHits:
         merged = loc.merge(dist, on="domain", suffixes=("_l", "_d"))
         assert np.allclose(merged.authority_l, merged.authority_d, atol=1e-9)
         assert np.allclose(merged.hub_l, merged.hub_d, atol=1e-9)
+
+
+class TestInvertedPostings:
+    def test_postings_match_counter_oracle(self):
+        from collections import Counter
+
+        import ray.data as rd
+
+        from marginaliasearch_ray.stages.index import inverted_postings
+
+        rng = np.random.RandomState(17)
+        words = [f"t{i}" for i in range(40)]
+        texts = [
+            " ".join(rng.choice(words, size=rng.randint(1, 30))) for _ in range(300)
+        ]
+        df = pd.DataFrame({"doc_id": np.arange(300, dtype=np.int64), "text": texts})
+        got = (
+            inverted_postings(rd.from_pandas(df).repartition(7), n_buckets=8)
+            .to_pandas().sort_values(["term", "doc_id"]).reset_index(drop=True)
+        )
+        exp_rows = []
+        for i, t in enumerate(texts):
+            for term, tf in sorted(Counter(w for w in t.split(" ") if w).items()):
+                exp_rows.append((term, i, tf))
+        exp = pd.DataFrame(exp_rows, columns=["term", "doc_id", "tf"]).sort_values(
+            ["term", "doc_id"]
+        ).reset_index(drop=True)
+        exp["posting_ord"] = exp.groupby("term", sort=False).cumcount() + 1
+        assert got["term"].tolist() == exp["term"].tolist()
+        assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+        assert got["tf"].tolist() == exp["tf"].tolist()
+        assert got["posting_ord"].tolist() == exp["posting_ord"].tolist()
