@@ -1158,6 +1158,17 @@ def _inverted_postings(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["term", "doc_id"]).reset_index(drop=True)
 
 
+def _source_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact per-source n_chars quantiles (p25/p50/p75) —
+    stages/order.py group_quantiles (one group-hash bucket shuffle of the
+    narrow projection, vectorized per-bucket order statistics)."""
+    from marginaliasearch_ray.stages.order import group_quantiles
+
+    ds = _read_table(sf_dir, "documents", ["source", "n_chars"])
+    out = group_quantiles(ds, group_col="source", key_col="n_chars").to_pandas()
+    return out.sort_values(["source", "q"]).reset_index(drop=True)
+
+
 def _vocab_topk(sf_dir: str) -> pd.DataFrame:
     """Exact corpus-wide top-100 token frequencies — stages/textstats.py
     vocab_topk (per-batch value_counts partials, one token-hash bucket
@@ -1306,6 +1317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample": _mixture_sample,
         "doc_splits": _doc_splits,
         "inverted_postings": _inverted_postings,
+        "source_quantiles": _source_quantiles,
         "curate_pipeline": _curate_pipeline,
         # sideloaders (range-sharded SQLite / dirtree readers + converter)
         "sideload_encyclopedia": _sideload("wiki"),
@@ -2343,6 +2355,29 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY token
             )
             ORDER BY cnt DESC, token LIMIT 100
+        """,
+        "source_quantiles": """
+            WITH qs AS (
+                SELECT CAST(unnest([0.25, 0.5, 0.75]) AS DOUBLE) AS q
+            ),
+            ranked AS (
+                SELECT source, n_chars,
+                       row_number() OVER (
+                           PARTITION BY source ORDER BY n_chars
+                       ) AS r,
+                       count(*) OVER (PARTITION BY source) AS n
+                FROM documents
+            ),
+            t2 AS (
+                SELECT source, q,
+                       GREATEST(1, CAST(ceil(q * n) AS BIGINT)) AS rank
+                FROM (SELECT DISTINCT source, n FROM ranked), qs
+            )
+            SELECT t2.source AS source, t2.q, t2.rank,
+                   ranked.n_chars AS value
+            FROM t2 JOIN ranked
+              ON ranked.source = t2.source AND ranked.r = t2.rank
+            ORDER BY t2.source, t2.q
         """,
         "inverted_postings": """
             SELECT term, doc_id, tf,

@@ -243,6 +243,76 @@ def exact_quantiles(
     return out.sort_values("q").reset_index(drop=True)
 
 
+def group_quantiles(
+    ds: rd.Dataset,
+    group_col: str,
+    key_col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    n_buckets: int = 64,
+) -> rd.Dataset:
+    """EXACT per-group quantiles -> Dataset(group, q, rank, value):
+    within each group, ``rank`` = max(1, ceil(q·n_group)) and ``value``
+    is the key at that 1-based rank under ORDER BY key (the same
+    definition as ``exact_quantiles``, per group).  The per-source
+    threshold-picking primitive ("p90 doc length per source").
+
+    One ``groupby(bucket)`` shuffle of the narrow (group, key)
+    projection with ``bucket = hash(group) % n_buckets`` — each group
+    lives entirely in one bucket, so one vectorized sort + per-group
+    rank-index gather finishes MANY groups per map_groups call.  Unlike
+    ``group_topk`` there is no per-batch reduction (every key can be an
+    order statistic), so this moves n rows — acceptable because the
+    projection is two narrow columns, the same envelope as
+    ``global_rank``."""
+    qs_arr = np.asarray(qs, dtype=np.float64)
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            e = pd.DataFrame({group_col: [], key_col: []})
+            e["_bucket"] = pd.Series([], dtype=np.int64)
+            return e
+        out = b[[group_col, key_col]].copy()
+        out["_bucket"] = (
+            pd.util.hash_pandas_object(
+                out[group_col], index=False, hash_key="0" * 16
+            ).to_numpy()
+            % n_buckets
+        ).astype(np.int64)
+        return out
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([group_col, key_col], kind="mergesort")
+        groups, starts = np.unique(
+            g[group_col].to_numpy(), return_index=True
+        )
+        order = np.argsort(starts)
+        groups, starts = groups[order], starts[order]
+        ends = np.append(starts[1:], len(g))
+        keys = g[key_col].to_numpy()
+        rows = {group_col: [], "q": [], "rank": [], "value": []}
+        for grp, s, e in zip(groups, starts, ends):
+            n = int(e - s)
+            ranks = np.maximum(1, np.ceil(qs_arr * n)).astype(np.int64)
+            rows[group_col].extend([grp] * len(qs_arr))
+            rows["q"].extend(qs_arr)
+            rows["rank"].extend(ranks)
+            rows["value"].extend(keys[s + ranks - 1])
+        return pd.DataFrame(
+            {
+                group_col: rows[group_col],
+                "q": np.asarray(rows["q"], dtype=np.float64),
+                "rank": np.asarray(rows["rank"], dtype=np.int64),
+                "value": np.asarray(rows["value"]),
+            }
+        )
+
+    return (
+        ds.map_batches(keyed, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(pick, batch_format="pandas")
+    )
+
+
 def group_topk(
     ds: rd.Dataset,
     group_col: str,

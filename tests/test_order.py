@@ -153,3 +153,34 @@ def test_exact_quantiles_vs_sorted_oracle():
     assert got["q"].tolist() == list(qs)
     assert got["rank"].tolist() == exp_ranks
     assert got["value"].tolist() == [int(s[r - 1]) for r in exp_ranks]
+
+
+def test_group_quantiles_vs_pandas_oracle():
+    import math
+
+    from marginaliasearch_ray.stages.order import group_quantiles
+
+    rng = np.random.RandomState(23)
+    df = pd.DataFrame(
+        {
+            "grp": [f"g{i % 7}" for i in range(700)],
+            "score": rng.randint(0, 500, size=700).astype(np.int64),
+        }
+    )
+    qs = (0.1, 0.5, 0.9)
+    got = (
+        group_quantiles(
+            rd.from_pandas(df).repartition(6), "grp", "score", qs=qs, n_buckets=4
+        )
+        .to_pandas().sort_values(["grp", "q"]).reset_index(drop=True)
+    )
+    rows = []
+    for g, sub in df.groupby("grp"):
+        s = np.sort(sub["score"].to_numpy())
+        for q in qs:
+            r = max(1, math.ceil(q * len(s)))
+            rows.append((g, q, r, int(s[r - 1])))
+    exp = pd.DataFrame(rows, columns=["grp", "q", "rank", "value"]).sort_values(
+        ["grp", "q"]
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
