@@ -323,3 +323,65 @@ class TestHostileCleaningInputs:
         out = bloom_probe(ds, "text", ref).to_pandas()
         # all non-null inputs are members of their own filter
         assert out["member"].sum() == sum(1 for t in self.HOSTILE if t is not None)
+
+
+class TestHostileOrderingInputs:
+    """The ordering/selection/index family must survive unicode garbage,
+    NULL text, huge tokens, and tiny inputs with schema-stable output."""
+
+    HOSTILE = TestHostileCleaningInputs.HOSTILE
+
+    def _docs(self):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        n = len(self.HOSTILE)
+        return rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id": np.arange(n, dtype=np.int64),
+                    "text": self.HOSTILE,
+                    "source": [f"s{i % 2}" for i in range(n)],
+                    "n_chars": np.int64([len(t or "") for t in self.HOSTILE]),
+                }
+            )
+        ).repartition(3)
+
+    def test_global_rank_and_quantiles_survive(self, ray_session):
+        from marginaliasearch_ray.stages.order import exact_quantiles, global_rank
+
+        out = global_rank(self._docs(), "n_chars").to_pandas()
+        assert sorted(out["rank"]) == list(range(1, len(self.HOSTILE) + 1))
+        q = exact_quantiles(self._docs(), "n_chars", qs=(0.5,))
+        assert len(q) == 1 and q["rank"].iloc[0] == 5
+
+    def test_group_ops_survive(self, ray_session):
+        from marginaliasearch_ray.stages.order import group_quantiles, group_topk
+
+        t = group_topk(self._docs(), "source", "n_chars", k=2).to_pandas()
+        assert set(t["source"]) == {"s0", "s1"} and t["rn"].max() == 2
+        gq = group_quantiles(self._docs(), "source", "n_chars").to_pandas()
+        assert len(gq) == 6
+
+    def test_vocab_cms_postings_survive(self, ray_session):
+        from marginaliasearch_ray.stages.index import inverted_postings
+        from marginaliasearch_ray.stages.sketch import cms_token_counts
+        from marginaliasearch_ray.stages.textstats import vocab_topk
+
+        v = vocab_topk(self._docs(), k=5)
+        assert list(v.columns) == ["token", "cnt", "rank"]
+        c = cms_token_counts(self._docs(), ["word", "absent"], width=64)
+        assert c["est_cnt"].iloc[0] >= 5000  # "word " * 5000
+        p = inverted_postings(self._docs(), n_buckets=4).to_pandas()
+        assert (p[p["term"] == "word"]["tf"] == 5000).any()
+
+    def test_chunk_documents_survives(self, ray_session):
+        from marginaliasearch_ray.stages.curate import chunk_documents
+
+        out = chunk_documents(self._docs(), chunk_words=16, overlap=4).to_pandas()
+        # every doc (incl. None text) yields at least one chunk
+        assert set(out["doc_id"]) == set(range(len(self.HOSTILE)))
+        # the 5000-word doc chunks reconstruct: sum of (n_words - overlap)
+        big = out[out["doc_id"] == 5].sort_values("chunk_no")
+        assert big["n_words"].iloc[:-1].eq(16).all()
