@@ -895,6 +895,48 @@ def _c4_line_filter(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _enrich_url(doc_id: int, source: str) -> str:
+    """Deterministic URL synthesis shared by the url_filter query and its
+    SQL oracle (the sf documents table has no URL column): host =
+    optional '99' digit prefix (doc_id % 11) + source + '.' + tld
+    (doc_id % 13 picks 'xyz'), path word by doc_id % 17 so every filter
+    rule fires on a known subset."""
+    tld = "xyz" if doc_id % 13 == 0 else "com"
+    word = {
+        0: "casino", 1: "free-download-now", 2: "click-win-free", 3: "lottery",
+    }.get(doc_id % 17, "article")
+    num = "99" if doc_id % 11 == 0 else ""
+    return f"https://{num}{source}.{tld}/{word}/{doc_id}"
+
+
+_URL_BLOCKLIST = frozenset({"src3.com", "src5.com"})
+
+
+def _url_filter(sf_dir: str) -> pd.DataFrame:
+    """RefinedWeb-style URL triage (blocklist → digit-host → weighted
+    banned words) over deterministically synthesized URLs
+    (stages/clean.py url_quality_filter)."""
+    from marginaliasearch_ray.stages.clean import url_quality_filter
+
+    ds = _read_table(sf_dir, "documents", ["doc_id", "source"])
+
+    def add_url(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(),
+                "url": [
+                    _enrich_url(int(i), s)
+                    for i, s in zip(b["doc_id"], b["source"])
+                ],
+            }
+        )
+
+    out = url_quality_filter(
+        ds.map_batches(add_url, batch_format="pandas"), _URL_BLOCKLIST
+    ).to_pandas()[["doc_id", "url", "host", "word_score", "verdict"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _boilerplate_lines(sf_dir: str) -> pd.DataFrame:
     """Corpus-level boilerplate-line removal (lines repeated across >= 5
     distinct docs) over enriched documents (stages/clean.py
@@ -1298,6 +1340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_text": _hll_distinct_text,
         "pii_redact_docs": _pii_redact_docs,
         "c4_line_filter": _c4_line_filter,
+        "url_filter": _url_filter,
         "boilerplate_lines": _boilerplate_lines,
         "doc_quality_score": _doc_quality_score,
         "doc_lm_scores": _doc_lm_scores,
@@ -1941,6 +1984,58 @@ def oracle_sql() -> dict[str, str]:
                     AND NOT contains(e.text2, '{')) AS keep_doc,
                    p.clean AS text_clean
             FROM enriched e JOIN perdoc p USING (doc_id)
+        """,
+        # URL enrichment mirrors _enrich_url spec-for-spec; the word_score
+        # CASE terms add in URL_BANNED_WORDS order (bit-identical doubles).
+        "url_filter": """
+            WITH u AS (
+                SELECT doc_id,
+                       concat('https://',
+                              CASE WHEN doc_id % 11 = 0 THEN '99' ELSE '' END,
+                              source, '.',
+                              CASE WHEN doc_id % 13 = 0 THEN 'xyz'
+                                   ELSE 'com' END,
+                              '/',
+                              CASE doc_id % 17
+                                   WHEN 0 THEN 'casino'
+                                   WHEN 1 THEN 'free-download-now'
+                                   WHEN 2 THEN 'click-win-free'
+                                   WHEN 3 THEN 'lottery'
+                                   ELSE 'article' END,
+                              '/', doc_id) AS url,
+                       concat(CASE WHEN doc_id % 11 = 0 THEN '99'
+                                   ELSE '' END,
+                              source, '.',
+                              CASE WHEN doc_id % 13 = 0 THEN 'xyz'
+                                   ELSE 'com' END) AS host
+                FROM documents
+            ), scored AS (
+                SELECT doc_id, url, host,
+                       (CASE WHEN contains(url, 'casino') THEN 1.0
+                             ELSE 0.0 END
+                        + CASE WHEN contains(url, 'lottery') THEN 1.0
+                               ELSE 0.0 END
+                        + CASE WHEN contains(url, 'win') THEN 0.5
+                               ELSE 0.0 END
+                        + CASE WHEN contains(url, 'free') THEN 0.4
+                               ELSE 0.0 END
+                        + CASE WHEN contains(url, 'download') THEN 0.4
+                               ELSE 0.0 END
+                        + CASE WHEN contains(url, 'click') THEN 0.25
+                               ELSE 0.0 END) AS word_score
+                FROM u
+            )
+            SELECT doc_id, url, host, word_score,
+                   CASE WHEN host IN ('src3.com', 'src5.com')
+                        THEN 'blocklist'
+                        WHEN (length(host)
+                              - length(regexp_replace(host, '[0-9]', '',
+                                                      'g'))) * 1.0
+                             / length(host) > 0.25
+                        THEN 'digit_host'
+                        WHEN word_score >= 1.0 THEN 'banned_words'
+                        ELSE 'keep' END AS verdict
+            FROM scored ORDER BY doc_id
         """,
         "boilerplate_lines": _ENRICH_SQL + """
             , lines AS (

@@ -516,3 +516,84 @@ def unigram_lm_scores(
         )
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# URL-level quality filtering (RefinedWeb-style)
+# ---------------------------------------------------------------------------
+
+# Weighted banned substrings, evaluated IN THIS ORDER (the SQL oracle adds
+# the CASE terms in the same order, so the double accumulation is
+# bit-identical).  Weights follow the RefinedWeb scheme (Penedo et al.
+# 2023, arXiv:2306.01116 §G.1: a curated domain blocklist plus soft
+# word scores on the full URL); the word list itself is a small
+# illustrative subset — swap in the production list at deploy time.
+URL_BANNED_WORDS: tuple[tuple[str, float], ...] = (
+    ("casino", 1.0),
+    ("lottery", 1.0),
+    ("win", 0.5),
+    ("free", 0.4),
+    ("download", 0.4),
+    ("click", 0.25),
+)
+
+URL_DIGIT_FRAC_THRESHOLD = 0.25
+
+
+def url_quality_filter(
+    ds: rd.Dataset,
+    blocklist: frozenset[str] | set[str],
+    banned_words: tuple[tuple[str, float], ...] = URL_BANNED_WORDS,
+    digit_frac_threshold: float = URL_DIGIT_FRAC_THRESHOLD,
+    url_col: str = "url",
+) -> rd.Dataset:
+    """URL-level document triage before any content is fetched/parsed —
+    the cheapest filter in a web pipeline (RefinedWeb runs it first for
+    exactly that reason).  Adds ``host``, ``word_score``, ``verdict``.
+
+    Exact spec (the SQL oracle recomputes it):
+
+    - ``host`` = text between ``://`` and the next ``/`` ('' when the
+      URL has no scheme separator);
+    - ``word_score`` = sum of weights of banned words occurring as
+      case-sensitive substrings of the FULL url, accumulated in list
+      order (each word counted once);
+    - ``verdict`` precedence: ``blocklist`` (exact host match) →
+      ``digit_host`` (digits/len(host) > threshold) →
+      ``banned_words`` (word_score >= 1.0) → ``keep``.
+
+    Scale shape: the blocklist broadcasts once via ``ray.put`` (real
+    blocklists are millions of hosts — one object-store copy per node,
+    not one per batch); the filter itself is a stateless vectorized
+    ``map_batches`` — no shuffle, runs at read speed."""
+    bl_ref = ray.put(frozenset(blocklist))
+
+    def judge(b: pd.DataFrame, _ref=bl_ref) -> pd.DataFrame:
+        bl = ray.get(_ref)
+        urls = b[url_col].fillna("").astype(str)
+        after_scheme = urls.str.split("://", n=1).str[1].fillna("")
+        host = after_scheme.str.split("/", n=1).str[0]
+        score = np.zeros(len(b), dtype=np.float64)
+        for w, wt in banned_words:
+            score = score + np.where(
+                urls.str.contains(w, regex=False).to_numpy(), wt, 0.0
+            )
+        digits = host.str.count(r"[0-9]").to_numpy().astype(np.float64)
+        hlen = host.str.len().to_numpy().astype(np.float64)
+        dfrac = np.where(hlen > 0, digits / np.maximum(hlen, 1.0), 0.0)
+        verdict = np.select(
+            [
+                host.isin(bl).to_numpy(),
+                dfrac > digit_frac_threshold,
+                score >= 1.0,
+            ],
+            ["blocklist", "digit_host", "banned_words"],
+            "keep",
+        )
+        out = b.copy()
+        out["host"] = host.to_numpy()
+        out["word_score"] = score
+        out["verdict"] = verdict
+        return out
+
+    return ds.map_batches(judge, batch_format="pandas")

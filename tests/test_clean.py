@@ -350,3 +350,57 @@ class TestLineDedup:
         assert out.loc[0, "n_lines"] == 0
         assert out.loc[1, "n_dupes"] == 4999
         assert out.loc[1, "text_clean"] == "x\ny"
+
+
+class TestUrlQualityFilter:
+    def _run(self, urls, blocklist=frozenset({"bad.com"})):
+        from marginaliasearch_ray.stages.clean import url_quality_filter
+
+        ds = rd.from_pandas(
+            pd.DataFrame({"doc_id": range(len(urls)), "url": urls})
+        )
+        return (
+            url_quality_filter(ds, blocklist)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    def test_verdict_precedence_and_scores(self, ray_session):
+        out = self._run(
+            [
+                "https://bad.com/casino/1",      # blocklist wins over words
+                "https://a99b99.com/page",       # digit host (4/10 > 0.25)
+                "https://ok.com/casino",         # 1.0 -> banned_words
+                "https://ok.com/free-download",  # 0.8 -> keep
+                "https://ok.com/click-win-free", # .25+.5+.4=1.15 -> banned
+                "https://ok.com/article",        # keep
+            ]
+        )
+        assert list(out["verdict"]) == [
+            "blocklist", "digit_host", "banned_words",
+            "keep", "banned_words", "keep",
+        ]
+        assert out.loc[3, "word_score"] == 0.4 + 0.4
+        assert out.loc[0, "host"] == "bad.com"
+
+    def test_hostile(self, ray_session):
+        out = self._run([None, "", "no-scheme/casino", "https:///x", "☃://☃☃/☃"])
+        # no '://' -> empty host, never blocklisted / digit-flagged
+        assert list(out["host"][:3]) == ["", "", ""]
+        assert out.loc[2, "verdict"] == "banned_words"  # score on full url
+        assert out.loc[0, "verdict"] == "keep"
+        assert out.loc[3, "host"] == ""
+
+    def test_duckdb_digit_frac_parity(self, ray_session):
+        hosts = ["a1.com", "99x.com", "src12.com", "99src12.com", "abc.com"]
+        out = self._run([f"https://{h}/article" for h in hosts])
+        ref = duckdb.sql(
+            """
+            SELECT (length(h) - length(regexp_replace(h, '[0-9]', '', 'g')))
+                   * 1.0 / length(h) > 0.25 AS flag
+            FROM (SELECT unnest(?) AS h)
+            """,
+            params=[hosts],
+        ).df()
+        assert list(out["verdict"] == "digit_host") == list(ref["flag"])
