@@ -1138,6 +1138,23 @@ def _semdedup_keep(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+_DSIR_TARGETS = frozenset({"src0", "src1", "src2"})
+_DSIR_BUCKETS = 8192
+
+
+def _dsir_select(sf_dir: str) -> pd.DataFrame:
+    """DSIR importance weights (arXiv:2302.03169): hashed-unigram
+    log-likelihood ratio of a target-sources LM vs the raw corpus —
+    stages/curate.py dsir_weights (bucket-count partials, broadcast
+    log-ratio table, stateless scoring pass).  Bit-exact SQL oracle
+    (glibc ln both sides, sequential sums)."""
+    from marginaliasearch_ray.stages.curate import dsir_weights
+
+    ds = _read_table(sf_dir, "documents", ["doc_id", "source", "text"])
+    out = dsir_weights(ds, _DSIR_TARGETS, n_buckets=_DSIR_BUCKETS).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _doc_sample_weighted(sf_dir: str) -> pd.DataFrame:
     """Importance sample: keep with p = min(1, 0.5*n_chars/1000),
     deterministic hash membership — stages/curate.py weighted_sample
@@ -1354,6 +1371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quantiles": _doc_quantiles,
         "vocab_topk": _vocab_topk,
         "doc_sample_weighted": _doc_sample_weighted,
+        "dsir_select": _dsir_select,
         "semdedup_keep": _semdedup_keep,
         "cms_token_counts": _cms_token_counts,
         "doc_chunks": _doc_chunks,
@@ -2197,6 +2215,50 @@ def oracle_sql() -> dict[str, str]:
         # unigram-LM spec (stages/clean.py unigram_lm_scores): glibc ln on
         # both sides, sequential in-token-order sums (list_sum over an
         # ORDER BY list), one float division chain -> bit-equal.
+        # DSIR: same hashed-bucket, add-one-smoothing, glibc-ln,
+        # sequential-list_sum conventions as doc_lm_scores.
+        "dsir_select": f"""
+            WITH sized AS (
+                SELECT doc_id, source,
+                       CASE WHEN coalesce(text, '') = ''
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE string_split(text, ' ') END AS words
+                FROM documents
+            ), toks AS (
+                SELECT s.doc_id, s.source, g.i,
+                       (md5_number_lower(s.words[g.i])
+                        % {_DSIR_BUCKETS})::BIGINT AS b
+                FROM sized s,
+                     unnest(generate_series(1, len(s.words))) AS g(i)
+            ), cnt AS (
+                SELECT b, count(*)::BIGINT AS cr,
+                       count(*) FILTER (
+                           source IN ('src0', 'src1', 'src2')
+                       )::BIGINT AS ct
+                FROM toks GROUP BY b
+            ), tot AS (
+                SELECT sum(cr)::BIGINT AS tr, sum(ct)::BIGINT AS tt FROM cnt
+            ), lr AS (
+                SELECT b,
+                       ln((ct + 1.0) / ((SELECT tt FROM tot)
+                                        + {_DSIR_BUCKETS}.0))
+                       - ln((cr + 1.0) / ((SELECT tr FROM tot)
+                                          + {_DSIR_BUCKETS}.0)) AS l
+                FROM cnt
+            ), per AS (
+                SELECT t.doc_id, list_sum(list(l ORDER BY t.i)) AS s,
+                       count(*) AS n
+                FROM toks t JOIN lr USING (b) GROUP BY t.doc_id
+            )
+            SELECT s2.doc_id, coalesce(p.n, 0)::BIGINT AS n_tokens,
+                   coalesce(p.s, 0.0) AS weight,
+                   CASE WHEN coalesce(p.n, 0) = 0 THEN 0.0
+                        ELSE p.s / p.n END AS wpt,
+                   (CASE WHEN coalesce(p.n, 0) = 0 THEN 0.0
+                         ELSE p.s / p.n END) >= -0.79 AS keep
+            FROM sized s2 LEFT JOIN per p USING (doc_id)
+            ORDER BY s2.doc_id
+        """,
         "doc_lm_scores": f"""
             WITH sized AS (
                 SELECT doc_id,

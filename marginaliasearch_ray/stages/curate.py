@@ -806,3 +806,121 @@ def assign_splits(
         return out
 
     return ds.map_batches(tag, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# DSIR — data selection via importance resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+
+def dsir_weights(
+    ds: rd.Dataset,
+    target_values: frozenset[str] | set[str],
+    n_buckets: int = 8192,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_col: str = "source",
+    keep_threshold: float = -0.79,
+) -> rd.Dataset:
+    """DSIR (arXiv:2302.03169): score every document by the
+    log-likelihood ratio of a hashed-unigram bag model fit on a TARGET
+    subset vs the RAW corpus -> Dataset(doc_id, n_tokens, weight, wpt,
+    keep).  Documents whose token distribution looks more target-like
+    than raw-like score higher; ``wpt`` = weight / n_tokens removes the
+    length confounder (add-one smoothing gives every token a negative
+    bias when the target is a subset of raw, so the ABSOLUTE zero line
+    is not meaningful — selection thresholds the per-token rate, the
+    same normalization CCNet applies to its LM scores).
+
+    Exact spec (the SQL oracle recomputes it bit-for-bit):
+
+    - bucket(tok) = md5_number_lower(tok) % n_buckets (the repo's shared
+      md5 convention);
+    - add-one smoothing: p(b) = (count(b) + 1) / (total + n_buckets),
+      computed as one double division, on both the target and raw sides;
+    - per-bucket log-ratio lr(b) = ln(p_target(b)) - ln(p_raw(b)), glibc
+      ``log`` on both sides (CPython math.log == DuckDB ln, the
+      doc_lm_scores precedent);
+    - per-doc weight = SEQUENTIAL left-to-right sum of lr(bucket(tok_i))
+      in token order (plain float accumulation here, order-preserved
+      ``list_sum`` there — no summation-order ULP skew);
+    - empty documents: n_tokens 0, weight 0.0, wpt 0.0;
+    - wpt = weight / n_tokens (one double division);
+    - keep = wpt >= keep_threshold.
+
+    Scale shape: pass 1 reuses the TF-IDF DF pattern but the partial is
+    BUCKET counts, so the combine side is fixed at n_buckets rows no
+    matter the corpus size (a few KB — this is why DSIR hashes features);
+    the lr table broadcasts once via ``ray.put``; pass 2 is a stateless
+    streaming map.  Nothing corpus-sized ever shuffles."""
+    import math
+
+    from .textstats import md5_number_lower
+
+    tgt = frozenset(target_values)
+
+    def partial_counts(b: pd.DataFrame) -> pd.DataFrame:
+        cr = np.zeros(n_buckets, dtype=np.int64)
+        ct = np.zeros(n_buckets, dtype=np.int64)
+        cache: dict[str, int] = {}
+        for t, g in zip(b[text_col].fillna(""), b[target_col]):
+            if not t:
+                continue
+            is_t = g in tgt
+            for tok in t.split(" "):
+                bk = cache.get(tok)
+                if bk is None:
+                    bk = cache[tok] = md5_number_lower(tok) % n_buckets
+                cr[bk] += 1
+                if is_t:
+                    ct[bk] += 1
+        nz = np.nonzero(cr)[0]
+        return pd.DataFrame({"b": nz, "cr": cr[nz], "ct": ct[nz]})
+
+    combined = (
+        ds.map_batches(partial_counts, batch_format="pandas")
+        .repartition(1)
+        .map_batches(
+            lambda b: b.groupby("b", as_index=False)[["cr", "ct"]].sum(),
+            batch_format="pandas",
+            batch_size=None,
+        )
+        .to_pandas()
+    )
+    tr = int(combined["cr"].sum())
+    tt = int(combined["ct"].sum())
+    lr = np.zeros(n_buckets, dtype=np.float64)
+    for bk, cr_v, ct_v in zip(combined["b"], combined["cr"], combined["ct"]):
+        lr[bk] = math.log((ct_v + 1.0) / (tt + float(n_buckets))) - math.log(
+            (cr_v + 1.0) / (tr + float(n_buckets))
+        )
+    lr_ref = ray.put(lr)
+
+    def score(b: pd.DataFrame, _ref=lr_ref) -> pd.DataFrame:
+        table = ray.get(_ref)
+        cache: dict[str, float] = {}
+        ns, ws = [], []
+        for t in b[text_col].fillna(""):
+            toks = t.split(" ") if t else []
+            ns.append(len(toks))
+            s = 0.0
+            for tok in toks:  # sequential sum: ULP-exact vs list_sum
+                v = cache.get(tok)
+                if v is None:
+                    v = cache[tok] = table[md5_number_lower(tok) % n_buckets]
+                s += v
+            ws.append(s)
+        w = np.asarray(ws, dtype=np.float64)
+        n = np.asarray(ns, dtype=np.int64)
+        wpt = np.where(n > 0, w / np.maximum(n, 1), 0.0)
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy(),
+                "n_tokens": n,
+                "weight": w,
+                "wpt": wpt,
+                "keep": wpt >= keep_threshold,
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pandas")

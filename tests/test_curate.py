@@ -423,3 +423,70 @@ class TestMixtureSample:
         got0 = ntok[out[out["source"] == "s0"]["doc_id"]].sum() / total
         got1 = ntok[out[out["source"] == "s1"]["doc_id"]].sum() / total
         assert abs(got0 - 0.15) < 0.02 and abs(got1 - 0.05) < 0.015
+
+
+class TestDsirWeights:
+    def _run(self, rows, **kw):
+        from marginaliasearch_ray.stages.curate import dsir_weights
+
+        ds = rd.from_pandas(pd.DataFrame(rows))
+        return (
+            dsir_weights(ds, frozenset({"tgt"}), **kw)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    def test_target_like_docs_score_higher(self, ray_session):
+        # target talks about "alpha beta", raw noise about "zeta eta"
+        rows = {
+            "doc_id": [0, 1, 2, 3],
+            "source": ["tgt", "tgt", "web", "web"],
+            "text": [
+                "alpha beta alpha beta",
+                "alpha beta beta alpha",
+                "alpha beta alpha beta",   # target-like content
+                "zeta eta theta iota",     # raw-only content
+            ],
+        }
+        out = self._run(rows)
+        assert out.loc[2, "wpt"] > out.loc[3, "wpt"]
+        # same tokens => identical weights regardless of source column
+        assert out.loc[0, "weight"] == out.loc[2, "weight"]
+
+    def test_sequential_sum_matches_hand_calc(self, ray_session):
+        import math
+
+        from marginaliasearch_ray.stages.textstats import md5_number_lower
+
+        rows = {
+            "doc_id": [0, 1],
+            "source": ["tgt", "web"],
+            "text": ["a b", "b c c"],
+        }
+        out = self._run(rows, n_buckets=16)
+        toks_all = ["a", "b", "b", "c", "c"]
+        toks_tgt = ["a", "b"]
+        cr, ct = [0] * 16, [0] * 16
+        for t in toks_all:
+            cr[md5_number_lower(t) % 16] += 1
+        for t in toks_tgt:
+            ct[md5_number_lower(t) % 16] += 1
+        def lr(b):
+            return math.log((ct[b] + 1.0) / (2 + 16.0)) - math.log(
+                (cr[b] + 1.0) / (5 + 16.0)
+            )
+        w0 = lr(md5_number_lower("a") % 16) + lr(md5_number_lower("b") % 16)
+        assert out.loc[0, "weight"] == w0
+        assert out.loc[0, "wpt"] == w0 / 2
+
+    def test_hostile_and_empty(self, ray_session):
+        rows = {
+            "doc_id": [0, 1, 2],
+            "source": ["tgt", "web", "web"],
+            "text": [None, "", "\x00 ☃ " + "x" * 100000],
+        }
+        out = self._run(rows)
+        assert out.loc[0, "n_tokens"] == 0 and out.loc[0, "weight"] == 0.0
+        assert out.loc[1, "wpt"] == 0.0
+        assert out.loc[2, "n_tokens"] == 3
