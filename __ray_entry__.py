@@ -1238,6 +1238,31 @@ def _vocab_topk(sf_dir: str) -> pd.DataFrame:
     return vocab_topk(ds, k=100)
 
 
+_BADWORDS = ("merge", "slow")
+
+
+def _doc_badwords(sf_dir: str) -> pd.DataFrame:
+    """C4-style bad-words triage (exact whole-token membership count +
+    fraction-threshold verdict) — stages/clean.py badwords_filter
+    (stateless vectorized map_batches, no shuffle)."""
+    from marginaliasearch_ray.stages.clean import badwords_filter
+
+    ds = _read_table(sf_dir, "documents", ["doc_id", "text"])
+    out = badwords_filter(ds, _BADWORDS).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _bpe_pairs(sf_dir: str) -> pd.DataFrame:
+    """Exact corpus-wide top-20 adjacent-token pairs (one BPE
+    merge-candidate counting iteration) — stages/textstats.py pair_counts
+    (per-batch partial pair counts, one pair-hash bucket shuffle,
+    per-bucket sum+top-k, driver merges <= buckets*k rows)."""
+    from marginaliasearch_ray.stages.textstats import pair_counts
+
+    ds = _read_table(sf_dir, "documents", ["doc_id", "text"])
+    return pair_counts(ds, k=20)
+
+
 _SIDELOAD_COLS = [
     "url", "domain", "title", "n_words", "quality", "pub_year", "summary",
     "state", "generator", "features", "synthetic_terms", "text",
@@ -1323,6 +1348,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "click_attribution": _rel("click_attribution"),
         "repeat_orders": _rel("repeat_orders"),
         "event_sliding_counts": _rel("event_sliding_counts"),
+        "user_running_totals": _rel("running_totals"),
+        "rollup_revenue": _rel("rollup_revenue"),
         # text analysis (SQL-checked where expressible)
         "doc_keywords": _doc_keywords,
         "doc_keyword_positions": _doc_keyword_positions,
@@ -1370,6 +1397,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_per_source": _doc_top_per_source,
         "doc_quantiles": _doc_quantiles,
         "vocab_topk": _vocab_topk,
+        "doc_badwords": _doc_badwords,
+        "bpe_pairs": _bpe_pairs,
         "doc_sample_weighted": _doc_sample_weighted,
         "dsir_select": _dsir_select,
         "semdedup_keep": _semdedup_keep,
@@ -1600,6 +1629,33 @@ def oracle_sql() -> dict[str, str]:
                 FROM events, unnest(generate_series(0, 1)) AS g(o)
             )
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # cumulative-window spec (stages/relational.py running_totals):
+        # per-user running int-cent sum + running count ordered by
+        # (ts, event_id); cents = floor(value*100 + 0.5) on both sides.
+        "user_running_totals": """
+            SELECT event_id, user_id, ts,
+                   SUM(CAST(floor(coalesce(value, 0.0) * 100.0 + 0.5)
+                            AS BIGINT)) OVER w AS cum_cents,
+                   CAST(count(*) OVER w AS BIGINT) AS cum_n
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ORDER BY event_id
+        """,
+        # grouping-sets spec (stages/relational.py rollup_revenue):
+        # ROLLUP (status, priority) with 'ALL' subtotal markers and
+        # int-cent revenue (floor(p*100 + 0.5) on both sides).
+        "rollup_revenue": """
+            SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+                   coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(floor(coalesce(o_totalprice, 0.0) * 100.0
+                                       + 0.5) AS BIGINT))
+                        AS BIGINT) AS revenue_cents
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+            ORDER BY 1, 2
         """,
         # range-join spec (stages/relational.py range_join): same-customer
         # order pairs at most 30 days apart, directional (later order,
@@ -2512,6 +2568,55 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY token
             )
             ORDER BY cnt DESC, token LIMIT 100
+        """,
+        # C4 bad-words spec (stages/clean.py badwords_filter): exact
+        # whole-token membership, frac over max(n_tokens,1), drop when
+        # frac > 0.04.  Banned list must equal _BADWORDS.
+        "doc_badwords": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split(coalesce(text, ''), ' '),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id,
+                       CAST(len(toks) AS BIGINT) AS n_tokens,
+                       CAST(len(list_filter(
+                           toks,
+                           x -> list_contains(['merge', 'slow'], x)
+                       )) AS BIGINT) AS n_bad
+                FROM t
+            )
+            SELECT doc_id, n_tokens, n_bad,
+                   CAST(n_bad AS DOUBLE)
+                       / CAST(greatest(n_tokens, 1) AS DOUBLE) AS frac_bad,
+                   CASE WHEN CAST(n_bad AS DOUBLE)
+                             / CAST(greatest(n_tokens, 1) AS DOUBLE) > 0.04
+                        THEN 'drop' ELSE 'keep' END AS verdict
+            FROM c ORDER BY doc_id
+        """,
+        # BPE merge-candidate spec (stages/textstats.py pair_counts):
+        # consecutive non-empty whitespace tokens within a doc, exact
+        # global counts, ties by (tok_l, tok_r).
+        "bpe_pairs": """
+            WITH t AS (
+                SELECT list_filter(string_split(coalesce(text, ''), ' '),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ),
+            p AS (
+                SELECT toks[g.i] AS tok_l, toks[g.i + 1] AS tok_r
+                FROM t, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+                WHERE len(toks) >= 2
+            ),
+            c AS (
+                SELECT tok_l, tok_r, CAST(count(*) AS BIGINT) AS n
+                FROM p GROUP BY 1, 2
+            )
+            SELECT tok_l, tok_r, n,
+                   row_number() OVER (ORDER BY n DESC, tok_l, tok_r) AS rank
+            FROM c ORDER BY n DESC, tok_l, tok_r LIMIT 20
         """,
         "source_quantiles": """
             WITH qs AS (

@@ -597,3 +597,68 @@ def url_quality_filter(
         return out
 
     return ds.map_batches(judge, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# C4-style bad-words document filter
+# ---------------------------------------------------------------------------
+
+# C4 (Raffel et al. 2020 §2.2) drops any page containing a word from the
+# "List of Dirty, Naughty, Obscene..." blocklist.  With real blocklists
+# (hundreds of entries) an any-hit rule works; corpora with tiny synthetic
+# vocabularies need the fraction variant (Gopher/RefinedWeb style), so the
+# operator reports the exact count and applies a fraction threshold.
+BADWORDS_FRAC_THRESHOLD = 0.04
+
+
+def badwords_filter(
+    ds: rd.Dataset,
+    banned: frozenset[str] | set[str] | tuple[str, ...],
+    frac_threshold: float = BADWORDS_FRAC_THRESHOLD,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Bad-words document triage -> (id, n_tokens, n_bad, frac_bad,
+    verdict).  Exact spec (the SQL oracle recomputes it):
+
+    - tokens = whitespace-split, empty tokens dropped (``string_split``
+      parity with DuckDB);
+    - ``n_bad`` = number of tokens that are EXACT members of the banned
+      list (case-sensitive whole-token match, not substring — C4 matches
+      words after splitting);
+    - ``frac_bad`` = n_bad / max(n_tokens, 1) (same integer operands on
+      both sides, so the IEEE division is bit-identical);
+    - ``verdict`` = 'drop' when frac_bad > frac_threshold else 'keep'.
+
+    Scale shape: stateless vectorized ``map_batches`` — explode tokens
+    once per batch, one ``np.isin`` membership probe against the sorted
+    banned array, two bincounts.  No shuffle; the banned list ships in
+    the closure (real lists are small; a multi-million-entry list would
+    broadcast via ``ray.put`` like url_quality_filter's blocklist).
+    """
+    banned_arr = np.sort(np.asarray(sorted(set(banned)), dtype=object))
+
+    def judge(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.reset_index(drop=True)
+        ex = b[text_col].fillna("").str.split(" ").explode()
+        words = ex.to_numpy().astype(object)
+        idx = ex.index.to_numpy().astype(np.int64)
+        nonempty = words != ""
+        words, idx = words[nonempty], idx[nonempty]
+        n_tok = np.bincount(idx, minlength=len(b)).astype(np.int64)
+        bad = np.isin(words, banned_arr)
+        n_bad = np.bincount(idx[bad], minlength=len(b)).astype(np.int64)
+        frac = n_bad.astype(np.float64) / np.maximum(n_tok, 1).astype(
+            np.float64
+        )
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy(),
+                "n_tokens": n_tok,
+                "n_bad": n_bad,
+                "frac_bad": frac,
+                "verdict": np.where(frac > frac_threshold, "drop", "keep"),
+            }
+        )
+
+    return ds.map_batches(judge, batch_format="pandas")

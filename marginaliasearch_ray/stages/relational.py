@@ -603,3 +603,127 @@ def event_sliding_counts(
     out["n_events"] = out["n_events"].astype("int64")
     out["sum_value"] = out["sum_value"].round(4)
     return out.sort_values(["event_type", "window_start_s"]).reset_index(drop=True)
+
+
+def running_totals(sf_dir: str, n_buckets: int = 32) -> pd.DataFrame:
+    """Per-user RUNNING totals over the event stream — the cumulative
+    window primitive (SUM ... OVER (PARTITION BY user ORDER BY ts ROWS
+    UNBOUNDED PRECEDING)) that feature pipelines use for "lifetime value
+    so far at event time".
+
+    Exact-arithmetic contract: values are quantized to integer cents with
+    ``floor(value*100 + 0.5)`` on BOTH sides (DuckDB and numpy evaluate
+    the identical double expression), so the cumulative sum is int64 and
+    order-of-summation cannot produce ULP drift.
+
+    Scale shape: one narrow shuffle of (event_id, ts, user_id, cents)
+    rows into ``user_id % n_buckets`` buckets — every user lives entirely
+    in one bucket — then ONE vectorized pass per bucket (sort +
+    ``groupby(user).cumsum``), never a per-user pandas group.  Output is
+    row-per-event; at real scale it would be written partitioned by
+    bucket, not collected.
+    """
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(
+            b["value"].fillna(0.0).to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].to_numpy(),
+                "ts": b["ts"].to_numpy(),
+                "user_id": b["user_id"].to_numpy(),
+                "cents": cents,
+                "_b": (b["user_id"].to_numpy() % n_buckets).astype(np.int64),
+            }
+        )
+
+    def bucket_cum(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        grp = g.groupby("user_id", sort=False)
+        g["cum_cents"] = grp["cents"].cumsum().astype(np.int64)
+        g["cum_n"] = (grp.cumcount() + 1).astype(np.int64)
+        return g[["event_id", "user_id", "ts", "cum_cents", "cum_n"]]
+
+    out = (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("_b")
+        .map_groups(bucket_cum, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def rollup_revenue(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY ROLLUP (status, priority) over orders — the grouping-sets
+    aggregate (per-cell, per-status subtotal, grand total) computed in
+    ONE pass: each batch emits partials for all three grouping levels
+    (subtotal rows marked 'ALL'), and the result-sized partial set
+    combines in a single vectorized pandas groupby (the
+    event_window_counts repartition(1) pattern — Ray's sort-based
+    aggregate pays ~3 ms/group of Python overhead, unnecessary for a
+    bounded-cardinality rollup).
+
+    Revenue is quantized to integer cents (floor(p*100+0.5), identical
+    expression in the DuckDB oracle) so sums are order-independent."""
+    ds = _read(
+        sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"]
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(
+            b["o_totalprice"].fillna(0.0).to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        base = pd.DataFrame(
+            {
+                "o_orderstatus": b["o_orderstatus"].to_numpy(),
+                "o_orderpriority": b["o_orderpriority"].to_numpy(),
+                "cents": cents,
+            }
+        )
+        cell = base.groupby(
+            ["o_orderstatus", "o_orderpriority"], as_index=False
+        ).agg(n_orders=("cents", "size"), revenue_cents=("cents", "sum"))
+        sub = cell.groupby("o_orderstatus", as_index=False).agg(
+            n_orders=("n_orders", "sum"), revenue_cents=("revenue_cents", "sum")
+        )
+        sub["o_orderpriority"] = "ALL"
+        total = pd.DataFrame(
+            {
+                "o_orderstatus": ["ALL"],
+                "o_orderpriority": ["ALL"],
+                "n_orders": [cell["n_orders"].sum()],
+                "revenue_cents": [cell["revenue_cents"].sum()],
+            }
+        )
+        out = pd.concat(
+            [
+                cell[["o_orderstatus", "o_orderpriority", "n_orders",
+                      "revenue_cents"]],
+                sub[["o_orderstatus", "o_orderpriority", "n_orders",
+                     "revenue_cents"]],
+                total,
+            ],
+            ignore_index=True,
+        )
+        out["n_orders"] = out["n_orders"].astype(np.int64)
+        out["revenue_cents"] = out["revenue_cents"].astype(np.int64)
+        return out
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(
+            ["o_orderstatus", "o_orderpriority"], as_index=False
+        ).agg(n_orders=("n_orders", "sum"), revenue_cents=("revenue_cents", "sum"))
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .repartition(1)
+        .map_batches(combine, batch_format="pandas", batch_size=None)
+        .to_pandas()
+    )
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["revenue_cents"] = out["revenue_cents"].astype("int64")
+    return out.sort_values(
+        ["o_orderstatus", "o_orderpriority"]
+    ).reset_index(drop=True)

@@ -368,3 +368,95 @@ def vocab_topk(ds, k: int = 100, text_col: str = "text",
     )
     out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
     return out
+
+
+def pair_counts(ds, k: int = 20, text_col: str = "text",
+                n_buckets: int = 64) -> pd.DataFrame:
+    """EXACT corpus-wide top-k adjacent-token-pair frequencies -> tiny
+    df(tok_l, tok_r, n, rank) — one iteration of BPE-style tokenizer
+    training (the merge-candidate count; Sennrich et al. 2016) run as a
+    distributed reduction.
+
+    Pair spec (the SQL oracle recomputes it): tokens are whitespace-split
+    with empty tokens dropped; pairs are consecutive token positions
+    WITHIN a document (never across documents); ties broken by
+    (tok_l, tok_r) codepoint order.
+
+    Scale shape = the vocab_topk two-level frequency reduction:
+
+    1. per-batch PARTIAL pair counts (vectorized shift-compare on the
+       exploded token array + ``value_counts``) collapse each batch to
+       its distinct-pair cardinality before anything moves;
+    2. partials co-locate with ONE ``groupby(bucket)`` shuffle on
+       ``hash(pair) % n_buckets`` — each pair lives entirely in one
+       bucket, so per-bucket sum + top-k is exact;
+    3. the driver merges ≤ n_buckets*k candidate rows.
+
+    Tokens cannot contain the space separator (they were split on it),
+    so the joined "l r" pair key is unambiguous; and because ' ' (0x20)
+    sorts below every printable token character, lexicographic order on
+    the joined key equals tuple order on (tok_l, tok_r) — the in-bucket
+    tie-break matches the oracle's ORDER BY tok_l, tok_r.  (Tokens
+    containing C0 control chars would break only the tie ORDER, never a
+    count.)
+    """
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.reset_index(drop=True)
+        ex = b[text_col].fillna("").str.split(" ").explode()
+        words = ex.to_numpy().astype(object)
+        idx = ex.index.to_numpy().astype(np.int64)
+        nonempty = words != ""
+        words, idx = words[nonempty], idx[nonempty]
+        if len(words) < 2:
+            return pd.DataFrame(
+                {"pair": pd.Series([], dtype=object),
+                 "n": pd.Series([], dtype=np.int64),
+                 "_b": pd.Series([], dtype=np.int64)}
+            )
+        same_doc = idx[1:] == idx[:-1]
+        pairs = pd.Series(words[:-1][same_doc]) + " " + pd.Series(
+            words[1:][same_doc]
+        )
+        vc = pairs.value_counts()
+        out = pd.DataFrame(
+            {
+                "pair": vc.index.to_numpy().astype(object),
+                "n": vc.to_numpy().astype(np.int64),
+            }
+        )
+        out["_b"] = (
+            pd.util.hash_pandas_object(
+                out["pair"], index=False, hash_key="0" * 16
+            ).to_numpy()
+            % n_buckets
+        ).astype(np.int64)
+        return out
+
+    def bucket_top(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("pair", sort=False)["n"].sum().reset_index()
+        return s.sort_values(
+            ["n", "pair"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    cand = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_b")
+        .map_groups(bucket_top, batch_format="pandas")
+        .to_pandas()
+    )
+    cand = cand.sort_values(
+        ["n", "pair"], ascending=[False, True], kind="mergesort"
+    ).head(k).reset_index(drop=True)
+    lr = cand["pair"].str.split(" ", n=1, expand=True)
+    out = pd.DataFrame(
+        {
+            "tok_l": lr[0].to_numpy() if len(cand) else
+            pd.Series([], dtype=object),
+            "tok_r": lr[1].to_numpy() if len(cand) else
+            pd.Series([], dtype=object),
+            "n": cand["n"].to_numpy().astype(np.int64),
+        }
+    )
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out

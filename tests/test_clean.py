@@ -404,3 +404,64 @@ class TestUrlQualityFilter:
             params=[hosts],
         ).df()
         assert list(out["verdict"] == "digit_host") == list(ref["flag"])
+
+
+class TestBadwordsFilter:
+    def _run(self, texts, banned=("bad", "worse"), thr=0.04):
+        from marginaliasearch_ray.stages.clean import badwords_filter
+
+        ds = rd.from_pandas(
+            pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        )
+        return (
+            badwords_filter(ds, banned, frac_threshold=thr)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    def test_counts_and_verdict(self, ray_session):
+        out = self._run(
+            [
+                "bad " * 10 + "ok",              # 10/11 bad -> drop
+                " ".join(["ok"] * 100),          # 0 bad -> keep
+                "worse " + " ".join(["ok"] * 99),  # 1/100 = 0.01 -> keep
+                "bad worse " + " ".join(["ok"] * 8),  # 2/10 = 0.2 -> drop
+                "badness worsen",                # substrings do NOT match
+            ]
+        )
+        assert list(out["n_bad"]) == [10, 0, 1, 2, 0]
+        assert list(out["n_tokens"]) == [11, 100, 100, 10, 2]
+        assert list(out["verdict"]) == ["drop", "keep", "keep", "drop", "keep"]
+
+    def test_hostile(self, ray_session):
+        out = self._run([None, "", "   ", "bad", "\x00 bad \x00"])
+        assert list(out["n_tokens"]) == [0, 0, 0, 1, 3]
+        assert list(out["n_bad"]) == [0, 0, 0, 1, 1]
+        # empty doc: frac over max(n,1) = 0 -> keep
+        assert list(out["verdict"]) == ["keep", "keep", "keep", "drop", "drop"]
+
+    def test_duckdb_parity(self, ray_session):
+        texts = [
+            "bad ok worse", "", None, "ok " * 50 + "bad",
+            "  double  spaces bad ", "bad\tworse not-split-on-tab",
+        ]
+        out = self._run(texts)
+        ref = duckdb.sql(
+            """
+            WITH t AS (
+                SELECT i, list_filter(string_split(coalesce(x, ''), ' '),
+                                      t -> t <> '') AS toks
+                FROM (SELECT unnest(?) AS x,
+                             generate_subscripts(?, 1) AS i)
+            )
+            SELECT CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CAST(len(list_filter(
+                       toks, t -> list_contains(['bad','worse'], t)
+                   )) AS BIGINT) AS n_bad
+            FROM t ORDER BY i
+            """,
+            params=[texts, texts],
+        ).df()
+        assert list(out["n_tokens"]) == list(ref["n_tokens"])
+        assert list(out["n_bad"]) == list(ref["n_bad"])

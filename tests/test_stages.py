@@ -778,3 +778,120 @@ class TestInvertedPostings:
         assert got["doc_id"].tolist() == exp["doc_id"].tolist()
         assert got["tf"].tolist() == exp["tf"].tolist()
         assert got["posting_ord"].tolist() == exp["posting_ord"].tolist()
+
+
+class TestPairCounts:
+    def test_exact_vs_counter_oracle_with_ties(self):
+        from collections import Counter
+
+        import ray.data as rd
+
+        from marginaliasearch_ray.stages.textstats import pair_counts
+
+        rng = np.random.RandomState(7)
+        words = [f"w{i}" for i in range(12)]
+        texts = [
+            " ".join(rng.choice(words, size=rng.randint(1, 30)))
+            + ("  gap  pair" if i % 5 == 0 else "")
+            for i in range(300)
+        ] + ["solo", "", "  "]
+        df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+        got = pair_counts(rd.from_pandas(df).repartition(9), k=15, n_buckets=8)
+
+        c = Counter()
+        for x in texts:
+            toks = [t for t in x.split(" ") if t]
+            c.update(zip(toks, toks[1:]))
+        exp = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+        assert list(zip(zip(got["tok_l"], got["tok_r"]), got["n"])) == exp
+        assert got["rank"].tolist() == list(range(1, 16))
+
+    def test_no_cross_document_pairs(self):
+        import ray.data as rd
+
+        from marginaliasearch_ray.stages.textstats import pair_counts
+
+        # one doc ends with 'a', the next starts with 'b' — (a,b) must
+        # never be counted across the boundary
+        df = pd.DataFrame(
+            {"doc_id": [0, 1], "text": ["x a", "b y"]}
+        )
+        got = pair_counts(rd.from_pandas(df).repartition(2), k=10)
+        pairs = set(zip(got["tok_l"], got["tok_r"]))
+        assert pairs == {("x", "a"), ("b", "y")}
+
+
+class TestRunningTotals:
+    def test_matches_duckdb_window(self, ray_session):
+        import duckdb
+
+        from marginaliasearch_ray.stages.relational import running_totals
+
+        sf = "/root/testdata/sf0.001"
+        got = running_totals(sf, n_buckets=8)
+        ref = duckdb.sql(
+            f"""
+            SELECT event_id, user_id, ts,
+                   SUM(CAST(floor(coalesce(value,0.0)*100.0 + 0.5)
+                            AS BIGINT)) OVER w AS cum_cents,
+                   CAST(count(*) OVER w AS BIGINT) AS cum_n
+            FROM read_parquet('{sf}/events.parquet')
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ORDER BY event_id
+            """
+        ).df()
+        assert got["cum_cents"].tolist() == ref["cum_cents"].tolist()
+        assert got["cum_n"].tolist() == ref["cum_n"].tolist()
+        assert got["event_id"].tolist() == ref["event_id"].tolist()
+
+    def test_every_user_in_one_bucket_and_monotone(self, ray_session):
+        from marginaliasearch_ray.stages.relational import running_totals
+
+        got = running_totals("/root/testdata/sf0.001", n_buckets=8)
+        # running count per user must be 1..n with no gaps regardless of
+        # bucket layout — fails if a user's rows split across buckets
+        for _, g in got.groupby("user_id"):
+            assert g.sort_values(["ts", "event_id"])["cum_n"].tolist() == list(
+                range(1, len(g) + 1)
+            )
+
+
+class TestRollupRevenue:
+    def test_matches_duckdb_rollup(self, ray_session):
+        import duckdb
+
+        from marginaliasearch_ray.stages.relational import rollup_revenue
+
+        sf = "/root/testdata/sf0.001"
+        got = rollup_revenue(sf)
+        ref = duckdb.sql(
+            f"""
+            SELECT coalesce(o_orderstatus,'ALL') AS o_orderstatus,
+                   coalesce(o_orderpriority,'ALL') AS o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(floor(coalesce(o_totalprice,0.0)*100.0+0.5)
+                                 AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM read_parquet('{sf}/orders.parquet')
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+            ORDER BY 1, 2
+            """
+        ).df()
+        pd.testing.assert_frame_equal(got, ref)
+
+    def test_internal_consistency(self, ray_session):
+        from marginaliasearch_ray.stages.relational import rollup_revenue
+
+        got = rollup_revenue("/root/testdata/sf0.001")
+        total = got[(got["o_orderstatus"] == "ALL")]
+        assert len(total) == 1
+        cells = got[
+            (got["o_orderstatus"] != "ALL")
+            & (got["o_orderpriority"] != "ALL")
+        ]
+        subs = got[
+            (got["o_orderstatus"] != "ALL")
+            & (got["o_orderpriority"] == "ALL")
+        ]
+        assert cells["n_orders"].sum() == total["n_orders"].iloc[0]
+        assert subs["revenue_cents"].sum() == total["revenue_cents"].iloc[0]
