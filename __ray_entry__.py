@@ -144,6 +144,37 @@ def _pagerank_domains(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["rank", "domain"], ascending=[False, True]).reset_index(drop=True)
 
 
+def _pagerank_personalized(sf_dir: str) -> pd.DataFrame:
+    """Personalized PageRank (PersonalizedPageRank.java:76-207): teleport
+    mass goes to an influence SET instead of the uniform vector — the
+    reference's "similar domains" / browse-adjacent ranking.  Runs the
+    DISTRIBUTED edge-partition-actor path against the sequential-CSR
+    oracle fixture.  Seed rule shared with the oracle: the first 5
+    link-source domains in sorted order (computed with a distributed
+    ``unique`` — only the distinct-domain list reaches the driver)."""
+    import ray.data as rd
+
+    from marginaliasearch_ray.fixtures.cache import fixture_dir_for
+    from marginaliasearch_ray.pipelines.rank import pagerank
+
+    fix = fixture_dir_for(sf_dir)
+    links = rd.read_parquet(f"{fix}/links.parquet")
+
+    def to_domains(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src_domain": batch["src_url"].str.extract(r"://([^/:]+)", expand=False),
+                "dst_domain": batch["dst_url"].str.extract(r"://([^/:]+)", expand=False),
+            }
+        )
+
+    edges = links.map_batches(to_domains, batch_format="pandas")
+    seeds = sorted(edges.unique("src_domain"))[:5]
+    out = pagerank(edges, mode="distributed", personalize=seeds)
+    out["rank"] = out["rank"].round(8)
+    return out.sort_values(["rank", "domain"], ascending=[False, True]).reset_index(drop=True)
+
+
 def _url_canonicalize(sf_dir: str) -> pd.DataFrame:
     """Canonicalize the url_cases table's raw URLs; the oracle compares
     against the generator's ANALYTICALLY-derived expected forms."""
@@ -1325,6 +1356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_records": _crawl_records,
         "convert_docs": _convert_docs,
         "pagerank_domains": _pagerank_domains,
+        "pagerank_personalized": _pagerank_personalized,
         "hits_domains": _hits_domains,
         "url_canonicalize": _url_canonicalize,
         "recrawl_decisions": _recrawl_decisions,
@@ -2865,6 +2897,11 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_domains": f"""
             SELECT domain, rank
             FROM read_parquet('{exp}/expected_pagerank.parquet')
+            ORDER BY rank DESC, domain
+        """,
+        "pagerank_personalized": f"""
+            SELECT domain, rank
+            FROM read_parquet('{exp}/expected_pagerank_personalized.parquet')
             ORDER BY rank DESC, domain
         """,
         "hits_domains": f"""

@@ -41,7 +41,7 @@ from .cache import FIXTURE_VERSION, config_for, fixture_dir_for
 
 EXPECTED_ROOT = "/tmp/graft_expected"
 # bump when ORACLE LOGIC changes without a fixture-generator change
-EXPECTED_VERSION = 11
+EXPECTED_VERSION = 12
 
 
 def expected_dir_for(sf_dir: str) -> str:
@@ -249,6 +249,20 @@ def _build_pagerank_expected(fix: Path, out: Path) -> None:
     df = pd.DataFrame({"domain": domains, "rank": np.round(rank, 8)})
     df = df.sort_values(["rank", "domain"], ascending=[False, True]).reset_index(drop=True)
     pq.write_table(pa.Table.from_pandas(df, preserve_index=False), out / "expected_pagerank.parquet")
+
+    # personalized variant (PersonalizedPageRank.java:76-207 teleports to
+    # an influence SET instead of uniform).  Seed rule shared with the
+    # driver query: the first 5 link-source domains in sorted order.
+    seeds = sorted(set(src_h))[:5]
+    prank = pagerank_local(domains, src, dst, personalize=seeds)
+    df2 = pd.DataFrame({"domain": domains, "rank": np.round(prank, 8)})
+    df2 = df2.sort_values(
+        ["rank", "domain"], ascending=[False, True]
+    ).reset_index(drop=True)
+    pq.write_table(
+        pa.Table.from_pandas(df2, preserve_index=False),
+        out / "expected_pagerank_personalized.parquet",
+    )
 
     # HITS over the same graph: sequential replica of the distributed
     # two-round (forward/reverse partial) iteration in pipelines.rank.hits

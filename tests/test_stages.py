@@ -249,6 +249,23 @@ class TestPageRank:
         ranks = dict(zip(out.domain, out["rank"]))
         assert ranks["a"] > ranks["y"]
 
+    def test_personalized_distributed_matches_local(self):
+        rng = np.random.default_rng(5)
+        doms = [f"d{i}" for i in range(20)]
+        rows = [
+            {"src_domain": doms[rng.integers(20)], "dst_domain": doms[rng.integers(20)]}
+            for _ in range(60)
+        ]
+        edges = _docs(rows)
+        seeds = ["d0", "d3", "d7"]
+        loc = pagerank(edges, mode="local", personalize=seeds)
+        dist = pagerank(edges, mode="distributed", personalize=seeds)
+        merged = loc.merge(dist, on="domain", suffixes=("_l", "_d"))
+        assert np.allclose(merged.rank_l, merged.rank_d, atol=1e-6)
+        # teleport mass concentrates on the influence set's neighborhood:
+        # a non-seed domain with no inlinks gets only residual rank
+        assert abs(loc["rank"].sum() - 1.0) < 1e-6
+
 
 class TestAnchorTags:
     def test_anchor_counts_external_only(self, small_web):
