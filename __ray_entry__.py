@@ -1382,6 +1382,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_sliding_counts": _rel("event_sliding_counts"),
         "user_running_totals": _rel("running_totals"),
         "rollup_revenue": _rel("rollup_revenue"),
+        "left_join_enrich": _rel("left_join_enrich"),
+        "event_lag_deltas": _rel("event_lag_deltas"),
+        "event_type_pivot": _rel("event_type_pivot"),
         # text analysis (SQL-checked where expressible)
         "doc_keywords": _doc_keywords,
         "doc_keyword_positions": _doc_keyword_positions,
@@ -1688,6 +1691,56 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
             ORDER BY 1, 2
+        """,
+        # left-outer broadcast join spec (stages/relational.py
+        # left_join_enrich): every customer, 'P'-order aggregates
+        # null-filled to 0; int-cent revenue.
+        "left_join_enrich": """
+            SELECT c.c_custkey, c.c_mktsegment,
+                   coalesce(o.n, 0) AS n_orders_p,
+                   coalesce(o.cents, 0) AS revenue_cents_p
+            FROM customer c
+            LEFT JOIN (
+                SELECT o_custkey,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(CAST(floor(coalesce(o_totalprice, 0.0)
+                                           * 100.0 + 0.5) AS BIGINT))
+                            AS BIGINT) AS cents
+                FROM orders WHERE o_orderstatus = 'P'
+                GROUP BY o_custkey
+            ) o ON o.o_custkey = c.c_custkey
+            ORDER BY c.c_custkey
+        """,
+        # LAG spec (stages/relational.py event_lag_deltas): seconds since
+        # the user's previous event ordered by (ts, event_id); first
+        # event = -1 sentinel on both sides.
+        "event_lag_deltas": """
+            SELECT event_id, user_id, ts,
+                   coalesce(
+                       epoch_us(ts) // 1000000
+                       - lag(epoch_us(ts) // 1000000) OVER w,
+                       -1
+                   ) AS delta_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ORDER BY event_id
+        """,
+        # PIVOT spec (stages/relational.py event_type_pivot): fixed
+        # conditional-aggregation column set per user.
+        "event_type_pivot": """
+            SELECT user_id,
+                   CAST(count(*) FILTER (event_type = 'click') AS BIGINT)
+                       AS n_click,
+                   CAST(count(*) FILTER (event_type = 'error') AS BIGINT)
+                       AS n_error,
+                   CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+                       AS n_purchase,
+                   CAST(count(*) FILTER (event_type = 'signup') AS BIGINT)
+                       AS n_signup,
+                   CAST(count(*) FILTER (event_type = 'view') AS BIGINT)
+                       AS n_view,
+                   CAST(count(*) AS BIGINT) AS n_total
+            FROM events GROUP BY user_id ORDER BY user_id
         """,
         # range-join spec (stages/relational.py range_join): same-customer
         # order pairs at most 30 days apart, directional (later order,

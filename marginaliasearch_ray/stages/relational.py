@@ -727,3 +727,158 @@ def rollup_revenue(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(
         ["o_orderstatus", "o_orderpriority"]
     ).reset_index(drop=True)
+
+
+def left_join_enrich(sf_dir: str) -> pd.DataFrame:
+    """LEFT OUTER broadcast join with null-fill — enrich every customer
+    with aggregates of its 'P'-status orders, keeping customers that have
+    none (n=0, revenue=0).  Completes the join family (inner broadcast,
+    anti, semi, as-of, range) with the outer shape.
+
+    Scale shape: the order side collapses to result-sized per-customer
+    partials inside each batch BEFORE the combine (the Q1 pattern), the
+    combined aggregate (one row per matching customer) broadcasts once
+    via ``ray.put``, and the customer scan does a vectorized dict-map
+    lookup with fill — the big side never shuffles.  At a customer
+    cardinality too large to broadcast this becomes the running_totals
+    bucket co-shuffle instead (documented switch-point).
+
+    Revenue is quantized to integer cents (floor(p*100+0.5), identical
+    in the oracle) so the sum is order-independent."""
+    orders = _read(
+        sf_dir, "orders", ["o_custkey", "o_orderstatus", "o_totalprice"]
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["o_orderstatus"] == "P"]
+        if not len(b):
+            return pd.DataFrame(
+                {"o_custkey": pd.Series([], dtype=np.int64),
+                 "n": pd.Series([], dtype=np.int64),
+                 "cents": pd.Series([], dtype=np.int64)}
+            )
+        cents = np.floor(
+            b["o_totalprice"].fillna(0.0).to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        return (
+            pd.DataFrame({"o_custkey": b["o_custkey"].to_numpy(), "cents": cents})
+            .groupby("o_custkey", as_index=False)
+            .agg(n=("cents", "size"), cents=("cents", "sum"))
+        )
+
+    agg = (
+        orders.map_batches(partial, batch_format="pandas")
+        .repartition(1)
+        .map_batches(
+            lambda b: b.groupby("o_custkey", as_index=False).agg(
+                n=("n", "sum"), cents=("cents", "sum")
+            ),
+            batch_format="pandas",
+            batch_size=None,
+        )
+        .to_pandas()
+    )
+    n_map = dict(zip(agg["o_custkey"], agg["n"].astype(np.int64)))
+    c_map = dict(zip(agg["o_custkey"], agg["cents"].astype(np.int64)))
+    maps_ref = ray.put((n_map, c_map))
+
+    customers = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def enrich(b: pd.DataFrame, _ref=maps_ref) -> pd.DataFrame:
+        n_map, c_map = ray.get(_ref)
+        keys = b["c_custkey"]
+        return pd.DataFrame(
+            {
+                "c_custkey": keys.to_numpy(),
+                "c_mktsegment": b["c_mktsegment"].to_numpy(),
+                "n_orders_p": keys.map(n_map).fillna(0).astype(np.int64),
+                "revenue_cents_p": keys.map(c_map).fillna(0).astype(np.int64),
+            }
+        )
+
+    out = customers.map_batches(enrich, batch_format="pandas").to_pandas()
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def event_lag_deltas(sf_dir: str, n_buckets: int = 32) -> pd.DataFrame:
+    """Per-user LAG: seconds since the user's previous event (-1 for the
+    first event, same sentinel in the SQL oracle so the column stays
+    exact int64 with no NULL-representation ambiguity).
+
+    Scale shape = running_totals: one narrow bucket shuffle on
+    ``user_id % n_buckets`` (a user never splits across buckets), then
+    ONE vectorized pass per bucket (sort + groupby diff) — no per-user
+    pandas groups."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        es = (b["ts"].astype("int64") // 1_000_000).to_numpy()
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].to_numpy(),
+                "ts": b["ts"].to_numpy(),
+                "user_id": b["user_id"].to_numpy(),
+                "es": es,
+                "_b": (b["user_id"].to_numpy() % n_buckets).astype(np.int64),
+            }
+        )
+
+    def bucket_lag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        prev = g.groupby("user_id", sort=False)["es"].shift(1)
+        delta = (g["es"] - prev).fillna(-1).astype(np.int64)
+        g["delta_s"] = delta
+        return g[["event_id", "user_id", "ts", "delta_s"]]
+
+    out = (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("_b")
+        .map_groups(bucket_lag, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def event_type_pivot(
+    sf_dir: str, types: tuple[str, ...] = EVENT_TYPES, n_buckets: int = 32
+) -> pd.DataFrame:
+    """PIVOT / crosstab: one row per user with a count column per event
+    type plus n_total (conditional-aggregation semantics; unknown types
+    count only toward n_total).  The column set is FIXED up front —
+    distributed pivots require a declared schema, matching SQL PIVOT's
+    IN-list.
+
+    Scale shape: each batch collapses to per-user indicator partials
+    (one vectorized comparison per type), partials co-shuffle into
+    user-hash buckets, one groupby-sum per bucket — row-per-event never
+    reaches the shuffle."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        et = b["event_type"].to_numpy().astype(object)
+        cols = {"user_id": b["user_id"].to_numpy()}
+        for t in types:
+            cols[f"n_{t}"] = (et == t).astype(np.int64)
+        cols["n_total"] = np.ones(len(b), dtype=np.int64)
+        df = pd.DataFrame(cols).groupby("user_id", as_index=False).sum()
+        df["_b"] = (df["user_id"].to_numpy() % n_buckets).astype(np.int64)
+        return df
+
+    val_cols = [f"n_{t}" for t in types] + ["n_total"]
+
+    def bucket_sum(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("user_id", as_index=False)[val_cols].sum()
+        for c in val_cols:
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_b")
+        .map_groups(bucket_sum, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("user_id").reset_index(drop=True)

@@ -912,3 +912,105 @@ class TestRollupRevenue:
         ]
         assert cells["n_orders"].sum() == total["n_orders"].iloc[0]
         assert subs["revenue_cents"].sum() == total["revenue_cents"].iloc[0]
+
+
+class TestLeftJoinEnrich:
+    def test_matches_duckdb_left_join(self, ray_session):
+        import duckdb
+
+        from marginaliasearch_ray.stages.relational import left_join_enrich
+
+        sf = "/root/testdata/sf0.001"
+        got = left_join_enrich(sf)
+        ref = duckdb.sql(
+            f"""
+            SELECT c.c_custkey, c.c_mktsegment,
+                   coalesce(o.n, 0) AS n_orders_p,
+                   coalesce(o.cents, 0) AS revenue_cents_p
+            FROM read_parquet('{sf}/customer.parquet') c
+            LEFT JOIN (
+                SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(CAST(floor(coalesce(o_totalprice,0.0)*100.0+0.5)
+                                     AS BIGINT)) AS BIGINT) AS cents
+                FROM read_parquet('{sf}/orders.parquet')
+                WHERE o_orderstatus = 'P' GROUP BY o_custkey
+            ) o ON o.o_custkey = c.c_custkey
+            ORDER BY c.c_custkey
+            """
+        ).df()
+        pd.testing.assert_frame_equal(got, ref)
+        # the outer shape must be exercised: some customer has no match
+        assert (got["n_orders_p"] == 0).any()
+
+
+class TestEventLagDeltas:
+    def test_matches_duckdb_lag(self, ray_session):
+        import duckdb
+
+        from marginaliasearch_ray.stages.relational import event_lag_deltas
+
+        sf = "/root/testdata/sf0.001"
+        got = event_lag_deltas(sf, n_buckets=8)
+        ref = duckdb.sql(
+            f"""
+            SELECT event_id,
+                   coalesce(epoch_us(ts)//1000000
+                            - lag(epoch_us(ts)//1000000) OVER w, -1) AS delta_s
+            FROM read_parquet('{sf}/events.parquet')
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ORDER BY event_id
+            """
+        ).df()
+        assert got["delta_s"].tolist() == ref["delta_s"].tolist()
+        # each user's first event carries the sentinel exactly once
+        firsts = got[got["delta_s"] == -1]
+        assert len(firsts) == got["user_id"].nunique()
+
+
+class TestEventTypePivot:
+    def test_matches_duckdb_conditional_agg(self, ray_session):
+        import duckdb
+
+        from marginaliasearch_ray.stages.relational import event_type_pivot
+
+        sf = "/root/testdata/sf0.001"
+        got = event_type_pivot(sf, n_buckets=8)
+        ref = duckdb.sql(
+            f"""
+            SELECT user_id,
+                   CAST(count(*) FILTER (event_type='click') AS BIGINT) AS n_click,
+                   CAST(count(*) FILTER (event_type='error') AS BIGINT) AS n_error,
+                   CAST(count(*) FILTER (event_type='purchase') AS BIGINT) AS n_purchase,
+                   CAST(count(*) FILTER (event_type='signup') AS BIGINT) AS n_signup,
+                   CAST(count(*) FILTER (event_type='view') AS BIGINT) AS n_view,
+                   CAST(count(*) AS BIGINT) AS n_total
+            FROM read_parquet('{sf}/events.parquet')
+            GROUP BY user_id ORDER BY user_id
+            """
+        ).df()
+        pd.testing.assert_frame_equal(got, ref)
+
+    def test_unknown_types_count_only_total(self, ray_session):
+        import ray.data as rd
+
+        from marginaliasearch_ray.stages.relational import event_type_pivot
+        import marginaliasearch_ray.stages.relational as R
+
+        # feed a synthetic frame through the partial/bucket path by
+        # monkey-free composition: write a tiny parquet and point at it
+        import tempfile, os
+        d = tempfile.mkdtemp()
+        pd.DataFrame(
+            {
+                "event_id": [1, 2, 3],
+                "ts": pd.to_datetime([1, 2, 3], unit="s"),
+                "user_id": [7, 7, 8],
+                "event_type": ["click", "mystery", "view"],
+                "value": [0.0, 0.0, 0.0],
+                "props": ["", "", ""],
+            }
+        ).to_parquet(os.path.join(d, "events.parquet"))
+        got = event_type_pivot(d, n_buckets=4)
+        u7 = got[got["user_id"] == 7].iloc[0]
+        assert u7["n_click"] == 1 and u7["n_total"] == 2
+        assert u7[["n_error", "n_purchase", "n_signup", "n_view"]].sum() == 0
