@@ -1269,6 +1269,17 @@ def _vocab_topk(sf_dir: str) -> pd.DataFrame:
     return vocab_topk(ds, k=100)
 
 
+def _doc_hist_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Approximate n_chars quantiles from a mergeable fixed-width
+    histogram sketch — stages/sketch.py hist_quantiles (two streaming
+    passes, no shuffle; deterministic integer bin arithmetic recomputed
+    exactly by the SQL oracle)."""
+    from marginaliasearch_ray.stages.sketch import hist_quantiles
+
+    ds = _read_table(sf_dir, "documents", ["n_chars"])
+    return hist_quantiles(ds, "n_chars")
+
+
 _BADWORDS = ("merge", "slow")
 
 
@@ -1385,6 +1396,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "left_join_enrich": _rel("left_join_enrich"),
         "event_lag_deltas": _rel("event_lag_deltas"),
         "event_type_pivot": _rel("event_type_pivot"),
+        "distinct_users_by_type": _rel("distinct_count_grouped"),
+        "doc_hist_quantiles": _doc_hist_quantiles,
         # text analysis (SQL-checked where expressible)
         "doc_keywords": _doc_keywords,
         "doc_keyword_positions": _doc_keyword_positions,
@@ -1691,6 +1704,53 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
             ORDER BY 1, 2
+        """,
+        # exact grouped distinct-count spec (stages/relational.py
+        # distinct_count_grouped).
+        "distinct_users_by_type": """
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        # histogram-quantile sketch spec (stages/sketch.py
+        # hist_quantiles): integer-ceil bin width over [min, max],
+        # rank = max(1, ceil(q*N)), answer = smallest bin whose
+        # cumulative count reaches the rank.
+        "doc_hist_quantiles": """
+            WITH stats AS (
+                SELECT CAST(min(n_chars) AS BIGINT) AS lo,
+                       CAST(max(n_chars) AS BIGINT) AS hi,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM documents
+            ),
+            params AS (
+                SELECT lo, hi, n,
+                       greatest(1, (hi - lo + 1 + 1023) // 1024) AS w
+                FROM stats
+            ),
+            h AS (
+                SELECT (n_chars - lo) // w AS bin,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM documents, params GROUP BY 1
+            ),
+            c AS (
+                SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum FROM h
+            ),
+            r AS (
+                SELECT q, greatest(1, CAST(ceil(q * n) AS BIGINT)) AS rank
+                FROM (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9, 0.99])
+                                  AS DOUBLE) AS q),
+                     params
+            ),
+            sel AS (
+                SELECT r.q, r.rank, min(c.bin) AS bin
+                FROM r JOIN c ON c.cum >= r.rank
+                GROUP BY r.q, r.rank
+            )
+            SELECT q, rank, bin,
+                   lo + bin * w AS est_lo,
+                   least(hi, lo + (bin + 1) * w - 1) AS est_hi
+            FROM sel, params ORDER BY q
         """,
         # left-outer broadcast join spec (stages/relational.py
         # left_join_enrich): every customer, 'P'-order aggregates

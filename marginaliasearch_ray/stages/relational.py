@@ -882,3 +882,58 @@ def event_type_pivot(
         .to_pandas()
     )
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+def distinct_count_grouped(
+    sf_dir: str, n_buckets: int = 64
+) -> pd.DataFrame:
+    """EXACT distinct counting per group — distinct users per event
+    type (COUNT(DISTINCT ...) GROUP BY) as a distributed two-level
+    dedup: the exact sibling of the HLL sketch (`hll_distinct`), for
+    when the group cardinality is small but the value set is not.
+
+    Scale shape:
+
+    1. each batch drops its local duplicate (group, value) pairs —
+       row-per-event collapses before the exchange;
+    2. pairs co-shuffle into ``hash(group|value) % n_buckets`` buckets
+       (a pair lives entirely in one bucket), per-bucket global dedup +
+       per-group partial counts — at most n_buckets*|groups| rows out;
+    3. result-sized combine sums the partials.
+    """
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        p = b[["event_type", "user_id"]].drop_duplicates()
+        key = p["event_type"].astype(str) + "|" + p["user_id"].astype(str)
+        p = p.copy()
+        p["_b"] = (
+            pd.util.hash_pandas_object(
+                key, index=False, hash_key="0" * 16
+            ).to_numpy()
+            % n_buckets
+        ).astype(np.int64)
+        return p
+
+    def bucket_count(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["event_type", "user_id"]].drop_duplicates()
+        out = d.groupby("event_type", as_index=False).agg(
+            n_users=("user_id", "size")
+        )
+        out["n_users"] = out["n_users"].astype(np.int64)
+        return out
+
+    out = (
+        ds.map_batches(pairs, batch_format="pandas")
+        .groupby("_b")
+        .map_groups(bucket_count, batch_format="pandas")
+        .repartition(1)
+        .map_batches(
+            lambda b: b.groupby("event_type", as_index=False)["n_users"].sum(),
+            batch_format="pandas",
+            batch_size=None,
+        )
+        .to_pandas()
+    )
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)

@@ -265,3 +265,79 @@ def cms_token_counts(
         .map_batches(combine, batch_format="pandas", batch_size=None)
         .to_pandas()
     )
+
+
+def hist_quantiles(
+    ds: rd.Dataset,
+    key_col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    n_bins: int = 1024,
+) -> pd.DataFrame:
+    """Approximate quantiles from a MERGEABLE fixed-width histogram —
+    the one-pass / streaming alternative to ``order.exact_quantiles``
+    when a bucket shuffle is too expensive (error bounded by the bin
+    width, bins sum-combine like every sketch here).
+
+    DETERMINISTIC end-to-end (the SQL oracle recomputes it exactly):
+
+    - bin width = integer-ceil((max-min+1) / n_bins) over the integer
+      key (one tiny min/max/count aggregate pass);
+    - per-batch partial = bincount of ``(x - lo) // width`` — partials
+      are (bin, cnt) rows, sum-mergeable in any order;
+    - for each q: rank = max(1, ceil(q*N)) (the exact_quantiles rule),
+      answer bin = smallest bin whose cumulative count reaches the rank,
+      reported as the [est_lo, est_hi] bracket of that bin.
+
+    Scale shape: two streaming passes, no shuffle — the second pass's
+    partials are at most n_bins rows per block and combine result-sized."""
+    from ray.data.aggregate import Count, Max, Min
+
+    stats = ds.aggregate(Min(key_col), Max(key_col), Count())
+    lo = int(stats[f"min({key_col})"])
+    hi = int(stats[f"max({key_col})"])
+    n = int(stats["count()"])
+    width = max(1, (hi - lo + 1 + n_bins - 1) // n_bins)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        x = b[key_col].to_numpy().astype(np.int64)
+        bins = np.clip((x - lo) // width, 0, n_bins - 1)
+        cnt = np.bincount(bins, minlength=n_bins)
+        nz = np.nonzero(cnt)[0]
+        return pd.DataFrame(
+            {"bin": nz.astype(np.int64), "cnt": cnt[nz].astype(np.int64)}
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pandas")
+        .repartition(1)
+        .map_batches(
+            lambda b: b.groupby("bin", as_index=False)["cnt"].sum(),
+            batch_format="pandas",
+            batch_size=None,
+        )
+        .to_pandas()
+        .sort_values("bin")
+    )
+    cum = hist["cnt"].cumsum().to_numpy()
+    bins_present = hist["bin"].to_numpy()
+
+    import math
+
+    rows = []
+    for q in qs:
+        rank = max(1, math.ceil(q * n))
+        i = int(np.searchsorted(cum, rank, side="left"))
+        b = int(bins_present[i])
+        rows.append(
+            {
+                "q": float(q),
+                "rank": np.int64(rank),
+                "bin": np.int64(b),
+                "est_lo": np.int64(lo + b * width),
+                "est_hi": np.int64(min(hi, lo + (b + 1) * width - 1)),
+            }
+        )
+    out = pd.DataFrame(rows)
+    for c in ("rank", "bin", "est_lo", "est_hi"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("q").reset_index(drop=True)

@@ -144,3 +144,52 @@ class TestCountMin:
         for p, e in zip(probes, exp):
             assert e >= true.get(p, 0)
         assert got["est_cnt"].tolist()[-1] >= 0  # absent token: pure collision mass
+
+
+class TestHistQuantiles:
+    def test_bracket_contains_exact_quantile(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from marginaliasearch_ray.stages.sketch import hist_quantiles
+
+        rng = np.random.RandomState(3)
+        vals = rng.randint(0, 50_000, size=5_000)
+        ds = rd.from_pandas(pd.DataFrame({"n_chars": vals})).repartition(7)
+        got = hist_quantiles(ds, "n_chars", qs=(0.25, 0.5, 0.9))
+        ref = duckdb.sql(
+            """
+            SELECT q, v FROM (
+                SELECT CAST(unnest([0.25, 0.5, 0.9]) AS DOUBLE) AS q
+            ) qs, LATERAL (
+                SELECT x AS v FROM (
+                    SELECT x, row_number() OVER (ORDER BY x) r, count(*) OVER () n
+                    FROM (SELECT unnest(?) AS x)
+                ) WHERE r = greatest(1, CAST(ceil(qs.q * n) AS BIGINT))
+            )
+            ORDER BY q
+            """,
+            params=[vals.tolist()],
+        ).df()
+        # the exact rank-order statistic must land inside each bracket
+        for (_, row), v in zip(got.iterrows(), ref["v"]):
+            assert row["est_lo"] <= v <= row["est_hi"]
+        # bin width from 50k over 1024 bins bounds the bracket size
+        assert (got["est_hi"] - got["est_lo"] < 64).all()
+
+    def test_layout_invariant(self, ray_session):
+        import ray.data as rd
+
+        from marginaliasearch_ray.stages.sketch import hist_quantiles
+
+        rng = np.random.RandomState(4)
+        vals = rng.randint(10, 9999, size=2_000).tolist()
+        a = hist_quantiles(
+            rd.from_pandas(pd.DataFrame({"n_chars": vals})).repartition(1),
+            "n_chars",
+        )
+        b = hist_quantiles(
+            rd.from_pandas(pd.DataFrame({"n_chars": vals[::-1]})).repartition(13),
+            "n_chars",
+        )
+        pd.testing.assert_frame_equal(a, b)

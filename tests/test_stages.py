@@ -1014,3 +1014,24 @@ class TestEventTypePivot:
         u7 = got[got["user_id"] == 7].iloc[0]
         assert u7["n_click"] == 1 and u7["n_total"] == 2
         assert u7[["n_error", "n_purchase", "n_signup", "n_view"]].sum() == 0
+
+
+class TestDistinctCountGrouped:
+    def test_matches_duckdb_count_distinct(self, ray_session):
+        import duckdb
+
+        from marginaliasearch_ray.stages.relational import (
+            distinct_count_grouped,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = distinct_count_grouped(sf, n_buckets=16)
+        ref = duckdb.sql(
+            f"""
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM read_parquet('{sf}/events.parquet')
+            GROUP BY event_type ORDER BY event_type
+            """
+        ).df()
+        pd.testing.assert_frame_equal(got, ref)
