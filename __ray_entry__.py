@@ -175,6 +175,36 @@ def _pagerank_personalized(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["rank", "domain"], ascending=[False, True]).reset_index(drop=True)
 
 
+def _domain_bfs_hops(sf_dir: str) -> pd.DataFrame:
+    """Multi-source BFS link depth over the domain graph — the crawl
+    prioritization's link-depth signal as a standalone operator
+    (stages/graph.py bfs_hops: edge-partition actors, one O(#domains)
+    distance broadcast per round).  Seed rule shared with the oracle's
+    recursive CTE: the first 5 link-source domains in sorted order;
+    unreachable domains report -1."""
+    import ray.data as rd
+
+    from marginaliasearch_ray.fixtures.cache import fixture_dir_for
+    from marginaliasearch_ray.stages.graph import bfs_hops
+
+    fix = fixture_dir_for(sf_dir)
+    links = rd.read_parquet(f"{fix}/links.parquet")
+
+    def to_domains(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src": batch["src_url"].str.extract(r"://([^/:]+)", expand=False),
+                "dst": batch["dst_url"].str.extract(r"://([^/:]+)", expand=False),
+            }
+        )
+
+    edges = links.map_batches(to_domains, batch_format="pandas")
+    seeds = sorted(edges.unique("src"))[:5]
+    out = bfs_hops(edges, seeds, col_src="src", col_dst="dst")
+    out = out.rename(columns={"node": "domain"})
+    return out.sort_values("domain").reset_index(drop=True)
+
+
 def _url_canonicalize(sf_dir: str) -> pd.DataFrame:
     """Canonicalize the url_cases table's raw URLs; the oracle compares
     against the generator's ANALYTICALLY-derived expected forms."""
@@ -1368,6 +1398,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "convert_docs": _convert_docs,
         "pagerank_domains": _pagerank_domains,
         "pagerank_personalized": _pagerank_personalized,
+        "domain_bfs_hops": _domain_bfs_hops,
         "hits_domains": _hits_domains,
         "url_canonicalize": _url_canonicalize,
         "recrawl_decisions": _recrawl_decisions,
@@ -3016,6 +3047,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT domain, rank
             FROM read_parquet('{exp}/expected_pagerank_personalized.parquet')
             ORDER BY rank DESC, domain
+        """,
+        # BFS link-depth spec (stages/graph.py bfs_hops): shortest hop
+        # distance from the first 5 sorted link-source domains over the
+        # directed domain graph; unreachable = -1.
+        "domain_bfs_hops": f"""
+            WITH RECURSIVE e AS (
+                SELECT DISTINCT
+                       regexp_extract(src_url, '://([^/:]+)', 1) AS src,
+                       regexp_extract(dst_url, '://([^/:]+)', 1) AS dst
+                FROM read_parquet('{fix}/links.parquet')
+            ),
+            seeds AS (
+                SELECT node FROM (SELECT DISTINCT src AS node FROM e)
+                ORDER BY node LIMIT 5
+            ),
+            walk(node, hops) AS (
+                SELECT node, 0 FROM seeds
+                UNION
+                SELECT e.dst, w.hops + 1
+                FROM walk w JOIN e ON e.src = w.node
+                WHERE w.hops < 64
+            ),
+            best AS (
+                SELECT node, CAST(min(hops) AS BIGINT) AS hops
+                FROM walk GROUP BY node
+            ),
+            nodes AS (
+                -- explicit DISTINCT: inside a WITH RECURSIVE clause
+                -- DuckDB 1.0 gives plain UNION union-all semantics for
+                -- non-recursive CTEs
+                SELECT DISTINCT node FROM (
+                    SELECT src AS node FROM e
+                    UNION ALL SELECT dst AS node FROM e
+                )
+            )
+            SELECT n.node AS domain, coalesce(b.hops, -1) AS hops
+            FROM nodes n LEFT JOIN best b USING (node)
+            ORDER BY domain
         """,
         "hits_domains": f"""
             SELECT domain, authority, hub

@@ -73,6 +73,12 @@ class _CCEdgePartition:
         np.minimum.at(part, self.b, m)
         return part
 
+    def relax(self, dist: np.ndarray) -> np.ndarray:
+        # directed BFS relax: dist[b] = min(dist[b], dist[a] + 1)
+        part = dist.copy()
+        np.minimum.at(part, self.b, dist[self.a] + 1)
+        return part
+
 
 def connected_components(
     edges: rd.Dataset,
@@ -127,6 +133,67 @@ def connected_components(
         while not np.array_equal(labels, labels[labels]):
             labels = labels[labels]
         return pd.DataFrame({"node": nodes, "cluster_id": nodes[labels]})
+    finally:
+        for a in actors:
+            ray.kill(a)
+
+
+_BFS_INF = np.int64(1) << 40  # +1 per round stays far from int64 overflow
+
+
+def bfs_hops(
+    edges: rd.Dataset,
+    seeds: list,
+    col_src: str = "src",
+    col_dst: str = "dst",
+    max_iter: int = 64,
+) -> pd.DataFrame:
+    """Multi-source BFS shortest hop distance over a DIRECTED edge list
+    -> DataFrame(node, hops), hops = -1 for unreachable nodes.  This is
+    the link-depth signal of the reference's crawl prioritization
+    (seed domains at depth 0, everything else by shortest link path).
+
+    Scale shape = connected_components: edges stay in plasma partitioned
+    across actors (read once into int index arrays); per round only the
+    O(#nodes) distance vector broadcasts and each actor relaxes its
+    edges with one dense ``np.minimum.at`` — the driver min-reduces K
+    partials.  Rounds = graph diameter (bounded by ``max_iter``)."""
+    tbl = edges.select_columns([col_src, col_dst]).materialize()
+    block_refs = tbl.to_arrow_refs()
+    n_cpu = max(4, int(ray.cluster_resources().get("CPU", 8)))
+    n_actors = max(1, min(len(block_refs), n_cpu // 2 or 1))
+    groups: list[list] = [[] for _ in range(n_actors)]
+    for i, ref in enumerate(block_refs):
+        groups[i % n_actors].append(ref)
+    actors = [_CCEdgePartition.remote(g, col_src, col_dst) for g in groups]
+    try:
+        nodes_set: set = set()
+        for part in ray.get([a.local_nodes.remote() for a in actors]):
+            nodes_set |= part
+        nodes = sorted(nodes_set)
+        n = len(nodes)
+        if n == 0:
+            return pd.DataFrame(
+                {"node": pd.Series(dtype=object),
+                 "hops": pd.Series(dtype="int64")}
+            )
+        ray.get([a.resolve.remote(pa.array(nodes)) for a in actors])
+
+        idx = {v: i for i, v in enumerate(nodes)}
+        dist = np.full(n, _BFS_INF, dtype=np.int64)
+        for s in seeds:
+            if s in idx:
+                dist[idx[s]] = 0
+        for _ in range(max_iter):
+            dist_ref = ray.put(dist)
+            parts = ray.get([a.relax.remote(dist_ref) for a in actors])
+            new = np.minimum.reduce(parts) if parts else dist
+            if np.array_equal(new, dist):
+                break
+            dist = new
+        hops = np.where(dist >= _BFS_INF, np.int64(-1), dist).astype(np.int64)
+        return pd.DataFrame({"node": np.asarray(nodes, dtype=object),
+                             "hops": hops})
     finally:
         for a in actors:
             ray.kill(a)

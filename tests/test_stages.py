@@ -1035,3 +1035,38 @@ class TestDistinctCountGrouped:
             """
         ).df()
         pd.testing.assert_frame_equal(got, ref)
+
+
+class TestBfsHops:
+    def test_known_graph_with_cycle_and_unreachable(self, ray_session):
+        from marginaliasearch_ray.stages.graph import bfs_hops
+
+        # s -> a -> b -> a (cycle), s -> c, island x -> y (unreachable)
+        edges = _docs(
+            [
+                {"src": "s", "dst": "a"},
+                {"src": "a", "dst": "b"},
+                {"src": "b", "dst": "a"},
+                {"src": "s", "dst": "c"},
+                {"src": "x", "dst": "y"},
+            ]
+        )
+        out = bfs_hops(edges, ["s"], col_src="src", col_dst="dst")
+        hops = dict(zip(out["node"], out["hops"]))
+        assert hops == {"s": 0, "a": 1, "b": 2, "c": 1, "x": -1, "y": -1}
+
+    def test_multi_source_takes_nearest_seed(self, ray_session):
+        from marginaliasearch_ray.stages.graph import bfs_hops
+
+        edges = _docs(
+            [
+                {"src": "s1", "dst": "m"},
+                {"src": "m", "dst": "t"},
+                {"src": "s2", "dst": "t"},
+            ]
+        )
+        out = bfs_hops(edges, ["s1", "s2"], col_src="src", col_dst="dst")
+        hops = dict(zip(out["node"], out["hops"]))
+        assert hops["t"] == 1  # via s2, not 2 via s1
+        # edges are directed: seeds with no in-links stay at 0
+        assert hops["s1"] == 0 and hops["s2"] == 0
