@@ -195,6 +195,11 @@ def run_bench() -> dict:
         "vocab_topk",
         "semdedup_keep",
         "doc_chunks",
+        "bpe_pairs",
+        "user_running_totals",
+        "event_type_pivot",
+        "domain_bfs_hops",
+        "doc_hist_quantiles",
     ):
         t0 = time.perf_counter()
         qs[name](SF_DIR)
