@@ -385,3 +385,62 @@ class TestHostileOrderingInputs:
         # the 5000-word doc chunks reconstruct: sum of (n_words - overlap)
         big = out[out["doc_id"] == 5].sort_values("chunk_no")
         assert big["n_words"].iloc[:-1].eq(16).all()
+
+
+class TestHostileNewFamilies:
+    """Round-3 additions (badwords, pair counts, histogram quantiles)
+    must survive the same hostile corpus with schema-stable output."""
+
+    HOSTILE = TestHostileCleaningInputs.HOSTILE
+
+    def _docs(self):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        n = len(self.HOSTILE)
+        return rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id": np.arange(n, dtype=np.int64),
+                    "text": self.HOSTILE,
+                    "n_chars": np.int64([len(t or "") for t in self.HOSTILE]),
+                }
+            )
+        ).repartition(3)
+
+    def test_badwords_survives(self, ray_session):
+        from marginaliasearch_ray.stages.clean import badwords_filter
+
+        out = badwords_filter(self._docs(), ("word",)).to_pandas()
+        assert len(out) == len(self.HOSTILE)
+        assert set(out.columns) == {
+            "doc_id", "n_tokens", "n_bad", "frac_bad", "verdict",
+        }
+        # the "word " * 5000 doc is all banned tokens -> drop
+        assert (out["verdict"] == "drop").any()
+        # None text -> zero tokens, keep
+        assert (out["n_tokens"] == 0).any()
+
+    def test_pair_counts_survives(self, ray_session):
+        from marginaliasearch_ray.stages.textstats import pair_counts
+
+        out = pair_counts(self._docs(), k=5)
+        assert list(out.columns) == ["tok_l", "tok_r", "n", "rank"]
+        # ("word","word") dominates via the 5000-token doc
+        assert (out["tok_l"].iloc[0], out["tok_r"].iloc[0]) == ("word", "word")
+        assert out["n"].iloc[0] == 4999
+
+    def test_hist_quantiles_survives(self, ray_session):
+        from marginaliasearch_ray.stages.sketch import hist_quantiles
+
+        out = hist_quantiles(self._docs(), "n_chars", qs=(0.5, 0.9))
+        assert len(out) == 2
+        assert (out["est_lo"] <= out["est_hi"]).all()
+        # single-value degenerate input: one bin answers every quantile
+        import pandas as pd
+        import ray.data as rd
+
+        one = rd.from_pandas(pd.DataFrame({"n_chars": [7, 7, 7]}))
+        o = hist_quantiles(one, "n_chars", qs=(0.25, 0.99))
+        assert (o["est_lo"] == 7).all() and (o["est_hi"] == 7).all()
