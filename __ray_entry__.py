@@ -1299,6 +1299,41 @@ def _vocab_topk(sf_dir: str) -> pd.DataFrame:
     return vocab_topk(ds, k=100)
 
 
+def _corpus_diff(sf_dir: str) -> pd.DataFrame:
+    """Snapshot diff between the documents table and a deterministic
+    second version (doc_id%7==0 removed, %5==0 text-changed, %11==0
+    cloned as new ids) — stages/curate.py corpus_diff (narrow (id, side,
+    hash) rows, one id-bucket co-shuffle, FULL OUTER merge per bucket)."""
+    from marginaliasearch_ray.stages.curate import corpus_diff
+
+    old = _read_table(sf_dir, "documents", ["doc_id", "text"])
+    new = _read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def make_new(b: pd.DataFrame) -> pd.DataFrame:
+        txt = b["text"].fillna("")
+        ids = b["doc_id"].to_numpy()
+        keep = ids % 7 != 0
+        base = pd.DataFrame(
+            {
+                "doc_id": ids[keep],
+                "text": np.where(
+                    ids[keep] % 5 == 0, txt.to_numpy()[keep] + " v2",
+                    txt.to_numpy()[keep]
+                ),
+            }
+        )
+        cl = ids % 11 == 0
+        added = pd.DataFrame(
+            {"doc_id": ids[cl] + 10_000_000, "text": txt.to_numpy()[cl]}
+        )
+        return pd.concat([base, added], ignore_index=True)
+
+    out = corpus_diff(
+        old, new.map_batches(make_new, batch_format="pandas")
+    ).to_pandas()
+    return out.sort_values("id").reset_index(drop=True)
+
+
 def _doc_hist_quantiles(sf_dir: str) -> pd.DataFrame:
     """Approximate n_chars quantiles from a mergeable fixed-width
     histogram sketch — stages/sketch.py hist_quantiles (two streaming
@@ -1429,6 +1464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_pivot": _rel("event_type_pivot"),
         "distinct_users_by_type": _rel("distinct_count_grouped"),
         "doc_hist_quantiles": _doc_hist_quantiles,
+        "corpus_diff_status": _corpus_diff,
         # text analysis (SQL-checked where expressible)
         "doc_keywords": _doc_keywords,
         "doc_keyword_positions": _doc_keyword_positions,
@@ -1735,6 +1771,35 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
             ORDER BY 1, 2
+        """,
+        # snapshot-diff spec (stages/curate.py corpus_diff): FULL OUTER
+        # on id with md5 content-hash equality; the synthetic second
+        # version mirrors _corpus_diff's make_new exactly.
+        "corpus_diff_status": """
+            WITH old AS (
+                SELECT doc_id AS id,
+                       md5_number_lower(coalesce(text, '')) AS h
+                FROM documents
+            ),
+            new AS (
+                SELECT doc_id AS id,
+                       md5_number_lower(
+                           CASE WHEN doc_id % 5 = 0
+                                THEN coalesce(text, '') || ' v2'
+                                ELSE coalesce(text, '') END) AS h
+                FROM documents WHERE doc_id % 7 <> 0
+                UNION ALL
+                SELECT doc_id + 10000000 AS id,
+                       md5_number_lower(coalesce(text, '')) AS h
+                FROM documents WHERE doc_id % 11 = 0
+            )
+            SELECT CAST(coalesce(o.id, n.id) AS BIGINT) AS id,
+                   CASE WHEN o.id IS NULL THEN 'added'
+                        WHEN n.id IS NULL THEN 'removed'
+                        WHEN o.h = n.h THEN 'same'
+                        ELSE 'changed' END AS status
+            FROM old o FULL OUTER JOIN new n ON o.id = n.id
+            ORDER BY id
         """,
         # exact grouped distinct-count spec (stages/relational.py
         # distinct_count_grouped).

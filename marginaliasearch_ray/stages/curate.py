@@ -924,3 +924,65 @@ def dsir_weights(
         )
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+def corpus_diff(
+    old: "rd.Dataset",
+    new: "rd.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> "rd.Dataset":
+    """Snapshot diff between two corpus versions -> (id, status) with
+    status in {added, removed, changed, same} — the incremental-update
+    primitive (what changed since the last crawl / dump) expressed as a
+    distributed FULL OUTER join on content hashes.
+
+    Scale shape: each side collapses to narrow ``(id, side, h)`` rows at
+    the read (``h`` = md5_number_lower(text), the repo hash convention,
+    so the oracle recomputes it), both co-shuffle into ``id % n_buckets``
+    buckets (an id lives entirely in one bucket) and ONE vectorized
+    merge per bucket classifies every id — document text never moves,
+    and neither side is ever materialized whole."""
+    from marginaliasearch_ray.stages.clean import _hash64s
+
+    def narrow(side: str):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "id": b[id_col].to_numpy().astype(np.int64),
+                    "side": side,
+                    "h": np.fromiter(
+                        (_hash64s(t if isinstance(t, str) else "")
+                         for t in b[text_col]),
+                        dtype=np.int64,
+                        count=len(b),
+                    ),
+                    "_b": (b[id_col].to_numpy().astype(np.int64) % n_buckets),
+                }
+            )
+
+        return fn
+
+    tagged = old.map_batches(narrow("old"), batch_format="pandas").union(
+        new.map_batches(narrow("new"), batch_format="pandas")
+    )
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == "old"].set_index("id")["h"]
+        n = g[g["side"] == "new"].set_index("id")["h"]
+        m = o.to_frame("h_old").join(n.to_frame("h_new"), how="outer")
+        status = np.select(
+            [
+                m["h_old"].isna().to_numpy(),
+                m["h_new"].isna().to_numpy(),
+                (m["h_old"] == m["h_new"]).to_numpy(),
+            ],
+            ["added", "removed", "same"],
+            "changed",
+        )
+        return pd.DataFrame(
+            {"id": m.index.to_numpy().astype(np.int64), "status": status}
+        )
+
+    return tagged.groupby("_b").map_groups(classify, batch_format="pandas")

@@ -490,3 +490,51 @@ class TestDsirWeights:
         assert out.loc[0, "n_tokens"] == 0 and out.loc[0, "weight"] == 0.0
         assert out.loc[1, "wpt"] == 0.0
         assert out.loc[2, "n_tokens"] == 3
+
+
+class TestCorpusDiff:
+    def test_all_four_statuses(self, ray_session):
+        import ray.data as rd
+
+        from marginaliasearch_ray.stages.curate import corpus_diff
+
+        old = rd.from_pandas(
+            pd.DataFrame(
+                {"doc_id": [1, 2, 3, 4], "text": ["a", "b", "c", "d"]}
+            )
+        ).repartition(2)
+        new = rd.from_pandas(
+            pd.DataFrame(
+                {"doc_id": [2, 3, 4, 9], "text": ["b", "C2", "d", "n"]}
+            )
+        ).repartition(3)
+        out = (
+            corpus_diff(old, new, n_buckets=4)
+            .to_pandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        assert dict(zip(out["id"], out["status"])) == {
+            1: "removed", 2: "same", 3: "changed", 4: "same", 9: "added",
+        }
+
+    def test_layout_invariant(self, ray_session):
+        import ray.data as rd
+
+        from marginaliasearch_ray.stages.curate import corpus_diff
+
+        rng = np.random.RandomState(2)
+        ids = np.arange(300)
+        texts = [f"doc {i} body" for i in ids]
+        old = pd.DataFrame({"doc_id": ids, "text": texts})
+        new = old[old["doc_id"] % 3 != 0].copy()
+        a = corpus_diff(
+            rd.from_pandas(old).repartition(1),
+            rd.from_pandas(new).repartition(1),
+        ).to_pandas().sort_values("id").reset_index(drop=True)
+        b = corpus_diff(
+            rd.from_pandas(old.sample(frac=1, random_state=rng)).repartition(9),
+            rd.from_pandas(new.sample(frac=1, random_state=rng)).repartition(5),
+        ).to_pandas().sort_values("id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+        assert (a[a["id"] % 3 == 0]["status"] == "removed").all()
