@@ -168,7 +168,9 @@ def _pagerank_personalized(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    edges = links.map_batches(to_domains, batch_format="pandas")
+    # materialize once: both the seed-rule unique and the rank loop
+    # consume the edge table; without this the read+extract runs twice
+    edges = links.map_batches(to_domains, batch_format="pandas").materialize()
     seeds = sorted(edges.unique("src_domain"))[:5]
     out = pagerank(edges, mode="distributed", personalize=seeds)
     out["rank"] = out["rank"].round(8)
@@ -198,7 +200,7 @@ def _domain_bfs_hops(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    edges = links.map_batches(to_domains, batch_format="pandas")
+    edges = links.map_batches(to_domains, batch_format="pandas").materialize()
     seeds = sorted(edges.unique("src"))[:5]
     out = bfs_hops(edges, seeds, col_src="src", col_dst="dst")
     out = out.rename(columns={"node": "domain"})
