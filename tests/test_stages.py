@@ -1070,3 +1070,47 @@ class TestBfsHops:
         assert hops["t"] == 1  # via s2, not 2 via s1
         # edges are directed: seeds with no in-links stay at 0
         assert hops["s1"] == 0 and hops["s2"] == 0
+
+
+class TestNewOpsLayoutInvariance:
+    """Block layout / bucket count must never change results — the
+    round-2 embedding bug class, pinned for every new keyed operator."""
+
+    def test_running_totals_bucket_invariant(self, ray_session):
+        from marginaliasearch_ray.stages.relational import running_totals
+
+        a = running_totals("/root/testdata/sf0.001", n_buckets=1)
+        b = running_totals("/root/testdata/sf0.001", n_buckets=61)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_pivot_bucket_invariant(self, ray_session):
+        from marginaliasearch_ray.stages.relational import event_type_pivot
+
+        a = event_type_pivot("/root/testdata/sf0.001", n_buckets=1)
+        b = event_type_pivot("/root/testdata/sf0.001", n_buckets=61)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_distinct_count_bucket_invariant(self, ray_session):
+        from marginaliasearch_ray.stages.relational import (
+            distinct_count_grouped,
+        )
+
+        a = distinct_count_grouped("/root/testdata/sf0.001", n_buckets=1)
+        b = distinct_count_grouped("/root/testdata/sf0.001", n_buckets=61)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_pair_counts_layout_invariant(self, ray_session):
+        from marginaliasearch_ray.stages.textstats import pair_counts
+
+        df = pd.DataFrame(
+            {
+                "doc_id": range(200),
+                "text": [f"w{i % 5} w{i % 7} w{i % 3} w{i % 5}" for i in range(200)],
+            }
+        )
+        a = pair_counts(rd.from_pandas(df).repartition(1), k=10, n_buckets=1)
+        b = pair_counts(
+            rd.from_pandas(df.sample(frac=1, random_state=0)).repartition(11),
+            k=10, n_buckets=17,
+        )
+        pd.testing.assert_frame_equal(a, b)
