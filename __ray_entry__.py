@@ -118,11 +118,15 @@ def _hits_domains(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
-def _pagerank_domains(sf_dir: str) -> pd.DataFrame:
+def _domain_edges(sf_dir: str, materialized: bool = False):
+    """links.parquet -> (src_domain, dst_domain) edge Dataset — the one
+    url->domain extraction shared by every domain-graph query (pagerank,
+    personalized, BFS depth) so the regex spec and its oracles cannot
+    drift apart.  ``materialized=True`` pins the extracted table once
+    when a query consumes it twice (seed-rule unique + iteration loop)."""
     import ray.data as rd
 
     from marginaliasearch_ray.fixtures.cache import fixture_dir_for
-    from marginaliasearch_ray.pipelines.rank import pagerank
 
     fix = fixture_dir_for(sf_dir)
     links = rd.read_parquet(f"{fix}/links.parquet")
@@ -137,7 +141,21 @@ def _pagerank_domains(sf_dir: str) -> pd.DataFrame:
         )
 
     edges = links.map_batches(to_domains, batch_format="pandas")
-    out = pagerank(edges, mode="distributed")
+    return edges.materialize() if materialized else edges
+
+
+def _seed_domains(edges, k: int = 5) -> list:
+    """Shared seed rule for personalized pagerank + BFS depth (mirrored
+    in their oracles): the first k link-source domains in sorted order,
+    via a distributed unique — only the distinct list reaches the
+    driver."""
+    return sorted(edges.unique("src_domain"))[:k]
+
+
+def _pagerank_domains(sf_dir: str) -> pd.DataFrame:
+    from marginaliasearch_ray.pipelines.rank import pagerank
+
+    out = pagerank(_domain_edges(sf_dir), mode="distributed")
     # round THEN sort so cross-implementation float noise cannot reorder
     # near-ties (the oracle fixture sorts identically)
     out["rank"] = out["rank"].round(8)
@@ -152,27 +170,10 @@ def _pagerank_personalized(sf_dir: str) -> pd.DataFrame:
     oracle fixture.  Seed rule shared with the oracle: the first 5
     link-source domains in sorted order (computed with a distributed
     ``unique`` — only the distinct-domain list reaches the driver)."""
-    import ray.data as rd
-
-    from marginaliasearch_ray.fixtures.cache import fixture_dir_for
     from marginaliasearch_ray.pipelines.rank import pagerank
 
-    fix = fixture_dir_for(sf_dir)
-    links = rd.read_parquet(f"{fix}/links.parquet")
-
-    def to_domains(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "src_domain": batch["src_url"].str.extract(r"://([^/:]+)", expand=False),
-                "dst_domain": batch["dst_url"].str.extract(r"://([^/:]+)", expand=False),
-            }
-        )
-
-    # materialize once: both the seed-rule unique and the rank loop
-    # consume the edge table; without this the read+extract runs twice
-    edges = links.map_batches(to_domains, batch_format="pandas").materialize()
-    seeds = sorted(edges.unique("src_domain"))[:5]
-    out = pagerank(edges, mode="distributed", personalize=seeds)
+    edges = _domain_edges(sf_dir, materialized=True)
+    out = pagerank(edges, mode="distributed", personalize=_seed_domains(edges))
     out["rank"] = out["rank"].round(8)
     return out.sort_values(["rank", "domain"], ascending=[False, True]).reset_index(drop=True)
 
@@ -184,25 +185,13 @@ def _domain_bfs_hops(sf_dir: str) -> pd.DataFrame:
     distance broadcast per round).  Seed rule shared with the oracle's
     recursive CTE: the first 5 link-source domains in sorted order;
     unreachable domains report -1."""
-    import ray.data as rd
-
-    from marginaliasearch_ray.fixtures.cache import fixture_dir_for
     from marginaliasearch_ray.stages.graph import bfs_hops
 
-    fix = fixture_dir_for(sf_dir)
-    links = rd.read_parquet(f"{fix}/links.parquet")
-
-    def to_domains(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "src": batch["src_url"].str.extract(r"://([^/:]+)", expand=False),
-                "dst": batch["dst_url"].str.extract(r"://([^/:]+)", expand=False),
-            }
-        )
-
-    edges = links.map_batches(to_domains, batch_format="pandas").materialize()
-    seeds = sorted(edges.unique("src"))[:5]
-    out = bfs_hops(edges, seeds, col_src="src", col_dst="dst")
+    edges = _domain_edges(sf_dir, materialized=True)
+    out = bfs_hops(
+        edges, _seed_domains(edges),
+        col_src="src_domain", col_dst="dst_domain",
+    )
     out = out.rename(columns={"node": "domain"})
     return out.sort_values("domain").reset_index(drop=True)
 
@@ -1752,8 +1741,9 @@ def oracle_sql() -> dict[str, str]:
         # (ts, event_id); cents = floor(value*100 + 0.5) on both sides.
         "user_running_totals": """
             SELECT event_id, user_id, ts,
-                   SUM(CAST(floor(coalesce(value, 0.0) * 100.0 + 0.5)
-                            AS BIGINT)) OVER w AS cum_cents,
+                   CAST(SUM(CAST(floor(coalesce(value, 0.0) * 100.0 + 0.5)
+                                 AS BIGINT)) OVER w
+                        AS BIGINT) AS cum_cents,
                    CAST(count(*) OVER w AS BIGINT) AS cum_n
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
@@ -1770,7 +1760,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(floor(coalesce(o_totalprice, 0.0) * 100.0
                                        + 0.5) AS BIGINT))
                         AS BIGINT) AS revenue_cents
-            FROM orders
+            FROM (
+                SELECT coalesce(o_orderstatus, '(null)') AS o_orderstatus,
+                       coalesce(o_orderpriority, '(null)') AS o_orderpriority,
+                       o_totalprice
+                FROM orders
+            )
             GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
             ORDER BY 1, 2
         """,
@@ -1886,7 +1881,7 @@ def oracle_sql() -> dict[str, str]:
         # PIVOT spec (stages/relational.py event_type_pivot): fixed
         # conditional-aggregation column set per user.
         "event_type_pivot": """
-            SELECT user_id,
+            SELECT coalesce(user_id, -1) AS user_id,
                    CAST(count(*) FILTER (event_type = 'click') AS BIGINT)
                        AS n_click,
                    CAST(count(*) FILTER (event_type = 'error') AS BIGINT)

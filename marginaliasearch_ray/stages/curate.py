@@ -969,20 +969,30 @@ def corpus_diff(
     )
 
     def classify(g: pd.DataFrame) -> pd.DataFrame:
-        o = g[g["side"] == "old"].set_index("id")["h"]
-        n = g[g["side"] == "new"].set_index("id")["h"]
-        m = o.to_frame("h_old").join(n.to_frame("h_new"), how="outer")
+        # hashes stay nullable Int64 through the outer join: a float64
+        # coercion (NaN introduction) would round int64 hashes near 2^63
+        # and could report a genuinely changed doc as 'same'
+        o = g.loc[g["side"] == "old", ["id", "h"]].rename(
+            columns={"h": "h_old"}
+        )
+        n = g.loc[g["side"] == "new", ["id", "h"]].rename(
+            columns={"h": "h_new"}
+        )
+        o["h_old"] = o["h_old"].astype("Int64")
+        n["h_new"] = n["h_new"].astype("Int64")
+        m = o.merge(n, on="id", how="outer")
+        eq = (m["h_old"] == m["h_new"]).fillna(False).to_numpy(dtype=bool)
         status = np.select(
             [
                 m["h_old"].isna().to_numpy(),
                 m["h_new"].isna().to_numpy(),
-                (m["h_old"] == m["h_new"]).to_numpy(),
+                eq,
             ],
             ["added", "removed", "same"],
             "changed",
         )
         return pd.DataFrame(
-            {"id": m.index.to_numpy().astype(np.int64), "status": status}
+            {"id": m["id"].to_numpy().astype(np.int64), "status": status}
         )
 
     return tagged.groupby("_b").map_groups(classify, batch_format="pandas")

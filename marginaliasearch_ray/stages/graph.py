@@ -80,6 +80,32 @@ class _CCEdgePartition:
         return part
 
 
+
+def _spawn_edge_partitions(
+    edges: rd.Dataset, col_a: str, col_b: str
+) -> tuple[list, list]:
+    """Shared setup for every vector-iteration operator here: materialize
+    the projected edge list, group its plasma blocks across actors, pull
+    the distinct node universe, and resolve edge endpoints to int index
+    arrays once.  Returns (actors, sorted_nodes); callers own teardown
+    (``ray.kill`` in a finally)."""
+    tbl = edges.select_columns([col_a, col_b]).materialize()
+    block_refs = tbl.to_arrow_refs()
+    n_cpu = max(4, int(ray.cluster_resources().get("CPU", 8)))
+    n_actors = max(1, min(len(block_refs), n_cpu // 2 or 1))
+    groups: list[list] = [[] for _ in range(n_actors)]
+    for i, ref in enumerate(block_refs):
+        groups[i % n_actors].append(ref)
+    actors = [_CCEdgePartition.remote(g, col_a, col_b) for g in groups]
+    nodes_set: set = set()
+    for part in ray.get([a.local_nodes.remote() for a in actors]):
+        nodes_set |= part
+    nodes = sorted(nodes_set)
+    if nodes:
+        ray.get([a.resolve.remote(pa.array(nodes)) for a in actors])
+    return actors, nodes
+
+
 def connected_components(
     edges: rd.Dataset,
     col_a: str = "id_a",
@@ -97,19 +123,9 @@ def connected_components(
     broadcasts — the same vector the driver-side fast path would hold,
     so anything the fast path could label, this labels without the
     driver ever seeing an edge."""
-    tbl = edges.select_columns([col_a, col_b]).materialize()
-    block_refs = tbl.to_arrow_refs()
-    n_cpu = max(4, int(ray.cluster_resources().get("CPU", 8)))
-    n_actors = max(1, min(len(block_refs), n_cpu // 2 or 1))
-    groups: list[list] = [[] for _ in range(n_actors)]
-    for i, ref in enumerate(block_refs):
-        groups[i % n_actors].append(ref)
-    actors = [_CCEdgePartition.remote(g, col_a, col_b) for g in groups]
+    actors, node_list = _spawn_edge_partitions(edges, col_a, col_b)
     try:
-        nodes_set: set = set()
-        for part in ray.get([a.local_nodes.remote() for a in actors]):
-            nodes_set |= part
-        nodes = np.array(sorted(nodes_set), dtype=np.int64)
+        nodes = np.array(node_list, dtype=np.int64)
         n = len(nodes)
         if n == 0:
             return pd.DataFrame(
@@ -118,7 +134,6 @@ def connected_components(
                     "cluster_id": pd.Series(dtype="int64"),
                 }
             )
-        ray.get([a.resolve.remote(pa.array(nodes, pa.int64())) for a in actors])
 
         labels = np.arange(n, dtype=np.int64)
         for _ in range(max_iter):
@@ -158,26 +173,14 @@ def bfs_hops(
     O(#nodes) distance vector broadcasts and each actor relaxes its
     edges with one dense ``np.minimum.at`` — the driver min-reduces K
     partials.  Rounds = graph diameter (bounded by ``max_iter``)."""
-    tbl = edges.select_columns([col_src, col_dst]).materialize()
-    block_refs = tbl.to_arrow_refs()
-    n_cpu = max(4, int(ray.cluster_resources().get("CPU", 8)))
-    n_actors = max(1, min(len(block_refs), n_cpu // 2 or 1))
-    groups: list[list] = [[] for _ in range(n_actors)]
-    for i, ref in enumerate(block_refs):
-        groups[i % n_actors].append(ref)
-    actors = [_CCEdgePartition.remote(g, col_src, col_dst) for g in groups]
+    actors, nodes = _spawn_edge_partitions(edges, col_src, col_dst)
     try:
-        nodes_set: set = set()
-        for part in ray.get([a.local_nodes.remote() for a in actors]):
-            nodes_set |= part
-        nodes = sorted(nodes_set)
         n = len(nodes)
         if n == 0:
             return pd.DataFrame(
                 {"node": pd.Series(dtype=object),
                  "hops": pd.Series(dtype="int64")}
             )
-        ray.get([a.resolve.remote(pa.array(nodes)) for a in actors])
 
         idx = {v: i for i, v in enumerate(nodes)}
         dist = np.full(n, _BFS_INF, dtype=np.int64)

@@ -675,10 +675,13 @@ def rollup_revenue(sf_dir: str) -> pd.DataFrame:
         cents = np.floor(
             b["o_totalprice"].fillna(0.0).to_numpy() * 100.0 + 0.5
         ).astype(np.int64)
+        # sentinel-fill NULL keys BEFORE grouping (pandas groupby drops
+        # NaN keys by default, silently excluding those rows from every
+        # level incl. the grand total); the oracle coalesces identically
         base = pd.DataFrame(
             {
-                "o_orderstatus": b["o_orderstatus"].to_numpy(),
-                "o_orderpriority": b["o_orderpriority"].to_numpy(),
+                "o_orderstatus": b["o_orderstatus"].fillna("(null)").to_numpy(),
+                "o_orderpriority": b["o_orderpriority"].fillna("(null)").to_numpy(),
                 "cents": cents,
             }
         )
@@ -812,7 +815,8 @@ def event_lag_deltas(sf_dir: str, n_buckets: int = 32) -> pd.DataFrame:
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
 
     def tag(b: pd.DataFrame) -> pd.DataFrame:
-        es = (b["ts"].astype("int64") // 1_000_000).to_numpy()
+        # normalize to ns first so the epoch math is resolution-independent
+        es = (b["ts"].astype("datetime64[ns]").astype("int64") // 10**9).to_numpy()
         return pd.DataFrame(
             {
                 "event_id": b["event_id"].to_numpy(),
@@ -858,8 +862,10 @@ def event_type_pivot(
     ds = _read(sf_dir, "events", ["user_id", "event_type"])
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        et = b["event_type"].to_numpy().astype(object)
-        cols = {"user_id": b["user_id"].to_numpy()}
+        # sentinel-fill NULL keys (pandas groupby drops NaN keys; the
+        # oracle coalesces user_id to -1 identically)
+        et = b["event_type"].fillna("(null)").to_numpy().astype(object)
+        cols = {"user_id": b["user_id"].fillna(-1).astype(np.int64).to_numpy()}
         for t in types:
             cols[f"n_{t}"] = (et == t).astype(np.int64)
         cols["n_total"] = np.ones(len(b), dtype=np.int64)
