@@ -1003,6 +1003,24 @@ def _fetch_extract_task_ret(
     return merged
 
 
+def _write_metrics(path, stats: list, extra: dict | None = None) -> None:
+    """Durable per-shard metrics sidecar (the north-rule 'per-partition
+    lineage + metrics' surface): one JSON file per checkpoint round and
+    one at run completion, written atomically (tmp + rename) so a crash
+    never leaves a torn file.  Each entry is a shard's counters
+    (domains, done, visited, queued, seen, round)."""
+    from pathlib import Path as _P
+
+    path = _P(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    payload = {"shards": stats}
+    if extra:
+        payload.update(extra)
+    tmp = path.with_suffix(".tmp")
+    tmp.write_text(json.dumps(payload))
+    tmp.rename(path)
+
+
 def run_crawl(
     pages_path: str,
     seeds_path: str,
@@ -1157,6 +1175,12 @@ def run_crawl(
             ]
         )
         stats = ray.get([s.stats.remote() for s in shards])
+        _write_metrics(
+            Path(out) / "metrics.json",
+            stats,
+            {"rounds": max(r["rounds"] for r in results),
+             "shard_runs": results},
+        )
         _write_domain_meta(shards, out)
         seen = {}
         if collect_seen:
@@ -1247,12 +1271,18 @@ def run_crawl(
                 [s.checkpoint.remote(str(rdir / f"shard={k}.bin")) for k, s in enumerate(shards)]
             )
             ckpt_dir.mkdir(parents=True, exist_ok=True)
+            _write_metrics(
+                rdir / "metrics.json",
+                ray.get([s.stats.remote() for s in shards]),
+                {"round": rnd},
+            )
             tmp = manifest_path.with_suffix(".tmp")
             tmp.write_text(json.dumps({"completed_round": rnd}))
             tmp.rename(manifest_path)
         rounds_run += 1
 
     stats = ray.get([s.stats.remote() for s in shards])
+    _write_metrics(Path(out) / "metrics.json", stats, {"rounds": rounds_run})
     _write_domain_meta(shards, out)
     seen = {}
     if collect_seen:

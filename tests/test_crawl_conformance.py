@@ -360,3 +360,35 @@ class TestRefusedReprobe:
         assert len(expect_reprobe) < self.N_PRIVATE // 2
         assert fetched_private == expect_reprobe
         assert not phase2.duplicated(subset=["domain", "url"]).any()
+
+
+class TestDurableMetrics:
+    """Per-partition lineage + metrics: every checkpointed BSP round and
+    every completed run writes an atomic per-shard metrics sidecar."""
+
+    def test_bsp_round_and_final_metrics(self, small_web, tmp_path):
+        import json
+
+        out = tmp_path / "out"
+        res = _run(small_web, str(out), mode="bsp", checkpoint=True)
+        final = json.loads((out / "metrics.json").read_text())
+        assert final["rounds"] == res["rounds"]
+        assert len(final["shards"]) == 3
+        total_visited = sum(s["visited"] for s in final["shards"])
+        assert total_visited == len(_records(out))
+        # one metrics file per checkpointed round, each with all shards
+        ckpt = out / "checkpoint"
+        round_metrics = sorted(ckpt.glob("round=*/metrics.json"))
+        assert len(round_metrics) == res["rounds"]
+        first = json.loads(round_metrics[0].read_text())
+        assert {s["shard"] for s in first["shards"]} == {0, 1, 2}
+
+    def test_async_final_metrics(self, small_web, tmp_path):
+        import json
+
+        out = tmp_path / "out"
+        res = _run(small_web, str(out), mode="async")
+        final = json.loads((out / "metrics.json").read_text())
+        assert final["rounds"] == res["rounds"]
+        assert sum(s["visited"] for s in final["shards"]) == len(_records(out))
+        assert len(final["shard_runs"]) == 3
