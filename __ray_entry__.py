@@ -1290,6 +1290,28 @@ def _vocab_topk(sf_dir: str) -> pd.DataFrame:
     return vocab_topk(ds, k=100)
 
 
+def _hll_users_by_type(sf_dir: str) -> pd.DataFrame:
+    """Per-group HLL distinct estimate (distinct users per event type) —
+    stages/sketch.py hll_distinct_grouped, the approximate sibling of
+    distinct_users_by_type for value sets too large to dedup exactly;
+    the oracle recomputes the identical deterministic estimate."""
+    from marginaliasearch_ray.stages.sketch import hll_distinct_grouped
+
+    ds = _read_table(sf_dir, "events", ["event_type", "user_id"])
+
+    def to_str(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_numpy(),
+                "uid": b["user_id"].astype("int64").astype(str).to_numpy(),
+            }
+        )
+
+    return hll_distinct_grouped(
+        ds.map_batches(to_str, batch_format="pandas"), "event_type", "uid"
+    )
+
+
 def _corpus_diff(sf_dir: str) -> pd.DataFrame:
     """Snapshot diff between the documents table and a deterministic
     second version (doc_id%7==0 removed, %5==0 text-changed, %11==0
@@ -1456,6 +1478,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_by_type": _rel("distinct_count_grouped"),
         "doc_hist_quantiles": _doc_hist_quantiles,
         "corpus_diff_status": _corpus_diff,
+        "hll_users_by_type": _hll_users_by_type,
         # text analysis (SQL-checked where expressible)
         "doc_keywords": _doc_keywords,
         "doc_keyword_positions": _doc_keyword_positions,
@@ -2246,6 +2269,43 @@ def oracle_sql() -> dict[str, str]:
                               THEN 4096 * ln(4096 / (4096 - n_nonzero)::DOUBLE)
                               ELSE e_raw END, 4) AS n_distinct_est
             FROM est
+        """,
+        # per-group HLL spec: the hll_distinct_text chain with GROUP BY
+        # event_type at every level; value hash =
+        # md5_number_lower(CAST(user_id AS VARCHAR)).
+        "hll_users_by_type": """
+            WITH h AS (
+                SELECT event_type,
+                       md5_number_lower(CAST(user_id AS VARCHAR))::UBIGINT
+                           AS hv
+                FROM events WHERE user_id IS NOT NULL
+            ), rb AS (
+                SELECT event_type, (hv % 4096)::BIGINT AS bucket,
+                       CASE WHEN hv // 4096 = 0 THEN 53
+                            ELSE 53 - length(bin(hv // 4096)) END AS rho
+                FROM h
+            ), regs AS (
+                SELECT event_type, bucket, max(rho) AS reg
+                FROM rb GROUP BY 1, 2
+            ), agg AS (
+                SELECT event_type, count(*) AS n_nonzero,
+                       sum((1::BIGINT << (53 - reg))::HUGEINT) AS s_present
+                FROM regs GROUP BY event_type
+            ), est AS (
+                SELECT event_type, n_nonzero,
+                       (0.7213 / (1.0 + 1.079 / 4096)) * 4096 * 4096
+                           * 9007199254740992.0
+                           / (s_present
+                              + (4096 - n_nonzero)::HUGEINT
+                                * 9007199254740992::HUGEINT)::DOUBLE AS e_raw
+                FROM agg
+            )
+            SELECT event_type,
+                   n_nonzero::BIGINT AS n_nonzero_registers,
+                   round(CASE WHEN e_raw <= 2.5 * 4096 AND n_nonzero < 4096
+                              THEN 4096 * ln(4096 / (4096 - n_nonzero)::DOUBLE)
+                              ELSE e_raw END, 4) AS n_distinct_est
+            FROM est ORDER BY event_type
         """,
         # Cleaning oracles share the deterministic web-noise enrichment
         # CTE (_ENRICH_SQL == __ray_entry__._enrich_text, spec-for-spec).

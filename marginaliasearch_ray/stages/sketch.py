@@ -341,3 +341,69 @@ def hist_quantiles(
     for c in ("rank", "bin", "est_lo", "est_hi"):
         out[c] = out[c].astype("int64")
     return out.sort_values("q").reset_index(drop=True)
+
+
+def hll_distinct_grouped(
+    ds: rd.Dataset,
+    group_col: str,
+    col: str,
+    m: int = HLL_M,
+) -> pd.DataFrame:
+    """Per-group HLL -> DataFrame(group, n_nonzero_registers,
+    n_distinct_est) — the approximate sibling of
+    ``relational.distinct_count_grouped`` for when the VALUE set per
+    group is too large to dedup exactly (distinct URLs per domain at
+    10^10 URLs).
+
+    Same deterministic spec as ``hll_distinct`` (md5_number_lower hash,
+    integer-exact harmonic sum, linear-counting correction), recomputed
+    per group by the SQL oracle.  Scale shape: each batch collapses to
+    its non-zero ``(group, bucket, reg)`` rows (<= m per group per
+    batch), ONE groupby(group) shuffle of register rows — never value
+    rows — then a vectorized max-combine + estimate per group.
+
+    The register pass is vectorized: ranks come from ``np.frexp`` on the
+    52-bit hash window (exact for integers below 2^53, pinned against
+    the per-value ``_batch_registers`` loop by tests)."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        vals = b[col]
+        mask = vals.notna().to_numpy()
+        if not mask.any():
+            return pd.DataFrame(
+                {group_col: pd.Series([], dtype=object),
+                 "bucket": pd.Series([], dtype=np.int64),
+                 "reg": pd.Series([], dtype=np.int64)}
+            )
+        groups = b[group_col].to_numpy()[mask]
+        hs = np.fromiter(
+            (_hash64(v) for v in vals[mask]), dtype=np.uint64,
+            count=int(mask.sum()),
+        )
+        w = (hs >> HLL_P).astype(np.float64)
+        # frexp exponent == bit_length for integers < 2^53 (w is 52-bit)
+        rho = 53 - np.frexp(w)[1]
+        bucket = (hs & np.uint64(m - 1)).astype(np.int64)
+        df = pd.DataFrame({group_col: groups, "bucket": bucket, "reg": rho})
+        return df.groupby([group_col, "bucket"], as_index=False)["reg"].max()
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        merged = np.zeros(m, dtype=np.int64)
+        np.maximum.at(merged, g["bucket"].to_numpy(), g["reg"].to_numpy())
+        nz, est = _estimate(merged)
+        return pd.DataFrame(
+            {
+                group_col: [g[group_col].iloc[0]],
+                "n_nonzero_registers": [np.int64(nz)],
+                "n_distinct_est": [round(est, 4)],
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(group_col)
+        .map_groups(per_group, batch_format="pandas")
+        .to_pandas()
+    )
+    out["n_nonzero_registers"] = out["n_nonzero_registers"].astype("int64")
+    return out.sort_values(group_col).reset_index(drop=True)

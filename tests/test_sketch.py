@@ -193,3 +193,54 @@ class TestHistQuantiles:
             "n_chars",
         )
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestHllGrouped:
+    def test_single_group_equals_corpus_hll(self, ray_session):
+        from marginaliasearch_ray.stages.sketch import (
+            hll_distinct,
+            hll_distinct_grouped,
+        )
+
+        df = pd.DataFrame(
+            {"g": ["x"] * 500, "v": [f"val{i % 321}" for i in range(500)]}
+        )
+        ds = rd.from_pandas(df).repartition(7)
+        whole = hll_distinct(ds, "v")
+        grouped = hll_distinct_grouped(ds, "g", "v")
+        assert grouped["n_distinct_est"].iloc[0] == whole["n_distinct_est"].iloc[0]
+        assert (
+            grouped["n_nonzero_registers"].iloc[0]
+            == whole["n_nonzero_registers"].iloc[0]
+        )
+
+    def test_vectorized_registers_match_loop(self):
+        from marginaliasearch_ray.stages.sketch import (
+            HLL_M,
+            HLL_P,
+            _batch_registers,
+            _hash64,
+        )
+
+        vals = [f"v{i}" for i in range(2000)] + ["", "unicode ☃"]
+        loop_reg = _batch_registers(vals)
+        hs = np.fromiter((_hash64(v) for v in vals), dtype=np.uint64)
+        w = (hs >> HLL_P).astype(np.float64)
+        rho = 53 - np.frexp(w)[1]
+        bucket = (hs & np.uint64(HLL_M - 1)).astype(np.int64)
+        vec_reg = np.zeros(HLL_M, dtype=np.int64)
+        np.maximum.at(vec_reg, bucket, rho)
+        assert (loop_reg == vec_reg).all()
+
+    def test_groups_are_independent(self, ray_session):
+        from marginaliasearch_ray.stages.sketch import hll_distinct_grouped
+
+        df = pd.DataFrame(
+            {
+                "g": ["a"] * 300 + ["b"] * 10,
+                "v": [f"x{i}" for i in range(300)] + [f"y{i % 3}" for i in range(10)],
+            }
+        )
+        out = hll_distinct_grouped(rd.from_pandas(df).repartition(5), "g", "v")
+        est = dict(zip(out["g"], out["n_distinct_est"]))
+        assert 250 < est["a"] < 350 and 2 <= est["b"] <= 4.5
