@@ -1290,6 +1290,17 @@ def _vocab_topk(sf_dir: str) -> pd.DataFrame:
     return vocab_topk(ds, k=100)
 
 
+def _doc_priority_sample(sf_dir: str) -> pd.DataFrame:
+    """Exactly-k weighted sample (Efraimidis-Spirakis A-Res priority
+    keys, weight = n_chars) — stages/curate.py priority_sample (per-batch
+    partial top-k, one result-sized merge, no shuffle; ln/double parity
+    with the oracle)."""
+    from marginaliasearch_ray.stages.curate import priority_sample
+
+    ds = _read_table(sf_dir, "documents", ["doc_id", "n_chars"])
+    return priority_sample(ds, k=50, weight_col="n_chars")
+
+
 def _hll_users_by_type(sf_dir: str) -> pd.DataFrame:
     """Per-group HLL distinct estimate (distinct users per event type) —
     stages/sketch.py hll_distinct_grouped, the approximate sibling of
@@ -1479,6 +1490,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_hist_quantiles": _doc_hist_quantiles,
         "corpus_diff_status": _corpus_diff,
         "hll_users_by_type": _hll_users_by_type,
+        "doc_priority_sample": _doc_priority_sample,
         # text analysis (SQL-checked where expressible)
         "doc_keywords": _doc_keywords,
         "doc_keyword_positions": _doc_keyword_positions,
@@ -2269,6 +2281,18 @@ def oracle_sql() -> dict[str, str]:
                               THEN 4096 * ln(4096 / (4096 - n_nonzero)::DOUBLE)
                               ELSE e_raw END, 4) AS n_distinct_est
             FROM est
+        """,
+        # A-Res priority-sampling spec (stages/curate.py priority_sample):
+        # key = ln((md5(salt|id) as double + 0.5) / 2^64) / max(w, 1),
+        # global top-k by (key DESC, id).
+        "doc_priority_sample": """
+            SELECT doc_id, n_chars,
+                   ln((md5_number_lower('ps|' || CAST(doc_id AS VARCHAR))
+                           ::DOUBLE + 0.5)
+                      / 18446744073709551616.0)
+                       / greatest(CAST(n_chars AS DOUBLE), 1.0) AS key
+            FROM documents
+            ORDER BY key DESC, doc_id LIMIT 50
         """,
         # per-group HLL spec: the hll_distinct_text chain with GROUP BY
         # event_type at every level; value hash =

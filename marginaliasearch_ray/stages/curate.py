@@ -996,3 +996,64 @@ def corpus_diff(
         )
 
     return tagged.groupby("_b").map_groups(classify, batch_format="pandas")
+
+
+def priority_sample(
+    ds: rd.Dataset,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "ps",
+) -> pd.DataFrame:
+    """Weighted sampling WITHOUT replacement of exactly k rows
+    (Efraimidis & Spirakis 2006 A-Res): every row gets priority key
+    ``ln(u) / w`` with a deterministic per-id uniform ``u``; the global
+    top-k by key IS a weight-proportional sample.  The exactly-k sibling
+    of ``weighted_sample``'s rate-based thinning — use it when the
+    output budget is a count, not a rate.
+
+    Deterministic + oracle-bit-exact: ``u = (md5_number_lower(salt|id)
+    as double + 0.5) / 2^64`` (both sides round the UBIGINT to double
+    identically; /2^64 is exact), the log is CPython ``math.log`` ==
+    DuckDB ``ln`` (glibc parity pinned by the unigram-LM oracle), and
+    the division's operands match.  Ties break by id.
+
+    Scale shape: stateless per-batch key computation + per-batch partial
+    top-k, one result-sized merge — no shuffle; only k·blocks candidate
+    rows move."""
+    import math
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        w = np.maximum(b[weight_col].to_numpy().astype(np.float64), 1.0)
+        ids = b[id_col].to_numpy()
+        from marginaliasearch_ray.stages.textstats import md5_number_lower
+
+        key = np.fromiter(
+            (
+                math.log((float(md5_number_lower(f"{salt}|{i}")) + 0.5)
+                         / 18446744073709551616.0) / wi
+                for i, wi in zip(ids, w)
+            ),
+            dtype=np.float64,
+            count=len(b),
+        )
+        out = pd.DataFrame(
+            {id_col: ids, weight_col: b[weight_col].to_numpy(), "key": key}
+        )
+        return out.sort_values(
+            ["key", id_col], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    cand = (
+        ds.map_batches(partial, batch_format="pandas")
+        .repartition(1)
+        .map_batches(
+            lambda b: b.sort_values(
+                ["key", id_col], ascending=[False, True], kind="mergesort"
+            ).head(k),
+            batch_format="pandas",
+            batch_size=None,
+        )
+        .to_pandas()
+    )
+    return cand.reset_index(drop=True)

@@ -538,3 +538,45 @@ class TestCorpusDiff:
         ).to_pandas().sort_values("id").reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b)
         assert (a[a["id"] % 3 == 0]["status"] == "removed").all()
+
+
+class TestPrioritySample:
+    def test_exactly_k_and_layout_invariant(self, ray_session):
+        import ray.data as rd
+
+        from marginaliasearch_ray.stages.curate import priority_sample
+
+        df = pd.DataFrame(
+            {"doc_id": np.arange(500), "n_chars": np.arange(1, 501)}
+        )
+        a = priority_sample(
+            rd.from_pandas(df).repartition(1), k=20, weight_col="n_chars"
+        )
+        b = priority_sample(
+            rd.from_pandas(df.sample(frac=1, random_state=1)).repartition(9),
+            k=20, weight_col="n_chars",
+        )
+        assert len(a) == 20
+        pd.testing.assert_frame_equal(a, b)
+        # keys are sorted descending with id tiebreak
+        assert (a["key"].to_numpy()[:-1] >= a["key"].to_numpy()[1:]).all()
+
+    def test_weight_proportional(self, ray_session):
+        import ray.data as rd
+
+        from marginaliasearch_ray.stages.curate import priority_sample
+
+        # half the corpus has 50x the weight; across many salts the heavy
+        # half must dominate the sample
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(400),
+                "n_chars": np.where(np.arange(400) < 200, 5000, 100),
+            }
+        )
+        ds = rd.from_pandas(df).repartition(4)
+        heavy = 0
+        for salt in ("s1", "s2", "s3"):
+            out = priority_sample(ds, k=40, weight_col="n_chars", salt=salt)
+            heavy += int((out["doc_id"] < 200).sum())
+        assert heavy > 90  # ~ >75% of 120 draws from the heavy half
