@@ -1487,6 +1487,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_lag_deltas": _rel("event_lag_deltas"),
         "event_type_pivot": _rel("event_type_pivot"),
         "distinct_users_by_type": _rel("distinct_count_grouped"),
+        "funnel_depth": _rel("funnel_depth"),
         "doc_hist_quantiles": _doc_hist_quantiles,
         "corpus_diff_status": _corpus_diff,
         "hll_users_by_type": _hll_users_by_type,
@@ -1832,6 +1833,40 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'changed' END AS status
             FROM old o FULL OUTER JOIN new n ON o.id = n.id
             ORDER BY id
+        """,
+        # funnel spec (stages/relational.py funnel_depth): longest prefix
+        # of view -> click -> purchase matched at strictly increasing
+        # epoch seconds; step k uses the earliest qualifying event.
+        "funnel_depth": """
+            WITH u AS (SELECT DISTINCT user_id FROM events),
+            s1 AS (
+                SELECT user_id, min(epoch_us(ts) // 1000000) AS t1
+                FROM events WHERE event_type = 'view' GROUP BY user_id
+            ),
+            s2 AS (
+                SELECT e.user_id, min(epoch_us(e.ts) // 1000000) AS t2
+                FROM events e JOIN s1 ON s1.user_id = e.user_id
+                WHERE e.event_type = 'click'
+                  AND epoch_us(e.ts) // 1000000 > s1.t1
+                GROUP BY e.user_id
+            ),
+            s3 AS (
+                SELECT e.user_id, min(epoch_us(e.ts) // 1000000) AS t3
+                FROM events e JOIN s2 ON s2.user_id = e.user_id
+                WHERE e.event_type = 'purchase'
+                  AND epoch_us(e.ts) // 1000000 > s2.t2
+                GROUP BY e.user_id
+            )
+            SELECT u.user_id,
+                   CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+                             WHEN s2.user_id IS NOT NULL THEN 2
+                             WHEN s1.user_id IS NOT NULL THEN 1
+                             ELSE 0 END AS BIGINT) AS funnel_depth
+            FROM u
+            LEFT JOIN s1 USING (user_id)
+            LEFT JOIN s2 USING (user_id)
+            LEFT JOIN s3 USING (user_id)
+            ORDER BY u.user_id
         """,
         # exact grouped distinct-count spec (stages/relational.py
         # distinct_count_grouped).

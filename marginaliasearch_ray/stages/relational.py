@@ -943,3 +943,76 @@ def distinct_count_grouped(
     )
     out["n_users"] = out["n_users"].astype("int64")
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel_depth(
+    sf_dir: str,
+    steps: tuple[str, ...] = FUNNEL_STEPS,
+    n_buckets: int = 32,
+) -> pd.DataFrame:
+    """Ordered-sequence (funnel) analysis: for each user, the longest
+    prefix of ``steps`` that can be matched by events at STRICTLY
+    increasing timestamps (the classic view -> click -> purchase
+    conversion funnel).  Step k matches the EARLIEST event of its type
+    that is strictly later than step k-1's match.
+
+    Exact spec the SQL oracle recomputes with chained min-filter CTEs;
+    ties inside one timestamp do not advance the funnel (strict >).
+
+    Scale shape: one narrow bucket shuffle of (user, ts, type-ordinal)
+    rows on ``user_id % n_buckets`` (a user never splits), then per
+    bucket each funnel step is ONE vectorized pass (map previous match
+    per user, filter, groupby-min) — len(steps) passes total, no
+    per-user Python."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        # non-step events still ship (narrow rows): they carry the user
+        # universe, so depth-0 users appear in the report like the
+        # oracle's full-user left join
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"].to_numpy(),
+                "es": (
+                    b["ts"].astype("datetime64[ns]").astype("int64") // 10**9
+                ).to_numpy(),
+                "event_type": b["event_type"].to_numpy(),
+                "_b": (b["user_id"].to_numpy() % n_buckets).astype(np.int64),
+            }
+        )
+
+    def bucket_funnel(g: pd.DataFrame) -> pd.DataFrame:
+        users = np.unique(g["user_id"].to_numpy())
+        depth = pd.Series(0, index=users, dtype=np.int64)
+        # prev match time per user; -inf sentinel lets step 1 use the
+        # same strict > comparison as later steps
+        prev = pd.Series(np.int64(-(1 << 62)), index=users)
+        for k, step in enumerate(steps, start=1):
+            ev = g[g["event_type"] == step]
+            if not len(ev):
+                break
+            cand = ev[
+                ev["es"].to_numpy()
+                > prev.reindex(ev["user_id"]).to_numpy()
+            ]
+            if not len(cand):
+                break
+            hit = cand.groupby("user_id")["es"].min()
+            depth.loc[hit.index] = k
+            prev = hit.reindex(users)  # users without a hit get NaN
+            prev = prev.fillna(np.int64(1 << 62))  # can never advance
+        return pd.DataFrame(
+            {"user_id": users, "funnel_depth": depth.to_numpy()}
+        )
+
+    out = (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("_b")
+        .map_groups(bucket_funnel, batch_format="pandas")
+        .to_pandas()
+    )
+    out["funnel_depth"] = out["funnel_depth"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)

@@ -1114,3 +1114,75 @@ class TestNewOpsLayoutInvariance:
             k=10, n_buckets=17,
         )
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestFunnelDepth:
+    def _write_events(self, d, rows):
+        import os
+        df = pd.DataFrame(
+            {
+                "event_id": range(len(rows)),
+                "ts": pd.to_datetime([r[1] for r in rows], unit="s"),
+                "user_id": [r[0] for r in rows],
+                "event_type": [r[2] for r in rows],
+                "value": 0.0,
+                "props": "",
+            }
+        )
+        df.to_parquet(os.path.join(d, "events.parquet"))
+
+    def test_ordering_and_strictness(self, ray_session, tmp_path):
+        from marginaliasearch_ray.stages.relational import funnel_depth
+
+        rows = [
+            # user 1: full funnel in order
+            (1, 10, "view"), (1, 20, "click"), (1, 30, "purchase"),
+            # user 2: click BEFORE view -> only depth 1 (view at 50)
+            (2, 40, "click"), (2, 50, "view"),
+            # user 3: click at the SAME second as view -> strict > fails
+            (3, 60, "view"), (3, 60, "click"),
+            # user 4: no funnel events at all -> depth 0, still reported
+            (4, 70, "error"),
+            # user 5: purchase without click -> depth 1
+            (5, 80, "view"), (5, 90, "purchase"),
+            # user 6: earliest click is before view, a later one after
+            (6, 5, "click"), (6, 10, "view"), (6, 15, "click"),
+            (6, 20, "purchase"),
+        ]
+        self._write_events(str(tmp_path), rows)
+        out = funnel_depth(str(tmp_path), n_buckets=4)
+        depth = dict(zip(out["user_id"], out["funnel_depth"]))
+        assert depth == {1: 3, 2: 1, 3: 1, 4: 0, 5: 1, 6: 3}
+
+    def test_matches_duckdb_chain(self, ray_session):
+        import duckdb
+
+        from marginaliasearch_ray.stages.relational import funnel_depth
+
+        sf = "/root/testdata/sf0.001"
+        got = funnel_depth(sf, n_buckets=8)
+        ref = duckdb.sql(
+            f"""
+            WITH ev AS (SELECT * FROM read_parquet('{sf}/events.parquet')),
+            u AS (SELECT DISTINCT user_id FROM ev),
+            s1 AS (SELECT user_id, min(epoch_us(ts)//1000000) t1
+                   FROM ev WHERE event_type='view' GROUP BY user_id),
+            s2 AS (SELECT e.user_id, min(epoch_us(e.ts)//1000000) t2
+                   FROM ev e JOIN s1 USING(user_id)
+                   WHERE e.event_type='click'
+                     AND epoch_us(e.ts)//1000000 > s1.t1 GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, min(epoch_us(e.ts)//1000000) t3
+                   FROM ev e JOIN s2 USING(user_id)
+                   WHERE e.event_type='purchase'
+                     AND epoch_us(e.ts)//1000000 > s2.t2 GROUP BY e.user_id)
+            SELECT u.user_id,
+                   CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+                             WHEN s2.user_id IS NOT NULL THEN 2
+                             WHEN s1.user_id IS NOT NULL THEN 1
+                             ELSE 0 END AS BIGINT) AS funnel_depth
+            FROM u LEFT JOIN s1 USING(user_id) LEFT JOIN s2 USING(user_id)
+                   LEFT JOIN s3 USING(user_id)
+            ORDER BY u.user_id
+            """
+        ).df()
+        pd.testing.assert_frame_equal(got, ref)
