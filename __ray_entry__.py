@@ -178,6 +178,37 @@ def _pagerank_personalized(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["rank", "domain"], ascending=[False, True]).reset_index(drop=True)
 
 
+def _domain_cocitation(sf_dir: str) -> pd.DataFrame:
+    """Co-citation "related domains": source-domain pairs sharing >= 3
+    common link targets (mega-hub targets with fan-in > 200 excluded by
+    spec) — stages/graph.py cocitation_pairs (dst-bucket triu pass +
+    pair-bucket exact counts, two narrow shuffles)."""
+    from marginaliasearch_ray.stages.graph import cocitation_pairs
+
+    # page-level targets (dst_url), not collapsed to domains: co-citing
+    # the same PAGES is the signal
+    import ray.data as rd
+
+    from marginaliasearch_ray.fixtures.cache import fixture_dir_for
+
+    fix = fixture_dir_for(sf_dir)
+    links = rd.read_parquet(f"{fix}/links.parquet")
+
+    def narrow(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src": b["src_url"].str.extract(r"://([^/:]+)", expand=False),
+                "dst": b["dst_url"].to_numpy(),
+            }
+        )
+
+    return cocitation_pairs(
+        links.map_batches(narrow, batch_format="pandas"),
+        min_common=3,
+        max_fanin=200,
+    )
+
+
 def _domain_bfs_hops(sf_dir: str) -> pd.DataFrame:
     """Multi-source BFS link depth over the domain graph — the crawl
     prioritization's link-depth signal as a standalone operator
@@ -1458,6 +1489,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_domains": _pagerank_domains,
         "pagerank_personalized": _pagerank_personalized,
         "domain_bfs_hops": _domain_bfs_hops,
+        "domain_cocitation": _domain_cocitation,
         "hits_domains": _hits_domains,
         "url_canonicalize": _url_canonicalize,
         "recrawl_decisions": _recrawl_decisions,
@@ -3228,6 +3260,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT domain, rank
             FROM read_parquet('{exp}/expected_pagerank_personalized.parquet')
             ORDER BY rank DESC, domain
+        """,
+        # co-citation spec (stages/graph.py cocitation_pairs): distinct
+        # (src_domain, dst_url) edges, targets with fan-in > 200
+        # excluded, unordered src pairs sharing >= 3 common targets.
+        "domain_cocitation": f"""
+            WITH e AS (
+                SELECT DISTINCT
+                       regexp_extract(src_url, '://([^/:]+)', 1) AS src,
+                       dst_url AS dst
+                FROM read_parquet('{fix}/links.parquet')
+            ),
+            fan AS (
+                SELECT dst FROM e GROUP BY dst
+                HAVING count(*) <= 200 AND count(*) >= 2
+            ),
+            kept AS (SELECT e.* FROM e JOIN fan USING (dst)),
+            p AS (
+                SELECT a.src AS domain_a, b.src AS domain_b
+                FROM kept a JOIN kept b
+                  ON a.dst = b.dst AND a.src < b.src
+            )
+            SELECT domain_a, domain_b,
+                   CAST(count(*) AS BIGINT) AS n_common
+            FROM p GROUP BY 1, 2 HAVING count(*) >= 3
+            ORDER BY 1, 2
         """,
         # BFS link-depth spec (stages/graph.py bfs_hops): shortest hop
         # distance from the first 5 sorted link-source domains over the

@@ -1186,3 +1186,58 @@ class TestFunnelDepth:
             """
         ).df()
         pd.testing.assert_frame_equal(got, ref)
+
+
+class TestCocitationPairs:
+    def test_known_graph_and_hub_exclusion(self, ray_session):
+        from marginaliasearch_ray.stages.graph import cocitation_pairs
+
+        rows = (
+            # a and b share targets t1, t2 -> n_common = 2
+            [{"src": "a", "dst": "t1"}, {"src": "b", "dst": "t1"},
+             {"src": "a", "dst": "t2"}, {"src": "b", "dst": "t2"},
+             # duplicate edge must not double-count
+             {"src": "a", "dst": "t2"},
+             # c shares only t1 with a/b -> below min_common
+             {"src": "c", "dst": "t1"}]
+            # hub target linked by everyone: excluded (fan-in > 3)
+            + [{"src": s, "dst": "hub"} for s in ("a", "b", "c", "d")]
+        )
+        out = cocitation_pairs(
+            _docs(rows).repartition(3), min_common=2, max_fanin=3,
+            n_buckets=8,
+        )
+        assert list(zip(out["domain_a"], out["domain_b"], out["n_common"])) == [
+            ("a", "b", 2)
+        ]
+
+    def test_matches_duckdb_self_join(self, ray_session):
+        import duckdb
+
+        from marginaliasearch_ray.stages.graph import cocitation_pairs
+
+        rng = np.random.RandomState(9)
+        rows = [
+            {"src": f"s{rng.randint(12)}", "dst": f"t{rng.randint(40)}"}
+            for _ in range(600)
+        ]
+        out = cocitation_pairs(
+            _docs(rows).repartition(5), min_common=2, max_fanin=10,
+            n_buckets=16,
+        )
+        ref = duckdb.sql(
+            """
+            WITH e AS (SELECT DISTINCT src, dst
+                       FROM (SELECT unnest(?) src, unnest(?) dst)),
+            fan AS (SELECT dst FROM e GROUP BY dst
+                    HAVING count(*) <= 10 AND count(*) >= 2),
+            kept AS (SELECT e.* FROM e JOIN fan USING (dst)),
+            p AS (SELECT a.src da, b.src db FROM kept a JOIN kept b
+                   ON a.dst = b.dst AND a.src < b.src)
+            SELECT da AS domain_a, db AS domain_b,
+                   CAST(count(*) AS BIGINT) AS n_common
+            FROM p GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY 1, 2
+            """,
+            params=[[r["src"] for r in rows], [r["dst"] for r in rows]],
+        ).df()
+        pd.testing.assert_frame_equal(out, ref)
