@@ -200,6 +200,12 @@ def run_bench() -> dict:
         "event_type_pivot",
         "domain_bfs_hops",
         "doc_hist_quantiles",
+        "funnel_depth",
+        "domain_cocitation",
+        "doc_priority_sample",
+        "hll_users_by_type",
+        "corpus_diff_status",
+        "distinct_users_by_type",
     ):
         t0 = time.perf_counter()
         qs[name](SF_DIR)
