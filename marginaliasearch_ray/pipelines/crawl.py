@@ -1009,9 +1009,7 @@ def _write_metrics(path, stats: list, extra: dict | None = None) -> None:
     one at run completion, written atomically (tmp + rename) so a crash
     never leaves a torn file.  Each entry is a shard's counters
     (domains, done, visited, queued, seen, round)."""
-    from pathlib import Path as _P
-
-    path = _P(path)
+    path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     payload = {"shards": stats}
     if extra:
@@ -1267,14 +1265,17 @@ def run_crawl(
         ray.get([s.apply_buffered.remote() for s in shards])
         if checkpoint:
             rdir = ckpt_dir / f"round={rnd}"
-            ray.get(
-                [s.checkpoint.remote(str(rdir / f"shard={k}.bin")) for k, s in enumerate(shards)]
-            )
+            # one combined barrier: checkpoint + stats refs in a single
+            # ray.get (two sequential gets would add an actor RTT/round)
+            ckpt_refs = [
+                s.checkpoint.remote(str(rdir / f"shard={k}.bin"))
+                for k, s in enumerate(shards)
+            ]
+            stat_refs = [s.stats.remote() for s in shards]
+            got = ray.get(ckpt_refs + stat_refs)
             ckpt_dir.mkdir(parents=True, exist_ok=True)
             _write_metrics(
-                rdir / "metrics.json",
-                ray.get([s.stats.remote() for s in shards]),
-                {"round": rnd},
+                rdir / "metrics.json", got[len(ckpt_refs):], {"round": rnd}
             )
             tmp = manifest_path.with_suffix(".tmp")
             tmp.write_text(json.dumps({"completed_round": rnd}))

@@ -271,32 +271,38 @@ def cocitation_pairs(
             b_out.append(uids[ib])
         if not a_out:
             return pd.DataFrame(
-                {"pair": pd.Series([], dtype=object),
+                {"a": pd.Series([], dtype=object),
+                 "b": pd.Series([], dtype=object),
                  "n": pd.Series([], dtype=np.int64),
                  "_b2": pd.Series([], dtype=np.int64)}
             )
-        pair = pd.Series(np.concatenate(a_out)) + " " + pd.Series(
-            np.concatenate(b_out)
+        # pairs stay TWO columns end to end (a joined-string key would
+        # silently mis-split node keys containing the separator); the
+        # bucket hash combines both columns row-wise
+        out = (
+            pd.DataFrame(
+                {"a": np.concatenate(a_out), "b": np.concatenate(b_out)}
+            )
+            .groupby(["a", "b"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
         )
-        vc = pair.value_counts()
-        out = pd.DataFrame(
-            {"pair": vc.index.to_numpy().astype(object),
-             "n": vc.to_numpy().astype(np.int64)}
-        )
+        out["n"] = out["n"].astype(np.int64)
         out["_b2"] = (
             pd.util.hash_pandas_object(
-                out["pair"], index=False, hash_key="0" * 16
+                out[["a", "b"]], index=False, hash_key="0" * 16
             ).to_numpy()
             % n_buckets
         ).astype(np.int64)
         return out
 
     def pair_sum(g: pd.DataFrame) -> pd.DataFrame:
-        s = g.groupby("pair", sort=False)["n"].sum()
-        s = s[s >= min_common]
+        s = g.groupby(["a", "b"], sort=False, as_index=False)["n"].sum()
+        s = s[s["n"] >= min_common]
         return pd.DataFrame(
-            {"pair": s.index.to_numpy().astype(object),
-             "n_common": s.to_numpy().astype(np.int64)}
+            {"a": s["a"].to_numpy().astype(object),
+             "b": s["b"].to_numpy().astype(object),
+             "n_common": s["n"].to_numpy().astype(np.int64)}
         )
 
     out = (
@@ -313,9 +319,8 @@ def cocitation_pairs(
              "domain_b": pd.Series([], dtype=object),
              "n_common": pd.Series([], dtype="int64")}
         )
-    ab = out["pair"].str.split(" ", n=1, expand=True)
     res = pd.DataFrame(
-        {"domain_a": ab[0].to_numpy(), "domain_b": ab[1].to_numpy(),
+        {"domain_a": out["a"].to_numpy(), "domain_b": out["b"].to_numpy(),
          "n_common": out["n_common"].astype("int64").to_numpy()}
     )
     return res.sort_values(["domain_a", "domain_b"]).reset_index(drop=True)

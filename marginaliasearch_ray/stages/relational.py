@@ -972,14 +972,20 @@ def funnel_depth(
     def tag(b: pd.DataFrame) -> pd.DataFrame:
         # non-step events still ship (narrow rows): they carry the user
         # universe, so depth-0 users appear in the report like the
-        # oracle's full-user left join
+        # oracle's full-user left join.  NULL timestamps behave like the
+        # oracle's NULL comparisons — the row can never match a step
+        # (its type is blanked) but its user stays in the universe.
+        ts = b["ts"]
+        null_ts = ts.isna().to_numpy()
+        et = b["event_type"].to_numpy(dtype=object).copy()
+        et[null_ts] = ""
+        es = ts.astype("datetime64[ns]").astype("int64").to_numpy() // 10**9
+        es[null_ts] = 0
         return pd.DataFrame(
             {
                 "user_id": b["user_id"].to_numpy(),
-                "es": (
-                    b["ts"].astype("datetime64[ns]").astype("int64") // 10**9
-                ).to_numpy(),
-                "event_type": b["event_type"].to_numpy(),
+                "es": es,
+                "event_type": et,
                 "_b": (b["user_id"].to_numpy() % n_buckets).astype(np.int64),
             }
         )

@@ -82,7 +82,12 @@ def hll_distinct(
     side is register-count-sized (4096 rows x blocks), never
     value-sized.  At extreme block counts the merge tree gains one
     intermediate bucket-range level, same max semantics (registers are a
-    commutative monoid — this is why the sketch scales)."""
+    commutative monoid — this is why the sketch scales).  ``m`` is
+    pinned to ``HLL_M`` — see ``hll_distinct_grouped``."""
+    if m != HLL_M:
+        raise ValueError(
+            f"m={m} unsupported: rank window and oracle pin m={HLL_M}"
+        )
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         reg = _batch_registers(b[col], m)
@@ -364,7 +369,15 @@ def hll_distinct_grouped(
 
     The register pass is vectorized: ranks come from ``np.frexp`` on the
     52-bit hash window (exact for integers below 2^53, pinned against
-    the per-value ``_batch_registers`` loop by tests)."""
+    the per-value ``_batch_registers`` loop by tests).
+
+    ``m`` is pinned to ``HLL_M`` (p=12): the rank window (53-bit) and
+    the SQL oracle's constants assume it; a tunable register count
+    would need the generalized ``64-p+1`` window on both sides."""
+    if m != HLL_M:
+        raise ValueError(
+            f"m={m} unsupported: rank window and oracle pin m={HLL_M}"
+        )
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         vals = b[col]

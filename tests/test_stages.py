@@ -1241,3 +1241,44 @@ class TestCocitationPairs:
             params=[[r["src"] for r in rows], [r["dst"] for r in rows]],
         ).df()
         pd.testing.assert_frame_equal(out, ref)
+
+
+class TestFunnelNullTs:
+    def test_nat_timestamps_never_match(self, ray_session, tmp_path):
+        import os
+
+        from marginaliasearch_ray.stages.relational import funnel_depth
+
+        df = pd.DataFrame(
+            {
+                "event_id": [1, 2, 3, 4],
+                "ts": pd.to_datetime([None, 10, 20, 30], unit="s"),
+                "user_id": [1, 1, 1, 2],
+                "event_type": ["view", "click", "purchase", "error"],
+                "value": 0.0,
+                "props": "",
+            }
+        )
+        df.to_parquet(os.path.join(str(tmp_path), "events.parquet"))
+        out = funnel_depth(str(tmp_path), n_buckets=2)
+        depth = dict(zip(out["user_id"], out["funnel_depth"]))
+        # the NaT view can never match (SQL NULL semantics) -> depth 0,
+        # but the user still appears; user 2 has no funnel events
+        assert depth == {1: 0, 2: 0}
+
+
+class TestCocitationSpaceKeys:
+    def test_keys_with_spaces_survive(self, ray_session):
+        from marginaliasearch_ray.stages.graph import cocitation_pairs
+
+        rows = [
+            {"src": "x y", "dst": "t1"}, {"src": "z", "dst": "t1"},
+            {"src": "x y", "dst": "t2"}, {"src": "z", "dst": "t2"},
+        ]
+        out = cocitation_pairs(
+            _docs(rows).repartition(2), min_common=2, max_fanin=10,
+            n_buckets=4,
+        )
+        assert list(zip(out["domain_a"], out["domain_b"], out["n_common"])) == [
+            ("x y", "z", 2)
+        ]
