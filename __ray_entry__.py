@@ -88,6 +88,57 @@ def _convert_docs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("url").reset_index(drop=True)
 
 
+def _web_training_mix(sf_dir: str) -> pd.DataFrame:
+    """The end-to-end 'crawl -> training corpus' selection step: the
+    converter's own output (byte-oracled in convert_docs) feeds the
+    curation gates (near-dup drop + the reference's 32-word minimum),
+    reduced to a per-domain token-budget report.  Per-batch partial
+    aggregation; the shuffle carries one row per domain per block."""
+    from marginaliasearch_ray.fixtures.cache import fixture_dir_for
+    from marginaliasearch_ray.pipelines.convert import convert_pages
+
+    fix = fixture_dir_for(sf_dir)
+    ds = convert_pages(f"{fix}/pages.parquet").select_columns(
+        ["domain", "n_words", "is_near_dup"]
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        keep = (~b["is_near_dup"].to_numpy()) & (
+            b["n_words"].to_numpy() >= 32
+        )
+        d = pd.DataFrame(
+            {
+                "domain": b["domain"].to_numpy(),
+                "kept": keep.astype(np.int64),
+                "dropped": (~keep).astype(np.int64),
+                "tok": np.where(keep, b["n_words"].to_numpy(), 0).astype(
+                    np.int64
+                ),
+            }
+        )
+        return d.groupby("domain", as_index=False).agg(
+            n_kept=("kept", "sum"), n_dropped=("dropped", "sum"),
+            tokens_kept=("tok", "sum"),
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .repartition(1)
+        .map_batches(
+            lambda b: b.groupby("domain", as_index=False).agg(
+                n_kept=("n_kept", "sum"), n_dropped=("n_dropped", "sum"),
+                tokens_kept=("tokens_kept", "sum"),
+            ),
+            batch_format="pandas",
+            batch_size=None,
+        )
+        .to_pandas()
+    )
+    for c in ("n_kept", "n_dropped", "tokens_kept"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("domain").reset_index(drop=True)
+
+
 def _hits_domains(sf_dir: str) -> pd.DataFrame:
     """Kleinberg HITS hubs/authorities over the crawl link graph — the
     DISTRIBUTED path (pipelines/rank.py hits: edge-partition actors, two
@@ -1524,6 +1575,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_diff_status": _corpus_diff,
         "hll_users_by_type": _hll_users_by_type,
         "doc_priority_sample": _doc_priority_sample,
+        "web_training_mix": _web_training_mix,
         # text analysis (SQL-checked where expressible)
         "doc_keywords": _doc_keywords,
         "doc_keyword_positions": _doc_keyword_positions,
@@ -3260,6 +3312,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT domain, rank
             FROM read_parquet('{exp}/expected_pagerank_personalized.parquet')
             ORDER BY rank DESC, domain
+        """,
+        # crawl -> training-corpus selection over the SEQUENTIAL
+        # converter oracle's output (the engine side runs its own
+        # converter, itself hash-proven in convert_docs).
+        "web_training_mix": f"""
+            WITH j AS (
+                SELECT domain,
+                       (NOT is_near_dup AND n_words >= 32) AS keep,
+                       CAST(n_words AS BIGINT) AS n_words
+                FROM read_parquet('{exp}/expected_convert.parquet')
+            )
+            SELECT domain,
+                   CAST(count(*) FILTER (keep) AS BIGINT) AS n_kept,
+                   CAST(count(*) FILTER (NOT keep) AS BIGINT) AS n_dropped,
+                   CAST(coalesce(sum(n_words) FILTER (keep), 0)
+                        AS BIGINT) AS tokens_kept
+            FROM j GROUP BY domain ORDER BY domain
         """,
         # co-citation spec (stages/graph.py cocitation_pairs): distinct
         # (src_domain, dst_url) edges, targets with fan-in > 200
