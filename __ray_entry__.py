@@ -88,6 +88,19 @@ def _convert_docs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("url").reset_index(drop=True)
 
 
+_SEARCH_TERMS = ("hash", "join", "merge")
+
+
+def _search_docs(sf_dir: str) -> pd.DataFrame:
+    """Distributed keyword search (the index QUERY side) — stages/
+    index.py search_topk: exact distributed df, integer-quantized idf
+    (ln parity), int64 scores, global top-10 by (score DESC, doc_id)."""
+    from marginaliasearch_ray.stages.index import search_topk
+
+    ds = _read_table(sf_dir, "documents", ["doc_id", "text"])
+    return search_topk(ds, _SEARCH_TERMS, k=10)
+
+
 def _web_training_mix(sf_dir: str) -> pd.DataFrame:
     """The end-to-end 'crawl -> training corpus' selection step: the
     converter's own output (byte-oracled in convert_docs) feeds the
@@ -1576,6 +1589,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_users_by_type": _hll_users_by_type,
         "doc_priority_sample": _doc_priority_sample,
         "web_training_mix": _web_training_mix,
+        "search_docs": _search_docs,
         # text analysis (SQL-checked where expressible)
         "doc_keywords": _doc_keywords,
         "doc_keyword_positions": _doc_keyword_positions,
@@ -2400,6 +2414,44 @@ def oracle_sql() -> dict[str, str]:
                               THEN 4096 * ln(4096 / (4096 - n_nonzero)::DOUBLE)
                               ELSE e_raw END, 4) AS n_distinct_est
             FROM est
+        """,
+        # search spec (stages/index.py search_topk): exact df per query
+        # term, idf_q = floor(ln(N/df)*2^20 + 0.5), int score = sum
+        # tf*idf_q, top-10 by (score DESC, doc_id).
+        "search_docs": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split(coalesce(text, ''), ' '),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
+            q AS (SELECT unnest(['hash', 'join', 'merge']) AS term),
+            m AS (
+                SELECT t.doc_id, q.term,
+                       CAST(len(list_filter(t.toks, x -> x = q.term))
+                            AS BIGINT) AS tf
+                FROM toks t, q
+                WHERE list_contains(t.toks, q.term)
+            ),
+            df AS (
+                SELECT term, CAST(count(*) AS BIGINT) AS df
+                FROM m GROUP BY term
+            ),
+            idf AS (
+                SELECT term,
+                       CAST(floor(ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE))
+                                  * 1048576.0 + 0.5) AS BIGINT) AS idf_q
+                FROM df, nn
+            ),
+            s AS (
+                SELECT m.doc_id,
+                       CAST(sum(m.tf * i.idf_q) AS BIGINT) AS score_q
+                FROM m JOIN idf i USING (term) GROUP BY m.doc_id
+            )
+            SELECT doc_id, score_q,
+                   row_number() OVER (ORDER BY score_q DESC, doc_id) AS rank
+            FROM s ORDER BY score_q DESC, doc_id LIMIT 10
         """,
         # A-Res priority-sampling spec (stages/curate.py priority_sample):
         # key = ln((md5(salt|id) as double + 0.5) / 2^64) / max(w, 1),

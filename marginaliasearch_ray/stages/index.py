@@ -95,3 +95,130 @@ def inverted_postings(
         .groupby("_b")
         .map_groups(ordinals, batch_format="pandas")
     )
+
+
+def search_topk(
+    ds: rd.Dataset,
+    terms: tuple[str, ...] | list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """Distributed keyword search -> df(doc_id, score_q, rank): the query
+    side of the index story (crawl -> convert -> index -> QUERY).  TF-IDF
+    scoring with an INTEGER-QUANTIZED idf so the per-doc score is an
+    exact int64 sum — order of summation cannot produce float drift, and
+    the SQL oracle recomputes it bit-for-bit:
+
+    - df(term) = docs containing the term (exact, distributed partials);
+    - idf_q = floor(ln(N / df) * 2^20 + 0.5)  (CPython ``math.log`` ==
+      DuckDB ``ln``, glibc parity pinned by the unigram-LM oracle);
+    - score_q = sum over matched query terms of tf * idf_q;
+    - top-k by (score_q DESC, doc_id) — ties exact.
+
+    Scale shape: pass 1 collapses to |terms| df rows per block (tiny
+    combine); pass 2 broadcasts the |terms|-sized idf map in the closure
+    and emits per-batch partial top-k — only candidate rows move, never
+    text.  Against a PREBUILT bucket-partitioned index
+    (``inverted_postings`` output written with block == bucket
+    alignment) the same scoring runs over just the query terms' buckets
+    — partition pruning replaces pass 2's corpus scan."""
+    import math
+
+    terms = sorted(set(terms))
+    term_arr = np.array(terms, dtype=object)
+
+    def df_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.reset_index(drop=True)
+        ex = b[text_col].fillna("").str.split(" ").explode()
+        d = pd.DataFrame(
+            {"i": ex.index.to_numpy(), "w": ex.to_numpy().astype(object)}
+        )
+        d = d[np.isin(d["w"].to_numpy(), term_arr)].drop_duplicates()
+        vc = d["w"].value_counts()
+        out = pd.DataFrame(
+            {
+                "term": vc.index.to_numpy().astype(object),
+                "df": vc.to_numpy().astype(np.int64),
+            }
+        )
+        # ride the doc count along as a sentinel row (one combine pass)
+        return pd.concat(
+            [out, pd.DataFrame({"term": ["\x00__n_docs__"],
+                                "df": [np.int64(len(b))]})],
+            ignore_index=True,
+        )
+
+    stats = (
+        ds.map_batches(df_partial, batch_format="pandas")
+        .repartition(1)
+        .map_batches(
+            lambda b: b.groupby("term", as_index=False)["df"].sum(),
+            batch_format="pandas",
+            batch_size=None,
+        )
+        .to_pandas()
+    )
+    n_docs = int(stats.loc[stats["term"] == "\x00__n_docs__", "df"].iloc[0])
+    dfs = dict(
+        zip(stats["term"], stats["df"].astype(int))
+    )
+    idf_q = {
+        t: int(math.floor(
+            math.log(float(n_docs) / float(dfs[t])) * 1048576.0 + 0.5
+        ))
+        for t in terms
+        if dfs.get(t, 0) > 0
+    }
+    if not idf_q:
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "score_q": pd.Series([], dtype="int64"),
+             "rank": pd.Series([], dtype="int64")}
+        )
+
+    def score_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.reset_index(drop=True)
+        ex = b[text_col].fillna("").str.split(" ").explode()
+        d = pd.DataFrame(
+            {"i": ex.index.to_numpy(), "w": ex.to_numpy().astype(object)}
+        )
+        d = d[np.isin(d["w"].to_numpy(), term_arr)]
+        if not len(d):
+            return pd.DataFrame(
+                {id_col: pd.Series([], dtype=np.int64),
+                 "score_q": pd.Series([], dtype=np.int64)}
+            )
+        tf = d.groupby(["i", "w"], as_index=False).size()
+        tf["pts"] = tf["size"].to_numpy().astype(np.int64) * np.array(
+            [idf_q.get(w, 0) for w in tf["w"]], dtype=np.int64
+        )
+        sc = tf.groupby("i", as_index=False)["pts"].sum()
+        out = pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy()[sc["i"].to_numpy()],
+                "score_q": sc["pts"].to_numpy().astype(np.int64),
+            }
+        )
+        return out.sort_values(
+            ["score_q", id_col], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    cand = (
+        ds.map_batches(score_partial, batch_format="pandas")
+        .repartition(1)
+        .map_batches(
+            lambda b: b.sort_values(
+                ["score_q", id_col], ascending=[False, True],
+                kind="mergesort",
+            ).head(k),
+            batch_format="pandas",
+            batch_size=None,
+        )
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    cand["rank"] = np.arange(1, len(cand) + 1, dtype=np.int64)
+    for c in ("score_q", "rank"):
+        cand[c] = cand[c].astype("int64")
+    return cand

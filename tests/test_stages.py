@@ -1282,3 +1282,62 @@ class TestCocitationSpaceKeys:
         assert list(zip(out["domain_a"], out["domain_b"], out["n_common"])) == [
             ("x y", "z", 2)
         ]
+
+
+class TestSearchTopk:
+    def test_known_corpus_scoring(self, ray_session):
+        from marginaliasearch_ray.stages.index import search_topk
+
+        import math
+
+        docs = [
+            (0, "apple apple banana"),   # tf(apple)=2
+            (1, "apple cherry"),
+            (2, "banana banana banana"),
+            (3, "cherry"),
+            (4, ""),
+        ]
+        ds = _docs(
+            [{"doc_id": i, "text": t} for i, t in docs]
+        ).repartition(3)
+        out = search_topk(ds, ("apple", "banana"), k=3)
+        n = 5
+        iq_a = math.floor(math.log(n / 2) * 1048576 + 0.5)  # df(apple)=2
+        iq_b = math.floor(math.log(n / 2) * 1048576 + 0.5)  # df(banana)=2
+        scores = dict(zip(out["doc_id"], out["score_q"]))
+        assert scores[2] == 3 * iq_b
+        assert scores[0] == 2 * iq_a + 1 * iq_b
+        assert out["rank"].tolist() == [1, 2, 3]
+        # doc 2 (3*idf) outranks doc 0 (3*idf too)? equal -> doc_id tie
+        assert out.loc[0, "doc_id"] in (0, 2)
+
+    def test_no_matching_terms(self, ray_session):
+        from marginaliasearch_ray.stages.index import search_topk
+
+        ds = _docs([{"doc_id": 0, "text": "alpha beta"}])
+        out = search_topk(ds, ("missing",), k=5)
+        assert len(out) == 0
+        assert list(out.columns) == ["doc_id", "score_q", "rank"]
+
+    def test_layout_invariant(self, ray_session):
+        from marginaliasearch_ray.stages.index import search_topk
+
+        rng = np.random.RandomState(3)
+        words = ["hash", "join", "merge", "other", "noise"]
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(300),
+                "text": [
+                    " ".join(rng.choice(words, size=rng.randint(1, 20)))
+                    for _ in range(300)
+                ],
+            }
+        )
+        a = search_topk(
+            rd.from_pandas(df).repartition(1), ("hash", "join"), k=10
+        )
+        b = search_topk(
+            rd.from_pandas(df.sample(frac=1, random_state=0)).repartition(9),
+            ("hash", "join"), k=10,
+        )
+        pd.testing.assert_frame_equal(a, b)
