@@ -101,6 +101,16 @@ def _search_docs(sf_dir: str) -> pd.DataFrame:
     return search_topk(ds, _SEARCH_TERMS, k=10)
 
 
+def _phrase_search(sf_dir: str) -> pd.DataFrame:
+    """Exact adjacent-token phrase search ('hash join'), ranked by
+    occurrence count — stages/index.py phrase_search (per-doc counts
+    final at the map stage, partial top-k, no shuffle)."""
+    from marginaliasearch_ray.stages.index import phrase_search
+
+    ds = _read_table(sf_dir, "documents", ["doc_id", "text"])
+    return phrase_search(ds, ("hash", "join"), k=10)
+
+
 def _web_training_mix(sf_dir: str) -> pd.DataFrame:
     """The end-to-end 'crawl -> training corpus' selection step: the
     converter's own output (byte-oracled in convert_docs) feeds the
@@ -1590,6 +1600,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_priority_sample": _doc_priority_sample,
         "web_training_mix": _web_training_mix,
         "search_docs": _search_docs,
+        "phrase_search": _phrase_search,
         # text analysis (SQL-checked where expressible)
         "doc_keywords": _doc_keywords,
         "doc_keyword_positions": _doc_keyword_positions,
@@ -2414,6 +2425,31 @@ def oracle_sql() -> dict[str, str]:
                               THEN 4096 * ln(4096 / (4096 - n_nonzero)::DOUBLE)
                               ELSE e_raw END, 4) AS n_distinct_est
             FROM est
+        """,
+        # phrase-search spec (stages/index.py phrase_search): adjacent
+        # non-empty whitespace tokens within a doc (the bpe_pairs pair
+        # spec), docs ranked by occurrence count then doc_id.
+        "phrase_search": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split(coalesce(text, ''), ' '),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ),
+            p AS (
+                SELECT doc_id, toks[g.i] AS l, toks[g.i + 1] AS r
+                FROM t, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+                WHERE len(toks) >= 2
+            ),
+            c AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+                FROM p WHERE l = 'hash' AND r = 'join'
+                GROUP BY doc_id
+            )
+            SELECT doc_id, n_occurrences,
+                   row_number() OVER (ORDER BY n_occurrences DESC, doc_id)
+                       AS rank
+            FROM c ORDER BY n_occurrences DESC, doc_id LIMIT 10
         """,
         # search spec (stages/index.py search_topk): exact df per query
         # term, idf_q = floor(ln(N/df)*2^20 + 0.5), int score = sum

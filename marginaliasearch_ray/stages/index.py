@@ -218,7 +218,92 @@ def search_topk(
         .to_pandas()
         .reset_index(drop=True)
     )
+    if not len(cand):
+        # an all-empty Dataset drops its schema on to_pandas
+        return pd.DataFrame(
+            {id_col: pd.Series([], dtype="int64"),
+             "score_q": pd.Series([], dtype="int64"),
+             "rank": pd.Series([], dtype="int64")}
+        )
     cand["rank"] = np.arange(1, len(cand) + 1, dtype=np.int64)
     for c in ("score_q", "rank"):
         cand[c] = cand[c].astype("int64")
     return cand
+
+
+def phrase_search(
+    ds: rd.Dataset,
+    phrase: tuple[str, str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """Exact two-word PHRASE search -> df(doc_id, n_occurrences, rank):
+    docs containing the adjacent token pair, ranked by occurrence count
+    (ties by doc_id) — the positional-query sibling of ``search_topk``
+    (MarginaliaSearch's keyword index stores positions for exactly this;
+    here adjacency is recomputed from text, same spec as the BPE pair
+    counter: whitespace tokens, pairs never cross documents).
+
+    Scale shape: a document lives entirely inside one batch, so per-doc
+    phrase counts are FINAL at the map stage (vectorized shift-compare
+    on the exploded token array); each batch emits its local top-k and
+    one result-sized merge finishes — no shuffle."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.reset_index(drop=True)
+        ex = b[text_col].fillna("").str.split(" ").explode()
+        words = ex.to_numpy().astype(object)
+        idx = ex.index.to_numpy().astype(np.int64)
+        nonempty = words != ""
+        words, idx = words[nonempty], idx[nonempty]
+        empty = pd.DataFrame(
+            {id_col: pd.Series([], dtype=np.int64),
+             "n_occurrences": pd.Series([], dtype=np.int64)}
+        )
+        if len(words) < 2:
+            return empty
+        hit = (
+            (idx[1:] == idx[:-1])
+            & (words[:-1] == phrase[0])
+            & (words[1:] == phrase[1])
+        )
+        if not hit.any():
+            return empty
+        cnt = np.bincount(idx[:-1][hit], minlength=len(b))
+        rows = np.nonzero(cnt)[0]
+        out = pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy()[rows],
+                "n_occurrences": cnt[rows].astype(np.int64),
+            }
+        )
+        return out.sort_values(
+            ["n_occurrences", id_col], ascending=[False, True],
+            kind="mergesort",
+        ).head(k)
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .repartition(1)
+        .map_batches(
+            lambda b: b.sort_values(
+                ["n_occurrences", id_col], ascending=[False, True],
+                kind="mergesort",
+            ).head(k),
+            batch_format="pandas",
+            batch_size=None,
+        )
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    if not len(out):
+        return pd.DataFrame(
+            {id_col: pd.Series([], dtype="int64"),
+             "n_occurrences": pd.Series([], dtype="int64"),
+             "rank": pd.Series([], dtype="int64")}
+        )
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    for c in ("n_occurrences", "rank"):
+        out[c] = out[c].astype("int64")
+    return out

@@ -1341,3 +1341,29 @@ class TestSearchTopk:
             ("hash", "join"), k=10,
         )
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestPhraseSearch:
+    def test_adjacency_and_boundaries(self, ray_session):
+        from marginaliasearch_ray.stages.index import phrase_search
+
+        docs = [
+            (0, "hash join hash join hash"),   # 2 occurrences
+            (1, "hash x join"),                # not adjacent
+            (2, "join hash"),                  # wrong order
+            (3, "hash join"),                  # 1 occurrence
+            (4, "hash"),                       # doc ends with first word
+        ]
+        ds = _docs([{"doc_id": i, "text": t} for i, t in docs]).repartition(3)
+        out = phrase_search(ds, ("hash", "join"), k=10)
+        assert list(zip(out["doc_id"], out["n_occurrences"])) == [(0, 2), (3, 1)]
+        assert out["rank"].tolist() == [1, 2]
+
+    def test_never_crosses_documents(self, ray_session):
+        from marginaliasearch_ray.stages.index import phrase_search
+
+        ds = _docs(
+            [{"doc_id": 0, "text": "x hash"}, {"doc_id": 1, "text": "join y"}]
+        ).repartition(1)
+        out = phrase_search(ds, ("hash", "join"), k=10)
+        assert len(out) == 0
