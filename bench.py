@@ -206,6 +206,9 @@ def run_bench() -> dict:
         "hll_users_by_type",
         "corpus_diff_status",
         "distinct_users_by_type",
+        "search_docs",
+        "phrase_search",
+        "web_training_mix",
     ):
         t0 = time.perf_counter()
         qs[name](SF_DIR)
