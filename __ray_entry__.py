@@ -101,6 +101,18 @@ def _search_docs(sf_dir: str) -> pd.DataFrame:
     return search_topk(ds, _SEARCH_TERMS, k=10)
 
 
+def _bm25_docs(sf_dir: str) -> pd.DataFrame:
+    """BM25-ranked search (k1=1.2, b=0.75) — stages/index.py bm25_topk:
+    the reference query service's actual ranking term (Bm25 in its
+    ResultValuator), integer-quantized per-(doc,term) contributions so
+    the int64 score is order-free and the SQL oracle recomputes it
+    bit-for-bit (idf + avgdl float expressions mirrored tree-for-tree)."""
+    from marginaliasearch_ray.stages.index import bm25_topk
+
+    ds = _read_table(sf_dir, "documents", ["doc_id", "text"])
+    return bm25_topk(ds, _SEARCH_TERMS, k=10)
+
+
 def _phrase_search(sf_dir: str) -> pd.DataFrame:
     """Exact adjacent-token phrase search ('hash join'), ranked by
     occurrence count — stages/index.py phrase_search (per-doc counts
@@ -1600,6 +1612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_priority_sample": _doc_priority_sample,
         "web_training_mix": _web_training_mix,
         "search_docs": _search_docs,
+        "bm25_docs": _bm25_docs,
         "phrase_search": _phrase_search,
         # text analysis (SQL-checked where expressible)
         "doc_keywords": _doc_keywords,
@@ -2488,6 +2501,62 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, score_q,
                    row_number() OVER (ORDER BY score_q DESC, doc_id) AS rank
             FROM s ORDER BY score_q DESC, doc_id LIMIT 10
+        """,
+        # BM25 spec (stages/index.py bm25_topk): k1=1.2 b=0.75;
+        # idf_q = floor(ln((N-df+0.5)/(df+0.5)+1)*2^20+0.5); per-(doc,
+        # term) contribution quantized to BIGINT before the per-doc sum
+        # (order-free); float expressions mirror the engine tree-for-tree.
+        "bm25_docs": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split(coalesce(text, ''), ' '),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ),
+            stats AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(len(toks)) AS BIGINT) AS total_len
+                FROM toks
+            ),
+            q AS (SELECT unnest(['hash', 'join', 'merge']) AS term),
+            m AS (
+                SELECT t.doc_id, q.term,
+                       CAST(len(list_filter(t.toks, x -> x = q.term))
+                            AS BIGINT) AS tf,
+                       CAST(len(t.toks) AS BIGINT) AS dl
+                FROM toks t, q
+                WHERE list_contains(t.toks, q.term)
+            ),
+            df AS (
+                SELECT term, CAST(count(*) AS BIGINT) AS df
+                FROM m GROUP BY term
+            ),
+            idf AS (
+                SELECT term,
+                       CAST(floor(ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE)
+                                      + 0.5)
+                                     / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+                                  * 1048576.0 + 0.5) AS BIGINT) AS idf_q
+                FROM df, stats
+            ),
+            c AS (
+                SELECT m.doc_id,
+                       CAST(floor(
+                           CAST(m.tf * i.idf_q AS DOUBLE) * 2.2
+                           / (CAST(m.tf AS DOUBLE)
+                              + 1.2 * (0.25 + 0.75 * (CAST(m.dl AS DOUBLE)
+                                       / (CAST(s.total_len AS DOUBLE)
+                                          / CAST(s.n AS DOUBLE)))))
+                           + 0.5) AS BIGINT) AS pts
+                FROM m JOIN idf i USING (term), stats s
+            ),
+            sc AS (
+                SELECT doc_id, CAST(sum(pts) AS BIGINT) AS score_q
+                FROM c GROUP BY doc_id
+            )
+            SELECT doc_id, score_q,
+                   row_number() OVER (ORDER BY score_q DESC, doc_id) AS rank
+            FROM sc ORDER BY score_q DESC, doc_id LIMIT 10
         """,
         # A-Res priority-sampling spec (stages/curate.py priority_sample):
         # key = ln((md5(salt|id) as double + 0.5) / 2^64) / max(w, 1),

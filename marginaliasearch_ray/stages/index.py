@@ -231,6 +231,165 @@ def search_topk(
     return cand
 
 
+def bm25_topk(
+    ds: rd.Dataset,
+    terms: tuple[str, ...] | list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """BM25-ranked keyword search -> df(doc_id, score_q, rank): the
+    reference's actual result ranking term (`Bm25GraphVisitor` /
+    ResultValuator in MarginaliaSearch's query service scores results
+    with BM25 over the keyword index; ``search_topk`` is the plain
+    TF-IDF sibling).  k1 = 1.2, b = 0.75.
+
+    Bit-exact oracle protocol (every float op mirrored expression-for-
+    expression in DuckDB, IEEE-deterministic given the same tree):
+
+    - dl = per-doc non-empty whitespace-token count; avgdl =
+      total_len / N as ONE double division of two exact int64 totals;
+    - idf_q = floor(ln((N - df + 0.5)/(df + 0.5) + 1) * 2^20 + 0.5)
+      (Robertson-Sparck-Jones idf; ln parity pinned by the unigram-LM
+      oracle);
+    - per (doc, term): contrib = floor((tf*idf_q as double) * 2.2
+      / (tf + 1.2*(0.25 + 0.75*(dl/avgdl))) + 0.5) — quantized to
+      int64 BEFORE the per-doc sum, so summation order cannot drift;
+    - score_q = sum of contribs; top-k by (score_q DESC, doc_id).
+
+    Scale shape is ``search_topk``'s: pass 1 collapses to |terms| df
+    rows + two sentinel totals per block (tiny combine); pass 2
+    broadcasts the idf map + avgdl in the closure and emits per-batch
+    partial top-k — only candidate rows move, never text."""
+    import math
+
+    terms = sorted(set(terms))
+    term_arr = np.array(terms, dtype=object)
+
+    # Sentinel totals ride as extra rows distinguished by an INTEGER
+    # kind column (0 = df row, 1 = n_docs, 2 = total_len): pandas
+    # groupby's string hashtable compares keys as C strings, so two
+    # NUL-prefixed sentinel strings silently merge — never key a
+    # groupby on strings that differ only past a NUL byte.
+    def stats_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.reset_index(drop=True)
+        ex = b[text_col].fillna("").str.split(" ").explode()
+        words = ex.to_numpy().astype(object)
+        nonempty = words != ""
+        total_len = int(nonempty.sum())
+        d = pd.DataFrame(
+            {"i": ex.index.to_numpy()[nonempty], "w": words[nonempty]}
+        )
+        d = d[np.isin(d["w"].to_numpy(), term_arr)].drop_duplicates()
+        vc = d["w"].value_counts()
+        out = pd.DataFrame(
+            {
+                "term": vc.index.to_numpy().astype(object),
+                "kind": np.zeros(len(vc), dtype=np.int64),
+                "df": vc.to_numpy().astype(np.int64),
+            }
+        )
+        return pd.concat(
+            [out,
+             pd.DataFrame({"term": ["", ""],
+                           "kind": np.array([1, 2], dtype=np.int64),
+                           "df": np.array([len(b), total_len],
+                                          dtype=np.int64)})],
+            ignore_index=True,
+        )
+
+    stats = (
+        ds.map_batches(stats_partial, batch_format="pandas")
+        .repartition(1)
+        .map_batches(
+            lambda b: b.groupby(["kind", "term"], as_index=False)[
+                "df"
+            ].sum(),
+            batch_format="pandas",
+            batch_size=None,
+        )
+        .to_pandas()
+    )
+    n_docs = int(stats.loc[stats["kind"] == 1, "df"].iloc[0])
+    total_len = int(stats.loc[stats["kind"] == 2, "df"].iloc[0])
+    dfr = stats[stats["kind"] == 0]
+    dfs = dict(zip(dfr["term"], dfr["df"].astype(int)))
+    idf_q = {
+        t: int(math.floor(
+            math.log(
+                (float(n_docs) - float(dfs[t]) + 0.5)
+                / (float(dfs[t]) + 0.5) + 1.0
+            ) * 1048576.0 + 0.5
+        ))
+        for t in terms
+        if dfs.get(t, 0) > 0
+    }
+    empty = pd.DataFrame(
+        {id_col: pd.Series([], dtype="int64"),
+         "score_q": pd.Series([], dtype="int64"),
+         "rank": pd.Series([], dtype="int64")}
+    )
+    if not idf_q or n_docs == 0 or total_len == 0:
+        return empty
+    avgdl = float(total_len) / float(n_docs)
+
+    def score_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.reset_index(drop=True)
+        ex = b[text_col].fillna("").str.split(" ").explode()
+        words = ex.to_numpy().astype(object)
+        idx = ex.index.to_numpy()
+        nonempty = words != ""
+        words, idx = words[nonempty], idx[nonempty]
+        dl_all = np.bincount(idx, minlength=len(b)).astype(np.int64)
+        d = pd.DataFrame({"i": idx, "w": words})
+        d = d[np.isin(d["w"].to_numpy(), term_arr)]
+        if not len(d):
+            return pd.DataFrame(
+                {id_col: pd.Series([], dtype=np.int64),
+                 "score_q": pd.Series([], dtype=np.int64)}
+            )
+        tf = d.groupby(["i", "w"], as_index=False).size()
+        tfv = tf["size"].to_numpy().astype(np.int64)
+        idfv = np.array([idf_q.get(w, 0) for w in tf["w"]], dtype=np.int64)
+        dlv = dl_all[tf["i"].to_numpy()]
+        num = (tfv * idfv).astype(np.float64) * 2.2
+        den = tfv.astype(np.float64) + 1.2 * (
+            0.25 + 0.75 * (dlv.astype(np.float64) / avgdl)
+        )
+        tf["pts"] = np.floor(num / den + 0.5).astype(np.int64)
+        sc = tf.groupby("i", as_index=False)["pts"].sum()
+        out = pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy()[sc["i"].to_numpy()],
+                "score_q": sc["pts"].to_numpy().astype(np.int64),
+            }
+        )
+        return out.sort_values(
+            ["score_q", id_col], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    cand = (
+        ds.map_batches(score_partial, batch_format="pandas")
+        .repartition(1)
+        .map_batches(
+            lambda b: b.sort_values(
+                ["score_q", id_col], ascending=[False, True],
+                kind="mergesort",
+            ).head(k),
+            batch_format="pandas",
+            batch_size=None,
+        )
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    if not len(cand):
+        return empty
+    cand["rank"] = np.arange(1, len(cand) + 1, dtype=np.int64)
+    for c in ("score_q", "rank"):
+        cand[c] = cand[c].astype("int64")
+    return cand
+
+
 def phrase_search(
     ds: rd.Dataset,
     phrase: tuple[str, str],

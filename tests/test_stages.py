@@ -1343,6 +1343,91 @@ class TestSearchTopk:
         pd.testing.assert_frame_equal(a, b)
 
 
+class TestBm25Topk:
+    def test_known_corpus_scoring(self, ray_session):
+        from marginaliasearch_ray.stages.index import bm25_topk
+
+        import math
+
+        docs = [
+            (0, "apple apple banana"),
+            (1, "apple cherry"),
+            (2, "banana banana banana"),
+            (3, "cherry"),
+            (4, ""),
+        ]
+        ds = _docs(
+            [{"doc_id": i, "text": t} for i, t in docs]
+        ).repartition(3)
+        out = bm25_topk(ds, ("apple", "banana"), k=5)
+        n, total_len = 5, 9
+        avgdl = float(total_len) / float(n)
+
+        def iq(df):
+            return math.floor(
+                math.log((n - df + 0.5) / (df + 0.5) + 1.0) * 1048576 + 0.5
+            )
+
+        def pts(tf, df, dl):
+            num = float(tf * iq(df)) * 2.2
+            den = float(tf) + 1.2 * (0.25 + 0.75 * (float(dl) / avgdl))
+            return math.floor(num / den + 0.5)
+
+        scores = dict(zip(out["doc_id"], out["score_q"]))
+        # df(apple)=2, df(banana)=2; doc 0: tf(apple)=2 tf(banana)=1 dl=3
+        assert scores[0] == pts(2, 2, 3) + pts(1, 2, 3)
+        assert scores[2] == pts(3, 2, 3)
+        assert scores[1] == pts(1, 2, 2)
+        assert set(scores) == {0, 1, 2}
+        assert out["rank"].tolist() == list(range(1, len(out) + 1))
+
+    def test_length_normalization_prefers_shorter(self, ray_session):
+        from marginaliasearch_ray.stages.index import bm25_topk
+
+        # same tf, different doc length: BM25 must rank the shorter doc
+        # higher (tf-idf would tie them)
+        ds = _docs(
+            [
+                {"doc_id": 0, "text": "hit " + "pad " * 40},
+                {"doc_id": 1, "text": "hit"},
+            ]
+        ).repartition(2)
+        out = bm25_topk(ds, ("hit",), k=2)
+        assert out["doc_id"].tolist() == [1, 0]
+        assert out.loc[0, "score_q"] > out.loc[1, "score_q"]
+
+    def test_no_matching_terms(self, ray_session):
+        from marginaliasearch_ray.stages.index import bm25_topk
+
+        ds = _docs([{"doc_id": 0, "text": "alpha beta"}])
+        out = bm25_topk(ds, ("missing",), k=5)
+        assert len(out) == 0
+        assert list(out.columns) == ["doc_id", "score_q", "rank"]
+
+    def test_layout_invariant(self, ray_session):
+        from marginaliasearch_ray.stages.index import bm25_topk
+
+        rng = np.random.RandomState(7)
+        words = ["hash", "join", "merge", "other", "noise"]
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(300),
+                "text": [
+                    " ".join(rng.choice(words, size=rng.randint(1, 20)))
+                    for _ in range(300)
+                ],
+            }
+        )
+        a = bm25_topk(
+            rd.from_pandas(df).repartition(1), ("hash", "join"), k=10
+        )
+        b = bm25_topk(
+            rd.from_pandas(df.sample(frac=1, random_state=0)).repartition(9),
+            ("hash", "join"), k=10,
+        )
+        pd.testing.assert_frame_equal(a, b)
+
+
 class TestPhraseSearch:
     def test_adjacency_and_boundaries(self, ray_session):
         from marginaliasearch_ray.stages.index import phrase_search
