@@ -1511,6 +1511,34 @@ def _bpe_pairs(sf_dir: str) -> pd.DataFrame:
     return pair_counts(ds, k=20)
 
 
+def _bpe_merges(sf_dir: str) -> pd.DataFrame:
+    """Distributed BPE tokenizer TRAINING (Sennrich et al. 2016) —
+    stages/tokenizer.py train_bpe: one corpus pass for exact word
+    counts, then vocab-shard actors (the PageRank edge-partition shape)
+    iterate 40 merge rounds with only pair-count partials moving.
+    Oracle: independent sequential dict-based trainer
+    (fixtures/expected.py _build_bpe_expected)."""
+    from marginaliasearch_ray.stages.tokenizer import train_bpe
+
+    ds = _read_table(sf_dir, "documents", ["doc_id", "text"])
+    return train_bpe(ds, n_merges=40)
+
+
+def _bpe_encoded(sf_dir: str) -> pd.DataFrame:
+    """Train-then-APPLY: encode every doc with the learned 40-merge
+    table and count its BPE tokens — stages/tokenizer.py
+    bpe_token_counts (actor-pool encode stage with per-actor word
+    memoization; text never shuffles).  Oracle: the sequential
+    trainer's final symbol table summed per doc."""
+    from marginaliasearch_ray.stages.tokenizer import bpe_token_counts, train_bpe
+
+    ds = _read_table(sf_dir, "documents", ["doc_id", "text"])
+    merges = train_bpe(ds, n_merges=40)
+    out = bpe_token_counts(ds, merges).to_pandas()
+    out["n_bpe_tokens"] = out["n_bpe_tokens"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 _SIDELOAD_COLS = [
     "url", "domain", "title", "n_words", "quality", "pub_year", "summary",
     "state", "generator", "features", "synthetic_terms", "text",
@@ -1663,6 +1691,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_topk": _vocab_topk,
         "doc_badwords": _doc_badwords,
         "bpe_pairs": _bpe_pairs,
+        "bpe_merges": _bpe_merges,
+        "bpe_encoded": _bpe_encoded,
         "doc_sample_weighted": _doc_sample_weighted,
         "dsir_select": _dsir_select,
         "semdedup_keep": _semdedup_keep,
@@ -3193,6 +3223,18 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(greatest(n_tokens, 1) AS DOUBLE) > 0.04
                         THEN 'drop' ELSE 'keep' END AS verdict
             FROM c ORDER BY doc_id
+        """,
+        # full BPE training (stages/tokenizer.py train_bpe) vs the
+        # independent sequential trainer in fixtures/expected.py
+        "bpe_merges": f"""
+            SELECT merge_ord, "left", "right", pair_count
+            FROM read_parquet('{exp}/expected_bpe.parquet')
+            ORDER BY merge_ord
+        """,
+        "bpe_encoded": f"""
+            SELECT doc_id, n_bpe_tokens
+            FROM read_parquet('{exp}/expected_bpe_tokens.parquet')
+            ORDER BY doc_id
         """,
         # BPE merge-candidate spec (stages/textstats.py pair_counts):
         # consecutive non-empty whitespace tokens within a doc, exact

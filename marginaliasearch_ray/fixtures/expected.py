@@ -41,7 +41,7 @@ from .cache import FIXTURE_VERSION, config_for, fixture_dir_for
 
 EXPECTED_ROOT = "/tmp/graft_expected"
 # bump when ORACLE LOGIC changes without a fixture-generator change
-EXPECTED_VERSION = 12
+EXPECTED_VERSION = 14
 
 
 def expected_dir_for(sf_dir: str) -> str:
@@ -59,6 +59,7 @@ def expected_dir_for(sf_dir: str) -> str:
         _build_discovery_expected(fix, out)
         _build_sketch_expected(sf_dir, out)
         _build_sideload_expected(sf_dir, out)
+        _build_bpe_expected(sf_dir, out)
         done.touch()
     return str(out)
 
@@ -890,4 +891,81 @@ def _build_sideload_expected(sf_dir: str, out: Path) -> None:
     pq.write_table(
         pa.Table.from_pandas(df, preserve_index=False),
         out / "expected_sideload.parquet",
+    )
+
+
+def _build_bpe_expected(sf_dir: str, out: Path, n_merges: int = 40) -> None:
+    """Sequential reference BPE trainer (Sennrich et al. 2016), plain
+    dict/list implementation independent of the distributed
+    ``stages/tokenizer.py`` path: whitespace-word Counter, char symbols
+    + '</w>' marker, per round count every adjacent pair (overlaps
+    included) weighted by word frequency, merge the (count DESC, left
+    ASC, right ASC) arg-max greedily left-to-right, stop below count 2."""
+    from collections import Counter
+
+    docs_path = Path(sf_dir) / "documents.parquet"
+    if not docs_path.exists():
+        return
+    docs_t = pq.read_table(docs_path, columns=["doc_id", "text"])
+    doc_ids = docs_t["doc_id"].to_pylist()
+    texts = docs_t["text"].to_pylist()
+    vocab: Counter = Counter()
+    for t in texts:
+        for w in (t or "").split(" "):
+            if w:
+                vocab[w] += 1
+    symbols = {w: list(w) + ["</w>"] for w in vocab}
+    rows = []
+    for ord_ in range(1, n_merges + 1):
+        pairs: Counter = Counter()
+        for w, c in vocab.items():
+            s = symbols[w]
+            for a, b in zip(s, s[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        (left, right), best = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        if best < 2:
+            break
+        rows.append((ord_, left, right, best))
+        merged = left + right
+        for w in vocab:
+            s = symbols[w]
+            if len(s) < 2:
+                continue
+            ns, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    ns.append(merged)
+                    i += 2
+                else:
+                    ns.append(s[i])
+                    i += 1
+            symbols[w] = ns
+    pq.write_table(
+        pa.table(
+            {
+                "merge_ord": pa.array([r[0] for r in rows], pa.int64()),
+                "left": pa.array([r[1] for r in rows], pa.string()),
+                "right": pa.array([r[2] for r in rows], pa.string()),
+                "pair_count": pa.array([r[3] for r in rows], pa.int64()),
+            }
+        ),
+        out / "expected_bpe.parquet",
+    )
+    # encode side: after the loop, symbols[w] IS w's final encoded form
+    n_tok = [
+        sum(len(symbols[w]) for w in (t or "").split(" ") if w)
+        for t in texts
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "n_bpe_tokens": pa.array(n_tok, pa.int64()),
+            }
+        ),
+        out / "expected_bpe_tokens.parquet",
     )

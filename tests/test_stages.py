@@ -1343,6 +1343,139 @@ class TestSearchTopk:
         pd.testing.assert_frame_equal(a, b)
 
 
+class TestTrainBpe:
+    def _sequential(self, texts, n_merges=10, min_pair_count=2):
+        # independent of fixtures/expected.py: straight Sennrich loop
+        from collections import Counter
+
+        vocab = Counter(
+            w for t in texts for w in (t or "").split(" ") if w
+        )
+        symbols = {w: list(w) + ["</w>"] for w in vocab}
+        rows = []
+        for ord_ in range(1, n_merges + 1):
+            pairs = Counter()
+            for w, c in vocab.items():
+                s = symbols[w]
+                for a, b in zip(s, s[1:]):
+                    pairs[(a, b)] += c
+            if not pairs:
+                break
+            (l, r), best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+            if best < min_pair_count:
+                break
+            rows.append((ord_, l, r, best))
+            for w in vocab:
+                s, ns, i = symbols[w], [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                        ns.append(l + r)
+                        i += 2
+                    else:
+                        ns.append(s[i])
+                        i += 1
+                symbols[w] = ns
+        return pd.DataFrame(
+            {
+                "merge_ord": pd.Series([x[0] for x in rows], dtype="int64"),
+                "left": pd.Series([x[1] for x in rows], dtype=object),
+                "right": pd.Series([x[2] for x in rows], dtype=object),
+                "pair_count": pd.Series([x[3] for x in rows], dtype="int64"),
+            }
+        )
+
+    def test_matches_sequential_and_layout_invariant(self, ray_session):
+        from marginaliasearch_ray.stages.tokenizer import train_bpe
+
+        rng = np.random.RandomState(11)
+        words = ["lower", "lowest", "newer", "newest", "wider", "low", "new"]
+        texts = [
+            " ".join(rng.choice(words, size=rng.randint(1, 12)))
+            for _ in range(200)
+        ]
+        df = pd.DataFrame({"doc_id": np.arange(200), "text": texts})
+        want = self._sequential(texts, n_merges=12)
+        a = train_bpe(rd.from_pandas(df).repartition(1), n_merges=12)
+        b = train_bpe(
+            rd.from_pandas(df.sample(frac=1, random_state=1)).repartition(9),
+            n_merges=12,
+        )
+        pd.testing.assert_frame_equal(a, want)
+        pd.testing.assert_frame_equal(b, want)
+
+    def test_overlap_counting_and_greedy_merge(self, ray_session):
+        from marginaliasearch_ray.stages.tokenizer import train_bpe
+
+        # "aaaa": pair (a,a) counts 3 per word occurrence (overlaps
+        # included); after the merge, greedy left-to-right yields
+        # aa|aa|</w>; round 2 ties (aa,aa)=3 with (aa,</w>)=3 and the
+        # lexicographic tie-break picks (aa,</w>) ('<' sorts below 'a')
+        ds = _docs([{"doc_id": 0, "text": "aaaa aaaa aaaa"}])
+        out = train_bpe(ds, n_merges=2)
+        assert (out.loc[0, "left"], out.loc[0, "right"]) == ("a", "a")
+        assert out.loc[0, "pair_count"] == 9
+        assert (out.loc[1, "left"], out.loc[1, "right"]) == ("aa", "</w>")
+        assert out.loc[1, "pair_count"] == 3
+
+    def test_early_stop_and_empty(self, ray_session):
+        from marginaliasearch_ray.stages.tokenizer import train_bpe
+
+        # every pair unique -> best count 1 < min_pair_count -> no merges
+        ds = _docs([{"doc_id": 0, "text": "ab cd"}])
+        out = train_bpe(ds, n_merges=5)
+        assert len(out) == 0
+        assert list(out.columns) == ["merge_ord", "left", "right", "pair_count"]
+        out2 = train_bpe(_docs([{"doc_id": 0, "text": ""}]), n_merges=3)
+        assert len(out2) == 0
+
+
+class TestBpeEncode:
+    def test_counts_match_sequential_encode(self, ray_session):
+        from marginaliasearch_ray.stages.tokenizer import (
+            bpe_token_counts,
+            train_bpe,
+        )
+
+        rng = np.random.RandomState(5)
+        words = ["lower", "lowest", "newer", "newest", "low"]
+        texts = [
+            " ".join(rng.choice(words, size=rng.randint(0, 10)))
+            for _ in range(120)
+        ]
+        df = pd.DataFrame({"doc_id": np.arange(120), "text": texts})
+        ds = rd.from_pandas(df).repartition(5)
+        merges = train_bpe(ds, n_merges=8)
+        out = (
+            bpe_token_counts(ds, merges, concurrency=2)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        # sequential encode: apply merges in order per word
+        def enc(w):
+            s = list(w) + ["</w>"]
+            for l, r in zip(merges["left"], merges["right"]):
+                ns, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                        ns.append(l + r)
+                        i += 2
+                    else:
+                        ns.append(s[i])
+                        i += 1
+                s = ns
+            return len(s)
+
+        want = [
+            sum(enc(w) for w in t.split(" ") if w) for t in texts
+        ]
+        assert out["n_bpe_tokens"].tolist() == want
+        # empty docs count zero
+        assert all(
+            n == 0 for n, t in zip(out["n_bpe_tokens"], texts) if t == ""
+        )
+
+
 class TestBm25Topk:
     def test_known_corpus_scoring(self, ray_session):
         from marginaliasearch_ray.stages.index import bm25_topk
