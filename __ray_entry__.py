@@ -295,6 +295,36 @@ def _domain_cocitation(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _domain_similarity(sf_dir: str) -> pd.DataFrame:
+    """Adjacent-domain cosine similarity over link vectors (the
+    reference's "similar domains" feature) — stages/graph.py
+    cocitation_cosine: co-citation counts as the dot product,
+    kept-target out-degrees as the norms, one IEEE-exact double
+    expression for the cosine."""
+    from marginaliasearch_ray.stages.graph import cocitation_cosine
+
+    import ray.data as rd
+
+    from marginaliasearch_ray.fixtures.cache import fixture_dir_for
+
+    fix = fixture_dir_for(sf_dir)
+    links = rd.read_parquet(f"{fix}/links.parquet")
+
+    def narrow(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src": b["src_url"].str.extract(r"://([^/:]+)", expand=False),
+                "dst": b["dst_url"].to_numpy(),
+            }
+        )
+
+    return cocitation_cosine(
+        links.map_batches(narrow, batch_format="pandas"),
+        min_common=2,
+        max_fanin=200,
+    )
+
+
 def _domain_bfs_hops(sf_dir: str) -> pd.DataFrame:
     """Multi-source BFS link depth over the domain graph — the crawl
     prioritization's link-depth signal as a standalone operator
@@ -1604,6 +1634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_personalized": _pagerank_personalized,
         "domain_bfs_hops": _domain_bfs_hops,
         "domain_cocitation": _domain_cocitation,
+        "domain_similarity": _domain_similarity,
         "hits_domains": _hits_domains,
         "url_canonicalize": _url_canonicalize,
         "recrawl_decisions": _recrawl_decisions,
@@ -3552,6 +3583,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT domain_a, domain_b,
                    CAST(count(*) AS BIGINT) AS n_common
             FROM p GROUP BY 1, 2 HAVING count(*) >= 3
+            ORDER BY 1, 2
+        """,
+        # adjacent-domain cosine spec (stages/graph.py cocitation_cosine):
+        # distinct edges, fan-in > 200 targets excluded, pairs a < b with
+        # n_common >= 2; degrees count ALL kept targets (incl. fan-in 1);
+        # cosine = n / sqrt(deg_a * deg_b) as one double expression.
+        "domain_similarity": f"""
+            WITH e AS (
+                SELECT DISTINCT
+                       regexp_extract(src_url, '://([^/:]+)', 1) AS src,
+                       dst_url AS dst
+                FROM read_parquet('{fix}/links.parquet')
+            ),
+            fan AS (SELECT dst, count(*) AS f FROM e GROUP BY dst),
+            kept AS (
+                SELECT e.* FROM e JOIN fan USING (dst) WHERE fan.f <= 200
+            ),
+            deg AS (
+                SELECT src, CAST(count(*) AS BIGINT) AS deg
+                FROM kept GROUP BY src
+            ),
+            p AS (
+                SELECT a.src AS domain_a, b.src AS domain_b
+                FROM kept a JOIN kept b
+                  ON a.dst = b.dst AND a.src < b.src
+            ),
+            c AS (
+                SELECT domain_a, domain_b,
+                       CAST(count(*) AS BIGINT) AS n_common
+                FROM p GROUP BY 1, 2 HAVING count(*) >= 2
+            )
+            SELECT c.domain_a, c.domain_b, c.n_common,
+                   da.deg AS deg_a, db.deg AS deg_b,
+                   CAST(c.n_common AS DOUBLE)
+                       / sqrt(CAST(da.deg AS DOUBLE)
+                              * CAST(db.deg AS DOUBLE)) AS cosine
+            FROM c
+            JOIN deg da ON da.src = c.domain_a
+            JOIN deg db ON db.src = c.domain_b
             ORDER BY 1, 2
         """,
         # BFS link-depth spec (stages/graph.py bfs_hops): shortest hop

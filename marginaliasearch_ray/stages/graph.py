@@ -324,3 +324,96 @@ def cocitation_pairs(
          "n_common": out["n_common"].astype("int64").to_numpy()}
     )
     return res.sort_values(["domain_a", "domain_b"]).reset_index(drop=True)
+
+
+def cocitation_cosine(
+    edges: rd.Dataset,
+    min_common: int = 2,
+    max_fanin: int = 200,
+    col_src: str = "src",
+    col_dst: str = "dst",
+    n_buckets: int = 64,
+) -> pd.DataFrame:
+    """Link-vector cosine similarity between source domains -> df(
+    domain_a, domain_b, n_common, deg_a, deg_b, cosine) — the
+    reference's "adjacent domains" signal (MarginaliaSearch computes
+    similar domains as cosine similarity over domain link vectors;
+    co-citation counts are the dot product, out-degrees the norms).
+
+    Spec shared with ``cocitation_pairs``: distinct (src, dst) edges,
+    targets with fan-in > ``max_fanin`` excluded entirely, unordered
+    pairs a < b with ``n_common >= min_common``.  Degrees count ALL
+    kept targets of a source (including fan-in-1 targets, which can
+    never produce a pair but do scale the norm) — so
+    cosine = n_common / sqrt(deg_a * deg_b), computed as one double
+    expression mirrored in the SQL oracle (sqrt/div are IEEE
+    correctly-rounded, so the value is bit-identical).
+
+    Scale shape: the pair side is ``cocitation_pairs`` (two narrow
+    bucket shuffles); the degree side is one dst-bucket pass (fan-in
+    test exact per bucket) collapsing to per-bucket (src, cnt)
+    partials, combined result-sized.  Both driver-side frames are
+    output-sized (pairs + #domains), never edge-sized."""
+    pairs = cocitation_pairs(
+        edges, min_common=min_common, max_fanin=max_fanin,
+        col_src=col_src, col_dst=col_dst, n_buckets=n_buckets,
+    )
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        p = b[[col_src, col_dst]].dropna().drop_duplicates()
+        out = pd.DataFrame(
+            {"src": p[col_src].to_numpy(), "dst": p[col_dst].to_numpy()}
+        )
+        out["_b"] = (
+            pd.util.hash_pandas_object(
+                out["dst"], index=False, hash_key="0" * 16
+            ).to_numpy()
+            % n_buckets
+        ).astype(np.int64)
+        return out
+
+    def deg_partial(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["src", "dst"]].drop_duplicates()
+        fan = g.groupby("dst", sort=False)["src"].transform("size")
+        g = g[fan.to_numpy() <= max_fanin]
+        vc = g.groupby("src", sort=False, as_index=False).size()
+        return pd.DataFrame(
+            {"src": vc["src"].to_numpy().astype(object),
+             "deg": vc["size"].to_numpy().astype(np.int64)}
+        )
+
+    deg = (
+        edges.map_batches(tag, batch_format="pandas")
+        .groupby("_b")
+        .map_groups(deg_partial, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(pairs):
+        return pd.DataFrame(
+            {"domain_a": pd.Series([], dtype=object),
+             "domain_b": pd.Series([], dtype=object),
+             "n_common": pd.Series([], dtype="int64"),
+             "deg_a": pd.Series([], dtype="int64"),
+             "deg_b": pd.Series([], dtype="int64"),
+             "cosine": pd.Series([], dtype="float64")}
+        )
+    # a src's rows can span dst-buckets: combine the per-bucket partials
+    deg = deg.groupby("src", sort=False, as_index=False)["deg"].sum()
+    dmap = dict(zip(deg["src"], deg["deg"].astype(int)))
+    da = pairs["domain_a"].map(dmap).to_numpy().astype(np.int64)
+    db = pairs["domain_b"].map(dmap).to_numpy().astype(np.int64)
+    n = pairs["n_common"].to_numpy().astype(np.int64)
+    out = pd.DataFrame(
+        {
+            "domain_a": pairs["domain_a"].to_numpy(),
+            "domain_b": pairs["domain_b"].to_numpy(),
+            "n_common": n,
+            "deg_a": da,
+            "deg_b": db,
+            "cosine": n.astype(np.float64)
+            / np.sqrt(da.astype(np.float64) * db.astype(np.float64)),
+        }
+    )
+    for c in ("n_common", "deg_a", "deg_b"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["domain_a", "domain_b"]).reset_index(drop=True)

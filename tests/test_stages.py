@@ -1188,6 +1188,48 @@ class TestFunnelDepth:
         pd.testing.assert_frame_equal(got, ref)
 
 
+class TestCocitationCosine:
+    def test_degrees_include_fanin1_targets(self, ray_session):
+        from marginaliasearch_ray.stages.graph import cocitation_cosine
+
+        rows = [
+            {"src": "a", "dst": "t1"}, {"src": "b", "dst": "t1"},
+            {"src": "a", "dst": "t2"}, {"src": "b", "dst": "t2"},
+            # a's private target: never pairs, but scales a's norm
+            {"src": "a", "dst": "t3"},
+            # hub excluded from BOTH pairs and degrees
+            {"src": "a", "dst": "hub"}, {"src": "b", "dst": "hub"},
+            {"src": "c", "dst": "hub"}, {"src": "d", "dst": "hub"},
+        ]
+        out = cocitation_cosine(
+            _docs(rows).repartition(3), min_common=2, max_fanin=3,
+            n_buckets=8,
+        )
+        assert len(out) == 1
+        r = out.iloc[0]
+        assert (r["domain_a"], r["domain_b"], r["n_common"]) == ("a", "b", 2)
+        assert (r["deg_a"], r["deg_b"]) == (3, 2)  # a counts t3
+        assert r["cosine"] == 2.0 / np.sqrt(3.0 * 2.0)
+
+    def test_layout_invariant(self, ray_session):
+        from marginaliasearch_ray.stages.graph import cocitation_cosine
+
+        rng = np.random.RandomState(13)
+        rows = [
+            {"src": f"s{rng.randint(10)}", "dst": f"t{rng.randint(30)}"}
+            for _ in range(400)
+        ]
+        a = cocitation_cosine(
+            _docs(rows).repartition(1), min_common=2, max_fanin=8,
+            n_buckets=4,
+        )
+        b = cocitation_cosine(
+            _docs(list(reversed(rows))).repartition(7), min_common=2,
+            max_fanin=8, n_buckets=16,
+        )
+        pd.testing.assert_frame_equal(a, b)
+
+
 class TestCocitationPairs:
     def test_known_graph_and_hub_exclusion(self, ray_session):
         from marginaliasearch_ray.stages.graph import cocitation_pairs
