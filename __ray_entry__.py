@@ -1554,6 +1554,18 @@ def _bpe_merges(sf_dir: str) -> pd.DataFrame:
     return train_bpe(ds, n_merges=40)
 
 
+def _kmeans_clusters(sf_dir: str) -> pd.DataFrame:
+    """Full-corpus distributed Lloyd k-means (stages/cluster.py
+    kmeans_fit — vec-partition actors, integer-quantized exact sums,
+    fixed-order distance kernel) vs the sequential one-array replica.
+    The hash check is EXACT on the double centroids: quantization makes
+    sums order-free and the reduction order depends only on d."""
+    from marginaliasearch_ray.stages.cluster import kmeans_table
+
+    emb = _read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return kmeans_table(emb, k=16, iters=10)
+
+
 def _bpe_encoded(sf_dir: str) -> pd.DataFrame:
     """Train-then-APPLY: encode every doc with the learned 40-merge
     table and count its BPE tokens — stages/tokenizer.py
@@ -1724,6 +1736,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pairs": _bpe_pairs,
         "bpe_merges": _bpe_merges,
         "bpe_encoded": _bpe_encoded,
+        "kmeans_clusters": _kmeans_clusters,
         "doc_sample_weighted": _doc_sample_weighted,
         "dsir_select": _dsir_select,
         "semdedup_keep": _semdedup_keep,
@@ -3266,6 +3279,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_bpe_tokens
             FROM read_parquet('{exp}/expected_bpe_tokens.parquet')
             ORDER BY doc_id
+        """,
+        "kmeans_clusters": f"""
+            SELECT cluster_id, dim, centroid, n_members
+            FROM read_parquet('{exp}/expected_kmeans.parquet')
+            ORDER BY cluster_id, dim
         """,
         # BPE merge-candidate spec (stages/textstats.py pair_counts):
         # consecutive non-empty whitespace tokens within a doc, exact

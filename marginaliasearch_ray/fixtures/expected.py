@@ -41,7 +41,7 @@ from .cache import FIXTURE_VERSION, config_for, fixture_dir_for
 
 EXPECTED_ROOT = "/tmp/graft_expected"
 # bump when ORACLE LOGIC changes without a fixture-generator change
-EXPECTED_VERSION = 14
+EXPECTED_VERSION = 15
 
 
 def expected_dir_for(sf_dir: str) -> str:
@@ -60,6 +60,7 @@ def expected_dir_for(sf_dir: str) -> str:
         _build_sketch_expected(sf_dir, out)
         _build_sideload_expected(sf_dir, out)
         _build_bpe_expected(sf_dir, out)
+        _build_kmeans_expected(sf_dir, out)
         done.touch()
     return str(out)
 
@@ -968,4 +969,46 @@ def _build_bpe_expected(sf_dir: str, out: Path, n_merges: int = 40) -> None:
             }
         ),
         out / "expected_bpe_tokens.parquet",
+    )
+
+
+def _build_kmeans_expected(sf_dir: str, out: Path, k: int = 16, iters: int = 10) -> None:
+    """Sequential full-corpus Lloyd k-means replica (one numpy array, no
+    shards) for stages/cluster.py kmeans_fit.  Exactness does NOT rely
+    on matching the distributed summation order: vectors are quantized
+    to exact integers (sums order-free in float64 below 2^53) and the
+    distance kernel reduces over the fixed-length dim axis, so any
+    conforming implementation produces identical bits."""
+    emb_path = Path(sf_dir) / "embeddings.parquet"
+    if not emb_path.exists():
+        return
+    tbl = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    ids = tbl["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = np.asarray(tbl["embedding"].combine_chunks().flatten(), dtype=np.float64)
+    X = np.floor(flat.reshape(tbl.num_rows, -1) * 1048576.0 + 0.5)
+    order = np.argsort(ids, kind="stable")[:k]
+    cent = X[order].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)
+        sums = np.zeros_like(cent)
+        np.add.at(sums, assign, X)
+        counts = np.bincount(assign, minlength=len(cent))
+        new = cent.copy()
+        nz = counts > 0
+        new[nz] = sums[nz] / counts[nz, None]
+        cent = new
+    d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    counts = np.bincount(np.argmin(d2, axis=1), minlength=len(cent)).astype(np.int64)
+    kk, d = cent.shape
+    pq.write_table(
+        pa.table(
+            {
+                "cluster_id": pa.array(np.repeat(np.arange(kk), d), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(d), kk), pa.int64()),
+                "centroid": pa.array(cent.reshape(-1), pa.float64()),
+                "n_members": pa.array(np.repeat(counts, d), pa.int64()),
+            }
+        ),
+        out / "expected_kmeans.parquet",
     )

@@ -1385,6 +1385,52 @@ class TestSearchTopk:
         pd.testing.assert_frame_equal(a, b)
 
 
+class TestKmeansFit:
+    def test_bit_identical_across_layouts(self, ray_session):
+        from marginaliasearch_ray.stages.cluster import kmeans_table
+
+        rng = np.random.RandomState(21)
+        n, d = 200, 8
+        df = pd.DataFrame(
+            {
+                "vec_id": np.arange(n, dtype=np.int64),
+                "embedding": list(
+                    rng.randn(n, d).astype(np.float32)
+                ),
+            }
+        )
+        a = kmeans_table(rd.from_pandas(df).repartition(1), k=5, iters=6)
+        b = kmeans_table(
+            rd.from_pandas(df.sample(frac=1, random_state=3)).repartition(9),
+            k=5, iters=6,
+        )
+        # EXACT equality, no tolerance: quantized sums are order-free
+        # and the distance kernel's reduction order depends only on d
+        pd.testing.assert_frame_equal(a, b, check_exact=True)
+
+    def test_separated_clusters_recovered(self, ray_session):
+        from marginaliasearch_ray.stages.cluster import kmeans_fit
+
+        rng = np.random.RandomState(2)
+        c0 = rng.randn(50, 4) * 0.01 + np.array([10, 0, 0, 0])
+        c1 = rng.randn(50, 4) * 0.01 + np.array([-10, 0, 0, 0])
+        df = pd.DataFrame(
+            {
+                "vec_id": np.arange(100, dtype=np.int64),
+                "embedding": list(
+                    np.vstack([c0, c1]).astype(np.float32)
+                ),
+            }
+        )
+        cent, counts = kmeans_fit(
+            rd.from_pandas(df).repartition(4), k=2, iters=8
+        )
+        assert sorted(counts.tolist()) == [50, 50]
+        # centroids are in quantized units (x 2^20)
+        xs = sorted(cent[:, 0] / 1048576.0)
+        assert abs(xs[0] + 10) < 0.1 and abs(xs[1] - 10) < 0.1
+
+
 class TestTrainBpe:
     def _sequential(self, texts, n_merges=10, min_pair_count=2):
         # independent of fixtures/expected.py: straight Sennrich loop
