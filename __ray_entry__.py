@@ -1554,6 +1554,28 @@ def _bpe_merges(sf_dir: str) -> pd.DataFrame:
     return train_bpe(ds, n_merges=40)
 
 
+def _search_diverse(sf_dir: str) -> pd.DataFrame:
+    """Diversified search (at most 2 results per source) — the
+    reference query service's per-domain result cap, stages/index.py
+    search_diverse; per-source partial top-m per batch, result-sized
+    merge, window-function oracle."""
+    from marginaliasearch_ray.stages.index import search_diverse
+
+    ds = _read_table(sf_dir, "documents", ["doc_id", "text", "source"])
+    return search_diverse(ds, _SEARCH_TERMS, k=10, max_per_source=2)
+
+
+def _kmeans_outliers(sf_dir: str) -> pd.DataFrame:
+    """Distance-to-centroid outlier detection (top-20 farthest vectors
+    under the final k-means centroids) — stages/cluster.py
+    kmeans_outliers vs the sequential replica; dist2 doubles are
+    bit-exact (fixed-order kernel over quantized ints)."""
+    from marginaliasearch_ray.stages.cluster import kmeans_outliers
+
+    emb = _read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return kmeans_outliers(emb, k=16, iters=10, top_n=20)
+
+
 def _kmeans_clusters(sf_dir: str) -> pd.DataFrame:
     """Full-corpus distributed Lloyd k-means (stages/cluster.py
     kmeans_fit — vec-partition actors, integer-quantized exact sums,
@@ -1737,6 +1759,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": _bpe_merges,
         "bpe_encoded": _bpe_encoded,
         "kmeans_clusters": _kmeans_clusters,
+        "kmeans_outliers": _kmeans_outliers,
+        "search_diverse": _search_diverse,
         "doc_sample_weighted": _doc_sample_weighted,
         "dsir_select": _dsir_select,
         "semdedup_keep": _semdedup_keep,
@@ -3284,6 +3308,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT cluster_id, dim, centroid, n_members
             FROM read_parquet('{exp}/expected_kmeans.parquet')
             ORDER BY cluster_id, dim
+        """,
+        "kmeans_outliers": f"""
+            SELECT vec_id, cluster_id, dist2, rank
+            FROM read_parquet('{exp}/expected_kmeans_outliers.parquet')
+            ORDER BY rank
+        """,
+        # diversified search spec (stages/index.py search_diverse): the
+        # search_docs scoring chain + a per-source row_number cap of 2
+        # before the global top-10.
+        "search_diverse": """
+            WITH toks AS (
+                SELECT doc_id, source,
+                       list_filter(string_split(coalesce(text, ''), ' '),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
+            q AS (SELECT unnest(['hash', 'join', 'merge']) AS term),
+            m AS (
+                SELECT t.doc_id, t.source, q.term,
+                       CAST(len(list_filter(t.toks, x -> x = q.term))
+                            AS BIGINT) AS tf
+                FROM toks t, q
+                WHERE list_contains(t.toks, q.term)
+            ),
+            df AS (
+                SELECT term, CAST(count(*) AS BIGINT) AS df
+                FROM m GROUP BY term
+            ),
+            idf AS (
+                SELECT term,
+                       CAST(floor(ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE))
+                                  * 1048576.0 + 0.5) AS BIGINT) AS idf_q
+                FROM df, nn
+            ),
+            s AS (
+                SELECT m.doc_id, any_value(m.source) AS source,
+                       CAST(sum(m.tf * i.idf_q) AS BIGINT) AS score_q
+                FROM m JOIN idf i USING (term) GROUP BY m.doc_id
+            ),
+            w AS (
+                SELECT doc_id, source, score_q,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY score_q DESC, doc_id
+                       ) AS src_rank
+                FROM s
+            )
+            SELECT doc_id, source, score_q,
+                   row_number() OVER (ORDER BY score_q DESC, doc_id) AS rank
+            FROM w WHERE src_rank <= 2
+            ORDER BY score_q DESC, doc_id LIMIT 10
         """,
         # BPE merge-candidate spec (stages/textstats.py pair_counts):
         # consecutive non-empty whitespace tokens within a doc, exact

@@ -209,6 +209,12 @@ def run_bench() -> dict:
         "search_docs",
         "phrase_search",
         "web_training_mix",
+        "bm25_docs",
+        "bpe_merges",
+        "kmeans_clusters",
+        "domain_similarity",
+        "search_diverse",
+        "kmeans_outliers",
     ):
         t0 = time.perf_counter()
         qs[name](SF_DIR)

@@ -41,7 +41,7 @@ from .cache import FIXTURE_VERSION, config_for, fixture_dir_for
 
 EXPECTED_ROOT = "/tmp/graft_expected"
 # bump when ORACLE LOGIC changes without a fixture-generator change
-EXPECTED_VERSION = 15
+EXPECTED_VERSION = 16
 
 
 def expected_dir_for(sf_dir: str) -> str:
@@ -999,7 +999,8 @@ def _build_kmeans_expected(sf_dir: str, out: Path, k: int = 16, iters: int = 10)
         new[nz] = sums[nz] / counts[nz, None]
         cent = new
     d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-    counts = np.bincount(np.argmin(d2, axis=1), minlength=len(cent)).astype(np.int64)
+    assign = np.argmin(d2, axis=1)
+    counts = np.bincount(assign, minlength=len(cent)).astype(np.int64)
     kk, d = cent.shape
     pq.write_table(
         pa.table(
@@ -1011,4 +1012,19 @@ def _build_kmeans_expected(sf_dir: str, out: Path, k: int = 16, iters: int = 10)
             }
         ),
         out / "expected_kmeans.parquet",
+    )
+    # outlier side: top-20 farthest from their nearest final centroid,
+    # ties by vec_id (stages/cluster.py kmeans_outliers)
+    best_d2 = d2[np.arange(len(X)), assign]
+    order = np.lexsort((ids, -best_d2))[:20]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids[order], pa.int64()),
+                "cluster_id": pa.array(assign[order].astype(np.int64), pa.int64()),
+                "dist2": pa.array(best_d2[order], pa.float64()),
+                "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+            }
+        ),
+        out / "expected_kmeans_outliers.parquet",
     )

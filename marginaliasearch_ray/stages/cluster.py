@@ -103,6 +103,27 @@ class _VecShard:
             _assign_chunked(self.X, cent), minlength=len(cent)
         ).astype(np.int64)
 
+    def outliers(
+        self, cent: np.ndarray, top_n: int
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """This shard's top_n rows farthest from their nearest centroid
+        -> (ids, cluster, dist2).  Same fixed-order distance kernel, so
+        dist2 doubles are bit-identical to the sequential replica."""
+        if not len(self.ids):
+            z = np.zeros(0)
+            return self.ids, np.zeros(0, dtype=np.int64), z
+        best_d2 = np.empty(len(self.X))
+        best_j = np.empty(len(self.X), dtype=np.int64)
+        for s in range(0, len(self.X), _CHUNK):
+            blk = self.X[s : s + _CHUNK]
+            d2 = ((blk[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            best_j[s : s + _CHUNK] = np.argmin(d2, axis=1)
+            best_d2[s : s + _CHUNK] = d2[
+                np.arange(len(blk)), best_j[s : s + _CHUNK]
+            ]
+        order = np.lexsort((self.ids, -best_d2))[:top_n]
+        return self.ids[order], best_j[order], best_d2[order]
+
 
 def kmeans_fit(
     emb: rd.Dataset,
@@ -114,6 +135,22 @@ def kmeans_fit(
     """-> (centroids (k, d) float64 in QUANTIZED units, member counts
     (k,) int64 under the final centroids).  Deterministic for any block
     layout / shard count (see module docstring)."""
+    actors = _spawn_shards(emb, id_col, vec_col)
+    try:
+        cent = _fit(actors, k, iters)
+        if cent is None:
+            return np.zeros((0, 0)), np.zeros(0, dtype=np.int64)
+        cent_ref = ray.put(cent)
+        counts = np.sum(
+            ray.get([a.counts_only.remote(cent_ref) for a in actors]), axis=0
+        ).astype(np.int64)
+        return cent, counts
+    finally:
+        for a in actors:
+            ray.kill(a)
+
+
+def _spawn_shards(emb: rd.Dataset, id_col: str, vec_col: str) -> list:
     narrow = emb.select_columns([id_col, vec_col]).materialize()
     block_refs = narrow.to_arrow_refs()
     n_cpus = max(4, int(ray.cluster_resources().get("CPU", 8)))
@@ -121,29 +158,73 @@ def kmeans_fit(
     groups: list[list] = [[] for _ in range(n_actors)]
     for i, ref in enumerate(block_refs):
         groups[i % n_actors].append(ref)
-    actors = [_VecShard.remote(g, id_col, vec_col) for g in groups]
-    try:
-        heads = ray.get([a.head_rows.remote(k) for a in actors])
-        all_ids = np.concatenate([h[0] for h in heads if len(h[0])])
-        all_rows = np.vstack([h[1] for h in heads if len(h[0])])
-        order = np.argsort(all_ids, kind="stable")[:k]
-        cent = all_rows[order].copy()
-        if not len(cent):
-            return np.zeros((0, 0)), np.zeros(0, dtype=np.int64)
-        for _ in range(iters):
-            cent_ref = ray.put(cent)
-            parts = ray.get([a.partial.remote(cent_ref) for a in actors])
-            sums = np.sum([p[0] for p in parts], axis=0)
-            counts = np.sum([p[1] for p in parts], axis=0)
-            new = cent.copy()
-            nz = counts > 0
-            new[nz] = sums[nz] / counts[nz, None]
-            cent = new
+    return [_VecShard.remote(g, id_col, vec_col) for g in groups]
+
+
+def _fit(actors: list, k: int, iters: int) -> np.ndarray | None:
+    heads = ray.get([a.head_rows.remote(k) for a in actors])
+    nonempty = [h for h in heads if len(h[0])]
+    if not nonempty:
+        return None
+    all_ids = np.concatenate([h[0] for h in nonempty])
+    all_rows = np.vstack([h[1] for h in nonempty])
+    order = np.argsort(all_ids, kind="stable")[:k]
+    cent = all_rows[order].copy()
+    for _ in range(iters):
         cent_ref = ray.put(cent)
-        counts = np.sum(
-            ray.get([a.counts_only.remote(cent_ref) for a in actors]), axis=0
-        ).astype(np.int64)
-        return cent, counts
+        parts = ray.get([a.partial.remote(cent_ref) for a in actors])
+        sums = np.sum([p[0] for p in parts], axis=0)
+        counts = np.sum([p[1] for p in parts], axis=0)
+        new = cent.copy()
+        nz = counts > 0
+        new[nz] = sums[nz] / counts[nz, None]
+        cent = new
+    return cent
+
+
+def kmeans_outliers(
+    emb: rd.Dataset,
+    k: int = 16,
+    iters: int = 10,
+    top_n: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Distance-to-centroid outlier detection -> df(vec_id, cluster_id,
+    dist2, rank): the ``top_n`` vectors farthest from their nearest
+    final centroid — the curation gate that drops semantically
+    out-of-distribution documents (the far-tail complement of
+    SemDeDup's near-duplicate pruning).  Deterministic: dist2 doubles
+    are bit-identical at any shard count (fixed-order kernel over
+    quantized ints), ties break by vec_id; each shard contributes at
+    most top_n candidate rows to the driver merge."""
+    actors = _spawn_shards(emb, id_col, vec_col)
+    try:
+        cent = _fit(actors, k, iters)
+        if cent is None:
+            return pd.DataFrame(
+                {"vec_id": pd.Series([], dtype="int64"),
+                 "cluster_id": pd.Series([], dtype="int64"),
+                 "dist2": pd.Series([], dtype="float64"),
+                 "rank": pd.Series([], dtype="int64")}
+            )
+        cent_ref = ray.put(cent)
+        parts = ray.get([a.outliers.remote(cent_ref, top_n) for a in actors])
+        ids = np.concatenate([p[0] for p in parts])
+        cl = np.concatenate([p[1] for p in parts])
+        d2 = np.concatenate([p[2] for p in parts])
+        order = np.lexsort((ids, -d2))[:top_n]
+        out = pd.DataFrame(
+            {
+                "vec_id": ids[order].astype(np.int64),
+                "cluster_id": cl[order].astype(np.int64),
+                "dist2": d2[order],
+                "rank": np.arange(1, len(order) + 1, dtype=np.int64),
+            }
+        )
+        for c in ("vec_id", "cluster_id", "rank"):
+            out[c] = out[c].astype("int64")
+        return out
     finally:
         for a in actors:
             ray.kill(a)

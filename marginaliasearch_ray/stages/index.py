@@ -97,36 +97,16 @@ def inverted_postings(
     )
 
 
-def search_topk(
+def _tfidf_idf(
     ds: rd.Dataset,
-    terms: tuple[str, ...] | list[str],
-    k: int = 10,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> pd.DataFrame:
-    """Distributed keyword search -> df(doc_id, score_q, rank): the query
-    side of the index story (crawl -> convert -> index -> QUERY).  TF-IDF
-    scoring with an INTEGER-QUANTIZED idf so the per-doc score is an
-    exact int64 sum — order of summation cannot produce float drift, and
-    the SQL oracle recomputes it bit-for-bit:
-
-    - df(term) = docs containing the term (exact, distributed partials);
-    - idf_q = floor(ln(N / df) * 2^20 + 0.5)  (CPython ``math.log`` ==
-      DuckDB ``ln``, glibc parity pinned by the unigram-LM oracle);
-    - score_q = sum over matched query terms of tf * idf_q;
-    - top-k by (score_q DESC, doc_id) — ties exact.
-
-    Scale shape: pass 1 collapses to |terms| df rows per block (tiny
-    combine); pass 2 broadcasts the |terms|-sized idf map in the closure
-    and emits per-batch partial top-k — only candidate rows move, never
-    text.  Against a PREBUILT bucket-partitioned index
-    (``inverted_postings`` output written with block == bucket
-    alignment) the same scoring runs over just the query terms' buckets
-    — partition pruning replaces pass 2's corpus scan."""
+    terms: list[str],
+    term_arr: np.ndarray,
+    text_col: str,
+) -> tuple[dict, int]:
+    """Pass 1 of the TF-IDF search family: exact distributed df per
+    query term + corpus doc count -> (idf_q map, n_docs) with
+    idf_q = floor(ln(N / df) * 2^20 + 0.5) (ln parity with DuckDB)."""
     import math
-
-    terms = sorted(set(terms))
-    term_arr = np.array(terms, dtype=object)
 
     def df_partial(b: pd.DataFrame) -> pd.DataFrame:
         b = b.reset_index(drop=True)
@@ -170,6 +150,38 @@ def search_topk(
         for t in terms
         if dfs.get(t, 0) > 0
     }
+    return idf_q, n_docs
+
+
+def search_topk(
+    ds: rd.Dataset,
+    terms: tuple[str, ...] | list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """Distributed keyword search -> df(doc_id, score_q, rank): the query
+    side of the index story (crawl -> convert -> index -> QUERY).  TF-IDF
+    scoring with an INTEGER-QUANTIZED idf so the per-doc score is an
+    exact int64 sum — order of summation cannot produce float drift, and
+    the SQL oracle recomputes it bit-for-bit:
+
+    - df(term) = docs containing the term (exact, distributed partials);
+    - idf_q = floor(ln(N / df) * 2^20 + 0.5)  (CPython ``math.log`` ==
+      DuckDB ``ln``, glibc parity pinned by the unigram-LM oracle);
+    - score_q = sum over matched query terms of tf * idf_q;
+    - top-k by (score_q DESC, doc_id) — ties exact.
+
+    Scale shape: pass 1 collapses to |terms| df rows per block (tiny
+    combine); pass 2 broadcasts the |terms|-sized idf map in the closure
+    and emits per-batch partial top-k — only candidate rows move, never
+    text.  Against a PREBUILT bucket-partitioned index
+    (``inverted_postings`` output written with block == bucket
+    alignment) the same scoring runs over just the query terms' buckets
+    — partition pruning replaces pass 2's corpus scan."""
+    terms = sorted(set(terms))
+    term_arr = np.array(terms, dtype=object)
+    idf_q, _ = _tfidf_idf(ds, terms, term_arr, text_col)
     if not idf_q:
         return pd.DataFrame(
             {"doc_id": pd.Series([], dtype="int64"),
@@ -466,3 +478,94 @@ def phrase_search(
     for c in ("n_occurrences", "rank"):
         out[c] = out[c].astype("int64")
     return out
+
+
+def search_diverse(
+    ds: rd.Dataset,
+    terms: tuple[str, ...] | list[str],
+    k: int = 10,
+    max_per_source: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> pd.DataFrame:
+    """Diversified keyword search -> df(doc_id, source, score_q, rank):
+    TF-IDF ranking with at most ``max_per_source`` results per source —
+    the reference query service's result diversification (Marginalia
+    caps results per domain before assembling the final page, so one
+    mega-site cannot fill the results).
+
+    Spec (the SQL oracle's window form): rank every matching doc by
+    (score_q DESC, doc_id); keep a doc iff fewer than ``max_per_source``
+    higher-ranked docs share its source (``row_number() OVER (PARTITION
+    BY source ORDER BY score_q DESC, doc_id) <= m``); top-k of the kept.
+
+    Scale shape: a doc in the GLOBAL per-source top-m is necessarily in
+    its batch's per-source top-m, so each batch emits at most m rows per
+    source it contains; the result-sized merge recomputes the exact
+    per-source ranks and finishes.  Scores are the ``search_topk``
+    integer-quantized idf sums (order-free, bit-exact in DuckDB)."""
+    terms = sorted(set(terms))
+    term_arr = np.array(terms, dtype=object)
+    idf_q, _ = _tfidf_idf(ds, terms, term_arr, text_col)
+    empty = pd.DataFrame(
+        {id_col: pd.Series([], dtype="int64"),
+         source_col: pd.Series([], dtype=object),
+         "score_q": pd.Series([], dtype="int64"),
+         "rank": pd.Series([], dtype="int64")}
+    )
+    if not idf_q:
+        return empty
+
+    def score_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.reset_index(drop=True)
+        ex = b[text_col].fillna("").str.split(" ").explode()
+        d = pd.DataFrame(
+            {"i": ex.index.to_numpy(), "w": ex.to_numpy().astype(object)}
+        )
+        d = d[np.isin(d["w"].to_numpy(), term_arr)]
+        if not len(d):
+            return pd.DataFrame(
+                {id_col: pd.Series([], dtype=np.int64),
+                 source_col: pd.Series([], dtype=object),
+                 "score_q": pd.Series([], dtype=np.int64)}
+            )
+        tf = d.groupby(["i", "w"], as_index=False).size()
+        tf["pts"] = tf["size"].to_numpy().astype(np.int64) * np.array(
+            [idf_q.get(w, 0) for w in tf["w"]], dtype=np.int64
+        )
+        sc = tf.groupby("i", as_index=False)["pts"].sum()
+        out = pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy()[sc["i"].to_numpy()],
+                source_col: b[source_col].to_numpy()[sc["i"].to_numpy()],
+                "score_q": sc["pts"].to_numpy().astype(np.int64),
+            }
+        )
+        out = out.sort_values(
+            ["score_q", id_col], ascending=[False, True], kind="mergesort"
+        )
+        return out.groupby(source_col, sort=False).head(max_per_source)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return b
+        b = b.sort_values(
+            ["score_q", id_col], ascending=[False, True], kind="mergesort"
+        )
+        keep = b.groupby(source_col, sort=False).cumcount() < max_per_source
+        return b[keep.to_numpy()].head(k)
+
+    cand = (
+        ds.map_batches(score_partial, batch_format="pandas")
+        .repartition(1)
+        .map_batches(finish, batch_format="pandas", batch_size=None)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    if not len(cand):
+        return empty
+    cand["rank"] = np.arange(1, len(cand) + 1, dtype=np.int64)
+    for c in ("score_q", "rank"):
+        cand[c] = cand[c].astype("int64")
+    return cand

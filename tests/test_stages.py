@@ -1649,6 +1649,73 @@ class TestBm25Topk:
         pd.testing.assert_frame_equal(a, b)
 
 
+class TestSearchDiverse:
+    def test_source_cap_lets_lower_scores_in(self, ray_session):
+        from marginaliasearch_ray.stages.index import search_diverse
+
+        docs = [
+            # source A dominates the raw ranking
+            {"doc_id": 0, "text": "hit hit hit", "source": "A"},
+            {"doc_id": 1, "text": "hit hit", "source": "A"},
+            {"doc_id": 2, "text": "hit hit", "source": "A"},
+            {"doc_id": 3, "text": "hit", "source": "B"},
+            {"doc_id": 4, "text": "x", "source": "B"},
+        ]
+        ds = _docs(docs).repartition(3)
+        out = search_diverse(ds, ("hit",), k=10, max_per_source=2)
+        # doc 2 (A's third) is dropped; doc 3 (B) stays
+        assert out["doc_id"].tolist() == [0, 1, 3]
+        assert out["rank"].tolist() == [1, 2, 3]
+
+    def test_layout_invariant(self, ray_session):
+        from marginaliasearch_ray.stages.index import search_diverse
+
+        rng = np.random.RandomState(17)
+        words = ["hash", "join", "merge", "pad"]
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(250),
+                "source": [f"s{rng.randint(6)}" for _ in range(250)],
+                "text": [
+                    " ".join(rng.choice(words, size=rng.randint(1, 15)))
+                    for _ in range(250)
+                ],
+            }
+        )
+        a = search_diverse(
+            rd.from_pandas(df).repartition(1), ("hash", "join"), k=10,
+            max_per_source=2,
+        )
+        b = search_diverse(
+            rd.from_pandas(df.sample(frac=1, random_state=2)).repartition(9),
+            ("hash", "join"), k=10, max_per_source=2,
+        )
+        pd.testing.assert_frame_equal(a, b)
+
+
+class TestKmeansOutliers:
+    def test_outlier_found_and_layout_invariant(self, ray_session):
+        from marginaliasearch_ray.stages.cluster import kmeans_outliers
+
+        rng = np.random.RandomState(4)
+        X = rng.randn(99, 4).astype(np.float32) * 0.1
+        X = np.vstack([X, np.array([[50, 50, 50, 50]], dtype=np.float32)])
+        df = pd.DataFrame(
+            {"vec_id": np.arange(100, dtype=np.int64), "embedding": list(X)}
+        )
+        # k=1: with k >= 2 an extreme point captures its own singleton
+        # centroid and stops being an outlier (correct Lloyd behavior)
+        a = kmeans_outliers(
+            rd.from_pandas(df).repartition(1), k=1, iters=5, top_n=5
+        )
+        b = kmeans_outliers(
+            rd.from_pandas(df.sample(frac=1, random_state=0)).repartition(7),
+            k=1, iters=5, top_n=5,
+        )
+        assert a.loc[0, "vec_id"] == 99  # the planted outlier ranks first
+        pd.testing.assert_frame_equal(a, b, check_exact=True)
+
+
 class TestPhraseSearch:
     def test_adjacency_and_boundaries(self, ray_session):
         from marginaliasearch_ray.stages.index import phrase_search
