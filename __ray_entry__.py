@@ -318,8 +318,10 @@ def _domain_similarity(sf_dir: str) -> pd.DataFrame:
             }
         )
 
+    # the narrow edge projection feeds BOTH the pair pass and the degree
+    # pass — materialize it once (same pattern as the other graph queries)
     return cocitation_cosine(
-        links.map_batches(narrow, batch_format="pandas"),
+        links.map_batches(narrow, batch_format="pandas").materialize(),
         min_common=2,
         max_fanin=200,
     )
