@@ -391,6 +391,26 @@ def _recrawl_meta(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _crawl_budget_plan(sf_dir: str) -> pd.DataFrame:
+    """Next-round crawl budgets (CrawlSpecRecord.growExistingDomain,
+    CrawlerMain.java:764-781: visited * (2.5 below 2000 else 1.25),
+    clamped to [100, 10000]) over the engine's own crawl journal —
+    pipelines/schedule.py grow_crawl_specs; the oracle recomputes the
+    formula in SQL over the sequential crawl oracle's records."""
+    from marginaliasearch_ray.fixtures.cache import FIXTURE_VERSION
+    from marginaliasearch_ray.pipelines.crawl import read_crawl_records
+    from marginaliasearch_ray.pipelines.schedule import grow_crawl_specs
+
+    _crawl_records(sf_dir)
+    out_dir = (
+        Path(tempfile.gettempdir())
+        / "graft_crawl"
+        / f"v{FIXTURE_VERSION}"
+        / Path(sf_dir).name
+    )
+    return grow_crawl_specs(read_crawl_records(str(out_dir)))
+
+
 def _crawl_domain_meta(sf_dir: str) -> pd.DataFrame:
     """Per-domain crawl metrics rollup (the reference's CrawlMeta /
     heartbeat table, DomainStateDb crawl_meta): visits, statuses, time
@@ -1678,6 +1698,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_order": _crawl_order,
         "domain_discovery": _domain_discovery,
         "crawl_domain_meta": _crawl_domain_meta,
+        "crawl_budget_plan": _crawl_budget_plan,
         "crawl_domain_state": _crawl_domain_state,
         "doc_anchor_counts": _doc_anchor_counts,
         # relational shapes (SQL-checked)
@@ -3606,6 +3627,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT domain, url, visit_ordinal, virtual_ts_ms, http_status, has_cookies
             FROM read_parquet('{exp}/expected_crawl_records.parquet')
             ORDER BY domain, visit_ordinal
+        """,
+        # growExistingDomain budget formula (CrawlerMain.java:764-781):
+        # visited * (2.5 below MID=2000 else 1.25), truncated, clamped to
+        # [100, 10000]; the product is dyadic so trunc is exact.
+        "crawl_budget_plan": f"""
+            SELECT domain, count(*)::BIGINT AS visited,
+                   CAST(least(greatest(trunc(
+                       count(*) * CASE WHEN count(*) < 2000
+                                       THEN 2.5 ELSE 1.25 END
+                   ), 100), 10000) AS BIGINT) AS crawl_depth
+            FROM read_parquet('{exp}/expected_crawl_records.parquet')
+            GROUP BY domain ORDER BY domain
         """,
         "crawl_domain_meta": f"""
             SELECT domain,

@@ -78,3 +78,51 @@ def order_timed_run(crawl_meta: rd.Dataset) -> pd.DataFrame:
     return (
         crawl_meta.sort(["last_crawl_ts_ms", "domain"]).to_pandas().reset_index(drop=True)
     )
+
+
+def grow_crawl_specs(records: rd.Dataset) -> pd.DataFrame:
+    """Next-round crawl budgets from this round's journal -> df(domain,
+    visited, crawl_depth): the distributed form of ``grow_crawl_depth``
+    (CrawlSpecRecord.growExistingDomain, CrawlerMain.java:764-781) over
+    every crawled domain at once — the planning step that feeds the next
+    BatchRun.
+
+    Scale shape: per-batch value_counts partials -> one result-sized
+    combine (#domains rows, the standard counter pattern); the journal
+    itself never moves.  The depth formula is exact on both sides:
+    visited * 2.5 / 1.25 is a dyadic product (no rounding), truncation
+    == floor for positive values, clamp in int space."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b["domain"].value_counts()
+        return pd.DataFrame(
+            {"domain": vc.index.to_numpy().astype(object),
+             "visited": vc.to_numpy().astype("int64")}
+        )
+
+    out = (
+        records.select_columns(["domain"])
+        .map_batches(partial, batch_format="pandas")
+        .repartition(1)
+        .map_batches(
+            lambda b: b.groupby("domain", as_index=False)["visited"].sum(),
+            batch_format="pandas",
+            batch_size=None,
+        )
+        .to_pandas()
+    )
+    if not len(out):
+        return pd.DataFrame(
+            {"domain": pd.Series([], dtype=object),
+             "visited": pd.Series([], dtype="int64"),
+             "crawl_depth": pd.Series([], dtype="int64")}
+        )
+    import numpy as np
+
+    v = out["visited"].to_numpy().astype("int64")
+    factor = np.where(v < MID_URLS_PER_DOMAIN, 2.5, 1.25)
+    depth = np.trunc(v.astype("float64") * factor).astype("int64")
+    out["crawl_depth"] = np.clip(depth, MIN_URLS_PER_DOMAIN, MAX_URLS_PER_DOMAIN)
+    out["visited"] = out["visited"].astype("int64")
+    out["crawl_depth"] = out["crawl_depth"].astype("int64")
+    return out.sort_values("domain").reset_index(drop=True)

@@ -22,3 +22,24 @@ def test_increase_depth_reference_math():
     st2.visited_cnt = 0
     st2.increase_depth(1.5, 2500)
     assert st2.depth == 12_500  # absolute cap binds
+
+
+def test_grow_crawl_specs_matches_scalar(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from marginaliasearch_ray.pipelines.schedule import grow_crawl_specs
+
+    # visit counts straddling every regime: min clamp, sub-mid 2.5x,
+    # above-mid 1.25x, max clamp
+    counts = {"a": 3, "b": 1000, "c": 2000, "d": 4000, "e": 9000}
+    rows = [{"domain": d} for d, n in counts.items() for _ in range(n)]
+    rng = np.random.RandomState(0)
+    df = pd.DataFrame(rows).sample(frac=1, random_state=1).reset_index(drop=True)
+    out = grow_crawl_specs(rd.from_pandas(df).repartition(7))
+    got = dict(zip(out["domain"], out["crawl_depth"]))
+    assert got == {
+        d: grow_crawl_depth(n) for d, n in counts.items()
+    }
+    assert dict(zip(out["domain"], out["visited"])) == counts
