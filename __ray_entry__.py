@@ -47,13 +47,26 @@ def _read_table(sf_dir: str, table: str, columns=None):
 # ---------------------------------------------------------------------------
 
 
+def _crawl_out_dir(sf_dir: str) -> str:
+    """Canonical cached-crawl-journal location for sf_dir (written by
+    _crawl_records, read by every journal-consuming query)."""
+    from marginaliasearch_ray.fixtures.cache import FIXTURE_VERSION
+
+    return str(
+        Path(tempfile.gettempdir())
+        / "graft_crawl"
+        / f"v{FIXTURE_VERSION}"
+        / Path(sf_dir).name
+    )
+
+
 def _crawl_records(sf_dir: str) -> pd.DataFrame:
     from marginaliasearch_ray.fixtures.cache import fixture_dir_for
     from marginaliasearch_ray.pipelines.crawl import read_crawl_records, run_crawl
 
     fix = fixture_dir_for(sf_dir)
     from marginaliasearch_ray.fixtures.cache import FIXTURE_VERSION
-    out = Path(tempfile.gettempdir()) / "graft_crawl" / f"v{FIXTURE_VERSION}" / Path(sf_dir).name
+    out = Path(_crawl_out_dir(sf_dir))
     if not (out / "_OK").exists():
         run_crawl(
             f"{fix}/pages.parquet",
@@ -264,15 +277,10 @@ def _pagerank_personalized(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["rank", "domain"], ascending=[False, True]).reset_index(drop=True)
 
 
-def _domain_cocitation(sf_dir: str) -> pd.DataFrame:
-    """Co-citation "related domains": source-domain pairs sharing >= 3
-    common link targets (mega-hub targets with fan-in > 200 excluded by
-    spec) — stages/graph.py cocitation_pairs (dst-bucket triu pass +
-    pair-bucket exact counts, two narrow shuffles)."""
-    from marginaliasearch_ray.stages.graph import cocitation_pairs
-
-    # page-level targets (dst_url), not collapsed to domains: co-citing
-    # the same PAGES is the signal
+def _link_edges(sf_dir: str):
+    """Shared (src_domain, dst_url) edge projection for the co-citation
+    family — the regex + projection here define the edge spec both SQL
+    oracles mirror; keep in one place."""
     import ray.data as rd
 
     from marginaliasearch_ray.fixtures.cache import fixture_dir_for
@@ -288,11 +296,19 @@ def _domain_cocitation(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    return cocitation_pairs(
-        links.map_batches(narrow, batch_format="pandas"),
-        min_common=3,
-        max_fanin=200,
-    )
+    return links.map_batches(narrow, batch_format="pandas")
+
+
+def _domain_cocitation(sf_dir: str) -> pd.DataFrame:
+    """Co-citation "related domains": source-domain pairs sharing >= 3
+    common link targets (mega-hub targets with fan-in > 200 excluded by
+    spec) — stages/graph.py cocitation_pairs (dst-bucket triu pass +
+    pair-bucket exact counts, two narrow shuffles)."""
+    from marginaliasearch_ray.stages.graph import cocitation_pairs
+
+    # page-level targets (dst_url), not collapsed to domains: co-citing
+    # the same PAGES is the signal
+    return cocitation_pairs(_link_edges(sf_dir), min_common=3, max_fanin=200)
 
 
 def _domain_similarity(sf_dir: str) -> pd.DataFrame:
@@ -303,27 +319,10 @@ def _domain_similarity(sf_dir: str) -> pd.DataFrame:
     expression for the cosine."""
     from marginaliasearch_ray.stages.graph import cocitation_cosine
 
-    import ray.data as rd
-
-    from marginaliasearch_ray.fixtures.cache import fixture_dir_for
-
-    fix = fixture_dir_for(sf_dir)
-    links = rd.read_parquet(f"{fix}/links.parquet")
-
-    def narrow(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "src": b["src_url"].str.extract(r"://([^/:]+)", expand=False),
-                "dst": b["dst_url"].to_numpy(),
-            }
-        )
-
     # the narrow edge projection feeds BOTH the pair pass and the degree
     # pass — materialize it once (same pattern as the other graph queries)
     return cocitation_cosine(
-        links.map_batches(narrow, batch_format="pandas").materialize(),
-        min_common=2,
-        max_fanin=200,
+        _link_edges(sf_dir).materialize(), min_common=2, max_fanin=200
     )
 
 
@@ -402,12 +401,7 @@ def _crawl_budget_plan(sf_dir: str) -> pd.DataFrame:
     from marginaliasearch_ray.pipelines.schedule import grow_crawl_specs
 
     _crawl_records(sf_dir)
-    out_dir = (
-        Path(tempfile.gettempdir())
-        / "graft_crawl"
-        / f"v{FIXTURE_VERSION}"
-        / Path(sf_dir).name
-    )
+    out_dir = _crawl_out_dir(sf_dir)
     return grow_crawl_specs(read_crawl_records(str(out_dir)))
 
 
@@ -420,12 +414,7 @@ def _crawl_domain_meta(sf_dir: str) -> pd.DataFrame:
     from ray.data.aggregate import Count, Max, Min, Sum
 
     _crawl_records(sf_dir)
-    out_dir = (
-        Path(tempfile.gettempdir())
-        / "graft_crawl"
-        / f"v{FIXTURE_VERSION}"
-        / Path(sf_dir).name
-    )
+    out_dir = _crawl_out_dir(sf_dir)
     ds = read_crawl_records(str(out_dir)).select_columns(
         ["domain", "http_status", "virtual_ts_ms"]
     )
@@ -458,12 +447,7 @@ def _crawl_domain_state(sf_dir: str) -> pd.DataFrame:
     from marginaliasearch_ray.pipelines.crawl import read_domain_meta
 
     _crawl_records(sf_dir)  # ensure the cached crawl output exists
-    out_dir = (
-        Path(tempfile.gettempdir())
-        / "graft_crawl"
-        / f"v{FIXTURE_VERSION}"
-        / Path(sf_dir).name
-    )
+    out_dir = _crawl_out_dir(sf_dir)
     meta = read_domain_meta(str(out_dir))
     out = pd.DataFrame(
         {
@@ -510,12 +494,7 @@ def _domain_discovery(sf_dir: str) -> pd.DataFrame:
     _crawl_records(sf_dir)  # ensure the cached crawl output exists
     from marginaliasearch_ray.fixtures.cache import FIXTURE_VERSION
 
-    out_dir = (
-        Path(tempfile.gettempdir())
-        / "graft_crawl"
-        / f"v{FIXTURE_VERSION}"
-        / Path(sf_dir).name
-    )
+    out_dir = _crawl_out_dir(sf_dir)
     fix = fixture_dir_for(sf_dir)
     import pyarrow.parquet as pq_
 

@@ -41,7 +41,7 @@ from .cache import FIXTURE_VERSION, config_for, fixture_dir_for
 
 EXPECTED_ROOT = "/tmp/graft_expected"
 # bump when ORACLE LOGIC changes without a fixture-generator change
-EXPECTED_VERSION = 16
+EXPECTED_VERSION = 17
 
 
 def expected_dir_for(sf_dir: str) -> str:
@@ -986,11 +986,24 @@ def _build_kmeans_expected(sf_dir: str, out: Path, k: int = 16, iters: int = 10)
     ids = tbl["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     flat = np.asarray(tbl["embedding"].combine_chunks().flatten(), dtype=np.float64)
     X = np.floor(flat.reshape(tbl.num_rows, -1) * 1048576.0 + 0.5)
+
+    def assign_d2(cent: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        # chunked like the engine: the (rows, k, d) temporary stays
+        # bounded; chunking is bit-identical (the pairwise reduction
+        # order depends only on d)
+        a = np.empty(len(X), dtype=np.int64)
+        bd = np.empty(len(X))
+        for s in range(0, len(X), 4096):
+            blk = X[s : s + 4096]
+            d2 = ((blk[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            a[s : s + 4096] = np.argmin(d2, axis=1)
+            bd[s : s + 4096] = d2[np.arange(len(blk)), a[s : s + 4096]]
+        return a, bd
+
     order = np.argsort(ids, kind="stable")[:k]
     cent = X[order].copy()
     for _ in range(iters):
-        d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-        assign = np.argmin(d2, axis=1)
+        assign, _bd = assign_d2(cent)
         sums = np.zeros_like(cent)
         np.add.at(sums, assign, X)
         counts = np.bincount(assign, minlength=len(cent))
@@ -998,8 +1011,7 @@ def _build_kmeans_expected(sf_dir: str, out: Path, k: int = 16, iters: int = 10)
         nz = counts > 0
         new[nz] = sums[nz] / counts[nz, None]
         cent = new
-    d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-    assign = np.argmin(d2, axis=1)
+    assign, best_d2 = assign_d2(cent)
     counts = np.bincount(assign, minlength=len(cent)).astype(np.int64)
     kk, d = cent.shape
     pq.write_table(
@@ -1015,7 +1027,6 @@ def _build_kmeans_expected(sf_dir: str, out: Path, k: int = 16, iters: int = 10)
     )
     # outlier side: top-20 farthest from their nearest final centroid,
     # ties by vec_id (stages/cluster.py kmeans_outliers)
-    best_d2 = d2[np.arange(len(X)), assign]
     order = np.lexsort((ids, -best_d2))[:20]
     pq.write_table(
         pa.table(

@@ -151,13 +151,10 @@ def kmeans_fit(
 
 
 def _spawn_shards(emb: rd.Dataset, id_col: str, vec_col: str) -> list:
+    from ._shards import group_block_refs
+
     narrow = emb.select_columns([id_col, vec_col]).materialize()
-    block_refs = narrow.to_arrow_refs()
-    n_cpus = max(4, int(ray.cluster_resources().get("CPU", 8)))
-    n_actors = max(1, min(len(block_refs), n_cpus // 2 or 1))
-    groups: list[list] = [[] for _ in range(n_actors)]
-    for i, ref in enumerate(block_refs):
-        groups[i % n_actors].append(ref)
+    groups = group_block_refs(narrow.to_arrow_refs())
     return [_VecShard.remote(g, id_col, vec_col) for g in groups]
 
 

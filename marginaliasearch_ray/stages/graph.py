@@ -382,13 +382,7 @@ def cocitation_cosine(
              "deg": vc["size"].to_numpy().astype(np.int64)}
         )
 
-    deg = (
-        edges.map_batches(tag, batch_format="pandas")
-        .groupby("_b")
-        .map_groups(deg_partial, batch_format="pandas")
-        .to_pandas()
-    )
-    if not len(pairs):
+    if not len(pairs):  # no pair survived: skip the degree pass entirely
         return pd.DataFrame(
             {"domain_a": pd.Series([], dtype=object),
              "domain_b": pd.Series([], dtype=object),
@@ -397,6 +391,12 @@ def cocitation_cosine(
              "deg_b": pd.Series([], dtype="int64"),
              "cosine": pd.Series([], dtype="float64")}
         )
+    deg = (
+        edges.map_batches(tag, batch_format="pandas")
+        .groupby("_b")
+        .map_groups(deg_partial, batch_format="pandas")
+        .to_pandas()
+    )
     # a src's rows can span dst-buckets: combine the per-bucket partials
     deg = deg.groupby("src", sort=False, as_index=False)["deg"].sum()
     dmap = dict(zip(deg["src"], deg["deg"].astype(int)))

@@ -545,7 +545,12 @@ def search_diverse(
         out = out.sort_values(
             ["score_q", id_col], ascending=[False, True], kind="mergesort"
         )
-        return out.groupby(source_col, sort=False).head(max_per_source)
+        # dropna=False: a NULL source is its own partition (the SQL
+        # oracle's PARTITION BY keeps a NULL group; the pandas default
+        # would silently drop those docs)
+        return out.groupby(
+            source_col, sort=False, dropna=False
+        ).head(max_per_source)
 
     def finish(b: pd.DataFrame) -> pd.DataFrame:
         if not len(b):
@@ -553,7 +558,10 @@ def search_diverse(
         b = b.sort_values(
             ["score_q", id_col], ascending=[False, True], kind="mergesort"
         )
-        keep = b.groupby(source_col, sort=False).cumcount() < max_per_source
+        keep = (
+            b.groupby(source_col, sort=False, dropna=False).cumcount()
+            < max_per_source
+        )
         return b[keep.to_numpy()].head(k)
 
     cand = (

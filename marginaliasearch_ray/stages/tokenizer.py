@@ -169,13 +169,10 @@ def train_bpe(
     corpus count drops below ``min_pair_count`` (or no pairs remain).
     Fully deterministic for any block layout: counts are exact and the
     arg-max tie-break is (count DESC, left ASC, right ASC)."""
+    from ._shards import group_block_refs
+
     vocab = word_counts(ds, text_col).materialize()
-    block_refs = vocab.to_arrow_refs()
-    n_cpus = max(4, int(ray.cluster_resources().get("CPU", 8)))
-    n_actors = max(1, min(len(block_refs), n_cpus // 2 or 1))
-    groups: list[list] = [[] for _ in range(n_actors)]
-    for i, ref in enumerate(block_refs):
-        groups[i % n_actors].append(ref)
+    groups = group_block_refs(vocab.to_arrow_refs())
     actors = [_VocabShard.remote(g) for g in groups]
     rows: list[tuple[int, str, str, int]] = []
     try:

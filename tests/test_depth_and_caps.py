@@ -35,7 +35,6 @@ def test_grow_crawl_specs_matches_scalar(ray_session):
     # above-mid 1.25x, max clamp
     counts = {"a": 3, "b": 1000, "c": 2000, "d": 4000, "e": 9000}
     rows = [{"domain": d} for d, n in counts.items() for _ in range(n)]
-    rng = np.random.RandomState(0)
     df = pd.DataFrame(rows).sample(frac=1, random_state=1).reset_index(drop=True)
     out = grow_crawl_specs(rd.from_pandas(df).repartition(7))
     got = dict(zip(out["domain"], out["crawl_depth"]))
