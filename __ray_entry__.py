@@ -439,6 +439,137 @@ def _crawl_domain_meta(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("domain").reset_index(drop=True)
 
 
+def _ping_probe_ds(sf_dir: str):
+    """Probe timeline over the crawl fixture's domain universe (the ping
+    process pings every EC_DOMAIN row; here the domain table is the
+    crawl output's domain-state table).  The domain list is tiny at sf;
+    at scale it is a parquet read feeding the same flat expansion."""
+    import ray.data as rd
+
+    from marginaliasearch_ray.pipelines.crawl import read_domain_meta
+    from marginaliasearch_ray.stages.ping import ping_probes
+
+    _crawl_records(sf_dir)  # ensure the cached crawl output exists
+    meta = read_domain_meta(str(_crawl_out_dir(sf_dir)))
+    domains = rd.from_pandas(pd.DataFrame({"domain": sorted(meta["domain"])}))
+    return ping_probes(domains)
+
+
+def _domain_ping_changes(sf_dir: str) -> pd.DataFrame:
+    """Availability change events (ping process,
+    DomainAvailabilityChange.java:15-47): AVAILABLE_TO_UNAVAILABLE /
+    UNAVAILABLE_TO_AVAILABLE / OUTAGE_TYPE_CHANGE per domain over the
+    deterministic probe timeline.  Shuffle-free: probes are generated
+    domain-complete per batch (stages/ping.py docstring)."""
+    from marginaliasearch_ray.stages.ping import availability_changes
+
+    out = availability_changes(_ping_probe_ds(sf_dir)).to_pandas()
+    for c in ("k", "ts_s"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["domain", "k"]).reset_index(drop=True)
+
+
+def _domain_ping_status(sf_dir: str) -> pd.DataFrame:
+    """Per-domain DOMAIN_AVAILABILITY_INFORMATION summary row
+    (DomainInformationService.java:56-76): last-probe state, last-seen
+    timestamps, trailing consecutive failures."""
+    from marginaliasearch_ray.stages.ping import availability_summary
+
+    out = availability_summary(_ping_probe_ds(sf_dir)).to_pandas()
+    return out.sort_values("domain").reset_index(drop=True)
+
+
+def _domain_info(sf_dir: str) -> pd.DataFrame:
+    """The domain-info service's per-domain join
+    (DomainInformationService.java:54-150): EC_DOMAIN state + rank,
+    DOMAIN_METADATA page counters, link-graph in/out degree, GeoIP/ASN,
+    and the availability-information block — assembled from the engine's
+    own distributed outputs (crawl journal, distributed PageRank,
+    link-count shuffle, ping summary).  Every piece is result-sized
+    (one row per domain) before the driver merge; the oracle recomputes
+    the identical join over the sequential fixtures.
+
+    Deviations (documented): pages_known uses the frontier's visited
+    counter (the synthetic web has no un-fetched known URLs at fixture
+    depth); node_affinity/crawl-queue flags are scheduler state our
+    batch pipeline does not model."""
+    import ray.data as rd
+
+    from marginaliasearch_ray.functions.geoip import lookup_geo_batch
+    from marginaliasearch_ray.pipelines.crawl import (
+        read_crawl_records,
+        read_domain_meta,
+    )
+    from marginaliasearch_ray.stages.graph import domain_link_counts
+    from marginaliasearch_ray.stages.ping import availability_summary
+    from ray.data.aggregate import Count, Sum
+
+    _crawl_records(sf_dir)
+    out_dir = _crawl_out_dir(sf_dir)
+
+    meta = read_domain_meta(str(out_dir))
+    base = pd.DataFrame(
+        {
+            "domain": meta["domain"],
+            "state": np.where(
+                (meta["aborted"] | meta["blocked"]).to_numpy(), "BLOCKED", "ACTIVE"
+            ),
+            "pages_known": meta["visited"].astype("int64"),
+        }
+    )
+
+    recs = read_crawl_records(str(out_dir)).select_columns(["domain", "http_status"])
+
+    def add_ok(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["is_ok"] = (batch["http_status"] == 200).astype("int64")
+        return batch
+
+    fetched = (
+        recs.map_batches(add_ok, batch_format="pandas")
+        .groupby("domain")
+        .aggregate(Count(alias_name="pages_fetched"), Sum("is_ok", alias_name="pages_indexed"))
+        .to_pandas()
+    )
+
+    pr = _pagerank_domains(sf_dir)
+    max_rank = pr["rank"].max()
+    pr = pd.DataFrame(
+        {
+            "domain": pr["domain"],
+            "ranking": np.floor(
+                100.0 * (1.0 - pr["rank"].to_numpy() / max_rank) + 0.5
+            ).astype("int64"),
+        }
+    )
+
+    links = domain_link_counts(_link_edges(sf_dir))
+
+    geo = lookup_geo_batch(list(base["domain"]))
+    base["ip"] = geo["ip"]
+    base["ip_country"] = geo["geo_country"]
+    base["asn"] = pd.Series(geo["asn"], dtype="int64")
+    base["as_org"] = geo["as_org"]
+
+    ping = (
+        availability_summary(_ping_probe_ds(sf_dir))
+        .to_pandas()[
+            ["domain", "server_available", "consecutive_failures", "ts_last_ping_s"]
+        ]
+    )
+
+    out = (
+        base.merge(fetched, on="domain", how="left")
+        .merge(pr, on="domain", how="left")
+        .merge(links, on="domain", how="left")
+        .merge(ping, on="domain", how="left")
+    )
+    for c in ("pages_fetched", "pages_indexed", "incoming_links", "outgoing_links"):
+        out[c] = out[c].fillna(0).astype("int64")
+    # domains absent from the link graph never rank: worst ranking (100)
+    out["ranking"] = out["ranking"].fillna(100).astype("int64")
+    return out.sort_values("domain").reset_index(drop=True)
+
+
 def _crawl_domain_state(sf_dir: str) -> pd.DataFrame:
     """DomainStateDb summary surface: probe outcome + root-sniff
     favicon/feed + visit counters per domain (oracle: the sequential
@@ -1679,6 +1810,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_domain_meta": _crawl_domain_meta,
         "crawl_budget_plan": _crawl_budget_plan,
         "crawl_domain_state": _crawl_domain_state,
+        "domain_ping_changes": _domain_ping_changes,
+        "domain_ping_status": _domain_ping_status,
+        "domain_info": _domain_info,
         "doc_anchor_counts": _doc_anchor_counts,
         # relational shapes (SQL-checked)
         "agg_lineitem_pricing": _rel("agg_lineitem_pricing"),
@@ -1825,6 +1959,120 @@ def _sideload_oracle(exp: str, source: str, score: bool = False) -> str:
     """
 
 
+def _geo_values_sql() -> tuple[str, str]:
+    """(country VALUES, ASN VALUES) rows for geo oracles — shared by
+    doc_geo and domain_info."""
+    from marginaliasearch_ray.functions.geoip import (
+        ASN_ORGS,
+        ASN_RANGES,
+        COUNTRY_RANGES,
+        is_cloudy,
+        sql_asn_terms,
+    )
+
+    cvals = ", ".join(f"({lo}, {hi}, '{cc}')" for lo, hi, cc in COUNTRY_RANGES)
+    avals = ", ".join(
+        f"({lo}, {hi}, {asn}, '{ASN_ORGS[asn]}', "
+        f"{'TRUE' if is_cloudy(ASN_ORGS[asn]) else 'FALSE'}, "
+        f"'{sql_asn_terms(asn)}')"
+        for lo, hi, asn in ASN_RANGES
+    )
+    return cvals, avals
+
+
+def _domain_info_sql(exp: str, fix: str) -> str:
+    """Oracle for the domain-info join: recomputes every block from the
+    sequential fixtures (domain meta, crawl records, pagerank, the link
+    fixture, the geo VALUES tables, the shared ping CTE)."""
+    cvals, avals = _geo_values_sql()
+    return f"""
+        WITH {_ping_probes_sql(exp)},
+        pagg AS (
+            SELECT domain, max(k) AS last_k,
+                   max(k) FILTER (available) AS last_avail_k
+            FROM p GROUP BY domain
+        ),
+        ping AS (
+            SELECT a.domain,
+                   lp.available AS server_available,
+                   (a.last_k - coalesce(a.last_avail_k, -1))::BIGINT
+                       AS consecutive_failures,
+                   lp.ts_s AS ts_last_ping_s
+            FROM pagg a JOIN p lp
+              ON lp.domain = a.domain AND lp.k = a.last_k
+        ),
+        meta AS (
+            SELECT domain,
+                   CASE WHEN excluded THEN 'BLOCKED' ELSE 'ACTIVE' END AS state,
+                   visited::BIGINT AS pages_known,
+                   md5_number_lower(domain) % 4294967296 AS ipint
+            FROM read_parquet('{exp}/expected_domain_meta.parquet')
+        ),
+        fetched AS (
+            SELECT domain, count(*)::BIGINT AS pages_fetched,
+                   sum(CASE WHEN http_status = 200 THEN 1 ELSE 0 END)::BIGINT
+                       AS pages_indexed
+            FROM read_parquet('{exp}/expected_crawl_records.parquet')
+            GROUP BY domain
+        ),
+        pr AS (
+            SELECT domain,
+                   CAST(floor(100.0 * (1.0 - round(rank, 8) /
+                        (SELECT max(round(rank, 8))
+                         FROM read_parquet('{exp}/expected_pagerank.parquet')))
+                        + 0.5) AS BIGINT) AS ranking
+            FROM read_parquet('{exp}/expected_pagerank.parquet')
+        ),
+        e AS (
+            SELECT DISTINCT
+                   regexp_extract(src_url, '://([^/:]+)', 1) AS src,
+                   regexp_extract(dst_url, '://([^/:]+)', 1) AS dst
+            FROM read_parquet('{fix}/links.parquet')
+        ),
+        e2 AS (SELECT src, dst FROM e WHERE src <> dst),
+        lnk AS (
+            SELECT domain, sum(o)::BIGINT AS outgoing_links,
+                   sum(i)::BIGINT AS incoming_links
+            FROM (
+                SELECT src AS domain, 1 AS o, 0 AS i FROM e2
+                UNION ALL
+                SELECT dst AS domain, 0 AS o, 1 AS i FROM e2
+            ) GROUP BY domain
+        ),
+        geo AS (
+            SELECT m.domain,
+                   CAST((m.ipint >> 24) & 255 AS VARCHAR) || '.' ||
+                   CAST((m.ipint >> 16) & 255 AS VARCHAR) || '.' ||
+                   CAST((m.ipint >> 8) & 255 AS VARCHAR) || '.' ||
+                   CAST(m.ipint & 255 AS VARCHAR) AS ip,
+                   COALESCE(c.country, '') AS ip_country,
+                   COALESCE(a.asn, 0)::BIGINT AS asn,
+                   COALESCE(a.org, '') AS as_org
+            FROM meta m
+            LEFT JOIN (VALUES {cvals}) AS c(lo, hi, country)
+              ON m.ipint BETWEEN c.lo AND c.hi
+            LEFT JOIN (VALUES {avals}) AS a(lo, hi, asn, org, cloud, terms)
+              ON m.ipint BETWEEN a.lo AND a.hi
+        )
+        SELECT m.domain, m.state, m.pages_known,
+               g.ip, g.ip_country, g.asn, g.as_org,
+               coalesce(f.pages_fetched, 0)::BIGINT AS pages_fetched,
+               coalesce(f.pages_indexed, 0)::BIGINT AS pages_indexed,
+               coalesce(pr.ranking, 100)::BIGINT AS ranking,
+               coalesce(l.incoming_links, 0)::BIGINT AS incoming_links,
+               coalesce(l.outgoing_links, 0)::BIGINT AS outgoing_links,
+               ping.server_available, ping.consecutive_failures,
+               ping.ts_last_ping_s
+        FROM meta m
+        JOIN geo g ON g.domain = m.domain
+        LEFT JOIN fetched f ON f.domain = m.domain
+        LEFT JOIN pr ON pr.domain = m.domain
+        LEFT JOIN lnk l ON l.domain = m.domain
+        LEFT JOIN ping ON ping.domain = m.domain
+        ORDER BY m.domain
+    """
+
+
 def _doc_geo_sql() -> str:
     """SQL oracle for the geo/ASN enrichment: recomputes the simulated
     resolution (md5_number_lower(source) mod 2^32 — the same function the
@@ -1883,6 +2131,43 @@ def _doc_geo_sql() -> str:
                AS geo_terms
         FROM withasn ORDER BY doc_id
     """
+
+
+def _ping_probes_sql(exp: str) -> str:
+    """Shared probe-simulation CTE for the ping oracles: recomputes the
+    stages/ping.py deterministic probe spec (md5_number_lower over
+    'domain|k') over the crawl fixture's domain table."""
+    errs = "['" + "','".join(
+        (
+            "TIMEOUT", "SSL_ERROR", "DNS_ERROR", "CONNECTION_ERROR",
+            "HTTP_CLIENT_ERROR", "HTTP_SERVER_ERROR", "UNKNOWN",
+        )
+    ) + "']"
+    return f"""
+            doms AS (
+                SELECT DISTINCT domain
+                FROM read_parquet('{exp}/expected_domain_meta.parquet')
+            ),
+            raw AS (
+                SELECT domain, g.k AS k,
+                       md5_number_lower(domain || '|' || CAST(g.k AS VARCHAR))
+                           AS h
+                FROM doms, unnest(generate_series(0, 63)) AS g(k)
+            ),
+            p AS (
+                SELECT domain, k,
+                       (1700000000 + k * 3600)::BIGINT AS ts_s,
+                       (h % 10) < 8 AS available,
+                       CASE WHEN (h % 10) < 8 THEN 'NONE'
+                            ELSE ({errs})[CAST((h // 10) % 7 AS INT) + 1]
+                       END AS err,
+                       CASE WHEN (h // 70) % 10 < 9 THEN 'HTTPS'
+                            ELSE 'HTTP' END AS http_schema,
+                       CASE WHEN (h % 10) < 8
+                            THEN (50 + (h // 700) % 950)::BIGINT
+                            ELSE -1 END AS response_time_ms
+                FROM raw
+            )"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3633,6 +3918,63 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{exp}/expected_domain_meta.parquet')
             ORDER BY domain
         """,
+        # ping-process availability (stages/ping.py): the oracle
+        # recomputes the deterministic probe simulation (same
+        # md5_number_lower spec) and applies
+        # DomainAvailabilityChange.between via LAG.
+        "domain_ping_changes": f"""
+            WITH {_ping_probes_sql(exp)},
+            lagged AS (
+                SELECT domain, k, ts_s, available, err,
+                       LAG(available) OVER w AS pav,
+                       LAG(err) OVER w AS perr
+                FROM p WINDOW w AS (PARTITION BY domain ORDER BY k)
+            )
+            SELECT domain, k, ts_s,
+                   CASE WHEN pav AND NOT available
+                            THEN 'AVAILABLE_TO_UNAVAILABLE'
+                        WHEN NOT pav AND available
+                            THEN 'UNAVAILABLE_TO_AVAILABLE'
+                        ELSE 'OUTAGE_TYPE_CHANGE' END AS change,
+                   CASE WHEN NOT pav AND available THEN 'NONE'
+                        ELSE err END AS outage_type
+            FROM lagged
+            WHERE pav IS NOT NULL
+              AND ((pav AND NOT available) OR (NOT pav AND available)
+                   OR (NOT pav AND NOT available AND perr <> err))
+            ORDER BY domain, k
+        """,
+        "domain_ping_status": f"""
+            WITH {_ping_probes_sql(exp)},
+            agg AS (
+                SELECT domain,
+                       count(*)::BIGINT                       AS n_probes,
+                       count(*) FILTER (available)::BIGINT    AS n_available,
+                       max(k)                                 AS last_k,
+                       max(k) FILTER (available)              AS last_avail_k,
+                       max(k) FILTER (NOT available)          AS last_err_k
+                FROM p GROUP BY domain
+            )
+            SELECT a.domain,
+                   lp.available        AS server_available,
+                   lp.http_schema,
+                   lp.err              AS error_classification,
+                   lp.response_time_ms,
+                   lp.ts_s             AS ts_last_ping_s,
+                   CASE WHEN a.last_avail_k IS NULL THEN -1
+                        ELSE 1700000000 + a.last_avail_k * 3600
+                   END::BIGINT AS ts_last_available_s,
+                   CASE WHEN a.last_err_k IS NULL THEN -1
+                        ELSE 1700000000 + a.last_err_k * 3600
+                   END::BIGINT AS ts_last_error_s,
+                   (a.last_k - coalesce(a.last_avail_k, -1))::BIGINT
+                       AS consecutive_failures,
+                   a.n_probes, a.n_available
+            FROM agg a JOIN p lp
+              ON lp.domain = a.domain AND lp.k = a.last_k
+            ORDER BY a.domain
+        """,
+        "domain_info": _domain_info_sql(exp, fix),
         "convert_docs": f"""
             SELECT url, domain, title, length, round(quality, 4) AS quality,
                    links_internal, links_external, is_near_dup,

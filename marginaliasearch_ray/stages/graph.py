@@ -417,3 +417,71 @@ def cocitation_cosine(
     for c in ("n_common", "deg_a", "deg_b"):
         out[c] = out[c].astype("int64")
     return out.sort_values(["domain_a", "domain_b"]).reset_index(drop=True)
+
+
+def domain_link_counts(edges: rd.Dataset, n_buckets: int = 64) -> pd.DataFrame:
+    """Exact domain-level link-degree counts — the link-graph side of the
+    domain-info service (AggregateLinkGraphClient.countLinksToDomain /
+    countLinksFromDomain, DomainInformationService.java:108-109).
+
+    Spec (mirrored in the SQL oracle): DISTINCT (src_domain, dst_domain)
+    pairs with self-links dropped; incoming = distinct source domains
+    linking to d, outgoing = distinct target domains linked from d.
+
+    Scale shape (the ``distinct_count_grouped`` two-level dedup):
+
+    1. each batch extracts dst domains and drops its local duplicate
+       pairs — page-level edges collapse before the exchange;
+    2. pairs co-shuffle into ``hash(src|dst) % n_buckets`` buckets (a
+       pair lives entirely in one bucket), per-bucket global dedup +
+       per-domain partial in/out counts — at most n_buckets * |domains|
+       narrow rows out;
+    3. result-sized combine sums the partials.
+    """
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        dst_dom = b["dst"].str.extract(r"://([^/:]+)", expand=False)
+        p = pd.DataFrame({"src": b["src"].to_numpy(), "dst": dst_dom.to_numpy()})
+        p = p[p["src"].notna() & p["dst"].notna() & (p["src"] != p["dst"])]
+        p = p.drop_duplicates()
+        key = p["src"] + "|" + p["dst"]
+        p = p.copy()
+        p["_b"] = (
+            pd.util.hash_pandas_object(key, index=False, hash_key="0" * 16).to_numpy()
+            % n_buckets
+        ).astype(np.int64)
+        return p
+
+    def bucket_partials(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["src", "dst"]].drop_duplicates()
+        outd = d.groupby("src").size()
+        ind = d.groupby("dst").size()
+        return pd.DataFrame(
+            {
+                "domain": np.concatenate([outd.index.to_numpy(), ind.index.to_numpy()]),
+                "out_part": np.concatenate(
+                    [outd.to_numpy(), np.zeros(len(ind), dtype=np.int64)]
+                ).astype(np.int64),
+                "in_part": np.concatenate(
+                    [np.zeros(len(outd), dtype=np.int64), ind.to_numpy()]
+                ).astype(np.int64),
+            }
+        )
+
+    out = (
+        edges.map_batches(pairs, batch_format="pandas")
+        .groupby("_b")
+        .map_groups(bucket_partials, batch_format="pandas")
+        .repartition(1)
+        .map_batches(
+            lambda b: b.groupby("domain", as_index=False).agg(
+                outgoing_links=("out_part", "sum"), incoming_links=("in_part", "sum")
+            ),
+            batch_format="pandas",
+            batch_size=None,
+        )
+        .to_pandas()
+    )
+    for c in ("outgoing_links", "incoming_links"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("domain").reset_index(drop=True)
