@@ -479,6 +479,45 @@ def _domain_ping_status(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("domain").reset_index(drop=True)
 
 
+def _feed_export(sf_dir: str) -> pd.DataFrame:
+    """FeedExporter parity (export-task-process,
+    FeedExporter.java:78-106): per domain, the first viable html
+    document's same-domain atom/rss/rdf alternate links, shortest path
+    wins; (domain, size_hint, feed_url) rows like feeds.csv.gz."""
+    import ray.data as rd
+
+    from marginaliasearch_ray.fixtures.cache import fixture_dir_for
+    from marginaliasearch_ray.pipelines.crawl import read_crawl_records
+    from marginaliasearch_ray.pipelines.export import feed_export
+
+    _crawl_records(sf_dir)
+    recs = read_crawl_records(str(_crawl_out_dir(sf_dir))).select_columns(
+        ["domain", "url", "visit_ordinal", "http_status", "content_type"]
+    )
+    pages = rd.read_parquet(
+        f"{fixture_dir_for(sf_dir)}/pages.parquet", columns=["url", "html"]
+    )
+    return feed_export(recs, pages)
+
+
+def _term_freq_export(sf_dir: str) -> pd.DataFrame:
+    """TermFrequencyExporter parity (export-task-process,
+    TermFrequencyExporter.java:103-170): the term-frequency dictionary
+    (distinct stemmed DOM-pruned terms per document, deterministic
+    20%-at-weight-5 thinning, DOC_COUNT_KEY row) — vs the sequential
+    plain-dict replica."""
+    import ray.data as rd
+
+    from marginaliasearch_ray.fixtures.cache import fixture_dir_for
+    from marginaliasearch_ray.pipelines.export import term_freq_export
+
+    pages = rd.read_parquet(
+        f"{fixture_dir_for(sf_dir)}/pages.parquet",
+        columns=["url", "html", "status"],
+    )
+    return term_freq_export(pages)
+
+
 def _domain_info(sf_dir: str) -> pd.DataFrame:
     """The domain-info service's per-domain join
     (DomainInformationService.java:54-150): EC_DOMAIN state + rank,
@@ -1813,6 +1852,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_ping_changes": _domain_ping_changes,
         "domain_ping_status": _domain_ping_status,
         "domain_info": _domain_info,
+        "feed_export": _feed_export,
+        "term_freq_export": _term_freq_export,
         "doc_anchor_counts": _doc_anchor_counts,
         # relational shapes (SQL-checked)
         "agg_lineitem_pricing": _rel("agg_lineitem_pricing"),
@@ -3975,6 +4016,70 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY a.domain
         """,
         "domain_info": _domain_info_sql(exp, fix),
+        # FeedExporter spec: first viable (200, text/html) doc per domain
+        # in visit order; alternate links re-extracted from the raw page
+        # by regex (the fixture generator emits one canonical tag shape),
+        # resolved root-relative, same-domain only, shortest path wins.
+        "feed_export": f"""
+            WITH recs AS (
+                SELECT domain, url, visit_ordinal, http_status, content_type
+                FROM read_parquet('{exp}/expected_crawl_records.parquet')
+            ),
+            size AS (
+                SELECT domain, count(*)::BIGINT AS size_hint
+                FROM recs GROUP BY domain
+            ),
+            first AS (
+                SELECT domain, url FROM (
+                    SELECT domain, url,
+                           row_number() OVER (PARTITION BY domain
+                                              ORDER BY visit_ordinal) AS rn
+                    FROM recs
+                    WHERE http_status = 200
+                      AND content_type LIKE 'text/html%'
+                ) WHERE rn = 1
+            ),
+            lists AS (
+                SELECT f.domain, s.size_hint, f.url,
+                       regexp_extract_all(
+                           replace(CAST(p.html AS VARCHAR), '\\x22', '"'),
+                           '<link rel="alternate" type="application/(?:rss|atom|rdf)\\+xml" href="([^"]*)"',
+                           1) AS hrefs
+                FROM first f
+                JOIN size s USING (domain)
+                JOIN read_parquet('{fix}/pages.parquet') p ON p.url = f.url
+            ),
+            cand AS (
+                SELECT domain, size_hint, url,
+                       unnest(hrefs) AS href,
+                       unnest(generate_series(1, len(hrefs))) AS seq
+                FROM lists
+            ),
+            resolved AS (
+                SELECT domain, size_hint, seq,
+                       CASE WHEN href LIKE 'http://%' OR href LIKE 'https://%'
+                            THEN href
+                            ELSE regexp_extract(url, '^(https?://[^/]+)', 1)
+                                 || href END AS feed_url
+                FROM cand
+            ),
+            samedom AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY domain
+                    ORDER BY length(split_part(
+                        regexp_replace(feed_url, '^https?://[^/]+', ''),
+                        '?', 1)), seq) AS pick
+                FROM resolved
+                WHERE regexp_extract(feed_url, '://([^/:]+)', 1) = domain
+            )
+            SELECT domain, size_hint, feed_url
+            FROM samedom WHERE pick = 1 ORDER BY domain
+        """,
+        "term_freq_export": f"""
+            SELECT term_hash, count
+            FROM read_parquet('{exp}/expected_termfreq.parquet')
+            ORDER BY term_hash
+        """,
         "convert_docs": f"""
             SELECT url, domain, title, length, round(quality, 4) AS quality,
                    links_internal, links_external, is_near_dup,

@@ -41,7 +41,7 @@ from .cache import FIXTURE_VERSION, config_for, fixture_dir_for
 
 EXPECTED_ROOT = "/tmp/graft_expected"
 # bump when ORACLE LOGIC changes without a fixture-generator change
-EXPECTED_VERSION = 17
+EXPECTED_VERSION = 19
 
 
 def expected_dir_for(sf_dir: str) -> str:
@@ -61,8 +61,63 @@ def expected_dir_for(sf_dir: str) -> str:
         _build_sideload_expected(sf_dir, out)
         _build_bpe_expected(sf_dir, out)
         _build_kmeans_expected(sf_dir, out)
+        _build_termfreq_expected(fix, out)
         done.touch()
     return str(out)
+
+
+def _build_termfreq_expected(fix: Path, out: Path) -> None:
+    """Sequential single-threaded replica of the TermFrequencyExporter
+    spec (pipelines/export.py term_freq_export): plain-dict accumulation
+    over pages in file order — independent of the distributed partial +
+    bucket-shuffle path under test."""
+    from ..functions.contenttype import decode_body, sniff_content_type
+    from ..functions.dom import tagger_text
+    from ..functions.domops import prune_default
+    from ..functions.htmldoc import parse_document
+    from ..functions.stem import porter_stem
+    from ..stages.textstats import md5_number_lower
+
+    DOC_COUNT_KEY = (1 << 64) - 1
+    pages = pq.read_table(fix / "pages.parquet", columns=["url", "html", "status"])
+    counts: dict[int, int] = {}
+    n_docs = 0
+    for i in range(pages.num_rows):
+        status = pages["status"][i].as_py()
+        html = pages["html"][i].as_py()
+        if status != 200 or not html:
+            continue
+        mime, charset = sniff_content_type(None, html)
+        if mime != "text/html":
+            continue
+        n_docs += 1
+        url = pages["url"][i].as_py()
+        doc = parse_document(decode_body(html, charset), build_dom=True)
+        if doc.dom is None or doc.dom.truncated:
+            text = doc.text
+        else:
+            prune_default(doc.dom.body(), 0.5)
+            text = tagger_text(doc.dom)
+        seen: set[int] = set()
+        for w in text.lower().split():
+            h = md5_number_lower(porter_stem(w))
+            if h in seen:
+                continue
+            seen.add(h)
+            if md5_number_lower(f"{url}|{h}") % 10 < 2:
+                counts[h] = counts.get(h, 0) + 5
+    if n_docs:
+        counts[DOC_COUNT_KEY] = counts.get(DOC_COUNT_KEY, 0) + n_docs
+    hs = sorted(counts)
+    pq.write_table(
+        pa.table(
+            {
+                "term_hash": pa.array(hs, pa.uint64()),
+                "count": pa.array([counts[h] for h in hs], pa.int64()),
+            }
+        ),
+        out / "expected_termfreq.parquet",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -110,7 +165,7 @@ def _build_crawl_expected(fix: Path, out: Path) -> None:
     # (__ray_entry__._crawl_records -> run_crawl default, 200)
     results = crawl_web_oracle(seeds, web, robots, max_per_domain=200)
 
-    rec = {"domain": [], "url": [], "visit_ordinal": [], "virtual_ts_ms": [], "http_status": [], "has_cookies": []}
+    rec = {"domain": [], "url": [], "visit_ordinal": [], "virtual_ts_ms": [], "http_status": [], "has_cookies": [], "content_type": []}
     meta = {"domain": [], "favicon_url": [], "feed_url": [], "visited": [], "excluded": []}
     for domain, r in sorted(results.items()):
         for v in r.visits:
@@ -120,6 +175,7 @@ def _build_crawl_expected(fix: Path, out: Path) -> None:
             rec["virtual_ts_ms"].append(v.virtual_ts_ms)
             rec["http_status"].append(v.status)
             rec["has_cookies"].append(v.has_cookies)
+            rec["content_type"].append(v.content_type)
         meta["domain"].append(domain)
         meta["favicon_url"].append(r.favicon_url)
         meta["feed_url"].append(r.feed_url)
@@ -134,6 +190,7 @@ def _build_crawl_expected(fix: Path, out: Path) -> None:
                 "virtual_ts_ms": pa.array(rec["virtual_ts_ms"], pa.int64()),
                 "http_status": pa.array(rec["http_status"], pa.int16()),
                 "has_cookies": pa.array(rec["has_cookies"], pa.bool_()),
+                "content_type": pa.array(rec["content_type"], pa.string()),
             }
         ),
         out / "expected_crawl_records.parquet",

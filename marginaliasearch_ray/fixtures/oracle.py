@@ -58,6 +58,9 @@ class Visit:
     # DomainCookies jar state at this response (updateCookieStore runs
     # before the X-Has-Cookies mark, WarcRecorder.java:114,140)
     has_cookies: bool = False
+    # sniffed mime of a fetched 200 body ("" otherwise) — mirrors the
+    # engine record's content_type column (pipelines/crawl.py:719-721)
+    content_type: str = ""
 
 
 @dataclass
@@ -233,6 +236,7 @@ def crawl_domain_oracle(
             return status
         if status == 200 and body:
             mime, charset = sniff_content_type(None, body)
+            res.visits[-1].content_type = mime
             if mime not in ("text/html", "application/xhtml+xml"):
                 return status  # non-html fetches yield no links
             text = decode_body(body, charset)

@@ -115,6 +115,10 @@ class ParsedDoc:
     rel_next_prev: list[str] = field(default_factory=list)  # link href
     icon_href: Optional[str] = None  # <link rel="icon"|"shortcut icon"> (first wins... last wins per reference)
     feed_href: Optional[str] = None  # <link rel=alternate type=rss/atom>
+    # every <link rel=alternate> (type, href) in document order — the
+    # FeedExporter path (FeedExporter.java:93-99) collects ALL candidates
+    # and picks the shortest path, unlike the crawler's last-wins sniff
+    alternate_links: list[tuple[str, str]] = field(default_factory=list)
     base_href: Optional[str] = None
     meta_robots: str = ""  # content of <meta name=robots>
     raw_text_len: int = 0  # total length of emitted tagged strings (quality calc)
@@ -432,7 +436,9 @@ class _Walker(HTMLParser):
                 # CrawlerRetreiver.java:327-337: each matching link
                 # OVERRIDES the favicon candidate (last wins)
                 self.doc.icon_href = ad["href"]
-            elif rel == "alternate" and typ in (
+            if rel == "alternate" and ad.get("href"):
+                self.doc.alternate_links.append((typ, ad["href"]))
+            if rel == "alternate" and typ in (
                 "application/atom+xml",
                 "application/atomsvc+xml",
                 "application/rss+xml",

@@ -1,0 +1,222 @@
+"""Export-task pipelines — the reference's export-task-process.
+
+Re-expresses the exporters under
+processes/export-task-process/java/nu/marginalia/extractor/ as Ray Data
+stages over the crawl output:
+
+- ``feed_export``   — FeedExporter.java: per crawl-data stream (= per
+  domain), the FIRST viable html document's ``link[rel=alternate]`` feed
+  candidates (atom/rss/rdf, same domain after link resolution,
+  FeedExtractor.java:20-48), shortest path wins; emits
+  (domain, size_hint, feed_url) like feeds.csv.
+- ``term_freq_export`` — TermFrequencyExporter.java: corpus document
+  frequencies of DOM-pruned stemmed terms with the reference's
+  statistical thinning, plus the doc-count entry.
+
+Both read the engine's own crawl journal; page bodies come from the
+web-corpus parquet (the reference re-reads the WARC body the same way).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data as rd
+
+from ..functions.contenttype import decode_body, sniff_content_type
+from ..functions.htmldoc import parse_document
+from ..functions.links import parse_link_str
+from ..model.urls import parse_url
+
+# FeedExtractor.java:32-41 — the exporter's accepted alternate types
+# (note: rdf+xml here; the crawler's root sniff accepts atomsvc instead)
+FEED_TYPES = frozenset(
+    ("application/atom+xml", "application/rss+xml", "application/rdf+xml")
+)
+
+
+def first_viable_per_domain(records: rd.Dataset) -> pd.DataFrame:
+    """Per domain: the first (stream-order) viable html document plus the
+    stream size hint (FeedExporter.java:78-106: skip non-documents and
+    non-html until the first hit, ``stream.getSizeHint()`` = record
+    count).  Viable = fetched 200 with an html body.
+
+    Scale shape: per-batch partial (count + local min ordinal) -> one
+    result-sized combine; only (domain, n, ordinal, url) rows move."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        viable = (b["http_status"] == 200) & b["content_type"].str.startswith(
+            "text/html"
+        )
+        n = b.groupby("domain").size().rename("n_part")
+        v = b[viable]
+        if len(v):
+            idx = v.groupby("domain")["visit_ordinal"].idxmin()
+            first = v.loc[idx, ["domain", "visit_ordinal", "url"]]
+        else:
+            first = pd.DataFrame(
+                {"domain": [], "visit_ordinal": [], "url": []}
+            )
+        out = pd.DataFrame({"domain": n.index, "n_part": n.to_numpy()}).merge(
+            first, on="domain", how="left"
+        )
+        out["visit_ordinal"] = out["visit_ordinal"].fillna(-1).astype("int64")
+        out["url"] = out["url"].fillna("")
+        out["n_part"] = out["n_part"].astype("int64")
+        return out
+
+    parts = records.map_batches(partial, batch_format="pandas").to_pandas()
+    viable = parts[parts["visit_ordinal"] >= 0]
+    first = (
+        viable.sort_values(["domain", "visit_ordinal"], kind="stable")
+        .drop_duplicates("domain")[["domain", "visit_ordinal", "url"]]
+    )
+    size = parts.groupby("domain", as_index=False)["n_part"].sum()
+    out = size.merge(first, on="domain", how="inner")
+    out = out.rename(columns={"n_part": "size_hint"})
+    out["size_hint"] = out["size_hint"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def feed_export(records: rd.Dataset, pages: rd.Dataset) -> pd.DataFrame:
+    """FeedExporter: (domain, size_hint, feed_url) rows — one per domain
+    whose first viable document advertises at least one same-domain
+    atom/rss/rdf alternate link; among candidates the SHORTEST PATH wins
+    with document order breaking ties (FeedExporter.java:100-103, a
+    stable sort on path length).
+
+    Scale shape: the first-URL map is one row per domain (result-sized);
+    it broadcasts once via ``ray.put`` and the page corpus streams
+    through a stateless ``map_batches`` that parses only the matched
+    rows.  No shuffle; output is domain-sized."""
+    first = first_viable_per_domain(records)
+    url_map = {
+        u: (d, int(s))
+        for d, s, u in zip(first["domain"], first["size_hint"], first["url"])
+    }
+    map_ref = ray.put(url_map)
+
+    def extract(b: pd.DataFrame, _ref=map_ref) -> pd.DataFrame:
+        m = ray.get(_ref) if isinstance(_ref, ray.ObjectRef) else _ref
+        doms, sizes, feeds = [], [], []
+        for url, html in zip(b["url"], b["html"]):
+            hit = m.get(url)
+            if hit is None:
+                continue
+            base = parse_url(url)
+            if base is None:
+                continue
+            cands: list[tuple[int, int, str]] = []
+            body = html if isinstance(html, (bytes, bytearray)) else str(html).encode()
+            _, charset = sniff_content_type(None, body)
+            parsed = parse_document(decode_body(body, charset))
+            for seq, (typ, href) in enumerate(parsed.alternate_links):
+                if typ not in FEED_TYPES:
+                    continue
+                resolved = parse_link_str(base, href)
+                if resolved is None or resolved.host != base.host:
+                    continue
+                cands.append((len(resolved.path), seq, str(resolved)))
+            if cands:
+                cands.sort(key=lambda t: (t[0], t[1]))
+                doms.append(hit[0])
+                sizes.append(hit[1])
+                feeds.append(cands[0][2])
+        return pd.DataFrame(
+            {
+                "domain": pd.Series(doms, dtype=object),
+                "size_hint": pd.Series(sizes, dtype="int64"),
+                "feed_url": pd.Series(feeds, dtype=object),
+            }
+        )
+
+    out = pages.map_batches(extract, batch_format="pandas").to_pandas()
+    return out.sort_values("domain").reset_index(drop=True)
+
+
+# TermFrequencyDict.DOC_COUNT_KEY = ~0L (TermFrequencyDict.java:31)
+DOC_COUNT_KEY = (1 << 64) - 1
+
+
+def term_freq_export(pages: rd.Dataset, n_buckets: int = 32) -> pd.DataFrame:
+    """TermFrequencyExporter.java:103-170 — the term-frequency dictionary
+    export the query service's ngram model loads (freqs.dat).
+
+    Per fetched ``text/html`` document (contentType startsWith text/html,
+    java:117): parse, ``DomPruningFilter(0.5)`` on the body (java:122),
+    DISTINCT stemmed tokens (TLongHashSet of longHash(stemmed), java:139),
+    then the reference's statistical thinning — low-frequency Zipf mass is
+    suppressed by counting each distinct term with p = 0.2 at weight 5
+    (java:147-162).  Deviations (documented): the random draw is made
+    DETERMINISTIC — ``md5_number_lower(url + '|' + term_hash) % 10 < 2``
+    — so reruns and the sequential oracle agree bit-for-bit; the term
+    hash is the repo-wide md5 convention rather than the reference's
+    private longHash; sentence-level non-language-tag skipping needs the
+    stubbed sentence models, so the pruned tagger text stands in for the
+    sentence stream.  The DOC_COUNT_KEY row carries the document count.
+
+    Scale shape: one streaming pass over page batches (per-batch local
+    term Counter — vocab-sized, not corpus-sized), then the vocab_topk
+    two-level combine: (hash % n_buckets) bucket shuffle of partial
+    (hash, count) rows, per-bucket sum; output is dictionary-sized."""
+    from collections import Counter
+
+    from ..functions.domops import prune_default
+    from ..functions.dom import tagger_text
+    from ..functions.stem import porter_stem
+    from ..stages.textstats import md5_number_lower
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        counts: Counter = Counter()
+        n_docs = 0
+        for url, html, status in zip(b["url"], b["html"], b["status"]):
+            if status != 200 or html is None or len(html) == 0:
+                continue
+            body = bytes(html)
+            mime, charset = sniff_content_type(None, body)
+            if mime != "text/html":
+                continue
+            n_docs += 1
+            doc = parse_document(decode_body(body, charset), build_dom=True)
+            if doc.dom is None or doc.dom.truncated:
+                text = doc.text  # node-cap guard: streaming text fallback
+            else:
+                prune_default(doc.dom.body(), 0.5)
+                text = tagger_text(doc.dom)
+            seen: set[int] = set()
+            for w in text.lower().split():
+                h = md5_number_lower(porter_stem(w))
+                if h in seen:
+                    continue
+                seen.add(h)
+                if md5_number_lower(f"{url}|{h}") % 10 < 2:
+                    counts[h] += 5
+        counts[DOC_COUNT_KEY] += n_docs
+        hs = np.fromiter(counts.keys(), dtype=np.uint64, count=len(counts))
+        return pd.DataFrame(
+            {
+                "term_hash": hs,
+                "count": np.fromiter(
+                    counts.values(), dtype=np.int64, count=len(counts)
+                ),
+                "_b": (hs % np.uint64(n_buckets)).astype(np.int64),
+            }
+        )
+
+    def bucket_sum(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("term_hash", as_index=False)["count"].sum()
+        out["term_hash"] = out["term_hash"].astype("uint64")
+        out["count"] = out["count"].astype("int64")
+        return out
+
+    out = (
+        pages.map_batches(partial, batch_format="pandas")
+        .groupby("_b")
+        .map_groups(bucket_sum, batch_format="pandas")
+        .to_pandas()
+    )
+    # drop the zero DOC_COUNT partial if no docs contributed
+    out = out[out["count"] > 0]
+    out["term_hash"] = out["term_hash"].astype("uint64")
+    return out.sort_values("term_hash").reset_index(drop=True)

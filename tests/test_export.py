@@ -1,0 +1,91 @@
+"""Export-task pipelines (FeedExporter / TermFrequencyExporter parity)."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from marginaliasearch_ray.pipelines.export import (
+    DOC_COUNT_KEY,
+    feed_export,
+    first_viable_per_domain,
+    term_freq_export,
+)
+
+
+def _recs(rows):
+    return rd.from_pandas(
+        pd.DataFrame(
+            rows,
+            columns=["domain", "url", "visit_ordinal", "http_status", "content_type"],
+        )
+    )
+
+
+def _pages(rows):
+    df = pd.DataFrame(rows, columns=["url", "html", "status"])
+    df["html"] = df["html"].map(lambda s: s.encode() if isinstance(s, str) else s)
+    return rd.from_pandas(df)
+
+
+def test_feed_selection_rules(ray_session):
+    """FeedExtractor type filter, same-domain filter, shortest-path win,
+    document-order tie-break (FeedExporter.java:93-103)."""
+    html = (
+        "<html><head>"
+        '<link rel="alternate" type="application/rdf+xml" href="/a/very/long/feed.rdf">'
+        '<link rel="alternate" type="text/html" href="/not-a-feed">'
+        '<link rel="alternate" type="application/rss+xml" href="https://other.example/rss.xml">'
+        '<link rel="alternate" type="application/atom+xml" href="/b.xml">'
+        '<link rel="alternate" type="application/rss+xml" href="/a.xml">'
+        "</head><body><p>hello world</p></body></html>"
+    )
+    recs = _recs(
+        [
+            # the 404 comes first in stream order but is not viable
+            ("d.example", "https://d.example/missing", 0, 404, ""),
+            ("d.example", "https://d.example/", 1, 200, "text/html"),
+            ("d.example", "https://d.example/2", 2, 200, "text/html"),
+        ]
+    )
+    pages = _pages([("https://d.example/", html, 200)])
+    out = feed_export(recs, pages)
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert row["domain"] == "d.example"
+    assert row["size_hint"] == 3  # full stream, including the 404
+    # /b.xml and /a.xml tie on path length 6; /b.xml appears first
+    assert row["feed_url"] == "https://d.example/b.xml"
+
+
+def test_first_viable_layout_invariance(ray_session):
+    rows = [
+        (f"d{i % 5}", f"https://d{i % 5}/p{i}", i // 5, 200 if i % 3 else 404,
+         "text/html" if i % 4 else "application/pdf")
+        for i in range(100)
+    ]
+    a = first_viable_per_domain(_recs(rows))
+    b = first_viable_per_domain(_recs(rows).repartition(11))
+    pd.testing.assert_frame_equal(
+        a.sort_values("domain").reset_index(drop=True),
+        b.sort_values("domain").reset_index(drop=True),
+    )
+
+
+def test_term_freq_layout_invariance_and_doc_count(ray_session):
+    rows = [
+        (
+            f"https://x{i}.example/",
+            f"<html><body><p>alpha beta{i % 7} gamma running jumps</p></body></html>",
+            200,
+        )
+        for i in range(60)
+    ]
+    rows.append(("https://bad.example/", "<html>x</html>", 404))  # not counted
+    one = term_freq_export(_pages(rows))
+    many = term_freq_export(_pages(rows).repartition(13))
+    pd.testing.assert_frame_equal(one, many)
+    dc = one[one["term_hash"] == np.uint64(DOC_COUNT_KEY)]
+    assert len(dc) == 1 and dc["count"].iloc[0] == 60
+    # thinning only ever adds multiples of 5 (plus the doc-count row)
+    rest = one[one["term_hash"] != np.uint64(DOC_COUNT_KEY)]
+    assert (rest["count"] % 5 == 0).all() and len(rest) > 0
