@@ -500,6 +500,165 @@ def _feed_export(sf_dir: str) -> pd.DataFrame:
     return feed_export(recs, pages)
 
 
+# Query-parser conformance cases (QueryParser.java + QueryFactory.java):
+# the oracle rows in _PARSE_EXPECTED are derived BY HAND from the Java
+# semantics (incl. the six QueryParserTest cases), independent of
+# functions/queryparse.py.
+_QUERY_CASES = [
+    "__builtin_ffs",
+    "strcpy()",
+    "bob's",
+    "-foo",
+    '-"foo bar"',
+    '?"foo bar"',
+    '"foo bar" baz',
+    "site:example.com",
+    "site:*.blogspot.com cats",
+    "hello world site:news.example",
+    "year>2010 rust",
+    "year=1999 party",
+    "size<100 tiny",
+    "rank>10 cool",
+    "q<5 blog",
+    "qs=rf_title linux kernel",
+    "set:blogs knitting",
+    "lang:en swedish houses",
+    "near:stockholm maps",
+    "(advisory) main",
+    "generator:hugo ?fast -bloat",
+    "one two three four five six seven eight nine ten eleven twelve",
+    '"c++ tutorial"',
+    "trailing. term",
+    '"single"',
+    "a-b-c-d-e-f chain",
+    "ip:1.2.3.4 tld:se file:zip",
+    '"rock -n- roll"',
+]
+
+# (include, exclude, require, priority, phrases, domain, quality, year,
+#  size, rank, strategy, search_set, n_problems) — hand-derived
+_PARSE_EXPECTED = [
+    ("builtin_ffs", "", "", "", "", "", "", "", "", "", "AUTO", "", 0),
+    ("strcpy", "", "", "", "", "", "", "", "", "", "AUTO", "", 0),
+    ("bob", "", "", "", "", "", "", "", "", "", "AUTO", "", 0),
+    ("", "foo", "", "", "", "", "", "", "", "", "AUTO", "", 0),
+    ("", "foo bar", "", "", "", "", "", "", "", "", "AUTO", "", 0),
+    ("", "", "", "foo_bar", "", "", "", "", "", "", "AUTO", "", 0),
+    ("foo bar baz", "", "", "foo_bar", "foo_bar", "", "", "", "", "", "AUTO", "", 0),
+    ("", "", "site:example.com", "", "", "example.com", "", "", "", "", "AUTO", "", 0),
+    ("cats", "", "site:blogspot.com", "", "", "blogspot.com", "", "", "", "", "AUTO", "", 0),
+    ("hello world", "", "", "", "", "news.example", "", "", "", "", "AUTO", "", 0),
+    ("rust", "", "", "", "", "", "", ">2010", "", "", "AUTO", "", 0),
+    ("party", "", "", "", "", "", "", "=1999", "", "", "AUTO", "", 0),
+    ("tiny", "", "", "", "", "", "", "", "<100", "", "AUTO", "", 0),
+    ("cool", "", "", "", "", "", "", "", "", ">10", "AUTO", "", 0),
+    ("blog", "", "", "", "", "", "<5", "", "", "", "AUTO", "", 0),
+    ("linux kernel", "", "", "", "", "", "", "", "", "", "REQUIRE_FIELD_TITLE", "", 0),
+    ("knitting", "", "", "", "", "", "", "", "", "", "AUTO", "BLOGS", 0),
+    ("swedish houses", "", "", "", "", "", "", "", "", "", "AUTO", "", 0),
+    ("maps", "", "", "", "", "", "", "", "", "", "AUTO", "", 0),
+    ("main", "", "advisory", "", "", "", "", "", "", "", "AUTO", "", 0),
+    ("", "bloat", "generator:hugo", "fast", "", "", "", "", "", "", "AUTO", "", 0),
+    ("", "", "", "", "", "", "", "", "", "", "AUTO", "", 1),
+    ("c++ tutorial", "", "", "c++_tutorial", "c++_tutorial", "", "", "", "", "", "AUTO", "", 0),
+    ("trailing term", "", "", "", "", "", "", "", "", "", "AUTO", "", 0),
+    ("single", "", "", "", "", "", "", "", "", "", "AUTO", "", 0),
+    ("a-b-c-d-e-f chain", "", "", "", "", "", "", "", "", "", "AUTO", "", 0),
+    ("", "", "ip:1.2.3.4 tld:se file:zip", "", "", "", "", "", "", "", "AUTO", "", 0),
+    ("rock roll", "", "", "rock_-n-_roll", "rock_-n-_roll", "", "", "", "", "", "AUTO", "", 0),
+]
+
+
+def _parse_queries(sf_dir: str) -> pd.DataFrame:
+    """Query-parser conformance (QueryParser.java transform chain +
+    QueryFactory.createQuery spec assembly) over the fixed case table —
+    the oracle rows are hand-derived from the Java semantics."""
+    import ray.data as rd
+
+    from marginaliasearch_ray.functions.queryparse import parse_query
+
+    def run(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for qid, q in zip(b["qid"], b["human_query"]):
+            p = parse_query(q)
+            rows.append(
+                {
+                    "qid": int(qid),
+                    "human_query": q,
+                    "include": " ".join(p.include),
+                    "exclude": " ".join(p.exclude),
+                    "require": " ".join(p.require),
+                    "priority": " ".join(p.priority),
+                    "phrases": ",".join("_".join(ph) for ph in p.phrases),
+                    "domain": p.domain,
+                    "quality": p.quality,
+                    "year": p.year,
+                    "size": p.size,
+                    "rank": p.rank,
+                    "strategy": p.strategy,
+                    "search_set": p.search_set,
+                    "n_problems": len(p.problems),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    cases = rd.from_pandas(
+        pd.DataFrame(
+            {"qid": range(len(_QUERY_CASES)), "human_query": _QUERY_CASES}
+        )
+    )
+    out = cases.map_batches(run, batch_format="pandas").to_pandas()
+    out["qid"] = out["qid"].astype("int64")
+    out["n_problems"] = out["n_problems"].astype("int64")
+    return out.sort_values("qid").reset_index(drop=True)
+
+
+def _parse_queries_sql() -> str:
+    cols = (
+        "include", "exclude", "require", "priority", "phrases", "domain",
+        "quality", "year", "size", "rank", "strategy", "search_set",
+    )
+    rows = []
+    for qid, (q, exp) in enumerate(zip(_QUERY_CASES, _PARSE_EXPECTED)):
+        vals = ", ".join("'" + v.replace("'", "''") + "'" for v in exp[:-1])
+        rows.append(
+            f"({qid}, '{q.replace(chr(39), chr(39) * 2)}', {vals}, {exp[-1]})"
+        )
+    return f"""
+        SELECT CAST(qid AS BIGINT) AS qid, human_query,
+               {', '.join(cols)},
+               CAST(n_problems AS BIGINT) AS n_problems
+        FROM (VALUES {', '.join(rows)})
+          AS t(qid, human_query, {', '.join(cols)}, n_problems)
+        ORDER BY qid
+    """
+
+
+_PARSED_SEARCH_Q = '"data column" row -merge ?filter'
+_PARSED_SITE_Q = "value batch site:src3 size>200"
+
+
+def _search_parsed(sf_dir: str) -> pd.DataFrame:
+    """End-to-end parsed search: QueryParser/QueryFactory spec ->
+    stages/index.py parsed_search (filters + phrase constraint + BM25 +
+    priority bonuses) — the query service's full path on one string."""
+    from marginaliasearch_ray.functions.queryparse import parse_query
+    from marginaliasearch_ray.stages.index import parsed_search
+
+    ds = _read_table(sf_dir, "documents", ["doc_id", "text", "source", "n_chars"])
+    return parsed_search(ds, parse_query(_PARSED_SEARCH_Q), k=10)
+
+
+def _search_parsed_site(sf_dir: str) -> pd.DataFrame:
+    """Parsed search with site: restriction and a size limit
+    (SpecificationLimit) — the 'search one website' path."""
+    from marginaliasearch_ray.functions.queryparse import parse_query
+    from marginaliasearch_ray.stages.index import parsed_search
+
+    ds = _read_table(sf_dir, "documents", ["doc_id", "text", "source", "n_chars"])
+    return parsed_search(ds, parse_query(_PARSED_SITE_Q), k=10)
+
+
 def _term_freq_export(sf_dir: str) -> pd.DataFrame:
     """TermFrequencyExporter parity (export-task-process,
     TermFrequencyExporter.java:103-170): the term-frequency dictionary
@@ -1854,6 +2013,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_info": _domain_info,
         "feed_export": _feed_export,
         "term_freq_export": _term_freq_export,
+        "parse_queries": _parse_queries,
+        "search_parsed": _search_parsed,
+        "search_parsed_site": _search_parsed_site,
         "doc_anchor_counts": _doc_anchor_counts,
         # relational shapes (SQL-checked)
         "agg_lineitem_pricing": _rel("agg_lineitem_pricing"),
@@ -4079,6 +4241,146 @@ def oracle_sql() -> dict[str, str]:
             SELECT term_hash, count
             FROM read_parquet('{exp}/expected_termfreq.parquet')
             ORDER BY term_hash
+        """,
+        "parse_queries": _parse_queries_sql(),
+        # parsed-search spec (stages/index.py parsed_search over the spec
+        # of '"data column" row -merge ?filter'): include data/column/row
+        # all required, merge excluded, mandatory data->column adjacency,
+        # BM25 over include terms (df over the FULL corpus), +2^20 for the
+        # satisfied data_column priority phrase, +2^20 if 'filter' present.
+        "search_parsed": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split(coalesce(text, ''), ' '),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ),
+            stats AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(len(toks)) AS BIGINT) AS total_len
+                FROM toks
+            ),
+            q AS (SELECT unnest(['column', 'data', 'row']) AS term),
+            m AS (
+                SELECT t.doc_id, q.term,
+                       CAST(len(list_filter(t.toks, x -> x = q.term))
+                            AS BIGINT) AS tf,
+                       CAST(len(t.toks) AS BIGINT) AS dl
+                FROM toks t, q
+                WHERE list_contains(t.toks, q.term)
+            ),
+            df AS (
+                SELECT term, CAST(count(*) AS BIGINT) AS df
+                FROM m GROUP BY term
+            ),
+            idf AS (
+                SELECT term,
+                       CAST(floor(ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE)
+                                      + 0.5)
+                                     / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+                                  * 1048576.0 + 0.5) AS BIGINT) AS idf_q
+                FROM df, stats
+            ),
+            eligible AS (
+                SELECT t.doc_id, t.toks
+                FROM toks t
+                WHERE list_contains(t.toks, 'data')
+                  AND list_contains(t.toks, 'column')
+                  AND list_contains(t.toks, 'row')
+                  AND NOT list_contains(t.toks, 'merge')
+                  AND EXISTS (
+                      SELECT 1
+                      FROM unnest(generate_series(1, len(t.toks) - 1)) g(i)
+                      WHERE t.toks[CAST(g.i AS INT)] = 'data'
+                        AND t.toks[CAST(g.i AS INT) + 1] = 'column')
+            ),
+            c AS (
+                SELECT m.doc_id,
+                       CAST(floor(
+                           CAST(m.tf * i.idf_q AS DOUBLE) * 2.2
+                           / (CAST(m.tf AS DOUBLE)
+                              + 1.2 * (0.25 + 0.75 * (CAST(m.dl AS DOUBLE)
+                                       / (CAST(s.total_len AS DOUBLE)
+                                          / CAST(s.n AS DOUBLE)))))
+                           + 0.5) AS BIGINT) AS pts
+                FROM m JOIN idf i USING (term), stats s
+                WHERE m.doc_id IN (SELECT doc_id FROM eligible)
+            ),
+            sc AS (
+                SELECT e.doc_id,
+                       (SELECT CAST(sum(pts) AS BIGINT) FROM c
+                        WHERE c.doc_id = e.doc_id)
+                       + 1048576
+                       + CASE WHEN list_contains(e.toks, 'filter')
+                              THEN 1048576 ELSE 0 END AS score_q
+                FROM eligible e
+            )
+            SELECT doc_id, score_q,
+                   row_number() OVER (ORDER BY score_q DESC, doc_id) AS rank
+            FROM sc ORDER BY score_q DESC, doc_id LIMIT 10
+        """,
+        # parsed-search with site:/size filters ('value batch site:src3
+        # size>200'): source = 'src3', n_chars > 200, include value+batch,
+        # BM25 df over the FULL corpus.
+        "search_parsed_site": """
+            WITH toks AS (
+                SELECT doc_id, source, n_chars,
+                       list_filter(string_split(coalesce(text, ''), ' '),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ),
+            stats AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(len(toks)) AS BIGINT) AS total_len
+                FROM toks
+            ),
+            q AS (SELECT unnest(['batch', 'value']) AS term),
+            m AS (
+                SELECT t.doc_id, q.term,
+                       CAST(len(list_filter(t.toks, x -> x = q.term))
+                            AS BIGINT) AS tf,
+                       CAST(len(t.toks) AS BIGINT) AS dl
+                FROM toks t, q
+                WHERE list_contains(t.toks, q.term)
+            ),
+            df AS (
+                SELECT term, CAST(count(*) AS BIGINT) AS df
+                FROM m GROUP BY term
+            ),
+            idf AS (
+                SELECT term,
+                       CAST(floor(ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE)
+                                      + 0.5)
+                                     / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+                                  * 1048576.0 + 0.5) AS BIGINT) AS idf_q
+                FROM df, stats
+            ),
+            eligible AS (
+                SELECT t.doc_id
+                FROM toks t
+                WHERE t.source = 'src3' AND t.n_chars > 200
+                  AND list_contains(t.toks, 'value')
+                  AND list_contains(t.toks, 'batch')
+            ),
+            c AS (
+                SELECT m.doc_id,
+                       CAST(floor(
+                           CAST(m.tf * i.idf_q AS DOUBLE) * 2.2
+                           / (CAST(m.tf AS DOUBLE)
+                              + 1.2 * (0.25 + 0.75 * (CAST(m.dl AS DOUBLE)
+                                       / (CAST(s.total_len AS DOUBLE)
+                                          / CAST(s.n AS DOUBLE)))))
+                           + 0.5) AS BIGINT) AS pts
+                FROM m JOIN idf i USING (term), stats s
+                WHERE m.doc_id IN (SELECT doc_id FROM eligible)
+            ),
+            sc AS (
+                SELECT doc_id, CAST(sum(pts) AS BIGINT) AS score_q
+                FROM c GROUP BY doc_id
+            )
+            SELECT doc_id, score_q,
+                   row_number() OVER (ORDER BY score_q DESC, doc_id) AS rank
+            FROM sc ORDER BY score_q DESC, doc_id LIMIT 10
         """,
         "convert_docs": f"""
             SELECT url, domain, title, length, round(quality, 4) AS quality,

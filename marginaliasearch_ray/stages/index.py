@@ -243,46 +243,21 @@ def search_topk(
     return cand
 
 
-def bm25_topk(
-    ds: rd.Dataset,
-    terms: tuple[str, ...] | list[str],
-    k: int = 10,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> pd.DataFrame:
-    """BM25-ranked keyword search -> df(doc_id, score_q, rank): the
-    reference's actual result ranking term (`Bm25GraphVisitor` /
-    ResultValuator in MarginaliaSearch's query service scores results
-    with BM25 over the keyword index; ``search_topk`` is the plain
-    TF-IDF sibling).  k1 = 1.2, b = 0.75.
+def _bm25_stats(
+    ds: rd.Dataset, terms: list[str], text_col: str
+) -> tuple[int, int, dict[str, int]]:
+    """Pass 1 of the BM25 queries: corpus doc count, token total and the
+    integer-quantized Robertson-Sparck-Jones idf per query term.
 
-    Bit-exact oracle protocol (every float op mirrored expression-for-
-    expression in DuckDB, IEEE-deterministic given the same tree):
-
-    - dl = per-doc non-empty whitespace-token count; avgdl =
-      total_len / N as ONE double division of two exact int64 totals;
-    - idf_q = floor(ln((N - df + 0.5)/(df + 0.5) + 1) * 2^20 + 0.5)
-      (Robertson-Sparck-Jones idf; ln parity pinned by the unigram-LM
-      oracle);
-    - per (doc, term): contrib = floor((tf*idf_q as double) * 2.2
-      / (tf + 1.2*(0.25 + 0.75*(dl/avgdl))) + 0.5) — quantized to
-      int64 BEFORE the per-doc sum, so summation order cannot drift;
-    - score_q = sum of contribs; top-k by (score_q DESC, doc_id).
-
-    Scale shape is ``search_topk``'s: pass 1 collapses to |terms| df
-    rows + two sentinel totals per block (tiny combine); pass 2
-    broadcasts the idf map + avgdl in the closure and emits per-batch
-    partial top-k — only candidate rows move, never text."""
+    Sentinel totals ride as extra rows distinguished by an INTEGER kind
+    column (0 = df row, 1 = n_docs, 2 = total_len): pandas groupby's
+    string hashtable compares keys as C strings, so two NUL-prefixed
+    sentinel strings silently merge -- never key a groupby on strings
+    that differ only past a NUL byte."""
     import math
 
-    terms = sorted(set(terms))
-    term_arr = np.array(terms, dtype=object)
+    term_arr = np.array(sorted(set(terms)), dtype=object)
 
-    # Sentinel totals ride as extra rows distinguished by an INTEGER
-    # kind column (0 = df row, 1 = n_docs, 2 = total_len): pandas
-    # groupby's string hashtable compares keys as C strings, so two
-    # NUL-prefixed sentinel strings silently merge — never key a
-    # groupby on strings that differ only past a NUL byte.
     def stats_partial(b: pd.DataFrame) -> pd.DataFrame:
         b = b.reset_index(drop=True)
         ex = b[text_col].fillna("").str.split(" ").explode()
@@ -322,8 +297,8 @@ def bm25_topk(
         )
         .to_pandas()
     )
-    n_docs = int(stats.loc[stats["kind"] == 1, "df"].iloc[0])
-    total_len = int(stats.loc[stats["kind"] == 2, "df"].iloc[0])
+    n_docs = int(stats.loc[stats["kind"] == 1, "df"].iloc[0]) if len(stats) else 0
+    total_len = int(stats.loc[stats["kind"] == 2, "df"].iloc[0]) if len(stats) else 0
     dfr = stats[stats["kind"] == 0]
     dfs = dict(zip(dfr["term"], dfr["df"].astype(int)))
     idf_q = {
@@ -333,9 +308,46 @@ def bm25_topk(
                 / (float(dfs[t]) + 0.5) + 1.0
             ) * 1048576.0 + 0.5
         ))
-        for t in terms
+        for t in term_arr
         if dfs.get(t, 0) > 0
     }
+    return n_docs, total_len, idf_q
+
+
+
+def bm25_topk(
+    ds: rd.Dataset,
+    terms: tuple[str, ...] | list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """BM25-ranked keyword search -> df(doc_id, score_q, rank): the
+    reference's actual result ranking term (`Bm25GraphVisitor` /
+    ResultValuator in MarginaliaSearch's query service scores results
+    with BM25 over the keyword index; ``search_topk`` is the plain
+    TF-IDF sibling).  k1 = 1.2, b = 0.75.
+
+    Bit-exact oracle protocol (every float op mirrored expression-for-
+    expression in DuckDB, IEEE-deterministic given the same tree):
+
+    - dl = per-doc non-empty whitespace-token count; avgdl =
+      total_len / N as ONE double division of two exact int64 totals;
+    - idf_q = floor(ln((N - df + 0.5)/(df + 0.5) + 1) * 2^20 + 0.5)
+      (Robertson-Sparck-Jones idf; ln parity pinned by the unigram-LM
+      oracle);
+    - per (doc, term): contrib = floor((tf*idf_q as double) * 2.2
+      / (tf + 1.2*(0.25 + 0.75*(dl/avgdl))) + 0.5) — quantized to
+      int64 BEFORE the per-doc sum, so summation order cannot drift;
+    - score_q = sum of contribs; top-k by (score_q DESC, doc_id).
+
+    Scale shape is ``search_topk``'s: pass 1 collapses to |terms| df
+    rows + two sentinel totals per block (tiny combine); pass 2
+    broadcasts the idf map + avgdl in the closure and emits per-batch
+    partial top-k — only candidate rows move, never text."""
+    terms = sorted(set(terms))
+    term_arr = np.array(terms, dtype=object)
+    n_docs, total_len, idf_q = _bm25_stats(ds, terms, text_col)
     empty = pd.DataFrame(
         {id_col: pd.Series([], dtype="int64"),
          "score_q": pd.Series([], dtype="int64"),
@@ -576,4 +588,191 @@ def search_diverse(
     cand["rank"] = np.arange(1, len(cand) + 1, dtype=np.int64)
     for c in ("score_q", "rank"):
         cand[c] = cand[c].astype("int64")
+    return cand
+
+
+def _phrase_present(toks: np.ndarray, parts: list[str]) -> bool:
+    """Adjacent-sequence presence (the mandatory SearchPhraseConstraint
+    check, SearchPhraseConstraint.java mandatory): parts appear at
+    consecutive token positions."""
+    n, m = len(toks), len(parts)
+    if m == 0:
+        return True
+    if n < m:
+        return False
+    hit = toks[: n - m + 1] == parts[0]
+    for j in range(1, m):
+        hit &= toks[j : n - m + 1 + j] == parts[j]
+        if not hit.any():
+            return False
+    return bool(hit.any())
+
+
+def parsed_search(
+    ds: rd.Dataset,
+    pq,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    size_col: str = "n_chars",
+) -> pd.DataFrame:
+    """Execute a PARSED query spec (functions/queryparse.ParsedQuery)
+    against the corpus — the query service's end-to-end path:
+    QueryFactory spec -> index filters -> BM25 ranking
+    (IndexQueryExecution + ResultValuator).
+
+    Spec semantics applied (each mirrored in the SQL oracle):
+    - include terms: ALL must be present (the AUTO-strategy compiled
+      query requires every non-optional term);
+    - exclude terms: none may be present;
+    - non-site advice (require) terms: present like include terms, but
+      NOT scored (QueryFactory.promoteNonRankingTerms keeps them out of
+      the ranking sum);
+    - mandatory phrase constraints: adjacent token sequence present;
+    - site: domain restricts ``source_col``; size limit gates
+      ``size_col`` (the reference's size SpecificationLimit);
+    - score = bm25_topk's integer-quantized BM25 over the include terms
+      + a flat 2^20 bonus per satisfied priority term (phrase-shaped
+      priority terms check adjacency).
+
+    Scale shape: one tiny stats pass (df/avgdl over the full corpus,
+    like bm25_topk), then one streaming filter+score pass emitting
+    per-batch top-k partials; only candidate (id, score) rows move."""
+    include = sorted(set(pq.include))
+    gate_terms = sorted(set(include) | set(pq.exclude)
+                        | {t for t in pq.require if not t.startswith("site:")}
+                        | {p for t in pq.priority if "_" not in t for p in [t]})
+    n_docs, total_len, idf_q = _bm25_stats(ds, include, text_col)
+    empty = pd.DataFrame(
+        {id_col: pd.Series([], dtype="int64"),
+         "score_q": pd.Series([], dtype="int64"),
+         "rank": pd.Series([], dtype="int64")}
+    )
+    if n_docs == 0 or total_len == 0:
+        return empty
+    avgdl = float(total_len) / float(n_docs)
+    gate_arr = np.array(gate_terms, dtype=object)
+    require_plain = [t for t in pq.require if not t.startswith("site:")]
+    phrase_parts = [list(p) for p in pq.phrases]
+    prio_phrases = [t.split("_") for t in pq.priority if "_" in t]
+    prio_plain = [t for t in pq.priority if "_" not in t]
+    size_op = pq.size[0] if pq.size else ""
+    size_val = int(pq.size[1:]) if pq.size else 0
+
+    def score_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.reset_index(drop=True)
+        keep = np.ones(len(b), dtype=bool)
+        if pq.domain and source_col in b:
+            keep &= (b[source_col] == pq.domain).to_numpy()
+        if size_op == ">":
+            keep &= (b[size_col] > size_val).to_numpy()
+        elif size_op == "<":
+            keep &= (b[size_col] < size_val).to_numpy()
+        elif size_op == "=":
+            keep &= (b[size_col] == size_val).to_numpy()
+        b = b[keep].reset_index(drop=True)
+        if not len(b):
+            return pd.DataFrame(
+                {id_col: pd.Series([], dtype=np.int64),
+                 "score_q": pd.Series([], dtype=np.int64)}
+            )
+        ex = b[text_col].fillna("").str.split(" ").explode()
+        words = ex.to_numpy().astype(object)
+        idx = ex.index.to_numpy()
+        nonempty = words != ""
+        words, idx = words[nonempty], idx[nonempty]
+        dl_all = np.bincount(idx, minlength=len(b)).astype(np.int64)
+        d = pd.DataFrame({"i": idx, "w": words})
+        d = d[np.isin(d["w"].to_numpy(), gate_arr)]
+        # membership matrix per surviving doc
+        present: dict[str, np.ndarray] = {}
+        dd = d.drop_duplicates()
+        for t in gate_terms:
+            mask = np.zeros(len(b), dtype=bool)
+            mask[dd.loc[dd["w"] == t, "i"].to_numpy()] = True
+            present[t] = mask
+        ok = np.ones(len(b), dtype=bool)
+        for t in include:
+            ok &= present[t]
+        for t in require_plain:
+            ok &= present[t]
+        for t in set(pq.exclude):
+            ok &= ~present[t]
+        cand = np.flatnonzero(ok)
+        if phrase_parts and len(cand):
+            tok_lists = b[text_col].fillna("").str.split(" ")
+            keep_c = []
+            for i in cand:
+                toks = np.array(
+                    [w for w in tok_lists.iloc[i] if w], dtype=object
+                )
+                if all(_phrase_present(toks, ph) for ph in phrase_parts):
+                    keep_c.append(i)
+            cand = np.array(keep_c, dtype=np.int64)
+        if not len(cand):
+            return pd.DataFrame(
+                {id_col: pd.Series([], dtype=np.int64),
+                 "score_q": pd.Series([], dtype=np.int64)}
+            )
+        cset = set(cand.tolist())
+        tf = d[[i in cset for i in d["i"]]].groupby(
+            ["i", "w"], as_index=False
+        ).size()
+        tf = tf[[w in idf_q for w in tf["w"]]]
+        score = np.zeros(len(b), dtype=np.int64)
+        if len(tf):
+            tfv = tf["size"].to_numpy().astype(np.int64)
+            idfv = np.array([idf_q[w] for w in tf["w"]], dtype=np.int64)
+            dlv = dl_all[tf["i"].to_numpy()]
+            num = (tfv * idfv).astype(np.float64) * 2.2
+            den = tfv.astype(np.float64) + 1.2 * (
+                0.25 + 0.75 * (dlv.astype(np.float64) / avgdl)
+            )
+            pts = np.floor(num / den + 0.5).astype(np.int64)
+            np.add.at(score, tf["i"].to_numpy(), pts)
+        # priority bonuses
+        for t in prio_plain:
+            score[cand[present[t][cand]]] += 1048576
+        if prio_phrases:
+            tok_lists = b[text_col].fillna("").str.split(" ")
+            for i in cand:
+                toks = np.array(
+                    [w for w in tok_lists.iloc[i] if w], dtype=object
+                )
+                for ph in prio_phrases:
+                    if _phrase_present(toks, ph):
+                        score[i] += 1048576
+        out = pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy()[cand],
+                "score_q": score[cand],
+            }
+        )
+        return out.sort_values(
+            [
+                "score_q", id_col
+            ], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    cand = (
+        ds.map_batches(score_partial, batch_format="pandas")
+        .repartition(1)
+        .map_batches(
+            lambda b: b.sort_values(
+                ["score_q", id_col], ascending=[False, True],
+                kind="mergesort",
+            ).head(k),
+            batch_format="pandas",
+            batch_size=None,
+        )
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    if not len(cand):
+        return empty
+    cand["rank"] = np.arange(1, len(cand) + 1, dtype=np.int64)
+    for c in ("score_q", "rank"):
+        cand[c] = cand[c].astype("int64")
+    cand[id_col] = cand[id_col].astype("int64")
     return cand

@@ -1,0 +1,61 @@
+"""Query-parser conformance (QueryParser.java / QueryFactory.java) —
+including the six upstream QueryParserTest cases verbatim."""
+
+from marginaliasearch_ray.functions.queryparse import (
+    parse_query,
+    parse_query_tokens,
+)
+
+
+def _kinds(q):
+    return [(t.kind, t.s, t.display) for t in parse_query_tokens(q)]
+
+
+def test_reference_queryparser_cases():
+    # QueryParserTest.java — all six upstream cases
+    assert _kinds("__builtin_ffs") == [("literal", "builtin_ffs", "__builtin_ffs")]
+    assert _kinds("strcpy()") == [("literal", "strcpy", "strcpy()")]
+    assert _kinds("bob's") == [("literal", "bob", "bob's")]
+    assert _kinds("-foo") == [("exclude", "foo", "-foo")]
+    assert _kinds('-"foo bar"') == [("exclude_phrase", "foo_bar", '-"foo bar"')]
+    assert _kinds('?"foo bar"') == [("priority", "foo_bar", '?"foo bar"')]
+
+
+def test_special_operators():
+    p = parse_query("q<5 year>2010 size=100 rank<3 qs=rf_url set:x lang:en near:y z")
+    assert (p.quality, p.year, p.size, p.rank) == ("<5", ">2010", "=100", "<3")
+    assert p.strategy == "REQUIRE_FIELD_URL"
+    assert p.search_set == "X"
+    assert p.include == ["z"]  # lang:/near: are spec no-ops
+
+
+def test_site_semantics():
+    lone = parse_query("site:a.example")
+    assert lone.domain == "a.example" and lone.require == ["site:a.example"]
+    multi = parse_query("cats site:a.example")
+    assert multi.domain == "a.example" and multi.require == []
+    wild = parse_query("site:*.b.example dogs")
+    assert wild.domain == "b.example" and wild.require == ["site:b.example"]
+
+
+def test_quoted_phrase_spec():
+    p = parse_query('"rock -n- roll" extra')
+    assert p.phrases == [["rock", "-n-", "roll"]]
+    # '-n-' is a junk word: kept in the phrase constraint, dropped from
+    # the required terms (WordPatterns.isStopWord via isNotJunkWord)
+    assert p.include == ["rock", "roll", "extra"]
+    assert p.priority == ["rock_-n-_roll"]
+
+
+def test_too_long_queries_cleared():
+    p = parse_query(" ".join(f"w{i}" for i in range(12)))
+    assert p.problems and p.include == []
+    p2 = parse_query('"' + " ".join(f"w{i}" for i in range(33)) + '"')
+    assert p2.problems and p2.include == []
+
+
+def test_paren_advice_and_escape():
+    p = parse_query("(hint) term")
+    assert p.require == ["hint"] and p.include == ["term"]
+    toks = _kinds(r"a\ b")
+    assert toks == [("literal", "a b", "a\\ b")]
