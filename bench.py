@@ -215,6 +215,9 @@ def run_bench() -> dict:
         "domain_similarity",
         "search_diverse",
         "kmeans_outliers",
+        "domain_ping_changes",
+        "term_freq_export",
+        "search_parsed",
     ):
         t0 = time.perf_counter()
         qs[name](SF_DIR)
