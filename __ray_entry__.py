@@ -101,6 +101,106 @@ def _convert_docs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("url").reset_index(drop=True)
 
 
+def _loader_converted(sf_dir: str):
+    """Converter output for the loading-process queries (LoaderInputData:
+    the loader consumes the converter's slop tables)."""
+    from marginaliasearch_ray.fixtures.cache import fixture_dir_for
+    from marginaliasearch_ray.pipelines.convert import convert_pages
+
+    fix = fixture_dir_for(sf_dir)
+    return convert_pages(f"{fix}/pages.parquet")
+
+
+def _load_docdb(sf_dir: str) -> pd.DataFrame:
+    """Loading-process docdb rows — pipelines/load.py load_docdb:
+    DocumentLoaderService.LinkdbLoader semantics (only OK, non-near-dup
+    documents load; per-domain ordinals over loaded docs; combined id =
+    UrlIdCodec.encodeId(domain_id, ordinal))."""
+    from marginaliasearch_ray.pipelines.load import build_domain_registry, load_docdb
+
+    conv = _loader_converted(sf_dir)
+    reg = build_domain_registry(conv)
+    out = load_docdb(conv, reg).to_pandas()
+    out["quality"] = out["quality"].round(4)
+    return out.sort_values("combined_id").reset_index(drop=True)
+
+
+def _load_ranked_ids(sf_dir: str) -> pd.DataFrame:
+    """UrlIdCodec.addRank over the loaded ids — the index-construction
+    DocIdRewriter step: rank01 = (position-1)/n over docdb domains
+    ordered by (pagerank DESC, domain), domains absent from the link
+    graph rank 0.0; floor(rank01*64) clamped to [0,63] lands at bit 57
+    so sorting by id sorts by rank."""
+    from marginaliasearch_ray.pipelines.load import (
+        add_rank,
+        build_domain_registry,
+        get_rank,
+        load_docdb,
+    )
+    from marginaliasearch_ray.pipelines.rank import pagerank
+
+    conv = _loader_converted(sf_dir)
+    reg = build_domain_registry(conv)
+    docdb = (
+        load_docdb(conv, reg)
+        .select_columns(["combined_id", "domain"])
+        .to_pandas()
+    )
+    pr = pagerank(_domain_edges(sf_dir), mode="distributed")
+    # round THEN order, same as pagerank_domains: float noise in the
+    # last ULP must not reorder near-ties vs the oracle fixture
+    pr_map = dict(zip(pr["domain"], pr["rank"].round(8)))
+    doms = sorted(docdb["domain"].unique())
+    n = len(doms)
+    order = sorted(doms, key=lambda d: (-pr_map.get(d, 0.0), d))
+    rank01 = {d: (pos) / n for pos, d in enumerate(order)}
+    r01 = docdb["domain"].map(rank01).to_numpy(np.float64)
+    out = pd.DataFrame(
+        {
+            "domain": docdb["domain"],
+            "combined_id": docdb["combined_id"],
+            "ranked_id": add_rank(r01, docdb["combined_id"].to_numpy()),
+        }
+    )
+    out["rank_part"] = get_rank(out["ranked_id"].to_numpy())
+    return out.sort_values("ranked_id").reset_index(drop=True)
+
+
+def _load_domain_registry(sf_dir: str) -> pd.DataFrame:
+    """DomainLoaderService.getOrCreateDomainIds with insertFoundDomains:
+    crawled = converter-output domains (affinity = node 1), found = link
+    src/dst domains not crawled (affinity -1); ids crawled-first in
+    name order (the deterministic stand-in for DB autoincrement)."""
+    from marginaliasearch_ray.pipelines.load import build_domain_registry
+
+    conv = _loader_converted(sf_dir)
+    edges = _domain_edges(sf_dir)
+    reg = build_domain_registry(
+        conv, edges, found_cols=("src_domain", "dst_domain")
+    )
+    return reg.sort_values("domain_id").reset_index(drop=True)
+
+
+def _load_domain_links(sf_dir: str) -> pd.DataFrame:
+    """DomainLinksLoaderService — the EC_DOMAIN_LINK table: distinct
+    (source_domain_id, dest_domain_id) pairs resolved through the
+    registry; two-level narrow-pair dedup, no text ever moves."""
+    from marginaliasearch_ray.pipelines.load import (
+        build_domain_registry,
+        load_domain_links,
+    )
+
+    conv = _loader_converted(sf_dir)
+    edges = _domain_edges(sf_dir, materialized=True)
+    reg = build_domain_registry(
+        conv, edges, found_cols=("src_domain", "dst_domain")
+    )
+    out = load_domain_links(edges, reg).to_pandas()
+    return out.sort_values(
+        ["source_domain_id", "dest_domain_id"]
+    ).reset_index(drop=True)
+
+
 _SEARCH_TERMS = ("hash", "join", "merge")
 
 
@@ -1994,6 +2094,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # crawl engine (rows-only: stateful frontier, not SQL-expressible)
         "crawl_records": _crawl_records,
         "convert_docs": _convert_docs,
+        "load_docdb": _load_docdb,
+        "load_ranked_ids": _load_ranked_ids,
+        "load_domain_registry": _load_domain_registry,
+        "load_domain_links": _load_domain_links,
         "pagerank_domains": _pagerank_domains,
         "pagerank_personalized": _pagerank_personalized,
         "domain_bfs_hops": _domain_bfs_hops,
@@ -4389,6 +4493,147 @@ def oracle_sql() -> dict[str, str]:
                    features
             FROM read_parquet('{exp}/expected_convert.parquet')
             ORDER BY url
+        """,
+        # loading-process parity (pipelines/load.py): registry ids are
+        # crawled-first name order; ordinal = rank-of-url within domain
+        # over LOADED docs only (state='ok' AND NOT near-dup, per
+        # ConverterBatchWriter.java:102 — skipped docs consume no
+        # ordinal); combined = domain_id*2^26 + ordinal (UrlIdCodec).
+        "load_docdb": f"""
+            WITH conv AS (
+                SELECT * FROM read_parquet('{exp}/expected_convert.parquet')
+            ),
+            reg AS (
+                SELECT domain,
+                       row_number() OVER (ORDER BY domain) AS domain_id
+                FROM (SELECT DISTINCT domain FROM conv)
+            ),
+            loaded AS (
+                SELECT c.url, c.domain, c.title, c.summary, c.quality,
+                       c.features, c.pub_year, c.length, c.n_words,
+                       r.domain_id,
+                       row_number() OVER (
+                           PARTITION BY c.domain ORDER BY c.url
+                       ) - 1 AS ordinal
+                FROM conv c JOIN reg r USING (domain)
+                WHERE c.state = 'ok' AND NOT c.is_near_dup
+            )
+            SELECT CAST(domain_id * 67108864 + ordinal AS BIGINT) AS combined_id,
+                   CAST(domain_id AS BIGINT) AS domain_id,
+                   CAST(ordinal AS BIGINT) AS ordinal,
+                   url, domain, title, summary, quality, features,
+                   pub_year, length, n_words
+            FROM loaded ORDER BY combined_id
+        """,
+        # UrlIdCodec.addRank: rank01 = (pos-1)/n over docdb domains by
+        # (pagerank DESC, domain); rank_part = trunc(rank01*64) clamped
+        # [0,63] at bit 57 (2^57 = 144115188075855872); combined ids have
+        # zero rank bits so OR == addition.
+        "load_ranked_ids": f"""
+            WITH conv AS (
+                SELECT * FROM read_parquet('{exp}/expected_convert.parquet')
+            ),
+            reg AS (
+                SELECT domain,
+                       row_number() OVER (ORDER BY domain) AS domain_id
+                FROM (SELECT DISTINCT domain FROM conv)
+            ),
+            loaded AS (
+                SELECT c.domain, r.domain_id,
+                       CAST(r.domain_id * 67108864
+                            + row_number() OVER (
+                                PARTITION BY c.domain ORDER BY c.url
+                              ) - 1 AS BIGINT) AS combined_id
+                FROM conv c JOIN reg r USING (domain)
+                WHERE c.state = 'ok' AND NOT c.is_near_dup
+            ),
+            pr AS (
+                SELECT domain, round(rank, 8) AS r
+                FROM read_parquet('{exp}/expected_pagerank.parquet')
+            ),
+            doms AS (SELECT DISTINCT domain FROM loaded),
+            pos AS (
+                SELECT d.domain,
+                       row_number() OVER (
+                           ORDER BY coalesce(pr.r, 0.0) DESC, d.domain
+                       ) AS p,
+                       (SELECT count(*) FROM doms) AS n
+                FROM doms d LEFT JOIN pr USING (domain)
+            ),
+            rb AS (
+                SELECT domain,
+                       least(63, greatest(0, CAST(trunc(
+                           (CAST(p - 1 AS DOUBLE) / CAST(n AS DOUBLE)) * 64
+                       ) AS BIGINT))) AS rank_part
+                FROM pos
+            )
+            SELECT l.domain, l.combined_id,
+                   CAST(l.combined_id
+                        + rb.rank_part * 144115188075855872 AS BIGINT)
+                       AS ranked_id,
+                   rb.rank_part
+            FROM loaded l JOIN rb USING (domain)
+            ORDER BY ranked_id
+        """,
+        "load_domain_registry": f"""
+            WITH conv AS (
+                SELECT DISTINCT domain
+                FROM read_parquet('{exp}/expected_convert.parquet')
+            ),
+            e AS (
+                SELECT lower(regexp_extract(src_url, '://([^/:]+)', 1)) AS s,
+                       lower(regexp_extract(dst_url, '://([^/:]+)', 1)) AS d
+                FROM read_parquet('{fix}/links.parquet')
+            ),
+            found AS (SELECT s AS domain FROM e UNION SELECT d FROM e),
+            allx AS (
+                SELECT domain, TRUE AS crawled FROM conv
+                UNION ALL
+                SELECT domain, FALSE FROM (
+                    SELECT domain FROM found
+                    EXCEPT SELECT domain FROM conv
+                )
+            )
+            SELECT domain,
+                   CAST(row_number() OVER (
+                       ORDER BY crawled DESC, domain
+                   ) AS BIGINT) AS domain_id,
+                   CAST(CASE WHEN crawled THEN 1 ELSE -1 END AS BIGINT)
+                       AS node_affinity
+            FROM allx ORDER BY domain_id
+        """,
+        "load_domain_links": f"""
+            WITH conv AS (
+                SELECT DISTINCT domain
+                FROM read_parquet('{exp}/expected_convert.parquet')
+            ),
+            e AS (
+                SELECT lower(regexp_extract(src_url, '://([^/:]+)', 1)) AS s,
+                       lower(regexp_extract(dst_url, '://([^/:]+)', 1)) AS d
+                FROM read_parquet('{fix}/links.parquet')
+            ),
+            found AS (SELECT s AS domain FROM e UNION SELECT d FROM e),
+            allx AS (
+                SELECT domain, TRUE AS crawled FROM conv
+                UNION ALL
+                SELECT domain, FALSE FROM (
+                    SELECT domain FROM found
+                    EXCEPT SELECT domain FROM conv
+                )
+            ),
+            reg AS (
+                SELECT domain,
+                       row_number() OVER (ORDER BY crawled DESC, domain)
+                           AS domain_id
+                FROM allx
+            )
+            SELECT DISTINCT
+                   CAST(rs.domain_id AS BIGINT) AS source_domain_id,
+                   CAST(rd2.domain_id AS BIGINT) AS dest_domain_id
+            FROM e
+            JOIN reg rs ON e.s = rs.domain
+            JOIN reg rd2 ON e.d = rd2.domain
+            ORDER BY source_domain_id, dest_domain_id
         """,
         "pagerank_domains": f"""
             SELECT domain, rank

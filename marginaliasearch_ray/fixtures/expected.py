@@ -41,7 +41,7 @@ from .cache import FIXTURE_VERSION, config_for, fixture_dir_for
 
 EXPECTED_ROOT = "/tmp/graft_expected"
 # bump when ORACLE LOGIC changes without a fixture-generator change
-EXPECTED_VERSION = 19
+EXPECTED_VERSION = 20
 
 
 def expected_dir_for(sf_dir: str) -> str:
@@ -381,7 +381,7 @@ def _build_convert_expected(fix: Path, out: Path) -> None:
         "url": [], "domain": [], "title": [], "length": [], "quality": [],
         "links_internal": [], "links_external": [], "is_near_dup": [],
         "n_words": [], "pub_year": [], "summary": [], "spec": [],
-        "amended_words": [], "has_cookies": [], "features": [],
+        "amended_words": [], "has_cookies": [], "features": [], "state": [],
     }
     for domain in sorted(by_domain):
         idxs = by_domain[domain]
@@ -472,6 +472,7 @@ def _build_convert_expected(fix: Path, out: Path) -> None:
             rows["features"].append(
                 r["features"] | (F_COOKIES if cookie_jar and r["state"] == "ok" else 0)
             )
+            rows["state"].append(r["state"])
     pq.write_table(
         pa.table(
             {
@@ -490,6 +491,7 @@ def _build_convert_expected(fix: Path, out: Path) -> None:
                 "amended_words": pa.array(rows["amended_words"], pa.string()),
                 "has_cookies": pa.array(rows["has_cookies"], pa.bool_()),
                 "features": pa.array(rows["features"], pa.int64()),
+                "state": pa.array(rows["state"], pa.string()),
             }
         ),
         out / "expected_convert.parquet",
