@@ -777,6 +777,24 @@ def _term_freq_export(sf_dir: str) -> pd.DataFrame:
     return term_freq_export(pages)
 
 
+def _atag_export(sf_dir: str) -> pd.DataFrame:
+    """AtagExporter parity (export-task-process, AtagExporter.java):
+    cross-domain anchor texts with the ATagLinkFilter eligibility chain
+    and per-source-domain first-wins dedup — vs the sequential per-domain
+    seen-set replica (expected_atags)."""
+    import ray.data as rd
+
+    from marginaliasearch_ray.fixtures.cache import fixture_dir_for
+    from marginaliasearch_ray.pipelines.export import atag_export
+
+    pages = rd.read_parquet(
+        f"{fixture_dir_for(sf_dir)}/pages.parquet",
+        columns=["url", "html", "status"],
+        override_num_blocks=_READ_BLOCKS,
+    )
+    return atag_export(pages)
+
+
 def _domain_info(sf_dir: str) -> pd.DataFrame:
     """The domain-info service's per-domain join
     (DomainInformationService.java:54-150): EC_DOMAIN state + rank,
@@ -2117,6 +2135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_info": _domain_info,
         "feed_export": _feed_export,
         "term_freq_export": _term_freq_export,
+        "atag_export": _atag_export,
         "parse_queries": _parse_queries,
         "search_parsed": _search_parsed,
         "search_parsed_site": _search_parsed_site,
@@ -4345,6 +4364,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT term_hash, count
             FROM read_parquet('{exp}/expected_termfreq.parquet')
             ORDER BY term_hash
+        """,
+        "atag_export": f"""
+            SELECT url, link_text, source_domain
+            FROM read_parquet('{exp}/expected_atags.parquet')
+            ORDER BY source_domain, url, link_text
         """,
         "parse_queries": _parse_queries_sql(),
         # parsed-search spec (stages/index.py parsed_search over the spec

@@ -41,7 +41,7 @@ from .cache import FIXTURE_VERSION, config_for, fixture_dir_for
 
 EXPECTED_ROOT = "/tmp/graft_expected"
 # bump when ORACLE LOGIC changes without a fixture-generator change
-EXPECTED_VERSION = 20
+EXPECTED_VERSION = 21
 
 
 def expected_dir_for(sf_dir: str) -> str:
@@ -62,8 +62,76 @@ def expected_dir_for(sf_dir: str) -> str:
         _build_bpe_expected(sf_dir, out)
         _build_kmeans_expected(sf_dir, out)
         _build_termfreq_expected(fix, out)
+        _build_atags_expected(fix, out)
         done.touch()
     return str(out)
+
+
+def _build_atags_expected(fix: Path, out: Path) -> None:
+    """Sequential single-threaded replica of the AtagExporter spec
+    (pipelines/export.py atag_export): per source domain in sorted
+    order, documents in URL order, anchors in document order, a plain
+    per-domain seen-set of (lower(text), lower(url)) pairs — independent
+    of the distributed bucket-shuffle path under test."""
+    from ..functions.contenttype import decode_body, sniff_content_type
+    from ..functions.htmldoc import parse_document
+    from ..functions.links import parse_anchor_permissive
+    from ..model.urls import parse_url
+    from ..pipelines.export import _atag_text_eligible, _atag_url_eligible
+
+    pages = pq.read_table(fix / "pages.parquet", columns=["url", "html", "status"])
+    by_domain: dict[str, list[int]] = {}
+    for i in range(pages.num_rows):
+        u = parse_url(pages["url"][i].as_py())
+        if u is not None:
+            by_domain.setdefault(u.host, []).append(i)
+
+    rows: dict[str, list] = {"url": [], "link_text": [], "source_domain": []}
+    for domain in sorted(by_domain):
+        seen: set[tuple[str, str]] = set()
+        idxs = sorted(by_domain[domain], key=lambda j: pages["url"][j].as_py())
+        for i in idxs:
+            status = pages["status"][i].as_py()
+            html = pages["html"][i].as_py()
+            if status != 200 or not html:
+                continue
+            mime, charset = sniff_content_type(None, html)
+            if mime != "text/html":
+                continue
+            url = pages["url"][i].as_py()
+            base = parse_url(url)
+            doc = parse_document(decode_body(html, charset), build_dom=True)
+            if doc.dom is None:
+                continue
+            for a in doc.dom.get_elements_by_tag("a"):
+                href = a.attrs.get("href")
+                if href is None:
+                    continue
+                text = a.text()
+                if not _atag_text_eligible(text):
+                    continue
+                u = parse_anchor_permissive(base, href)
+                if u is None or not _atag_url_eligible(u, base, text):
+                    continue
+                key = (text.lower(), str(u).lower())
+                if key in seen:
+                    continue
+                seen.add(key)
+                rows["url"].append(
+                    u.host + u.path + (("?" + u.param) if u.param else "")
+                )
+                rows["link_text"].append(text)
+                rows["source_domain"].append(domain)
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array(rows["url"], pa.string()),
+                "link_text": pa.array(rows["link_text"], pa.string()),
+                "source_domain": pa.array(rows["source_domain"], pa.string()),
+            }
+        ),
+        out / "expected_atags.parquet",
+    )
 
 
 def _build_termfreq_expected(fix: Path, out: Path) -> None:

@@ -113,6 +113,19 @@ def parse_anchor(base: CanonUrl, href: str, rel: str = "") -> Optional[CanonUrl]
     return u
 
 
+def parse_anchor_permissive(base: CanonUrl, href: str) -> Optional[CanonUrl]:
+    """<a href> WITHOUT the index-relevance filters
+    (``LinkParser.parseLinkPermissive``, LinkParser.java:50-58 +
+    getUrl:141-150): whitespace strip -> fragment cut -> relative
+    resolution -> canonicalize.  No rel/url-relevance gate and no
+    binary-suffix gate — the anchor-tag exporter's parse."""
+    url = href.translate(_STRIP_WS)
+    anchor = url.find("#")
+    if anchor > 0:
+        url = url[:anchor]
+    return _resolve_and_parse(base, url)
+
+
 def parse_link_str(base: CanonUrl, s: str) -> Optional[CanonUrl]:
     """String overload — no relevance / binary-suffix filters
     (LinkParser.java:81-89)."""

@@ -220,3 +220,140 @@ def term_freq_export(pages: rd.Dataset, n_buckets: int = 32) -> pd.DataFrame:
     out = out[out["count"] > 0]
     out["term_hash"] = out["term_hash"].astype("uint64")
     return out.sort_values("term_hash").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# AtagExporter
+# ---------------------------------------------------------------------------
+
+_ATAG_COLS = [
+    "source_domain", "doc_url", "anchor_idx", "url", "link_text",
+    "k_text", "k_url",
+]
+
+
+def _atag_text_eligible(text: str) -> bool:
+    """ATagLinkFilter.isLinkTextEligible (AtagExporter.java:139-155):
+    non-blank, not startswith("this"), not "here"/"click here"
+    (case-insensitive), ASCII-printable (which also bans newlines)."""
+    if not text or text.isspace():
+        return False
+    if text.startswith("this"):
+        return False
+    tl = text.lower()
+    if tl == "here" or tl == "click here":
+        return False
+    return all(32 <= ord(c) <= 126 for c in text)
+
+
+def _atag_url_eligible(u, base, text: str) -> bool:
+    """ATagLinkFilter.isEligible (AtagExporter.java:157-183), minus the
+    per-stream hash dedup (done downstream on the exact pair)."""
+    if u.proto not in ("http", "https"):
+        return False
+    if u.top_domain == "example.com":  # link-parser artifact guard
+        return False
+    if u.host in text:  # linkText.contains(url.domain.toString())
+        return False
+    if u.host == base.host:  # cross-domain only
+        return False
+    return all(32 <= ord(c) <= 126 for c in str(u))
+
+
+def atag_export(pages: rd.Dataset, n_buckets: int = 32) -> pd.DataFrame:
+    """AtagExporter.java — the anchor-text export (atags.csv.gz), the
+    producing side of the anchor-tags keyword source (stages/atags.py).
+
+    Per fetched ``text/html`` document: every ``<a href>`` tag's
+    jsoup-normalized link text, filtered by ATagLinkFilter
+    (java:137-183):
+
+    - text eligible: see :func:`_atag_text_eligible`;
+    - link parses via ``parseLinkPermissive`` against the DOCUMENT url
+      (the exporter ignores ``<base href>``, java:110-116);
+    - url eligible: http/https, topDomain != example.com, link text not
+      containing the link's domain, CROSS-domain only, ASCII-printable
+      url string;
+    - per-source-domain dedup, FIRST occurrence wins.  The reference
+      hashes ``murmur(lower(text)) ^ murmur(lower(url))`` into a
+      per-stream TLongHashSet (java:175-180); we dedup on the exact
+      ``(lower(text), lower(url))`` pair — collision-free-equivalent
+      (the degenerate text==url XOR self-collision cannot fire: such a
+      text contains the domain and is rejected earlier).
+
+    Output: (url, link_text, source_domain) with the schema and port
+    dropped from the url (ATagCsvWriter.urlWithNoSchema, java:196-216).
+
+    Stream-order note: first-wins follows the reference's crawl file
+    order; our canonical per-domain order is URL sort order with anchors
+    in document order (the converter convention), mirrored bit-for-bit
+    in the sequential oracle.
+
+    Scale shape: the parse runs per-batch where the page bytes sit; only
+    narrow candidate rows shuffle ONCE by source-domain hash; per-bucket
+    first-wins dedup is one vectorized ``drop_duplicates`` (a domain
+    never splits across buckets)."""
+    from ..functions.links import parse_anchor_permissive
+
+    def extract(b: pd.DataFrame) -> pd.DataFrame:
+        rows: dict[str, list] = {c: [] for c in _ATAG_COLS}
+        for url, html, status in zip(b["url"], b["html"], b["status"]):
+            if status != 200 or html is None or len(html) == 0:
+                continue
+            body = bytes(html)
+            mime, charset = sniff_content_type(None, body)
+            if mime != "text/html":
+                continue
+            base = parse_url(url)
+            if base is None:
+                continue
+            doc = parse_document(decode_body(body, charset), build_dom=True)
+            if doc.dom is None:
+                continue
+            for i, a in enumerate(doc.dom.get_elements_by_tag("a")):
+                href = a.attrs.get("href")
+                if href is None:
+                    continue
+                text = a.text()
+                if not _atag_text_eligible(text):
+                    continue
+                u = parse_anchor_permissive(base, href)
+                if u is None or not _atag_url_eligible(u, base, text):
+                    continue
+                rows["source_domain"].append(base.host)
+                rows["doc_url"].append(url)
+                rows["anchor_idx"].append(i)
+                rows["url"].append(
+                    u.host + u.path + (("?" + u.param) if u.param else "")
+                )
+                rows["link_text"].append(text)
+                rows["k_text"].append(text.lower())
+                rows["k_url"].append(str(u).lower())
+        out = pd.DataFrame(rows)
+        if len(out) == 0:
+            out = pd.DataFrame({c: pd.Series([], dtype=object) for c in _ATAG_COLS})
+            out["anchor_idx"] = out["anchor_idx"].astype(np.int64)
+        out["_bucket"] = (
+            pd.util.hash_pandas_object(
+                out["source_domain"], index=False, hash_key="0" * 16
+            ).to_numpy()
+            % n_buckets
+        ).astype(np.int64)
+        return out
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["source_domain", "doc_url", "anchor_idx"], kind="mergesort"
+        )
+        g = g.drop_duplicates(["source_domain", "k_text", "k_url"], keep="first")
+        return g[["url", "link_text", "source_domain"]]
+
+    out = (
+        pages.map_batches(extract, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(dedup, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(
+        ["source_domain", "url", "link_text"], kind="mergesort"
+    ).reset_index(drop=True)

@@ -89,3 +89,57 @@ def test_term_freq_layout_invariance_and_doc_count(ray_session):
     # thinning only ever adds multiples of 5 (plus the doc-count row)
     rest = one[one["term_hash"] != np.uint64(DOC_COUNT_KEY)]
     assert (rest["count"] % 5 == 0).all() and len(rest) > 0
+
+
+def test_atag_eligibility_rules(ray_session):
+    """ATagLinkFilter (AtagExporter.java:137-183): text gates, permissive
+    parse, cross-domain-only, domain-in-text exclusion, dedup."""
+    from marginaliasearch_ray.pipelines.export import atag_export
+
+    html = (
+        "<html><body>"
+        '<a href="https://other.com/good">A Fine Link</a>'
+        '<a href="https://other.com/blank">  </a>'
+        '<a href="https://other.com/this">this one</a>'
+        '<a href="https://other.com/here">Here</a>'
+        '<a href="https://other.com/click">Click Here</a>'
+        '<a href="https://other.com/nonascii">café</a>'
+        '<a href="https://example.com/x">Example Link</a>'
+        '<a href="https://a.com/self">Internal</a>'
+        '<a href="https://other.com/domain">see other.com now</a>'
+        '<a href="/rel">Relative Same Domain</a>'
+        '<a href="https://other.com/good">A FINE LINK</a>'
+        '<a href="https://other.com/dup">A Fine Link</a>'
+        "</body></html>"
+    )
+    pages = _pages([("https://a.com/", html, 200)])
+    out = atag_export(pages)
+    # kept: the first good link (case-folded dup dropped), and the same
+    # text pointing at a DIFFERENT url (pair dedup, not text dedup)
+    assert out["url"].tolist() == ["other.com/dup", "other.com/good"]
+    assert out["link_text"].tolist() == ["A Fine Link", "A Fine Link"]
+    assert (out["source_domain"] == "a.com").all()
+
+
+def test_atag_first_wins_and_layout_invariance(ray_session):
+    """First occurrence in (url order, anchor order) wins the case-folded
+    dedup, independent of block layout."""
+    from marginaliasearch_ray.pipelines.export import atag_export
+
+    mk = lambda text: (
+        f'<html><body><a href="https://other.com/t">{text}</a></body></html>'
+    )
+    rows = [
+        ("https://a.com/2", mk("MIXED Case"), 200),
+        ("https://a.com/1", mk("Mixed Case"), 200),
+        ("https://b.com/1", mk("Mixed Case"), 200),
+    ]
+    out1 = atag_export(_pages(rows))
+    # a.com/1 precedes a.com/2 in URL order -> its casing wins for a.com;
+    # b.com dedups independently
+    assert sorted(zip(out1["source_domain"], out1["link_text"])) == [
+        ("a.com", "Mixed Case"),
+        ("b.com", "Mixed Case"),
+    ]
+    out4 = atag_export(_pages(rows).repartition(3))
+    pd.testing.assert_frame_equal(out1, out4)
