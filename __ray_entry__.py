@@ -426,6 +426,18 @@ def _domain_similarity(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _domain_adjacencies(sf_dir: str) -> pd.DataFrame:
+    """The reference's EXACT similar-domains computation
+    (WebsiteAdjacenciesCalculator.java:58-188): in-degree weights
+    1/ln(2+deg) (integer-quantized so sums are order-free), candidate
+    generation through <=1000-fan-out common sources with the cv > iv
+    internal-order rule, testJaccard gates over the full in-edge sets,
+    weighted-cosine threshold 0.1 — stages/graph.py domain_adjacencies."""
+    from marginaliasearch_ray.stages.graph import domain_adjacencies
+
+    return domain_adjacencies(_domain_edges(sf_dir, materialized=True))
+
+
 def _domain_bfs_hops(sf_dir: str) -> pd.DataFrame:
     """Multi-source BFS link depth over the domain graph — the crawl
     prioritization's link-depth signal as a standalone operator
@@ -2121,6 +2133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_bfs_hops": _domain_bfs_hops,
         "domain_cocitation": _domain_cocitation,
         "domain_similarity": _domain_similarity,
+        "domain_adjacencies": _domain_adjacencies,
         "hits_domains": _hits_domains,
         "url_canonicalize": _url_canonicalize,
         "recrawl_decisions": _recrawl_decisions,
@@ -4689,6 +4702,80 @@ def oracle_sql() -> dict[str, str]:
         # co-citation spec (stages/graph.py cocitation_pairs): distinct
         # (src_domain, dst_url) edges, targets with fan-in > 200
         # excluded, unordered src pairs sharing >= 3 common targets.
+        # WebsiteAdjacenciesCalculator spec (stages/graph.py
+        # domain_adjacencies): internal ids = sorted-name order; weights
+        # floor(1/ln(2+indeg)*2^20+0.5) int64 (glibc-ln parity, order-free
+        # sums); candidates via <=1000-fan-out sources with src_id >
+        # target_id; testJaccard gates over FULL in-edge sets; weighted
+        # cosine >= 0.1, float expressions mirrored tree-for-tree.
+        "domain_adjacencies": f"""
+            WITH e0 AS (
+                SELECT regexp_extract(src_url, '://([^/:]+)', 1) AS src,
+                       regexp_extract(dst_url, '://([^/:]+)', 1) AS dst
+                FROM read_parquet('{fix}/links.parquet')
+            ),
+            uni AS (
+                SELECT domain, row_number() OVER (ORDER BY domain) - 1 AS id
+                FROM (SELECT src AS domain FROM e0 UNION SELECT dst FROM e0)
+            ),
+            e AS (
+                SELECT DISTINCT us.id AS s, ud.id AS d
+                FROM e0
+                JOIN uni us ON e0.src = us.domain
+                JOIN uni ud ON e0.dst = ud.domain
+            ),
+            w AS (
+                SELECT u.id, count(e.s) AS ind,
+                       CAST(floor(1.0 / ln(2 + count(e.s)) * 1048576.0 + 0.5)
+                            AS BIGINT) AS wq
+                FROM uni u LEFT JOIN e ON e.d = u.id
+                GROUP BY u.id
+            ),
+            odeg AS (SELECT s, count(*) AS outd FROM e GROUP BY s),
+            den AS (
+                SELECT e.d AS id, CAST(sum(w.wq) AS BIGINT) AS den
+                FROM e JOIN w ON w.id = e.s GROUP BY e.d
+            ),
+            cand AS (
+                SELECT DISTINCT a.d AS i, b.d AS j
+                FROM e a
+                JOIN e b ON a.s = b.s AND b.d <> a.d
+                JOIN odeg od ON od.s = a.s
+                WHERE od.outd <= 1000 AND a.s > a.d
+            ),
+            ov AS (
+                SELECT c.i, c.j, count(*) AS o, CAST(sum(w.wq) AS BIGINT) AS num
+                FROM cand c
+                JOIN e x ON x.d = c.i
+                JOIN e y ON y.d = c.j AND y.s = x.s
+                JOIN w ON w.id = x.s
+                GROUP BY c.i, c.j
+            ),
+            gated AS (
+                SELECT o.i, o.j,
+                       CAST(o.num AS DOUBLE)
+                           / sqrt(CAST(di.den AS DOUBLE)
+                                  * CAST(dj.den AS DOUBLE)) AS sim
+                FROM ov o
+                JOIN w wi ON wi.id = o.i
+                JOIN w wj ON wj.id = o.j
+                JOIN den di ON di.id = o.i
+                JOIN den dj ON dj.id = o.j
+                WHERE least(wi.ind, wj.ind) >= 4
+                  AND NOT (CAST(greatest(wi.ind, wj.ind) AS DOUBLE)
+                           > ((1 - 0.1) / 0.1)
+                             * CAST(least(wi.ind, wj.ind) AS DOUBLE))
+                  AND CAST(o.o AS DOUBLE)
+                      / CAST(wi.ind + wj.ind - o.o AS DOUBLE) >= 0.1
+            )
+            SELECT ui.domain AS domain, uj.domain AS other_domain,
+                   sim AS similarity
+            FROM gated
+            JOIN uni ui ON ui.id = i
+            JOIN uni uj ON uj.id = j
+            WHERE sim >= 0.1
+            ORDER BY domain, other_domain
+        """,
         "domain_cocitation": f"""
             WITH e AS (
                 SELECT DISTINCT
