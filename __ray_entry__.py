@@ -807,6 +807,20 @@ def _atag_export(sf_dir: str) -> pd.DataFrame:
     return atag_export(pages)
 
 
+def _sample_export(sf_dir: str) -> pd.DataFrame:
+    """SampleDataExporter parity (export-task-process): deterministic
+    10-domain sample of eligible crawl streams (2 <= records <= 5000),
+    content-type-filtered to text/html with the wroteEntry drop rule —
+    vs the same spec recomputed in SQL over the sequential crawl
+    oracle's expected records."""
+    from marginaliasearch_ray.pipelines.crawl import read_crawl_records
+    from marginaliasearch_ray.pipelines.export import sample_export
+
+    _crawl_records(sf_dir)  # ensure the cached crawl output exists
+    recs = read_crawl_records(_crawl_out_dir(sf_dir))
+    return sample_export(recs, size=10, ct_filter="text/html")
+
+
 def _domain_info(sf_dir: str) -> pd.DataFrame:
     """The domain-info service's per-domain join
     (DomainInformationService.java:54-150): EC_DOMAIN state + rank,
@@ -2149,6 +2163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "feed_export": _feed_export,
         "term_freq_export": _term_freq_export,
         "atag_export": _atag_export,
+        "sample_export": _sample_export,
         "parse_queries": _parse_queries,
         "search_parsed": _search_parsed,
         "search_parsed_site": _search_parsed_site,
@@ -4382,6 +4397,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, link_text, source_domain
             FROM read_parquet('{exp}/expected_atags.parquet')
             ORDER BY source_domain, url, link_text
+        """,
+        # SampleDataExporter spec (pipelines/export.py sample_export):
+        # eligibility 2 <= n <= 5000 and len(domain) <= 90; deterministic
+        # sample = lowest md5_number_lower(domain||'|0'); ct filter keeps
+        # 'text/html'-before-';' rows plus x-marginalia/ metadata; a
+        # sampled domain with no matching data row drops (wroteEntry).
+        "sample_export": f"""
+            WITH r AS (
+                SELECT * FROM read_parquet('{exp}/expected_crawl_records.parquet')
+            ),
+            cnt AS (
+                SELECT domain, count(*) AS n,
+                       sum(CASE WHEN string_split(content_type, ';')[1]
+                                     = 'text/html'
+                                THEN 1 ELSE 0 END) AS nm
+                FROM r GROUP BY domain
+            ),
+            win AS (
+                SELECT domain, nm FROM cnt
+                WHERE n >= 2 AND n <= 5000 AND length(domain) <= 90
+                ORDER BY md5_number_lower(domain || '|0'), domain
+                LIMIT 10
+            )
+            SELECT r.domain, r.url, r.visit_ordinal, r.http_status,
+                   r.content_type
+            FROM r JOIN win USING (domain)
+            WHERE win.nm > 0
+              AND (string_split(r.content_type, ';')[1] = 'text/html'
+                   OR r.content_type LIKE 'x-marginalia/%')
+            ORDER BY r.domain, r.visit_ordinal
         """,
         "parse_queries": _parse_queries_sql(),
         # parsed-search spec (stages/index.py parsed_search over the spec

@@ -357,3 +357,87 @@ def atag_export(pages: rd.Dataset, n_buckets: int = 32) -> pd.DataFrame:
     return out.sort_values(
         ["source_domain", "url", "link_text"], kind="mergesort"
     ).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# SampleDataExporter
+# ---------------------------------------------------------------------------
+
+_SAMPLE_COLS = ["domain", "url", "visit_ordinal", "http_status", "content_type"]
+
+
+def sample_export(
+    records: rd.Dataset,
+    size: int,
+    ct_filter: str = "",
+    seed: int = 0,
+) -> pd.DataFrame:
+    """SampleDataExporter.java:37-112 — a size-bounded random sample of
+    crawl-data streams (domains), optionally filtered by content type.
+
+    Eligibility (java:45-56): streams with fewer than 2 or more than
+    5000 records are skipped, as are over-long storage paths (<= 90
+    chars; our storage path is the domain name).  The reference then
+    ``Collections.shuffle()``s and keeps ``size``; our deterministic
+    stand-in orders by ``md5_number_lower(domain + '|' + seed)`` (domain
+    tiebreak) and keeps the lowest ``size`` — documented deviation so
+    reruns and the oracle agree bit-for-bit.
+
+    With a content-type filter (filterEntries, java:114-161): a sampled
+    stream keeps rows whose content type before any ``';'`` equals the
+    filter, plus ``x-marginalia/`` metadata records; a stream with NO
+    matching DATA row is dropped entirely without replacement (the
+    ``wroteEntry`` check — metadata rows alone don't count, and the
+    reference samples BEFORE filtering).
+
+    Scale shape: per-domain (count, match-count) partials -> one
+    result-sized combine on the driver (one row per domain, the worklog
+    is driver-resident in the reference too); the winner set broadcasts
+    back as ONE ``ray.put`` frozenset; rows stream through a stateless
+    filter — page payloads never shuffle."""
+    import ray
+
+    from ..stages.textstats import md5_number_lower
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        n = b.groupby("domain").size().rename("n")
+        if ct_filter:
+            m = b["content_type"].astype(str).str.split(";").str[0] == ct_filter
+            nm = b[m].groupby("domain").size().rename("nm")
+        else:
+            nm = n.rename("nm")
+        out = pd.concat([n, nm], axis=1).fillna(0).reset_index()
+        out["n"] = out["n"].astype(np.int64)
+        out["nm"] = out["nm"].astype(np.int64)
+        return out
+
+    parts = (
+        records.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("domain", as_index=False)[["n", "nm"]]
+        .sum()
+    )
+    elig = parts[
+        (parts["n"] >= 2)
+        & (parts["n"] <= 5000)
+        & (parts["domain"].str.len() <= 90)
+    ].copy()
+    elig["h"] = [
+        md5_number_lower(f"{d}|{seed}") for d in elig["domain"]
+    ]
+    winners = elig.sort_values(["h", "domain"]).head(size)
+    if ct_filter:
+        winners = winners[winners["nm"] > 0]  # wroteEntry (java:146-154)
+    win_ref = ray.put(frozenset(winners["domain"]))
+
+    def filt(b: pd.DataFrame) -> pd.DataFrame:
+        keep = b["domain"].isin(ray.get(win_ref))
+        if ct_filter:
+            ct = b["content_type"].astype(str)
+            keep &= (ct.str.split(";").str[0] == ct_filter) | ct.str.startswith(
+                "x-marginalia/"
+            )
+        return b.loc[keep, _SAMPLE_COLS]
+
+    out = records.map_batches(filt, batch_format="pandas").to_pandas()
+    return out.sort_values(["domain", "visit_ordinal"]).reset_index(drop=True)

@@ -143,3 +143,49 @@ def test_atag_first_wins_and_layout_invariance(ray_session):
     ]
     out4 = atag_export(_pages(rows).repartition(3))
     pd.testing.assert_frame_equal(out1, out4)
+
+
+def test_sample_export_rules(ray_session):
+    """SampleDataExporter: eligibility window, deterministic sample,
+    ct-filter row keep + the wroteEntry domain drop."""
+    from marginaliasearch_ray.pipelines.export import sample_export
+    from marginaliasearch_ray.stages.textstats import md5_number_lower
+
+    rows = []
+    # 12 eligible domains with html rows; d00 also has a metadata row
+    for i in range(12):
+        d = f"d{i:02d}.com"
+        rows += [
+            (d, f"https://{d}/a", 1, 200, "text/html"),
+            (d, f"https://{d}/b", 2, 200, "text/html; charset=utf-8"),
+        ]
+    rows.append(("d00.com", "https://d00.com/m", 3, 200, "x-marginalia/advisory"))
+    # too small (1 row), and a sampled-but-unmatched domain (pdf only)
+    rows.append(("tiny.com", "https://tiny.com/", 1, 200, "text/html"))
+    rows += [
+        ("pdfonly.com", "https://pdfonly.com/a", 1, 200, "application/pdf"),
+        ("pdfonly.com", "https://pdfonly.com/b", 2, 200, "application/pdf"),
+    ]
+    recs = rd.from_pandas(
+        pd.DataFrame(
+            rows,
+            columns=["domain", "url", "visit_ordinal", "http_status", "content_type"],
+        )
+    )
+    out = sample_export(recs, size=5, ct_filter="text/html")
+    doms = sorted(set(d for d in recs.to_pandas()["domain"]) - {"tiny.com"})
+    expect_sample = sorted(
+        doms, key=lambda d: (md5_number_lower(f"{d}|0"), d)
+    )[:5]
+    kept = [d for d in expect_sample if d != "pdfonly.com"]
+    assert sorted(out["domain"].unique()) == sorted(kept)
+    assert "tiny.com" not in set(out["domain"])
+    # metadata rows ride along; pdf rows don't
+    if "d00.com" in kept:
+        assert "x-marginalia/advisory" in set(
+            out.loc[out["domain"] == "d00.com", "content_type"]
+        )
+    assert not (out["content_type"] == "application/pdf").any()
+    # layout invariance
+    out4 = sample_export(recs.repartition(4), size=5, ct_filter="text/html")
+    pd.testing.assert_frame_equal(out, out4)
