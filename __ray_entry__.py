@@ -807,6 +807,75 @@ def _atag_export(sf_dir: str) -> pd.DataFrame:
     return atag_export(pages)
 
 
+def _live_crawl(sf_dir: str) -> pd.DataFrame:
+    """Live-crawling process parity (SimpleLinkScraper.java:64-246):
+    the link-discovered URLs not already fetched by the batch crawl are
+    resolved, robots-gated and fetch-simulated; failures take the
+    derandomized 20% bad-flag roll — vs the sequential per-url replica
+    (expected_livecrawl)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from marginaliasearch_ray.fixtures.cache import fixture_dir_for
+    from marginaliasearch_ray.model.urls import parse_url
+    from marginaliasearch_ray.pipelines.crawl import read_crawl_records
+    from marginaliasearch_ray.pipelines.livecrawl import live_crawl
+
+    _crawl_records(sf_dir)  # ensure the cached crawl output exists
+    fix = fixture_dir_for(sf_dir)
+    recs = (
+        read_crawl_records(_crawl_out_dir(sf_dir))
+        .select_columns(["domain", "url"])
+        .to_pandas()
+    )
+    # the LiveCrawlDataSet membership state: a broadcast set here (the
+    # reference uses a SQLite lookup); at 10^10-URL scale this is the
+    # sharded cuckoo filter in state/cuckoo.py, same contract
+    registered = frozenset(recs["domain"].unique())
+    seen = frozenset(recs["url"].unique())
+    rob = pq.read_table(f"{fix}/robots.parquet")
+    robots_map = {
+        rob["domain"][i].as_py(): (
+            rob["robots_txt"][i].as_py(),
+            rob["status"][i].as_py(),
+        )
+        for i in range(rob.num_rows)
+    }
+
+    def feed_rows(b: pd.DataFrame) -> pd.DataFrame:
+        out = {"domain": [], "url": []}
+        for u in b["dst_url"]:
+            p = parse_url(u)
+            if p is not None:
+                out["domain"].append(p.host)
+                out["url"].append(u)
+        return pd.DataFrame(out).drop_duplicates()
+
+    def feed_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g[["domain", "url"]].drop_duplicates()
+
+    def bucketed(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_b"] = (
+            pd.util.hash_pandas_object(
+                b["url"], index=False, hash_key="0" * 16
+            ).to_numpy()
+            % 32
+        ).astype(np.int64)
+        return b
+
+    feed = (
+        rd.read_parquet(f"{fix}/links.parquet", columns=["dst_url"])
+        .map_batches(feed_rows, batch_format="pandas")
+        .map_batches(bucketed, batch_format="pandas")
+        .groupby("_b")
+        .map_groups(feed_dedup, batch_format="pandas")
+    )
+    return live_crawl(
+        feed, f"{fix}/pages.parquet", robots_map, registered, seen
+    )
+
+
 def _sample_export(sf_dir: str) -> pd.DataFrame:
     """SampleDataExporter parity (export-task-process): deterministic
     10-domain sample of eligible crawl streams (2 <= records <= 5000),
@@ -2164,6 +2233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_freq_export": _term_freq_export,
         "atag_export": _atag_export,
         "sample_export": _sample_export,
+        "live_crawl": _live_crawl,
         "parse_queries": _parse_queries,
         "search_parsed": _search_parsed,
         "search_parsed_site": _search_parsed_site,
@@ -4397,6 +4467,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, link_text, source_domain
             FROM read_parquet('{exp}/expected_atags.parquet')
             ORDER BY source_domain, url, link_text
+        """,
+        "live_crawl": f"""
+            SELECT domain, url, disposition, flagged_bad
+            FROM read_parquet('{exp}/expected_livecrawl.parquet')
+            ORDER BY domain, url, disposition
         """,
         # SampleDataExporter spec (pipelines/export.py sample_export):
         # eligibility 2 <= n <= 5000 and len(domain) <= 90; deterministic

@@ -41,7 +41,7 @@ from .cache import FIXTURE_VERSION, config_for, fixture_dir_for
 
 EXPECTED_ROOT = "/tmp/graft_expected"
 # bump when ORACLE LOGIC changes without a fixture-generator change
-EXPECTED_VERSION = 21
+EXPECTED_VERSION = 22
 
 
 def expected_dir_for(sf_dir: str) -> str:
@@ -63,8 +63,105 @@ def expected_dir_for(sf_dir: str) -> str:
         _build_kmeans_expected(sf_dir, out)
         _build_termfreq_expected(fix, out)
         _build_atags_expected(fix, out)
+        _build_livecrawl_expected(fix, out)
         done.touch()
     return str(out)
+
+
+def _build_livecrawl_expected(fix: Path, out: Path) -> None:
+    """Sequential single-threaded replica of the live-crawl spec
+    (pipelines/livecrawl.py live_crawl over the link-discovered URLs):
+    plain loops over the distinct (dst-domain, dst-url) pairs in sorted
+    order, seen/registered sets from the sequential crawl oracle's
+    expected records — independent of the distributed resolve + join
+    path under test."""
+    from ..functions.contenttype import sniff_content_type
+    from ..functions.links import parse_link_str
+    from ..functions.robots import parse_robots_txt
+    from ..model.urls import parse_url
+    from ..pipelines.livecrawl import _maybe_flag, _robots_for
+
+    recs = pq.read_table(out / "expected_crawl_records.parquet", columns=["domain", "url"])
+    registered = set(recs["domain"].to_pylist())
+    seen = set(recs["url"].to_pylist())
+    rob = pq.read_table(fix / "robots.parquet")
+    robots_map = {
+        rob["domain"][i].as_py(): (
+            rob["robots_txt"][i].as_py(),
+            rob["status"][i].as_py(),
+        )
+        for i in range(rob.num_rows)
+    }
+    pages = pq.read_table(fix / "pages.parquet", columns=["url", "html", "status"])
+    page_meta: dict[str, tuple[int, str]] = {}
+    for i in range(pages.num_rows):
+        html = pages["html"][i].as_py()
+        status = pages["status"][i].as_py()
+        ct = ""
+        if status == 200 and html:
+            ct, _ = sniff_content_type(None, html)
+        page_meta[pages["url"][i].as_py()] = (status or 0, ct)
+
+    links = pq.read_table(fix / "links.parquet", columns=["dst_url"])
+    feed: set[tuple[str, str]] = set()
+    for i in range(links.num_rows):
+        u = links["dst_url"][i].as_py()
+        p = parse_url(u)
+        if p is not None:
+            feed.add((p.host, u))
+
+    rows: dict[str, list] = {
+        "domain": [], "url": [], "disposition": [], "flagged_bad": []
+    }
+
+    def emit(dom, url, disp, flagged):
+        rows["domain"].append(dom)
+        rows["url"].append(url)
+        rows["disposition"].append(disp)
+        rows["flagged_bad"].append(flagged)
+
+    rules_cache: dict = {}
+    for dom, raw in sorted(feed):
+        if dom not in registered:
+            emit(dom, raw, "unregistered", False)
+            continue
+        root = parse_url(f"https://{dom}/")
+        u = parse_link_str(root, raw) if root is not None else None
+        if u is None:
+            emit(dom, raw, "unparsed", False)
+            continue
+        us = str(u)
+        if us in seen:
+            emit(dom, us, "seen", False)
+            continue
+        if dom not in rules_cache:
+            rules_cache[dom] = _robots_for(dom, robots_map)
+        rules = rules_cache[dom]
+        if rules is None:
+            emit(dom, us, "robots_unavailable", _maybe_flag(us))
+            continue
+        if u.host != dom:
+            emit(dom, us, "cross_domain", False)
+            continue
+        if not rules.is_allowed(us):
+            emit(dom, us, "denied", _maybe_flag(us))
+            continue
+        status, ct = page_meta.get(us, (0, ""))
+        if status == 200 and ct.startswith("text/html"):
+            emit(dom, us, "saved", False)
+        else:
+            emit(dom, us, "error", _maybe_flag(us))
+    pq.write_table(
+        pa.table(
+            {
+                "domain": pa.array(rows["domain"], pa.string()),
+                "url": pa.array(rows["url"], pa.string()),
+                "disposition": pa.array(rows["disposition"], pa.string()),
+                "flagged_bad": pa.array(rows["flagged_bad"], pa.bool_()),
+            }
+        ),
+        out / "expected_livecrawl.parquet",
+    )
 
 
 def _build_atags_expected(fix: Path, out: Path) -> None:
