@@ -236,6 +236,32 @@ def _phrase_search(sf_dir: str) -> pd.DataFrame:
     return phrase_search(ds, ("hash", "join"), k=10)
 
 
+_SPELL_WORDS = ("jion", "bigg", "scat", "qery")
+
+
+def _suggest_terms(sf_dir: str) -> pd.DataFrame:
+    """Assistant-service typeahead (Suggestions.java:91-131) over the
+    corpus vocabulary: prefix-filtered term frequencies, top-k by score
+    — stages/assist.py suggest_terms (the prefix filter pushes into the
+    per-batch vocab partial)."""
+    from marginaliasearch_ray.stages.assist import suggest_terms
+
+    return suggest_terms(_read_table(sf_dir, "documents", ["text"]), "sor", k=10)
+
+
+def _spell_correct(sf_dir: str) -> pd.DataFrame:
+    """Assistant-service spell checker (SpellChecker.java + SymSpell,
+    editDistanceMax=2): vocabulary words within Damerau-Levenshtein 2 of
+    each query word, ranked (distance, cnt DESC, token) — stages/
+    assist.py spell_correct (deletion-key candidate finder, exact DL
+    verify; DL implementation pinned against DuckDB's)."""
+    from marginaliasearch_ray.stages.assist import spell_correct
+
+    return spell_correct(
+        _read_table(sf_dir, "documents", ["text"]), _SPELL_WORDS, max_dist=2, k=10
+    )
+
+
 def _web_training_mix(sf_dir: str) -> pd.DataFrame:
     """The end-to-end 'crawl -> training corpus' selection step: the
     converter's own output (byte-oracled in convert_docs) feeds the
@@ -2234,6 +2260,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "atag_export": _atag_export,
         "sample_export": _sample_export,
         "live_crawl": _live_crawl,
+        "suggest_terms": _suggest_terms,
+        "spell_correct": _spell_correct,
         "parse_queries": _parse_queries,
         "search_parsed": _search_parsed,
         "search_parsed_site": _search_parsed_site,
@@ -4472,6 +4500,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT domain, url, disposition, flagged_bad
             FROM read_parquet('{exp}/expected_livecrawl.parquet')
             ORDER BY domain, url, disposition
+        """,
+        "suggest_terms": """
+            WITH toks AS (
+                SELECT unnest(string_split(coalesce(text, ''), ' ')) AS token
+                FROM documents
+            ),
+            v AS (
+                SELECT token, count(*) AS cnt
+                FROM toks WHERE token <> '' GROUP BY token
+            )
+            SELECT token, cnt,
+                   row_number() OVER (ORDER BY cnt DESC, token) AS rank
+            FROM v WHERE starts_with(token, 'sor')
+            ORDER BY cnt DESC, token LIMIT 10
+        """,
+        "spell_correct": f"""
+            WITH toks AS (
+                SELECT unnest(string_split(coalesce(text, ''), ' ')) AS token
+                FROM documents
+            ),
+            v AS (
+                SELECT token, count(*) AS cnt
+                FROM toks WHERE token <> '' GROUP BY token
+            ),
+            q AS (SELECT unnest({list(_SPELL_WORDS)!r}) AS word),
+            m AS (
+                SELECT q.word, v.token AS suggestion,
+                       damerau_levenshtein(q.word, v.token) AS distance,
+                       v.cnt
+                FROM q CROSS JOIN v
+                WHERE damerau_levenshtein(q.word, v.token) <= 2
+            )
+            SELECT word, suggestion, CAST(distance AS BIGINT) AS distance,
+                   cnt,
+                   CAST(row_number() OVER (
+                       PARTITION BY word
+                       ORDER BY distance, cnt DESC, suggestion
+                   ) AS BIGINT) AS rank
+            FROM m
+            QUALIFY rank <= 10
+            ORDER BY word, rank
         """,
         # SampleDataExporter spec (pipelines/export.py sample_export):
         # eligibility 2 <= n <= 5000 and len(domain) <= 90; deterministic

@@ -1,0 +1,82 @@
+"""Assistant-service surface tests (stages/assist.py): typeahead
+suggestions (Suggestions.java) + SymSpell spell correction
+(SpellChecker.java / third-party/symspell)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from marginaliasearch_ray.stages.assist import (
+    damerau_levenshtein,
+    deletes,
+    spell_correct,
+    suggest_terms,
+)
+
+
+def test_dl_matches_duckdb():
+    """Our unrestricted Damerau-Levenshtein == DuckDB's (the oracle
+    metric), including the unrestricted 'CA'->'ABC' = 2 case."""
+    rng = np.random.RandomState(5)
+    words = ["".join(rng.choice(list("abcde"), size=rng.randint(1, 9)))
+             for _ in range(60)]
+    words += ["CA", "ABC", "a", "", "ab", "ba", "spark", "sprak"]
+    con = duckdb.connect()
+    for i in range(0, len(words) - 1, 2):
+        a, b = words[i], words[i + 1]
+        want = con.execute(
+            "SELECT damerau_levenshtein(?, ?)", [a, b]
+        ).fetchone()[0]
+        assert damerau_levenshtein(a, b) == want, (a, b)
+    assert damerau_levenshtein("CA", "ABC") == 2
+
+
+def test_delete_neighborhood_complete():
+    """The SymSpell candidate finder is complete: DL <= 2 implies the
+    radius-2 deletion neighborhoods intersect."""
+    rng = np.random.RandomState(9)
+    words = ["".join(rng.choice(list("abcd"), size=rng.randint(2, 8)))
+             for _ in range(120)]
+    for i in range(0, len(words) - 1, 2):
+        a, b = words[i], words[i + 1]
+        if damerau_levenshtein(a, b) <= 2:
+            assert deletes(a, 2) & deletes(b, 2), (a, b)
+
+
+def _corpus(texts):
+    return rd.from_pandas(pd.DataFrame({"text": texts}))
+
+
+def test_suggest_ranking_and_min_length(ray_session):
+    ds = _corpus(["sort sort sorted", "sorting sort", "other words sortie"])
+    out = suggest_terms(ds, "sor", k=3)
+    assert out["token"].tolist() == ["sort", "sorted", "sortie"]
+    assert out["cnt"].tolist() == [3, 1, 1]
+    assert out["rank"].tolist() == [1, 2, 3]
+    # MIN_SUGGEST_LENGTH = 3 (Suggestions.java:24)
+    assert len(suggest_terms(ds, "so", k=3)) == 0
+    # lowercase + left-strip (java:100)
+    out2 = suggest_terms(ds, "  SOR", k=3)
+    pd.testing.assert_frame_equal(out, out2)
+
+
+def test_spell_correct_ranking(ray_session):
+    ds = _corpus(["spark spark spark spank shark part sprak"])
+    out = spell_correct(ds, ("sparkk",), max_dist=2, k=10)
+    got = list(zip(out["suggestion"], out["distance"]))
+    # distance first, then frequency, then token
+    assert got[0] == ("spark", 1)
+    assert ("spank", 2) in got and ("shark", 2) in got and ("sprak", 2) in got
+    assert ("part", 4) not in got and "part" not in set(out["suggestion"])
+    # exact-match word ranks itself at distance 0
+    self_hit = spell_correct(ds, ("spark",), max_dist=2, k=3)
+    assert self_hit.iloc[0]["suggestion"] == "spark"
+    assert self_hit.iloc[0]["distance"] == 0
+
+
+def test_spell_layout_invariance(ray_session):
+    texts = [f"spark shark spank w{i}" for i in range(30)]
+    a = spell_correct(_corpus(texts), ("sparc",), k=5)
+    b = spell_correct(_corpus(texts).repartition(7), ("sparc",), k=5)
+    pd.testing.assert_frame_equal(a, b)
