@@ -236,6 +236,18 @@ def _phrase_search(sf_dir: str) -> pd.DataFrame:
     return phrase_search(ds, ("hash", "join"), k=10)
 
 
+def _ranking_search_set(sf_dir: str) -> pd.DataFrame:
+    """Secondary ranking-set construction (ranking-process,
+    SecondaryRankingsCalculator + PageRankDomainRanker): PPR from the
+    shared seed rule, top-20 domains by score = the RankingSearchSet the
+    query service filters with — pipelines/rank.py ranking_search_set on
+    the DISTRIBUTED pagerank path vs the sequential-CSR oracle fixture."""
+    from marginaliasearch_ray.pipelines.rank import ranking_search_set
+
+    edges = _domain_edges(sf_dir, materialized=True)
+    return ranking_search_set(edges, _seed_domains(edges), depth=20)
+
+
 _SPELL_WORDS = ("jion", "bigg", "scat", "qery")
 
 
@@ -2262,6 +2274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "live_crawl": _live_crawl,
         "suggest_terms": _suggest_terms,
         "spell_correct": _spell_correct,
+        "ranking_search_set": _ranking_search_set,
         "parse_queries": _parse_queries,
         "search_parsed": _search_parsed,
         "search_parsed_site": _search_parsed_site,
@@ -4870,6 +4883,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT domain, rank
             FROM read_parquet('{exp}/expected_pagerank_personalized.parquet')
             ORDER BY rank DESC, domain
+        """,
+        "ranking_search_set": f"""
+            SELECT domain,
+                   CAST(row_number() OVER (ORDER BY rank DESC, domain)
+                        AS BIGINT) AS position
+            FROM read_parquet('{exp}/expected_pagerank_personalized.parquet')
+            ORDER BY position LIMIT 20
         """,
         # crawl -> training-corpus selection over the SEQUENTIAL
         # converter oracle's output (the engine side runs its own

@@ -367,3 +367,38 @@ def crawl_edges_to_domain_graph(records_ds: rd.Dataset) -> rd.Dataset:
     return edges.groupby(["src_domain", "dst_domain"]).count().select_columns(
         ["src_domain", "dst_domain"]
     )
+
+
+def ranking_search_set(
+    edges_ds: rd.Dataset,
+    seeds: list,
+    depth: int = 20,
+    mode: str = "distributed",
+) -> pd.DataFrame:
+    """RankingSearchSet construction — the ranking process's secondary
+    ranking sets (SecondaryRankingsCalculator.recalculateNormal +
+    PageRankDomainRanker.calculate, ranking-process): personalized
+    PageRank from the ranking set's seed domain list, the top ``depth``
+    vertices by score become the search set the query service constrains
+    results to (RankingSearchSet / SearchSet.contains).
+
+    -> df(domain, position) with position = 1-based rank order.
+    Tiebreak: (rank DESC, domain) — the reference breaks float-equal
+    scores by internal vertex index in its top-k heap
+    (PageRankDomainRanker.java:24-44); name order is the deterministic
+    stand-in, and scores are rounded to 8 decimals first so float noise
+    cannot reorder near-ties (the pagerank_domains convention)."""
+    pr = pagerank(edges_ds, mode=mode, personalize=seeds)
+    pr = pr.copy()
+    pr["rank"] = pr["rank"].round(8)
+    top = (
+        pr.sort_values(["rank", "domain"], ascending=[False, True], kind="mergesort")
+        .head(depth)
+        .reset_index(drop=True)
+    )
+    return pd.DataFrame(
+        {
+            "domain": top["domain"],
+            "position": np.arange(1, len(top) + 1, dtype=np.int64),
+        }
+    )
