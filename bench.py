@@ -218,6 +218,12 @@ def run_bench() -> dict:
         "domain_ping_changes",
         "term_freq_export",
         "search_parsed",
+        "load_docdb",
+        "domain_adjacencies",
+        "atag_export",
+        "live_crawl",
+        "spell_correct",
+        "ranking_search_set",
     ):
         t0 = time.perf_counter()
         qs[name](SF_DIR)
