@@ -95,7 +95,7 @@ def _convert_docs(sf_dir: str) -> pd.DataFrame:
     out = ds.select_columns(
         ["url", "domain", "title", "length", "quality", "links_internal",
          "links_external", "is_near_dup", "n_words", "pub_year", "summary",
-         "spec", "amended_words", "has_cookies", "features"]
+         "spec", "amended_words", "has_cookies", "features", "doc_meta"]
     ).to_pandas()
     out["quality"] = out["quality"].round(4)
     return out.sort_values("url").reset_index(drop=True)
@@ -4729,7 +4729,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, domain, title, length, round(quality, 4) AS quality,
                    links_internal, links_external, is_near_dup,
                    n_words, pub_year, summary, spec, amended_words, has_cookies,
-                   features
+                   features, doc_meta
             FROM read_parquet('{exp}/expected_convert.parquet')
             ORDER BY url
         """,

@@ -41,7 +41,7 @@ from .cache import FIXTURE_VERSION, config_for, fixture_dir_for
 
 EXPECTED_ROOT = "/tmp/graft_expected"
 # bump when ORACLE LOGIC changes without a fixture-generator change
-EXPECTED_VERSION = 22
+EXPECTED_VERSION = 23
 
 
 def expected_dir_for(sf_dir: str) -> str:
@@ -530,7 +530,7 @@ def _build_convert_expected(fix: Path, out: Path) -> None:
         MIN_DOCUMENT_WORDS_FIXTURE,
         validate_length,
     )
-    from ..functions.docmeta import F_COOKIES, F_PDF
+    from ..functions.docmeta import F_COOKIES, F_PDF, document_metadata_for
     from ..functions.pdf import PDF_QUALITY, convert_pdf, pdf_description
     from ..pipelines.convert import SIDELOAD_THRESHOLD, process_html_document
     from ..model.urls import parse_url
@@ -547,6 +547,7 @@ def _build_convert_expected(fix: Path, out: Path) -> None:
         "links_internal": [], "links_external": [], "is_near_dup": [],
         "n_words": [], "pub_year": [], "summary": [], "spec": [],
         "amended_words": [], "has_cookies": [], "features": [], "state": [],
+        "doc_meta": [],
     }
     for domain in sorted(by_domain):
         idxs = by_domain[domain]
@@ -560,7 +561,7 @@ def _build_convert_expected(fix: Path, out: Path) -> None:
                 "state": "ok", "title": "", "length": 0, "quality": 0.0,
                 "n_words": 0, "doc_hash": 0, "ni": 0, "ne": 0,
                 "pub_year": 0, "summary": "", "spec": "", "amended_words": "",
-                "features": 0,
+                "features": 0, "doc_meta": 0,
                 "sc": bool(
                     pages["set_cookie"][i].as_py()
                     if "set_cookie" in pages.column_names
@@ -583,6 +584,10 @@ def _build_convert_expected(fix: Path, out: Path) -> None:
                     r["n_words"] = len(body.split())
                     r["quality"] = PLAIN_TEXT_QUALITY
                     r["doc_hash"] = doc_lsh(body.lower().split())
+                    r["doc_meta"] = document_metadata_for(
+                        body, r["n_words"], PLAIN_TEXT_QUALITY, 1993,
+                        0, "", "plain",
+                    )
                     if r["length"] == 0:
                         r["state"] = "disqualified_length"
                 elif mime == "application/pdf":
@@ -595,6 +600,10 @@ def _build_convert_expected(fix: Path, out: Path) -> None:
                     r["quality"] = PDF_QUALITY
                     r["features"] = F_PDF
                     r["doc_hash"] = doc_lsh(pdoc.text.lower().split())
+                    r["doc_meta"] = document_metadata_for(
+                        pdoc.text, r["n_words"], PDF_QUALITY, 1993,
+                        F_PDF, "", "pdf",
+                    )
                     if not validate_length(r["n_words"], None, MIN_DOCUMENT_WORDS_FIXTURE):
                         r["state"] = "disqualified_length"
                 elif mime in ("text/html", "application/xhtml+xml"):
@@ -638,6 +647,7 @@ def _build_convert_expected(fix: Path, out: Path) -> None:
                 r["features"] | (F_COOKIES if cookie_jar and r["state"] == "ok" else 0)
             )
             rows["state"].append(r["state"])
+            rows["doc_meta"].append(r["doc_meta"])
     pq.write_table(
         pa.table(
             {
@@ -657,6 +667,7 @@ def _build_convert_expected(fix: Path, out: Path) -> None:
                 "has_cookies": pa.array(rows["has_cookies"], pa.bool_()),
                 "features": pa.array(rows["features"], pa.int64()),
                 "state": pa.array(rows["state"], pa.string()),
+                "doc_meta": pa.array(rows["doc_meta"], pa.int64()),
             }
         ),
         out / "expected_convert.parquet",

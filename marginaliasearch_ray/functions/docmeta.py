@@ -743,3 +743,99 @@ def adjust_quality(quality: float, mask: int) -> float:
     if quality + adj > 0:
         return 0.0
     return quality + adj
+
+
+# ---------------------------------------------------------------------------
+# DocumentMetadata — the packed 64-bit per-document metadata word
+# (common/model/.../idx/DocumentMetadata.java) the converter builds and the
+# index journal carries.  Layout (encode(), java:113-124):
+#   [ asl:2 @56 | rank:8 @48 | encSize:8 @40 | topology:8 @32 |
+#     year:8 @24 | sets:4 @16 | quality:4 @8 | flags:8 @0 ]
+# rank / encSize / topology / sets are zero at conversion time (filled in
+# by the loading/index side); the converter populates asl, year, quality
+# and flags (HtmlDocumentProcessorPlugin.java:171-175, PlainText:104-107,
+# Pdf:123-131).
+# ---------------------------------------------------------------------------
+
+# DocumentFlags.java ordinals
+FLAG_JAVASCRIPT = 1 << 0
+FLAG_PLAIN_TEXT = 1 << 1
+FLAG_GENERATOR_DOCS = 1 << 2
+FLAG_GENERATOR_FORUM = 1 << 3
+FLAG_GENERATOR_WIKI = 1 << 4
+FLAG_SIDELOADED = 1 << 5
+FLAG_PDF_FILE = 1 << 6
+
+_SENT_TERM_RE = re.compile(r"[.!?]+")
+
+PUBDATE_BYTE_OFFSET = 1996  # PubDate.java: BYTE_ENCODING_OFFSET = MIN_YEAR+1
+
+
+def count_sentences(text: str) -> int:
+    """Sentence-count stand-in for the stubbed OpenNLP sentence extractor
+    (documented deviation): the number of ``[.!?]+`` terminator runs.
+    Used only inside the avg-sentence-length metadata nibble; shared by
+    the engine and the sequential oracle so the two cannot drift."""
+    return len(_SENT_TERM_RE.findall(text))
+
+
+def encoded_avg_sentence_length(n_words: int, n_sentences: int) -> int:
+    """DocumentLengthLogic.getEncodedAverageLength (java:17-27):
+    ``round((totalWords / numSentences) / 4)``, 0 when either is 0.
+    Java Math.round = floor(x + 0.5)."""
+    import math
+
+    if n_words == 0 or n_sentences == 0:
+        return 0
+    return int(math.floor((n_words / float(n_sentences)) / 4.0 + 0.5))
+
+
+def document_flags(features: int, spec: str, kind: str) -> int:
+    """documentFlags (HtmlDocumentProcessorPlugin.java:206-221) plus the
+    plugin-fixed flags: plain-text docs carry PlainText
+    (PlainTextDocumentProcessorPlugin.java:104), PDFs carry PdfFile
+    (PdfDocumentProcessorPlugin.java:125).  Generator-type mapping for
+    our specialization names: javadoc -> DOCS, phpbb/xenforo -> FORUM,
+    wiki -> WIKI (DocumentGeneratorExtractor.java:288-295)."""
+    if kind == "plain":
+        return FLAG_PLAIN_TEXT
+    if kind == "pdf":
+        return FLAG_PDF_FILE
+    flags = 0
+    if features & F_JS:
+        flags |= FLAG_JAVASCRIPT
+    if spec == "javadoc":
+        flags |= FLAG_GENERATOR_DOCS
+    elif spec in ("phpbb", "xenforo"):
+        flags |= FLAG_GENERATOR_FORUM
+    elif spec == "wiki":
+        flags |= FLAG_GENERATOR_WIKI
+    return flags
+
+
+def encode_document_metadata(
+    avg_sent_enc: int, year_byte: int, quality_int: int, flags: int
+) -> int:
+    """DocumentMetadata.encode() with the conversion-time fields
+    (rank/encSize/topology/sets = 0)."""
+    ret = flags & 0xFF
+    ret |= min(0xF, max(0, quality_int)) << 8
+    ret |= min(0xFF, max(0, year_byte)) << 24
+    ret |= min(0x03, max(0, avg_sent_enc)) << 56
+    return ret
+
+
+def document_metadata_for(
+    text: str, n_words: int, quality: float, pub_year: int,
+    features: int, spec: str, kind: str,
+) -> int:
+    """Assemble the converter's metadata word for one document:
+    year byte = max(0, year - 1996) (PubDate.toYearByte), quality nibble
+    = (int) -quality (quality is negative, Java int cast truncates
+    toward zero)."""
+    return encode_document_metadata(
+        encoded_avg_sentence_length(n_words, count_sentences(text)),
+        max(0, int(pub_year) - PUBDATE_BYTE_OFFSET),
+        int(-quality),
+        document_flags(features, spec, kind),
+    )

@@ -42,6 +42,7 @@ from ..functions.docmeta import (
     adjust_quality,
     detect_features,
     detect_topic_features,
+    document_metadata_for,
     sniff_pubdate,
 )
 from ..functions.dom import tagger_text
@@ -104,7 +105,7 @@ def process_html_document(u, url_str: str, html: str, decoded: str) -> dict:
         "state": "ok", "title": "", "text": "", "length": 0, "n_words": 0,
         "quality": 0.0, "pub_year": 0, "summary": "", "features": 0,
         "doc_hash": 0, "lsh": content_hash(html), "ni": 0, "ne": 0,
-        "spec": "", "amended_words": "",
+        "spec": "", "amended_words": "", "doc_meta": 0,
     }
     if doc.html_adblockkey:
         # Acceptable Ads tag: in practice domain squatters — disqualify
@@ -163,6 +164,12 @@ def process_html_document(u, url_str: str, html: str, decoded: str) -> dict:
     out["features"] |= detect_topic_features(words)
     out["n_words"] = len(words)
     out["doc_hash"] = doc_lsh(out["text"].lower().split())
+    # the packed per-document metadata word the index journal carries
+    # (HtmlDocumentProcessorPlugin.java:171-175; DocumentMetadata.encode)
+    out["doc_meta"] = document_metadata_for(
+        out["text"], out["n_words"], out["quality"], out["pub_year"],
+        out["features"], spec_name, "html",
+    )
     if not validate_length(out["n_words"], spec_name, MIN_DOCUMENT_WORDS_FIXTURE):
         out["state"] = "disqualified_length"
     return out
@@ -214,6 +221,7 @@ def process_pages_batch(batch: pa.Table) -> pa.Table:
     summary = [""] * n
     features = np.zeros(n, dtype=np.int64)  # ordinals >= 32 use the high bits
     n_words = np.zeros(n, dtype=np.int32)
+    doc_meta = np.zeros(n, dtype=np.int64)  # DocumentMetadata.encode word
     state = ["ok"] * n  # doc-level gate outcome (DocumentProcessor.java:85-92)
     spec_col = [""] * n
     amended = [""] * n
@@ -247,6 +255,10 @@ def process_pages_batch(batch: pa.Table) -> pa.Table:
             summary[i] = plain_text_description(lines)
             lsh[i] = content_hash(html)
             doc_hash[i] = doc_lsh(body.lower().split())
+            doc_meta[i] = document_metadata_for(
+                body, int(n_words[i]), PLAIN_TEXT_QUALITY,
+                PLAIN_TEXT_PUB_YEAR, 0, "", "plain",
+            )
             if length[i] == 0:
                 state[i] = "disqualified_length"
             continue
@@ -265,6 +277,10 @@ def process_pages_batch(batch: pa.Table) -> pa.Table:
             summary[i] = pdf_description(pdoc)
             lsh[i] = content_hash(html)
             doc_hash[i] = doc_lsh(pdoc.text.lower().split())
+            doc_meta[i] = document_metadata_for(
+                pdoc.text, int(n_words[i]), PDF_QUALITY, PDF_PUB_YEAR,
+                F_PDF, "", "pdf",
+            )
             if not validate_length(int(n_words[i]), None, MIN_DOCUMENT_WORDS_FIXTURE):
                 state[i] = "disqualified_length"
             continue
@@ -290,6 +306,7 @@ def process_pages_batch(batch: pa.Table) -> pa.Table:
         n_links_ext[i] = r["ne"]
         spec_col[i] = r["spec"]
         amended[i] = r["amended_words"]
+        doc_meta[i] = r["doc_meta"]
 
     out = pa.table(
         {
@@ -311,6 +328,7 @@ def process_pages_batch(batch: pa.Table) -> pa.Table:
             "state": pa.array(state, pa.string()),
             "spec": pa.array(spec_col, pa.string()),
             "amended_words": pa.array(amended, pa.string()),
+            "doc_meta": pa.array(doc_meta, pa.int64()),
             # dedup partition: complete domains per partition by
             # construction, so the near-dup pass never shuffles
             "dpart": pa.array(

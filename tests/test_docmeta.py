@@ -280,3 +280,52 @@ class TestMergedLowQualityWalk:
             assert dom_low_quality_passes(doc.dom, std) == sequential(doc.dom, std)
             n += 1
         assert n > 50  # the corpus actually exercised the comparison
+
+
+def test_document_metadata_codec():
+    """DocumentMetadata.encode bit layout (DocumentMetadata.java:46-124)
+    with the conversion-time fields; clamps + flag mapping."""
+    from marginaliasearch_ray.functions.docmeta import (
+        F_JS,
+        FLAG_GENERATOR_DOCS,
+        FLAG_GENERATOR_FORUM,
+        FLAG_GENERATOR_WIKI,
+        FLAG_JAVASCRIPT,
+        FLAG_PDF_FILE,
+        FLAG_PLAIN_TEXT,
+        count_sentences,
+        document_flags,
+        document_metadata_for,
+        encode_document_metadata,
+        encoded_avg_sentence_length,
+    )
+
+    # layout: flags @0, quality @8, year @24, asl @56
+    v = encode_document_metadata(2, 17, 5, FLAG_JAVASCRIPT)
+    assert v & 0xFF == FLAG_JAVASCRIPT
+    assert (v >> 8) & 0xF == 5
+    assert (v >> 24) & 0xFF == 17
+    assert (v >> 56) & 0x3 == 2
+    # clamps: quality nibble 15, year byte 255, asl 2 bits
+    v = encode_document_metadata(9, 500, 99, 0)
+    assert (v >> 8) & 0xF == 0xF
+    assert (v >> 24) & 0xFF == 0xFF
+    assert (v >> 56) & 0x3 == 0x3
+    # avg sentence length: round((words/sents)/4), 0 on empty
+    assert encoded_avg_sentence_length(0, 5) == 0
+    assert encoded_avg_sentence_length(10, 0) == 0
+    assert encoded_avg_sentence_length(40, 2) == 5  # (20)/4
+    assert encoded_avg_sentence_length(6, 1) == 2  # 1.5 rounds HALF-UP
+    assert count_sentences("One. Two!? Three") == 2
+    # flag mapping (documentFlags + plugin-fixed flags)
+    assert document_flags(F_JS, "default", "html") == FLAG_JAVASCRIPT
+    assert document_flags(0, "javadoc", "html") == FLAG_GENERATOR_DOCS
+    assert document_flags(0, "phpbb", "html") == FLAG_GENERATOR_FORUM
+    assert document_flags(0, "xenforo", "html") == FLAG_GENERATOR_FORUM
+    assert document_flags(0, "wiki", "html") == FLAG_GENERATOR_WIKI
+    assert document_flags(F_JS, "wiki", "plain") == FLAG_PLAIN_TEXT
+    assert document_flags(F_JS, "wiki", "pdf") == FLAG_PDF_FILE
+    # year byte offset 1996 (PubDate MIN_YEAR+1); quality trunc toward 0
+    v = document_metadata_for("a. b.", 10, -4.9, 2010, 0, "default", "html")
+    assert (v >> 24) & 0xFF == 2010 - 1996
+    assert (v >> 8) & 0xF == 4
