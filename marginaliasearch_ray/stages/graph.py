@@ -646,7 +646,10 @@ def domain_adjacencies(
         )
         return out
 
+    ratio = (1.0 - jaccard_limit) / jaccard_limit
+
     def gen_candidates(g: pd.DataFrame) -> pd.DataFrame:
+        ind = ray.get(indeg_ref)
         g = g[["s", "d"]].drop_duplicates().sort_values(
             ["s", "d"], kind="mergesort"
         )
@@ -671,6 +674,20 @@ def domain_adjacencies(
                 i_rep = np.repeat(iis, len(ts))
                 j_til = np.tile(ts, len(iis))
                 keep = i_rep != j_til
+                # DEGREE-ONLY testJaccard gates pushed ahead of the
+                # overlap join (java:169-180): min in-degree >= 4 and
+                # the size-ratio early-out depend only on per-domain
+                # in-degrees, so failing pairs never emit their
+                # deg_i+deg_j overlap rows (measured 14.5M -> ~1M rows
+                # at sf0.1).  `finish` re-applies the same gates — the
+                # semantics are unchanged, this is pure pruning.
+                ni, nj = ind[i_rep], ind[j_til]
+                minr = np.minimum(ni, nj)
+                maxr = np.maximum(ni, nj)
+                keep &= minr >= 4
+                keep &= ~(
+                    maxr.astype(np.float64) > ratio * minr.astype(np.float64)
+                )
                 pairs.append(
                     (i_rep[keep] << np.int64(32)) | j_til[keep]
                 )
