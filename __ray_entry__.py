@@ -274,6 +274,18 @@ def _spell_correct(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _positional_search(sf_dir: str) -> pd.DataFrame:
+    """The positional ranking factors of the reference's result score
+    (IndexResultRankingService.java:123-127: tcfFirstPosition 2.5/sqrt(fp)
+    + tcfProximity 0.5 * 2/(0.1+sqrt(minDist)) with the >16-positions
+    skip and the 0 < minDist < n+8 gate) — stages/index.py
+    positional_search; float trees mirrored exactly in the oracle."""
+    from marginaliasearch_ray.stages.index import positional_search
+
+    ds = _read_table(sf_dir, "documents", ["doc_id", "text"])
+    return positional_search(ds, _SEARCH_TERMS, k=10)
+
+
 def _web_training_mix(sf_dir: str) -> pd.DataFrame:
     """The end-to-end 'crawl -> training corpus' selection step: the
     converter's own output (byte-oracled in convert_docs) feeds the
@@ -2275,6 +2287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suggest_terms": _suggest_terms,
         "spell_correct": _spell_correct,
         "ranking_search_set": _ranking_search_set,
+        "positional_search": _positional_search,
         "parse_queries": _parse_queries,
         "search_parsed": _search_parsed,
         "search_parsed_site": _search_parsed_site,
@@ -4513,6 +4526,78 @@ def oracle_sql() -> dict[str, str]:
             SELECT domain, url, disposition, flagged_bad
             FROM read_parquet('{exp}/expected_livecrawl.parquet')
             ORDER BY domain, url, disposition
+        """,
+        # positional ranking factors (stages/index.py positional_search):
+        # 1-based raw-split positions; fp = max of per-term first
+        # positions; minDist = minimal spread of (pos - term_index)
+        # tuples with the >16-positions-per-term skip (subset CASE);
+        # score doubles mirrored tree-for-tree.
+        "positional_search": f"""
+            WITH l AS (
+                SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws
+                FROM documents
+            ),
+            p AS (
+                SELECT doc_id, CAST(g.i AS BIGINT) AS pos, ws[g.i] AS tok
+                FROM l, unnest(generate_series(1, len(ws))) AS g(i)
+            ),
+            p1 AS (SELECT doc_id, pos FROM p WHERE tok = '{_SEARCH_TERMS[0]}'),
+            p2 AS (SELECT doc_id, pos - 1 AS pos FROM p WHERE tok = '{_SEARCH_TERMS[1]}'),
+            p3 AS (SELECT doc_id, pos - 2 AS pos FROM p WHERE tok = '{_SEARCH_TERMS[2]}'),
+            stats AS (
+                SELECT a.doc_id,
+                       a.n AS n1, b.n AS n2, c.n AS n3,
+                       greatest(a.fp, b.fp + 1, c.fp + 2) AS fp
+                FROM (SELECT doc_id, count(*) AS n, min(pos) AS fp FROM p1 GROUP BY doc_id) a
+                JOIN (SELECT doc_id, count(*) AS n, min(pos) AS fp FROM p2 GROUP BY doc_id) b USING (doc_id)
+                JOIN (SELECT doc_id, count(*) AS n, min(pos) AS fp FROM p3 GROUP BY doc_id) c USING (doc_id)
+            ),
+            w3 AS (
+                SELECT p1.doc_id,
+                       min(greatest(p1.pos, p2.pos, p3.pos)
+                           - least(p1.pos, p2.pos, p3.pos)) AS d
+                FROM p1 JOIN p2 USING (doc_id) JOIN p3 USING (doc_id)
+                GROUP BY p1.doc_id
+            ),
+            w12 AS (
+                SELECT p1.doc_id, min(abs(p1.pos - p2.pos)) AS d
+                FROM p1 JOIN p2 USING (doc_id) GROUP BY p1.doc_id
+            ),
+            w13 AS (
+                SELECT p1.doc_id, min(abs(p1.pos - p3.pos)) AS d
+                FROM p1 JOIN p3 USING (doc_id) GROUP BY p1.doc_id
+            ),
+            w23 AS (
+                SELECT p2.doc_id, min(abs(p2.pos - p3.pos)) AS d
+                FROM p2 JOIN p3 USING (doc_id) GROUP BY p2.doc_id
+            ),
+            g AS (
+                SELECT s.doc_id, s.fp,
+                       CASE
+                         WHEN s.n1 <= 16 AND s.n2 <= 16 AND s.n3 <= 16 THEN w3.d
+                         WHEN s.n1 <= 16 AND s.n2 <= 16 THEN w12.d
+                         WHEN s.n1 <= 16 AND s.n3 <= 16 THEN w13.d
+                         WHEN s.n2 <= 16 AND s.n3 <= 16 THEN w23.d
+                         ELSE NULL
+                       END AS mind
+                FROM stats s
+                LEFT JOIN w3 USING (doc_id)
+                LEFT JOIN w12 USING (doc_id)
+                LEFT JOIN w13 USING (doc_id)
+                LEFT JOIN w23 USING (doc_id)
+            ),
+            sc AS (
+                SELECT doc_id, fp, coalesce(mind, -1) AS min_dist,
+                       2.5 * (1.0 / sqrt(CAST(fp AS DOUBLE)))
+                       + CASE WHEN mind IS NOT NULL AND mind > 0 AND mind < 11
+                              THEN 0.5 * (2.0 / (0.1 + sqrt(CAST(mind AS DOUBLE))))
+                              ELSE 0.0 END AS score
+                FROM g
+            )
+            SELECT doc_id, fp, min_dist, score,
+                   CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                        AS BIGINT) AS rank
+            FROM sc ORDER BY score DESC, doc_id LIMIT 10
         """,
         "suggest_terms": """
             WITH toks AS (

@@ -224,6 +224,7 @@ def run_bench() -> dict:
         "live_crawl",
         "spell_correct",
         "ranking_search_set",
+        "positional_search",
     ):
         t0 = time.perf_counter()
         qs[name](SF_DIR)

@@ -776,3 +776,120 @@ def parsed_search(
         cand[c] = cand[c].astype("int64")
     cand[id_col] = cand[id_col].astype("int64")
     return cand
+
+
+def _min_spread(seqs: list) -> int:
+    """SequenceOperations.minDistance (index/.../SequenceOperations.java:
+    195-255): the minimal (max - min) over tuples drawing one value from
+    each sorted list.  0 when fewer than two lists."""
+    if len(seqs) <= 1:
+        return 0
+    idx = [0] * len(seqs)
+    cur = [s[0] for s in seqs]
+    best = max(cur) - min(cur)
+    while best > 0:
+        mi = min(range(len(cur)), key=lambda i: cur[i])
+        idx[mi] += 1
+        if idx[mi] >= len(seqs[mi]):
+            break
+        cur[mi] = seqs[mi][idx[mi]]
+        spread = max(cur) - min(cur)
+        if spread < best:
+            best = spread
+    return best
+
+
+def positional_search(
+    ds: rd.Dataset,
+    terms: tuple,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """The POSITIONAL ranking factors of the reference's result score
+    (IndexResultRankingService.java:123-127) over docs containing every
+    query term -> df(doc_id, fp, min_dist, score, rank):
+
+    - ``score_firstPosition = 2.5 * (1 / sqrt(firstPosition))`` where
+      firstPosition = max over query terms of the term's FIRST 1-based
+      token position, floored at 1 (UnorderedMatches, java:651-686;
+      weight = PrototypeRankingParameters tcfFirstPositionWeight);
+    - ``score_proximity = 0.5 * (2 / (0.1 + sqrt(minDist)))`` when the
+      query has MORE than two terms and ``0 < minDist < n_terms + 8``
+      (getProximitiyFac, java:356-374; weight = tcfProximityWeight).
+      minDist is the minimal spread of offset-adjusted positions
+      (offset -i for query index i, so an exact in-order adjacent run
+      scores spread 0 — which the gate EXCLUDES: verbatim matches are a
+      different factor); terms with more than 16 positions in the doc
+      are skipped from the group (java:247-249), and a group reduced to
+      fewer than two sequences contributes nothing.
+
+    Subset note (documented): the verbatim / word-flag / document-bonus
+    factors need the HTML span tables our span plumbing stubs; the two
+    positional factors and their gates are exact, and every float
+    expression is mirrored tree-for-tree in the DuckDB oracle (fp and
+    minDist are integers, so the doubles are bit-reproducible).
+
+    Scale shape: positions, fp and minDist are computed inside ONE
+    map_batches where the text lives (a doc never splits across
+    batches); each batch emits its local top-k candidates and one
+    result-sized merge finishes — no shuffle."""
+    import math
+
+    n_terms = len(terms)
+    term_ix = {t: i for i, t in enumerate(terms)}
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        rows = {"doc_id": [], "fp": [], "min_dist": [], "score": []}
+        for doc_id, text in zip(b[id_col], b[text_col]):
+            toks = (text or "").split(" ")
+            pos: list[list[int]] = [[] for _ in range(n_terms)]
+            for p, t in enumerate(toks, start=1):  # 1-based positions
+                i = term_ix.get(t)
+                if i is not None:
+                    pos[i].append(p)
+            if any(not p for p in pos):
+                continue  # index retrieval requires every term
+            fp = max(1, max(p[0] for p in pos))
+            score = 2.5 * (1.0 / math.sqrt(fp))
+            mind = -1
+            if n_terms > 2:
+                seqs = [
+                    [v - i for v in pos[i]]
+                    for i in range(n_terms)
+                    if len(pos[i]) <= 16  # large-sequence skip
+                ]
+                if len(seqs) >= 2:
+                    mind = _min_spread(seqs)
+                    if 0 < mind < n_terms + 8:
+                        score = score + 0.5 * (2.0 / (0.1 + math.sqrt(mind)))
+            rows["doc_id"].append(int(doc_id))
+            rows["fp"].append(fp)
+            rows["min_dist"].append(mind)
+            rows["score"].append(score)
+        out = pd.DataFrame(rows)
+        if not len(out):
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "fp": pd.Series([], dtype=np.int64),
+                    "min_dist": pd.Series([], dtype=np.int64),
+                    "score": pd.Series([], dtype=np.float64),
+                }
+            )
+        out = out.sort_values(
+            ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        out["fp"] = out["fp"].astype(np.int64)
+        out["min_dist"] = out["min_dist"].astype(np.int64)
+        return out
+
+    cand = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = (
+        cand.sort_values(["score", "doc_id"], ascending=[False, True],
+                         kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out

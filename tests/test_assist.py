@@ -80,3 +80,39 @@ def test_spell_layout_invariance(ray_session):
     a = spell_correct(_corpus(texts), ("sparc",), k=5)
     b = spell_correct(_corpus(texts).repartition(7), ("sparc",), k=5)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_min_spread_and_positional_gates(ray_session):
+    """SequenceOperations.minDistance + getProximitiyFac gates
+    (IndexResultRankingService.java:356-374)."""
+    from marginaliasearch_ray.stages.index import _min_spread, positional_search
+
+    # minimal range over one-from-each-list
+    assert _min_spread([[1, 50], [40, 90], [45, 100]]) == 10  # (50,40,45)
+    assert _min_spread([[5], [5], [5]]) == 0
+    assert _min_spread([[1, 2, 3]]) == 0
+    ds = _corpus(
+        [
+            "alpha beta gamma x",          # adjacent run: minDist 0 -> NO bonus
+            "x alpha x beta x gamma",      # spread 2 -> bonus
+            "alpha x " + "x " * 30 + "beta x gamma",  # far apart: gate >= 11
+            "alpha beta x",                # missing gamma -> not retrieved
+        ]
+    )
+    ds = ds.map_batches(
+        lambda b: b.assign(doc_id=np.arange(len(b), dtype=np.int64)),
+        batch_format="pandas",
+    )
+    out = positional_search(ds, ("alpha", "beta", "gamma"), k=10)
+    by_id = out.set_index("doc_id")
+    assert 3 not in by_id.index
+    assert by_id.loc[0, "min_dist"] == 0  # adjacent -> excluded from bonus
+    assert by_id.loc[1, "min_dist"] == 2
+    assert by_id.loc[2, "min_dist"] >= 11
+    import math
+    # fp = max of per-term FIRST positions = gamma's 6
+    assert by_id.loc[1, "fp"] == 6
+    assert by_id.loc[1, "score"] == 2.5 * (1.0 / math.sqrt(6)) + 0.5 * (
+        2.0 / (0.1 + math.sqrt(2))
+    )
+    assert by_id.loc[0, "score"] == 2.5 * (1.0 / math.sqrt(3))
