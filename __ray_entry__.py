@@ -274,6 +274,40 @@ def _spell_correct(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _search_deduped(sf_dir: str) -> pd.DataFrame:
+    """Search-service result-page deduplication (UrlDeduplicator.java):
+    the top-100 converter docs by quality pass through the sequential
+    superficial / LSH / per-domain-cap chain with the reference's exact
+    side-effect ordering — stages/index.py dedup_results; oracle = a
+    recursive-CTE replay over the sequential converter fixture."""
+    from marginaliasearch_ray.stages.index import dedup_results
+
+    conv = _loader_converted(sf_dir)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[(b["state"] == "ok") & (~b["is_near_dup"])]
+        b = b[["url", "domain", "title", "quality", "doc_hash"]].copy()
+        b["quality"] = b["quality"].round(4)
+        return b.sort_values(
+            ["quality", "url"], ascending=[False, True], kind="mergesort"
+        ).head(100)
+
+    cand = (
+        conv.select_columns(
+            ["url", "domain", "title", "quality", "doc_hash", "state", "is_near_dup"]
+        )
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()
+    )
+    ranked = (
+        cand.sort_values(["quality", "url"], ascending=[False, True], kind="mergesort")
+        .head(100)
+        .reset_index(drop=True)
+    )
+    out = dedup_results(ranked, results_per_key=3)
+    return out[["url", "domain", "title", "quality", "position"]]
+
+
 def _positional_search(sf_dir: str) -> pd.DataFrame:
     """The positional ranking factors of the reference's result score
     (IndexResultRankingService.java:123-127: tcfFirstPosition 2.5/sqrt(fp)
@@ -2288,6 +2322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spell_correct": _spell_correct,
         "ranking_search_set": _ranking_search_set,
         "positional_search": _positional_search,
+        "search_deduped": _search_deduped,
         "parse_queries": _parse_queries,
         "search_parsed": _search_parsed,
         "search_parsed_site": _search_parsed_site,
@@ -4526,6 +4561,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT domain, url, disposition, flagged_bad
             FROM read_parquet('{exp}/expected_livecrawl.parquet')
             ORDER BY domain, url, disposition
+        """,
+        # UrlDeduplicator replay (stages/index.py dedup_results): the
+        # recursion carries the superficial key set (every item that
+        # reaches step 1 joins it, kept or not), the RETAINED LSH hash
+        # list (hash 0 passes, never added), and the kept-domain list;
+        # kept = new key AND no retained hash within hamming 2 AND
+        # domain count (incl. this row) <= 3.
+        "search_deduped": f"""
+            WITH RECURSIVE ranked AS (
+                SELECT url, domain, title, quality, doc_hash,
+                       coalesce(nullif(regexp_extract(url, '://[^/]+(/.*)', 1), ''), '/') AS path,
+                       row_number() OVER (ORDER BY quality DESC, url) AS i
+                FROM read_parquet('{exp}/expected_convert.parquet')
+                WHERE state = 'ok' AND NOT is_near_dup
+                QUALIFY i <= 100
+            ),
+            walk(i, keys, hashes, doms, kept) AS (
+                SELECT 0, CAST([] AS VARCHAR[]), CAST([] AS UBIGINT[]),
+                       CAST([] AS VARCHAR[]), FALSE
+                UNION ALL
+                SELECT r.i,
+                       CASE WHEN NOT list_contains(w.keys, r.path || chr(1) || r.title)
+                            THEN list_append(w.keys, r.path || chr(1) || r.title)
+                            ELSE w.keys END,
+                       CASE WHEN NOT list_contains(w.keys, r.path || chr(1) || r.title)
+                             AND r.doc_hash <> 0
+                             AND len(list_filter(w.hashes,
+                                     h -> bit_count(xor(h, r.doc_hash)) < 2)) = 0
+                            THEN list_append(w.hashes, r.doc_hash)
+                            ELSE w.hashes END,
+                       CASE WHEN NOT list_contains(w.keys, r.path || chr(1) || r.title)
+                             AND (r.doc_hash = 0
+                                  OR len(list_filter(w.hashes,
+                                         h -> bit_count(xor(h, r.doc_hash)) < 2)) = 0)
+                            THEN list_append(w.doms, r.domain)
+                            ELSE w.doms END,
+                       NOT list_contains(w.keys, r.path || chr(1) || r.title)
+                       AND (r.doc_hash = 0
+                            OR len(list_filter(w.hashes,
+                                   h -> bit_count(xor(h, r.doc_hash)) < 2)) = 0)
+                       AND len(list_filter(w.doms, d -> d = r.domain)) + 1 <= 3
+                FROM walk w JOIN ranked r ON r.i = w.i + 1
+            )
+            SELECT r.url, r.domain, r.title, round(r.quality, 4) AS quality,
+                   CAST(row_number() OVER (ORDER BY r.i) AS BIGINT) AS position
+            FROM walk w JOIN ranked r ON r.i = w.i
+            WHERE w.kept
+            ORDER BY position
         """,
         # positional ranking factors (stages/index.py positional_search):
         # 1-based raw-split positions; fp = max of per-term first

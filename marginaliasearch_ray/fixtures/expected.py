@@ -41,7 +41,7 @@ from .cache import FIXTURE_VERSION, config_for, fixture_dir_for
 
 EXPECTED_ROOT = "/tmp/graft_expected"
 # bump when ORACLE LOGIC changes without a fixture-generator change
-EXPECTED_VERSION = 23
+EXPECTED_VERSION = 24
 
 
 def expected_dir_for(sf_dir: str) -> str:
@@ -547,7 +547,7 @@ def _build_convert_expected(fix: Path, out: Path) -> None:
         "links_internal": [], "links_external": [], "is_near_dup": [],
         "n_words": [], "pub_year": [], "summary": [], "spec": [],
         "amended_words": [], "has_cookies": [], "features": [], "state": [],
-        "doc_meta": [],
+        "doc_meta": [], "doc_hash": [],
     }
     for domain in sorted(by_domain):
         idxs = by_domain[domain]
@@ -648,6 +648,7 @@ def _build_convert_expected(fix: Path, out: Path) -> None:
             )
             rows["state"].append(r["state"])
             rows["doc_meta"].append(r["doc_meta"])
+            rows["doc_hash"].append(r["doc_hash"])
     pq.write_table(
         pa.table(
             {
@@ -668,6 +669,7 @@ def _build_convert_expected(fix: Path, out: Path) -> None:
                 "features": pa.array(rows["features"], pa.int64()),
                 "state": pa.array(rows["state"], pa.string()),
                 "doc_meta": pa.array(rows["doc_meta"], pa.int64()),
+                "doc_hash": pa.array(rows["doc_hash"], pa.uint64()),
             }
         ),
         out / "expected_convert.parquet",

@@ -893,3 +893,62 @@ def positional_search(
     )
     out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
     return out
+
+
+def dedup_results(
+    results: pd.DataFrame,
+    results_per_key: int = 3,
+    *,
+    url_col: str = "url",
+    title_col: str = "title",
+    hash_col: str = "doc_hash",
+) -> pd.DataFrame:
+    """The search service's result-page deduplicator
+    (search-service/.../results/UrlDeduplicator.java) — a SEQUENTIAL
+    filter over rank order, with the reference's exact side-effect
+    ordering:
+
+    1. superficial dedup on (path, title): the key of EVERY item that
+       reaches this step joins the seen set, kept or not — a later
+       duplicate of a REMOVED item is also removed (java:30-33; the
+       reference hashes with Objects.hash, we dedup on the exact pair —
+       collision-free equivalent);
+    2. LSH dedup: removed when hamming(hash, kept hash) < 2 for ANY
+       previously RETAINED hash; hash 0 always passes and is never
+       added (java:35-48, EasyLSH.hammingDistance);
+    3. per-domain result cap (java:50-56).
+
+    ``path`` derives from the url string after the host (documented:
+    the reference uses the parsed EdgeUrl path; identical for canonical
+    fixture urls, and the SQL oracle uses the same extraction).
+
+    A result page is bounded (the reference runs this on ~100-200
+    decorated results), so this is a driver-side pure function — the
+    distributed work is the SEARCH that produced the ranking."""
+    seen_keys: set = set()
+    kept_hashes: list = []
+    dom_counts: dict = {}
+    keep_mask = []
+    for url, title, h in zip(
+        results[url_col], results[title_col], results[hash_col]
+    ):
+        rest = url.split("://", 1)[-1]
+        slash = rest.find("/")
+        path = rest[slash:] if slash >= 0 else "/"
+        domain = rest[:slash] if slash >= 0 else rest
+        key = (path, title)
+        if key in seen_keys:
+            keep_mask.append(False)
+            continue
+        seen_keys.add(key)
+        h = int(h)
+        if h != 0:
+            if any(bin(h ^ other).count("1") < 2 for other in kept_hashes):
+                keep_mask.append(False)
+                continue
+            kept_hashes.append(h)
+        dom_counts[domain] = dom_counts.get(domain, 0) + 1
+        keep_mask.append(dom_counts[domain] <= results_per_key)
+    out = results[np.asarray(keep_mask, dtype=bool)].reset_index(drop=True)
+    out["position"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out

@@ -116,3 +116,39 @@ def test_min_spread_and_positional_gates(ray_session):
         2.0 / (0.1 + math.sqrt(2))
     )
     assert by_id.loc[0, "score"] == 2.5 * (1.0 / math.sqrt(3))
+
+
+def test_url_deduplicator_side_effects():
+    """UrlDeduplicator's exact side-effect ordering (UrlDeduplicator.java):
+    removed items' superficial keys still poison later duplicates; LSH
+    hashes only join the retained list; hash 0 always passes; the domain
+    counter counts everything that reaches it."""
+    from marginaliasearch_ray.stages.index import dedup_results
+
+    rows = pd.DataFrame(
+        {
+            "url": [
+                "https://a.com/p1",   # kept
+                "https://b.com/p1",   # same (path,title) -> removed
+                "https://c.com/p2",   # LSH dup of row 0 -> removed
+                "https://d.com/p1",   # same key as REMOVED row 1 -> removed
+                "https://a.com/p3",   # kept (domain a count 2)
+                "https://a.com/p4",   # kept (domain a count 3)
+                "https://a.com/p5",   # over domain cap -> removed
+                "https://e.com/p6",   # hash 0 -> kept, never joins LSH list
+                "https://f.com/p7",   # hash 0 again -> kept
+            ],
+            "title": ["t", "t", "u", "t", "v", "w", "x", "y", "z"],
+            "doc_hash": [0b1111, 0b0001, 0b1110, 0b0010, 0b1111_0000_1010,
+                         0b1010_1111_0101_0000, 0, 0, 0],
+        }
+    )
+    out = dedup_results(rows, results_per_key=3)
+    assert out["url"].tolist() == [
+        "https://a.com/p1",
+        "https://a.com/p3",
+        "https://a.com/p4",
+        "https://e.com/p6",
+        "https://f.com/p7",
+    ]
+    assert out["position"].tolist() == [1, 2, 3, 4, 5]
