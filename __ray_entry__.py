@@ -675,6 +675,53 @@ def _domain_ping_status(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("domain").reset_index(drop=True)
 
 
+def _browse_random(sf_dir: str) -> pd.DataFrame:
+    """Random-exploration domain browse (features-search/random-websites
+    DbBrowseDomainsRandom.java:12-50, the dating/explorer services' data
+    source): eligible = state-ok, visited, server-available domains
+    (STATE<2 AND SERVER_AVAILABLE AND not blacklisted; the curated
+    EC_RANDOM_DOMAINS set membership is modeled as the full eligible
+    universe — no curated lists in the fixture); ORDER BY RAND() is
+    derandomized to md5(domain||'|browse'); BrowseResult rows =
+    (http root url, domain_id, indexed)."""
+    from marginaliasearch_ray.pipelines.crawl import read_domain_meta
+    from marginaliasearch_ray.stages.ping import availability_summary
+    from marginaliasearch_ray.stages.textstats import md5_number_lower
+
+    _crawl_records(sf_dir)
+    meta = read_domain_meta(str(_crawl_out_dir(sf_dir)))
+    meta = pd.DataFrame(
+        {
+            "domain": meta["domain"],
+            "visited": meta["visited"],
+            # STATE<2 analog: neither probe-aborted nor blocked
+            "excluded": (meta["aborted"] | meta["blocked"]).astype(bool),
+        }
+    )
+    avail = availability_summary(_ping_probe_ds(sf_dir)).to_pandas()[
+        ["domain", "server_available"]
+    ]
+    doms = sorted(meta["domain"])
+    ids = {d: i + 1 for i, d in enumerate(doms)}
+    df = meta.merge(avail, on="domain", how="inner")
+    df = df[
+        (~df["excluded"].astype(bool))
+        & (df["visited"].astype(int) > 0)
+        & (df["server_available"].astype(bool))
+    ].copy()
+    df["domain_id"] = df["domain"].map(ids).astype("int64")
+    df["_h"] = [md5_number_lower(f"{d}|browse") for d in df["domain"]]
+    df = df.sort_values(["_h", "domain"]).head(10)
+    return pd.DataFrame(
+        {
+            "url": ["http://" + d + "/" for d in df["domain"]],
+            "domain_id": df["domain_id"].to_numpy(),
+            "domain": df["domain"].to_numpy(),
+            "indexed": df["visited"].astype("int64").to_numpy(),
+        }
+    ).reset_index(drop=True)
+
+
 def _feed_export(sf_dir: str) -> pd.DataFrame:
     """FeedExporter parity (export-task-process,
     FeedExporter.java:78-106): per domain, the first viable html
@@ -2323,6 +2370,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ranking_search_set": _ranking_search_set,
         "positional_search": _positional_search,
         "search_deduped": _search_deduped,
+        "browse_random": _browse_random,
         "parse_queries": _parse_queries,
         "search_parsed": _search_parsed,
         "search_parsed_site": _search_parsed_site,
@@ -4486,6 +4534,37 @@ def oracle_sql() -> dict[str, str]:
             FROM agg a JOIN p lp
               ON lp.domain = a.domain AND lp.k = a.last_k
             ORDER BY a.domain
+        """,
+        # DbBrowseDomainsRandom spec: eligible = not-excluded, visited,
+        # last-probe-available; deterministic md5 order stands in for
+        # ORDER BY RAND(); ids = sorted-name order.
+        "browse_random": f"""
+            WITH {_ping_probes_sql(exp)},
+            agg AS (SELECT domain, max(k) AS last_k FROM p GROUP BY domain),
+            lastp AS (
+                SELECT p.domain, p.available
+                FROM p JOIN agg ON p.domain = agg.domain AND p.k = agg.last_k
+            ),
+            m AS (
+                SELECT domain, visited, excluded
+                FROM read_parquet('{exp}/expected_domain_meta.parquet')
+            ),
+            ids AS (
+                SELECT domain,
+                       row_number() OVER (ORDER BY domain) AS domain_id
+                FROM m
+            ),
+            elig AS (
+                SELECT m.domain, ids.domain_id, m.visited
+                FROM m JOIN ids USING (domain) JOIN lastp USING (domain)
+                WHERE NOT m.excluded AND m.visited > 0 AND lastp.available
+            )
+            SELECT 'http://' || domain || '/' AS url,
+                   CAST(domain_id AS BIGINT) AS domain_id, domain,
+                   CAST(visited AS BIGINT) AS indexed
+            FROM elig
+            ORDER BY md5_number_lower(domain || '|browse'), domain
+            LIMIT 10
         """,
         "domain_info": _domain_info_sql(exp, fix),
         # FeedExporter spec: first viable (200, text/html) doc per domain
