@@ -5169,6 +5169,8 @@ def oracle_sql() -> dict[str, str]:
                 SELECT regexp_extract(src_url, '://([^/:]+)', 1) AS src,
                        regexp_extract(dst_url, '://([^/:]+)', 1) AS dst
                 FROM read_parquet('{fix}/links.parquet')
+                WHERE regexp_extract(src_url, '://([^/:]+)', 1) <> ''
+                  AND regexp_extract(dst_url, '://([^/:]+)', 1) <> ''
             ),
             uni AS (
                 SELECT domain, row_number() OVER (ORDER BY domain) - 1 AS id

@@ -96,29 +96,10 @@ def deletes(word: str, d: int) -> set:
     return res
 
 
-def _vocab_partial_factory(text_col: str, n_buckets: int, keep):
-    """Per-batch token value_counts with a pushed-down keep predicate."""
-
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        toks = b[text_col].fillna("").str.split(" ").explode()
-        toks = toks[toks != ""]
-        vc = toks.value_counts()
-        out = pd.DataFrame(
-            {
-                "token": vc.index.to_numpy().astype(object),
-                "cnt": vc.to_numpy().astype(np.int64),
-            }
-        )
-        if keep is not None and len(out):
-            out = out[keep(out["token"])]
-        out["_b"] = (
-            pd.util.hash_pandas_object(out["token"], index=False, hash_key=_HK)
-            .to_numpy()
-            % n_buckets
-        ).astype(np.int64)
-        return out
-
-    return partial
+# THE shared per-batch token-frequency partial — one definition with
+# textstats.vocab_topk so tokenization / bucketing cannot drift between
+# the dictionary surfaces (see textstats.vocab_partial_factory).
+from .textstats import vocab_partial_factory as _vocab_partial_factory
 
 
 def suggest_terms(
@@ -187,10 +168,14 @@ def spell_correct(
     DL <= max_dist — property-tested); the distance filter is the spec
     the SQL oracle recomputes directly."""
     words = tuple(w.lower() for w in words)
-    qkeys = frozenset().union(*(deletes(w, max_dist) for w in words))
+    # per-word deletion-key sets: candidates come back TAGGED with the
+    # word(s) whose neighborhood they intersected, so the exact-DL
+    # verify runs only on plausible (word, token) pairs instead of the
+    # full W x C cross product
+    word_keys = {w: frozenset(deletes(w, max_dist)) for w in words}
     lmin = min(len(w) for w in words) - max_dist
     lmax = max(len(w) for w in words) + max_dist
-    keys_ref = ray.put(qkeys)
+    keys_ref = ray.put(word_keys)
 
     partial = _vocab_partial_factory(
         text_col,
@@ -199,13 +184,17 @@ def spell_correct(
     )
 
     def bucket_candidates(g: pd.DataFrame) -> pd.DataFrame:
-        keys = ray.get(keys_ref)
+        wk = ray.get(keys_ref)
         s = g.groupby("token", sort=False)["cnt"].sum().reset_index()
-        hit = [
-            any(dk in keys for dk in deletes(tok, max_dist))
-            for tok in s["token"]
-        ]
-        return s[np.asarray(hit, dtype=bool)]
+        out = {"word": [], "token": [], "cnt": []}
+        for tok, cnt in zip(s["token"], s["cnt"]):
+            dset = deletes(tok, max_dist)
+            for w, keys in wk.items():
+                if not dset.isdisjoint(keys):
+                    out["word"].append(w)
+                    out["token"].append(tok)
+                    out["cnt"].append(int(cnt))
+        return pd.DataFrame(out)
 
     cand = (
         ds.map_batches(partial, batch_format="pandas")
@@ -214,11 +203,12 @@ def spell_correct(
         .to_pandas()
     )
     rows = []
-    for q in words:
-        for tok, cnt in zip(cand.get("token", []), cand.get("cnt", [])):
-            dist = damerau_levenshtein(q, tok)
-            if dist <= max_dist:
-                rows.append((q, tok, dist, int(cnt)))
+    for q, tok, cnt in zip(
+        cand.get("word", []), cand.get("token", []), cand.get("cnt", [])
+    ):
+        dist = damerau_levenshtein(q, tok)
+        if dist <= max_dist:
+            rows.append((q, tok, dist, int(cnt)))
     out = pd.DataFrame(
         rows, columns=["word", "suggestion", "distance", "cnt"]
     )

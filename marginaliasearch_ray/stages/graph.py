@@ -550,8 +550,12 @@ def domain_adjacencies(
 
     # ---- 0. vertex universe + internal ids (result-sized) ----------------
     def uniq_domains(b: pd.DataFrame) -> pd.DataFrame:
+        # dropna BEFORE astype: a regexp-miss NaN must not become a
+        # literal 'nan' vertex (the sibling operators' convention)
         vals = pd.unique(
-            pd.concat([b[col_src].astype(str), b[col_dst].astype(str)])
+            pd.concat(
+                [b[col_src].dropna().astype(str), b[col_dst].dropna().astype(str)]
+            )
         )
         return pd.DataFrame({"domain": vals})
 
@@ -567,6 +571,7 @@ def domain_adjacencies(
     # ---- 1. distinct int edges -------------------------------------------
     def to_ids(b: pd.DataFrame) -> pd.DataFrame:
         m = ray.get(id_ref)
+        b = b[[col_src, col_dst]].dropna()
         out = pd.DataFrame(
             {
                 "s": b[col_src].astype(str).map(m).to_numpy(np.int64),

@@ -311,6 +311,37 @@ def source_report(ds) -> "object":
     )
 
 
+def vocab_partial_factory(text_col: str, n_buckets: int, keep=None):
+    """THE per-batch token-frequency partial (value_counts + token-hash
+    bucket) shared by vocab_topk and the assistant-service dictionary
+    queries (stages/assist.py) — one definition so the tokenization and
+    the bucket hash cannot drift between the surfaces.  ``keep`` is an
+    optional pushed-down predicate over the token Series (prefix /
+    length filters prune before anything shuffles)."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b[text_col].fillna("").str.split(" ").explode()
+        toks = toks[toks != ""]
+        vc = toks.value_counts()
+        out = pd.DataFrame(
+            {
+                "token": vc.index.to_numpy().astype(object),
+                "cnt": vc.to_numpy().astype(np.int64),
+            }
+        )
+        if keep is not None and len(out):
+            out = out[keep(out["token"])]
+        out["_b"] = (
+            pd.util.hash_pandas_object(
+                out["token"], index=False, hash_key="0" * 16
+            ).to_numpy()
+            % n_buckets
+        ).astype(np.int64)
+        return out
+
+    return partial
+
+
 def vocab_topk(ds, k: int = 100, text_col: str = "text",
                n_buckets: int = 64) -> pd.DataFrame:
     """EXACT corpus-wide top-k token frequencies -> tiny df(token, cnt,
@@ -330,23 +361,7 @@ def vocab_topk(ds, k: int = 100, text_col: str = "text",
     by token codepoint order (UTF-8 byte order == codepoint order).
     """
 
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        toks = b[text_col].fillna("").str.split(" ").explode()
-        toks = toks[toks != ""]
-        vc = toks.value_counts()
-        out = pd.DataFrame(
-            {
-                "token": vc.index.to_numpy().astype(object),
-                "cnt": vc.to_numpy().astype(np.int64),
-            }
-        )
-        out["_b"] = (
-            pd.util.hash_pandas_object(
-                out["token"], index=False, hash_key="0" * 16
-            ).to_numpy()
-            % n_buckets
-        ).astype(np.int64)
-        return out
+    partial = vocab_partial_factory(text_col, n_buckets)
 
     def bucket_top(g: pd.DataFrame) -> pd.DataFrame:
         s = g.groupby("token", sort=False)["cnt"].sum().reset_index()
