@@ -111,6 +111,29 @@ def _loader_converted(sf_dir: str):
     return convert_pages(f"{fix}/pages.parquet")
 
 
+def _doc_ranking_bonus(sf_dir: str) -> pd.DataFrame:
+    """Document-prior part of the reference's result score
+    (IndexResultRankingService.calculateDocumentBonus + flagsPenalty +
+    calculateQualityPenalty + normalize) over the INDEXED converter docs
+    (state='ok' AND NOT near-dup — the rows the ranking service can see;
+    ConverterBatchWriter.java:102-104).  Pure map, no shuffle."""
+    from marginaliasearch_ray.stages.index import document_bonus
+
+    conv = _loader_converted(sf_dir).select_columns(
+        ["url", "doc_meta", "features", "length", "state", "is_near_dup"]
+    )
+
+    def indexed(b: pd.DataFrame) -> pd.DataFrame:
+        return b[(b["state"] == "ok") & (~b["is_near_dup"])][
+            ["url", "doc_meta", "features", "length"]
+        ]
+
+    out = document_bonus(
+        conv.map_batches(indexed, batch_format="pandas")
+    ).to_pandas()
+    return out.sort_values("url").reset_index(drop=True)
+
+
 def _load_docdb(sf_dir: str) -> pd.DataFrame:
     """Loading-process docdb rows — pipelines/load.py load_docdb:
     DocumentLoaderService.LinkdbLoader semantics (only OK, non-near-dup
@@ -2338,6 +2361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # crawl engine (rows-only: stateful frontier, not SQL-expressible)
         "crawl_records": _crawl_records,
         "convert_docs": _convert_docs,
+        "doc_ranking_bonus": _doc_ranking_bonus,
         "load_docdb": _load_docdb,
         "load_ranked_ids": _load_ranked_ids,
         "load_domain_registry": _load_domain_registry,
@@ -4979,6 +5003,74 @@ def oracle_sql() -> dict[str, str]:
                    features, doc_meta
             FROM read_parquet('{exp}/expected_convert.parquet')
             ORDER BY url
+        """,
+        # document-prior ranking bonus (IndexResultRankingService.java:
+        # 272-349 calculateDocumentBonus + flagsPenalty 723-773 +
+        # calculateQualityPenalty 711-721 + normalize 780-785) with
+        # PrototypeRankingParameters defaults and connectivity UNKNOWN;
+        # every double expression mirrored tree-for-tree (trunc(), not
+        # CAST — DuckDB casts ROUND; Java (int) truncates toward zero).
+        "doc_ranking_bonus": f"""
+            WITH d AS (
+                SELECT url,
+                       (doc_meta >> 56) & 3 AS asl,
+                       (doc_meta >> 48) & 255 AS rnk,
+                       CASE WHEN 5 * ((doc_meta >> 40) & 255) = 0 THEN 10000
+                            ELSE 5 * ((doc_meta >> 40) & 255) END AS size,
+                       (doc_meta >> 32) & 255 AS topology,
+                       (doc_meta >> 8) & 15 AS quality,
+                       doc_meta & 255 AS doc_flags,
+                       CASE WHEN length <= 0 THEN 5000 ELSE length END AS len,
+                       features & 4294967295 AS feat
+                FROM read_parquet('{exp}/expected_convert.parquet')
+                WHERE state = 'ok' AND NOT is_near_dup
+            ),
+            f AS (
+                SELECT *,
+                       ((doc_flags & 28) = 0 AND size > 400) AS big
+                FROM d
+            ),
+            p AS (
+                SELECT *,
+                       CASE WHEN big THEN 2.0 ELSE 1.0 END AS factor,
+                       CASE WHEN big AND (((feat >> 5) & 1) = 1
+                                          OR ((feat >> 6) & 1) = 1)
+                            THEN 5.0 ELSE 0.0 END AS pen0
+                FROM f
+            ),
+            c AS (
+                SELECT url, asl, rnk, size, topology, quality, len, feat,
+                       CASE WHEN feat = 0 THEN 0.0 ELSE trunc(-(
+                           pen0
+                           + CASE WHEN ((feat >> 12) & 1) = 1 THEN 7.5 * factor ELSE 0.0 END
+                           + CASE WHEN ((feat >> 17) & 1) = 1 THEN 2.5 * factor ELSE 0.0 END
+                           + CASE WHEN ((feat >> 16) & 1) = 1 THEN 2.5 * factor ELSE 0.0 END
+                           + CASE WHEN ((feat >> 4) & 1) = 1 THEN 5.0 * factor ELSE 0.0 END
+                           + CASE WHEN ((feat >> 2) & 1) = 1 THEN 5.0 * factor ELSE 0.0 END
+                           + CASE WHEN ((feat >> 10) & 1) = 1 THEN 2.5 * factor ELSE 0.0 END
+                           + CASE WHEN ((feat >> 3) & 1) = 1 THEN 2.5 * factor ELSE 0.0 END
+                           + CASE WHEN ((feat >> 18) & 1) = 1 THEN 5.0 * factor ELSE 0.0 END
+                       )) END AS flags_penalty,
+                       CASE WHEN asl >= 2 THEN 0.0 ELSE -5.0 END AS asl_penalty,
+                       CASE WHEN len > 2000 THEN 0.0 ELSE -2.0 END AS length_penalty,
+                       CASE WHEN size < 400 AND quality < 5 THEN 0.0
+                            ELSE -quality * (1.0 / 15.0) END AS quality_penalty,
+                       (255.0 - rnk) * (1.0 / 100.0) AS rank_bonus,
+                       0.2 * ln(1 + topology) AS topology_bonus
+                FROM p
+            ),
+            t AS (
+                SELECT url, asl_penalty, length_penalty, quality_penalty,
+                       rank_bonus, topology_bonus, flags_penalty,
+                       asl_penalty + length_penalty + quality_penalty
+                       + rank_bonus + topology_bonus + flags_penalty AS doc_bonus
+                FROM c
+            )
+            SELECT url, asl_penalty, length_penalty, quality_penalty,
+                   rank_bonus, topology_bonus, flags_penalty, doc_bonus,
+                   sqrt((1.0 + 500.0 + 20 * (-least(0.0, doc_bonus)))
+                        / (1.0 + 0.0)) AS prior_score
+            FROM t ORDER BY url
         """,
         # loading-process parity (pipelines/load.py): registry ids are
         # crawled-first name order; ordinal = rank-of-url within domain

@@ -952,3 +952,88 @@ def dedup_results(
     out = results[np.asarray(keep_mask, dtype=bool)].reset_index(drop=True)
     out["position"] = np.arange(1, len(out) + 1, dtype=np.int64)
     return out
+
+
+def document_bonus(ds: rd.Dataset) -> rd.Dataset:
+    """The DOCUMENT-PRIOR part of the reference's result score
+    (IndexResultRankingService.java:272-349 calculateDocumentBonus +
+    flagsPenalty java:723-773 + calculateQualityPenalty java:711-721 +
+    normalize java:780-785), evaluated over converter output rows
+    (doc_meta packed word + features + length) with
+    PrototypeRankingParameters.sensibleDefaults() and
+    DomainSetConnectivity.UNKNOWN — the service's value when no
+    connectivity view is loaded for the domain (connectivityPenalty = 0,
+    isPeripheral = false); temporal bias NONE => 0.
+
+    Emits every component the debug-factors view exposes plus the total
+    ``doc_bonus`` and ``prior_score = normalize(0, -min(0, doc_bonus))``
+    — what the combined formula (java:147-150) contributes when the
+    term-dependent positive part is zero.
+
+    Bit-reproducibility: all inputs are small integers decoded from the
+    packed word; every double expression is mirrored tree-for-tree in
+    the SQL oracle.  ``0.2 * log(1 + topology)`` goes through a 256-entry
+    ``math.log`` table (CPython math.log == DuckDB ln, both glibc; numpy's
+    vectorized log is NOT the same implementation and may differ in the
+    last ULP).  flagsPenalty's Java ``(int) -penalty`` cast truncates
+    toward zero — np.trunc here, trunc() in SQL (a bare CAST in DuckDB
+    ROUNDS).
+
+    Scale shape: pure per-row map over the columns named above — no
+    shuffle, no state, zero-copy-friendly at any corpus size."""
+    import math
+
+    log_topo = np.array([0.2 * math.log(1 + t) for t in range(256)])
+
+    def bonus(b: pd.DataFrame) -> pd.DataFrame:
+        dm = b["doc_meta"].to_numpy(np.int64)
+        # the reference's DB/index encoding keeps only ordinals < 32
+        # (HtmlFeature.encode int); our converter column carries ordinals
+        # >= 32 in the high bits — mask to the int the service sees
+        feat = b["features"].to_numpy(np.int64) & 0xFFFFFFFF
+        asl = (dm >> 56) & 0x3
+        rank = (dm >> 48) & 0xFF
+        size = 5 * ((dm >> 40) & 0xFF)
+        size = np.where(size == 0, 10_000, size)
+        topology = (dm >> 32) & 0xFF
+        quality = (dm >> 8) & 0xF
+        doc_flags = dm & 0xFF
+        length = b["length"].to_numpy(np.int64)
+        length = np.where(length <= 0, 5000, length)  # java:102 docSize
+
+        # flagsPenalty (java:723-773)
+        is_gen = (doc_flags & (0x4 | 0x8 | 0x10)) != 0  # Docs|Forum|Wiki
+        big = ~is_gen & (size > 400)
+        factor = np.where(big, 2.0, 1.0)
+        kebab = (feat >> 5) & 1
+        longu = (feat >> 6) & 1
+        pen = np.where(big & ((kebab | longu) == 1), 5.0, 0.0)
+        for bit, w in ((12, 7.5), (17, 2.5), (16, 2.5), (4, 5.0),
+                       (2, 5.0), (10, 2.5), (3, 2.5), (18, 5.0)):
+            pen = pen + np.where((feat >> bit) & 1 == 1, w * factor, 0.0)
+        flags_pen = np.where(feat == 0, 0.0, np.trunc(-pen))
+
+        asl_pen = np.where(asl >= 2, 0.0, -5.0)
+        len_pen = np.where(length > 2000, 0.0, -2.0)
+        qual_pen = np.where(
+            (size < 400) & (quality < 5), 0.0, -quality * (1.0 / 15.0)
+        )
+        rank_bonus = (255.0 - rank) * (1.0 / 100.0)
+        topo_bonus = log_topo[topology]
+        doc_bonus = (
+            asl_pen + len_pen + qual_pen + rank_bonus + topo_bonus + flags_pen
+        )
+        neg = -np.minimum(0.0, doc_bonus)
+        prior = np.sqrt((1.0 + 500.0 + 20 * neg) / (1.0 + 0.0))
+        out = b[["url"]].copy()
+        out["asl_penalty"] = asl_pen
+        out["length_penalty"] = len_pen
+        out["quality_penalty"] = qual_pen
+        out["rank_bonus"] = rank_bonus
+        out["topology_bonus"] = topo_bonus
+        out["flags_penalty"] = flags_pen
+        out["doc_bonus"] = doc_bonus
+        out["prior_score"] = prior
+        return out
+
+    return ds.map_batches(bonus, batch_format="pandas")

@@ -1740,3 +1740,83 @@ class TestPhraseSearch:
         ).repartition(1)
         out = phrase_search(ds, ("hash", "join"), k=10)
         assert len(out) == 0
+
+
+class TestDocumentBonus:
+    """document_bonus vs a scalar Java-faithful replica of
+    IndexResultRankingService.calculateDocumentBonus/flagsPenalty/
+    calculateQualityPenalty/normalize (connectivity UNKNOWN)."""
+
+    @staticmethod
+    def _scalar(doc_meta: int, features: int, length: int) -> dict:
+        import math
+
+        feat = features & 0xFFFFFFFF
+        asl = (doc_meta >> 56) & 0x3
+        rank = (doc_meta >> 48) & 0xFF
+        size = 5 * ((doc_meta >> 40) & 0xFF)
+        if size == 0:
+            size = 10_000
+        topology = (doc_meta >> 32) & 0xFF
+        quality = (doc_meta >> 8) & 0xF
+        doc_flags = doc_meta & 0xFF
+        if length <= 0:
+            length = 5000
+
+        if feat == 0:
+            flags_pen = 0.0
+        else:
+            pen = 0.0
+            factor = 1.0
+            is_gen = (doc_flags & (0x4 | 0x8 | 0x10)) != 0
+            if not is_gen and size > 400:
+                if (feat >> 5) & 1:
+                    pen += 5.0
+                elif (feat >> 6) & 1:
+                    pen += 5.0
+                factor = 2.0
+            for bit, w in ((12, 7.5), (17, 2.5), (16, 2.5), (4, 5.0),
+                           (2, 5.0), (10, 2.5), (3, 2.5), (18, 5.0)):
+                if (feat >> bit) & 1:
+                    pen += w * factor
+            flags_pen = float(int(-pen))  # Java (int) cast: trunc to zero
+
+        asl_pen = 0.0 if asl >= 2 else -5.0
+        len_pen = 0.0 if length > 2000 else -2.0
+        qual_pen = 0.0 if (size < 400 and quality < 5) else -quality * (1.0 / 15.0)
+        rank_bonus = (255.0 - rank) * (1.0 / 100.0)
+        topo_bonus = 0.2 * math.log(1 + topology)
+        bonus = asl_pen + len_pen + qual_pen + rank_bonus + topo_bonus + flags_pen
+        prior = math.sqrt((1.0 + 500.0 + 20 * (-min(0.0, bonus))) / (1.0 + 0.0))
+        return {"doc_bonus": bonus, "prior_score": prior,
+                "flags_penalty": flags_pen, "quality_penalty": qual_pen}
+
+    def test_matches_scalar_replica_bit_exact(self):
+        from marginaliasearch_ray.stages.index import document_bonus
+
+        rng = np.random.RandomState(7)
+        n = 500
+        metas = rng.randint(0, 2**62, size=n, dtype=np.int64)
+        feats = rng.randint(0, 2**20, size=n, dtype=np.int64)
+        # adversarial rows: zero features, high-bit-only features (the
+        # service sees 0), generator flags, size nibble 0, length <= 0
+        metas[:6] = [0, 0x4, 0x8 | (3 << 56), 0x10, (0 << 40) | (15 << 8),
+                     (255 << 48) | (255 << 32)]
+        feats[:6] = [0, 1 << 40, (1 << 12) | (1 << 40), (1 << 5) | (1 << 18),
+                     (1 << 6) | (1 << 2), (1 << 12) | (1 << 17)]
+        lengths = rng.randint(-10, 5000, size=n).astype(np.int64)
+        df = pd.DataFrame({
+            "url": [f"u{i:04d}" for i in range(n)],
+            "doc_meta": metas, "features": feats, "length": lengths,
+        })
+        out = (
+            document_bonus(rd.from_pandas(df).repartition(7))
+            .to_pandas().sort_values("url").reset_index(drop=True)
+        )
+        for i in range(n):
+            exp = self._scalar(int(metas[i]), int(feats[i]), int(lengths[i]))
+            row = out.iloc[i]
+            assert row["doc_bonus"] == exp["doc_bonus"], i
+            assert row["prior_score"] == exp["prior_score"], i
+            assert row["flags_penalty"] == exp["flags_penalty"], i
+            assert row["quality_penalty"] == exp["quality_penalty"], i
