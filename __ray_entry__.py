@@ -2341,6 +2341,120 @@ def _sideload(source: str) -> Callable[[str], pd.DataFrame]:
 
 
 # ---------------------------------------------------------------------------
+# full-score search family (stages/fullrank.py): the converter-side
+# keyword/span projection (DocumentKeywordExtractor analog) feeding the
+# COMPLETE IndexResultRankingService score
+# ---------------------------------------------------------------------------
+
+
+def _keyword_index_ds(sf_dir: str):
+    """Build the keyword-index Dataset over the fixture pages: external
+    link texts broadcast (AnchorTagsSource shape), converter near-dup
+    verdicts broadcast (the loader's state='ok' AND NOT near-dup gate),
+    then one stateless map_batches per page."""
+    import ray
+
+    from marginaliasearch_ray.fixtures.cache import fixture_dir_for
+    from marginaliasearch_ray.pipelines.convert import convert_pages
+    from marginaliasearch_ray.stages.fullrank import (
+        keyword_index,
+        link_texts_by_url,
+    )
+
+    fix = fixture_dir_for(sf_dir)
+    lt_ref = ray.put(link_texts_by_url(f"{fix}/links.parquet"))
+    conv = convert_pages(f"{fix}/pages.parquet")
+    dup_tbl = conv.select_columns(["url", "is_near_dup"]).to_pandas()
+    dups = frozenset(dup_tbl.loc[dup_tbl["is_near_dup"], "url"])
+    dup_ref = ray.put(dups)
+    return keyword_index(
+        f"{fix}/pages.parquet", link_texts_ref=lt_ref, dup_urls_ref=dup_ref
+    )
+
+
+def _keyword_spans(sf_dir: str) -> pd.DataFrame:
+    """Per-document HtmlTag span summary of the keyword projection
+    (SpanRecorder + DocumentKeywordsBuilder.addSpans,
+    DocumentPositionMapper.java:37-105) — vs the sequential replica."""
+    from marginaliasearch_ray.functions.keywords import TAG_NAMES
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        rows = {"url": [], "tag": [], "n_spans": [], "span_len": []}
+        for url, tags, bounds in zip(b["url"], b["span_tags"], b["span_bounds"]):
+            for t, se in zip(tags, bounds):
+                rows["url"].append(url)
+                rows["tag"].append(TAG_NAMES[t])
+                rows["n_spans"].append(len(se) // 2)
+                rows["span_len"].append(
+                    int(sum(se[j + 1] - se[j] for j in range(0, len(se), 2)))
+                )
+        out = pd.DataFrame(rows)
+        out["n_spans"] = out["n_spans"].astype("int64")
+        out["span_len"] = out["span_len"].astype("int64")
+        return out
+
+    ds = _keyword_index_ds(sf_dir).select_columns(["url", "span_tags", "span_bounds"])
+    out = ds.map_batches(explode, batch_format="pandas").to_pandas()
+    return out.sort_values(["url", "tag"]).reset_index(drop=True)
+
+
+def _doc_word_flags(sf_dir: str) -> pd.DataFrame:
+    """Indexed words carrying a non-zero WordFlags byte (KeywordMetadata
+    .getMetadataForWord: Title / UrlPath / UrlDomain on this corpus) —
+    vs the sequential replica."""
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        rows = {"url": [], "word": [], "flags": [], "n_pos": [], "first_pos": []}
+        for url, words, metas, positions in zip(
+            b["url"], b["words"], b["metas"], b["positions"]
+        ):
+            for w, m, p in zip(words, metas, positions):
+                if m & 0xFF:
+                    rows["url"].append(url)
+                    rows["word"].append(w)
+                    rows["flags"].append(int(m) & 0xFF)
+                    rows["n_pos"].append(len(p))
+                    rows["first_pos"].append(int(p[0]))
+        out = pd.DataFrame(rows)
+        for c in ("flags", "n_pos", "first_pos"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    ds = _keyword_index_ds(sf_dir).select_columns(["url", "words", "metas", "positions"])
+    out = ds.map_batches(explode, batch_format="pandas").to_pandas()
+    return out.sort_values(["url", "word"]).reset_index(drop=True)
+
+
+def _search_ranked_full(sf_dir: str) -> pd.DataFrame:
+    """The COMPLETE result score (IndexResultRankingService.java:59-216:
+    VerbatimMatches + UnorderedMatches + proximity + Bm25GraphVisitor +
+    TermFlagsGraphVisitor + calculateDocumentBonus + normalize) over the
+    keyword index, three-term query — vs the sequential replica."""
+    from marginaliasearch_ray.stages.fullrank import (
+        RANKED_K,
+        RANKED_QUERY,
+        ranked_search_full,
+    )
+
+    return ranked_search_full(_keyword_index_ds(sf_dir), RANKED_QUERY, k=RANKED_K)
+
+
+def _search_ranked_single(sf_dir: str) -> pd.DataFrame:
+    """Single-term query through the same chain — exercises the
+    single-term VerbatimMatches path (exact/boundary/contained title,
+    attenuated headings, link-text; java:533-599)."""
+    from marginaliasearch_ray.stages.fullrank import (
+        RANKED_K,
+        RANKED_SINGLE_QUERY,
+        ranked_search_full,
+    )
+
+    return ranked_search_full(
+        _keyword_index_ds(sf_dir), RANKED_SINGLE_QUERY, k=RANKED_K
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -2393,6 +2507,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spell_correct": _spell_correct,
         "ranking_search_set": _ranking_search_set,
         "positional_search": _positional_search,
+        "keyword_spans": _keyword_spans,
+        "doc_word_flags": _doc_word_flags,
+        "search_ranked_full": _search_ranked_full,
+        "search_ranked_single": _search_ranked_single,
         "search_deduped": _search_deduped,
         "browse_random": _browse_random,
         "parse_queries": _parse_queries,
@@ -4664,6 +4782,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT domain, url, disposition, flagged_bad
             FROM read_parquet('{exp}/expected_livecrawl.parquet')
             ORDER BY domain, url, disposition
+        """,
+        # keyword/span projection + full result score: sequential
+        # single-threaded replica of the DocumentKeywordExtractor ->
+        # IndexResultRankingService chain (fixtures/expected.py
+        # _build_fullrank_expected)
+        "keyword_spans": f"""
+            SELECT url, tag, n_spans, span_len
+            FROM read_parquet('{exp}/expected_keyword_spans.parquet')
+            ORDER BY url, tag
+        """,
+        "doc_word_flags": f"""
+            SELECT url, word, flags, n_pos, first_pos
+            FROM read_parquet('{exp}/expected_word_flags.parquet')
+            ORDER BY url, word
+        """,
+        "search_ranked_full": f"""
+            SELECT url, domain, title, score, score_first_position,
+                   score_proximity, score_verbatim, score_bm25,
+                   score_bflags, doc_bonus, first_position,
+                   positions_mask, rank
+            FROM read_parquet('{exp}/expected_ranked_full.parquet')
+            ORDER BY rank
+        """,
+        "search_ranked_single": f"""
+            SELECT url, domain, title, score, score_first_position,
+                   score_proximity, score_verbatim, score_bm25,
+                   score_bflags, doc_bonus, first_position,
+                   positions_mask, rank
+            FROM read_parquet('{exp}/expected_ranked_single.parquet')
+            ORDER BY rank
         """,
         # UrlDeduplicator replay (stages/index.py dedup_results): the
         # recursion carries the superficial key set (every item that

@@ -41,7 +41,7 @@ from .cache import FIXTURE_VERSION, config_for, fixture_dir_for
 
 EXPECTED_ROOT = "/tmp/graft_expected"
 # bump when ORACLE LOGIC changes without a fixture-generator change
-EXPECTED_VERSION = 24
+EXPECTED_VERSION = 25
 
 
 def expected_dir_for(sf_dir: str) -> str:
@@ -64,6 +64,7 @@ def expected_dir_for(sf_dir: str) -> str:
         _build_termfreq_expected(fix, out)
         _build_atags_expected(fix, out)
         _build_livecrawl_expected(fix, out)
+        _build_fullrank_expected(fix, out)
         done.touch()
     return str(out)
 
@@ -1276,3 +1277,129 @@ def _build_kmeans_expected(sf_dir: str, out: Path, k: int = 16, iters: int = 10)
         ),
         out / "expected_kmeans_outliers.parquet",
     )
+
+
+def _build_fullrank_expected(fix: Path, out: Path) -> None:
+    """Sequential replica of the keyword-index + full-result-score chain
+    (stages/fullrank.py): one single-threaded loop over the pages store
+    in file order — no Ray, no broadcasts, no batch boundaries.  The
+    per-document pure functions (page_keywords / score_page via
+    score_batch) are shared with the engine; what this replica does NOT
+    share is every piece of distributed orchestration the driver check
+    is meant to catch (block splits, broadcast plumbing, partial top-k
+    merges, the two-pass corpus-stats reduction).
+
+    Emits:
+    - expected_keyword_spans  — (url, tag, n_spans, span_len) per
+      indexed doc per recorded HtmlTag span type
+    - expected_word_flags     — (url, word, flags, n_pos, first_pos)
+      for every indexed word with a non-zero WordFlags byte
+    - expected_ranked_full    — the RANKED_QUERY top-k with every score
+      component (IndexResultRankingService.java:59-216)
+    - expected_ranked_single  — the RANKED_SINGLE_QUERY top-k (the
+      single-term VerbatimMatches path, java:533-599)
+    """
+    from ..functions.keywords import TAG_NAMES
+    from ..stages.fullrank import (
+        RANKED_K,
+        RANKED_QUERY,
+        RANKED_SINGLE_QUERY,
+        _typed_result_frame,
+        link_texts_from_rows,
+        page_keywords,
+        score_batch,
+    )
+
+    links = pq.read_table(
+        fix / "links.parquet", columns=["src_url", "dst_url", "anchor_text"]
+    )
+    lt = link_texts_from_rows(
+        links["src_url"].to_pylist(),
+        links["dst_url"].to_pylist(),
+        links["anchor_text"].to_pylist(),
+    )
+    conv = pq.read_table(
+        out / "expected_convert.parquet", columns=["url", "is_near_dup"]
+    )
+    dups = {
+        u
+        for u, d in zip(conv["url"].to_pylist(), conv["is_near_dup"].to_pylist())
+        if d
+    }
+    pages = pq.read_table(fix / "pages.parquet")
+    has_ab = "x_adblock_key" in pages.column_names
+    idx_rows: list[dict] = []
+    for i in range(pages.num_rows):
+        url = pages["url"][i].as_py()
+        if url in dups:
+            continue
+        state, row = page_keywords(
+            url,
+            pages["html"][i].as_py(),
+            pages["status"][i].as_py(),
+            pages["x_adblock_key"][i].as_py() if has_ab else None,
+            lt.get(url),
+        )
+        if state == "ok":
+            idx_rows.append(row)
+
+    spans_rows = {"url": [], "tag": [], "n_spans": [], "span_len": []}
+    flag_rows = {"url": [], "word": [], "flags": [], "n_pos": [], "first_pos": []}
+    for r in idx_rows:
+        for tag, bounds in zip(r["span_tags"], r["span_bounds"]):
+            spans_rows["url"].append(r["url"])
+            spans_rows["tag"].append(TAG_NAMES[tag])
+            spans_rows["n_spans"].append(len(bounds) // 2)
+            spans_rows["span_len"].append(
+                sum(bounds[j + 1] - bounds[j] for j in range(0, len(bounds), 2))
+            )
+        for w, m, p in zip(r["words"], r["metas"], r["positions"]):
+            if m & 0xFF:
+                flag_rows["url"].append(r["url"])
+                flag_rows["word"].append(w)
+                flag_rows["flags"].append(m & 0xFF)
+                flag_rows["n_pos"].append(len(p))
+                flag_rows["first_pos"].append(p[0])
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array(spans_rows["url"], pa.string()),
+                "tag": pa.array(spans_rows["tag"], pa.string()),
+                "n_spans": pa.array(spans_rows["n_spans"], pa.int64()),
+                "span_len": pa.array(spans_rows["span_len"], pa.int64()),
+            }
+        ),
+        out / "expected_keyword_spans.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array(flag_rows["url"], pa.string()),
+                "word": pa.array(flag_rows["word"], pa.string()),
+                "flags": pa.array(flag_rows["flags"], pa.int64()),
+                "n_pos": pa.array(flag_rows["n_pos"], pa.int64()),
+                "first_pos": pa.array(flag_rows["first_pos"], pa.int64()),
+            }
+        ),
+        out / "expected_word_flags.parquet",
+    )
+
+    idx_df = pd.DataFrame(idx_rows)
+    n_docs = len(idx_df)
+    for terms, fname in (
+        (RANKED_QUERY, "expected_ranked_full.parquet"),
+        (RANKED_SINGLE_QUERY, "expected_ranked_single.parquet"),
+    ):
+        dfs = [
+            int(sum(1 for ws in idx_df["words"] if t in set(ws))) for t in terms
+        ]
+        res = _typed_result_frame(score_batch(idx_df, terms, n_docs, dfs))
+        res = (
+            res.sort_values(["score", "url"], kind="mergesort")
+            .head(RANKED_K)
+            .reset_index(drop=True)
+        )
+        res["rank"] = np.arange(1, len(res) + 1, dtype=np.int64)
+        pq.write_table(
+            pa.Table.from_pandas(res, preserve_index=False), out / fname
+        )

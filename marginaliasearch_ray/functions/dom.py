@@ -573,7 +573,14 @@ def new_document() -> DomDocument:
 # ---------------------------------------------------------------------------
 
 
-def tagger_text(root: DomElement) -> str:
+def tagged_frames(root: DomElement) -> list:
+    """Compacted ``[string, frozenset(tag-kinds)]`` emission frames — the
+    HtmlStringTagger.tagDocumentStrings analog (HtmlStringTagger.java:
+    13-17,19-38): each frame is a maximal run of document text sharing
+    one tracked-tag stack, adjacent equal-tag frames merged.
+    ``tagger_text`` (the conformance-pinned text extraction) is exactly
+    the space-join of these frames; the keyword/span projection
+    (functions/keywords.py) consumes the frames with their tag sets."""
     # local import: htmldoc imports this module
     from .htmldoc import _EXCLUDED, _PUSH_TAG
 
@@ -625,4 +632,8 @@ def tagger_text(root: DomElement) -> str:
             compact[-1][0] += " " + s
         else:
             compact.append([s, tags])
-    return " ".join(s for s, _ in compact)
+    return compact
+
+
+def tagger_text(root: DomElement) -> str:
+    return " ".join(s for s, _ in tagged_frames(root))
