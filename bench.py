@@ -225,6 +225,8 @@ def run_bench() -> dict:
         "spell_correct",
         "ranking_search_set",
         "positional_search",
+        "search_ranked_full",
+        "doc_word_flags",
     ):
         t0 = time.perf_counter()
         qs[name](SF_DIR)

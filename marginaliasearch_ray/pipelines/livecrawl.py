@@ -199,11 +199,22 @@ def live_crawl(
         )
 
     fetches = resolved.map_batches(fetch_rows, batch_format="pandas").materialize()
-    if fetches.count() == 0:
+    n_fetches = fetches.count()
+    if n_fetches == 0:
         # nothing survived to the fetch stage (e.g. robots failure
         # abandoned every domain) — an empty join would lose its schema
         joined = None
     else:
+        # Ray 2.49's hash-shuffle join piggybacks its schema broadcast on
+        # the FIRST shuffled block of each input and silently drops it if
+        # that block is empty (see relational.bucket_left_join, the
+        # general robust alternative) — fetch_rows filters, so empty
+        # leading blocks are routine here.  Repartitioning the
+        # materialized left side to <= count blocks guarantees every
+        # block (in particular the first bundle) carries rows, keeping
+        # the streaming hash exchange (the sort-barrier bucket join
+        # would serialize the pages_meta build behind it).
+        fetches = fetches.repartition(min(16, n_fetches)).materialize()
         joined = fetches.join(
             pages_meta, "left_outer", num_partitions=16, on=("url",)
         )

@@ -160,23 +160,29 @@ def recrawl(
     adaptive policy)."""
     live = _live_lsh_dataset(pages_path)
 
-    def prev_narrow(batch: pd.DataFrame) -> pd.DataFrame:
-        # hash + drop bodies at the read
+    def prev_narrow(batch: pd.DataFrame) -> pa.Table:
+        # hash + drop bodies at the read; Arrow out so prev_lsh stays a
+        # true uint64 through the join (never a lossy float64)
         urls = batch["url"].tolist()
         prev_lsh = np.fromiter(
             (content_hash(b or b"") for b in batch["body"].tolist()),
             dtype=np.uint64,
             count=len(urls),
         )
-        return pd.DataFrame(
+        ordinals = (
+            batch["ordinal"].to_numpy(np.int64)
+            if "ordinal" in batch.columns
+            else np.arange(len(urls), dtype=np.int64)
+        )
+        return pa.table(
             {
-                "url": urls,
-                "domain": batch["domain"].tolist(),
-                "ordinal": batch["ordinal"].tolist()
-                if "ordinal" in batch.columns
-                else range(len(urls)),
-                "prev_lsh": prev_lsh,
-                "had_etag": pd.notna(batch["etag"]).to_numpy(),
+                "url": pa.array(urls, pa.string()),
+                "domain": pa.array(batch["domain"].tolist(), pa.string()),
+                "ordinal": pa.array(ordinals, pa.int64()),
+                "prev_lsh": pa.array(prev_lsh, pa.uint64()),
+                "had_etag": pa.array(
+                    pd.notna(batch["etag"]).tolist(), pa.bool_()
+                ),
             }
         )
 
@@ -189,6 +195,14 @@ def recrawl(
         prev_crawl_path, columns=cols, override_num_blocks=HASH_READ_BLOCKS
     ).map_batches(prev_narrow, batch_format="pandas")
 
+    # Dataset.join is safe HERE because both inputs are 1:1 row maps of
+    # non-empty parquet reads, so the first shuffled block always carries
+    # rows and Ray 2.49's schema broadcast cannot be lost (the
+    # empty-first-block hazard relational.bucket_left_join exists for —
+    # see its docstring; a FILTERED join input must use that instead).
+    # Measured: the streaming hash exchange overlaps both 4 s input
+    # builds; the sort-barrier bucket join serializes them (6.5 s -> 11.5 s
+    # at sf0.1/32, interleaved A/B).
     joined = prev.join(
         live, "left_outer", num_partitions=num_partitions, on=("url",)
     )

@@ -416,6 +416,90 @@ def click_attribution(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def bucket_left_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: str,
+    n_buckets: int = 64,
+) -> rd.Dataset:
+    """LEFT OUTER equi-join over narrow rows via the repo's tagged-union
+    + bucket-groupby shape (one sort shuffle of the projected columns,
+    then ONE vectorized Arrow join per bucket).
+
+    Exists as a robust replacement for ``Dataset.join``: Ray 2.49's
+    hash-shuffle join piggybacks its schema broadcast on the FIRST
+    shuffled block of each input (``hash_shuffle.py`` sends
+    ``send_empty_blocks`` only with that block), but ``_shuffle_block``
+    early-returns on an empty block WITHOUT sending anything — so when
+    an input's first-scheduled block is empty (routine after any
+    filtering stage), every partition that then receives zero shards on
+    one side finalizes a schema-less empty table and Acero fails key
+    resolution ("No match or multiple matches for key field reference").
+    Deterministically reproduced via pipelines/livecrawl.py at sf0.001.
+
+    The groupby path has no such hazard, and everything stays Arrow so
+    64-bit hash columns never ride a lossy float64 (the corpus_diff
+    Int64-coercion lesson).  Non-key column names must be disjoint.
+
+    Partitioning assumption (custom-operator contract): rows co-locate
+    by ``md5(key) % n_buckets``; one bucket's rows must fit a worker —
+    size ``n_buckets`` to key-cardinality skew like ``exact_dedup``."""
+    left_schema: pa.Schema = left.schema().base_schema
+    right_schema: pa.Schema = right.schema().base_schema
+    left_names = list(left_schema.names)
+    right_value_names = [n for n in right_schema.names if n != on]
+    overlap = (set(left_names) - {on}) & set(right_value_names)
+    if overlap:
+        raise ValueError(f"non-key columns must be disjoint, got {overlap}")
+    all_fields = [(n, left_schema.field(n).type) for n in left_names] + [
+        (n, right_schema.field(n).type) for n in right_value_names
+    ]
+
+    def tag(side: int, have: list[str]):
+        def fn(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            cols = {}
+            for name, typ in all_fields:
+                cols[name] = (
+                    b.column(name) if name in have else pa.nulls(n, typ)
+                )
+            cols["_side"] = pa.array(np.full(n, side, np.int8))
+            cols["_bucket"] = pa.array(
+                [_hash_bucket(k, n_buckets) for k in b.column(on).to_pylist()],
+                pa.int64(),
+            )
+            return pa.table(cols)
+
+        return fn
+
+    tagged = left.map_batches(
+        tag(0, left_names), batch_format="pyarrow"
+    ).union(
+        right.map_batches(tag(1, [on] + right_value_names), batch_format="pyarrow")
+    )
+
+    types = dict(all_fields)
+    left_pin = pa.schema([(n, types[n]) for n in left_names])
+    right_pin = pa.schema([(n, types[n]) for n in [on] + right_value_names])
+
+    def merge(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        side = g.column("_side")
+        # re-pin types: the shuffle re-types an all-null column to Arrow
+        # `null`, which Acero rejects as a non-key join field
+        lt = g.filter(pc.equal(side, 0)).select(left_names).cast(left_pin)
+        rt = (
+            g.filter(pc.equal(side, 1))
+            .select([on] + right_value_names)
+            .cast(right_pin)
+        )
+        out = lt.join(rt, keys=[on], join_type="left outer")
+        return out.select(left_names + right_value_names)
+
+    return tagged.groupby("_bucket").map_groups(merge, batch_format="pyarrow")
+
+
 def range_join(
     points: rd.Dataset,
     intervals: rd.Dataset,

@@ -415,6 +415,80 @@ def test_band_bucket_pairs_matches_per_group_reference():
     assert list(empty.columns) == ["id_a", "id_b"] and len(empty) == 0
 
 
+class TestBucketLeftJoin:
+    """relational.bucket_left_join — the robust replacement for
+    Dataset.join (Ray 2.49's hash-shuffle join loses its schema broadcast
+    when an input's first shuffled block is empty)."""
+
+    def _ds_with_empty_first_block(self, tables):
+        import ray.data as rd
+
+        # force one block per input table, preserving order, so an empty
+        # leading table reproduces the empty-first-block condition
+        parts = [rd.from_arrow(t) for t in tables]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.union(p)
+        return out
+
+    def test_left_outer_semantics_and_uint64_exactness(self):
+        import pyarrow as pa
+
+        from marginaliasearch_ray.stages.relational import bucket_left_join
+
+        big = (1 << 63) + 12345  # float64-lossy if coerced
+        big2 = (1 << 63) + 12347
+        left_schema = {"url": pa.string(), "h": pa.uint64()}
+        empty_left = pa.table(
+            {"url": pa.array([], pa.string()), "h": pa.array([], pa.uint64())}
+        )
+        left = self._ds_with_empty_first_block(
+            [
+                empty_left,  # empty FIRST block — the Dataset.join killer
+                pa.table(
+                    {
+                        "url": pa.array(["a", "b", "c"], pa.string()),
+                        "h": pa.array([big, big2, 7], pa.uint64()),
+                    }
+                ),
+            ]
+        )
+        right = self._ds_with_empty_first_block(
+            [
+                pa.table(
+                    {
+                        "url": pa.array(["a", "a", "c"], pa.string()),
+                        "v": pa.array([1, 2, 3], pa.int64()),
+                    }
+                )
+            ]
+        )
+        out = (
+            bucket_left_join(left, right, "url", n_buckets=8)
+            .to_pandas()
+            .sort_values(["url", "v"])
+            .reset_index(drop=True)
+        )
+        # duplicate right keys replicate; unmatched left row survives null
+        assert out["url"].tolist() == ["a", "a", "b", "c"]
+        vals = out["v"].tolist()
+        assert vals[0] == 1 and vals[1] == 2 and pd.isna(vals[2]) and vals[3] == 3
+        # 64-bit hash survives bit-exact (never coerced through float64)
+        assert int(out["h"].iloc[0]) == big and int(out["h"].iloc[2]) == big2
+
+    def test_overlapping_value_columns_rejected(self):
+        import pyarrow as pa
+        import pytest as _pytest
+
+        from marginaliasearch_ray.stages.relational import bucket_left_join
+
+        t = pa.table({"url": pa.array(["a"]), "x": pa.array([1])})
+        left = self._ds_with_empty_first_block([t])
+        right = self._ds_with_empty_first_block([t])
+        with _pytest.raises(ValueError):
+            bucket_left_join(left, right, "url")
+
+
 class TestAsofJoin:
     def _run(self, left, right, **kw):
         import ray.data as rd
