@@ -900,6 +900,174 @@ def _parse_queries_sql() -> str:
     """
 
 
+# --- assistant math function (MathParser.java / Units.java) --------------
+# Expected strings are hand-derived from the Java semantics (DecimalFormat
+# rounds the double's shortest round-trip digits; HALF_UP/6-digit for the
+# math formatter, HALF_EVEN with log10/sig-fig budgets for units); the
+# upstream MathParserTest/UnitsTest cases are all included and pinned
+# again in tests/test_mathparse.py.
+_MATH_CASES: list[tuple[str, str]] = [
+    ("3+5", "8"),
+    ("1+(300+log(5))", "302.609438"),
+    ("sqrt(1+300)", "17.349352"),
+    ("sqrt(pi)", "1.772454"),
+    ("3+5-5", "3"),
+    ("3+-5+5", "3"),
+    ("3+-5+log 5", "-0.390562"),
+    ("log -5", "NaN"),
+    ("3.5", "3.5"),
+    ("2^10", "1,024"),
+    ("(3.5+2)*3", "16.5"),
+    ("1/0", "NaN"),
+    ("3*-2", "-6"),
+    ("2^0.5", "1.414214"),
+    ("1+2*3^2", "19"),
+    ("pi*2", "6.283185"),
+    ("e", "2.718282"),
+    ("123456789*1000", "123,456,789,000"),
+    ("cos(0)", "1"),
+    ("1/3", "0.333333"),
+    ("2/3", "0.666667"),
+    ("3 & 5", ""),
+    ("3.4.5 + 1", ""),
+    ("2^3^2", "64"),
+    (".5", "0.5"),
+    ("3--5", "8"),
+    ("(5)-3", "2"),
+    ("sin(pi)", "0"),
+    ("tan(1)", "1.557408"),
+    ("10/4", "2.5"),
+]
+
+_UNIT_CASES: list[tuple[str, str, str, str]] = [
+    ("3.33", "cm", "m", ".0333 m"),
+    ("10", "km", "ft", "32,808 ft"),
+    ("10", "oz", "tons", ".000283 metric tons"),
+    ("10", "pc", "in", "12,148,336,929,133,859,000 in"),
+    ("50", "K", "K", "50 K"),
+    ("50", "F", "K", "283.2 K"),
+    ("50", "C", "K", "323.2 K"),
+    ("50", "K", "F", "-369.7 F"),
+    ("50", "F", "F", "50 F"),
+    ("50", "C", "F", "122 F"),
+    ("50", "K", "C", "-223.1 C"),
+    ("50", "F", "C", "10 C"),
+    ("50", "C", "C", "50 C"),
+    ("1", "mile", "km", "1.61 km"),
+    ("26.2", "miles", "km", "42.165 km"),
+    ("100", "f", "c", "37.778 C"),
+    ("1", "year", "seconds", "31,557,600 S"),
+    ("2", "weeks", "day", "1.4 day"),
+    ("1", "kg", "lbs", "2.2 lb"),
+    ("5", "gallons", "L", "18.9 L"),
+    ("1", "acre", "m^2", "4,047 m^2"),
+    ("-40", "F", "C", "-40 C"),
+    ("0.5", "m", "ft", "1.64 ft"),
+    ("1", "km", "kg", ""),
+    ("1", "zork", "m", ""),
+    ("3+2", "km", "m", "5,000 m"),
+    ("7.5", "KILOMETERS", "km", "7.5 km"),
+    ("1", "mm", "m", ".001 m"),
+]
+
+
+def _eval_math(sf_dir: str) -> pd.DataFrame:
+    """Assistant math-eval conformance (MathParser.java evalFormatted:
+    tokenize -> parenthesize -> negate -> functions -> ^ -> */ -> +-,
+    Locale.US HALF_UP 6-fraction-digit rendering) over the fixed case
+    table; oracle rows are hand-derived from the Java semantics."""
+    import ray.data as rd
+
+    from marginaliasearch_ray.functions.mathparse import eval_formatted
+
+    def run(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "qid": b["qid"].astype("int64"),
+                "expression": b["expression"],
+                "result": [eval_formatted(e) for e in b["expression"]],
+            }
+        )
+
+    cases = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "qid": range(len(_MATH_CASES)),
+                "expression": [c[0] for c in _MATH_CASES],
+            }
+        )
+    )
+    out = cases.map_batches(run, batch_format="pandas").to_pandas()
+    out["qid"] = out["qid"].astype("int64")
+    return out.sort_values("qid").reset_index(drop=True)
+
+
+def _convert_units(sf_dir: str) -> pd.DataFrame:
+    """Unit-conversion conformance (Units.java convert: csv name lookup,
+    identity/type gates, C-F-K special cases, linear base-value path,
+    default-DecimalFormat digit budgets from log10 + input sig figs)."""
+    import ray.data as rd
+
+    from marginaliasearch_ray.functions.mathparse import convert_units
+
+    def run(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "qid": b["qid"].astype("int64"),
+                "value": b["value"],
+                "from_unit": b["from_unit"],
+                "to_unit": b["to_unit"],
+                "result": [
+                    convert_units(v, f, t) or ""
+                    for v, f, t in zip(b["value"], b["from_unit"], b["to_unit"])
+                ],
+            }
+        )
+
+    cases = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "qid": range(len(_UNIT_CASES)),
+                "value": [c[0] for c in _UNIT_CASES],
+                "from_unit": [c[1] for c in _UNIT_CASES],
+                "to_unit": [c[2] for c in _UNIT_CASES],
+            }
+        )
+    )
+    out = cases.map_batches(run, batch_format="pandas").to_pandas()
+    out["qid"] = out["qid"].astype("int64")
+    return out.sort_values("qid").reset_index(drop=True)
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _eval_math_sql() -> str:
+    rows = ", ".join(
+        f"({qid}, {_sql_quote(expr)}, {_sql_quote(exp)})"
+        for qid, (expr, exp) in enumerate(_MATH_CASES)
+    )
+    return f"""
+        SELECT CAST(qid AS BIGINT) AS qid, expression, result
+        FROM (VALUES {rows}) AS t(qid, expression, result)
+        ORDER BY qid
+    """
+
+
+def _convert_units_sql() -> str:
+    rows = ", ".join(
+        f"({qid}, {_sql_quote(v)}, {_sql_quote(f)}, {_sql_quote(t)}, "
+        f"{_sql_quote(exp)})"
+        for qid, (v, f, t, exp) in enumerate(_UNIT_CASES)
+    )
+    return f"""
+        SELECT CAST(qid AS BIGINT) AS qid, value, from_unit, to_unit, result
+        FROM (VALUES {rows}) AS t(qid, value, from_unit, to_unit, result)
+        ORDER BY qid
+    """
+
+
 _PARSED_SEARCH_Q = '"data column" row -merge ?filter'
 _PARSED_SITE_Q = "value batch site:src3 size>200"
 
@@ -2514,6 +2682,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_deduped": _search_deduped,
         "browse_random": _browse_random,
         "parse_queries": _parse_queries,
+        "eval_math": _eval_math,
+        "convert_units": _convert_units,
         "search_parsed": _search_parsed,
         "search_parsed_site": _search_parsed_site,
         "doc_anchor_counts": _doc_anchor_counts,
@@ -5005,6 +5175,8 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY r.domain, r.visit_ordinal
         """,
         "parse_queries": _parse_queries_sql(),
+        "eval_math": _eval_math_sql(),
+        "convert_units": _convert_units_sql(),
         # parsed-search spec (stages/index.py parsed_search over the spec
         # of '"data column" row -merge ?filter'): include data/column/row
         # all required, merge excluded, mandatory data->column adjacency,
