@@ -545,6 +545,25 @@ def _domain_adjacencies(sf_dir: str) -> pd.DataFrame:
     return domain_adjacencies(_domain_edges(sf_dir, materialized=True))
 
 
+def _explore_domains(sf_dir: str) -> pd.DataFrame:
+    """Explorer-service related-domains browse, batched over every
+    domain (ExplorerService.java:111-213 over EC_NEIGHBORS_VIEW) —
+    stages/graph.py explore_neighbors: forward + reverse neighbor
+    passes with the pre-filter seen-set poisoning, integer ROUND(100x)
+    relatedness, name display filters, has_more/active/indexed flags,
+    and the compareTo (relatedness DESC, name) rank."""
+    from marginaliasearch_ray.stages.graph import explore_neighbors
+
+    adj = _domain_adjacencies(sf_dir)
+    meta = _crawl_domain_state(sf_dir)
+    docdb = _load_docdb(sf_dir)
+    return explore_neighbors(
+        adj,
+        excluded=dict(zip(meta["domain"], meta["excluded"].astype(bool))),
+        indexed=set(docdb["domain"].unique()),
+    )
+
+
 def _domain_bfs_hops(sf_dir: str) -> pd.DataFrame:
     """Multi-source BFS link depth over the domain graph — the crawl
     prioritization's link-depth signal as a standalone operator
@@ -2654,6 +2673,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_cocitation": _domain_cocitation,
         "domain_similarity": _domain_similarity,
         "domain_adjacencies": _domain_adjacencies,
+        "explore_domains": _explore_domains,
         "hits_domains": _hits_domains,
         "url_canonicalize": _url_canonicalize,
         "recrawl_decisions": _recrawl_decisions,
@@ -3041,6 +3061,81 @@ def _ping_probes_sql(exp: str) -> str:
                             ELSE -1 END AS response_time_ms
                 FROM raw
             )"""
+
+
+def _adjacency_sql(fix: str) -> str:
+    """WebsiteAdjacenciesCalculator oracle SQL (shared by the
+    domain_adjacencies and explore_domains oracles)."""
+    return f"""
+            WITH e0 AS (
+                SELECT regexp_extract(src_url, '://([^/:]+)', 1) AS src,
+                       regexp_extract(dst_url, '://([^/:]+)', 1) AS dst
+                FROM read_parquet('{fix}/links.parquet')
+                WHERE regexp_extract(src_url, '://([^/:]+)', 1) <> ''
+                  AND regexp_extract(dst_url, '://([^/:]+)', 1) <> ''
+            ),
+            uni AS (
+                SELECT domain, row_number() OVER (ORDER BY domain) - 1 AS id
+                FROM (SELECT src AS domain FROM e0 UNION SELECT dst FROM e0)
+            ),
+            e AS (
+                SELECT DISTINCT us.id AS s, ud.id AS d
+                FROM e0
+                JOIN uni us ON e0.src = us.domain
+                JOIN uni ud ON e0.dst = ud.domain
+            ),
+            w AS (
+                SELECT u.id, count(e.s) AS ind,
+                       CAST(floor(1.0 / ln(2 + count(e.s)) * 1048576.0 + 0.5)
+                            AS BIGINT) AS wq
+                FROM uni u LEFT JOIN e ON e.d = u.id
+                GROUP BY u.id
+            ),
+            odeg AS (SELECT s, count(*) AS outd FROM e GROUP BY s),
+            den AS (
+                SELECT e.d AS id, CAST(sum(w.wq) AS BIGINT) AS den
+                FROM e JOIN w ON w.id = e.s GROUP BY e.d
+            ),
+            cand AS (
+                SELECT DISTINCT a.d AS i, b.d AS j
+                FROM e a
+                JOIN e b ON a.s = b.s AND b.d <> a.d
+                JOIN odeg od ON od.s = a.s
+                WHERE od.outd <= 1000 AND a.s > a.d
+            ),
+            ov AS (
+                SELECT c.i, c.j, count(*) AS o, CAST(sum(w.wq) AS BIGINT) AS num
+                FROM cand c
+                JOIN e x ON x.d = c.i
+                JOIN e y ON y.d = c.j AND y.s = x.s
+                JOIN w ON w.id = x.s
+                GROUP BY c.i, c.j
+            ),
+            gated AS (
+                SELECT o.i, o.j,
+                       CAST(o.num AS DOUBLE)
+                           / sqrt(CAST(di.den AS DOUBLE)
+                                  * CAST(dj.den AS DOUBLE)) AS sim
+                FROM ov o
+                JOIN w wi ON wi.id = o.i
+                JOIN w wj ON wj.id = o.j
+                JOIN den di ON di.id = o.i
+                JOIN den dj ON dj.id = o.j
+                WHERE least(wi.ind, wj.ind) >= 4
+                  AND NOT (CAST(greatest(wi.ind, wj.ind) AS DOUBLE)
+                           > ((1 - 0.1) / 0.1)
+                             * CAST(least(wi.ind, wj.ind) AS DOUBLE))
+                  AND CAST(o.o AS DOUBLE)
+                      / CAST(wi.ind + wj.ind - o.o AS DOUBLE) >= 0.1
+            )
+            SELECT ui.domain AS domain, uj.domain AS other_domain,
+                   sim AS similarity
+            FROM gated
+            JOIN uni ui ON ui.id = i
+            JOIN uni uj ON uj.id = j
+            WHERE sim >= 0.1
+            ORDER BY domain, other_domain
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5576,75 +5671,56 @@ def oracle_sql() -> dict[str, str]:
         # sums); candidates via <=1000-fan-out sources with src_id >
         # target_id; testJaccard gates over FULL in-edge sets; weighted
         # cosine >= 0.1, float expressions mirrored tree-for-tree.
-        "domain_adjacencies": f"""
-            WITH e0 AS (
-                SELECT regexp_extract(src_url, '://([^/:]+)', 1) AS src,
-                       regexp_extract(dst_url, '://([^/:]+)', 1) AS dst
-                FROM read_parquet('{fix}/links.parquet')
-                WHERE regexp_extract(src_url, '://([^/:]+)', 1) <> ''
-                  AND regexp_extract(dst_url, '://([^/:]+)', 1) <> ''
+        "domain_adjacencies": _adjacency_sql(fix),
+        # ExplorerService related-domains batch (ExplorerService.java:
+        # 111-213): view relatedness = ROUND(100*sim) (MySQL half away
+        # from zero); forward pass seen-set poisons the reverse pass
+        # BEFORE the display filters; has_more probes the view on the
+        # matching side; active = NOT excluded (EC_DOMAIN.STATE analog);
+        # indexed = has >= 1 LOADED doc (docdb rule); order = relatedness
+        # DESC then name (SearchResult.compareTo on integer relatedness).
+        "explore_domains": f"""
+            WITH adj AS ({_adjacency_sql(fix)}),
+            nv AS (
+                SELECT domain AS d, other_domain AS o,
+                       CAST(floor(100 * similarity + 0.5) AS BIGINT) AS rel
+                FROM adj
             ),
-            uni AS (
-                SELECT domain, row_number() OVER (ORDER BY domain) - 1 AS id
-                FROM (SELECT src AS domain FROM e0 UNION SELECT dst FROM e0)
+            fwd AS (SELECT d AS q, o AS r, rel, TRUE AS is_fwd FROM nv),
+            rev AS (
+                SELECT nv.o AS q, nv.d AS r, nv.rel, FALSE AS is_fwd
+                FROM nv
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM nv f WHERE f.d = nv.o AND f.o = nv.d
+                )
             ),
-            e AS (
-                SELECT DISTINCT us.id AS s, ud.id AS d
-                FROM e0
-                JOIN uni us ON e0.src = us.domain
-                JOIN uni ud ON e0.dst = ud.domain
+            u AS (SELECT * FROM fwd UNION ALL SELECT * FROM rev),
+            filt AS (
+                SELECT * FROM u WHERE length(r) < 48 AND r LIKE '%.%'
             ),
-            w AS (
-                SELECT u.id, count(e.s) AS ind,
-                       CAST(floor(1.0 / ln(2 + count(e.s)) * 1048576.0 + 0.5)
-                            AS BIGINT) AS wq
-                FROM uni u LEFT JOIN e ON e.d = u.id
-                GROUP BY u.id
+            meta AS (
+                SELECT domain, excluded
+                FROM read_parquet('{exp}/expected_domain_meta.parquet')
             ),
-            odeg AS (SELECT s, count(*) AS outd FROM e GROUP BY s),
-            den AS (
-                SELECT e.d AS id, CAST(sum(w.wq) AS BIGINT) AS den
-                FROM e JOIN w ON w.id = e.s GROUP BY e.d
-            ),
-            cand AS (
-                SELECT DISTINCT a.d AS i, b.d AS j
-                FROM e a
-                JOIN e b ON a.s = b.s AND b.d <> a.d
-                JOIN odeg od ON od.s = a.s
-                WHERE od.outd <= 1000 AND a.s > a.d
-            ),
-            ov AS (
-                SELECT c.i, c.j, count(*) AS o, CAST(sum(w.wq) AS BIGINT) AS num
-                FROM cand c
-                JOIN e x ON x.d = c.i
-                JOIN e y ON y.d = c.j AND y.s = x.s
-                JOIN w ON w.id = x.s
-                GROUP BY c.i, c.j
-            ),
-            gated AS (
-                SELECT o.i, o.j,
-                       CAST(o.num AS DOUBLE)
-                           / sqrt(CAST(di.den AS DOUBLE)
-                                  * CAST(dj.den AS DOUBLE)) AS sim
-                FROM ov o
-                JOIN w wi ON wi.id = o.i
-                JOIN w wj ON wj.id = o.j
-                JOIN den di ON di.id = o.i
-                JOIN den dj ON dj.id = o.j
-                WHERE least(wi.ind, wj.ind) >= 4
-                  AND NOT (CAST(greatest(wi.ind, wj.ind) AS DOUBLE)
-                           > ((1 - 0.1) / 0.1)
-                             * CAST(least(wi.ind, wj.ind) AS DOUBLE))
-                  AND CAST(o.o AS DOUBLE)
-                      / CAST(wi.ind + wj.ind - o.o AS DOUBLE) >= 0.1
+            idx AS (
+                SELECT DISTINCT domain
+                FROM read_parquet('{exp}/expected_convert.parquet')
+                WHERE state = 'ok' AND NOT is_near_dup
             )
-            SELECT ui.domain AS domain, uj.domain AS other_domain,
-                   sim AS similarity
-            FROM gated
-            JOIN uni ui ON ui.id = i
-            JOIN uni uj ON uj.id = j
-            WHERE sim >= 0.1
-            ORDER BY domain, other_domain
+            SELECT f.q AS query_domain, f.r AS result_domain,
+                   f.rel AS relatedness,
+                   CASE WHEN f.is_fwd
+                        THEN f.r IN (SELECT d FROM nv)
+                        ELSE f.r IN (SELECT o FROM nv) END AS has_more,
+                   COALESCE(NOT m.excluded, TRUE) AS active,
+                   (i.domain IS NOT NULL) AS indexed,
+                   CAST(row_number() OVER (
+                       PARTITION BY f.q ORDER BY f.rel DESC, f.r
+                   ) AS BIGINT) AS position
+            FROM filt f
+            LEFT JOIN meta m ON m.domain = f.r
+            LEFT JOIN idx i ON i.domain = f.r
+            ORDER BY query_domain, position
         """,
         "domain_cocitation": f"""
             WITH e AS (

@@ -837,3 +837,167 @@ def domain_adjacencies(
             }
         )
     return out.sort_values(["domain", "other_domain"]).reset_index(drop=True)
+
+
+def explore_neighbors(
+    adj: pd.DataFrame,
+    *,
+    excluded: dict,
+    indexed: set,
+    n_buckets: int = 32,
+) -> pd.DataFrame:
+    """The explorer service's related-domains lookup, run as a BATCH over
+    every domain — ExplorerService.java:111-213 (services-application/
+    explorer-service) against EC_NEIGHBORS_VIEW
+    (V23_06_0_007__neighbors.sql:25-34).
+
+    Exact spec per query domain ``q``:
+
+    - the view's ``RELATEDNESS = ROUND(100 * similarity)`` (integer,
+      half away from zero — MySQL ROUND);
+    - FORWARD pass: rows where ``q`` is the view's DOMAIN_ID; every
+      forward neighbor name is remembered as "seen" BEFORE the display
+      filters run (java:160-165 — a filtered-out forward row still
+      poisons the reverse pass);
+    - REVERSE pass: rows where ``q`` is the NEIGHBOR_ID, skipping seen
+      names (java:191-192);
+    - display filter on both passes: name shorter than 48 chars and
+      containing a '.' (java:165,194);
+    - ``has_more``: forward -> the result domain has forward rows of its
+      own (the LEFT JOIN LV ON NEIGHBOR_ID=LV.DOMAIN_ID probe,
+      java:124); reverse -> the result domain appears as someone's
+      neighbor (java:138);
+    - ``active``: EC_DOMAIN.STATE in (ACTIVE, SOCIAL_MEDIA, REDIR)
+      (java:121) — our crawl analog is NOT excluded (probe-aborted /
+      robots-blocked domains are the BLOCKED/ERROR states);
+    - ``indexed``: INDEXED > 0 (java:122) — a domain with at least one
+      LOADED document (the docdb rule: state ok, not near-dup);
+    - final order: relatedness DESC then name ASC — SearchResult
+      .compareTo truncates the double difference to int (java:34-37),
+      which is exact order on the view's integer relatedness;
+      ``position`` is the 1-based rank.
+
+    Scale shape: the neighbors table is data-sized at web scale
+    (#domains x avg neighbors), so everything distributes: one stateless
+    map emits forward + reverse tagged rows bucketed by QUERY domain
+    hash; all rows of one query land in one bucket, so the seen-set
+    dedup and the rank are exact per bucket and vectorized across many
+    queries at once.  ``has_more`` / ``active`` / ``indexed`` ride as
+    broadcast objects (``ray.put`` once), never per-batch.
+    """
+    nv = pd.DataFrame(
+        {
+            "d": adj["domain"].to_numpy(object),
+            "o": adj["other_domain"].to_numpy(object),
+            "rel": np.floor(100.0 * adj["similarity"].to_numpy(np.float64) + 0.5).astype(
+                np.int64
+            ),
+        }
+    )
+    fwd_set_ref = ray.put(set(nv["d"]))  # domains with forward rows
+    rev_set_ref = ray.put(set(nv["o"]))  # domains appearing as neighbors
+    excluded_ref = ray.put(dict(excluded))
+    indexed_ref = ray.put(set(indexed))
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        fwd = pd.DataFrame(
+            {
+                "q": b["d"].to_numpy(object),
+                "r": b["o"].to_numpy(object),
+                "rel": b["rel"].to_numpy(np.int64),
+                "fwd": True,
+            }
+        )
+        rev = pd.DataFrame(
+            {
+                "q": b["o"].to_numpy(object),
+                "r": b["d"].to_numpy(object),
+                "rel": b["rel"].to_numpy(np.int64),
+                "fwd": False,
+            }
+        )
+        out = pd.concat([fwd, rev], ignore_index=True)
+        out["_b"] = (
+            pd.util.hash_pandas_object(
+                out["q"], index=False, hash_key="0" * 16
+            ).to_numpy()
+            % n_buckets
+        ).astype(np.int64)
+        return out
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return _EXPLORE_EMPTY.copy()
+        fwd_set = ray.get(fwd_set_ref)
+        rev_set = ray.get(rev_set_ref)
+        excl = ray.get(excluded_ref)
+        idx = ray.get(indexed_ref)
+        # reverse rows poisoned by ANY forward row of the same (q, r) —
+        # pre-filter, per the java seen-set ordering
+        fwd_rows = g[g["fwd"]]
+        seen = pd.MultiIndex.from_arrays([fwd_rows["q"], fwd_rows["r"]])
+        rev_rows = g[~g["fwd"]]
+        rev_keep = ~pd.MultiIndex.from_arrays(
+            [rev_rows["q"], rev_rows["r"]]
+        ).isin(seen)
+        g = pd.concat([fwd_rows, rev_rows[rev_keep]], ignore_index=True)
+        # display filters (both passes)
+        names = g["r"].astype(str)
+        g = g[(names.str.len() < 48) & names.str.contains(".", regex=False)]
+        if len(g) == 0:
+            return _EXPLORE_EMPTY.copy()
+        r = g["r"].to_numpy(object)
+        has_more = np.where(
+            g["fwd"].to_numpy(),
+            np.fromiter((x in fwd_set for x in r), dtype=bool, count=len(r)),
+            np.fromiter((x in rev_set for x in r), dtype=bool, count=len(r)),
+        )
+        out = pd.DataFrame(
+            {
+                "query_domain": g["q"].to_numpy(object),
+                "result_domain": r,
+                "relatedness": g["rel"].to_numpy(np.int64),
+                "has_more": has_more,
+                "active": np.fromiter(
+                    (not excl.get(x, False) for x in r), dtype=bool, count=len(r)
+                ),
+                "indexed": np.fromiter(
+                    (x in idx for x in r), dtype=bool, count=len(r)
+                ),
+            }
+        )
+        out = out.sort_values(
+            ["query_domain", "relatedness", "result_domain"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        out["position"] = (
+            out.groupby("query_domain", sort=False).cumcount() + 1
+        ).astype(np.int64)
+        return out.reset_index(drop=True)
+
+    if not len(nv):
+        return _EXPLORE_EMPTY.copy()
+    out = (
+        rd.from_pandas(nv)
+        .map_batches(tag, batch_format="pandas")
+        .groupby("_b")
+        .map_groups(finish, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(out):
+        return _EXPLORE_EMPTY.copy()
+    return out.sort_values(["query_domain", "position"]).reset_index(drop=True)
+
+
+_EXPLORE_EMPTY = pd.DataFrame(
+    {
+        "query_domain": pd.Series([], dtype=object),
+        "result_domain": pd.Series([], dtype=object),
+        "relatedness": pd.Series([], dtype=np.int64),
+        "has_more": pd.Series([], dtype=bool),
+        "active": pd.Series([], dtype=bool),
+        "indexed": pd.Series([], dtype=bool),
+        "position": pd.Series([], dtype=np.int64),
+    }
+)
