@@ -764,6 +764,82 @@ def _browse_random(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+def _browse_similar(sf_dir: str) -> pd.DataFrame:
+    """Dating-service similar-domains browse — DbBrowseDomainsSimilarCosine
+    .java:27-66 feeding DatingSessionObject.nextSimilar (count=25):
+    forward neighbors of each domain that have a screenshot, streamed in
+    relatedness order, blacklisted rows skipped WITHOUT consuming the
+    count budget, first 25 kept.
+
+    Modeling notes: the view relatedness is ROUND(100*sim) like the
+    explorer; MySQL's unspecified tie order is made deterministic as
+    (relatedness DESC, name ASC); DATA_DOMAIN_SCREENSHOT presence and
+    the DomainBlacklist are derandomized md5 rules (no browser capture /
+    operator blacklist in the fixture — md5_number_lower(domain||'|shot')
+    % 4 != 0 and ...||'|blacklist' % 8 != 0, shared with the oracle).
+    Because blacklist skips precede the count cut, filtering before the
+    per-group top-25 is EXACT.  (The reference method as written binds a
+    second parameter its SQL lacks and always returns empty via the
+    swallowed SQLException — we model the evident intent, not the bug.)
+
+    Scale shape: stateless eligibility filter, then stages/order.py
+    group_topk (per-batch partial top-k, one group-hash bucket shuffle —
+    at most 25 candidate rows per (query, batch) ever move)."""
+    import ray.data as rd
+
+    from marginaliasearch_ray.stages.order import group_topk
+    from marginaliasearch_ray.stages.textstats import md5_number_lower
+
+    adj = _domain_adjacencies(sf_dir)
+    nv = pd.DataFrame(
+        {
+            "query_domain": adj["domain"].to_numpy(object),
+            "result_domain": adj["other_domain"].to_numpy(object),
+            "relatedness": np.floor(
+                100.0 * adj["similarity"].to_numpy(np.float64) + 0.5
+            ).astype(np.int64),
+        }
+    )
+    keep = np.fromiter(
+        (
+            md5_number_lower(f"{d}|shot") % 4 != 0
+            and md5_number_lower(f"{d}|blacklist") % 8 != 0
+            for d in nv["result_domain"]
+        ),
+        dtype=bool,
+        count=len(nv),
+    )
+    nv = nv[keep]
+    if not len(nv):
+        return pd.DataFrame(
+            {
+                "query_domain": pd.Series([], dtype=object),
+                "result_domain": pd.Series([], dtype=object),
+                "relatedness": pd.Series([], dtype="int64"),
+                "indexed": pd.Series([], dtype=bool),
+                "position": pd.Series([], dtype="int64"),
+            }
+        )
+    topk = group_topk(
+        rd.from_pandas(nv),
+        "query_domain",
+        "relatedness",
+        k=25,
+        id_col="result_domain",
+        descending=True,
+    ).to_pandas()
+    indexed = set(_load_docdb(sf_dir)["domain"].unique())
+    return pd.DataFrame(
+        {
+            "query_domain": topk["query_domain"].to_numpy(object),
+            "result_domain": topk["result_domain"].to_numpy(object),
+            "relatedness": topk["relatedness"].astype("int64").to_numpy(),
+            "indexed": [d in indexed for d in topk["result_domain"]],
+            "position": topk["rn"].astype("int64").to_numpy(),
+        }
+    ).sort_values(["query_domain", "position"]).reset_index(drop=True)
+
+
 def _feed_export(sf_dir: str) -> pd.DataFrame:
     """FeedExporter parity (export-task-process,
     FeedExporter.java:78-106): per domain, the first viable html
@@ -2701,6 +2777,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_ranked_single": _search_ranked_single,
         "search_deduped": _search_deduped,
         "browse_random": _browse_random,
+        "browse_similar": _browse_similar,
         "parse_queries": _parse_queries,
         "eval_math": _eval_math,
         "convert_units": _convert_units,
@@ -5720,6 +5797,43 @@ def oracle_sql() -> dict[str, str]:
             FROM filt f
             LEFT JOIN meta m ON m.domain = f.r
             LEFT JOIN idx i ON i.domain = f.r
+            ORDER BY query_domain, position
+        """,
+        # DbBrowseDomainsSimilarCosine (dating service): forward
+        # neighbors with a screenshot, blacklist skips don't consume the
+        # count, first 25 in (relatedness DESC, name) order; screenshot /
+        # blacklist membership are the derandomized md5 rules shared with
+        # the engine.
+        "browse_similar": f"""
+            WITH adj AS ({_adjacency_sql(fix)}),
+            nv AS (
+                SELECT domain AS q, other_domain AS r,
+                       CAST(floor(100 * similarity + 0.5) AS BIGINT) AS rel
+                FROM adj
+            ),
+            elig AS (
+                SELECT q, r, rel FROM nv
+                WHERE md5_number_lower(r || '|shot') % 4 <> 0
+                  AND md5_number_lower(r || '|blacklist') % 8 <> 0
+            ),
+            ranked AS (
+                SELECT q, r, rel,
+                       row_number() OVER (
+                           PARTITION BY q ORDER BY rel DESC, r
+                       ) AS rn
+                FROM elig
+            ),
+            idx AS (
+                SELECT DISTINCT domain
+                FROM read_parquet('{exp}/expected_convert.parquet')
+                WHERE state = 'ok' AND NOT is_near_dup
+            )
+            SELECT q AS query_domain, r AS result_domain,
+                   rel AS relatedness,
+                   (i.domain IS NOT NULL) AS indexed,
+                   CAST(rn AS BIGINT) AS position
+            FROM ranked LEFT JOIN idx i ON i.domain = ranked.r
+            WHERE rn <= 25
             ORDER BY query_domain, position
         """,
         "domain_cocitation": f"""
