@@ -840,6 +840,76 @@ def _browse_similar(sf_dir: str) -> pd.DataFrame:
     ).sort_values(["query_domain", "position"]).reset_index(drop=True)
 
 
+def _rank01_map(sf_dir: str) -> dict:
+    """The loader's rank01 rule (shared with _load_ranked_ids): position/n
+    over docdb domains ordered by (pagerank rounded to 8 DESC, domain)."""
+    from marginaliasearch_ray.pipelines.load import build_domain_registry, load_docdb
+    from marginaliasearch_ray.pipelines.rank import pagerank
+
+    conv = _loader_converted(sf_dir)
+    reg = build_domain_registry(conv)
+    docdb = load_docdb(conv, reg).select_columns(["domain"]).to_pandas()
+    pr = pagerank(_domain_edges(sf_dir), mode="distributed")
+    pr_map = dict(zip(pr["domain"], pr["rank"].round(8)))
+    doms = sorted(docdb["domain"].unique())
+    n = len(doms)
+    order = sorted(doms, key=lambda d: (-pr_map.get(d, 0.0), d))
+    return {d: pos / n for pos, d in enumerate(order)}
+
+
+def _similar_domains_run(sf_dir: str, mode: str) -> pd.DataFrame:
+    """Shared driver for similar_domains / linking_domains — assembles
+    the SimilarDomainsService's in-memory tables from fixture products:
+    registry ids (EC_DOMAIN id order), rank01 (loader rule), crawl
+    domain-state (active/feed), registry affinity (indexed), md5
+    screenshot rule."""
+    from marginaliasearch_ray.pipelines.load import build_domain_registry
+    from marginaliasearch_ray.stages.graph import similar_domains
+    from marginaliasearch_ray.stages.textstats import md5_number_lower
+
+    conv = _loader_converted(sf_dir)
+    edges = _domain_edges(sf_dir, materialized=True)
+    reg = build_domain_registry(
+        conv, edges, found_cols=("src_domain", "dst_domain")
+    )
+    ids = dict(zip(reg["domain"], reg["domain_id"].astype(int)))
+    indexed = set(reg.loc[reg["node_affinity"].astype(int) > 0, "domain"])
+    meta = _crawl_domain_state(sf_dir)
+    excluded = dict(zip(meta["domain"], meta["excluded"].astype(bool)))
+    feed = {
+        d
+        for d, f in zip(meta["domain"], meta["feed_url"])
+        if f is not None and not (isinstance(f, float) and np.isnan(f)) and f != ""
+    }
+    screenshot = {d for d in ids if md5_number_lower(f"{d}|shot") % 4 != 0}
+    return similar_domains(
+        _domain_adjacencies(sf_dir),
+        edges,
+        ids=ids,
+        ranks=_rank01_map(sf_dir),
+        excluded=excluded,
+        indexed=indexed,
+        feed=feed,
+        screenshot=screenshot,
+        k=25,
+        mode=mode,
+    )
+
+
+def _similar_domains(sf_dir: str) -> pd.DataFrame:
+    """SimilarDomainsService.getSimilarDomains batched over every domain
+    (SimilarDomainsService.java:240-328) — stages/graph.py
+    similar_domains mode='similar'."""
+    return _similar_domains_run(sf_dir, "similar")
+
+
+def _linking_domains(sf_dir: str) -> pd.DataFrame:
+    """SimilarDomainsService.getLinkingDomains batched over every domain
+    (SimilarDomainsService.java:350-427) — stages/graph.py
+    similar_domains mode='linking'."""
+    return _similar_domains_run(sf_dir, "linking")
+
+
 def _feed_export(sf_dir: str) -> pd.DataFrame:
     """FeedExporter parity (export-task-process,
     FeedExporter.java:78-106): per domain, the first viable html
@@ -2750,6 +2820,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_similarity": _domain_similarity,
         "domain_adjacencies": _domain_adjacencies,
         "explore_domains": _explore_domains,
+        "similar_domains": _similar_domains,
+        "linking_domains": _linking_domains,
         "hits_domains": _hits_domains,
         "url_canonicalize": _url_canonicalize,
         "recrawl_decisions": _recrawl_decisions,
@@ -3138,6 +3210,156 @@ def _ping_probes_sql(exp: str) -> str:
                             ELSE -1 END AS response_time_ms
                 FROM raw
             )"""
+
+
+def _simdom_sql(fix: str, exp: str, mode: str) -> str:
+    """SimilarDomainsService oracle (getSimilarDomains / getLinkingDomains):
+    pair relatedness = ROUND(100x) kept when > 0.1 else 0; candidates from
+    the symmetric neighbor lists (similar) or the link-graph union
+    (linking); count cut BEFORE the length<=32 filter; shouldRemove
+    post-filter; ids = registry order, rank = loader rank01 display."""
+    if mode == "similar":
+        cand = """
+            cand AS (
+                SELECT r.q, r.c, r.rel,
+                       coalesce(f.dtos, FALSE) AS dtos,
+                       coalesce(f.stod, FALSE) AS stod
+                FROM rel_tbl r LEFT JOIN eflags f ON f.q = r.q AND f.c = r.c
+            ),
+            cut AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY q ORDER BY rel DESC, cid
+                ) AS rn
+                FROM (SELECT cand.*, reg.id AS cid FROM cand
+                      JOIN reg ON reg.domain = cand.c)
+                QUALIFY rn <= 25
+            )"""
+    else:
+        cand = """
+            cand AS (
+                SELECT f.q, f.c, coalesce(r.rel, 0) AS rel, f.dtos, f.stod
+                FROM eflags f LEFT JOIN rel_tbl r ON r.q = f.q AND r.c = f.c
+            ),
+            cut AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY q
+                    ORDER BY rank_disp DESC, rel DESC,
+                             (CAST(dtos AS BIGINT) + CAST(stod AS BIGINT)) DESC,
+                             cid
+                ) AS rn
+                FROM (SELECT cand.*, reg.id AS cid,
+                             coalesce(rk.rank_disp, 0) AS rank_disp
+                      FROM cand
+                      JOIN reg ON reg.domain = cand.c
+                      LEFT JOIN rankm rk ON rk.domain = cand.c)
+                QUALIFY rn <= 25
+            )"""
+    return f"""
+        WITH adj AS ({_adjacency_sql(fix)}),
+        conv AS (
+            SELECT DISTINCT domain
+            FROM read_parquet('{exp}/expected_convert.parquet')
+        ),
+        e AS (
+            SELECT DISTINCT
+                   lower(regexp_extract(src_url, '://([^/:]+)', 1)) AS s,
+                   lower(regexp_extract(dst_url, '://([^/:]+)', 1)) AS d
+            FROM read_parquet('{fix}/links.parquet')
+        ),
+        found AS (SELECT s AS domain FROM e UNION SELECT d FROM e),
+        allx AS (
+            SELECT domain, TRUE AS crawled FROM conv
+            UNION ALL
+            SELECT domain, FALSE FROM (
+                SELECT domain FROM found EXCEPT SELECT domain FROM conv
+            )
+        ),
+        reg AS (
+            SELECT domain,
+                   row_number() OVER (ORDER BY crawled DESC, domain) AS id,
+                   crawled
+            FROM allx
+        ),
+        loaded_doms AS (
+            SELECT DISTINCT domain
+            FROM read_parquet('{exp}/expected_convert.parquet')
+            WHERE state = 'ok' AND NOT is_near_dup
+        ),
+        pr AS (
+            SELECT domain, round(rank, 8) AS r
+            FROM read_parquet('{exp}/expected_pagerank.parquet')
+        ),
+        pos AS (
+            SELECT d.domain,
+                   row_number() OVER (
+                       ORDER BY coalesce(pr.r, 0.0) DESC, d.domain
+                   ) AS p,
+                   (SELECT count(*) FROM loaded_doms) AS n
+            FROM loaded_doms d LEFT JOIN pr USING (domain)
+        ),
+        rankm AS (
+            SELECT domain,
+                   CAST(floor(100.0 * (1.0 - CAST(p - 1 AS DOUBLE)
+                                             / CAST(n AS DOUBLE)) + 0.5)
+                        AS BIGINT) AS rank_disp
+            FROM pos
+        ),
+        meta AS (
+            SELECT domain, excluded, feed_url
+            FROM read_parquet('{exp}/expected_domain_meta.parquet')
+        ),
+        nv AS (
+            SELECT domain AS d, other_domain AS o,
+                   CAST(floor(100 * similarity + 0.5) AS BIGINT) AS rel
+            FROM adj
+        ),
+        sym AS (
+            SELECT d AS q, o AS c, rel FROM nv
+            UNION ALL SELECT o, d, rel FROM nv
+        ),
+        rel_tbl AS (
+            SELECT q, c,
+                   CASE WHEN max(rel) > 0.1 THEN max(rel) ELSE 0 END AS rel
+            FROM sym GROUP BY q, c
+        ),
+        eflags AS (
+            SELECT q, c, max(dtos) AS dtos, max(stod) AS stod FROM (
+                SELECT s AS q, d AS c, TRUE AS dtos, FALSE AS stod FROM e
+                UNION ALL SELECT d, s, FALSE, TRUE FROM e
+            ) GROUP BY q, c
+        ),
+        {cand},
+        filt AS (SELECT * FROM cut WHERE length(c) <= 32),
+        flagged AS (
+            SELECT f.q, f.c, f.rel, f.rn,
+                   coalesce(rk.rank_disp, 0) AS rank_disp,
+                   r2.crawled AS indexed,
+                   coalesce(NOT m.excluded, TRUE) AS active,
+                   (md5_number_lower(f.c || '|shot') % 4 <> 0) AS screenshot,
+                   coalesce(m.feed_url IS NOT NULL
+                            AND m.feed_url <> '', FALSE) AS feed,
+                   CASE WHEN f.dtos AND f.stod THEN 'BIDIRECTIONAL'
+                        WHEN f.dtos THEN 'FOWARD'
+                        WHEN f.stod THEN 'BACKWARD'
+                        ELSE 'NONE' END AS link_type
+            FROM filt f
+            JOIN reg r2 ON r2.domain = f.c
+            LEFT JOIN rankm rk ON rk.domain = f.c
+            LEFT JOIN meta m ON m.domain = f.c
+        ),
+        kept AS (
+            SELECT * FROM flagged
+            WHERE NOT ((NOT (indexed AND active) AND rel <= 50)
+                       OR (link_type = 'NONE' AND rel <= 25))
+        )
+        SELECT q AS query_domain, c AS result_domain, rel AS relatedness,
+               rank_disp AS rank, indexed, active, screenshot, feed,
+               link_type,
+               CAST(row_number() OVER (PARTITION BY q ORDER BY rn)
+                    AS BIGINT) AS position
+        FROM kept
+        ORDER BY query_domain, position
+    """
 
 
 def _adjacency_sql(fix: str) -> str:
@@ -5799,6 +6021,9 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN idx i ON i.domain = f.r
             ORDER BY query_domain, position
         """,
+        # SimilarDomainsService (search-service sidebar): see _simdom_sql.
+        "similar_domains": _simdom_sql(fix, exp, "similar"),
+        "linking_domains": _simdom_sql(fix, exp, "linking"),
         # DbBrowseDomainsSimilarCosine (dating service): forward
         # neighbors with a screenshot, blacklist skips don't consume the
         # count, first 25 in (relatedness DESC, name) order; screenshot /

@@ -1001,3 +1001,260 @@ _EXPLORE_EMPTY = pd.DataFrame(
         "position": pd.Series([], dtype=np.int64),
     }
 )
+
+
+def similar_domains(
+    adj: pd.DataFrame,
+    edges: rd.Dataset,
+    *,
+    ids: dict,
+    ranks: dict,
+    excluded: dict,
+    indexed: set,
+    feed: set,
+    screenshot: set,
+    k: int = 25,
+    mode: str = "similar",
+    col_src: str = "src_domain",
+    col_dst: str = "dst_domain",
+    n_buckets: int = 32,
+) -> pd.DataFrame:
+    """The search-service "similar domains" sidebar, batched over every
+    domain — SimilarDomainsService.java:240-328 (getSimilarDomains,
+    ``mode='similar'``) and :350-427 (getLinkingDomains,
+    ``mode='linking'``).
+
+    Exact spec reproduced:
+
+    - relatedness(a, b) = ``Math.round(100 * rel)`` stored on the
+      unordered pair, kept only when > 0.1 (java:115-118); missing pairs
+      read 0 (java:229-237);
+    - ``similar``: candidates = the symmetric neighbor LISTS (built from
+      every EC_DOMAIN_NEIGHBORS_2 row regardless of the relatedness
+      gate, java:120-126), deduped, ordered by (relatedness DESC, domain
+      id ASC) and cut to ``count`` BEFORE the display filters
+      (java:269-279);
+    - ``linking``: candidates = the union of link-graph in/out
+      neighbors, ordered by (rank DESC, relatedness DESC, linkiness
+      DESC, id ASC), cut to ``count`` (java:380-396);
+    - names longer than 32 chars are dropped AFTER the count cut
+      (java:286-287, 402-403 — they consume budget);
+    - link type from the raw link graph: FOWARD [sic] if q->c,
+      BACKWARD if c->q, BIDIRECTIONAL if both (SimilarDomain.java:44-54);
+    - display rank = ``Math.round(100 * (1 - RANK))`` (java:145);
+      RANK = the loader's rank01 (position/n over docdb domains by
+      pagerank DESC, domain — the load_ranked_ids rule), 1.0 for
+      never-loaded domains;
+    - ``shouldRemove`` post-filter (java:313-328): drop when NOT
+      (indexed AND active) and relatedness <= 50, or when the link type
+      is NONE and relatedness <= 25; ``position`` is the 1-based rank
+      in the surviving list;
+    - indexed = NODE_AFFINITY > 0 (java:136) — the registry's crawled
+      domains; active = STATE ACTIVE analog (NOT excluded); feed = the
+      crawl's discovered feed urls; screenshot = the deterministic
+      md5 fixture rule (no browser capture in scope).
+
+    Scale shape: the neighbor table and the link graph are data-sized,
+    so both ride as narrow tagged rows co-located per QUERY domain by
+    ONE hash-bucket groupby (kind 0 = neighbor+relatedness row, kind 1 =
+    edge flag row); every per-domain map (ids, ranks, flags) broadcasts
+    once via ``ray.put``.  The per-bucket pass is vectorized across all
+    queries in the bucket."""
+    if mode not in ("similar", "linking"):
+        raise ValueError(mode)
+    rel_int = np.floor(100.0 * adj["similarity"].to_numpy(np.float64) + 0.5).astype(
+        np.int64
+    )
+    nv = pd.DataFrame(
+        {
+            "d": adj["domain"].to_numpy(object),
+            "o": adj["other_domain"].to_numpy(object),
+            "rel": rel_int,
+        }
+    )
+    ids_ref = ray.put(dict(ids))
+    ranks_ref = ray.put(dict(ranks))
+    excl_ref = ray.put(dict(excluded))
+    idx_ref = ray.put(set(indexed))
+    feed_ref = ray.put(set(feed))
+    shot_ref = ray.put(set(screenshot))
+
+    def tag_nv(b: pd.DataFrame) -> pd.DataFrame:
+        rel = b["rel"].to_numpy(np.int64)
+        out = pd.concat(
+            [
+                pd.DataFrame(
+                    {"q": b["d"].to_numpy(object), "c": b["o"].to_numpy(object),
+                     "rel": rel, "dtos": False, "stod": False, "kind": 0}
+                ),
+                pd.DataFrame(
+                    {"q": b["o"].to_numpy(object), "c": b["d"].to_numpy(object),
+                     "rel": rel, "dtos": False, "stod": False, "kind": 0}
+                ),
+            ],
+            ignore_index=True,
+        )
+        out["_b"] = (
+            pd.util.hash_pandas_object(out["q"], index=False, hash_key="0" * 16)
+            .to_numpy() % n_buckets
+        ).astype(np.int64)
+        return out
+
+    def tag_edges(b: pd.DataFrame) -> pd.DataFrame:
+        p = b[[col_src, col_dst]].dropna().drop_duplicates()
+        s = p[col_src].to_numpy(object)
+        t = p[col_dst].to_numpy(object)
+        out = pd.concat(
+            [
+                pd.DataFrame({"q": s, "c": t, "rel": np.int64(0),
+                              "dtos": True, "stod": False, "kind": 1}),
+                pd.DataFrame({"q": t, "c": s, "rel": np.int64(0),
+                              "dtos": False, "stod": True, "kind": 1}),
+            ],
+            ignore_index=True,
+        )
+        out["_b"] = (
+            pd.util.hash_pandas_object(out["q"], index=False, hash_key="0" * 16)
+            .to_numpy() % n_buckets
+        ).astype(np.int64)
+        return out
+
+    out_cols = [
+        "query_domain", "result_domain", "relatedness", "rank", "indexed",
+        "active", "screenshot", "feed", "link_type", "position",
+    ]
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        ids_m = ray.get(ids_ref)
+        ranks_m = ray.get(ranks_ref)
+        excl = ray.get(excl_ref)
+        idx = ray.get(idx_ref)
+        feeds = ray.get(feed_ref)
+        shots = ray.get(shot_ref)
+
+        nvr = g[g["kind"] == 0]
+        # pair relatedness: kept only when > 0.1 (>= 1 on the rounded int)
+        rel_tbl = (
+            nvr.groupby(["q", "c"], sort=False, as_index=False)["rel"].max()
+        )
+        rel_tbl.loc[rel_tbl["rel"] <= 0, "rel"] = 0
+        er = g[g["kind"] == 1]
+        flags = er.groupby(["q", "c"], sort=False, as_index=False)[
+            ["dtos", "stod"]
+        ].max()
+
+        if mode == "similar":
+            cand = rel_tbl.merge(flags, on=["q", "c"], how="left")
+            # .eq(True) maps the merge's NaN fills to False without the
+            # object-downcast deprecation fillna(False) would trip
+            cand["dtos"] = cand["dtos"].eq(True).to_numpy()
+            cand["stod"] = cand["stod"].eq(True).to_numpy()
+        else:
+            cand = flags.merge(rel_tbl, on=["q", "c"], how="left")
+            cand["rel"] = cand["rel"].fillna(0).astype(np.int64)
+        if len(cand) == 0:
+            return _SIMDOM_EMPTY.copy()
+
+        c_arr = cand["c"].to_numpy(object)
+        cand["cid"] = np.fromiter(
+            (ids_m.get(x, 2**31) for x in c_arr), dtype=np.int64, count=len(c_arr)
+        )
+        cand["rank_disp"] = np.fromiter(
+            (
+                int(np.floor(100.0 * (1.0 - ranks_m.get(x, 1.0)) + 0.5))
+                for x in c_arr
+            ),
+            dtype=np.int64,
+            count=len(c_arr),
+        )
+        if mode == "similar":
+            cand = cand.sort_values(
+                ["q", "rel", "cid"], ascending=[True, False, True],
+                kind="mergesort",
+            )
+        else:
+            cand["linkiness"] = cand["dtos"].astype(np.int64) + cand[
+                "stod"
+            ].astype(np.int64)
+            cand = cand.sort_values(
+                ["q", "rank_disp", "rel", "linkiness", "cid"],
+                ascending=[True, False, False, False, True],
+                kind="mergesort",
+            )
+        cand = cand.groupby("q", sort=False).head(k)
+
+        # post-cut display filter + flags + shouldRemove
+        names = cand["c"].astype(str)
+        cand = cand[names.str.len() <= 32]
+        if len(cand) == 0:
+            return _SIMDOM_EMPTY.copy()
+        c_arr = cand["c"].to_numpy(object)
+        active = np.fromiter(
+            (not excl.get(x, False) for x in c_arr), dtype=bool, count=len(c_arr)
+        )
+        indexed_f = np.fromiter(
+            (x in idx for x in c_arr), dtype=bool, count=len(c_arr)
+        )
+        dtos = cand["dtos"].to_numpy(bool)
+        stod = cand["stod"].to_numpy(bool)
+        link_type = np.where(
+            dtos & stod, "BIDIRECTIONAL",
+            np.where(dtos, "FOWARD", np.where(stod, "BACKWARD", "NONE")),
+        )
+        rel = cand["rel"].to_numpy(np.int64)
+        keep = ~(
+            (~(indexed_f & active) & (rel <= 50))
+            | ((link_type == "NONE") & (rel <= 25))
+        )
+        if not keep.any():
+            return _SIMDOM_EMPTY.copy()
+        cand = cand[keep]
+        c_arr = cand["c"].to_numpy(object)
+        out = pd.DataFrame(
+            {
+                "query_domain": cand["q"].to_numpy(object),
+                "result_domain": c_arr,
+                "relatedness": cand["rel"].to_numpy(np.int64),
+                "rank": cand["rank_disp"].to_numpy(np.int64),
+                "indexed": indexed_f[keep],
+                "active": active[keep],
+                "screenshot": np.fromiter(
+                    (x in shots for x in c_arr), dtype=bool, count=len(c_arr)
+                ),
+                "feed": np.fromiter(
+                    (x in feeds for x in c_arr), dtype=bool, count=len(c_arr)
+                ),
+                "link_type": link_type[keep],
+            }
+        )
+        out["position"] = (
+            out.groupby("query_domain", sort=False).cumcount() + 1
+        ).astype(np.int64)
+        return out
+
+    nv_ds = rd.from_pandas(nv).map_batches(tag_nv, batch_format="pandas")
+    e_ds = edges.map_batches(tag_edges, batch_format="pandas")
+    out = (
+        nv_ds.union(e_ds)
+        .groupby("_b")
+        .map_groups(finish, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(out):
+        return _SIMDOM_EMPTY.copy()
+    return out.sort_values(["query_domain", "position"]).reset_index(drop=True)
+
+_SIMDOM_EMPTY = pd.DataFrame(
+    {
+        "query_domain": pd.Series([], dtype=object),
+        "result_domain": pd.Series([], dtype=object),
+        "relatedness": pd.Series([], dtype=np.int64),
+        "rank": pd.Series([], dtype=np.int64),
+        "indexed": pd.Series([], dtype=bool),
+        "active": pd.Series([], dtype=bool),
+        "screenshot": pd.Series([], dtype=bool),
+        "feed": pd.Series([], dtype=bool),
+        "link_type": pd.Series([], dtype=object),
+        "position": pd.Series([], dtype=np.int64),
+    }
+)
