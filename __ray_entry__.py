@@ -910,6 +910,75 @@ def _linking_domains(sf_dir: str) -> pd.DataFrame:
     return _similar_domains_run(sf_dir, "linking")
 
 
+def _nsfw_doc_scores(sf_dir: str) -> pd.DataFrame:
+    """NSFW document classifier (functions/nsfw-filter
+    NsfwDocumentFilter.java + classifier-net BinaryClassifierModel /
+    Trainer / Vocabulary): vocabulary = top-40 corpus tokens (+2 fixed
+    bigrams), deterministic synthetic labeled corpus, seeded-init SGD
+    training on the driver (the reference trains offline in one JVM),
+    then DISTRIBUTED inference — the model broadcasts once via ray.put
+    and an actor-pool map_batches stage scores every document.  Oracle:
+    sequential single-threaded replica (expected_nsfw.parquet)."""
+    import ray
+    import ray.data as rd
+
+    from marginaliasearch_ray.functions.classifier import (
+        build_nsfw_vocabulary,
+        train_nsfw_model,
+    )
+    from marginaliasearch_ray.stages.textstats import vocab_topk
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    top = vocab_topk(ds, k=40)
+    vocab = build_nsfw_vocabulary(top["token"].tolist())
+    model = train_nsfw_model(vocab)
+    bundle_ref = ray.put((vocab, model))
+
+    class ScoreDocs:
+        def __init__(self):
+            self.vocab, self.model = ray.get(bundle_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            rows = []
+            for did, t in zip(b["doc_id"], b["text"]):
+                t = t or ""
+                flagged, score = self.model.is_nsfw(self.vocab, t)
+                rows.append(
+                    (int(did), len(self.vocab.features(t)), float(score), bool(flagged))
+                )
+            return pd.DataFrame(
+                rows, columns=["doc_id", "n_features", "score", "is_nsfw"]
+            )
+
+    out = ds.map_batches(
+        ScoreDocs, concurrency=2, batch_size=256, batch_format="pandas"
+    ).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_features"] = out["n_features"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _nsfw_domain_tiers(sf_dir: str) -> pd.DataFrame:
+    """NsfwDomainFilter parity (NsfwDomainFilter.java:26-106): tiered
+    block sets — danger-list membership wins tier 1 (INSERT IGNORE
+    order), smut tier 2 — with the isBlocked decision per configured
+    filter tier; list membership is the deterministic md5 rule."""
+    from marginaliasearch_ray.functions.classifier import nsfw_domain_tier
+
+    meta = _crawl_domain_state(sf_dir)
+    tiers = np.array([nsfw_domain_tier(d) for d in meta["domain"]], dtype=np.int64)
+    return pd.DataFrame(
+        {
+            "domain": meta["domain"].to_numpy(object),
+            "tier": tiers,
+            "blocked_at_danger": tiers == 1,
+            "blocked_at_smut": (tiers == 1) | (tiers == 2),
+        }
+    ).sort_values("domain").reset_index(drop=True)
+
+
 def _feed_export(sf_dir: str) -> pd.DataFrame:
     """FeedExporter parity (export-task-process,
     FeedExporter.java:78-106): per domain, the first viable html
@@ -2822,6 +2891,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "explore_domains": _explore_domains,
         "similar_domains": _similar_domains,
         "linking_domains": _linking_domains,
+        "nsfw_doc_scores": _nsfw_doc_scores,
+        "nsfw_domain_tiers": _nsfw_domain_tiers,
         "hits_domains": _hits_domains,
         "url_canonicalize": _url_canonicalize,
         "recrawl_decisions": _recrawl_decisions,
@@ -6020,6 +6091,31 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN meta m ON m.domain = f.r
             LEFT JOIN idx i ON i.domain = f.r
             ORDER BY query_domain, position
+        """,
+        # NSFW document classifier: sequential replica of the full
+        # vocab -> synth corpus -> seeded-SGD -> score chain.
+        "nsfw_doc_scores": f"""
+            SELECT doc_id, n_features, score, is_nsfw
+            FROM read_parquet('{exp}/expected_nsfw.parquet')
+            ORDER BY doc_id
+        """,
+        # NsfwDomainFilter tiers: danger md5%16==0 wins tier 1, smut
+        # md5%8==0 tier 2; isBlocked(t) = tier1 when t>=1, +tier2 when
+        # t>=2.
+        "nsfw_domain_tiers": f"""
+            WITH t AS (
+                SELECT domain,
+                       CASE WHEN md5_number_lower(domain || '|danger')
+                                 % 16 = 0 THEN 1
+                            WHEN md5_number_lower(domain || '|smut')
+                                 % 8 = 0 THEN 2
+                            ELSE 0 END AS tier
+                FROM read_parquet('{exp}/expected_domain_meta.parquet')
+            )
+            SELECT domain, CAST(tier AS BIGINT) AS tier,
+                   (tier = 1) AS blocked_at_danger,
+                   (tier IN (1, 2)) AS blocked_at_smut
+            FROM t ORDER BY domain
         """,
         # SimilarDomainsService (search-service sidebar): see _simdom_sql.
         "similar_domains": _simdom_sql(fix, exp, "similar"),

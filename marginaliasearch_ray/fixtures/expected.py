@@ -41,7 +41,7 @@ from .cache import FIXTURE_VERSION, config_for, fixture_dir_for
 
 EXPECTED_ROOT = "/tmp/graft_expected"
 # bump when ORACLE LOGIC changes without a fixture-generator change
-EXPECTED_VERSION = 25
+EXPECTED_VERSION = 26
 
 
 def expected_dir_for(sf_dir: str) -> str:
@@ -65,8 +65,56 @@ def expected_dir_for(sf_dir: str) -> str:
         _build_atags_expected(fix, out)
         _build_livecrawl_expected(fix, out)
         _build_fullrank_expected(fix, out)
+        _build_nsfw_expected(sf_dir, out)
         done.touch()
     return str(out)
+
+
+def _build_nsfw_expected(sf_dir: str, out: Path) -> None:
+    """Sequential replica of the NSFW document-classifier pipeline
+    (functions/classifier.py): vocabulary = top-40 corpus tokens by
+    (count DESC, token ASC) counted with one plain Counter pass (split
+    on single space, empties dropped — the vocab_topk tokenization),
+    plus the two fixed bigrams; deterministic synthetic training corpus;
+    the seeded trainer; then every document scored in doc_id order in
+    one thread.  Independent of the distributed two-level count and the
+    actor-pool inference under test."""
+    from collections import Counter
+
+    from ..functions.classifier import (
+        build_nsfw_vocabulary,
+        train_nsfw_model,
+    )
+
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    counts: Counter = Counter()
+    texts = docs["text"].to_pylist()
+    for t in texts:
+        for tok in (t or "").split(" "):
+            if tok:
+                counts[tok] += 1
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:40]
+    vocab = build_nsfw_vocabulary([t for t, _ in ranked])
+    model = train_nsfw_model(vocab)
+
+    rows = []
+    for did, t in zip(docs["doc_id"].to_pylist(), texts):
+        flagged, score = model.is_nsfw(vocab, t or "")
+        x = vocab.features(t or "")
+        rows.append(
+            {
+                "doc_id": int(did),
+                "n_features": len(x),
+                "score": float(score),
+                "is_nsfw": bool(flagged),
+            }
+        )
+    pq.write_table(
+        pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False),
+        out / "expected_nsfw.parquet",
+    )
 
 
 def _build_livecrawl_expected(fix: Path, out: Path) -> None:

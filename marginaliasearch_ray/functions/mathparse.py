@@ -384,7 +384,9 @@ def _java_decimal_format(
     neg = math.copysign(1.0, v) < 0
     max_frac = max(0, max_frac)
     with localcontext() as ctx:
-        ctx.prec = 60
+        # quantize needs (integer digits + max_frac) precision: up to
+        # ~309 integer digits for the largest double + a 340 budget
+        ctx.prec = 800
         d = Decimal(repr(abs(v)))
         q = d.quantize(Decimal(1).scaleb(-max_frac), rounding=rounding)
     sign, digits, exp = q.as_tuple()

@@ -150,3 +150,26 @@ def test_units_sigfig_budget():
 def test_nan_and_infinity_formatting():
     assert eval_formatted("log -5") == "NaN"
     assert eval_formatted("0-log(0)") == "∞"  # Math.log(0) = -Inf
+
+
+def test_extreme_values():
+    from marginaliasearch_ray.functions.mathparse import _java_decimal_format
+
+    # the largest double has ~309 integer digits — formatter must not
+    # blow its decimal context
+    assert _java_decimal_format(1e308, max_frac=6).startswith("100,000")
+    assert _java_decimal_format(5e-324, max_frac=6) == "0"
+    assert _java_decimal_format(-0.0, max_frac=6) == "-0"
+    assert _java_decimal_format(float("inf"), max_frac=6) == "∞"
+    assert eval_formatted("2^1000").startswith("10,715,086,071,862,673,")
+    # '-' after '^' is NOT a negate position in the reference
+    # (negate checks "+-%*/A" only), so 2^-2 fails to reduce — faithfully
+    with pytest.raises(MathEvalError):
+        eval_formatted("2^-2")
+    # overflow to infinity through the pow path
+    assert eval_formatted("0-2^1024") == "-∞"
+    # zero conversions survive the (int) log10(-inf) int-wrap path
+    assert convert_units("0", "m", "km") == "0 km"
+    assert convert_units("0", "C", "K") == "273 K"
+    # '%' is not a tokenizer char -> ParseException -> ''
+    assert eval_formatted("5%0") == ""
