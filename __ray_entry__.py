@@ -910,6 +910,53 @@ def _linking_domains(sf_dir: str) -> pd.DataFrame:
     return _similar_domains_run(sf_dir, "linking")
 
 
+def _feed_items(sf_dir: str) -> pd.DataFrame:
+    """Feed-item extraction (live-capture FeedFetcherService.parseFeed +
+    SimpleFeedParser + FeedItem, functions/feedparse.py) over every feed
+    url the crawl discovered: lenient XML item scan with the
+    first-non-blank chains (incl. the description==title quirk),
+    fragment keep/strip rule, date normalization + validity filter,
+    date-DESC top-10.  One feed = one row = one self-contained parse —
+    a pruned-column stateless map, zero shuffle; the feed-url map
+    broadcasts once."""
+    import ray
+    import ray.data as rd
+
+    from marginaliasearch_ray.fixtures.cache import fixture_dir_for
+    from marginaliasearch_ray.functions.feedparse import parse_feed_items
+
+    meta = _crawl_domain_state(sf_dir)
+    feeds = {
+        f: d
+        for d, f in zip(meta["domain"], meta["feed_url"])
+        if f is not None and f != ""
+    }
+    feeds_ref = ray.put(feeds)
+    cols = ["domain", "feed_url", "position", "title", "date", "description", "url"]
+
+    def parse(b: pd.DataFrame) -> pd.DataFrame:
+        fmap = ray.get(feeds_ref)
+        rows = []
+        for url, html in zip(b["url"], b["html"]):
+            d = fmap.get(url)
+            if d is None or html is None:
+                continue
+            body = bytes(html).decode("utf-8", "replace")
+            for pos, it in enumerate(parse_feed_items(body), 1):
+                rows.append((d, url, pos, it.title, it.date, it.description, it.url))
+        out = pd.DataFrame(rows, columns=cols)
+        out["position"] = out["position"].astype("int64")
+        return out
+
+    fix = fixture_dir_for(sf_dir)
+    out = (
+        rd.read_parquet(f"{fix}/pages.parquet", columns=["url", "html"])
+        .map_batches(parse, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["domain", "position"]).reset_index(drop=True)
+
+
 def _nsfw_doc_scores(sf_dir: str) -> pd.DataFrame:
     """NSFW document classifier (functions/nsfw-filter
     NsfwDocumentFilter.java + classifier-net BinaryClassifierModel /
@@ -2893,6 +2940,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linking_domains": _linking_domains,
         "nsfw_doc_scores": _nsfw_doc_scores,
         "nsfw_domain_tiers": _nsfw_domain_tiers,
+        "feed_items": _feed_items,
         "hits_domains": _hits_domains,
         "url_canonicalize": _url_canonicalize,
         "recrawl_decisions": _recrawl_decisions,
@@ -6091,6 +6139,14 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN meta m ON m.domain = f.r
             LEFT JOIN idx i ON i.domain = f.r
             ORDER BY query_domain, position
+        """,
+        # feed-item extraction: sequential replica of the parse chain
+        # over every discovered feed url.
+        "feed_items": f"""
+            SELECT domain, feed_url, position, title, date, description,
+                   url
+            FROM read_parquet('{exp}/expected_feeditems.parquet')
+            ORDER BY domain, position
         """,
         # NSFW document classifier: sequential replica of the full
         # vocab -> synth corpus -> seeded-SGD -> score chain.

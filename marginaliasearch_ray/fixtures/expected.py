@@ -66,8 +66,62 @@ def expected_dir_for(sf_dir: str) -> str:
         _build_livecrawl_expected(fix, out)
         _build_fullrank_expected(fix, out)
         _build_nsfw_expected(sf_dir, out)
+        _build_feeditems_expected(fix, out)
         done.touch()
     return str(out)
+
+
+def _build_feeditems_expected(fix: Path, out: Path) -> None:
+    """Sequential replica of the feed-item pipeline (functions/
+    feedparse.py parse_feed_items over each discovered feed url): plain
+    loop over domains in sorted order, feed bodies read straight from
+    the fixture page store — independent of the distributed pruned-read
+    map under test."""
+    from ..functions.feedparse import parse_feed_items
+
+    meta = pq.read_table(out / "expected_domain_meta.parquet",
+                         columns=["domain", "feed_url"])
+    feed_by_domain = {
+        d: f
+        for d, f in zip(meta["domain"].to_pylist(), meta["feed_url"].to_pylist())
+        if f
+    }
+    pages = pq.read_table(fix / "pages.parquet", columns=["url", "html"])
+    body_by_url = {}
+    want = set(feed_by_domain.values())
+    for i in range(pages.num_rows):
+        u = pages["url"][i].as_py()
+        if u in want:
+            body_by_url[u] = pages["html"][i].as_py()
+    rows = []
+    for d in sorted(feed_by_domain):
+        f = feed_by_domain[d]
+        body = body_by_url.get(f)
+        if body is None:
+            continue
+        items = parse_feed_items(body.decode("utf-8", "replace"))
+        for pos, it in enumerate(items, 1):
+            rows.append(
+                {
+                    "domain": d,
+                    "feed_url": f,
+                    "position": pos,
+                    "title": it.title,
+                    "date": it.date,
+                    "description": it.description,
+                    "url": it.url,
+                }
+            )
+    df = pd.DataFrame(
+        rows,
+        columns=["domain", "feed_url", "position", "title", "date",
+                 "description", "url"],
+    )
+    df["position"] = df["position"].astype("int64")
+    pq.write_table(
+        pa.Table.from_pandas(df, preserve_index=False),
+        out / "expected_feeditems.parquet",
+    )
 
 
 def _build_nsfw_expected(sf_dir: str, out: Path) -> None:

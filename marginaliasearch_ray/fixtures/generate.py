@@ -357,6 +357,79 @@ def _sentence(rng: random.Random, lex: list[str], lo: int = 4, hi: int = 12) -> 
     return " ".join(rng.choice(lex) for _ in range(rng.randint(lo, hi)))
 
 
+def _feed_xml(domain: str, scheme: str, lex: list[str]) -> str:
+    """Deterministic RSS/Atom feed body with items — the surface
+    SimpleFeedParser.parse / FeedFetcherService.parseFeed consume.
+
+    A dedicated RNG seeded off the domain keeps every other generator
+    stream byte-identical.  The item mix deliberately covers: rss
+    item vs atom entry forms, <link>text</link> vs <link href=..>
+    styles, HTML markup in descriptions, >255-char descriptions,
+    RFC-1123 / ISO-8601 / invalid / future pubDates, and same-vs-
+    disparate #fragments (the keepUriFragment rule)."""
+    frng = random.Random(f"feeditems|{domain}")
+    atom = frng.random() < 0.3
+    n_items = frng.randint(0, 8)
+    frag_mode = frng.choice(["none", "same", "disparate"])
+    months = ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+              "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
+    items = []
+    for k in range(n_items):
+        title = " ".join(frng.choice(lex) for _ in range(frng.randint(2, 5)))
+        words = [frng.choice(lex) for _ in range(frng.randint(4, 60))]
+        r = frng.random()
+        if r < 0.25:
+            desc = " ".join(words[:4]) + " <b>" + " ".join(words[4:8]) + "</b> tail"
+        elif r < 0.35:
+            desc = ""  # blank description (parser keeps, FeedItem truncates '')
+        else:
+            desc = " ".join(words)
+        url = f"{scheme}://{domain}/post-{k}"
+        if frag_mode == "same":
+            url += "#content"
+        elif frag_mode == "disparate":
+            url += f"#sec{k}"
+        day = 1 + (k * 3) % 27
+        mon = months[k % 12]
+        year = 2019 + k % 5
+        dr = frng.random()
+        if dr < 0.35:
+            pub = f"Mon, {day:02d} {mon} {year} 10:{k:02d}:05 +0000"
+        elif dr < 0.6:
+            pub = f"{year}-{(k % 12) + 1:02d}-{day:02d}T07:3{k % 10}:00Z"
+        elif dr < 0.7:
+            pub = f"{year}-{(k % 12) + 1:02d}-{day:02d}T07:3{k % 10}:00+02:00"
+        elif dr < 0.8:
+            pub = "not a date"  # unparseable -> date '' -> filtered
+        elif dr < 0.9:
+            pub = f"Mon, {day:02d} {mon} 2099 10:00:00 +0000"  # future -> filtered
+        else:
+            pub = ""  # missing pubDate -> filtered
+        if atom:
+            items.append(
+                f"<entry><title>{title}</title><summary>{desc}</summary>"
+                f"<updated>{pub}</updated><link href=\"{url}\"/></entry>"
+            )
+        else:
+            items.append(
+                f"<item><title>{title}</title><description>{desc}</description>"
+                f"<pubDate>{pub}</pubDate><link>{url}</link></item>"
+            )
+    if atom:
+        return (
+            '<?xml version="1.0" encoding="UTF-8"?>\n'
+            f'<feed xmlns="http://www.w3.org/2005/Atom"><title>{domain}</title>'
+            + "".join(items)
+            + "</feed>\n"
+        )
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        f'<rss version="2.0"><channel><title>{domain}</title>'
+        + "".join(items)
+        + "</channel></rss>\n"
+    )
+
+
 def _url_case(canon: str, rng: random.Random) -> tuple[str, str]:
     """(raw_url, expected_canonical) — expected derived ANALYTICALLY from
     the known transformation, never by running the engine's canonicalizer,
@@ -862,10 +935,7 @@ def _generate_domain(cfg: WebConfig, domains: list[str], di: int):
                 link_rows.append((url, dst, kind, atext))
 
         if feed_kind != "none":
-            rss = (
-                '<?xml version="1.0" encoding="UTF-8"?>\n'
-                f'<rss version="2.0"><channel><title>{domain}</title></channel></rss>\n'
-            )
+            rss = _feed_xml(domain, scheme, lex)
             page_rows.append(
                 (
                     f"{scheme}://{domain}/{feed_endpoint}",
