@@ -2874,6 +2874,58 @@ def _doc_word_flags(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["url", "word"]).reset_index(drop=True)
 
 
+def _keyword_postings_coded(sf_dir: str) -> pd.DataFrame:
+    """Byte-exact coded position sequences for every indexed word
+    (libraries/coded-sequence: VarintCodedSequence.generate as stored in
+    SlopDocumentRecord positions / the index journal, and the legacy
+    GammaCodedSequence encoding) — vs the sequential replica.  The
+    codecs themselves are pinned against the reference's own unit-test
+    vectors in tests/test_codedseq.py; this query proves the distributed
+    projection emits identical bytes at any block layout."""
+    from marginaliasearch_ray.functions.codedseq import gamma_encode, varint_encode
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        rows = {"url": [], "word": [], "varint": [], "gamma": [], "n_pos": []}
+        for url, words, positions in zip(b["url"], b["words"], b["positions"]):
+            for w, p in zip(words, positions):
+                rows["url"].append(url)
+                rows["word"].append(w)
+                rows["varint"].append(varint_encode(p).hex())
+                rows["gamma"].append(gamma_encode(p).hex())
+                rows["n_pos"].append(len(p))
+        out = pd.DataFrame(rows)
+        out["n_pos"] = out["n_pos"].astype("int64")
+        return out
+
+    ds = _keyword_index_ds(sf_dir).select_columns(["url", "words", "positions"])
+    out = ds.map_batches(explode, batch_format="pandas").to_pandas()
+    return out.sort_values(["url", "word"]).reset_index(drop=True)
+
+
+def _keyword_spans_coded(sf_dir: str) -> pd.DataFrame:
+    """Byte-exact VarintCodedSequence encoding of every HtmlTag span
+    interlace (CodedWordSpan.java / SlopDocumentRecord spans column) —
+    vs the sequential replica."""
+    from marginaliasearch_ray.functions.codedseq import varint_encode
+    from marginaliasearch_ray.functions.keywords import TAG_NAMES
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        rows = {"url": [], "tag": [], "varint": [], "n_vals": []}
+        for url, tags, bounds in zip(b["url"], b["span_tags"], b["span_bounds"]):
+            for t, se in zip(tags, bounds):
+                rows["url"].append(url)
+                rows["tag"].append(TAG_NAMES[t])
+                rows["varint"].append(varint_encode(se).hex())
+                rows["n_vals"].append(len(se))
+        out = pd.DataFrame(rows)
+        out["n_vals"] = out["n_vals"].astype("int64")
+        return out
+
+    ds = _keyword_index_ds(sf_dir).select_columns(["url", "span_tags", "span_bounds"])
+    out = ds.map_batches(explode, batch_format="pandas").to_pandas()
+    return out.sort_values(["url", "tag"]).reset_index(drop=True)
+
+
 def _search_ranked_full(sf_dir: str) -> pd.DataFrame:
     """The COMPLETE result score (IndexResultRankingService.java:59-216:
     VerbatimMatches + UnorderedMatches + proximity + Bm25GraphVisitor +
@@ -2963,6 +3015,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ranking_search_set": _ranking_search_set,
         "positional_search": _positional_search,
         "keyword_spans": _keyword_spans,
+        "keyword_postings_coded": _keyword_postings_coded,
+        "keyword_spans_coded": _keyword_spans_coded,
         "doc_word_flags": _doc_word_flags,
         "search_ranked_full": _search_ranked_full,
         "search_ranked_single": _search_ranked_single,
@@ -5473,6 +5527,20 @@ def oracle_sql() -> dict[str, str]:
         "keyword_spans": f"""
             SELECT url, tag, n_spans, span_len
             FROM read_parquet('{exp}/expected_keyword_spans.parquet')
+            ORDER BY url, tag
+        """,
+        # coded-sequence byte parity: Varint/Gamma coded position lists
+        # and span interlaces, sequential-replica encoded with the same
+        # codecs that are pinned against the reference unit-test vectors
+        # in tests/test_codedseq.py (libraries/coded-sequence).
+        "keyword_postings_coded": f"""
+            SELECT url, word, varint, gamma, n_pos
+            FROM read_parquet('{exp}/expected_postings_coded.parquet')
+            ORDER BY url, word
+        """,
+        "keyword_spans_coded": f"""
+            SELECT url, tag, varint, n_vals
+            FROM read_parquet('{exp}/expected_spans_coded.parquet')
             ORDER BY url, tag
         """,
         "doc_word_flags": f"""

@@ -41,7 +41,7 @@ from .cache import FIXTURE_VERSION, config_for, fixture_dir_for
 
 EXPECTED_ROOT = "/tmp/graft_expected"
 # bump when ORACLE LOGIC changes without a fixture-generator change
-EXPECTED_VERSION = 26
+EXPECTED_VERSION = 27
 
 
 def expected_dir_for(sf_dir: str) -> str:
@@ -1484,6 +1484,50 @@ def _build_fullrank_expected(fix: Path, out: Path) -> None:
             }
         ),
         out / "expected_word_flags.parquet",
+    )
+
+    # Coded-sequence byte parity (libraries/coded-sequence): every
+    # position list as VarintCodedSequence + GammaCodedSequence bytes,
+    # every HtmlTag span interlace as VarintCodedSequence bytes
+    # (SlopDocumentRecord.java positions/spans columns, CodedWordSpan).
+    from ..functions.codedseq import gamma_encode, varint_encode
+
+    pc_rows = {"url": [], "word": [], "varint": [], "gamma": [], "n_pos": []}
+    sc_rows = {"url": [], "tag": [], "varint": [], "n_vals": []}
+    for r in idx_rows:
+        for w, p in zip(r["words"], r["positions"]):
+            pc_rows["url"].append(r["url"])
+            pc_rows["word"].append(w)
+            pc_rows["varint"].append(varint_encode(p).hex())
+            pc_rows["gamma"].append(gamma_encode(p).hex())
+            pc_rows["n_pos"].append(len(p))
+        for t, se in zip(r["span_tags"], r["span_bounds"]):
+            sc_rows["url"].append(r["url"])
+            sc_rows["tag"].append(TAG_NAMES[t])
+            sc_rows["varint"].append(varint_encode(se).hex())
+            sc_rows["n_vals"].append(len(se))
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array(pc_rows["url"], pa.string()),
+                "word": pa.array(pc_rows["word"], pa.string()),
+                "varint": pa.array(pc_rows["varint"], pa.string()),
+                "gamma": pa.array(pc_rows["gamma"], pa.string()),
+                "n_pos": pa.array(pc_rows["n_pos"], pa.int64()),
+            }
+        ),
+        out / "expected_postings_coded.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array(sc_rows["url"], pa.string()),
+                "tag": pa.array(sc_rows["tag"], pa.string()),
+                "varint": pa.array(sc_rows["varint"], pa.string()),
+                "n_vals": pa.array(sc_rows["n_vals"], pa.int64()),
+            }
+        ),
+        out / "expected_spans_coded.parquet",
     )
 
     idx_df = pd.DataFrame(idx_rows)
