@@ -2926,6 +2926,36 @@ def _keyword_spans_coded(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["url", "tag"]).reset_index(drop=True)
 
 
+def _keyword_term_ids(sf_dir: str) -> pd.DataFrame:
+    """The reference's 64-bit keyword term id for every indexed word
+    (IndexJournalSlopWriter.java:76: hasher.hashKeyword — murmur3
+    x64_128 folded h1^h2, seeded with Java String.hashCode over char
+    low bytes; KeywordHasher.AsciiIsh default).  The murmur port is
+    pinned against an independent canonical implementation + Java
+    hashCode vectors in tests/test_murmur.py; this query proves the
+    distributed projection assigns identical ids at any block layout."""
+    from marginaliasearch_ray.functions.hashing import hash_keyword
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        rows = {"url": [], "word": [], "term_id": []}
+        memo: dict[str, int] = {}
+        for url, words in zip(b["url"], b["words"]):
+            for w in words:
+                tid = memo.get(w)
+                if tid is None:
+                    tid = memo[w] = hash_keyword(w)
+                rows["url"].append(url)
+                rows["word"].append(w)
+                rows["term_id"].append(tid)
+        out = pd.DataFrame(rows)
+        out["term_id"] = out["term_id"].astype("int64")
+        return out
+
+    ds = _keyword_index_ds(sf_dir).select_columns(["url", "words"])
+    out = ds.map_batches(explode, batch_format="pandas").to_pandas()
+    return out.sort_values(["url", "word"]).reset_index(drop=True)
+
+
 def _search_ranked_full(sf_dir: str) -> pd.DataFrame:
     """The COMPLETE result score (IndexResultRankingService.java:59-216:
     VerbatimMatches + UnorderedMatches + proximity + Bm25GraphVisitor +
@@ -3017,6 +3047,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keyword_spans": _keyword_spans,
         "keyword_postings_coded": _keyword_postings_coded,
         "keyword_spans_coded": _keyword_spans_coded,
+        "keyword_term_ids": _keyword_term_ids,
         "doc_word_flags": _doc_word_flags,
         "search_ranked_full": _search_ranked_full,
         "search_ranked_single": _search_ranked_single,
@@ -5542,6 +5573,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, tag, varint, n_vals
             FROM read_parquet('{exp}/expected_spans_coded.parquet')
             ORDER BY url, tag
+        """,
+        # index word identity: hashKeyword term ids, sequential replica
+        # (the murmur port itself is pinned in tests/test_murmur.py).
+        "keyword_term_ids": f"""
+            SELECT url, word, term_id
+            FROM read_parquet('{exp}/expected_term_ids.parquet')
+            ORDER BY url, word
         """,
         "doc_word_flags": f"""
             SELECT url, word, flags, n_pos, first_pos

@@ -41,7 +41,7 @@ from .cache import FIXTURE_VERSION, config_for, fixture_dir_for
 
 EXPECTED_ROOT = "/tmp/graft_expected"
 # bump when ORACLE LOGIC changes without a fixture-generator change
-EXPECTED_VERSION = 27
+EXPECTED_VERSION = 28
 
 
 def expected_dir_for(sf_dir: str) -> str:
@@ -271,9 +271,12 @@ def _build_atags_expected(fix: Path, out: Path) -> None:
     """Sequential single-threaded replica of the AtagExporter spec
     (pipelines/export.py atag_export): per source domain in sorted
     order, documents in URL order, anchors in document order, a plain
-    per-domain seen-set of (lower(text), lower(url)) pairs — independent
-    of the distributed bucket-shuffle path under test."""
+    per-domain seen-set of the reference's case-sensitive XOR hash key
+    ``hashLowerBytes(text) ^ hashLowerBytes(str(url))``
+    (AtagExporter.java:177) — independent of the distributed
+    bucket-shuffle path under test."""
     from ..functions.contenttype import decode_body, sniff_content_type
+    from ..functions.hashing import hash_lower_bytes
     from ..functions.htmldoc import parse_document
     from ..functions.links import parse_anchor_permissive
     from ..model.urls import parse_url
@@ -288,7 +291,7 @@ def _build_atags_expected(fix: Path, out: Path) -> None:
 
     rows: dict[str, list] = {"url": [], "link_text": [], "source_domain": []}
     for domain in sorted(by_domain):
-        seen: set[tuple[str, str]] = set()
+        seen: set[int] = set()
         idxs = sorted(by_domain[domain], key=lambda j: pages["url"][j].as_py())
         for i in idxs:
             status = pages["status"][i].as_py()
@@ -313,7 +316,7 @@ def _build_atags_expected(fix: Path, out: Path) -> None:
                 u = parse_anchor_permissive(base, href)
                 if u is None or not _atag_url_eligible(u, base, text):
                     continue
-                key = (text.lower(), str(u).lower())
+                key = hash_lower_bytes(text) ^ hash_lower_bytes(str(u))
                 if key in seen:
                     continue
                 seen.add(key)
@@ -1528,6 +1531,29 @@ def _build_fullrank_expected(fix: Path, out: Path) -> None:
             }
         ),
         out / "expected_spans_coded.parquet",
+    )
+
+    # 64-bit keyword term ids — the reference's index word identity
+    # (IndexJournalSlopWriter.java:76 hasher.hashKeyword; KeywordHasher
+    # .AsciiIsh; the murmur port is Java-vector pinned in
+    # tests/test_murmur.py).
+    from ..functions.hashing import hash_keyword
+
+    ti_rows = {"url": [], "word": [], "term_id": []}
+    for r in idx_rows:
+        for w in r["words"]:
+            ti_rows["url"].append(r["url"])
+            ti_rows["word"].append(w)
+            ti_rows["term_id"].append(hash_keyword(w))
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array(ti_rows["url"], pa.string()),
+                "word": pa.array(ti_rows["word"], pa.string()),
+                "term_id": pa.array(ti_rows["term_id"], pa.int64()),
+            }
+        ),
+        out / "expected_term_ids.parquet",
     )
 
     idx_df = pd.DataFrame(idx_rows)

@@ -87,3 +87,124 @@ def hot_tops_from_seeds(domains, num_partitions: int) -> frozenset:
         n += 1
     threshold = max(16, n // (2 * max(1, num_partitions)))
     return frozenset(t for t, c in counts.items() if c > threshold)
+
+
+# ---------------------------------------------------------------------------
+# Exact MurmurHash3_128 keyword identity (third-party/commons-codec
+# MurmurHash3_128.java:23-299).  The reference's index identifies every
+# keyword by ``hashKeyword`` = the 128-bit murmur folded to 64 bits by
+# ``h1 ^ h2`` (java:174, a non-standard fold), seeded with Java
+# ``String.hashCode()`` and fed the LOW BYTE of each UTF-16 code unit
+# (the "nearly ASCII" variant, KeywordHasher.java AsciiIsh — the default
+# configuration).  These term ids are what IndexJournalSlopWriter.java:76
+# writes to the journal and SearchContext.java resolves queries against,
+# so exact parity here is exact index-identity parity.
+
+_MC1 = 0x87C37B91114253D5
+_MC2 = 0x4CF5AD432745937F
+_M64 = (1 << 64) - 1
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _fmix64(h: int) -> int:
+    h ^= h >> 33
+    h = (h * 0xFF51AFD7ED558CCD) & _M64
+    h ^= h >> 33
+    h = (h * 0xC4CEB9FE1A85EC53) & _M64
+    h ^= h >> 33
+    return h
+
+
+def murmur128_fold64(data: bytes, seed: int) -> int:
+    """MurmurHash3_128.hash64 (java:177-267): canonical murmur3 x64_128
+    body/tail/finalization, returning the reference's h1^h2 fold as an
+    UNSIGNED 64-bit int (mask the caller's way to signed if needed)."""
+    h1 = h2 = seed & _M64
+    ln = len(data)
+    nblocks = ln >> 4
+    for i in range(nblocks):
+        idx = i << 4
+        k1 = int.from_bytes(data[idx : idx + 8], "little")
+        k2 = int.from_bytes(data[idx + 8 : idx + 16], "little")
+        k1 = _rotl64((k1 * _MC1) & _M64, 31)
+        k1 = (k1 * _MC2) & _M64
+        h1 ^= k1
+        h1 = _rotl64(h1, 27)
+        h1 = (h1 + h2) & _M64
+        h1 = (h1 * 5 + 0x52DCE729) & _M64
+        k2 = _rotl64((k2 * _MC2) & _M64, 33)
+        k2 = (k2 * _MC1) & _M64
+        h2 ^= k2
+        h2 = _rotl64(h2, 31)
+        h2 = (h2 + h1) & _M64
+        h2 = (h2 * 5 + 0x38495AB5) & _M64
+    tail = data[nblocks << 4 :]
+    tl = len(tail)
+    if tl > 8:
+        k2 = 0
+        for j in range(tl - 1, 7, -1):
+            k2 = (k2 << 8) | tail[j]
+        k2 = _rotl64((k2 * _MC2) & _M64, 33)
+        k2 = (k2 * _MC1) & _M64
+        h2 ^= k2
+    if tl > 0:
+        k1 = 0
+        for j in range(min(tl, 8) - 1, -1, -1):
+            k1 = (k1 << 8) | tail[j]
+        k1 = _rotl64((k1 * _MC1) & _M64, 31)
+        k1 = (k1 * _MC2) & _M64
+        h1 ^= k1
+    h1 ^= ln
+    h2 ^= ln
+    h1 = (h1 + h2) & _M64
+    h2 = (h2 + h1) & _M64
+    h1 = _fmix64(h1)
+    h2 = _fmix64(h2)
+    h1 = (h1 + h2) & _M64
+    h2 = (h2 + h1) & _M64
+    return h1 ^ h2
+
+
+def _utf16_units(s: str) -> bytes:
+    """Per-unit low bytes: charAt(i) & 0xff over the UTF-16 code units
+    (getLittleEndianLong(CharSequence), java:269-278)."""
+    return s.encode("utf-16-be")[1::2]
+
+
+def java_string_hashcode(s: str) -> int:
+    """Java String.hashCode(): h = 31*h + charAt(i) over UTF-16 units,
+    32-bit signed overflow."""
+    h = 0
+    units = s.encode("utf-16-be")
+    for i in range(0, len(units), 2):
+        h = (31 * h + int.from_bytes(units[i : i + 2], "big")) & 0xFFFFFFFF
+    return h - (1 << 32) if h & 0x80000000 else h
+
+
+MURMUR_DEFAULT_SEED = 104729  # MurmurHash3_128.DEFAULT_SEED
+
+
+def _signed64(v: int) -> int:
+    return v - (1 << 64) if v & (1 << 63) else v
+
+
+def hash_lower_bytes(s: str) -> int:
+    """hashLowerBytes (java:48-50): DEFAULT_SEED over char low bytes
+    (AtagExporter.java:177 dedup key).  Signed 64-bit like Java long."""
+    return _signed64(murmur128_fold64(_utf16_units(s), MURMUR_DEFAULT_SEED))
+
+
+def hash_nearly_ascii(s: str) -> int:
+    """hashNearlyASCII (java:56-58): seeded with String.hashCode()
+    (sign-extended to 64 bits) over char low bytes."""
+    return _signed64(murmur128_fold64(_utf16_units(s), java_string_hashcode(s)))
+
+
+def hash_keyword(s: str) -> int:
+    """KeywordHasher.AsciiIsh / MurmurHash3_128.hashKeyword in the
+    default (flatten-unicode) configuration: the reference's 64-bit
+    keyword term id."""
+    return hash_nearly_ascii(s)

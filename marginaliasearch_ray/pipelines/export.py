@@ -25,6 +25,7 @@ import ray
 import ray.data as rd
 
 from ..functions.contenttype import decode_body, sniff_content_type
+from ..functions.hashing import hash_lower_bytes
 from ..functions.htmldoc import parse_document
 from ..functions.links import parse_link_str
 from ..model.urls import parse_url
@@ -228,7 +229,7 @@ def term_freq_export(pages: rd.Dataset, n_buckets: int = 32) -> pd.DataFrame:
 
 _ATAG_COLS = [
     "source_domain", "doc_url", "anchor_idx", "url", "link_text",
-    "k_text", "k_url",
+    "pair_key",
 ]
 
 
@@ -274,12 +275,13 @@ def atag_export(pages: rd.Dataset, n_buckets: int = 32) -> pd.DataFrame:
     - url eligible: http/https, topDomain != example.com, link text not
       containing the link's domain, CROSS-domain only, ASCII-printable
       url string;
-    - per-source-domain dedup, FIRST occurrence wins.  The reference
-      hashes ``murmur(lower(text)) ^ murmur(lower(url))`` into a
-      per-stream TLongHashSet (java:175-180); we dedup on the exact
-      ``(lower(text), lower(url))`` pair — collision-free-equivalent
-      (the degenerate text==url XOR self-collision cannot fire: such a
-      text contains the domain and is rejected earlier).
+    - per-source-domain dedup, FIRST occurrence wins, keyed on the
+      reference's EXACT hash: ``hashLowerBytes(linkText) ^
+      hashLowerBytes(url.toString())`` into a per-stream set
+      (java:175-180; functions/hashing.py murmur port, Java-vector
+      pinned).  Case-SENSITIVE — "Home" and "home" are distinct keys.
+      The degenerate text==url XOR self-collision cannot fire: such a
+      text contains the domain and is rejected earlier.
 
     Output: (url, link_text, source_domain) with the schema and port
     dropped from the url (ATagCsvWriter.urlWithNoSchema, java:196-216).
@@ -327,12 +329,14 @@ def atag_export(pages: rd.Dataset, n_buckets: int = 32) -> pd.DataFrame:
                     u.host + u.path + (("?" + u.param) if u.param else "")
                 )
                 rows["link_text"].append(text)
-                rows["k_text"].append(text.lower())
-                rows["k_url"].append(str(u).lower())
+                rows["pair_key"].append(
+                    hash_lower_bytes(text) ^ hash_lower_bytes(str(u))
+                )
         out = pd.DataFrame(rows)
         if len(out) == 0:
             out = pd.DataFrame({c: pd.Series([], dtype=object) for c in _ATAG_COLS})
             out["anchor_idx"] = out["anchor_idx"].astype(np.int64)
+        out["pair_key"] = out["pair_key"].astype(np.int64)
         out["_bucket"] = (
             pd.util.hash_pandas_object(
                 out["source_domain"], index=False, hash_key="0" * 16
@@ -345,7 +349,7 @@ def atag_export(pages: rd.Dataset, n_buckets: int = 32) -> pd.DataFrame:
         g = g.sort_values(
             ["source_domain", "doc_url", "anchor_idx"], kind="mergesort"
         )
-        g = g.drop_duplicates(["source_domain", "k_text", "k_url"], keep="first")
+        g = g.drop_duplicates(["source_domain", "pair_key"], keep="first")
         return g[["url", "link_text", "source_domain"]]
 
     out = (

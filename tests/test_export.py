@@ -114,20 +114,27 @@ def test_atag_eligibility_rules(ray_session):
     )
     pages = _pages([("https://a.com/", html, 200)])
     out = atag_export(pages)
-    # kept: the first good link (case-folded dup dropped), and the same
-    # text pointing at a DIFFERENT url (pair dedup, not text dedup)
-    assert out["url"].tolist() == ["other.com/dup", "other.com/good"]
-    assert out["link_text"].tolist() == ["A Fine Link", "A Fine Link"]
+    # kept: the first good link, the CASE-variant of the same text (the
+    # reference's murmur-XOR key is case-sensitive, AtagExporter.java:177
+    # hashLowerBytes hashes char low bytes — it does NOT lowercase), and
+    # the same text pointing at a DIFFERENT url (pair dedup, not text
+    # dedup).  An exact repeat of (text, url) would be dropped.
+    assert out["url"].tolist() == [
+        "other.com/dup", "other.com/good", "other.com/good"
+    ]
+    assert out["link_text"].tolist() == ["A Fine Link", "A FINE LINK", "A Fine Link"]
     assert (out["source_domain"] == "a.com").all()
 
 
 def test_atag_first_wins_and_layout_invariance(ray_session):
-    """First occurrence in (url order, anchor order) wins the case-folded
-    dedup, independent of block layout."""
+    """First occurrence in (url order, anchor order) wins the exact-pair
+    dedup, independent of block layout; case variants are distinct keys
+    (the reference hash is case-sensitive)."""
     from marginaliasearch_ray.pipelines.export import atag_export
 
     mk = lambda text: (
-        f'<html><body><a href="https://other.com/t">{text}</a></body></html>'
+        f'<html><body><a href="https://other.com/t">{text}</a>'
+        f'<a href="https://other.com/t">Repeat Me</a></body></html>'
     )
     rows = [
         ("https://a.com/2", mk("MIXED Case"), 200),
@@ -135,11 +142,15 @@ def test_atag_first_wins_and_layout_invariance(ray_session):
         ("https://b.com/1", mk("Mixed Case"), 200),
     ]
     out1 = atag_export(_pages(rows))
-    # a.com/1 precedes a.com/2 in URL order -> its casing wins for a.com;
-    # b.com dedups independently
+    # both casings survive for a.com (distinct keys); the exact repeat
+    # of ("Repeat Me", url) on a.com/2 is dropped (a.com/1 precedes it
+    # in URL order); b.com dedups independently
     assert sorted(zip(out1["source_domain"], out1["link_text"])) == [
+        ("a.com", "MIXED Case"),
         ("a.com", "Mixed Case"),
+        ("a.com", "Repeat Me"),
         ("b.com", "Mixed Case"),
+        ("b.com", "Repeat Me"),
     ]
     out4 = atag_export(_pages(rows).repartition(3))
     pd.testing.assert_frame_equal(out1, out4)
