@@ -2926,6 +2926,106 @@ def _keyword_spans_coded(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["url", "tag"]).reset_index(drop=True)
 
 
+def _query_expansion(sf_dir: str) -> pd.DataFrame:
+    """QueryExpansion.expandQuery parity (functions/qwordgraph.py): the
+    QueryParser token stream feeds the QWordGraph strategy chain with
+    BOTH corpus artifacts built distributed — the term-frequency dict
+    (term_freq_export, exact TermFrequencyDict.longHash keys) and the
+    ngram segmentation lexicon (title ordered-rolling-murmur hashes per
+    NgramExtractorMain, partial counts -> one dictionary-sized combine).
+    Output per query: the compiled infix expression, the optional
+    (segment) phrase constraints and the full phrase constraints — vs
+    the sequential replica."""
+    import json as _json
+
+    from collections import Counter
+
+    from marginaliasearch_ray.functions.hashing import (
+        tfd_term_freq_hash_stemmed,
+    )
+    from marginaliasearch_ray.functions.queryparse import parse_query
+    from marginaliasearch_ray.functions.qwordgraph import (
+        DEMO_NOUN_VARIANTS,
+        EXPANSION_DEMO_QUERIES,
+        expand_query,
+        title_lexicon_hashes,
+    )
+
+    tf = _term_freq_export(sf_dir)
+    freq_map = {
+        int(h): int(c) for h, c in zip(tf["term_hash"], tf["count"])
+    }
+
+    idx = _keyword_index_ds(sf_dir).select_columns(["url", "title"])
+
+    def _usable_title(t: str) -> bool:
+        # the corpus-derived demo query appends one word to a whole
+        # title, so segmentation (ngram length < word count, <= 9) can
+        # genuinely hit; keep titles of 2..8 plain-alpha words so the
+        # QueryParser token stream reproduces the lexicon's stems
+        ws = t.lower().split()
+        return 2 <= len(ws) <= 8 and all(w.isalpha() for w in ws)
+
+    def lex_partial(b: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        first_url, first_title = None, ""
+        for u, t in zip(b["url"], b["title"]):
+            if t:
+                for h in title_lexicon_hashes(t):
+                    c[h] += 1
+            if t and _usable_title(t) and (first_url is None or u < first_url):
+                first_url, first_title = u, t
+        rows = {
+            "h": np.fromiter(c.keys(), dtype=np.uint64, count=len(c)),
+            "n": np.fromiter(c.values(), dtype=np.int64, count=len(c)),
+            "first_url": np.array([first_url or ""] * len(c), dtype=object),
+            "first_title": np.array([first_title] * len(c), dtype=object),
+        }
+        if not c and first_url is not None:
+            rows = {
+                "h": np.array([0], dtype=np.uint64),
+                "n": np.array([0], dtype=np.int64),
+                "first_url": np.array([first_url], dtype=object),
+                "first_title": np.array([first_title], dtype=object),
+            }
+        return pd.DataFrame(rows)
+
+    parts = idx.map_batches(lex_partial, batch_format="pandas").to_pandas()
+    lex_df = parts[parts["n"] > 0].groupby("h", as_index=False)["n"].sum()
+    lexicon = {int(h): int(n) for h, n in zip(lex_df["h"], lex_df["n"])}
+    titled = parts[parts["first_url"] != ""]
+    corpus_query = ""
+    if len(titled):
+        corpus_query = (
+            " ".join(
+                titled.loc[titled["first_url"].idxmin(), "first_title"]
+                .lower()
+                .split()
+            )
+            + " review"
+        )
+
+    # one corpus-derived query (the first indexed title in URL order) is
+    # appended so lexicon segmentation always has a genuine hit
+    queries = list(EXPANSION_DEMO_QUERIES) + (
+        [corpus_query] if corpus_query else []
+    )
+    freq = lambda stem: freq_map.get(tfd_term_freq_hash_stemmed(stem), 0)
+    rows = {"query": [], "compiled": [], "segments": [], "full_constraints": []}
+    for raw in queries:
+        words = parse_query(raw).include
+        if not words:
+            continue
+        e = expand_query(words, freq, lexicon, DEMO_NOUN_VARIANTS)
+        rows["query"].append(raw)
+        rows["compiled"].append(e.compiled_query)
+        rows["segments"].append(_json.dumps(e.optional_phrase_constraints))
+        rows["full_constraints"].append(_json.dumps(e.full_phrase_constraints))
+    return (
+        pd.DataFrame(rows).sort_values("query").reset_index(drop=True)
+    )
+
+
 def _keyword_term_ids(sf_dir: str) -> pd.DataFrame:
     """The reference's 64-bit keyword term id for every indexed word
     (IndexJournalSlopWriter.java:76: hasher.hashKeyword — murmur3
@@ -3048,6 +3148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keyword_postings_coded": _keyword_postings_coded,
         "keyword_spans_coded": _keyword_spans_coded,
         "keyword_term_ids": _keyword_term_ids,
+        "query_expansion": _query_expansion,
         "doc_word_flags": _doc_word_flags,
         "search_ranked_full": _search_ranked_full,
         "search_ranked_single": _search_ranked_single,
@@ -5580,6 +5681,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, word, term_id
             FROM read_parquet('{exp}/expected_term_ids.parquet')
             ORDER BY url, word
+        """,
+        # query expansion: sequential replica of the QWordGraph strategy
+        # chain with corpus-built term-frequency dict + ngram lexicon
+        # (the graph/renderer are pinned vs QWordGraphTest vectors in
+        # tests/test_qwordgraph.py).
+        "query_expansion": f"""
+            SELECT query, compiled, segments, full_constraints
+            FROM read_parquet('{exp}/expected_queryexp.parquet')
+            ORDER BY query
         """,
         "doc_word_flags": f"""
             SELECT url, word, flags, n_pos, first_pos

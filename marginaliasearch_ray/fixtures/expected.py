@@ -41,7 +41,7 @@ from .cache import FIXTURE_VERSION, config_for, fixture_dir_for
 
 EXPECTED_ROOT = "/tmp/graft_expected"
 # bump when ORACLE LOGIC changes without a fixture-generator change
-EXPECTED_VERSION = 28
+EXPECTED_VERSION = 29
 
 
 def expected_dir_for(sf_dir: str) -> str:
@@ -345,11 +345,12 @@ def _build_termfreq_expected(fix: Path, out: Path) -> None:
     from ..functions.contenttype import decode_body, sniff_content_type
     from ..functions.dom import tagger_text
     from ..functions.domops import prune_default
+    from ..functions.hashing import tfd_term_freq_hash_stemmed
     from ..functions.htmldoc import parse_document
     from ..functions.stem import porter_stem
     from ..stages.textstats import md5_number_lower
 
-    DOC_COUNT_KEY = (1 << 64) - 1
+    DOC_COUNT_KEY = -1  # ~0L
     pages = pq.read_table(fix / "pages.parquet", columns=["url", "html", "status"])
     counts: dict[int, int] = {}
     n_docs = 0
@@ -371,7 +372,7 @@ def _build_termfreq_expected(fix: Path, out: Path) -> None:
             text = tagger_text(doc.dom)
         seen: set[int] = set()
         for w in text.lower().split():
-            h = md5_number_lower(porter_stem(w))
+            h = tfd_term_freq_hash_stemmed(porter_stem(w))
             if h in seen:
                 continue
             seen.add(h)
@@ -383,7 +384,7 @@ def _build_termfreq_expected(fix: Path, out: Path) -> None:
     pq.write_table(
         pa.table(
             {
-                "term_hash": pa.array(hs, pa.uint64()),
+                "term_hash": pa.array(hs, pa.int64()),
                 "count": pa.array([counts[h] for h in hs], pa.int64()),
             }
         ),
@@ -1554,6 +1555,70 @@ def _build_fullrank_expected(fix: Path, out: Path) -> None:
             }
         ),
         out / "expected_term_ids.parquet",
+    )
+
+    # Query-expansion replica (__ray_entry__._query_expansion): the same
+    # fixed query list + corpus-derived query, with the term-frequency
+    # dict read from the sequential expected_termfreq artifact (built
+    # earlier in this sequence) and the ngram lexicon accumulated in one
+    # single-threaded pass over the indexed titles.
+    import json as _json
+
+    from ..functions.hashing import tfd_term_freq_hash_stemmed
+    from ..functions.queryparse import parse_query
+    from ..functions.qwordgraph import (
+        DEMO_NOUN_VARIANTS,
+        EXPANSION_DEMO_QUERIES,
+        expand_query,
+        title_lexicon_hashes,
+    )
+
+    tf_tbl = pq.read_table(out / "expected_termfreq.parquet")
+    freq_map = dict(
+        zip(tf_tbl["term_hash"].to_pylist(), tf_tbl["count"].to_pylist())
+    )
+    lexicon: dict[int, int] = {}
+    first_url, first_title = None, ""
+    for r in idx_rows:
+        t = r.get("title") or ""
+        if not t:
+            continue
+        for h in title_lexicon_hashes(t):
+            lexicon[h] = lexicon.get(h, 0) + 1
+        ws = t.lower().split()
+        usable = 2 <= len(ws) <= 8 and all(w.isalpha() for w in ws)
+        if usable and (first_url is None or r["url"] < first_url):
+            first_url, first_title = r["url"], t
+    expansion_queries = list(EXPANSION_DEMO_QUERIES)
+    if first_title:
+        expansion_queries.append(
+            " ".join(first_title.lower().split()) + " review"
+        )
+    qe_rows = {"query": [], "compiled": [], "segments": [], "full_constraints": []}
+    freq = lambda stem: freq_map.get(tfd_term_freq_hash_stemmed(stem), 0)
+    for raw in expansion_queries:
+        words = parse_query(raw).include
+        if not words:
+            continue
+        e = expand_query(words, freq, lexicon, DEMO_NOUN_VARIANTS)
+        qe_rows["query"].append(raw)
+        qe_rows["compiled"].append(e.compiled_query)
+        qe_rows["segments"].append(_json.dumps(e.optional_phrase_constraints))
+        qe_rows["full_constraints"].append(
+            _json.dumps(e.full_phrase_constraints)
+        )
+    pq.write_table(
+        pa.table(
+            {
+                "query": pa.array(qe_rows["query"], pa.string()),
+                "compiled": pa.array(qe_rows["compiled"], pa.string()),
+                "segments": pa.array(qe_rows["segments"], pa.string()),
+                "full_constraints": pa.array(
+                    qe_rows["full_constraints"], pa.string()
+                ),
+            }
+        ),
+        out / "expected_queryexp.parquet",
     )
 
     idx_df = pd.DataFrame(idx_rows)

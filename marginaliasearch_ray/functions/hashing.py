@@ -15,6 +15,7 @@ single shard own the politeness budget for a shared host
 
 from __future__ import annotations
 
+import re
 from hashlib import blake2b
 
 from ..model.urls import CanonUrl, split_domain
@@ -208,3 +209,58 @@ def hash_keyword(s: str) -> int:
     default (flatten-unicode) configuration: the reference's 64-bit
     keyword term id."""
     return hash_nearly_ascii(s)
+
+
+# ---------------------------------------------------------------------------
+# TermFrequencyDict.longHash (language-processing term_frequency_dict/
+# TermFrequencyDict.java:106-128) — the polynomial string hash keying
+# the query service's term-frequency dictionary (freqs.dat).  Java
+# arithmetic reproduced exactly: SIGNED bytes (UTF-8), 64-bit wrapping
+# multiply/add, and Java's truncated-toward-zero % (which can go
+# negative once a multiply has wrapped).
+
+
+def _wrap64_signed(x: int) -> int:
+    x &= _M64
+    return x - (1 << 64) if x & (1 << 63) else x
+
+
+def _jmod(x: int, m: int) -> int:
+    # Java % truncates toward zero
+    r = abs(x) % m
+    return -r if x < 0 else r
+
+
+def tfd_long_hash(*byte_sets: bytes) -> int:
+    """longHash(byte[]...) — p=127 polynomial over signed bytes mod
+    2^61-1, with the p-power stream continuing across byte sets."""
+    p = 127
+    m = (1 << 61) - 1
+    p_power = 1
+    hash_val = 0
+    for bs in byte_sets:
+        for b in bs:
+            e = b - 256 if b >= 128 else b
+            hash_val = _jmod(
+                _wrap64_signed(hash_val + _wrap64_signed((e + 1) * p_power)), m
+            )
+            p_power = _jmod(_wrap64_signed(p_power * p), m)
+    return hash_val
+
+
+def tfd_term_freq_hash_stemmed(stem: str) -> int:
+    """getTermFreqStemmed's key: longHash over the UTF-8 bytes of the
+    already-stemmed term (TermFrequencyDict.java:83-85)."""
+    return tfd_long_hash(stem.encode("utf-8"))
+
+
+def tfd_string_hash(s: str) -> int:
+    """getStringHash (TermFrequencyDict.java:92-104): multi-part terms
+    split on space/underscore and stem per part, continuing one rolling
+    hash; single terms hash their raw bytes UNstemmed."""
+    from .stem import porter_stem
+
+    if " " in s or "_" in s:
+        parts = [p for p in re.split(r"[ _]+", s) if p]
+        return tfd_long_hash(*(porter_stem(p).encode("utf-8") for p in parts))
+    return tfd_long_hash(s.encode("utf-8"))

@@ -137,7 +137,7 @@ def feed_export(records: rd.Dataset, pages: rd.Dataset) -> pd.DataFrame:
 
 
 # TermFrequencyDict.DOC_COUNT_KEY = ~0L (TermFrequencyDict.java:31)
-DOC_COUNT_KEY = (1 << 64) - 1
+DOC_COUNT_KEY = -1  # ~0L, TermFrequencyExporter.java
 
 
 def term_freq_export(pages: rd.Dataset, n_buckets: int = 32) -> pd.DataFrame:
@@ -146,16 +146,18 @@ def term_freq_export(pages: rd.Dataset, n_buckets: int = 32) -> pd.DataFrame:
 
     Per fetched ``text/html`` document (contentType startsWith text/html,
     java:117): parse, ``DomPruningFilter(0.5)`` on the body (java:122),
-    DISTINCT stemmed tokens (TLongHashSet of longHash(stemmed), java:139),
-    then the reference's statistical thinning — low-frequency Zipf mass is
-    suppressed by counting each distinct term with p = 0.2 at weight 5
-    (java:147-162).  Deviations (documented): the random draw is made
-    DETERMINISTIC — ``md5_number_lower(url + '|' + term_hash) % 10 < 2``
-    — so reruns and the sequential oracle agree bit-for-bit; the term
-    hash is the repo-wide md5 convention rather than the reference's
-    private longHash; sentence-level non-language-tag skipping needs the
-    stubbed sentence models, so the pruned tagger text stands in for the
-    sentence stream.  The DOC_COUNT_KEY row carries the document count.
+    DISTINCT stemmed tokens (TLongHashSet of longHash(stemmed), java:139)
+    keyed by the reference's EXACT TermFrequencyDict.longHash (p=127
+    polynomial mod 2^61-1 with Java wrap semantics, functions/hashing.py
+    tfd_term_freq_hash_stemmed), then the reference's statistical
+    thinning — low-frequency Zipf mass is suppressed by counting each
+    distinct term with p = 0.2 at weight 5 (java:147-162).  Deviations
+    (documented): the random draw is made DETERMINISTIC —
+    ``md5_number_lower(url + '|' + term_hash) % 10 < 2`` — so reruns and
+    the sequential oracle agree bit-for-bit; sentence-level
+    non-language-tag skipping needs the stubbed sentence models, so the
+    pruned tagger text stands in for the sentence stream.  The
+    DOC_COUNT_KEY row (~0L = -1) carries the document count.
 
     Scale shape: one streaming pass over page batches (per-batch local
     term Counter — vocab-sized, not corpus-sized), then the vocab_topk
@@ -165,6 +167,7 @@ def term_freq_export(pages: rd.Dataset, n_buckets: int = 32) -> pd.DataFrame:
 
     from ..functions.domops import prune_default
     from ..functions.dom import tagger_text
+    from ..functions.hashing import tfd_term_freq_hash_stemmed
     from ..functions.stem import porter_stem
     from ..stages.textstats import md5_number_lower
 
@@ -187,27 +190,27 @@ def term_freq_export(pages: rd.Dataset, n_buckets: int = 32) -> pd.DataFrame:
                 text = tagger_text(doc.dom)
             seen: set[int] = set()
             for w in text.lower().split():
-                h = md5_number_lower(porter_stem(w))
+                h = tfd_term_freq_hash_stemmed(porter_stem(w))
                 if h in seen:
                     continue
                 seen.add(h)
                 if md5_number_lower(f"{url}|{h}") % 10 < 2:
                     counts[h] += 5
         counts[DOC_COUNT_KEY] += n_docs
-        hs = np.fromiter(counts.keys(), dtype=np.uint64, count=len(counts))
+        hs = np.fromiter(counts.keys(), dtype=np.int64, count=len(counts))
         return pd.DataFrame(
             {
                 "term_hash": hs,
                 "count": np.fromiter(
                     counts.values(), dtype=np.int64, count=len(counts)
                 ),
-                "_b": (hs % np.uint64(n_buckets)).astype(np.int64),
+                "_b": (hs % np.int64(n_buckets)).astype(np.int64),
             }
         )
 
     def bucket_sum(g: pd.DataFrame) -> pd.DataFrame:
         out = g.groupby("term_hash", as_index=False)["count"].sum()
-        out["term_hash"] = out["term_hash"].astype("uint64")
+        out["term_hash"] = out["term_hash"].astype("int64")
         out["count"] = out["count"].astype("int64")
         return out
 
@@ -219,7 +222,7 @@ def term_freq_export(pages: rd.Dataset, n_buckets: int = 32) -> pd.DataFrame:
     )
     # drop the zero DOC_COUNT partial if no docs contributed
     out = out[out["count"] > 0]
-    out["term_hash"] = out["term_hash"].astype("uint64")
+    out["term_hash"] = out["term_hash"].astype("int64")
     return out.sort_values("term_hash").reset_index(drop=True)
 
 

@@ -84,11 +84,25 @@ def test_term_freq_layout_invariance_and_doc_count(ray_session):
     one = term_freq_export(_pages(rows))
     many = term_freq_export(_pages(rows).repartition(13))
     pd.testing.assert_frame_equal(one, many)
-    dc = one[one["term_hash"] == np.uint64(DOC_COUNT_KEY)]
+    dc = one[one["term_hash"] == DOC_COUNT_KEY]
     assert len(dc) == 1 and dc["count"].iloc[0] == 60
     # thinning only ever adds multiples of 5 (plus the doc-count row)
-    rest = one[one["term_hash"] != np.uint64(DOC_COUNT_KEY)]
+    rest = one[one["term_hash"] != DOC_COUNT_KEY]
     assert (rest["count"] % 5 == 0).all() and len(rest) > 0
+    # the keys are the reference's exact TermFrequencyDict.longHash of
+    # the stemmed terms (signed int64, |h| < 2^61), and every surviving
+    # key is the longHash of SOME stem from the corpus vocabulary
+    from marginaliasearch_ray.functions.hashing import (
+        tfd_term_freq_hash_stemmed,
+    )
+    from marginaliasearch_ray.functions.stem import porter_stem
+
+    assert (rest["term_hash"].abs() < (1 << 61)).all()
+    vocab = {"alpha", "gamma", "running", "jumps"} | {
+        f"beta{i}" for i in range(7)
+    }
+    valid = {tfd_term_freq_hash_stemmed(porter_stem(w)) for w in vocab}
+    assert set(rest["term_hash"].tolist()) <= valid
 
 
 def test_atag_eligibility_rules(ray_session):
