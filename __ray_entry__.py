@@ -1324,6 +1324,222 @@ def _sql_quote(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
+_SF_FULL_XML = """<?xml version="1.0"?>
+<filter>
+    <domains-include>
+        www.google.com
+        *.youtube.com
+    </domains-include>
+    <domains-exclude>
+        www.yandex.ru
+    </domains-exclude>
+    <domains-promote amount="-1.0">
+        www.bing.com
+        www.yahoo.com
+    </domains-promote>
+    <domains-promote amount="1.0">
+        www.mojeek.com
+    </domains-promote>
+    <temporal-bias>OLD</temporal-bias>
+    <query-strategy>TOPIC</query-strategy>
+    <terms-require>
+        foo
+        bar
+    </terms-require>
+    <terms-exclude>
+        baz
+    </terms-exclude>
+    <terms-promote amount="5.0">
+        quux
+    </terms-promote>
+    <limit param="year" type="lt" value="1996" />
+    <limit param="quality" type="eq" value="5" />
+    <limit param="size" type="gt" value="100" />
+    <limit param="rank" type="gt" value="20" />
+</filter>
+"""
+
+#: (filter_id, xml, hand-derived expected row).  Expected values are
+#: derived BY HAND from SearchFilterParser.java semantics (incl. the
+#: render md5s, computed from hand-written render strings following the
+#: java:50-127 template — not from this repo's implementation).
+_SEARCH_FILTER_CASES = [
+    (
+        "full",
+        _SF_FULL_XML,
+        dict(
+            ok=1, error="", search_set="NONE", temporal_bias="OLD",
+            strategy="TOPIC",
+            includes='["www.google.com", "*.youtube.com"]',
+            excludes='["www.yandex.ru"]',
+            d_promote='[["www.bing.com", -1.0], ["www.yahoo.com", -1.0],'
+                      ' ["www.mojeek.com", 1.0]]',
+            t_require='["foo", "bar"]', t_exclude='["baz"]',
+            t_promote='[["quux", 5.0]]',
+            year="lt1996", quality="eq5", size="gt100", rank="gt20",
+            render_md5="9c9498714ed6ad4deb59356dbc0ce5ae",
+        ),
+    ),
+    (
+        "searchset",
+        '<?xml version="1.0"?><filter><search-set>BLOGS</search-set></filter>',
+        dict(
+            ok=1, error="", search_set="BLOGS", temporal_bias="NONE",
+            strategy="AUTO", includes="[]", excludes="[]", d_promote="[]",
+            t_require="[]", t_exclude="[]", t_promote="[]",
+            year="", quality="", size="", rank="",
+            render_md5="d0a2556cebb0652cbb14aa073e12b022",
+        ),
+    ),
+    (
+        "minimal",
+        '<?xml version="1.0"?><filter></filter>',
+        dict(
+            ok=1, error="", search_set="NONE", temporal_bias="NONE",
+            strategy="AUTO", includes="[]", excludes="[]", d_promote="[]",
+            t_require="[]", t_exclude="[]", t_promote="[]",
+            year="", quality="", size="", rank="",
+            render_md5="dce2666d77f6ed5d6ad6addd8be5f217",
+        ),
+    ),
+    (
+        "conflict",
+        '<?xml version="1.0"?><filter>'
+        "<domains-include>www.google.com</domains-include>"
+        "<search-set>BLOGS</search-set></filter>",
+        dict(
+            ok=0,
+            error="Search set identifier and domainLists can not both be "
+                  "specified",
+        ),
+    ),
+    (
+        "badlimit",
+        '<?xml version="1.0"?><filter>'
+        '<limit param="year" type="dog" value="1996" /></filter>',
+        dict(
+            ok=0,
+            error="Specification limit year has missing or invalid 'type' "
+                  "attribute (should be 'lt', 'eq', or 'gt')",
+        ),
+    ),
+    (
+        "badbias",
+        '<?xml version="1.0"?><filter>'
+        "<temporal-bias> Dog </temporal-bias></filter>",
+        dict(ok=0, error="Unknown temporal bias value"),
+    ),
+    (
+        "toomanyterms",
+        '<?xml version="1.0"?><filter><terms-require>'
+        "t0 t1 t2 t3 t4 t5 t6</terms-require></filter>",
+        dict(
+            ok=0,
+            error="Too many term requirements, will allow at most 6",
+        ),
+    ),
+    (
+        "promote_noamount",
+        '<?xml version="1.0"?><filter>'
+        "<terms-promote>quux</terms-promote></filter>",
+        dict(ok=0, error="Element terms-promote missing attribute amount"),
+    ),
+]
+_SF_COLS = [
+    "search_set", "temporal_bias", "strategy", "includes", "excludes",
+    "d_promote", "t_require", "t_exclude", "t_promote",
+    "year", "quality", "size", "rank", "render_md5",
+]
+
+
+def _search_filters(sf_dir: str) -> pd.DataFrame:
+    """Search-filter DSL conformance (SearchFilterParser.java parse +
+    renderToXml via functions/searchfilter.py) over the fixed case
+    table; oracle rows hand-derived from the Java semantics (the
+    upstream SearchFilterParserTest vectors are pinned separately in
+    tests/test_searchfilter.py)."""
+    import hashlib
+    import json as _json
+
+    import ray.data as rd
+
+    from marginaliasearch_ray.functions.searchfilter import (
+        SearchFilterParserError,
+        parse_search_filter,
+        render_to_xml,
+    )
+
+    def _limit_str(lim) -> str:
+        return "" if lim.is_none() else f"{lim.type}{lim.value}"
+
+    def run(b: pd.DataFrame) -> pd.DataFrame:
+        rows = {"filter_id": [], "ok": [], "error": []}
+        for c in _SF_COLS:
+            rows[c] = []
+        for fid, xml in zip(b["filter_id"], b["xml"]):
+            rows["filter_id"].append(fid)
+            try:
+                spec = parse_search_filter("user", fid, xml)
+            except SearchFilterParserError as e:
+                rows["ok"].append(0)
+                rows["error"].append(str(e))
+                for c in _SF_COLS:
+                    rows[c].append("")
+                continue
+            rows["ok"].append(1)
+            rows["error"].append("")
+            rows["search_set"].append(spec.search_set_identifier)
+            rows["temporal_bias"].append(spec.temporal_bias)
+            rows["strategy"].append(spec.query_strategy)
+            rows["includes"].append(_json.dumps(spec.domains_include))
+            rows["excludes"].append(_json.dumps(spec.domains_exclude))
+            rows["d_promote"].append(
+                _json.dumps([[t, a] for t, a in spec.domains_promote])
+            )
+            rows["t_require"].append(_json.dumps(spec.terms_require))
+            rows["t_exclude"].append(_json.dumps(spec.terms_exclude))
+            rows["t_promote"].append(
+                _json.dumps([[t, a] for t, a in spec.terms_promote])
+            )
+            rows["year"].append(_limit_str(spec.year))
+            rows["quality"].append(_limit_str(spec.quality))
+            rows["size"].append(_limit_str(spec.size))
+            rows["rank"].append(_limit_str(spec.rank))
+            rows["render_md5"].append(
+                hashlib.md5(render_to_xml(spec).encode()).hexdigest()
+            )
+        out = pd.DataFrame(rows)
+        out["ok"] = out["ok"].astype("int64")
+        return out
+
+    cases = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "filter_id": [c[0] for c in _SEARCH_FILTER_CASES],
+                "xml": [c[1] for c in _SEARCH_FILTER_CASES],
+            }
+        )
+    )
+    out = cases.map_batches(run, batch_format="pandas").to_pandas()
+    return out.sort_values("filter_id").reset_index(drop=True)
+
+
+def _search_filters_sql() -> str:
+    rows = []
+    for fid, _xml, exp in _SEARCH_FILTER_CASES:
+        vals = [_sql_quote(fid), str(exp["ok"]), _sql_quote(exp["error"])]
+        for c in _SF_COLS:
+            vals.append(_sql_quote(exp.get(c, "")))
+        rows.append("(" + ", ".join(vals) + ")")
+    cols = ", ".join(_SF_COLS)
+    return f"""
+        SELECT filter_id, CAST(ok AS BIGINT) AS ok, error, {cols}
+        FROM (VALUES {", ".join(rows)})
+            AS t(filter_id, ok, error, {cols})
+        ORDER BY filter_id
+    """
+
+
 def _eval_math_sql() -> str:
     rows = ", ".join(
         f"({qid}, {_sql_quote(expr)}, {_sql_quote(exp)})"
@@ -3157,6 +3373,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "browse_similar": _browse_similar,
         "parse_queries": _parse_queries,
         "eval_math": _eval_math,
+        "search_filters": _search_filters,
         "convert_units": _convert_units,
         "search_parsed": _search_parsed,
         "search_parsed_site": _search_parsed_site,
@@ -5905,6 +6122,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "parse_queries": _parse_queries_sql(),
         "eval_math": _eval_math_sql(),
+        # search-filter DSL: hand-derived literal oracle (the upstream
+        # SearchFilterParserTest vectors are pinned in
+        # tests/test_searchfilter.py; render md5s derive from
+        # hand-written template renders)
+        "search_filters": _search_filters_sql(),
         "convert_units": _convert_units_sql(),
         # parsed-search spec (stages/index.py parsed_search over the spec
         # of '"data column" row -merge ?filter'): include data/column/row
