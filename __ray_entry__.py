@@ -3242,6 +3242,55 @@ def _query_expansion(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _search_compiled(sf_dir: str) -> pd.DataFrame:
+    """Compiled-query execution (CompiledQueryParser + the
+    CompiledQueryAggregates path semantics, functions/compiledquery.py)
+    over the keyword index: a document matches when SOME path through
+    the and/or expression has every leaf present (booleanAggregate,
+    SearchContext semantics); per match, the int max-min aggregate over
+    term frequencies and the 64-bit OR-of-AND bitmask over the packed
+    term metadata (the visitors' aggregation shapes).  Stateless
+    map_batches over the index; result-sized output — vs the sequential
+    replica."""
+    from marginaliasearch_ray.functions.compiledquery import (
+        boolean_aggregate,
+        demo_compiled_query,
+        int_max_min_aggregate,
+        long_bitmask_aggregate,
+        parse_compiled_query,
+    )
+
+    cq = parse_compiled_query(demo_compiled_query())
+
+    def evaluate(b: pd.DataFrame) -> pd.DataFrame:
+        rows = {"url": [], "score": [], "mask": []}
+        for url, words, metas, positions in zip(
+            b["url"], b["words"], b["metas"], b["positions"]
+        ):
+            tf = {w: len(p) for w, p in zip(words, positions)}
+            meta = {w: int(m) for w, m in zip(words, metas)}
+            if not boolean_aggregate(cq, lambda w: w in tf):
+                continue
+            rows["url"].append(url)
+            rows["score"].append(
+                int_max_min_aggregate(cq, lambda w: tf.get(w, 0))
+            )
+            m = long_bitmask_aggregate(
+                cq, lambda w: meta.get(w, 0) & ((1 << 64) - 1)
+            )
+            rows["mask"].append(m - (1 << 64) if m >= 1 << 63 else m)
+        out = pd.DataFrame(rows)
+        out["score"] = out["score"].astype("int64")
+        out["mask"] = out["mask"].astype("int64")
+        return out
+
+    ds = _keyword_index_ds(sf_dir).select_columns(
+        ["url", "words", "metas", "positions"]
+    )
+    out = ds.map_batches(evaluate, batch_format="pandas").to_pandas()
+    return out.sort_values("url").reset_index(drop=True)
+
+
 def _keyword_term_ids(sf_dir: str) -> pd.DataFrame:
     """The reference's 64-bit keyword term id for every indexed word
     (IndexJournalSlopWriter.java:76: hasher.hashKeyword — murmur3
@@ -3365,6 +3414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keyword_spans_coded": _keyword_spans_coded,
         "keyword_term_ids": _keyword_term_ids,
         "query_expansion": _query_expansion,
+        "search_compiled": _search_compiled,
         "doc_word_flags": _doc_word_flags,
         "search_ranked_full": _search_ranked_full,
         "search_ranked_single": _search_ranked_single,
@@ -5907,6 +5957,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT query, compiled, segments, full_constraints
             FROM read_parquet('{exp}/expected_queryexp.parquet')
             ORDER BY query
+        """,
+        # compiled-query execution: sequential replica evaluating the
+        # shared and/or/ignore demo expression (parser + aggregates are
+        # pinned vs the upstream test vectors in
+        # tests/test_compiledquery.py).
+        "search_compiled": f"""
+            SELECT url, score, mask
+            FROM read_parquet('{exp}/expected_search_compiled.parquet')
+            ORDER BY url
         """,
         "doc_word_flags": f"""
             SELECT url, word, flags, n_pos, first_pos

@@ -1557,6 +1557,42 @@ def _build_fullrank_expected(fix: Path, out: Path) -> None:
         out / "expected_term_ids.parquet",
     )
 
+    # compiled-query execution replica (__ray_entry__._search_compiled):
+    # one sequential pass evaluating the shared demo expression per doc.
+    from ..functions.compiledquery import (
+        boolean_aggregate,
+        demo_compiled_query,
+        int_max_min_aggregate,
+        long_bitmask_aggregate,
+        parse_compiled_query,
+    )
+
+    cq = parse_compiled_query(demo_compiled_query())
+    sc_rows2 = {"url": [], "score": [], "mask": []}
+    for r in idx_rows:
+        tf = {w: len(p) for w, p in zip(r["words"], r["positions"])}
+        meta = {w: int(m) for w, m in zip(r["words"], r["metas"])}
+        if not boolean_aggregate(cq, lambda w: w in tf):
+            continue
+        sc_rows2["url"].append(r["url"])
+        sc_rows2["score"].append(
+            int_max_min_aggregate(cq, lambda w: tf.get(w, 0))
+        )
+        m = long_bitmask_aggregate(
+            cq, lambda w: meta.get(w, 0) & ((1 << 64) - 1)
+        )
+        sc_rows2["mask"].append(m - (1 << 64) if m >= 1 << 63 else m)
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array(sc_rows2["url"], pa.string()),
+                "score": pa.array(sc_rows2["score"], pa.int64()),
+                "mask": pa.array(sc_rows2["mask"], pa.int64()),
+            }
+        ),
+        out / "expected_search_compiled.parquet",
+    )
+
     # Query-expansion replica (__ray_entry__._query_expansion): the same
     # fixed query list + corpus-derived query, with the term-frequency
     # dict read from the sequential expected_termfreq artifact (built
