@@ -3142,28 +3142,15 @@ def _keyword_spans_coded(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["url", "tag"]).reset_index(drop=True)
 
 
-def _query_expansion(sf_dir: str) -> pd.DataFrame:
-    """QueryExpansion.expandQuery parity (functions/qwordgraph.py): the
-    QueryParser token stream feeds the QWordGraph strategy chain with
-    BOTH corpus artifacts built distributed — the term-frequency dict
-    (term_freq_export, exact TermFrequencyDict.longHash keys) and the
+def _expansion_artifacts(sf_dir: str):
+    """Distributed build of QueryExpansion's two corpus artifacts: the
+    term-frequency dict (term_freq_export, exact longHash keys) and the
     ngram segmentation lexicon (title ordered-rolling-murmur hashes per
     NgramExtractorMain, partial counts -> one dictionary-sized combine).
-    Output per query: the compiled infix expression, the optional
-    (segment) phrase constraints and the full phrase constraints — vs
-    the sequential replica."""
-    import json as _json
-
+    Returns (freq_map, lexicon, corpus_query)."""
     from collections import Counter
 
-    from marginaliasearch_ray.functions.hashing import (
-        tfd_term_freq_hash_stemmed,
-    )
-    from marginaliasearch_ray.functions.queryparse import parse_query
     from marginaliasearch_ray.functions.qwordgraph import (
-        DEMO_NOUN_VARIANTS,
-        EXPANSION_DEMO_QUERIES,
-        expand_query,
         title_lexicon_hashes,
     )
 
@@ -3221,6 +3208,29 @@ def _query_expansion(sf_dir: str) -> pd.DataFrame:
             + " review"
         )
 
+    return freq_map, lexicon, corpus_query
+
+
+def _query_expansion(sf_dir: str) -> pd.DataFrame:
+    """QueryExpansion.expandQuery parity (functions/qwordgraph.py): the
+    QueryParser token stream feeds the QWordGraph strategy chain with
+    BOTH corpus artifacts built distributed (see _expansion_artifacts).
+    Output per query: the compiled infix expression, the optional
+    (segment) phrase constraints and the full phrase constraints — vs
+    the sequential replica."""
+    import json as _json
+
+    from marginaliasearch_ray.functions.hashing import (
+        tfd_term_freq_hash_stemmed,
+    )
+    from marginaliasearch_ray.functions.queryparse import parse_query
+    from marginaliasearch_ray.functions.qwordgraph import (
+        DEMO_NOUN_VARIANTS,
+        EXPANSION_DEMO_QUERIES,
+        expand_query,
+    )
+
+    freq_map, lexicon, corpus_query = _expansion_artifacts(sf_dir)
     # one corpus-derived query (the first indexed title in URL order) is
     # appended so lexicon segmentation always has a genuine hit
     queries = list(EXPANSION_DEMO_QUERIES) + (
@@ -3240,6 +3250,96 @@ def _query_expansion(sf_dir: str) -> pd.DataFrame:
     return (
         pd.DataFrame(rows).sort_values("query").reset_index(drop=True)
     )
+
+
+def _search_e2e(sf_dir: str) -> pd.DataFrame:
+    """The COMPLETE query-service pipeline composed end-to-end: raw
+    query -> QueryParser (functions/queryparse.py) -> QueryExpansion
+    with distributed corpus artifacts (functions/qwordgraph.py) ->
+    CompiledQueryParser (functions/compiledquery.py) -> distributed
+    index evaluation with the reference's ACTUAL ranking aggregation:
+    Bm25GraphVisitor per leaf folded with intMaxSumAggregateOfIndexes
+    (best path sum; Bm25GraphVisitor.java + CompiledQueryAggregates
+    .java:165-183).  Matching = booleanAggregate.  Two passes over the
+    index: a df/doc-count partial pass (result-sized), then a stateless
+    scoring pass with per-batch top-k — vs the sequential replica."""
+    from marginaliasearch_ray.functions.compiledquery import (
+        bm25_graph_score,
+        boolean_aggregate,
+        parse_compiled_query,
+    )
+    from marginaliasearch_ray.functions.hashing import (
+        tfd_term_freq_hash_stemmed,
+    )
+    from marginaliasearch_ray.functions.queryparse import parse_query
+    from marginaliasearch_ray.functions.qwordgraph import (
+        DEMO_NOUN_VARIANTS,
+        expand_query,
+    )
+    from marginaliasearch_ray.stages.fullrank import RANKED_QUERY
+
+    freq_map, lexicon, _ = _expansion_artifacts(sf_dir)
+    freq = lambda stem: freq_map.get(tfd_term_freq_hash_stemmed(stem), 0)
+    raw = " ".join(RANKED_QUERY)
+    words = parse_query(raw).include
+    e = expand_query(words, freq, lexicon, DEMO_NOUN_VARIANTS)
+    cq = parse_compiled_query(e.compiled_query)
+    terms = list(cq.data)
+
+    idx = _keyword_index_ds(sf_dir).select_columns(
+        ["url", "words", "positions", "length"]
+    )
+
+    def df_partial(b: pd.DataFrame) -> pd.DataFrame:
+        n = np.zeros(len(terms), dtype=np.int64)
+        docs = 0
+        for ws in b["words"]:
+            docs += 1
+            wset = set(ws)
+            for i, t in enumerate(terms):
+                if t in wset:
+                    n[i] += 1
+        return pd.DataFrame(
+            {"i": np.arange(len(terms)), "df": n, "docs": docs}
+        )
+
+    parts = idx.map_batches(df_partial, batch_format="pandas").to_pandas()
+    dfs = {
+        terms[int(i)]: int(d)
+        for i, d in parts.groupby("i")["df"].sum().items()
+    }
+    # every batch emits one row per term with its doc count; the i==0
+    # slice sums to the corpus document count
+    n_docs = int(parts[parts["i"] == 0]["docs"].sum())
+
+    K = 10
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        rows = {"url": [], "score": []}
+        for url, ws, ps, ln in zip(
+            b["url"], b["words"], b["positions"], b["length"]
+        ):
+            tf = {w: len(p) for w, p in zip(ws, ps)}
+            if not boolean_aggregate(cq, lambda w: w in tf):
+                continue
+            rows["url"].append(url)
+            rows["score"].append(
+                bm25_graph_score(cq, tf, dfs, n_docs, int(ln))
+            )
+        out = pd.DataFrame(rows)
+        out["score"] = out["score"].astype("float64")
+        # per-batch partial top-k
+        return out.sort_values(
+            ["score", "url"], ascending=[False, True], kind="mergesort"
+        ).head(K)
+
+    out = idx.map_batches(score, batch_format="pandas").to_pandas()
+    out = out.sort_values(
+        ["score", "url"], ascending=[False, True], kind="mergesort"
+    ).head(K)
+    out = out.reset_index(drop=True)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out
 
 
 def _search_compiled(sf_dir: str) -> pd.DataFrame:
@@ -3415,6 +3515,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keyword_term_ids": _keyword_term_ids,
         "query_expansion": _query_expansion,
         "search_compiled": _search_compiled,
+        "search_e2e": _search_e2e,
         "doc_word_flags": _doc_word_flags,
         "search_ranked_full": _search_ranked_full,
         "search_ranked_single": _search_ranked_single,
@@ -5966,6 +6067,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, score, mask
             FROM read_parquet('{exp}/expected_search_compiled.parquet')
             ORDER BY url
+        """,
+        # end-to-end query pipeline: parse -> expand -> compile ->
+        # Bm25GraphVisitor path-sum ranking, sequential replica.
+        "search_e2e": f"""
+            SELECT url, score, rank
+            FROM read_parquet('{exp}/expected_search_e2e.parquet')
+            ORDER BY rank
         """,
         "doc_word_flags": f"""
             SELECT url, word, flags, n_pos, first_pos

@@ -1592,7 +1592,6 @@ def _build_fullrank_expected(fix: Path, out: Path) -> None:
         ),
         out / "expected_search_compiled.parquet",
     )
-
     # Query-expansion replica (__ray_entry__._query_expansion): the same
     # fixed query list + corpus-derived query, with the term-frequency
     # dict read from the sequential expected_termfreq artifact (built
@@ -1656,6 +1655,50 @@ def _build_fullrank_expected(fix: Path, out: Path) -> None:
         ),
         out / "expected_queryexp.parquet",
     )
+
+    # end-to-end query pipeline replica (__ray_entry__._search_e2e):
+    # parse -> expand (freq dict + lexicon from the sequential artifacts
+    # above) -> compile -> Bm25GraphVisitor over paths, one loop.
+    from ..functions.compiledquery import bm25_graph_score
+
+    freq = lambda stem: freq_map.get(tfd_term_freq_hash_stemmed(stem), 0)
+    raw_q = " ".join(RANKED_QUERY)
+    e2e_exp = expand_query(
+        parse_query(raw_q).include, freq, lexicon, DEMO_NOUN_VARIANTS
+    )
+    e2e_cq = parse_compiled_query(e2e_exp.compiled_query)
+    e2e_terms = list(e2e_cq.data)
+    e2e_dfs = {
+        t: sum(1 for r in idx_rows if t in set(r["words"]))
+        for t in e2e_terms
+    }
+    e2e_n = len(idx_rows)
+    e2e_rows = []
+    for r in idx_rows:
+        tf = {w: len(p) for w, p in zip(r["words"], r["positions"])}
+        if not boolean_aggregate(e2e_cq, lambda w: w in tf):
+            continue
+        e2e_rows.append(
+            (
+                r["url"],
+                bm25_graph_score(e2e_cq, tf, e2e_dfs, e2e_n, int(r["length"])),
+            )
+        )
+    e2e_rows.sort(key=lambda t: (-t[1], t[0]))
+    e2e_rows = e2e_rows[:10]
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array([t[0] for t in e2e_rows], pa.string()),
+                "score": pa.array([t[1] for t in e2e_rows], pa.float64()),
+                "rank": pa.array(
+                    list(range(1, len(e2e_rows) + 1)), pa.int64()
+                ),
+            }
+        ),
+        out / "expected_search_e2e.parquet",
+    )
+
 
     idx_df = pd.DataFrame(idx_rows)
     n_docs = len(idx_df)

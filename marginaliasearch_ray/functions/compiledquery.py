@@ -264,3 +264,34 @@ def demo_compiled_query() -> str:
 
     t1, t2, t3 = RANKED_QUERY
     return f"( {t1} ( {t2} | {t3} ) | {t1}_{t2}_{t3} ) ( {t3} | )"
+
+
+def bm25_graph_score(
+    query: CompiledQuery,
+    tf: dict,
+    dfs: dict,
+    n_docs: int,
+    length: int,
+    k1: float = 1.2,
+    b: float = 0.75,
+    avg_length: float = 5000.0,
+) -> float:
+    """The reference's BM25-over-the-query-graph score: Bm25GraphVisitor
+    (index/results/Bm25GraphVisitor.java:11-60 — per-leaf
+    invFreq(docCount, df) * (count*(k1+1))/(count + k1*(1-b+b*len/avg)))
+    aggregated with intMaxSumAggregateOfIndexes (the best path sum).
+    Zero-count leaves contribute 0, so optional branches and missing
+    ngram leaves degrade gracefully exactly as upstream."""
+    import math
+
+    def leaf(i: int) -> float:
+        w = query.data[i]
+        count = tf.get(w, 0)
+        if count == 0:
+            return 0.0
+        freq = dfs.get(w, 0)
+        inv_freq = math.log(1.0 + (n_docs - freq + 0.5) / (freq + 0.5))
+        denom = count + k1 * (1 - b + b * length / avg_length)
+        return inv_freq * (count * (k1 + 1)) / denom
+
+    return int_max_sum_aggregate_of_indexes(query.paths, leaf)

@@ -276,3 +276,23 @@ def test_varint_roundtrip_property(seq):
 @given(increasing)
 def test_codecs_agree(seq):
     assert gamma_decode(gamma_encode(seq)) == varint_decode(varint_encode(seq))
+
+
+# ---- BrailleBlockPunchCards.java ----
+
+
+def test_braille_punch_cards():
+    from marginaliasearch_ray.functions.bbpc import print_bits
+
+    # empty byte = blank braille block; all bits = full block
+    assert print_bits(0, 8) == "⠀"
+    assert print_bits(0xFF, 8) == "⣿"
+    # the documented permutation: native bit 3 -> braille bit 6 (0x40),
+    # native bits 4..6 -> braille bits 3..5
+    assert print_bits(0b0000_1000, 8) == chr(0x2800 + 0x40)
+    assert print_bits(0b0111_0000, 8) == chr(0x2800 + 0x38)
+    assert print_bits(0b1000_0111, 8) == chr(0x2800 + 0x87)
+    # multi-byte: low byte first
+    assert print_bits(0x00FF, 16) == "⣿⠀"
+    # 8-bit injectivity: 256 distinct glyphs
+    assert len({print_bits(v, 8) for v in range(256)}) == 256
