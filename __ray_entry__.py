@@ -3012,11 +3012,20 @@ def _sideload(source: str) -> Callable[[str], pd.DataFrame]:
 # ---------------------------------------------------------------------------
 
 
+_KEYWORD_INDEX_CACHE: dict[str, Any] = {}
+
+
 def _keyword_index_ds(sf_dir: str):
     """Build the keyword-index Dataset over the fixture pages: external
     link texts broadcast (AnchorTagsSource shape), converter near-dup
     verdicts broadcast (the loader's state='ok' AND NOT near-dup gate),
-    then one stateless map_batches per page."""
+    then one stateless map_batches per page.
+
+    The MATERIALIZED index is memoized per sf_dir within the session:
+    nine driver queries consume it, and each cold build costs a full
+    converter pass (near-dup verdicts) plus the keyword extraction
+    (~30 s at sf0.1/32).  This is the session-local analog of the
+    reference's persisted index journal — build once, query many."""
     import ray
 
     from marginaliasearch_ray.fixtures.cache import fixture_dir_for
@@ -3026,15 +3035,21 @@ def _keyword_index_ds(sf_dir: str):
         link_texts_by_url,
     )
 
+    cached = _KEYWORD_INDEX_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
+
     fix = fixture_dir_for(sf_dir)
     lt_ref = ray.put(link_texts_by_url(f"{fix}/links.parquet"))
     conv = convert_pages(f"{fix}/pages.parquet")
     dup_tbl = conv.select_columns(["url", "is_near_dup"]).to_pandas()
     dups = frozenset(dup_tbl.loc[dup_tbl["is_near_dup"], "url"])
     dup_ref = ray.put(dups)
-    return keyword_index(
+    ds = keyword_index(
         f"{fix}/pages.parquet", link_texts_ref=lt_ref, dup_urls_ref=dup_ref
-    )
+    ).materialize()
+    _KEYWORD_INDEX_CACHE[sf_dir] = ds
+    return ds
 
 
 def _keyword_spans(sf_dir: str) -> pd.DataFrame:
@@ -3286,9 +3301,12 @@ def _search_e2e(sf_dir: str) -> pd.DataFrame:
     cq = parse_compiled_query(e.compiled_query)
     terms = list(cq.data)
 
+    # materialized once: the df pass and the scoring pass both consume
+    # it (same rationale as ranked_search_full — at scale, persist the
+    # index and prune columns at the read instead)
     idx = _keyword_index_ds(sf_dir).select_columns(
         ["url", "words", "positions", "length"]
-    )
+    ).materialize()
 
     def df_partial(b: pd.DataFrame) -> pd.DataFrame:
         n = np.zeros(len(terms), dtype=np.int64)

@@ -638,7 +638,17 @@ def ranked_search_full(kw_ds: rd.Dataset, terms: tuple, k: int = 10) -> pd.DataF
     df -> one result-sized combine (len(terms)+1 numbers).
     Pass 2: per-batch candidate scoring + local top-k, result-sized
     final merge.  Ordering: score ASCENDING (normalize: 0 is best),
-    url tiebreak."""
+    url tiebreak.
+
+    The index is materialized once up front: both passes consume it, and
+    re-executing the lazy extraction map doubles the dominant cost
+    (measured 35 s -> ~19 s at sf0.1/32).  At scale the equivalent is
+    persisting the keyword index to parquet (the reference's index
+    journal) and doing the stats pass as a pruned columnar read."""
+    from ray.data.dataset import MaterializedDataset
+
+    if not isinstance(kw_ds, MaterializedDataset):
+        kw_ds = kw_ds.materialize()
     n_terms = len(terms)
     term_list = list(terms)
 
