@@ -76,7 +76,9 @@ _LISTING_PATH_SEGMENTS = (
 )
 
 
-def process_html_document(u, url_str: str, html: str, decoded: str) -> dict:
+def process_html_document(
+    u, url_str: str, html: str, decoded: str, keep_dom: bool = False
+) -> dict:
     """Per-document HTML processing, shared verbatim by the distributed
     engine (process_pages_batch) and the sequential conformance oracle
     (fixtures/expected._build_convert_expected) so the two can never
@@ -99,7 +101,16 @@ def process_html_document(u, url_str: str, html: str, decoded: str) -> dict:
 
     If the DOM was truncated by the node cap (adversarially large
     documents), the hooks are skipped and the streaming extraction is
-    used whole — bounded memory beats hook fidelity at that size."""
+    used whole — bounded memory beats hook fidelity at that size.
+
+    ``keep_dom=True`` returns the PRUNED tree under ``"_pruned"`` (None
+    when the node-cap fallback fired) for in-process callers that need
+    its tagged frames — the keyword projection (stages/fullrank
+    .page_keywords) would otherwise re-parse and re-prune every page.
+    get_summary's walk restores its edits (undo-filter, regression-
+    tested against the former defensive clone), so the returned tree is
+    exactly the post-``spec.prune`` state.  Never set from the batch
+    converter: DOM objects must not enter Arrow blocks."""
     doc = parse_document(decoded, build_dom=True)
     out = {
         "state": "ok", "title": "", "text": "", "length": 0, "n_words": 0,
@@ -150,6 +161,8 @@ def process_html_document(u, url_str: str, html: str, decoded: str) -> dict:
     if doc.dom is None or doc.dom.truncated:
         out["title"] = doc.title
         out["text"] = doc.text
+        if keep_dom:
+            out["_pruned"] = None
     else:
         spec = spec_object(spec_name)
         out["title"] = spec.get_title(doc.dom, url_str)
@@ -157,6 +170,8 @@ def process_html_document(u, url_str: str, html: str, decoded: str) -> dict:
         pruned = spec.prune(doc.dom)
         out["text"] = tagger_text(pruned)
         out["summary"] = spec.get_summary(pruned)
+        if keep_dom:
+            out["_pruned"] = pruned
     words = out["text"].split()
     # CATEGORY_FOOD/CRAFTS over the extracted words (the reference's dld
     # is built from the pruned tree, same source as this text); category

@@ -130,7 +130,6 @@ def page_keywords(url_str: str, html, status, x_adblock, link_texts):
     distributed stage and the sequential oracle replica."""
     from ..functions.contenttype import decode_body, sniff_content_type
     from ..functions.dom import tagged_frames
-    from ..functions.htmldoc import parse_document
     from ..functions.plaintext import (
         FIRST_N_LINES,
         PLAIN_TEXT_QUALITY,
@@ -138,10 +137,6 @@ def page_keywords(url_str: str, html, status, x_adblock, link_texts):
     )
     from ..functions.docmeta import document_metadata_for
     from ..functions.pdf import PDF_QUALITY, convert_pdf
-    from ..functions.specialization import (
-        select_specialization,
-        spec_object,
-    )
     from ..model.urls import parse_url
     from ..pipelines.convert import process_html_document
 
@@ -182,16 +177,18 @@ def page_keywords(url_str: str, html, status, x_adblock, link_texts):
         length = len(pdoc.text)
     elif mime.startswith("text/html") or mime.startswith("application/xhtml"):
         decoded = decode_body(html, charset)
-        r = process_html_document(u, url_str, html, decoded)
+        r = process_html_document(u, url_str, html, decoded, keep_dom=True)
         if r["state"] != "ok":
             return r["state"], None
-        doc = parse_document(decoded, build_dom=True)
-        if doc.dom is None or doc.dom.truncated:
+        pruned = r["_pruned"]
+        if pruned is None:
             # node-cap fallback: streaming text, BODY-only frames
-            frames = [(doc.text, frozenset())]
+            frames = [(r["text"], frozenset())]
         else:
-            spec = spec_object(select_specialization(doc, u))
-            frames = tagged_frames(spec.prune(doc.dom))
+            # the converter's post-spec.prune tree, reused in-process —
+            # identical to a fresh parse + spec.prune (get_summary's
+            # undo-filter restore), saving the duplicate parse per page
+            frames = tagged_frames(pruned)
         title = r["title"]
         doc_meta = r["doc_meta"]
         features = r["features"]

@@ -359,3 +359,50 @@ class TestFullrankDistributed:
             assert row is None or isinstance(row, dict)
         state, row = page_keywords("not a url", b"<html></html>", 200, None, None)
         assert state == "bad_url" and row is None
+
+
+def test_pruned_dom_reuse_equals_fresh_parse():
+    """page_keywords reuses the converter's post-prune tree; its tagged
+    frames must equal a fresh parse + specialization prune on every
+    fixture page (guards the get_summary undo-filter restore)."""
+    import pyarrow.parquet as pq
+
+    from marginaliasearch_ray.fixtures.cache import fixture_dir_for
+    from marginaliasearch_ray.functions.contenttype import (
+        decode_body,
+        sniff_content_type,
+    )
+    from marginaliasearch_ray.functions.dom import tagged_frames
+    from marginaliasearch_ray.functions.htmldoc import parse_document
+    from marginaliasearch_ray.functions.specialization import (
+        select_specialization,
+        spec_object,
+    )
+    from marginaliasearch_ray.model.urls import parse_url
+    from marginaliasearch_ray.pipelines.convert import process_html_document
+
+    fix = fixture_dir_for("/root/testdata/sf0.001")
+    pages = pq.read_table(f"{fix}/pages.parquet", columns=["url", "html", "status"])
+    checked = 0
+    for i in range(pages.num_rows):
+        html = pages["html"][i].as_py()
+        status = pages["status"][i].as_py()
+        if status != 200 or not html:
+            continue
+        mime, charset = sniff_content_type(None, html)
+        if not mime.startswith("text/html"):
+            continue
+        u = parse_url(pages["url"][i].as_py())
+        if u is None:
+            continue
+        decoded = decode_body(html, charset)
+        r = process_html_document(u, str(u), html, decoded, keep_dom=True)
+        if r["state"] != "ok" or r["_pruned"] is None:
+            continue
+        reused = tagged_frames(r["_pruned"])
+        fresh_doc = parse_document(decoded, build_dom=True)
+        spec = spec_object(select_specialization(fresh_doc, u))
+        fresh = tagged_frames(spec.prune(fresh_doc.dom))
+        assert reused == fresh, u
+        checked += 1
+    assert checked > 20
