@@ -312,3 +312,42 @@ def parse_feed_items(
     items = [it for it in items if it.date and not it.date > today]
     items.sort(key=lambda it: it.date, reverse=True)
     return items[:MAX_FEED_ITEMS]
+
+
+# ---------------------------------------------------------------------------
+# Feed refresh scheduling (FeedFetcherService.java:345-377)
+# ---------------------------------------------------------------------------
+
+
+def edge_domain_hashcode(sub_domain: str, top_domain: str) -> int:
+    """EdgeDomain.hashCode (common/model/EdgeDomain.java:167-175):
+    Lombok-style 59-prime chain over the lowercased parts' Java
+    String.hashCode values, 32-bit wrap."""
+    from .hashing import java_string_hashcode
+
+    result = 1
+    for part in (sub_domain.lower(), top_domain.lower()):
+        result = (result * 59 + java_string_hashcode(part)) & 0xFFFFFFFF
+    return result - (1 << 32) if result & 0x80000000 else result
+
+
+#: per-topDomain refresh cadence in days (FeedFetcherService.java:355-359)
+FEED_FETCH_CADENCE = {"wordpress.com": 4, "blogspot.com": 4, "substack.com": 7}
+
+
+def feed_should_skip(
+    sub_domain: str, top_domain: str, last_fetch: int, today: int
+) -> str:
+    """FeedFetcherService.shouldSkip (java:351-377): shared feed hosts
+    are fetched on a cadence; a missing lastFetch day synthesizes a
+    uniform phase from the domain hash so the fleet's refreshes spread
+    out.  Returns NEVER / SKIP_TODAY / NO_SKIP_TODAY."""
+    cadence = FEED_FETCH_CADENCE.get(top_domain, 0)
+    if cadence == 0:
+        return "NEVER"
+    if last_fetch == 0:
+        h = edge_domain_hashcode(sub_domain, top_domain) & 0x7FFFFFFF
+        last_fetch = today - h % (cadence + 1)
+    if today < last_fetch + cadence:
+        return "SKIP_TODAY"
+    return "NO_SKIP_TODAY"

@@ -136,3 +136,40 @@ def test_cdata_and_entities():
     it = parse_feed(xml)[0]
     assert it.title == "A & B"
     assert it.url == "https://e/a?x=1&y=2"
+
+
+def test_feed_refresh_cadence():
+    """FeedFetcherService.shouldSkip (java:351-377): cadence table,
+    hash-synthesized phase, skip window arithmetic."""
+    from marginaliasearch_ray.functions.feedparse import (
+        edge_domain_hashcode,
+        feed_should_skip,
+    )
+    from marginaliasearch_ray.functions.hashing import java_string_hashcode
+
+    # non-shared hosts never skip
+    assert feed_should_skip("www", "example.com", 0, 20000) == "NEVER"
+    # explicit lastFetch: skip strictly inside the cadence window
+    assert feed_should_skip("a", "wordpress.com", 19997, 20000) == "SKIP_TODAY"
+    assert feed_should_skip("a", "wordpress.com", 19996, 20000) == "NO_SKIP_TODAY"
+    assert feed_should_skip("a", "substack.com", 19994, 20000) == "SKIP_TODAY"
+    assert feed_should_skip("a", "substack.com", 19993, 20000) == "NO_SKIP_TODAY"
+    # hash-synthesized phase: lastFetch = today - h % (cadence+1), so the
+    # disposition is deterministic per domain and both outcomes occur
+    h = edge_domain_hashcode("someblog", "wordpress.com") & 0x7FFFFFFF
+    expect = (
+        "SKIP_TODAY" if 20000 < (20000 - h % 5) + 4 else "NO_SKIP_TODAY"
+    )
+    assert feed_should_skip("someblog", "wordpress.com", 0, 20000) == expect
+    seen = {
+        feed_should_skip(f"blog{i}", "wordpress.com", 0, 20000)
+        for i in range(30)
+    }
+    assert seen == {"SKIP_TODAY", "NO_SKIP_TODAY"}
+    # the 59-prime chain over lowercased parts' String.hashCode
+    a = java_string_hashcode("someblog")
+    b = java_string_hashcode("wordpress.com")
+    expect_h = ((1 * 59 + a) * 59 + b) & 0xFFFFFFFF
+    if expect_h & 0x80000000:
+        expect_h -= 1 << 32
+    assert edge_domain_hashcode("SomeBlog", "WordPress.com") == expect_h
