@@ -3409,6 +3409,46 @@ def _search_compiled(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("url").reset_index(drop=True)
 
 
+_FEED_REFRESH_TODAY = 20000  # fixed epoch-day for the deterministic plan
+
+
+def _feed_refresh_plan(sf_dir: str) -> pd.DataFrame:
+    """Feed refresh scheduling (FeedFetcherService.shouldSkip,
+    java:345-377; functions/feedparse.py feed_should_skip): for every
+    domain with a discovered feed, the per-topDomain cadence and the
+    skip disposition for a fixed day, with the missing-lastFetch phase
+    synthesized from EdgeDomain.hashCode — oracled fully SQL-natively
+    (Java String.hashCode folds in DuckDB via list_reduce)."""
+    import ray.data as rd
+
+    from marginaliasearch_ray.functions.feedparse import (
+        FEED_FETCH_CADENCE,
+        feed_should_skip,
+    )
+    from marginaliasearch_ray.model.urls import split_domain
+
+    meta = _crawl_domain_state(sf_dir)
+    feeds = meta[meta["feed_url"] != ""][["domain", "feed_url"]]
+
+    def plan(b: pd.DataFrame) -> pd.DataFrame:
+        cad, disp = [], []
+        for d in b["domain"]:
+            sub, top = split_domain(d)
+            cad.append(FEED_FETCH_CADENCE.get(top, 0))
+            disp.append(feed_should_skip(sub, top, 0, _FEED_REFRESH_TODAY))
+        out = b.copy()
+        out["cadence"] = pd.Series(cad, index=b.index, dtype="int64")
+        out["disposition"] = disp
+        return out
+
+    out = (
+        rd.from_pandas(feeds.reset_index(drop=True))
+        .map_batches(plan, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("domain").reset_index(drop=True)
+
+
 def _keyword_term_ids(sf_dir: str) -> pd.DataFrame:
     """The reference's 64-bit keyword term id for every indexed word
     (IndexJournalSlopWriter.java:76: hasher.hashKeyword — murmur3
@@ -3506,6 +3546,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nsfw_doc_scores": _nsfw_doc_scores,
         "nsfw_domain_tiers": _nsfw_domain_tiers,
         "feed_items": _feed_items,
+        "feed_refresh_plan": _feed_refresh_plan,
         "hits_domains": _hits_domains,
         "url_canonicalize": _url_canonicalize,
         "recrawl_decisions": _recrawl_decisions,
@@ -6762,6 +6803,66 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN meta m ON m.domain = f.r
             LEFT JOIN idx i ON i.domain = f.r
             ORDER BY query_domain, position
+        """,
+        # feed refresh scheduling: fully SQL-native — Java
+        # String.hashCode folds via list_reduce (31*h + UTF-16 unit,
+        # mod 2^32; fixture domains are ASCII), the EdgeDomain 59-prime
+        # chain, the cadence table, and the hash-synthesized phase.
+        # Domain split simplification valid on this corpus: top = last
+        # two labels (no gov-TLD / IP fixtures).
+        "feed_refresh_plan": f"""
+            WITH feeds AS (
+                SELECT domain, feed_url, split(domain, '.') AS parts
+                FROM read_parquet('{exp}/expected_domain_meta.parquet')
+                WHERE feed_url != ''
+            ),
+            sd AS (
+                SELECT domain, feed_url,
+                       CASE WHEN len(parts) <= 2 THEN ''
+                            ELSE array_to_string(
+                                parts[1:len(parts) - 2], '.') END AS sub,
+                       CASE WHEN len(parts) <= 2 THEN domain
+                            ELSE parts[-2] || '.' || parts[-1] END AS top
+                FROM feeds
+            ),
+            hashed AS (
+                SELECT domain, feed_url, top,
+                       CASE top
+                           WHEN 'wordpress.com' THEN 4
+                           WHEN 'blogspot.com' THEN 4
+                           WHEN 'substack.com' THEN 7
+                           ELSE 0
+                       END AS cadence,
+                       ((
+                          (1 * 59 + CASE WHEN sub = '' THEN 0
+                            ELSE list_reduce(
+                              list_prepend(CAST(0 AS HUGEINT),
+                                list_transform(split(sub, ''),
+                                  c -> CAST(unicode(c) AS HUGEINT))),
+                              (h, c) -> (h * 31 + c) % 4294967296)
+                            END
+                          ) * 59
+                          + CASE WHEN top = '' THEN 0
+                            ELSE list_reduce(
+                              list_prepend(CAST(0 AS HUGEINT),
+                                list_transform(split(top, ''),
+                                  c -> CAST(unicode(c) AS HUGEINT))),
+                              (h, c) -> (h * 31 + c) % 4294967296)
+                            END
+                       ) % 4294967296) % 2147483648 AS phase_h
+                FROM sd
+            )
+            SELECT domain, feed_url, CAST(cadence AS BIGINT) AS cadence,
+                   CASE
+                       WHEN cadence = 0 THEN 'NEVER'
+                       WHEN {_FEED_REFRESH_TODAY} <
+                            ({_FEED_REFRESH_TODAY}
+                             - phase_h % (cadence + 1) + cadence)
+                           THEN 'SKIP_TODAY'
+                       ELSE 'NO_SKIP_TODAY'
+                   END AS disposition
+            FROM hashed
+            ORDER BY domain
         """,
         # feed-item extraction: sequential replica of the parse chain
         # over every discovered feed url.
