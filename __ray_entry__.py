@@ -2740,6 +2740,18 @@ def _doc_rank_deciles(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _corpus_shuffle(sf_dir: str) -> pd.DataFrame:
+    """Deterministic distributed corpus shuffle (the reproducible
+    alternative to random_shuffle before sequence packing): pos =
+    row_number over (md5(doc_id || '|42'), doc_id) — stages/order.py
+    deterministic_shuffle on the global_rank machinery."""
+    from marginaliasearch_ray.stages.order import deterministic_shuffle
+
+    ds = _read_table(sf_dir, "documents", ["doc_id"])
+    out = deterministic_shuffle(ds, id_col="doc_id", seed=42).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _doc_top_per_source(sf_dir: str) -> pd.DataFrame:
     """Per-group top-k (the per-site doc cap of C4/Gopher curation):
     top 3 docs per source by (n_chars DESC, doc_id) with within-group
@@ -3661,6 +3673,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dedup_spans": _doc_dedup_spans,
         "doc_pack_sequences": _doc_pack_sequences,
         "doc_rank_deciles": _doc_rank_deciles,
+        "corpus_shuffle": _corpus_shuffle,
         "doc_top_per_source": _doc_top_per_source,
         "doc_quantiles": _doc_quantiles,
         "vocab_topk": _vocab_topk,
@@ -5510,6 +5523,13 @@ def oracle_sql() -> dict[str, str]:
                        count(*) OVER () AS total
                 FROM documents
             ) ORDER BY doc_id
+        """,
+        "corpus_shuffle": """
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                       ORDER BY md5(CAST(doc_id AS VARCHAR) || '|42'), doc_id
+                   ) AS BIGINT) AS pos
+            FROM documents ORDER BY doc_id
         """,
         "doc_top_per_source": """
             SELECT source, doc_id, n_chars, rn

@@ -180,6 +180,45 @@ def global_rank(
     return keyed.groupby("_bucket").map_groups(rank_group, batch_format="pandas")
 
 
+def deterministic_shuffle(
+    ds: rd.Dataset,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    n_buckets: int = 64,
+) -> rd.Dataset:
+    """Deterministic distributed corpus shuffle -> Dataset(id, pos).
+
+    Before packing a training corpus into sequences the documents must be
+    globally shuffled; at 100 TB a ``random_shuffle`` is neither
+    reproducible across runs nor stable under resharding.  A seeded hash
+    rank is both: ``pos`` = 1-based rank of ``md5(f"{id}|{seed}")`` under
+    the total order (hash, id) — i.e. ``row_number() OVER (ORDER BY
+    md5(id || '|' || seed), id)``.  Rides the exact global_rank
+    machinery, so only narrow (id, 32-char hash) rows ever move and the
+    result is identical at any block layout or parallelism."""
+    import hashlib
+
+    def with_key(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({id_col: [], "_skey": []})
+        ids = b[id_col].to_numpy()
+        keys = np.array(
+            [hashlib.md5(f"{i}|{seed}".encode()).hexdigest() for i in ids],
+            dtype=object,
+        )
+        return pd.DataFrame({id_col: ids, "_skey": keys})
+
+    keyed = ds.map_batches(with_key, batch_format="pandas")
+    ranked = global_rank(keyed, key_col="_skey", id_col=id_col, n_buckets=n_buckets)
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {id_col: b[id_col].to_numpy(), "pos": b["rank"].to_numpy()}
+        )
+
+    return ranked.map_batches(project, batch_format="pandas")
+
+
 def exact_quantiles(
     ds: rd.Dataset,
     key_col: str,

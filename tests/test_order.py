@@ -184,3 +184,28 @@ def test_group_quantiles_vs_pandas_oracle():
         ["grp", "q"]
     ).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_deterministic_shuffle_matches_oracle_and_layouts():
+    import hashlib
+
+    from marginaliasearch_ray.stages.order import deterministic_shuffle
+
+    df = pd.DataFrame({"doc_id": np.arange(500, dtype=np.int64)})
+    exp_keys = [hashlib.md5(f"{i}|7".encode()).hexdigest() for i in df["doc_id"]]
+    exp = (
+        pd.DataFrame({"doc_id": df["doc_id"], "k": exp_keys})
+        .sort_values(["k", "doc_id"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    exp = pd.DataFrame(
+        {"doc_id": exp["doc_id"], "pos": np.arange(1, 501, dtype=np.int64)}
+    ).sort_values("doc_id").reset_index(drop=True)
+
+    for parts in (1, 7, 23):
+        ds = rd.from_pandas(df).repartition(parts)
+        got = (
+            deterministic_shuffle(ds, id_col="doc_id", seed=7, n_buckets=8)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
