@@ -2593,6 +2593,17 @@ def _doc_lm_scores(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _doc_compressibility(sf_dir: str) -> pd.DataFrame:
+    """Compression-ratio repetition signal (stages/clean.py
+    compressibility): deflate ratio per document, 'drop' verdict for
+    repetitive text; sequential single-threaded replica oracle."""
+    from marginaliasearch_ray.stages.clean import compressibility
+
+    ds = _read_table(sf_dir, "documents", ["doc_id", "text"])
+    out = compressibility(ds).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _curate_pipeline(sf_dir: str) -> pd.DataFrame:
     """End-to-end curation: Gopher gate -> minhash-cluster canonical
     keep -> stratified sample -> sequence packing, one lazy pipeline
@@ -3667,6 +3678,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_lines": _boilerplate_lines,
         "doc_quality_score": _doc_quality_score,
         "doc_lm_scores": _doc_lm_scores,
+        "doc_compressibility": _doc_compressibility,
         "doc_normalize": _doc_normalize,
         "doc_line_dedup": _doc_line_dedup,
         "bloom_membership": _bloom_membership,
@@ -5904,6 +5916,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, cluster, keep
             FROM read_parquet('{exp}/expected_semdedup.parquet')
             ORDER BY vec_id
+        """,
+        "doc_compressibility": f"""
+            SELECT doc_id, raw_len, comp_len, ratio, verdict
+            FROM read_parquet('{exp}/expected_compress.parquet')
+            ORDER BY doc_id
         """,
         # ---------------- crawl engine: sequential-oracle fixtures ----------------
         "crawl_records": f"""

@@ -41,7 +41,7 @@ from .cache import FIXTURE_VERSION, config_for, fixture_dir_for
 
 EXPECTED_ROOT = "/tmp/graft_expected"
 # bump when ORACLE LOGIC changes without a fixture-generator change
-EXPECTED_VERSION = 29
+EXPECTED_VERSION = 30
 
 
 def expected_dir_for(sf_dir: str) -> str:
@@ -67,8 +67,44 @@ def expected_dir_for(sf_dir: str) -> str:
         _build_fullrank_expected(fix, out)
         _build_nsfw_expected(sf_dir, out)
         _build_feeditems_expected(fix, out)
+        _build_compress_expected(sf_dir, out)
         done.touch()
     return str(out)
+
+
+def _build_compress_expected(sf_dir: str, out: Path) -> None:
+    """Sequential replica of stages.clean.compressibility: a plain
+    single-threaded loop over documents.parquet in file order — same
+    zlib level-6 spec, none of the distributed machinery."""
+    import zlib
+
+    from ..stages.clean import COMPRESS_DROP_BELOW, COMPRESS_MIN_LEN
+
+    docs_path = Path(sf_dir) / "documents.parquet"
+    if not docs_path.exists():
+        return
+    docs = pq.read_table(docs_path, columns=["doc_id", "text"])
+    rows = []
+    for i, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        bs = (t or "").encode("utf-8")
+        raw, comp = len(bs), len(zlib.compress(bs, 6))
+        ratio = comp / max(raw, 1)
+        verdict = (
+            "drop"
+            if raw >= COMPRESS_MIN_LEN and ratio < COMPRESS_DROP_BELOW
+            else "keep"
+        )
+        rows.append((i, raw, comp, ratio, verdict))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "raw_len": pa.array([r[1] for r in rows], pa.int64()),
+            "comp_len": pa.array([r[2] for r in rows], pa.int64()),
+            "ratio": pa.array([r[3] for r in rows], pa.float64()),
+            "verdict": pa.array([r[4] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(tbl, out / "expected_compress.parquet")
 
 
 def _build_feeditems_expected(fix: Path, out: Path) -> None:

@@ -611,6 +611,65 @@ def url_quality_filter(
 BADWORDS_FRAC_THRESHOLD = 0.04
 
 
+COMPRESS_DROP_BELOW = 0.45  # zlib ratio under this = repetitive boilerplate
+COMPRESS_MIN_LEN = 64  # bytes; shorter docs are exempt (header overhead)
+
+
+def compressibility(
+    ds: rd.Dataset,
+    drop_below: float = COMPRESS_DROP_BELOW,
+    min_len: int = COMPRESS_MIN_LEN,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Compression-ratio repetition signal -> (id, raw_len, comp_len,
+    ratio, verdict).
+
+    Highly repetitive machine-generated text (keyword stuffing, template
+    spam, log dumps) compresses far better than natural prose — the
+    deflate ratio is the standard cheap whole-document repetition
+    detector in public web-corpus pipelines (used alongside the Gopher
+    n-gram repetition rules; see RefinedWeb, Penedo et al. 2023 §3.1).
+    Exact spec (the sequential oracle replays it byte-for-byte):
+
+    - ``raw_len``  = len(utf-8 bytes of text);
+    - ``comp_len`` = len(zlib.compress(bytes, level=6)) — zlib output is
+      deterministic for a fixed level and library;
+    - ``ratio``    = comp_len / max(raw_len, 1) (same integer operands on
+      both sides, bit-identical IEEE division);
+    - ``verdict``  = 'drop' when raw_len >= min_len and ratio < drop_below
+      else 'keep' (short docs are exempt: the ~11-byte deflate header
+      dominates their ratio).
+
+    Scale shape: stateless ``map_batches``, one streaming pass, no
+    shuffle.  The per-doc ``zlib.compress`` is C-speed compute (not a
+    Python hot loop over tokens) and parallelizes across blocks."""
+    import zlib
+
+    def judge(b: pd.DataFrame) -> pd.DataFrame:
+        texts = b[text_col].fillna("").to_numpy()
+        raw = np.empty(len(texts), dtype=np.int64)
+        comp = np.empty(len(texts), dtype=np.int64)
+        for i, s in enumerate(texts):
+            bs = s.encode("utf-8")
+            raw[i] = len(bs)
+            comp[i] = len(zlib.compress(bs, 6))
+        ratio = comp.astype(np.float64) / np.maximum(raw, 1).astype(np.float64)
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy(),
+                "raw_len": raw,
+                "comp_len": comp,
+                "ratio": ratio,
+                "verdict": np.where(
+                    (raw >= min_len) & (ratio < drop_below), "drop", "keep"
+                ),
+            }
+        )
+
+    return ds.map_batches(judge, batch_format="pandas")
+
+
 def badwords_filter(
     ds: rd.Dataset,
     banned: frozenset[str] | set[str] | tuple[str, ...],

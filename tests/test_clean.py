@@ -465,3 +465,43 @@ class TestBadwordsFilter:
         ).df()
         assert list(out["n_tokens"]) == list(ref["n_tokens"])
         assert list(out["n_bad"]) == list(ref["n_bad"])
+
+
+class TestCompressibility:
+    def _run(self, texts):
+        from marginaliasearch_ray.stages.clean import compressibility
+
+        ds = rd.from_pandas(
+            pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        ).repartition(3)
+        return (
+            compressibility(ds)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    def test_matches_sequential_replica(self, ray_session):
+        import zlib
+
+        texts = [
+            "spam " * 200,                      # repetitive -> drop
+            "x",                                # short -> exempt, keep
+            "",                                 # empty -> keep
+            "the quick brown fox " * 3 + "jumped over many unique words indeed",
+            "ümläut 文字 " * 50,  # multibyte utf-8
+        ]
+        out = self._run(texts)
+        for i, t in enumerate(texts):
+            bs = t.encode("utf-8")
+            raw, comp = len(bs), len(zlib.compress(bs, 6))
+            row = out.iloc[i]
+            assert row["raw_len"] == raw and row["comp_len"] == comp
+            assert row["ratio"] == comp / max(raw, 1)
+        assert out.iloc[0]["verdict"] == "drop"
+        assert out.iloc[1]["verdict"] == "keep"
+        assert out.iloc[2]["verdict"] == "keep"
+
+    def test_short_repetitive_doc_exempt(self, ray_session):
+        out = self._run(["ab " * 20])  # 60 bytes < min_len 64
+        assert out.iloc[0]["verdict"] == "keep"

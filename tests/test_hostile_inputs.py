@@ -444,3 +444,16 @@ class TestHostileNewFamilies:
         one = rd.from_pandas(pd.DataFrame({"n_chars": [7, 7, 7]}))
         o = hist_quantiles(one, "n_chars", qs=(0.25, 0.99))
         assert (o["est_lo"] == 7).all() and (o["est_hi"] == 7).all()
+
+    def test_compressibility_survives(self, ray_session):
+        from marginaliasearch_ray.stages.clean import compressibility
+
+        out = compressibility(self._docs()).to_pandas()
+        assert len(out) == len(self.HOSTILE)
+        assert set(out.columns) == {
+            "doc_id", "raw_len", "comp_len", "ratio", "verdict",
+        }
+        # the "word " * 5000 doc is maximally repetitive -> drop
+        assert (out["verdict"] == "drop").any()
+        # None text -> raw_len 0, ratio = comp_len/1, keep
+        assert (out["raw_len"] == 0).any()
