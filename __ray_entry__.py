@@ -957,6 +957,39 @@ def _feed_items(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["domain", "position"]).reset_index(drop=True)
 
 
+def _dom_classifications(sf_dir: str) -> pd.DataFrame:
+    """DOM-sample classification (converting-process/ft-dom-classifier):
+    DomSampleClassifier.classifySample over each sampled domain's
+    rendered overlay + outgoing request list (popover probe, third-party
+    top-domain rule, request-classifier.xml decision order), plus
+    DocumentValuator.getQuality(classifications).  One stateless map over
+    the samples table; only narrow (domain, mask) rows return."""
+    import ray.data as rd
+
+    from marginaliasearch_ray.fixtures.cache import fixture_dir_for
+    from marginaliasearch_ray.functions.domclassifier import (
+        clf_from_mask,
+        sample_quality,
+    )
+    from marginaliasearch_ray.pipelines.convert import _classify_samples_batch
+
+    fix = fixture_dir_for(sf_dir)
+    rows = (
+        rd.read_parquet(f"{fix}/dom_samples.parquet")
+        .map_batches(_classify_samples_batch, batch_format="pyarrow")
+        .to_pandas()
+    )
+    clfs = [clf_from_mask(int(m)) for m in rows["clf_mask"]]
+    out = pd.DataFrame(
+        {
+            "domain": rows["domain"],
+            "classifications": [",".join(sorted(c)) for c in clfs],
+            "sample_quality": [sample_quality(c) for c in clfs],
+        }
+    )
+    return out.sort_values("domain").reset_index(drop=True)
+
+
 def _nsfw_doc_scores(sf_dir: str) -> pd.DataFrame:
     """NSFW document classifier (functions/nsfw-filter
     NsfwDocumentFilter.java + classifier-net BinaryClassifierModel /
@@ -3569,6 +3602,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nsfw_doc_scores": _nsfw_doc_scores,
         "nsfw_domain_tiers": _nsfw_domain_tiers,
         "feed_items": _feed_items,
+        "dom_classifications": _dom_classifications,
         "feed_refresh_plan": _feed_refresh_plan,
         "hits_domains": _hits_domains,
         "url_canonicalize": _url_canonicalize,
@@ -6908,6 +6942,13 @@ def oracle_sql() -> dict[str, str]:
                    url
             FROM read_parquet('{exp}/expected_feeditems.parquet')
             ORDER BY domain, position
+        """,
+        # DOM-sample classification: sequential replica of the
+        # request-classifier decision order + popover probe per domain.
+        "dom_classifications": f"""
+            SELECT domain, classifications, sample_quality
+            FROM read_parquet('{exp}/expected_domclf.parquet')
+            ORDER BY domain
         """,
         # NSFW document classifier: sequential replica of the full
         # vocab -> synth corpus -> seeded-SGD -> score chain.

@@ -41,7 +41,7 @@ from .cache import FIXTURE_VERSION, config_for, fixture_dir_for
 
 EXPECTED_ROOT = "/tmp/graft_expected"
 # bump when ORACLE LOGIC changes without a fixture-generator change
-EXPECTED_VERSION = 30
+EXPECTED_VERSION = 31
 
 
 def expected_dir_for(sf_dir: str) -> str:
@@ -68,6 +68,7 @@ def expected_dir_for(sf_dir: str) -> str:
         _build_nsfw_expected(sf_dir, out)
         _build_feeditems_expected(fix, out)
         _build_compress_expected(sf_dir, out)
+        _build_domclf_expected(fix, out)
         done.touch()
     return str(out)
 
@@ -655,6 +656,50 @@ def _build_pagerank_expected(fix: Path, out: Path) -> None:
 # ---------------------------------------------------------------------------
 
 
+def _domclf_map(fix: Path) -> dict:
+    """Sequential DOM-sample classification (DomSampleClassifier
+    .classifySample per sampled domain) — the per-domain frozenset map the
+    converter replica and the domclf expected table share."""
+    from ..functions.domclassifier import classify_sample
+
+    path = fix / "dom_samples.parquet"
+    if not path.exists():
+        return {}
+    t = pq.read_table(path)
+    return {
+        t["domain"][i].as_py(): classify_sample(
+            t["domain"][i].as_py(),
+            t["html"][i].as_py(),
+            bool(t["accepted_popover"][i].as_py()),
+            t["requests"][i].as_py() or [],
+        )
+        for i in range(t.num_rows)
+    }
+
+
+def _build_domclf_expected(fix: Path, out: Path) -> None:
+    """expected_domclf: one row per SAMPLED domain — the classification
+    set (sorted, comma-joined) and the DocumentValuator sample quality."""
+    from ..functions.domclassifier import sample_quality
+
+    clf_map = _domclf_map(fix)
+    domains = sorted(clf_map)
+    pq.write_table(
+        pa.table(
+            {
+                "domain": pa.array(domains, pa.string()),
+                "classifications": pa.array(
+                    [",".join(sorted(clf_map[d])) for d in domains], pa.string()
+                ),
+                "sample_quality": pa.array(
+                    [sample_quality(clf_map[d]) for d in domains], pa.float64()
+                ),
+            }
+        ),
+        out / "expected_domclf.parquet",
+    )
+
+
 def _build_convert_expected(fix: Path, out: Path) -> None:
     """Sequential converter: per-domain url-ordered loop with the
     reference's LshDocumentDeduplicator chain (early-return-before-add),
@@ -684,6 +729,11 @@ def _build_convert_expected(fix: Path, out: Path) -> None:
         u = parse_url(pages["url"][i].as_py())
         if u is not None:
             by_domain.setdefault(u.host, []).append(i)
+    # per-domain DOM-sample classifications (DomainProcessor.java:129):
+    # quality override inside the html plugin, feature bits post-dedup
+    from ..functions.domclassifier import UNSAMPLED, clf_feature_bits
+
+    clf_map = _domclf_map(fix)
 
     rows = {
         "url": [], "domain": [], "title": [], "length": [], "quality": [],
@@ -753,7 +803,12 @@ def _build_convert_expected(fix: Path, out: Path) -> None:
                     # the EXACT per-document function the engine runs —
                     # specialization prune / title / summary / pubdate
                     # included by construction
-                    r.update(process_html_document(u, url, html, decode_body(html, charset)))
+                    r.update(
+                        process_html_document(
+                            u, url, html, decode_body(html, charset),
+                            dom_clf=clf_map.get(domain),
+                        )
+                    )
                 else:
                     r["state"] = "not_html"
             docs.append((url, r))
@@ -786,9 +841,15 @@ def _build_convert_expected(fix: Path, out: Path) -> None:
             rows["spec"].append(r["spec"])
             rows["amended_words"].append(r["amended_words"])
             rows["has_cookies"].append(cookie_jar)
-            rows["features"].append(
-                r["features"] | (F_COOKIES if cookie_jar and r["state"] == "ok" else 0)
+            feats = r["features"] | (
+                F_COOKIES if cookie_jar and r["state"] == "ok" else 0
             )
+            # DomainProcessor.java:158-163: classification bits for OK,
+            # non-duplicate docs (near-dups were already disqualified
+            # before the forEach upstream)
+            if r["state"] == "ok" and not is_dup:
+                feats |= clf_feature_bits(clf_map.get(domain, UNSAMPLED))
+            rows["features"].append(feats)
             rows["state"].append(r["state"])
             rows["doc_meta"].append(r["doc_meta"])
             rows["doc_hash"].append(r["doc_hash"])

@@ -1096,6 +1096,83 @@ def generate_web(cfg: WebConfig, parallel: bool = False) -> dict:
     }
 
 
+# outgoing-request pool for DOM samples: each template exercises a
+# different tier of the request-classifier decision order ({host} = the
+# sampled domain itself — same-top-domain requests never add 3PR)
+_DOM_SAMPLE_REQUESTS = (
+    "https://{host}/assets/app.js",                          # benign, same domain
+    "https://{host}/pixel.gif",                              # regex tracking, same domain
+    "https://{host}/123.js",                                 # regex ^/[0-9]+\\.js$ tracking
+    "https://cdn.static-mirror.net/lib/jquery.min.js",       # benign third party -> 3PR only
+    "https://stats.g.doubleclick.net/j/collect",             # full-domain tracking
+    "https://securepubads.g.doubleclick.net/tag/js/gpt.js",  # exact-url tracking (shadows domain ads)
+    "https://pagead2.googlesyndication.com/pagead/js/adsbygoogle.js",  # regex /pagead/ ads
+    "https://www.googletagmanager.com/gtm.js",               # top-domain tracking
+    "https://z-na.amazon-adsystem.com/widgets/onejs",        # exact-url tracking (shadows top ads)
+    "https://ep2.adtrafficquality.google/getconfig/sodar",   # top-domain ads (.google TLD)
+    "https://consentcdn.onetrust.com/sdk.js",                # top-domain consent
+    "https://fundingchoicesmessages.google.com/i/pub-1234",  # inert top rule -> google.com tracking
+    "https://img.example-gallery.org/photos/a.jpeg",         # benign third party -> 3PR only
+)
+
+# fixed-position overlay variants for the POPOVER DOM probe
+_DOM_SAMPLE_OVERLAYS = (
+    "",  # no fixed element at all
+    "<div data-position=\"fixed\" class=\"nav\">site navigation menu</div>",
+    "<div data-position=\"fixed\" id=\"cmp\">We value your privacy — "
+    "manage Cookie preferences and GDPR consent here</div>",
+    "<div data-position=\"fixed\">Subscribe to our weekly newsletter</div>",
+    "<div data-position=\"FIXED\">Cookie notice in a shouting attribute</div>",
+)
+
+
+def generate_dom_samples(pages: pa.Table) -> pa.Table:
+    """Per-domain browser DOM samples (the DomSampleService capture the
+    converter's ft-dom-classifier consumes): rendered-overlay HTML, the
+    sampler's accepted-popover flag, and the page's outgoing request
+    URLs.  Deterministic per-host stream (``random.Random(f"domsample|
+    {host}")``) independent of every other fixture stream; ~65% of hosts
+    carry a sample so both the classified path and the
+    MISSING_DOM_SAMPLE no-sample path are exercised."""
+    from ..model.urls import parse_url
+
+    hosts = sorted(
+        {
+            u.host
+            for s in pages.column("url").to_pylist()
+            if (u := parse_url(s)) is not None
+        }
+    )
+    rows = []
+    for host in hosts:
+        rng = random.Random(f"domsample|{host}")
+        if rng.random() >= 0.65:
+            continue  # unsampled domain
+        accepted_popover = rng.random() < 0.15
+        overlay = rng.choice(_DOM_SAMPLE_OVERLAYS)
+        html = (
+            "<html><head><title>rendered sample</title></head><body>"
+            f"{overlay}<main><p>rendered page body for {host}</p></main>"
+            "</body></html>"
+        )
+        n_req = rng.randint(0, 6)
+        reqs = [
+            rng.choice(_DOM_SAMPLE_REQUESTS).format(host=host)
+            for _ in range(n_req)
+        ]
+        if rng.random() < 0.05:
+            reqs.append("http://[::1/x")  # unparseable -> skipped on both sides
+        rows.append((host, accepted_popover, html, reqs))
+    return pa.table(
+        {
+            "domain": pa.array([r[0] for r in rows], pa.string()),
+            "accepted_popover": pa.array([r[1] for r in rows], pa.bool_()),
+            "html": pa.array([r[2] for r in rows], pa.string()),
+            "requests": pa.array([r[3] for r in rows], pa.list_(pa.string())),
+        }
+    )
+
+
 def generate_prev_crawl(pages: pa.Table, seed: int = 42) -> pa.Table:
     """F5: previous-crawl table — 70% identical bodies (304/LSH-same path),
     20% mutated, 10% missing."""
@@ -1161,6 +1238,7 @@ def write_fixtures(
     out.mkdir(parents=True, exist_ok=True)
     tables = generate_web(cfg, parallel=parallel)
     tables["prev_crawl"] = generate_prev_crawl(tables["pages"], cfg.seed)
+    tables["dom_samples"] = generate_dom_samples(tables["pages"])
     for name, tbl in tables.items():
         # small row groups: targeted reads (sitemap bootstrap, probes) can
         # prune to a few row groups instead of decompressing the file

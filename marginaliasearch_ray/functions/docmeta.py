@@ -525,6 +525,9 @@ F_ROBOTS_NOYDIR = 1 << 49
 F_DOFOLLOW_LINK = 1 << 50
 F_APPLE_TOUCH_ICON = 1 << 51
 F_S3 = 1 << 52
+F_MISSING_DOM_SAMPLE = 1 << 53  # special:nosample (DomSampleClassification.UNCLASSIFIED)
+F_UNKNOWN = 1 << 54
+F_CATEGORY_NSFW = 1 << 55
 
 # FeatureExtractor.java:28-69 tracker lists (published constants)
 _INNOCENT_TRACKERS = ("twitter.com", "bing.com", "msn.com", "mail.ru/counter")

@@ -77,7 +77,8 @@ _LISTING_PATH_SEGMENTS = (
 
 
 def process_html_document(
-    u, url_str: str, html: str, decoded: str, keep_dom: bool = False
+    u, url_str: str, html: str, decoded: str, keep_dom: bool = False,
+    dom_clf=None,
 ) -> dict:
     """Per-document HTML processing, shared verbatim by the distributed
     engine (process_pages_batch) and the sequential conformance oracle
@@ -110,7 +111,14 @@ def process_html_document(
     get_summary's walk restores its edits (undo-filter, regression-
     tested against the former defensive clone), so the returned tree is
     exactly the post-``spec.prune`` state.  Never set from the batch
-    converter: DOM objects must not enter Arrow blocks."""
+    converter: DOM objects must not enter Arrow blocks.
+
+    ``dom_clf`` is the domain's DOM-sample classification set (a
+    frozenset of functions/domclassifier.CLASSIFICATIONS names, or None
+    when the domain has no sample).  A sampled domain takes
+    DocumentValuator.getQuality(classifications) INSTEAD of the
+    content-derived quality (HtmlDocumentProcessorPlugin.java:135-140);
+    the classification feature bits land later, post-dedup."""
     doc = parse_document(decoded, build_dom=True)
     out = {
         "state": "ok", "title": "", "text": "", "length": 0, "n_words": 0,
@@ -134,9 +142,17 @@ def process_html_document(
         return out
     out["length"] = len(doc.text)
     out["features"] = detect_features(doc, u.path)
-    out["quality"] = adjust_quality(
-        document_quality(doc, len(doc.text), len(html)), out["features"]
-    )
+    # base quality: content-derived, unless the domain has a DOM sample —
+    # then DocumentValuator.getQuality(classifications) replaces it
+    # wholesale (HtmlDocumentProcessorPlugin.java:135-140; a clean sample
+    # scores 0); adjustQuality applies either way
+    if dom_clf is None or "unclassified" in dom_clf:
+        base_quality = document_quality(doc, len(doc.text), len(html))
+    else:
+        from ..functions.domclassifier import sample_quality
+
+        base_quality = sample_quality(dom_clf)
+    out["quality"] = adjust_quality(base_quality, out["features"])
     # isDisqualified (HtmlDocumentProcessorPlugin.java:225-263): leaked
     # phpinfo pages, Mastodon-style /@user feeds, and trailing-slash
     # tag/category/section listing pages; checked on the RAW title,
@@ -190,14 +206,19 @@ def process_html_document(
     return out
 
 
-def process_pages_batch(batch: pa.Table) -> pa.Table:
+def process_pages_batch(batch: pa.Table, clf_ref=None) -> pa.Table:
     """Stateless per-batch document processing (the converter hot loop).
 
     Content-type dispatch mirrors DocumentProcessor.java:49-60: html ->
     HtmlDocumentProcessorPlugin, text/plain ->
     PlainTextDocumentProcessorPlugin (functions.plaintext), everything
     else is dropped as ``not_html``; 301 rows (when the input carries a
-    ``status`` column) are ``redirect``."""
+    ``status`` column) are ``redirect``.
+
+    ``clf_ref`` (optional): ``ray.put`` handle to the per-domain
+    DOM-sample classification bitmask map — broadcast once, node-local
+    zero-copy reads per task; feeds the sampled-domain quality override
+    in process_html_document."""
     from ..functions.plaintext import (
         FIRST_N_LINES,
         PLAIN_TEXT_PUB_YEAR,
@@ -205,6 +226,21 @@ def process_pages_batch(batch: pa.Table) -> pa.Table:
         plain_text_description,
         plain_text_title,
     )
+
+    from ..functions.domclassifier import clf_from_mask
+
+    clf_masks: dict = {}
+    if clf_ref is not None:
+        clf_masks = ray.get(clf_ref)
+    _clf_memo: dict = {}
+
+    def _clf_for(host: str):
+        got = _clf_memo.get(host)
+        if got is None:
+            m = clf_masks.get(host)
+            got = (clf_from_mask(m) if m is not None else None,)
+            _clf_memo[host] = got
+        return got[0]
 
     urls = batch.column("url").to_pylist()
     htmls = batch.column("html").to_pylist()
@@ -305,7 +341,7 @@ def process_pages_batch(batch: pa.Table) -> pa.Table:
         decoded = decode_body(html, charset)
         # full plugin chain incl. specialization prune / title / summary /
         # HIGH-effort pubdate — shared with the sequential oracle
-        r = process_html_document(u, u_s, html, decoded)
+        r = process_html_document(u, u_s, html, decoded, dom_clf=_clf_for(u.host))
         state[i] = r["state"]
         title[i] = r["title"]
         text[i] = r["text"]
@@ -365,6 +401,29 @@ def process_pages_batch(batch: pa.Table) -> pa.Table:
     return out
 
 
+def _classify_samples_batch(batch: pa.Table) -> pa.Table:
+    """DOM-sample classification map stage: one row per sampled domain in,
+    narrow (domain, clf_mask) out — the browser-capture payloads (html +
+    request list) never leave this task (DomSampleClassifier.classifySample
+    per domain)."""
+    from ..functions.domclassifier import classify_sample, clf_mask
+
+    domains = batch.column("domain").to_pylist()
+    popovers = batch.column("accepted_popover").to_pylist()
+    htmls = batch.column("html").to_pylist()
+    requests = batch.column("requests").to_pylist()
+    masks = [
+        clf_mask(classify_sample(d, h, bool(p), r or []))
+        for d, p, h, r in zip(domains, popovers, htmls, requests)
+    ]
+    return pa.table(
+        {
+            "domain": pa.array(domains, pa.string()),
+            "clf_mask": pa.array(masks, pa.int32()),
+        }
+    )
+
+
 # Reference ConverterMain.java:56 SIDELOAD_THRESHOLD: domains with >= 2500
 # docs take the simpleProcessing track (DomainProcessor.java:195-199) which
 # "does not perform any domain-level analysis" — so no LSH dedup.  The same
@@ -414,7 +473,13 @@ def _flag_near_dups(batch: pa.Table, dup_ref) -> pa.Table:
     the same per-domain URL order the dedup chain uses)."""
     import ray
 
-    dups, first_cookie = ray.get(dup_ref)
+    from ..functions.domclassifier import (
+        UNSAMPLED,
+        clf_feature_bits,
+        clf_from_mask,
+    )
+
+    dups, first_cookie, clf_masks = ray.get(dup_ref)
     urls = batch.column("url").to_pylist()
     domains = batch.column("domain").to_pylist()
     flags = np.fromiter((u in dups for u in urls), dtype=bool, count=len(urls))
@@ -434,7 +499,26 @@ def _flag_near_dups(batch: pa.Table, dup_ref) -> pa.Table:
     # untouched (adjustQuality already ran inside the plugin)
     states = np.asarray(batch.column("state").to_pylist())
     feats = batch.column("features").to_numpy(zero_copy_only=False).copy()
-    feats[ck & (states == "ok")] |= F_COOKIES
+    ok = states == "ok"
+    feats[ck & ok] |= F_COOKIES
+    # DOM-sample classification bits: the DomainProcessor forEach
+    # (DomainProcessor.java:158-163) runs AFTER near-dup disqualification
+    # and only for OK documents; an unsampled domain classifies as
+    # {UNCLASSIFIED} -> MISSING_DOM_SAMPLE (special:nosample)
+    bits_memo: dict = {}
+
+    def _bits(host: str) -> int:
+        b = bits_memo.get(host)
+        if b is None:
+            m = clf_masks.get(host)
+            b = clf_feature_bits(clf_from_mask(m) if m is not None else UNSAMPLED)
+            bits_memo[host] = b
+        return b
+
+    eligible = ok & ~flags
+    if eligible.any():
+        add = np.fromiter((_bits(d) for d in domains), dtype=np.int64, count=len(domains))
+        feats[eligible] |= add[eligible]
     i = batch.schema.get_field_index("features")
     return batch.set_column(i, "features", pa.array(feats, pa.int64()))
 
@@ -446,6 +530,7 @@ def convert_pages(
     dedup: bool = True,
     batch_size: int = 512,
     num_blocks: Optional[int] = None,
+    dom_samples_path: Optional[str] = "auto",
 ) -> rd.Dataset:
     """Full converter pipeline; returns (and optionally writes) the
     processed-document Dataset.
@@ -468,8 +553,36 @@ def convert_pages(
     fans out across the whole CPU pool (default: 1 per CPU — measured
     fastest at 32 cpus on the sf0.1 corpus: 7.9 s vs 9.3 s at 4x; the
     extract cost is uniform per row, so work-stealing slack buys nothing
-    here, and at real scale the input is many shard files anyway)."""
+    here, and at real scale the input is many shard files anyway).
+
+    ``dom_samples_path``: per-domain DOM-sample table (domain,
+    accepted_popover, html, requests) — "auto" looks for a sibling
+    ``dom_samples.parquet`` next to the pages table.  Samples classify
+    distributed (one map over the table, only narrow (domain, bitmask)
+    rows return) and the mask map broadcasts via ``ray.put`` — one int
+    per sampled domain, the same O(#domains) envelope as the
+    first-cookie map.  Domains without a sample model the reference's
+    no-sample deployment: content quality + MISSING_DOM_SAMPLE."""
+    import os
+
     import ray
+
+    if dom_samples_path == "auto":
+        cand = os.path.join(
+            os.path.dirname(str(pages_path).rstrip("/")), "dom_samples.parquet"
+        )
+        dom_samples_path = cand if os.path.exists(cand) else None
+    clf_masks: dict = {}
+    if dom_samples_path:
+        clf_rows = (
+            rd.read_parquet(dom_samples_path)
+            .map_batches(_classify_samples_batch, batch_format="pyarrow")
+            .to_pandas()
+        )
+        clf_masks = dict(
+            zip(clf_rows["domain"].tolist(), clf_rows["clf_mask"].tolist())
+        )
+    clf_ref = ray.put(clf_masks)
 
     if num_blocks is None:
         num_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)))
@@ -490,7 +603,10 @@ def convert_pages(
         pages_path, columns=columns, override_num_blocks=num_blocks
     )
     ds = ds.map_batches(
-        process_pages_batch, batch_format="pyarrow", batch_size=batch_size
+        process_pages_batch,
+        fn_kwargs={"clf_ref": clf_ref},
+        batch_format="pyarrow",
+        batch_size=batch_size,
     )
     if not dedup:
         if out_dir:
@@ -550,7 +666,7 @@ def convert_pages(
     first_cookie_map = {}
     for _, fc in part_results:
         first_cookie_map.update(fc)  # domains never split across parts
-    dup_ref = ray.put((dup_set, first_cookie_map))
+    dup_ref = ray.put((dup_set, first_cookie_map, clf_masks))
     out = mat.map_batches(
         _flag_near_dups,
         fn_kwargs={"dup_ref": dup_ref},
