@@ -3101,8 +3101,31 @@ def _keyword_index_ds(sf_dir: str):
     dup_tbl = conv.select_columns(["url", "is_near_dup"]).to_pandas()
     dups = frozenset(dup_tbl.loc[dup_tbl["is_near_dup"], "url"])
     dup_ref = ray.put(dups)
+    # DOM-sample classification masks: the index journal carries the
+    # post-classification document (quality override + forEach bits)
+    import os
+
+    import ray.data as rd
+
+    from marginaliasearch_ray.pipelines.convert import _classify_samples_batch
+
+    clf_masks = {}
+    samples_path = f"{fix}/dom_samples.parquet"
+    if os.path.exists(samples_path):
+        clf_rows = (
+            rd.read_parquet(samples_path)
+            .map_batches(_classify_samples_batch, batch_format="pyarrow")
+            .to_pandas()
+        )
+        clf_masks = dict(
+            zip(clf_rows["domain"].tolist(), clf_rows["clf_mask"].tolist())
+        )
+    clf_ref = ray.put(clf_masks)
     ds = keyword_index(
-        f"{fix}/pages.parquet", link_texts_ref=lt_ref, dup_urls_ref=dup_ref
+        f"{fix}/pages.parquet",
+        link_texts_ref=lt_ref,
+        dup_urls_ref=dup_ref,
+        clf_ref=clf_ref,
     ).materialize()
     _KEYWORD_INDEX_CACHE[sf_dir] = ds
     return ds

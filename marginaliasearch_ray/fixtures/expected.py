@@ -41,7 +41,7 @@ from .cache import FIXTURE_VERSION, config_for, fixture_dir_for
 
 EXPECTED_ROOT = "/tmp/graft_expected"
 # bump when ORACLE LOGIC changes without a fixture-generator change
-EXPECTED_VERSION = 31
+EXPECTED_VERSION = 32
 
 
 def expected_dir_for(sf_dir: str) -> str:
@@ -1531,6 +1531,9 @@ def _build_fullrank_expected(fix: Path, out: Path) -> None:
     }
     pages = pq.read_table(fix / "pages.parquet")
     has_ab = "x_adblock_key" in pages.column_names
+    # the index journal's post-classification view (DomainProcessor
+    # forEach + sample-quality metadata) — same map the converter uses
+    clf_map = _domclf_map(fix)
     idx_rows: list[dict] = []
     for i in range(pages.num_rows):
         url = pages["url"][i].as_py()
@@ -1542,6 +1545,7 @@ def _build_fullrank_expected(fix: Path, out: Path) -> None:
             pages["status"][i].as_py(),
             pages["x_adblock_key"][i].as_py() if has_ab else None,
             lt.get(url),
+            dom_clf_map=clf_map,
         )
         if state == "ok":
             idx_rows.append(row)

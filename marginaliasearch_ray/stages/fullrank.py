@@ -114,7 +114,8 @@ _SINGLE_LINK_TEXT_PARTIAL = 0.5
 # ---------------------------------------------------------------------------
 
 
-def page_keywords(url_str: str, html, status, x_adblock, link_texts):
+def page_keywords(url_str: str, html, status, x_adblock, link_texts,
+                  dom_clf_map=None):
     """Per-page dispatch + keyword/span projection, mirroring
     pipelines/convert.process_pages_batch's plugin dispatch
     (DocumentProcessor.java:49-60) and then the
@@ -127,7 +128,17 @@ def page_keywords(url_str: str, html, status, x_adblock, link_texts):
 
     Returns ``(state, row | None)`` where row carries the projection
     plus the ranking inputs (doc_meta, features, title).  Shared by the
-    distributed stage and the sequential oracle replica."""
+    distributed stage and the sequential oracle replica.
+
+    ``dom_clf_map`` (host -> classification frozenset): the DOM-sample
+    map.  The index journal carries the POST-classification document —
+    the sample quality replaces the content quality inside the metadata
+    word (HtmlDocumentProcessorPlugin.java:135-140) and the returned OK
+    row's ``features`` include the classification bits the DomainProcessor
+    forEach adds before loading (DomainProcessor.java:158-163; the caller
+    excludes near-dups before this projection, matching the forEach's
+    isOk gate).  No map = the no-sample deployment: MISSING_DOM_SAMPLE
+    on every indexed doc."""
     from ..functions.contenttype import decode_body, sniff_content_type
     from ..functions.dom import tagged_frames
     from ..functions.plaintext import (
@@ -143,6 +154,7 @@ def page_keywords(url_str: str, html, status, x_adblock, link_texts):
     u = parse_url(url_str)
     if u is None or html is None:
         return "bad_url", None
+    dom_clf = dom_clf_map.get(u.host) if dom_clf_map else None
     if status == 301:
         return "redirect", None
     if status not in (200, None):
@@ -177,7 +189,9 @@ def page_keywords(url_str: str, html, status, x_adblock, link_texts):
         length = len(pdoc.text)
     elif mime.startswith("text/html") or mime.startswith("application/xhtml"):
         decoded = decode_body(html, charset)
-        r = process_html_document(u, url_str, html, decoded, keep_dom=True)
+        r = process_html_document(
+            u, url_str, html, decoded, keep_dom=True, dom_clf=dom_clf
+        )
         if r["state"] != "ok":
             return r["state"], None
         pruned = r["_pruned"]
@@ -197,13 +211,18 @@ def page_keywords(url_str: str, html, status, x_adblock, link_texts):
         return "not_html", None
     proj = keyword_projection(frames, u.host, u.path, link_texts=link_texts)
     words = sorted(proj["words"])
+    from ..functions.domclassifier import UNSAMPLED, clf_feature_bits
+
     row = {
         "url": url_str,
         "domain": u.host,
         "title": title,
         "size": proj["size"],
         "doc_meta": doc_meta,
-        "features": features,
+        # post-classification view (the loader's): the forEach bits land
+        # on every indexed (OK, non-dup) document
+        "features": features
+        | clf_feature_bits(dom_clf if dom_clf is not None else UNSAMPLED),
         "length": length,
         "words": words,
         "metas": [proj["words"][w][0] for w in words],
@@ -258,12 +277,14 @@ def keyword_index(
     dup_urls_ref=None,
     num_blocks: int | None = None,
     batch_size: int = 256,
+    clf_ref=None,
 ) -> rd.Dataset:
     """Distributed keyword-index construction: one stateless
     ``map_batches`` over the pages store -> doc-major projection rows
     (url, domain, title, size, doc_meta, features, length, words, metas,
     positions, span_tags, span_bounds).  Near-dup urls (the converter's
-    LshDocumentDeduplicator verdicts) and the link-texts map arrive as
+    LshDocumentDeduplicator verdicts), the link-texts map, and the
+    per-domain DOM-sample classification masks (``clf_ref``) arrive as
     broadcasts."""
     if num_blocks is None:
         num_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)))
@@ -276,8 +297,14 @@ def keyword_index(
     ]
 
     def extract(batch: pa.Table) -> pa.Table:
+        from ..functions.domclassifier import clf_from_mask
+
         lt_map = ray.get(link_texts_ref) if link_texts_ref is not None else {}
         dups = ray.get(dup_urls_ref) if dup_urls_ref is not None else frozenset()
+        clf_map = None
+        if clf_ref is not None:
+            masks = ray.get(clf_ref)
+            clf_map = {h: clf_from_mask(m) for h, m in masks.items()}
         urls = batch.column("url").to_pylist()
         htmls = batch.column("html").to_pylist()
         statuses = (
@@ -292,7 +319,9 @@ def keyword_index(
         for url, html, st, ab in zip(urls, htmls, statuses, adblock):
             if url in dups:
                 continue
-            state, row = page_keywords(url, html, st, ab, lt_map.get(url))
+            state, row = page_keywords(
+                url, html, st, ab, lt_map.get(url), dom_clf_map=clf_map
+            )
             if state == "ok":
                 rows.append(row)
         if not rows:
