@@ -3173,13 +3173,36 @@ def _doc_word_flags(sf_dir: str) -> pd.DataFrame:
                     rows["word"].append(w)
                     rows["flags"].append(int(m) & 0xFF)
                     rows["n_pos"].append(len(p))
-                    rows["first_pos"].append(int(p[0]))
+                    # synthetic terms carry no positions
+                    rows["first_pos"].append(int(p[0]) if len(p) else 0)
         out = pd.DataFrame(rows)
         for c in ("flags", "n_pos", "first_pos"):
             out[c] = out[c].astype("int64")
         return out
 
     ds = _keyword_index_ds(sf_dir).select_columns(["url", "words", "metas", "positions"])
+    out = ds.map_batches(explode, batch_format="pandas").to_pandas()
+    return out.sort_values(["url", "word"]).reset_index(drop=True)
+
+
+def _doc_synthetic_terms(sf_dir: str) -> pd.DataFrame:
+    """The synthetic search-term surface per indexed document
+    (functions/synthterms.py): MetaTagsBuilder tag words, FileLinks +
+    links: keywords, DocumentDecorator ip:/as:/academia terms,
+    special:root, and the DOM-sample classification keywords — every
+    index word whose flags carry WordFlags.Synthetic, vs the sequential
+    replica."""
+    from marginaliasearch_ray.functions.keywords import F_SYNTHETIC
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for url, words, metas in zip(b["url"], b["words"], b["metas"]):
+            for w, m in zip(words, metas):
+                if m & F_SYNTHETIC:
+                    rows.append((url, w))
+        return pd.DataFrame(rows, columns=["url", "word"])
+
+    ds = _keyword_index_ds(sf_dir).select_columns(["url", "words", "metas"])
     out = ds.map_batches(explode, batch_format="pandas").to_pandas()
     return out.sort_values(["url", "word"]).reset_index(drop=True)
 
@@ -3656,6 +3679,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_compiled": _search_compiled,
         "search_e2e": _search_e2e,
         "doc_word_flags": _doc_word_flags,
+        "doc_synthetic_terms": _doc_synthetic_terms,
         "search_ranked_full": _search_ranked_full,
         "search_ranked_single": _search_ranked_single,
         "search_deduped": _search_deduped,
@@ -6231,6 +6255,14 @@ def oracle_sql() -> dict[str, str]:
         "doc_word_flags": f"""
             SELECT url, word, flags, n_pos, first_pos
             FROM read_parquet('{exp}/expected_word_flags.parquet')
+            ORDER BY url, word
+        """,
+        # synthetic-term surface: every index word flagged Synthetic
+        # (bit 3) in the sequential replica's word-flags table
+        "doc_synthetic_terms": f"""
+            SELECT url, word
+            FROM read_parquet('{exp}/expected_word_flags.parquet')
+            WHERE (flags & 8) != 0
             ORDER BY url, word
         """,
         "search_ranked_full": f"""

@@ -41,7 +41,7 @@ from .cache import FIXTURE_VERSION, config_for, fixture_dir_for
 
 EXPECTED_ROOT = "/tmp/graft_expected"
 # bump when ORACLE LOGIC changes without a fixture-generator change
-EXPECTED_VERSION = 32
+EXPECTED_VERSION = 34
 
 
 def expected_dir_for(sf_dir: str) -> str:
@@ -1566,7 +1566,8 @@ def _build_fullrank_expected(fix: Path, out: Path) -> None:
                 flag_rows["word"].append(w)
                 flag_rows["flags"].append(m & 0xFF)
                 flag_rows["n_pos"].append(len(p))
-                flag_rows["first_pos"].append(p[0])
+                # synthetic terms carry no positions
+                flag_rows["first_pos"].append(p[0] if p else 0)
     pq.write_table(
         pa.table(
             {

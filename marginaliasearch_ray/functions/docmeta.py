@@ -529,6 +529,36 @@ F_MISSING_DOM_SAMPLE = 1 << 53  # special:nosample (DomSampleClassification.UNCL
 F_UNKNOWN = 1 << 54
 F_CATEGORY_NSFW = 1 << 55
 
+# HtmlFeature.getKeyword() per ordinal (HtmlFeature.java:12-84) — the raw
+# search terms MetaTagsBuilder.addFeatures emits for every set feature
+FEATURE_KEYWORDS = (
+    "special:media", "special:scripts", "special:affiliate",
+    "special:tracking", "special:adtech", "special:kcurl",
+    "special:longurl", "special:cloudflare", "special:cdn",
+    "special:viewport", "special:cookies", "category:food", "special:ads",
+    "category:crafts", "special:gaspam", "format:pdf", "special:popover",
+    "special:consent", "special:shorty", "special:3pr",
+    "special:opengraph", "special:opengraph:image", "special:twittercard",
+    "special:twittercard:image", "special:fontawesome",
+    "special:googlefonts", "special:dnsprefetch", "special:preload",
+    "special:preconnect", "special:pingback", "special:feed",
+    "special:webmention", "special:indieauth", "special:metag",
+    "special:nexttag", "special:amphtml", "special:jsonld",
+    "special:origintrial", "special:profile-gpmg", "special:quantcast",
+    "special:cookielaw", "special:didomi", "special:pardot",
+    "special:onesignal", "special:date_tag", "special:noscript_tag",
+    "robots:index", "robots:follow", "robots:noodp", "robots:noydir",
+    "special:dofollow", "special:appleicon", "special:s3",
+    "special:nosample", "special:uncategorized", "category:nsfw",
+)
+
+
+def feature_keywords(features: int) -> list:
+    """Keyword strings of every set feature bit, ordinal order."""
+    return [
+        kw for i, kw in enumerate(FEATURE_KEYWORDS) if features >> i & 1
+    ]
+
 # FeatureExtractor.java:28-69 tracker lists (published constants)
 _INNOCENT_TRACKERS = ("twitter.com", "bing.com", "msn.com", "mail.ru/counter")
 _ADTECH_TRACKERS = (
@@ -793,13 +823,13 @@ def encoded_avg_sentence_length(n_words: int, n_sentences: int) -> int:
     return int(math.floor((n_words / float(n_sentences)) / 4.0 + 0.5))
 
 
-def document_flags(features: int, spec: str, kind: str) -> int:
+def document_flags(features: int, gen_type: str, kind: str) -> int:
     """documentFlags (HtmlDocumentProcessorPlugin.java:206-221) plus the
     plugin-fixed flags: plain-text docs carry PlainText
     (PlainTextDocumentProcessorPlugin.java:104), PDFs carry PdfFile
-    (PdfDocumentProcessorPlugin.java:125).  Generator-type mapping for
-    our specialization names: javadoc -> DOCS, phpbb/xenforo -> FORUM,
-    wiki -> WIKI (DocumentGeneratorExtractor.java:288-295)."""
+    (PdfDocumentProcessorPlugin.java:125).  ``gen_type`` is the DETECTED
+    GeneratorType name (functions/generator.detect_generator): DOCS ->
+    GeneratorDocs, FORUM -> GeneratorForum, WIKI -> GeneratorWiki."""
     if kind == "plain":
         return FLAG_PLAIN_TEXT
     if kind == "pdf":
@@ -807,11 +837,11 @@ def document_flags(features: int, spec: str, kind: str) -> int:
     flags = 0
     if features & F_JS:
         flags |= FLAG_JAVASCRIPT
-    if spec == "javadoc":
+    if gen_type == "DOCS":
         flags |= FLAG_GENERATOR_DOCS
-    elif spec in ("phpbb", "xenforo"):
+    elif gen_type == "FORUM":
         flags |= FLAG_GENERATOR_FORUM
-    elif spec == "wiki":
+    elif gen_type == "WIKI":
         flags |= FLAG_GENERATOR_WIKI
     return flags
 
@@ -830,15 +860,16 @@ def encode_document_metadata(
 
 def document_metadata_for(
     text: str, n_words: int, quality: float, pub_year: int,
-    features: int, spec: str, kind: str,
+    features: int, gen_type: str, kind: str,
 ) -> int:
     """Assemble the converter's metadata word for one document:
     year byte = max(0, year - 1996) (PubDate.toYearByte), quality nibble
     = (int) -quality (quality is negative, Java int cast truncates
-    toward zero)."""
+    toward zero).  ``gen_type`` = detected GeneratorType name ("" for
+    the plain/pdf plugins, whose flags come from ``kind``)."""
     return encode_document_metadata(
         encoded_avg_sentence_length(n_words, count_sentences(text)),
         max(0, int(pub_year) - PUBDATE_BYTE_OFFSET),
         int(-quality),
-        document_flags(features, spec, kind),
+        document_flags(features, gen_type, kind),
     )

@@ -154,6 +154,90 @@ def resolve_base(doc_url: CanonUrl, base_href: Optional[str]) -> CanonUrl:
     return u if u is not None else doc_url
 
 
+class ConverterLinks:
+    """The converter's per-document link inventory — LinkProcessor
+    (converting-process/.../links/LinkProcessor.java) driven by
+    HtmlDocumentProcessorPlugin.getLinks (java:266-298):
+
+    - every <a> parses PERMISSIVELY (no relevance filter); indexable ones
+      (isUrlRelevant(href) && rel != noindex) go through ``accept`` —
+      http/https only, UrlBlocklist gates, seen-set dedup, internal cap
+      500 / external cap 250; non-indexable ones with a binary suffix
+      are tracked separately (the FileLinks filename keywords);
+    - <frame>/<iframe>/meta-refresh links all ``accept``;
+    - ``seen`` holds every permitted deduped link in DOCUMENT order (the
+      reference keeps a HashSet, whose iteration order the JVM does not
+      define — insertion order is this engine's deterministic stand-in),
+      ``foreign`` the external domains in first-seen order.
+    """
+
+    MAX_INTERNAL = 500
+    MAX_EXTERNAL = 250
+
+    __slots__ = (
+        "base", "internal", "external", "non_indexable", "seen", "foreign",
+        "_seen_keys",
+    )
+
+    def __init__(self, base: CanonUrl) -> None:
+        self.base = base
+        self.internal: list[CanonUrl] = []
+        self.external: list[CanonUrl] = []
+        self.non_indexable: list[CanonUrl] = []
+        self.seen: list[CanonUrl] = []
+        self.foreign: list[str] = []  # foreign hosts, first-seen order
+        self._seen_keys: set = set()
+
+    def accept(self, link: Optional[CanonUrl]) -> None:
+        from .blocklist import is_mailing_list_link, is_url_blocked
+
+        if link is None:
+            return
+        if link.proto.lower() not in ("http", "https"):
+            return
+        if is_mailing_list_link(link) or is_url_blocked(link):
+            return
+        # EdgeUrl identity for the seen set (hash/equals include proto)
+        k = (link.proto, link.key())
+        if k in self._seen_keys:
+            return
+        self._seen_keys.add(k)
+        self.seen.append(link)
+        if link.host == self.base.host:
+            if len(self.internal) < self.MAX_INTERNAL:
+                self.internal.append(link)
+        else:
+            if len(self.external) < self.MAX_EXTERNAL:
+                self.external.append(link)
+                if link.host not in self.foreign:
+                    self.foreign.append(link.host)
+
+    def accept_non_indexable(self, link: Optional[CanonUrl]) -> None:
+        if link is not None:
+            self.non_indexable.append(link)
+
+
+def converter_links(doc_url: CanonUrl, doc) -> ConverterLinks:
+    """HtmlDocumentProcessorPlugin.getLinks's extraction pass: all <a>
+    (permissive parse; indexability decides accept vs the binary-suffix
+    non-indexable track), then frames, iframes and meta-refresh."""
+    base = resolve_base(doc_url, doc.base_href)
+    lp = ConverterLinks(base)
+    for href, rel in doc.a_links:
+        link = parse_anchor_permissive(base, href)
+        if is_url_relevant(href) and rel.lower() != "noindex":
+            lp.accept(link)
+        elif link is not None and has_binary_suffix(link.path.lower()):
+            lp.accept_non_indexable(link)
+    for src in doc.frame_links:
+        lp.accept(parse_frame(base, src))
+    for src in doc.iframe_links:
+        lp.accept(parse_frame(base, src))
+    for content in doc.meta_refresh:
+        lp.accept(parse_meta_redirect(base, content))
+    return lp
+
+
 def extract_links(doc_url: CanonUrl, doc) -> list[CanonUrl]:
     """Document-order link extraction matching
     ``DomainCrawlFrontier.enqueueLinksFromDocument`` (kind-major order:

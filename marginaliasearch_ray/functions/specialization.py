@@ -102,11 +102,20 @@ LENGTH_MODIFIER: dict[str, float] = {
 _BLOG_GENERATORS = ("wordpress", "blogger", "hugo", "jekyll", "ghost")
 
 
-def select_specialization(doc: ParsedDoc, url: CanonUrl) -> str:
-    """HtmlProcessorSpecializations.select: domain rules first, then the
-    generator meta tag.  (The reference's isBlog check consults a DB
-    domain-type table; here blog-ness comes from the generator tag —
-    documented substitution.)"""
+def select_specialization(
+    doc: ParsedDoc,
+    url: CanonUrl,
+    generator: "tuple[str, list] | None" = None,
+) -> str:
+    """HtmlProcessorSpecializations.select: domain rules, then the
+    DETECTED generator (DocumentGeneratorExtractor result — keyword
+    membership for xenforo/phpbb/javadoc, GeneratorType.WIKI for the
+    wiki specialization, exactly the upstream dispatch).  The
+    reference's isBlog check consults a DB domain-type table; here
+    blog-ness comes from the raw generator tag — documented
+    substitution.  ``generator`` = (type, keywords) from
+    functions/generator.detect_generator; detected here when the caller
+    doesn't pass it."""
     top = url.top_domain
     if top == "mariadb.com" and url.path.startswith("/kb"):
         return "mariadbkb"
@@ -114,16 +123,22 @@ def select_specialization(doc: ParsedDoc, url: CanonUrl) -> str:
         return "cppreference"
     if url.host == "www.gog.com" and "/game/" in url.path:
         return "gog"
-    generator = (doc.meta.get("generator") or "").lower()
-    if any(g in generator for g in _BLOG_GENERATORS):
+    raw_tag = (doc.meta.get("generator") or "").lower()
+    if any(g in raw_tag for g in _BLOG_GENERATORS):
         return "blog"
-    if "xenforo" in generator:
+    if generator is None:
+        from .generator import detect_generator
+
+        generator = detect_generator(url, doc)
+    gen_type, keywords = generator
+    if "xenforo" in keywords:
         return "xenforo"
-    if "phpbb" in generator:
+    if "phpbb" in keywords:
         return "phpbb"
-    if "javadoc" in generator:
+    if "javadoc" in keywords:
         return "javadoc"
-    if "mediawiki" in generator or "dokuwiki" in generator:
+    # toward the end: some specializations cover wiki-generator content
+    if gen_type == "WIKI":
         return "wiki"
     return "default"
 

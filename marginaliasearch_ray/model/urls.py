@@ -74,6 +74,23 @@ def top_domain(host: str) -> str:
     return split_domain(host)[1]
 
 
+def get_tld(host: str) -> str:
+    """EdgeDomain.getTld (EdgeDomain.java:133-152): the top domain's TLD
+    — "IP" for address literals, the part after the second-to-last dot
+    for .co.uk-style government TLDs, "-" when there is no usable dot."""
+    top = split_domain(host)[1]
+    length = len(top)
+    if _looks_like_ip(top):
+        return "IP"
+    if _looks_like_gov_tld(top):
+        dot = top.find(".", max(0, length - len(".edu.uk")))
+    else:
+        dot = top.rfind(".")
+    if dot < 0 or dot == length - 1:
+        return "-"
+    return top[dot + 1 :]
+
+
 # ---------------------------------------------------------------------------
 # Query-param sanitizer (reference QueryParams.java)
 # ---------------------------------------------------------------------------

@@ -55,7 +55,7 @@ from ..functions.specialization import (
     validate_length,
 )
 from ..functions.htmldoc import parse_document
-from ..functions.links import extract_links
+from ..functions.links import converter_links
 from ..functions.hashing import stable_hash64
 from ..functions.lsh import content_hash, doc_lsh, hamming64_vec
 from ..functions.quality import document_quality
@@ -125,6 +125,8 @@ def process_html_document(
         "quality": 0.0, "pub_year": 0, "summary": "", "features": 0,
         "doc_hash": 0, "lsh": content_hash(html), "ni": 0, "ne": 0,
         "spec": "", "amended_words": "", "doc_meta": 0,
+        "gen_type": "UNKNOWN", "gen_keywords": ["unset"],
+        "fmt": "UNKNOWN", "link_terms": [],
     }
     if doc.html_adblockkey:
         # Acceptable Ads tag: in practice domain squatters — disqualify
@@ -135,7 +137,15 @@ def process_html_document(
     if "noindex" in robots_meta or robots_meta.strip() == "none":
         out["state"] = "disqualified_robots"
         return out
-    spec_name = select_specialization(doc, u)
+    # DocumentGeneratorExtractor.detectGenerator — feeds specialization
+    # dispatch, DocumentFlags Generator{Docs,Forum,Wiki}, and the
+    # generator: synthetic terms (HtmlDocumentProcessorPlugin.java:121-124)
+    from ..functions.generator import detect_generator
+
+    gen_type, gen_keywords = detect_generator(u, doc)
+    out["gen_type"] = gen_type
+    out["gen_keywords"] = gen_keywords
+    spec_name = select_specialization(doc, u, (gen_type, gen_keywords))
     out["spec"] = spec_name
     if not should_index(spec_name, u):
         out["state"] = "disqualified_spec"
@@ -169,11 +179,26 @@ def process_html_document(
         out["state"] = "disqualified_quality"
         return out
     out["pub_year"] = sniff_pubdate(doc, url_str) or 0
-    for l in extract_links(u, doc):
-        if l.host == u.host:
-            out["ni"] += 1
-        else:
-            out["ne"] += 1
+    out["fmt"] = doc.html_standard
+    # converter-side link inventory (LinkProcessor semantics: permissive
+    # parse, blocklist + scheme gates, seen-dedup, 500/250 caps) — the
+    # reference's linksInternal/linksExternal counts, NOT the crawler's
+    # filtered extract_links walk (HtmlDocumentProcessorPlugin.java:266-298)
+    from ..functions.synthterms import (
+        file_ending_keywords,
+        file_link_keywords,
+        link_keywords,
+    )
+
+    lp = converter_links(u, doc)
+    out["ni"] = len(lp.internal)
+    out["ne"] = len(lp.external)
+    # the getLinks synthetic-term families, in the upstream add order
+    out["link_terms"] = (
+        file_link_keywords(lp, lp.base.host)
+        + file_ending_keywords(h for h, _ in doc.a_links)
+        + link_keywords(lp, lp.base.host)
+    )
     if doc.dom is None or doc.dom.truncated:
         out["title"] = doc.title
         out["text"] = doc.text
@@ -199,7 +224,7 @@ def process_html_document(
     # (HtmlDocumentProcessorPlugin.java:171-175; DocumentMetadata.encode)
     out["doc_meta"] = document_metadata_for(
         out["text"], out["n_words"], out["quality"], out["pub_year"],
-        out["features"], spec_name, "html",
+        out["features"], gen_type, "html",
     )
     if not validate_length(out["n_words"], spec_name, MIN_DOCUMENT_WORDS_FIXTURE):
         out["state"] = "disqualified_length"

@@ -175,6 +175,7 @@ def page_keywords(url_str: str, html, status, x_adblock, link_texts,
         )
         features = 0
         length = len(body)
+        fmt, gen_keywords, link_terms, pub_year, amended = "PLAIN", None, [], 1993, ""
     elif mime == "application/pdf":
         pdoc = convert_pdf(html)
         if not pdoc.text.split():
@@ -185,8 +186,14 @@ def page_keywords(url_str: str, html, status, x_adblock, link_texts,
         doc_meta = document_metadata_for(
             pdoc.text, n_words, PDF_QUALITY, 1993, 0, "", "pdf"
         )
-        features = 0
+        # PdfDocumentProcessorPlugin.java:117-118: ret.features = {PDF}
+        from ..functions.docmeta import F_PDF
+
+        features = F_PDF
         length = len(pdoc.text)
+        # the plugin's explicit lang: synthetic term (java:143) is absent:
+        # the language pipeline is stubbed repo-wide (no OpenNLP models)
+        fmt, gen_keywords, link_terms, pub_year, amended = "PDF", None, [], 1993, ""
     elif mime.startswith("text/html") or mime.startswith("application/xhtml"):
         decoded = decode_body(html, charset)
         r = process_html_document(
@@ -207,11 +214,49 @@ def page_keywords(url_str: str, html, status, x_adblock, link_texts,
         doc_meta = r["doc_meta"]
         features = r["features"]
         length = r["length"]
+        fmt = r["fmt"]
+        gen_keywords = r["gen_keywords"]
+        link_terms = r["link_terms"]
+        pub_year = r["pub_year"]
+        amended = r["amended_words"]
     else:
         return "not_html", None
     proj = keyword_projection(frames, u.host, u.path, link_texts=link_texts)
+    # --- the synthetic-term surface (functions/synthterms.py) ---
+    # amendWords first: Subjects flag MERGES (inserting the stem when
+    # absent, BlogSpecialization.java:104-108 / MariadbKb:43-66); the
+    # tag: terms and everything below are Synthetic putIfAbsent.  No
+    # MAX_WORD_LENGTH re-check on these adds — the upstream synthetic
+    # entry points skip it (DocumentKeywordsBuilder.java:175-198).
+    from ..functions.domclassifier import (
+        CLF_KEYWORD,
+        UNSAMPLED,
+        clf_feature_bits,
+    )
+    from ..functions.keywords import F_SUBJECTS, F_SYNTHETIC
+    from ..functions.synthterms import decorator_terms, meta_tag_words
+
+    pwords = proj["words"]
+    for w in amended.split():
+        if w.startswith("tag:"):
+            pwords.setdefault(w, [F_SYNTHETIC, []])
+        else:
+            ent = pwords.get(w)
+            if ent is None:
+                pwords[w] = [F_SUBJECTS, []]
+            else:
+                ent[0] |= F_SUBJECTS
+    synthetic = meta_tag_words(u, features, fmt, gen_keywords, pub_year)
+    synthetic += link_terms
+    synthetic += decorator_terms(u.host)
+    if u.path == "/":
+        # DocumentProcessor.java:107-109
+        synthetic.append("special:root")
+    for c in dom_clf if dom_clf is not None else UNSAMPLED:
+        synthetic.append(CLF_KEYWORD[c])
+    for w in synthetic:
+        pwords.setdefault(w, [F_SYNTHETIC, []])
     words = sorted(proj["words"])
-    from ..functions.domclassifier import UNSAMPLED, clf_feature_bits
 
     row = {
         "url": url_str,

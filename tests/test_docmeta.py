@@ -317,15 +317,16 @@ def test_document_metadata_codec():
     assert encoded_avg_sentence_length(40, 2) == 5  # (20)/4
     assert encoded_avg_sentence_length(6, 1) == 2  # 1.5 rounds HALF-UP
     assert count_sentences("One. Two!? Three") == 2
-    # flag mapping (documentFlags + plugin-fixed flags)
-    assert document_flags(F_JS, "default", "html") == FLAG_JAVASCRIPT
-    assert document_flags(0, "javadoc", "html") == FLAG_GENERATOR_DOCS
-    assert document_flags(0, "phpbb", "html") == FLAG_GENERATOR_FORUM
-    assert document_flags(0, "xenforo", "html") == FLAG_GENERATOR_FORUM
-    assert document_flags(0, "wiki", "html") == FLAG_GENERATOR_WIKI
-    assert document_flags(F_JS, "wiki", "plain") == FLAG_PLAIN_TEXT
-    assert document_flags(F_JS, "wiki", "pdf") == FLAG_PDF_FILE
+    # flag mapping (documentFlags + plugin-fixed flags) — keyed on the
+    # detected GeneratorType name
+    assert document_flags(F_JS, "UNKNOWN", "html") == FLAG_JAVASCRIPT
+    assert document_flags(0, "DOCS", "html") == FLAG_GENERATOR_DOCS
+    assert document_flags(0, "FORUM", "html") == FLAG_GENERATOR_FORUM
+    assert document_flags(0, "WIKI", "html") == FLAG_GENERATOR_WIKI
+    assert document_flags(0, "CMS", "html") == 0
+    assert document_flags(F_JS, "WIKI", "plain") == FLAG_PLAIN_TEXT
+    assert document_flags(F_JS, "WIKI", "pdf") == FLAG_PDF_FILE
     # year byte offset 1996 (PubDate MIN_YEAR+1); quality trunc toward 0
-    v = document_metadata_for("a. b.", 10, -4.9, 2010, 0, "default", "html")
+    v = document_metadata_for("a. b.", 10, -4.9, 2010, 0, "UNKNOWN", "html")
     assert (v >> 24) & 0xFF == 2010 - 1996
     assert (v >> 8) & 0xF == 4
