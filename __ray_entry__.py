@@ -4703,10 +4703,14 @@ def oracle_sql() -> dict[str, str]:
             ), n AS (SELECT count(*) AS n_docs FROM documents),
             scored AS (
                 SELECT tf.doc_id, tf.tok,
-                       tf.tf * ln(n.n_docs * 1.0 / (1 + df.df)) AS score,
+                       tf.tf * CAST(floor(ln(n.n_docs * 1.0 / (1 + df.df))
+                                          * 1048576.0 + 0.5) AS BIGINT)
+                           AS score,
                        row_number() OVER (
                            PARTITION BY tf.doc_id
-                           ORDER BY tf.tf * ln(n.n_docs * 1.0 / (1 + df.df)) DESC,
+                           ORDER BY tf.tf * CAST(floor(
+                                        ln(n.n_docs * 1.0 / (1 + df.df))
+                                        * 1048576.0 + 0.5) AS BIGINT) DESC,
                                     tf.tok ASC) AS rn
                 FROM tf JOIN df USING (tok) CROSS JOIN n
             )
@@ -4735,7 +4739,9 @@ def oracle_sql() -> dict[str, str]:
                 SELECT tf.doc_id, tf.tok, tf.tf, tf.positions, tf.first_pos,
                        row_number() OVER (
                            PARTITION BY tf.doc_id
-                           ORDER BY tf.tf * ln(n.n_docs * 1.0 / (1 + df.df)) DESC,
+                           ORDER BY tf.tf * CAST(floor(
+                                        ln(n.n_docs * 1.0 / (1 + df.df))
+                                        * 1048576.0 + 0.5) AS BIGINT) DESC,
                                     tf.tok ASC) AS rn
                 FROM tf JOIN df USING (tok) CROSS JOIN n
             )
@@ -4925,7 +4931,9 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT n_nonzero::BIGINT AS n_nonzero_registers,
                    round(CASE WHEN e_raw <= 2.5 * 4096 AND n_nonzero < 4096
-                              THEN 4096 * ln(4096 / (4096 - n_nonzero)::DOUBLE)
+                              THEN 4096 * (floor(ln(4096 / (4096 - n_nonzero)::DOUBLE)
+                                                 * 1048576.0 + 0.5)
+                                           / 1048576.0)
                               ELSE e_raw END, 4) AS n_distinct_est
             FROM est
         """,
@@ -5053,9 +5061,10 @@ def oracle_sql() -> dict[str, str]:
         # global top-k by (key DESC, id).
         "doc_priority_sample": """
             SELECT doc_id, n_chars,
-                   ln((md5_number_lower('ps|' || CAST(doc_id AS VARCHAR))
-                           ::DOUBLE + 0.5)
-                      / 18446744073709551616.0)
+                   floor(ln((md5_number_lower('ps|' || CAST(doc_id AS VARCHAR))
+                                 ::DOUBLE + 0.5)
+                            / 18446744073709551616.0) * 1048576.0 + 0.5)
+                       / 1048576.0
                        / greatest(CAST(n_chars AS DOUBLE), 1.0) AS key
             FROM documents
             ORDER BY key DESC, doc_id LIMIT 50
@@ -5093,7 +5102,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    n_nonzero::BIGINT AS n_nonzero_registers,
                    round(CASE WHEN e_raw <= 2.5 * 4096 AND n_nonzero < 4096
-                              THEN 4096 * ln(4096 / (4096 - n_nonzero)::DOUBLE)
+                              THEN 4096 * (floor(ln(4096 / (4096 - n_nonzero)::DOUBLE)
+                                                 * 1048576.0 + 0.5)
+                                           / 1048576.0)
                               ELSE e_raw END, 4) AS n_distinct_est
             FROM est ORDER BY event_type
         """,
@@ -5384,10 +5395,12 @@ def oracle_sql() -> dict[str, str]:
                 SELECT sum(cr)::BIGINT AS tr, sum(ct)::BIGINT AS tt FROM cnt
             ), lr AS (
                 SELECT b,
-                       ln((ct + 1.0) / ((SELECT tt FROM tot)
-                                        + {_DSIR_BUCKETS}.0))
-                       - ln((cr + 1.0) / ((SELECT tr FROM tot)
-                                          + {_DSIR_BUCKETS}.0)) AS l
+                       floor(ln((ct + 1.0) / ((SELECT tt FROM tot)
+                                              + {_DSIR_BUCKETS}.0))
+                             * 1048576.0 + 0.5) / 1048576.0
+                       - floor(ln((cr + 1.0) / ((SELECT tr FROM tot)
+                                                + {_DSIR_BUCKETS}.0))
+                               * 1048576.0 + 0.5) / 1048576.0 AS l
                 FROM cnt
             ), per AS (
                 SELECT t.doc_id, list_sum(list(l ORDER BY t.i)) AS s,
@@ -5419,7 +5432,8 @@ def oracle_sql() -> dict[str, str]:
             ), tot AS (
                 SELECT sum(c)::BIGINT AS t FROM cnt
             ), lp AS (
-                SELECT tok, ln(c::DOUBLE / (SELECT t FROM tot)) AS l
+                SELECT tok, floor(ln(c::DOUBLE / (SELECT t FROM tot))
+                                  * 1048576.0 + 0.5) / 1048576.0 AS l
                 FROM cnt
             ), per AS (
                 SELECT t.doc_id,
@@ -5914,22 +5928,67 @@ def oracle_sql() -> dict[str, str]:
             SELECT text, min(doc_id) AS first_doc_id
             FROM documents GROUP BY text ORDER BY text
         """,
+        # Cosines use the quantized-integer protocol (dedup._block_np):
+        # vectors -> floor(x*2^20+0.5) BIGINT, dot/norms exact integers,
+        # cosine = ONE correctly-rounded double expression mirrored
+        # tree-for-tree — bit-identical regardless of the DuckDB build's
+        # libm or summation order (list_cosine_similarity + round() were
+        # both last-ULP fragile).
         "embedding_near_dup": """
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
-            FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id
-            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+            WITH qv AS (
+                SELECT vec_id,
+                       list_transform(embedding, x ->
+                           CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5)
+                                AS BIGINT)) AS qe
+                FROM embeddings
+            ), nv AS (
+                SELECT vec_id, qe,
+                       CAST(list_sum(list_transform(qe, x -> x * x))
+                            AS BIGINT) AS nrm
+                FROM qv
+            ), sims AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0.0
+                            ELSE CAST(list_sum(list_transform(
+                                     generate_series(1, len(a.qe)),
+                                     i -> a.qe[i] * b.qe[i])) AS DOUBLE)
+                                 / (sqrt(CAST(a.nrm AS DOUBLE))
+                                    * sqrt(CAST(b.nrm AS DOUBLE))) END
+                           AS cosine
+                FROM nv a JOIN nv b ON b.vec_id > a.vec_id
+            )
+            SELECT id_a, id_b, cosine FROM sims
+            WHERE cosine >= 0.45
             ORDER BY id_a, id_b
         """,
         "embed_topk": """
-            WITH q AS (SELECT embedding AS qe FROM embeddings ORDER BY vec_id LIMIT 1)
-            SELECT 0::BIGINT AS query_no, e.vec_id,
-                   round(list_cosine_similarity(e.embedding, q.qe), 4) AS cosine,
-                   row_number() OVER (
-                       ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id
-                   ) AS rank
-            FROM embeddings e, q
-            ORDER BY cosine DESC, e.vec_id LIMIT 10
+            WITH qv AS (
+                SELECT vec_id,
+                       list_transform(embedding, x ->
+                           CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5)
+                                AS BIGINT)) AS qe
+                FROM embeddings
+            ), nv AS (
+                SELECT vec_id, qe,
+                       CAST(list_sum(list_transform(qe, x -> x * x))
+                            AS BIGINT) AS nrm
+                FROM qv
+            ), q AS (SELECT qe, nrm FROM nv ORDER BY vec_id LIMIT 1),
+            sims AS (
+                SELECT e.vec_id,
+                       CASE WHEN e.nrm = 0 OR q.nrm = 0 THEN 0.0
+                            ELSE CAST(list_sum(list_transform(
+                                     generate_series(1, len(q.qe)),
+                                     i -> q.qe[i] * e.qe[i])) AS DOUBLE)
+                                 / (sqrt(CAST(q.nrm AS DOUBLE))
+                                    * sqrt(CAST(e.nrm AS DOUBLE))) END
+                           AS cosine
+                FROM nv e, q
+            )
+            SELECT 0::BIGINT AS query_no, vec_id, cosine,
+                   row_number() OVER (ORDER BY cosine DESC, vec_id) AS rank
+            FROM sims
+            ORDER BY cosine DESC, vec_id LIMIT 10
         """,
         # ---------------- multimodal (md5 fake-decode spec) ----------------
         "media_bytes": """
@@ -6679,7 +6738,8 @@ def oracle_sql() -> dict[str, str]:
                        CASE WHEN size < 400 AND quality < 5 THEN 0.0
                             ELSE -quality * (1.0 / 15.0) END AS quality_penalty,
                        (255.0 - rnk) * (1.0 / 100.0) AS rank_bonus,
-                       0.2 * ln(1 + topology) AS topology_bonus
+                       floor(0.2 * ln(1 + topology) * 1048576.0 + 0.5)
+                           / 1048576.0 AS topology_bonus
                 FROM p
             ),
             t AS (

@@ -38,15 +38,25 @@ def brute_force_topk(
     k: int = 10,
     id_col: str = "vec_id",
 ) -> pd.DataFrame:
-    """-> DataFrame(query_no, vec_id, cosine, rank) exact top-k per query."""
-    q = _normalize(np.asarray(queries, dtype=np.float64))
-    q_ref = ray.put(q)
+    """-> DataFrame(query_no, vec_id, cosine, rank) exact top-k per query.
+
+    Cosines use the quantized-integer protocol (see dedup._block_np):
+    q = floor(x*2^20+0.5) int64, exact integer dot/norms, ONE
+    correctly-rounded float expression — bit-identical in any DuckDB
+    build regardless of its libm or summation order."""
+    from .dedup import _cosine_matrix
+
+    qf = np.asarray(queries, dtype=np.float64)
+    qq = np.floor(qf * 1048576.0 + 0.5).astype(np.int64)
+    q_ref = ray.put((qq, (qq * qq).sum(axis=1)))
 
     def batch_topk(batch: pd.DataFrame, _ref=q_ref) -> pd.DataFrame:
-        qm = ray.get(_ref)
-        m = _normalize(np.stack(batch["embedding"].to_numpy()).astype(np.float64))
+        qm, qn = ray.get(_ref)
+        mf = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        m = np.floor(mf * 1048576.0 + 0.5).astype(np.int64)
+        mn = (m * m).sum(axis=1)
         ids = batch[id_col].to_numpy()
-        sims = qm @ m.T  # (n_q, n_batch)
+        sims = _cosine_matrix(qm, qn, m, mn)  # (n_q, n_batch)
         kk = min(k, sims.shape[1])
         part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
         rows = {"query_no": [], id_col: [], "cosine": []}
@@ -65,7 +75,9 @@ def brute_force_topk(
         g["rank"] = np.arange(1, len(g) + 1)
         out.append(g)
     res = pd.concat(out, ignore_index=True)
-    res["cosine"] = res["cosine"].round(4)
+    # unrounded: bit-deterministic by the quantized protocol; DuckDB's
+    # round() disagrees with np.round on identical doubles near 5e-5
+    # boundaries, so rounding would reintroduce fragility
     return res
 
 

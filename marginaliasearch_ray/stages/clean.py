@@ -443,7 +443,8 @@ def unigram_lm_scores(
 
     Exact spec (the SQL oracle recomputes it bit-for-bit): p(tok) =
     count(tok)/total over whitespace tokens; per-doc nll = -(Σ ln p(tok_i)
-    in token order / n) — glibc ``log`` on both sides and a SEQUENTIAL
+    in token order / n) — 2^-20-grid-quantized logprobs (exact dyadic
+    sums, libm-ULP-robust) and a SEQUENTIAL
     left-to-right sum (plain Python float accumulation here, ``list_sum``
     over an order-preserved list there), so no summation-order ULP skew.
     Tokens pruned by the valves score as unknowns at ln(0.5/total).
@@ -483,10 +484,17 @@ def unigram_lm_scores(
         kept = kept.sort_values(["cnt", "token"], ascending=[False, True]).head(
             max_vocab
         )
+    # logprobs quantized to the 2^-20 dyadic grid: every table entry is
+    # k/2^20 exactly, so per-doc sums are EXACT in float64 (|k| < 2^26,
+    # sums < 2^42 of grid units) — order-free and immune to libm ln ULP
+    # skew in any DuckDB build (same hardening as doc_ranking_bonus).
+    def _qlog(x: float) -> float:
+        return math.floor(math.log(x) * 1048576.0 + 0.5) / 1048576.0
+
     lp = {
-        t: math.log(c / total) for t, c in zip(kept["token"], kept["cnt"])
+        t: _qlog(c / total) for t, c in zip(kept["token"], kept["cnt"])
     }
-    unk = math.log(0.5 / total) if total else 0.0
+    unk = _qlog(0.5 / total) if total else 0.0
     lp_ref = ray.put((lp, unk))
     t1, t2 = thresholds
 

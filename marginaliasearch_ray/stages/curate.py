@@ -838,9 +838,10 @@ def dsir_weights(
       md5 convention);
     - add-one smoothing: p(b) = (count(b) + 1) / (total + n_buckets),
       computed as one double division, on both the target and raw sides;
-    - per-bucket log-ratio lr(b) = ln(p_target(b)) - ln(p_raw(b)), glibc
-      ``log`` on both sides (CPython math.log == DuckDB ln, the
-      doc_lm_scores precedent);
+    - per-bucket log-ratio lr(b) = qln(p_target(b)) - qln(p_raw(b)) where
+      qln(x) = floor(ln(x)*2^20+0.5)/2^20 on both sides — quantized to
+      the dyadic grid so the value is libm-ULP-robust and per-doc sums
+      are exact (the doc_ranking_bonus hardening);
     - per-doc weight = SEQUENTIAL left-to-right sum of lr(bucket(tok_i))
       in token order (plain float accumulation here, order-preserved
       ``list_sum`` there — no summation-order ULP skew);
@@ -889,9 +890,16 @@ def dsir_weights(
     )
     tr = int(combined["cr"].sum())
     tt = int(combined["ct"].sum())
+    # each ln quantized to the 2^-20 grid (floor(x*2^20+0.5)/2^20) so lr
+    # values are exact dyadic rationals: per-doc sums become EXACT in
+    # float64 and the oracle is immune to libm ln ULP differences in the
+    # driver's DuckDB build (the doc_ranking_bonus hardening).
+    def _qlog(x: float) -> float:
+        return math.floor(math.log(x) * 1048576.0 + 0.5) / 1048576.0
+
     lr = np.zeros(n_buckets, dtype=np.float64)
     for bk, cr_v, ct_v in zip(combined["b"], combined["cr"], combined["ct"]):
-        lr[bk] = math.log((ct_v + 1.0) / (tt + float(n_buckets))) - math.log(
+        lr[bk] = _qlog((ct_v + 1.0) / (tt + float(n_buckets))) - _qlog(
             (cr_v + 1.0) / (tr + float(n_buckets))
         )
     lr_ref = ray.put(lr)
@@ -1014,9 +1022,10 @@ def priority_sample(
 
     Deterministic + oracle-bit-exact: ``u = (md5_number_lower(salt|id)
     as double + 0.5) / 2^64`` (both sides round the UBIGINT to double
-    identically; /2^64 is exact), the log is CPython ``math.log`` ==
-    DuckDB ``ln`` (glibc parity pinned by the unigram-LM oracle), and
-    the division's operands match.  Ties break by id.
+    identically; /2^64 is exact), ln(u) is quantized to the 2^-20 dyadic
+    grid on both sides (libm-ULP-robust, the doc_ranking_bonus
+    hardening), and the final division is correctly rounded everywhere.
+    Ties break by id.
 
     Scale shape: stateless per-batch key computation + per-batch partial
     top-k, one result-sized merge — no shuffle; only k·blocks candidate
@@ -1028,10 +1037,15 @@ def priority_sample(
         ids = b[id_col].to_numpy()
         from marginaliasearch_ray.stages.textstats import md5_number_lower
 
+        # ln(u) quantized to the 2^-20 grid before the weight division so
+        # the key is libm-ULP-robust vs any DuckDB build (doc_ranking_bonus
+        # hardening); the division itself is correctly rounded everywhere.
         key = np.fromiter(
             (
-                math.log((float(md5_number_lower(f"{salt}|{i}")) + 0.5)
-                         / 18446744073709551616.0) / wi
+                math.floor(
+                    math.log((float(md5_number_lower(f"{salt}|{i}")) + 0.5)
+                             / 18446744073709551616.0) * 1048576.0 + 0.5
+                ) / 1048576.0 / wi
                 for i, wi in zip(ids, w)
             ),
             dtype=np.float64,

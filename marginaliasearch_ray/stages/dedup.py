@@ -349,10 +349,31 @@ def simhash_near_dup_pairs(
 
 
 def _block_np(tbl: pa.Table, id_col: str):
+    """-> (ids, quantized int64 matrix, int64 squared norms).
+
+    Vectors are QUANTIZED to q = floor(x * 2^20 + 0.5) int64 so dot
+    products and norms are exact integers (order-free; |q| < 2^24 and
+    64-dim sums stay < 2^52, exact in both int64 and float64) — the
+    cosine is then ONE correctly-rounded float expression that any
+    DuckDB build reproduces bit-for-bit (the kmeans/bm25 protocol;
+    float matmul + normalization differs in the last ULP between BLAS
+    and SQL summation order)."""
     ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
     m = np.stack(tbl.column("embedding").to_pylist()).astype(np.float64)
-    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-    return ids, m
+    q = np.floor(m * 1048576.0 + 0.5).astype(np.int64)
+    nrm = (q * q).sum(axis=1)
+    return ids, q, nrm
+
+
+def _cosine_matrix(qa, na, qb, nb) -> np.ndarray:
+    """cosine = double(dot) / (sqrt(double(na)) * sqrt(double(nb))),
+    elementwise tree mirrored by the SQL oracle; zero vectors -> 0.0."""
+    d = (qa @ qb.T).astype(np.float64)
+    denom = np.sqrt(na.astype(np.float64))[:, None] * np.sqrt(
+        nb.astype(np.float64)
+    )[None, :]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return np.where(denom == 0.0, 0.0, d / denom)
 
 
 def _empty_pairs() -> pd.DataFrame:
@@ -384,12 +405,12 @@ def embedding_near_dup_pairs(
 
     @ray.remote(num_cpus=1)
     def pair_sims(ta: pa.Table, tb: pa.Table, same: bool) -> pd.DataFrame:
-        ids_a, ma = _block_np(ta, id_col)
+        ids_a, ma, na = _block_np(ta, id_col)
         if same:
-            ids_b, mb = ids_a, ma
+            ids_b, mb, nb = ids_a, ma, na
         else:
-            ids_b, mb = _block_np(tb, id_col)
-        sims = ma @ mb.T
+            ids_b, mb, nb = _block_np(tb, id_col)
+        sims = _cosine_matrix(ma, na, mb, nb)
         if same:
             # Within one block the id arrays are identical, so `<` alone
             # yields each unordered pair exactly once.
@@ -406,11 +427,14 @@ def embedding_near_dup_pairs(
         id_b = ids_b[bj]
         lo = np.minimum(id_a, id_b)
         hi = np.maximum(id_a, id_b)
+        # unrounded: the value is already bit-deterministic, and DuckDB's
+        # round() disagrees with np.round near 5e-5 boundaries even on
+        # IDENTICAL input doubles (decimal-string vs half-even)
         return pd.DataFrame(
             {
                 "id_a": lo,
                 "id_b": hi,
-                "cosine": np.round(sims[ai, bj], 4),
+                "cosine": sims[ai, bj],
             }
         )
 

@@ -168,7 +168,8 @@ def search_topk(
 
     - df(term) = docs containing the term (exact, distributed partials);
     - idf_q = floor(ln(N / df) * 2^20 + 0.5)  (CPython ``math.log`` ==
-      DuckDB ``ln``, glibc parity pinned by the unigram-LM oracle);
+      DuckDB ``ln`` modulo quantization — the floor boundary margin dwarfs
+      any libm ULP skew);
     - score_q = sum over matched query terms of tf * idf_q;
     - top-k by (score_q DESC, doc_id) — ties exact.
 
@@ -972,18 +973,28 @@ def document_bonus(ds: rd.Dataset) -> rd.Dataset:
 
     Bit-reproducibility: all inputs are small integers decoded from the
     packed word; every double expression is mirrored tree-for-tree in
-    the SQL oracle.  ``0.2 * log(1 + topology)`` goes through a 256-entry
-    ``math.log`` table (CPython math.log == DuckDB ln, both glibc; numpy's
-    vectorized log is NOT the same implementation and may differ in the
-    last ULP).  flagsPenalty's Java ``(int) -penalty`` cast truncates
-    toward zero — np.trunc here, trunc() in SQL (a bare CAST in DuckDB
-    ROUNDS).
+    the SQL oracle.  ``0.2 * log(1 + topology)`` is QUANTIZED to a dyadic
+    rational — ``floor(x * 2^20 + 0.5) / 2^20`` on both sides — so a
+    last-ULP difference between CPython ``math.log`` and whatever libm
+    the oracle's DuckDB build links cannot leak into the output (the
+    nearest floor boundary over all 256 topology values is 4e-4 away,
+    vs ~1e-10 for a ULP of ln; the same trick as bm25_topk's idf).
+    Every other primitive in the chain (multiply, add, sqrt, trunc) is
+    correctly rounded by IEEE-754 and therefore identical across
+    implementations.  flagsPenalty's Java ``(int) -penalty`` cast
+    truncates toward zero — np.trunc here, trunc() in SQL (a bare CAST
+    in DuckDB ROUNDS).
 
     Scale shape: pure per-row map over the columns named above — no
     shuffle, no state, zero-copy-friendly at any corpus size."""
     import math
 
-    log_topo = np.array([0.2 * math.log(1 + t) for t in range(256)])
+    log_topo = np.array(
+        [
+            math.floor(0.2 * math.log(1 + t) * 1048576.0 + 0.5) / 1048576.0
+            for t in range(256)
+        ]
+    )
 
     def bonus(b: pd.DataFrame) -> pd.DataFrame:
         dm = b["doc_meta"].to_numpy(np.int64)

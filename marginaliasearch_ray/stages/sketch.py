@@ -64,7 +64,14 @@ def _estimate(reg: np.ndarray) -> tuple[int, float]:
     v = int((reg == 0).sum())
     est = HLL_ALPHA * m * m * float(1 << 53) / float(s)
     if est <= 2.5 * m and v > 0:
-        est = m * np.log(m / float(v))
+        # linear-counting ln quantized to the 2^-20 grid so the estimate
+        # is libm-ULP-robust vs any DuckDB build (doc_ranking_bonus
+        # hardening); the multiply is correctly rounded everywhere.
+        import math
+
+        est = m * (
+            math.floor(math.log(m / float(v)) * 1048576.0 + 0.5) / 1048576.0
+        )
     return m - v, est
 
 

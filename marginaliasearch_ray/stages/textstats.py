@@ -125,8 +125,12 @@ def extract_keywords(docs, top_k: int = 5, id_col: str = "doc_id",
         df_tbl = df_tbl[df_tbl.df >= min_df]
     if max_vocab is not None and len(df_tbl) > max_vocab:
         df_tbl = df_tbl.nlargest(max_vocab, "df")
+    # idf quantized to int (floor(ln*2^20+0.5)) so the ranking score is an
+    # exact INTEGER — robust against libm ln ULP skew in any DuckDB build
+    # (the bm25_topk trick); ties resolved by token ASC on both sides.
     idf = {
-        t: math.log(n_docs / (1 + d)) for t, d in zip(df_tbl.token, df_tbl.df)
+        t: math.floor(math.log(n_docs / (1 + d)) * 1048576.0 + 0.5)
+        for t, d in zip(df_tbl.token, df_tbl.df)
     }
     idf_ref = ray.put(idf)
 
@@ -139,7 +143,7 @@ def extract_keywords(docs, top_k: int = 5, id_col: str = "doc_id",
             for tok in toks:
                 tf[tok] = tf.get(tok, 0) + 1
             scored = sorted(
-                ((cnt * idf_map.get(tok, 0.0), tok) for tok, cnt in tf.items()),
+                ((cnt * idf_map.get(tok, 0), tok) for tok, cnt in tf.items()),
                 key=lambda x: (-x[0], x[1]),
             )
             out.append([tok for _, tok in scored[:top_k]])
@@ -185,7 +189,11 @@ def extract_keyword_positions(docs, top_k: int = 5, id_col: str = "doc_id"):
         .map_batches(df_combine, batch_format="pandas", batch_size=None)
         .to_pandas()
     )
-    idf = {t: math.log(n_docs / (1 + d)) for t, d in zip(df_tbl.token, df_tbl.df)}
+    # same int-quantized idf as extract_keywords (ln-ULP robustness)
+    idf = {
+        t: math.floor(math.log(n_docs / (1 + d)) * 1048576.0 + 0.5)
+        for t, d in zip(df_tbl.token, df_tbl.df)
+    }
     idf_ref = ray.put(idf)
 
     def topk_positions(batch: pd.DataFrame, _ref=idf_ref) -> pd.DataFrame:
@@ -199,7 +207,7 @@ def extract_keyword_positions(docs, top_k: int = 5, id_col: str = "doc_id"):
                 tf[tok] = tf.get(tok, 0) + 1
                 pos.setdefault(tok, []).append(i)
             scored = sorted(
-                ((cnt * idf_map.get(tok, 0.0), tok) for tok, cnt in tf.items()),
+                ((cnt * idf_map.get(tok, 0), tok) for tok, cnt in tf.items()),
                 key=lambda x: (-x[0], x[1]),
             )
             for rank, (_score, tok) in enumerate(scored[:top_k], start=1):

@@ -210,7 +210,11 @@ class TestUnigramLmScores:
 
         # corpus: a a a b  -> p(a)=3/4, p(b)=1/4
         out = self._run(["a a a", "b"])
-        lp_a, lp_b = math.log(3 / 4), math.log(1 / 4)
+
+        def _qlog(x):
+            return math.floor(math.log(x) * 1048576.0 + 0.5) / 1048576.0
+
+        lp_a, lp_b = _qlog(3 / 4), _qlog(1 / 4)
         assert out.loc[0, "nll"] == -((lp_a + lp_a + lp_a) / 3)
         assert out.loc[1, "nll"] == -lp_b
         assert list(out["n_tokens"]) == [3, 1]
@@ -227,7 +231,9 @@ class TestUnigramLmScores:
 
         # min_df=2 prunes 'b' (count 1): it scores as ln(0.5/total)
         out = self._run(["a a a", "b"], min_df=2)
-        assert out.loc[1, "nll"] == -math.log(0.5 / 4)
+        assert out.loc[1, "nll"] == -(
+            math.floor(math.log(0.5 / 4) * 1048576.0 + 0.5) / 1048576.0
+        )
 
     def test_deterministic_across_layouts(self, ray_session):
         texts = [f"w{i % 7} w{i % 3} common" for i in range(50)]

@@ -472,8 +472,11 @@ class TestDsirWeights:
             cr[md5_number_lower(t) % 16] += 1
         for t in toks_tgt:
             ct[md5_number_lower(t) % 16] += 1
+        def _qlog(x):
+            return math.floor(math.log(x) * 1048576.0 + 0.5) / 1048576.0
+
         def lr(b):
-            return math.log((ct[b] + 1.0) / (2 + 16.0)) - math.log(
+            return _qlog((ct[b] + 1.0) / (2 + 16.0)) - _qlog(
                 (cr[b] + 1.0) / (5 + 16.0)
             )
         w0 = lr(md5_number_lower("a") % 16) + lr(md5_number_lower("b") % 16)

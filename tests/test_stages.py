@@ -114,7 +114,9 @@ class TestAnn:
         qq = q / np.linalg.norm(q)
         want = np.argsort(-(mm @ qq))[:5]
         assert list(out.vec_id) == list(want)
-        assert out.cosine.iloc[0] == 1.0
+        # quantized-integer cosine protocol: self-similarity is
+        # dot/(sqrt(n)*sqrt(n)) which differs from 1.0 by <= 1 ULP
+        assert abs(out.cosine.iloc[0] - 1.0) < 1e-12
 
     def test_lsh_recall(self):
         ds, m = self._emb(n=400)
@@ -1859,7 +1861,10 @@ class TestDocumentBonus:
         len_pen = 0.0 if length > 2000 else -2.0
         qual_pen = 0.0 if (size < 400 and quality < 5) else -quality * (1.0 / 15.0)
         rank_bonus = (255.0 - rank) * (1.0 / 100.0)
-        topo_bonus = 0.2 * math.log(1 + topology)
+        topo_bonus = (
+            math.floor(0.2 * math.log(1 + topology) * 1048576.0 + 0.5)
+            / 1048576.0
+        )
         bonus = asl_pen + len_pen + qual_pen + rank_bonus + topo_bonus + flags_pen
         prior = math.sqrt((1.0 + 500.0 + 20 * (-min(0.0, bonus))) / (1.0 + 0.0))
         return {"doc_bonus": bonus, "prior_score": prior,

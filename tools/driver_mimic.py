@@ -3,8 +3,10 @@
 Runs every ``queries()`` entry at a given sf dir and compares against
 ``oracle_sql()`` through DuckDB (tables registered as views), with
 driver-like normalization: columns sorted by name, rows sorted by all
-columns, float comparison at 1e-6 relative tolerance, everything else
-compared as strings.
+columns, and EXACT value comparison — floats bit-for-bit (NaN == NaN),
+everything else as strings.  The real driver hashes exact values; a
+tolerance here would hide rows the driver flags red (this bit round 3:
+a 1e-6 rtol masked a last-ULP ln divergence in ``doc_ranking_bonus``).
 
 Usage:  python tools/driver_mimic.py [sf_dir] [query ...]
 Ray is initialised here (the real driver does the same before importing
@@ -40,10 +42,10 @@ def compare(mine: pd.DataFrame, ref: pd.DataFrame) -> tuple[bool, bool, bool, st
     for c in a.columns:
         av, bv = a[c], b[c]
         if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
-            ok = np.allclose(
+            ok = np.array_equal(
                 av.astype(float).to_numpy(),
                 bv.astype(float).to_numpy(),
-                rtol=1e-6, atol=1e-9, equal_nan=True,
+                equal_nan=True,
             )
         else:
             ok = (av.astype(str).to_numpy() == bv.astype(str).to_numpy()).all()
