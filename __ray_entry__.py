@@ -3087,8 +3087,8 @@ def _keyword_index_ds(sf_dir: str):
     from marginaliasearch_ray.fixtures.cache import fixture_dir_for
     from marginaliasearch_ray.pipelines.convert import convert_pages
     from marginaliasearch_ray.stages.fullrank import (
+        build_link_text_slices,
         keyword_index,
-        link_texts_by_url,
     )
 
     cached = _KEYWORD_INDEX_CACHE.get(sf_dir)
@@ -3096,7 +3096,12 @@ def _keyword_index_ds(sf_dir: str):
         return cached
 
     fix = fixture_dir_for(sf_dir)
-    lt_ref = ray.put(link_texts_by_url(f"{fix}/links.parquet"))
+    # LinkTexts: host-bucketed parquet slices built distributed (the
+    # AnchorTagsSource per-domain side-DB shape) — the links table never
+    # materializes on the driver
+    lt_dir = build_link_text_slices(
+        f"{fix}/links.parquet", f"{fix}/linktext_slices"
+    )
     conv = convert_pages(f"{fix}/pages.parquet")
     dup_tbl = conv.select_columns(["url", "is_near_dup"]).to_pandas()
     dups = frozenset(dup_tbl.loc[dup_tbl["is_near_dup"], "url"])
@@ -3123,7 +3128,7 @@ def _keyword_index_ds(sf_dir: str):
     clf_ref = ray.put(clf_masks)
     ds = keyword_index(
         f"{fix}/pages.parquet",
-        link_texts_ref=lt_ref,
+        link_texts_dir=lt_dir,
         dup_urls_ref=dup_ref,
         clf_ref=clf_ref,
     ).materialize()

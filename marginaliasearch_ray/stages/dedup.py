@@ -143,6 +143,12 @@ def minhash_batch(batch: pd.DataFrame, id_col: str = "doc_id") -> pd.DataFrame:
     )
 
 
+# bucket-key hash partitions for minhash candidate generation: enough
+# that one partition's band rows are a small slice of the corpus (the
+# shuffle is data-sized but NARROW — ~24 bytes/row x 16 rows/doc), few
+# enough that per-group dispatch stays negligible
+_MINHASH_PARTS = 32
+
 _MAX_BUCKET = 500  # skew guard: a band bucket larger than this is a
 # degenerate hot key (e.g. empty/boilerplate docs); cap to the first
 # _MAX_BUCKET ids in sorted order.  NOT silent: callers see the cap here.
@@ -215,18 +221,33 @@ def minhash_lsh_pairs(
     bands = docs.map_batches(
         minhash_batch, batch_format="pandas", fn_kwargs={"id_col": id_col}
     )
-    # band rows are NARROW (id, band, hash) at 16 rows/doc; one combine
-    # task holds them comfortably to ~10M docs — past that, swap the
-    # coalesce for a hash partition on band_hash (complete buckets per
-    # part) and run _band_bucket_pairs per part
-    cand = (
-        bands.repartition(1)
-        .map_batches(
-            _band_bucket_pairs,
-            batch_format="pandas",
-            batch_size=None,
-            fn_kwargs={"id_col": id_col},
+    # Candidate generation scales by HASH-PARTITIONING the narrow
+    # (id, band, band_hash) rows on the bucket key: every (band,
+    # band_hash) bucket lands in exactly one partition (pk is a pure
+    # function of the bucket key), so per-partition triu passes see
+    # complete buckets and the union over partitions is exactly the
+    # all-bucket pair set.  The groupby is a sort shuffle over 16
+    # rows/doc narrow rows into a FIXED number of groups (low
+    # cardinality — map_groups dispatch cost is per-partition, not
+    # per-bucket), so no single task ever holds the corpus's band table.
+    n_parts = _MINHASH_PARTS
+
+    def add_pk(b: pd.DataFrame) -> pd.DataFrame:
+        bh = b["band_hash"].to_numpy(np.uint64)
+        band = b["band"].to_numpy(np.uint64)
+        b["pk"] = ((bh ^ (band * np.uint64(0x9E3779B97F4A7C15))) %
+                   np.uint64(n_parts)).astype(np.int64)
+        return b
+
+    def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return _band_bucket_pairs(
+            g[[id_col, "band", "band_hash"]], id_col=id_col
         )
+
+    cand = (
+        bands.map_batches(add_pk, batch_format="pandas")
+        .groupby("pk")
+        .map_groups(part_pairs, batch_format="pandas")
         .to_pandas()  # candidate PAIRS only — the small side
     )
     if cand.empty:

@@ -304,52 +304,161 @@ def link_texts_from_rows(srcs, dsts, texts) -> dict:
     return {url: sorted(counts.items()) for url, counts in out.items()}
 
 
-def link_texts_by_url(links_path: str) -> dict:
-    """LinkTexts side table from the links parquet — a small projection,
-    broadcast via ``ray.put`` exactly like stages/atags.py's anchor
-    slice (the reference's AnchorTagsSource is the same shape: a
-    per-domain side DB, not a shuffle)."""
-    tbl = (
-        rd.read_parquet(links_path, columns=["src_url", "dst_url", "anchor_text"])
-        .to_pandas()
+LT_BUCKETS = 64  # host-hash buckets for the LinkTexts slice table
+
+
+def _lt_bucket(host: str, n_buckets: int = LT_BUCKETS) -> int:
+    from hashlib import blake2b
+
+    return (
+        int.from_bytes(blake2b(host.encode()).digest()[:8], "little")
+        % n_buckets
     )
-    return link_texts_from_rows(tbl["src_url"], tbl["dst_url"], tbl["anchor_text"])
 
 
-def keyword_index(
-    pages_path: str,
-    link_texts_ref=None,
-    dup_urls_ref=None,
-    num_blocks: int | None = None,
-    batch_size: int = 256,
-    clf_ref=None,
-) -> rd.Dataset:
-    """Distributed keyword-index construction: one stateless
-    ``map_batches`` over the pages store -> doc-major projection rows
-    (url, domain, title, size, doc_meta, features, length, words, metas,
-    positions, span_tags, span_bounds).  Near-dup urls (the converter's
-    LshDocumentDeduplicator verdicts), the link-texts map, and the
-    per-domain DOM-sample classification masks (``clf_ref``) arrive as
-    broadcasts."""
-    if num_blocks is None:
-        num_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)))
+def build_link_text_slices(
+    links_path: str, out_dir: str, n_buckets: int = LT_BUCKETS
+) -> str:
+    """Distributed LinkTexts side table -> host-bucketed parquet slices.
 
-    import pyarrow.dataset as pads
+    The reference's AnchorTagsSource is a per-domain side DB the
+    converter opens per domain (DocumentProcessor.java:79-83); the Ray
+    analog is a bucketed slice table: one narrow pass over the links
+    parquet (projected columns only) emits external-anchor rows keyed by
+    hash(dst host) % n_buckets, a bucket groupby aggregates per
+    (url, text) counts, and each bucket task writes ONE parquet slice.
+    Nothing corpus-sized ever reaches the driver — it holds only the
+    bucket markers.  Consumers (the keyword-index actor pool) read and
+    cache whole bucket slices; the pages store is domain-ordered, so
+    consecutive batches hit the same buckets.
 
-    names = pads.dataset(pages_path).schema.names
-    columns = [
-        c for c in ("url", "html", "status", "x_adblock_key") if c in names
-    ]
+    Per-url content is bit-identical to ``link_texts_from_rows`` over
+    the full table (same parse/externality gate, text-sorted counts):
+    a host lives in exactly one bucket, so bucket aggregation is exact.
+    """
+    import os
 
-    def extract(batch: pa.Table) -> pa.Table:
+    from ..model.urls import parse_url
+
+    done_marker = os.path.join(out_dir, "_DONE")
+    if os.path.exists(done_marker):
+        return out_dir  # slices are immutable per fixture version
+    os.makedirs(out_dir, exist_ok=True)
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        srcs = batch.column("src_url").to_pylist()
+        dsts = batch.column("dst_url").to_pylist()
+        texts = batch.column("anchor_text").to_pylist()
+        rows = {"bucket": [], "url": [], "text": []}
+        for src, dst, text in zip(srcs, dsts, texts):
+            if not text:
+                continue
+            su, du = parse_url(src), parse_url(dst)
+            if su is None or du is None or su.host == du.host:
+                continue
+            rows["bucket"].append(_lt_bucket(du.host, n_buckets))
+            rows["url"].append(dst)
+            rows["text"].append(text)
+        return pa.table(
+            {
+                "bucket": pa.array(rows["bucket"], pa.int64()),
+                "url": pa.array(rows["url"], pa.string()),
+                "text": pa.array(rows["text"], pa.string()),
+            }
+        )
+
+    def write_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        if group.empty:
+            return pd.DataFrame({"bucket": [], "n_urls": []})
+        b = int(group["bucket"].iloc[0])
+        agg = (
+            group.groupby(["url", "text"], sort=True)
+            .size()
+            .reset_index(name="cnt")
+        )
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.Table.from_pandas(agg, preserve_index=False),
+            os.path.join(out_dir, f"bucket_{b}.parquet"),
+        )
+        return pd.DataFrame(
+            {"bucket": [b], "n_urls": [agg["url"].nunique()]}
+        )
+
+    (
+        rd.read_parquet(
+            links_path, columns=["src_url", "dst_url", "anchor_text"]
+        )
+        .map_batches(to_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(write_bucket, batch_format="pandas")
+        .materialize()
+    )
+    with open(done_marker, "w") as f:
+        f.write("ok")
+    return out_dir
+
+
+class _ExtractKeywords:
+    """Actor-pool keyword extraction: broadcasts (dup verdicts, DOM
+    classifications) resolve ONCE in ``__init__``; LinkTexts arrive as
+    host-bucketed parquet slices read lazily per bucket and LRU-cached —
+    the pages store is domain-ordered, so consecutive batches in one
+    actor hit the same buckets.  No corpus-sized side table ever
+    transits the driver or ships per batch."""
+
+    _LT_CACHE_MAX = 8  # bucket dicts held per actor (corpus/LT_BUCKETS each)
+
+    def __init__(self, link_texts_dir, dup_urls_ref, clf_ref):
         from ..functions.domclassifier import clf_from_mask
 
-        lt_map = ray.get(link_texts_ref) if link_texts_ref is not None else {}
-        dups = ray.get(dup_urls_ref) if dup_urls_ref is not None else frozenset()
-        clf_map = None
+        self._dups = (
+            ray.get(dup_urls_ref) if dup_urls_ref is not None else frozenset()
+        )
+        self._clf_map = None
         if clf_ref is not None:
             masks = ray.get(clf_ref)
-            clf_map = {h: clf_from_mask(m) for h, m in masks.items()}
+            self._clf_map = {h: clf_from_mask(m) for h, m in masks.items()}
+        self._lt_dir = link_texts_dir
+        self._lt_cache: dict[int, dict] = {}
+
+    def _lt_slice(self, bucket: int) -> dict:
+        cached = self._lt_cache.get(bucket)
+        if cached is not None:
+            return cached
+        import os
+
+        import pyarrow.parquet as pq
+
+        path = os.path.join(self._lt_dir, f"bucket_{bucket}.parquet")
+        table: dict[str, list] = {}
+        if os.path.exists(path):
+            t = pq.read_table(path)
+            for url, text, cnt in zip(
+                t.column("url").to_pylist(),
+                t.column("text").to_pylist(),
+                t.column("cnt").to_pylist(),
+            ):
+                table.setdefault(url, []).append((text, int(cnt)))
+            # rows were written (url, text)-sorted, so each list is
+            # already in link_texts_from_rows' text order
+        if len(self._lt_cache) >= self._LT_CACHE_MAX:
+            self._lt_cache.pop(next(iter(self._lt_cache)))
+        self._lt_cache[bucket] = table
+        return table
+
+    def _link_texts_for(self, url: str):
+        if self._lt_dir is None:
+            return None
+        from ..model.urls import parse_url
+
+        u = parse_url(url)
+        if u is None:
+            return None
+        return self._lt_slice(_lt_bucket(u.host)).get(url)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()
         htmls = batch.column("html").to_pylist()
         statuses = (
@@ -362,10 +471,11 @@ def keyword_index(
         )
         rows: list[dict] = []
         for url, html, st, ab in zip(urls, htmls, statuses, adblock):
-            if url in dups:
+            if url in self._dups:
                 continue
             state, row = page_keywords(
-                url, html, st, ab, lt_map.get(url), dom_clf_map=clf_map
+                url, html, st, ab, self._link_texts_for(url),
+                dom_clf_map=self._clf_map,
             )
             if state == "ok":
                 rows.append(row)
@@ -373,9 +483,54 @@ def keyword_index(
             return _EMPTY_INDEX_TABLE
         return pa.Table.from_pylist(rows, schema=_INDEX_SCHEMA)
 
+
+def keyword_index(
+    pages_path: str,
+    link_texts_dir: str | None = None,
+    dup_urls_ref=None,
+    num_blocks: int | None = None,
+    batch_size: int = 256,
+    clf_ref=None,
+    concurrency: int | None = None,
+) -> rd.Dataset:
+    """Distributed keyword-index construction: an ACTOR-POOL
+    ``map_batches`` over the pages store -> doc-major projection rows
+    (url, domain, title, size, doc_meta, features, length, words, metas,
+    positions, span_tags, span_bounds).  Near-dup urls (the converter's
+    LshDocumentDeduplicator verdicts) and the per-domain DOM-sample
+    classification masks arrive as broadcasts resolved once per actor;
+    link texts come from the host-bucketed slice table
+    (``build_link_text_slices``) read lazily per bucket — the
+    AnchorTagsSource per-domain-side-DB shape, never a driver dict."""
+    if num_blocks is None:
+        num_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    if concurrency is None:
+        # autoscaling actor pool capped BELOW the CPU count: a fixed
+        # pool equal to the cluster CPUs starves the upstream read
+        # tasks (observed deadlock at 4 CPUs)
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        concurrency = (1, max(2, cpus - 1))
+
+    import pyarrow.dataset as pads
+
+    names = pads.dataset(pages_path).schema.names
+    columns = [
+        c for c in ("url", "html", "status", "x_adblock_key") if c in names
+    ]
+
     return rd.read_parquet(
         pages_path, columns=columns, override_num_blocks=num_blocks
-    ).map_batches(extract, batch_format="pyarrow", batch_size=batch_size)
+    ).map_batches(
+        _ExtractKeywords,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={
+            "link_texts_dir": link_texts_dir,
+            "dup_urls_ref": dup_urls_ref,
+            "clf_ref": clf_ref,
+        },
+    )
 
 
 _INDEX_SCHEMA = pa.schema(
@@ -678,13 +833,34 @@ def _typed_result_frame(rows: list[dict]) -> pd.DataFrame:
 def score_batch(b: pd.DataFrame, terms: tuple, n_docs: int, dfs: list) -> list[dict]:
     """Candidate gate + full score for every doc in a batch that holds
     ALL query terms (the index AND retrieval).  Shared by the stage and
-    the sequential replica."""
+    the sequential replica.
+
+    The gate is VECTORIZED: one flattened word array per batch, one
+    C-level equality scan + bincount per query term — the per-row
+    Python loop (dict build + span decode + score_page) runs only on
+    all-terms candidates, which are a small fraction of any batch."""
+    n = len(b)
+    if n == 0 or not terms:
+        return []
+    word_lists = b["words"].to_numpy()
+    lens = np.fromiter((len(w) for w in word_lists), dtype=np.int64, count=n)
+    if lens.sum() == 0:
+        return []
+    flat = np.concatenate(
+        [np.asarray(w, dtype=object) for w in word_lists if len(w)]
+    )
+    row_idx = np.repeat(np.arange(n), lens)
+    cand_mask = np.ones(n, dtype=bool)
+    for term in terms:
+        m = flat == term
+        cand_mask &= np.bincount(row_idx[m], minlength=n) > 0
+        if not cand_mask.any():
+            return []
+
     rows: list[dict] = []
-    for t in b.itertuples(index=False):
+    for t in b[cand_mask].itertuples(index=False):
         words = list(t.words)
         widx = {w: j for j, w in enumerate(words)}
-        if any(term not in widx for term in terms):
-            continue
         positions = [list(t.positions[widx[term]]) for term in terms]
         flags = [int(t.metas[widx[term]]) & 0xFF for term in terms]
         spans = {
@@ -724,13 +900,24 @@ def ranked_search_full(kw_ds: rd.Dataset, terms: tuple, k: int = 10) -> pd.DataF
     term_list = list(terms)
 
     def stats_partial(b: pd.DataFrame) -> pd.DataFrame:
+        # same vectorized membership as score_batch's candidate gate:
+        # one C-level equality scan + bincount per term, no per-row sets
         n = len(b)
         df_counts = [0] * n_terms
-        for ws in b["words"]:
-            wset = set(ws)
+        word_lists = b["words"].to_numpy()
+        lens = np.fromiter(
+            (len(w) for w in word_lists), dtype=np.int64, count=n
+        )
+        if n and lens.sum():
+            flat = np.concatenate(
+                [np.asarray(w, dtype=object) for w in word_lists if len(w)]
+            )
+            row_idx = np.repeat(np.arange(n), lens)
             for i, term in enumerate(term_list):
-                if term in wset:
-                    df_counts[i] += 1
+                m = flat == term
+                df_counts[i] = int(
+                    (np.bincount(row_idx[m], minlength=n) > 0).sum()
+                )
         return pd.DataFrame(
             {"n_docs": [n], **{f"df_{i}": [c] for i, c in enumerate(df_counts)}}
         )

@@ -70,6 +70,25 @@ class TestDedup:
         assert [(0, 1)] == list(zip(pairs.id_a, pairs.id_b))
         assert pairs.jaccard.iloc[0] > 0.5
 
+    def test_minhash_layout_invariance(self):
+        # the band-hash-partitioned candidate path must emit the same
+        # verified pair set whatever the input block layout (no
+        # repartition(1) funnel; buckets are complete per partition)
+        rows = [
+            {"doc_id": i,
+             "text": (BASE_TEXT.replace("lazy", f"w{i % 5}") + f" tail{i % 7}")}
+            for i in range(40)
+        ] + [
+            {"doc_id": 100 + i, "text": BASE_TEXT} for i in range(4)
+        ]
+        a = minhash_lsh_pairs(_docs(rows).repartition(2), threshold=0.5)
+        b = minhash_lsh_pairs(_docs(rows).repartition(16), threshold=0.5)
+        pa = list(zip(a.id_a, a.id_b, a.jaccard))
+        pb = list(zip(b.id_a, b.id_b, b.jaccard))
+        assert pa == pb
+        assert {(100 + i, 100 + j) for i in range(4) for j in range(i + 1, 4)} \
+            <= {(x, y) for x, y, _ in pa}
+
     def test_simhash_near_dup(self):
         # 'lazy' -> 'slow' on the 4x-repeated base text flips exactly 1 bit
         # (simhash on single-token edits of ~100-token docs lands at 1-5
