@@ -3126,11 +3126,28 @@ def _keyword_index_ds(sf_dir: str):
             zip(clf_rows["domain"].tolist(), clf_rows["clf_mask"].tolist())
         )
     clf_ref = ray.put(clf_masks)
+    # the TermFrequencyDict the tf-idf/subject extractors read — built
+    # DISTRIBUTED by the exporter pipeline (the reference ships the same
+    # dict as a model file every converter process loads); broadcast as
+    # ({longHash: count}, doc_count)
+    from marginaliasearch_ray.pipelines.export import term_freq_export
+
+    tf_tbl = term_freq_export(
+        rd.read_parquet(
+            f"{fix}/pages.parquet", columns=["url", "html", "status"]
+        )
+    )
+    tf_map = dict(
+        zip(tf_tbl["term_hash"].tolist(), tf_tbl["count"].tolist())
+    )
+    tf_n = int(tf_map.pop(-1, 0))
+    tf_ref = ray.put((tf_map, tf_n))
     ds = keyword_index(
         f"{fix}/pages.parquet",
         link_texts_dir=lt_dir,
         dup_urls_ref=dup_ref,
         clf_ref=clf_ref,
+        tf_ref=tf_ref,
     ).materialize()
     _KEYWORD_INDEX_CACHE[sf_dir] = ds
     return ds

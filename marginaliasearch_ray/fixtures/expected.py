@@ -41,7 +41,7 @@ from .cache import FIXTURE_VERSION, config_for, fixture_dir_for
 
 EXPECTED_ROOT = "/tmp/graft_expected"
 # bump when ORACLE LOGIC changes without a fixture-generator change
-EXPECTED_VERSION = 34
+EXPECTED_VERSION = 35
 
 
 def expected_dir_for(sf_dir: str) -> str:
@@ -1534,6 +1534,15 @@ def _build_fullrank_expected(fix: Path, out: Path) -> None:
     # the index journal's post-classification view (DomainProcessor
     # forEach + sample-quality metadata) — same map the converter uses
     clf_map = _domclf_map(fix)
+    # the TermFrequencyDict from the termfreq replica built just above
+    # in the expected-builder sequence (the engine broadcasts the
+    # distributed exporter's output — proven equal by the term_freq
+    # driver query)
+    tfq = pq.read_table(out / "expected_termfreq.parquet")
+    tf_map = dict(
+        zip(tfq["term_hash"].to_pylist(), tfq["count"].to_pylist())
+    )
+    tf_n = int(tf_map.pop(-1, 0))
     idx_rows: list[dict] = []
     for i in range(pages.num_rows):
         url = pages["url"][i].as_py()
@@ -1546,6 +1555,7 @@ def _build_fullrank_expected(fix: Path, out: Path) -> None:
             pages["x_adblock_key"][i].as_py() if has_ab else None,
             lt.get(url),
             dom_clf_map=clf_map,
+            tf=(tf_map, tf_n),
         )
         if state == "ok":
             idx_rows.append(row)

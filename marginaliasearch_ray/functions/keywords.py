@@ -323,21 +323,53 @@ def keyword_projection(
     domain: str,
     path: str,
     link_texts: list | None = None,
+    tf_dict: dict | None = None,
+    tf_doc_count: int = 0,
 ) -> dict:
-    """DocumentPositionMapper.mapPositionsAndExtractSimpleKeywords over
-    the tagged frames of the PRUNED DOM.
+    """DocumentKeywordExtractor.extractKeywords over the tagged frames
+    of the PRUNED DOM, on the REAL sentence model (functions/sentences):
+    per-frame sentence extraction (detector stand-in + preclean + caps),
+    POS tagging, and the full extractor family — TitleKeywords,
+    NameLikeKeywords, SubjectLikeKeywords, WordsTfIdfCounts,
+    ArtifactKeywords (functions/posextract) — feeding
+    KeywordMetadata.getMetadataForWord flag bytes
+    (Title/Subjects/NamesWords/UrlPath/UrlDomain), the per-sentence NAME
+    n-gram meta terms, createNGramTermsFromSet, getImportantWords and
+    addAllSyntheticTerms.
 
     ``frames`` — ``tagged_frames(pruned_root)`` output ([text, kindset]).
     ``link_texts`` — optional [(text, count), ...] external anchor texts
     pointing at this document (LinkTexts), already deterministically
     ordered by the caller.
+    ``tf_dict`` / ``tf_doc_count`` — the TermFrequencyDict
+    ({longHash: count} map + document count) the tf-idf extractor reads;
+    the reference ships it as a pre-built model file per process, this
+    engine builds it distributed (pipelines/export.term_freq_export) and
+    broadcasts the map.
 
     Returns ``{"words": {word: [meta_long, positions]},
-    "spans": {tag_ordinal: interlaced}, "size": body_word_count}`` where
-    meta_long carries the WordFlags byte plus the 256-window positions
-    bitmask (DocumentKeywordsBuilder.calculatePositionMask) and
-    positions are 1-based.
+    "spans": {tag_ordinal: interlaced}, "size": body_word_count,
+    "important_words": [...]}`` where meta_long carries the WordFlags
+    byte plus the 256-window positions bitmask
+    (DocumentKeywordsBuilder.calculatePositionMask), positions are
+    1-based, and n-gram/synthetic terms ride with empty position lists.
     """
+    from .posextract import (
+        ArtifactKeywords,
+        NameLikeKeywords,
+        SubjectLikeKeywords,
+        TitleKeywords,
+        WordsTfIdfCounts,
+        WordRep,
+        important_words as _important_words,
+    )
+    from .sentences import (
+        extract_sentences_from_string,
+        make_sentence,
+        split_segment_sep,
+    )
+    from .pos import match_grammar_pattern
+
     # translate htmldoc kind codes -> HtmlTag ordinals once; excluded
     # kinds (script/style/form) appear only on EMPTY frames emitted at
     # element close — their text was suppressed by the tagger — so
@@ -351,12 +383,26 @@ def keyword_projection(
         )
         for text, kinds in frames
     ]
+    # the document language data: per-frame sentence extraction
+    dld = []
+    for text, tags in frames:
+        dld.extend(extract_sentences_from_string(text, tags))
+
     d_stems, p_stems, url_words = url_keywords(domain, path)
-    t_stems = title_stems(frames)
+    tfidf = WordsTfIdfCounts(tf_dict or {}, max(tf_doc_count, 1), dld)
+    title_kw = TitleKeywords(dld, T_TITLE)
+    name_kw = NameLikeKeywords(dld, 2)
+    subject_kw = SubjectLikeKeywords(tfidf, dld)
+    artifact_kw = ArtifactKeywords(dld)
 
     def flags_for(stem: str) -> int:
+        # KeywordMetadata.getMetadataForWord
         f = 0
-        if stem in t_stems:
+        if subject_kw.contains(stem):
+            f |= F_SUBJECTS
+        if name_kw.contains(stem):
+            f |= F_NAMES
+        if title_kw.contains(stem):
             f |= F_TITLE
         if stem in p_stems:
             f |= F_URL_PATH
@@ -366,31 +412,48 @@ def keyword_projection(
 
     words: dict[str, list] = {}
 
-    def add_word(w: str, pos: int) -> None:
-        if is_stop_word(w):
+    def add_word(w: str, stem: str, pos: int) -> None:
+        # the mapper's addPos + addMeta pair (stop-word gate applied by
+        # the caller, pattern + length gates here like the builder's)
+        if not matches_word_pattern(w):
             return
-        wl = w.lower()
-        if not matches_word_pattern(wl):
+        if len(w) > MAX_WORD_LENGTH:
             return
-        if len(wl) > MAX_WORD_LENGTH:
-            return
-        ent = words.get(wl)
+        ent = words.get(w)
         if ent is None:
-            words[wl] = [flags_for(porter_stem(wl)), [pos]]
+            words[w] = [flags_for(stem), [pos]]
         else:
-            # addMeta overwrites with the same document-level flag set;
-            # addPos appends
             ent[1].append(pos)
+
+    def add_meta(w: str, stem: str) -> None:
+        # DocumentKeywordsBuilder.addMeta: overwrite, meta-only entry
+        # when the word is new (no positions)
+        if len(w) > MAX_WORD_LENGTH:
+            return
+        ent = words.get(w)
+        flags = flags_for(stem)
+        if ent is None:
+            words[w] = [flags, []]
+        else:
+            ent[0] = flags
 
     # --- body mapping (mapDocumentPositions) ---
     recorders = {t: SpanRec(t) for t in (T_ANCHOR, T_TITLE, T_HEADING, T_CODE, T_NAV, T_BODY)}
     pos = 0
-    for text, tags in frames:
-        for w in split_segment(text):
+    for sent in dld:
+        tags = sent.html_tags
+        for i in range(len(sent)):
             pos += 1
             for rec in recorders.values():
                 rec.update(tags, pos)
-            add_word(w, pos)
+            w = sent.words_lc[i]
+            if is_stop_word(w):
+                continue
+            add_word(w, sent.stemmed[i], pos)
+        # per-sentence NAME n-gram meta terms
+        for span in match_grammar_pattern(sent, "name"):
+            rep = WordRep(sent, span)
+            add_meta(rep.word, rep.stemmed)
     size = pos  # index.getDocumentSize analog: body word count
     pos += 1
     spans: dict[int, list[int]] = {}
@@ -406,7 +469,9 @@ def keyword_projection(
     for w in url_words:
         pos += 1
         url_rec.update(url_tags, pos)
-        add_word(w, pos)
+        if is_stop_word(w):
+            continue
+        add_word(w, porter_stem(w), pos)
     pos += 1
     se = url_rec.finish(pos)
     if se:
@@ -418,17 +483,38 @@ def keyword_projection(
     ext_tags = frozenset((T_EXTLINK,))
     for text, count in link_texts or ():
         reps = int(max(1, min(math.sqrt(count), 12)))
-        sent = split_segment(text)
+        # AnchorTextKeywords builds each link text with the
+        # single-sentence extractSentence variant
+        toks, seps = split_segment_sep(text)
+        lsent = make_sentence(toks, seps, ext_tags, natural=True)
         for _ in range(reps):
-            for w in sent:
+            for i in range(len(lsent)):
                 pos += 1
                 ext_rec.update(ext_tags, pos)
-                add_word(w, pos)
+                w = lsent.words_lc[i]
+                if is_stop_word(w):
+                    continue
+                add_word(w, lsent.stemmed[i], pos)
             ext_rec.end_current_span(pos + 1)
             pos += 2
     se = ext_rec.finish(pos)
     if se:
         spans[T_EXTLINK] = se
+
+    # --- createNGramTermsFromSet (title, subject, name reps) ---
+    for rep_source in (title_kw, subject_kw, name_kw):
+        for rep in rep_source.get_reps():
+            if rep.word.strip():
+                add_meta(rep.word, rep.stemmed)
+
+    # --- importantWords + artifact synthetics ---
+    imp_words = _important_words(tfidf, name_kw, subject_kw)
+    for w in sorted(artifact_kw.get_words()):
+        # addAllSyntheticTerms: putIfAbsent with the Synthetic flag
+        if len(w) > MAX_WORD_LENGTH:
+            continue
+        if w not in words:
+            words[w] = [F_SYNTHETIC, []]
 
     # --- build(): position truncation + bitmask meta, span caps ---
     for wl, ent in words.items():
@@ -444,7 +530,12 @@ def keyword_projection(
             # keep whole pairs up to the first crossing
             cut = ((MAX_SPANS_PER_TYPE + 1) // 2) * 2
             spans[t] = se[:cut]
-    return {"words": words, "spans": spans, "size": size}
+    return {
+        "words": words,
+        "spans": spans,
+        "size": size,
+        "important_words": imp_words,
+    }
 
 
 def position_mask(term_meta: int, positions: list[int]) -> int:

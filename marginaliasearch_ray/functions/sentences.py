@@ -50,7 +50,22 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from .pos import EN_INCLUSION_PATTERN, tag_en_sentence
-from .stem import porter_stem
+from .stem import porter_stem as _porter_stem_raw
+
+# per-process stem memo: stemming runs once per TOKEN now (the sentence
+# model stems every word), so cache per surface form; vocabulary-bounded
+# with a clear-on-overflow guard against adversarial token streams
+_STEM_CACHE: dict[str, str] = {}
+_STEM_CACHE_MAX = 500_000
+
+
+def porter_stem(word: str):
+    hit = _STEM_CACHE.get(word)
+    if hit is None:
+        if len(_STEM_CACHE) >= _STEM_CACHE_MAX:
+            _STEM_CACHE.clear()
+        hit = _STEM_CACHE[word] = _porter_stem_raw(word)
+    return hit
 
 MAX_SENTENCE_LENGTH = 250  # SentenceExtractor.java:50
 MAX_SENTENCE_COUNT = 500   # SentenceExtractor.java:51

@@ -115,7 +115,7 @@ _SINGLE_LINK_TEXT_PARTIAL = 0.5
 
 
 def page_keywords(url_str: str, html, status, x_adblock, link_texts,
-                  dom_clf_map=None):
+                  dom_clf_map=None, tf=None):
     """Per-page dispatch + keyword/span projection, mirroring
     pipelines/convert.process_pages_batch's plugin dispatch
     (DocumentProcessor.java:49-60) and then the
@@ -221,7 +221,11 @@ def page_keywords(url_str: str, html, status, x_adblock, link_texts,
         amended = r["amended_words"]
     else:
         return "not_html", None
-    proj = keyword_projection(frames, u.host, u.path, link_texts=link_texts)
+    tf_dict, tf_n = tf if tf is not None else ({}, 0)
+    proj = keyword_projection(
+        frames, u.host, u.path, link_texts=link_texts,
+        tf_dict=tf_dict, tf_doc_count=tf_n,
+    )
     # --- the synthetic-term surface (functions/synthterms.py) ---
     # amendWords first: Subjects flag MERGES (inserting the stem when
     # absent, BlogSpecialization.java:104-108 / MariadbKb:43-66); the
@@ -410,7 +414,7 @@ class _ExtractKeywords:
 
     _LT_CACHE_MAX = 8  # bucket dicts held per actor (corpus/LT_BUCKETS each)
 
-    def __init__(self, link_texts_dir, dup_urls_ref, clf_ref):
+    def __init__(self, link_texts_dir, dup_urls_ref, clf_ref, tf_ref=None):
         from ..functions.domclassifier import clf_from_mask
 
         self._dups = (
@@ -420,6 +424,9 @@ class _ExtractKeywords:
         if clf_ref is not None:
             masks = ray.get(clf_ref)
             self._clf_map = {h: clf_from_mask(m) for h, m in masks.items()}
+        # the TermFrequencyDict broadcast ({longHash: count}, doc_count)
+        # feeding the tf-idf/subject extractors — resolved once per actor
+        self._tf = ray.get(tf_ref) if tf_ref is not None else None
         self._lt_dir = link_texts_dir
         self._lt_cache: dict[int, dict] = {}
 
@@ -475,7 +482,7 @@ class _ExtractKeywords:
                 continue
             state, row = page_keywords(
                 url, html, st, ab, self._link_texts_for(url),
-                dom_clf_map=self._clf_map,
+                dom_clf_map=self._clf_map, tf=self._tf,
             )
             if state == "ok":
                 rows.append(row)
@@ -492,6 +499,7 @@ def keyword_index(
     batch_size: int = 256,
     clf_ref=None,
     concurrency: int | None = None,
+    tf_ref=None,
 ) -> rd.Dataset:
     """Distributed keyword-index construction: an ACTOR-POOL
     ``map_batches`` over the pages store -> doc-major projection rows
@@ -529,6 +537,7 @@ def keyword_index(
             "link_texts_dir": link_texts_dir,
             "dup_urls_ref": dup_urls_ref,
             "clf_ref": clf_ref,
+            "tf_ref": tf_ref,
         },
     )
 

