@@ -49,7 +49,7 @@ def config_for(sf_dir: str) -> WebConfig:
     return _CONFIGS.get(name, _CONFIGS["sf0.001"])
 
 
-FIXTURE_VERSION = 24  # bump when the generator grammar changes
+FIXTURE_VERSION = 25  # bump when the generator grammar changes
 
 
 def fixture_dir_for(sf_dir: str, root: str = "/tmp/graft_fixtures") -> str:

@@ -41,7 +41,7 @@ from .cache import FIXTURE_VERSION, config_for, fixture_dir_for
 
 EXPECTED_ROOT = "/tmp/graft_expected"
 # bump when ORACLE LOGIC changes without a fixture-generator change
-EXPECTED_VERSION = 35
+EXPECTED_VERSION = 36
 
 
 def expected_dir_for(sf_dir: str) -> str:
@@ -777,9 +777,14 @@ def _build_convert_expected(fix: Path, out: Path) -> None:
                     r["n_words"] = len(body.split())
                     r["quality"] = PLAIN_TEXT_QUALITY
                     r["doc_hash"] = doc_lsh(body.lower().split())
+                    from ..functions.sentences import (
+                        sentence_token_counts,
+                    )
+
                     r["doc_meta"] = document_metadata_for(
                         body, r["n_words"], PLAIN_TEXT_QUALITY, 1993,
                         0, "", "plain",
+                        counts=sentence_token_counts((body,)),
                     )
                     if r["length"] == 0:
                         r["state"] = "disqualified_length"
@@ -793,11 +798,16 @@ def _build_convert_expected(fix: Path, out: Path) -> None:
                     r["quality"] = PDF_QUALITY
                     r["features"] = F_PDF
                     r["doc_hash"] = doc_lsh(pdoc.text.lower().split())
+                    from ..functions.sentences import (
+                        sentence_token_counts,
+                    )
+
+                    _counts = sentence_token_counts((pdoc.text,))
                     r["doc_meta"] = document_metadata_for(
                         pdoc.text, r["n_words"], PDF_QUALITY, 1993,
-                        F_PDF, "", "pdf",
+                        F_PDF, "", "pdf", counts=_counts,
                     )
-                    if not validate_length(r["n_words"], None, MIN_DOCUMENT_WORDS_FIXTURE):
+                    if not validate_length(_counts[0], None, MIN_DOCUMENT_WORDS_FIXTURE):
                         r["state"] = "disqualified_length"
                 elif mime in ("text/html", "application/xhtml+xml"):
                     # the EXACT per-document function the engine runs —

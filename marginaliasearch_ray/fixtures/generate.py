@@ -124,6 +124,8 @@ def render_html(p: PageSpec) -> str:
             out.append("<viewport></viewport>")
         elif kind == "ldjson":
             out.append(f'<script type="application/ld+json">{extra[1]}</script>')
+        elif kind == "meta_pubdate":
+            out.append(f'<meta itemprop="datePublished" content="{extra[1]}">')
     out.append("</head>\n<body>\n")
     for blk in p.blocks:
         k = blk[0]
@@ -802,6 +804,17 @@ def _generate_domain(cfg: WebConfig, domains: list[str], di: int):
                 spec.head_extra.append(("viewport",))
             if 0.47 < fr < 0.49:
                 spec.head_extra.append(("ldjson", '{"@type": "Article"}'))
+            # full-ISO datePublished markers on a page subset, from a
+            # SEPARATE seeded stream (the feeds-addition pattern): every
+            # other generator draw stays byte-identical across versions
+            pr2 = random.Random(f"pubdate|{domain}|{i}")
+            if pr2.random() < 0.25:
+                iso = "%04d-%02d-%02d" % (
+                    2000 + pr2.randrange(24),
+                    1 + pr2.randrange(12),
+                    1 + pr2.randrange(28),
+                )
+                spec.head_extra.append(("meta_pubdate", iso))
 
             # body blocks
             n_blocks = prng.randint(3, 8)

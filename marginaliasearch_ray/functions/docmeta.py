@@ -76,22 +76,32 @@ def is_guess_plausible(standard: str, year: int) -> bool:
 # ---------------------------------------------------------------------------
 
 
-def _parse_8601(s: str) -> Optional[int]:
+def _parse_8601_date(s: str) -> Optional[date]:
     try:
-        return date.fromisoformat(s).year
+        return date.fromisoformat(s)
     except ValueError:
         pass
     try:
-        return datetime.fromisoformat(s.replace("Z", "+00:00")).year
+        return datetime.fromisoformat(s.replace("Z", "+00:00")).date()
     except ValueError:
+        return None
+
+
+def _parse_8601(s: str) -> Optional[int]:
+    d = _parse_8601_date(s)
+    return d.year if d is not None else None
+
+
+def _parse_1123_date(s: str) -> Optional[date]:
+    try:
+        return parsedate_to_datetime(s).date()
+    except Exception:
         return None
 
 
 def _parse_1123(s: str) -> Optional[int]:
-    try:
-        return parsedate_to_datetime(s).year
-    except Exception:
-        return None
+    d = _parse_1123_date(s)
+    return d.year if d is not None else None
 
 
 def _guess_year(lo: int, hi: int, educated: Optional[int] = None) -> int:
@@ -126,15 +136,34 @@ def date_from_highest_year_looking_substring(
     return None
 
 
-def attempt_parse_date(s: Optional[str], standard: Optional[str] = None) -> Optional[int]:
-    """PubDateParser.attemptParseDate -> year (8601 / RFC1123 / year
-    substring), validated to [MIN_YEAR, MAX_YEAR]."""
+def attempt_parse_pubdate(
+    s: Optional[str], standard: Optional[str] = None
+) -> Optional[tuple]:
+    """PubDateParser.attemptParseDate -> (year, iso8601 | None),
+    validated to [MIN_YEAR, MAX_YEAR].  The iso date is present exactly
+    when the 8601 / RFC-1123 parse hit (PubDate.ExactDate — it feeds the
+    ``pub:<iso>`` synthetic term); the year-substring fallback is
+    ApproximateYear (iso None)."""
     if not s or not (4 <= len(s) < 32):
         return None
-    y = _parse_8601(s) or _parse_1123(s) or date_from_highest_year_looking_substring(s, standard)
+    d = _parse_8601_date(s)
+    if d is None:
+        d = _parse_1123_date(s)
+    if d is not None:
+        y: Optional[int] = d.year
+        iso: Optional[str] = d.isoformat()
+    else:
+        y = date_from_highest_year_looking_substring(s, standard)
+        iso = None
     if y is not None and MIN_YEAR <= y <= MAX_YEAR:
-        return y
+        return (y, iso)
     return None
+
+
+def attempt_parse_date(s: Optional[str], standard: Optional[str] = None) -> Optional[int]:
+    """Year-only view of :func:`attempt_parse_pubdate` (legacy callers)."""
+    r = attempt_parse_pubdate(s, standard)
+    return r[0] if r is not None else None
 
 
 def _url_year(url: str, min_year: int) -> Optional[int]:
@@ -387,25 +416,29 @@ def dom_parsing_pass2(dom, standard: str) -> Optional[int]:
 # ---------------------------------------------------------------------------
 
 
-def sniff_pubdate(
+def sniff_pubdate_full(
     doc: ParsedDoc,
     url: str,
     last_modified: Optional[str] = None,
     effort_high: bool = True,
-) -> Optional[int]:
-    """-> publication year or None, in the reference's exact heuristic
-    order.  The DOM passes run only when ``doc.dom`` is present AND
+) -> Optional[tuple]:
+    """-> (year, iso8601 | None) or None, in the reference's exact
+    heuristic order.  The iso date rides along exactly when the winning
+    heuristic produced a PubDate.ExactDate (a full 8601/RFC-1123 parse:
+    the JSON-LD / meta / time passes and the Last-Modified header) — it
+    feeds the ``pub:<iso>`` synthetic term (MetaTagsBuilder.addPubDate).
+    The DOM passes run only when ``doc.dom`` is present AND
     ``effort_high`` (parse_document(build_dom=True), the converter path);
     without a DOM the chain degrades to the streaming fields, which is the
     reference's LOW-effort shape."""
     dom = doc.dom
     std = getattr(doc, "html_standard", "UNKNOWN")
 
-    # -- high quality (first hit wins) --
+    # -- high quality (first hit wins; full-date capable) --
     for blob in doc.ld_json:  # JSONLD
-        y = attempt_parse_date(_ldjson_date(blob))
-        if y:
-            return y
+        r = attempt_parse_pubdate(_ldjson_date(blob))
+        if r:
+            return r
     if dom is not None:
         # heuristic priority order (Microdata, OpenGraph, RDFa,
         # Html5Itemprop, Html5Article) with ONE tree walk: bucket the
@@ -428,43 +461,55 @@ def sniff_pubdate(
                         buckets[j].append(el)
         for j, (_t, _k, _v, attr) in enumerate(pats):
             for el in buckets[j]:
-                y = attempt_parse_date(el.attr(attr))
-                if y:
-                    return y
+                r = attempt_parse_pubdate(el.attr(attr))
+                if r:
+                    return r
     else:
         for key in ("datepublished", "article:published_time"):
-            y = attempt_parse_date(doc.meta.get(key))
-            if y:
-                return y
+            r = attempt_parse_pubdate(doc.meta.get(key))
+            if r:
+                return r
         for dt in doc.time_datetimes:
-            y = attempt_parse_date(dt)
-            if y:
-                return y
+            r = attempt_parse_pubdate(dt)
+            if r:
+                return r
 
     # -- low quality (first hit wins, year-resolution) --
     y = _url_year(url, 2000)  # UrlPatternPass1: 1990s excluded
     if y:
-        return y
+        return (y, None)
     if dom is not None:  # DOMParsingPass1 / Html5AnyTimeTag / DOMParsingPass2
         y = dom_low_quality_passes(dom, std, effort_high)
         if y:
-            return y
+            return (y, None)
     else:
         for dt in doc.time_datetimes:
-            y = attempt_parse_date(dt)
-            if y:
-                return y
+            r = attempt_parse_pubdate(dt)
+            if r:
+                return r
     y = _url_year(url, MIN_YEAR)  # UrlPatternPass2: full window
     if y:
-        return y
-    y = attempt_parse_date(last_modified)  # Last-Modified header
-    if y:
-        return y
+        return (y, None)
+    r = attempt_parse_pubdate(last_modified)  # Last-Modified header
+    if r:
+        return r
     # GuessFromHtmlStandard (deterministic: blindGuess without the
     # reference's gaussian jitter — documented deviation)
     if std == "UNKNOWN":
         return None
-    return _STANDARD_GUESS.get(std)
+    g = _STANDARD_GUESS.get(std)
+    return (g, None) if g is not None else None
+
+
+def sniff_pubdate(
+    doc: ParsedDoc,
+    url: str,
+    last_modified: Optional[str] = None,
+    effort_high: bool = True,
+) -> Optional[int]:
+    """Year-only view of :func:`sniff_pubdate_full` (legacy callers)."""
+    r = sniff_pubdate_full(doc, url, last_modified, effort_high)
+    return r[0] if r is not None else None
 
 
 # Feature bits at the reference HtmlFeature enum ORDINALS
@@ -861,14 +906,24 @@ def encode_document_metadata(
 def document_metadata_for(
     text: str, n_words: int, quality: float, pub_year: int,
     features: int, gen_type: str, kind: str,
+    counts: tuple | None = None,
 ) -> int:
     """Assemble the converter's metadata word for one document:
     year byte = max(0, year - 1996) (PubDate.toYearByte), quality nibble
     = (int) -quality (quality is negative, Java int cast truncates
     toward zero).  ``gen_type`` = detected GeneratorType name ("" for
-    the plain/pdf plugins, whose flags come from ``kind``)."""
+    the plain/pdf plugins, whose flags come from ``kind``).
+
+    ``counts`` — (total_words, n_sentences) from the REAL sentence model
+    (sentences.sentence_token_counts, DocumentLanguageData semantics);
+    when absent the legacy ``[.!?]``-run stand-in computes the sentence
+    count from ``text``."""
+    if counts is not None:
+        total_w, n_sents = counts
+    else:
+        total_w, n_sents = n_words, count_sentences(text)
     return encode_document_metadata(
-        encoded_avg_sentence_length(n_words, count_sentences(text)),
+        encoded_avg_sentence_length(total_w, n_sents),
         max(0, int(pub_year) - PUBDATE_BYTE_OFFSET),
         int(-quality),
         document_flags(features, gen_type, kind),

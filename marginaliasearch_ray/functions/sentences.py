@@ -375,6 +375,29 @@ def make_sentence(
     )
 
 
+def sentence_token_counts(texts) -> tuple[int, int]:
+    """``dld.totalNumWords() / numSentences()`` without tags or stems
+    (token counts depend on neither) — the light path for the
+    converter's length gate and the asl metadata nibble
+    (DocumentLengthLogic.java:17-31).  ``texts`` iterates the document's
+    tagged strings; every extracted sentence counts, including
+    zero-token ones (DocumentLanguageData counts sentence OBJECTS)."""
+    total = 0
+    nsent = 0
+    for text in texts:
+        if len(text) > 50_000:
+            text = text[:50_000]
+        text = normalize_spaces(text)
+        sents = preclean(detect_sentences(text))
+        if len(sents) > MAX_SENTENCE_COUNT:
+            sents = sents[:MAX_SENTENCE_COUNT]
+        for s in sents:
+            toks, _ = split_segment_sep(s, MAX_SENTENCE_LENGTH)
+            nsent += 1
+            total += len(toks)
+    return total, nsent
+
+
 def extract_sentences_from_string(
     text: str, html_tags: frozenset = frozenset()
 ) -> list[Sentence]:

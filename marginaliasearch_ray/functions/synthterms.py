@@ -7,8 +7,9 @@ indexed document, all carried with WordFlags.Synthetic and no positions:
    proto:/site:(host + top domain)/tld:/special:tilde, generator:* (HTML
    plugin only), format:<DocumentFormat>, every set HtmlFeature keyword,
    js:true|false, year:YYYY (>1900).  ``lang:`` is commented out upstream;
-   ``pub:<iso date>`` exists only for full-date pubdates — this engine's
-   pubdate model is year-granular repo-wide, so pub: is absent (documented).
+   ``pub:<iso date>`` rides on full-date pubdates (PubDate.ExactDate:
+   the sniffing chain's 8601/RFC-1123 parses carry the date through —
+   docmeta.sniff_pubdate_full).
 2. Link keywords (HtmlDocumentProcessorPlugin.getLinks + FileLinks.java):
    same-top-domain non-indexable filenames, file:<ending> + categorical
    file:audio/video/image/document/archive, links:<host>/links:<top> per
@@ -72,18 +73,23 @@ def meta_tag_words(
     fmt: str,
     generator_keywords: Optional[Iterable[str]],
     pub_year: int,
+    pub_iso: Optional[str] = None,
 ) -> list:
     """MetaTagsBuilder.build() for one document, insertion order.
     ``fmt`` is the DocumentFormat name (HTML5/XHTML/.../PLAIN/PDF/UNKNOWN);
     ``generator_keywords`` is None for the plain/pdf plugins (their
-    builders skip addGenerator)."""
+    builders skip addGenerator); ``pub_iso`` is the full ISO-8601 date
+    when the pubdate heuristic produced a PubDate.ExactDate."""
     from .docmeta import F_JS, feature_keywords
 
     out: list = []
     seen: set = set()
-    # addPubDate (year only — see module docstring)
+    # addPubDate: year, then the full-date pub: term when exact
+    # (AbstractDocumentProcessorPlugin.java:98-107)
     if pub_year and pub_year > 1900:
         _add(out, seen, f"year:{pub_year}")
+    if pub_iso:
+        _add(out, seen, f"pub:{pub_iso}")
     # addUrl
     _add(out, seen, f"proto:{u.proto.lower()}")
     _add(out, seen, f"site:{u.host}")

@@ -39,11 +39,12 @@ from ..functions.contenttype import decode_body, sniff_content_type
 from ..functions.docmeta import (
     F_COOKIES,
     F_PDF,
+    F_SHORT_DOCUMENT,
     adjust_quality,
     detect_features,
     detect_topic_features,
     document_metadata_for,
-    sniff_pubdate,
+    sniff_pubdate_full,
 )
 from ..functions.dom import tagger_text
 from ..functions.pdf import PDF_PUB_YEAR, PDF_QUALITY, convert_pdf, pdf_description
@@ -59,6 +60,7 @@ from ..functions.links import converter_links
 from ..functions.hashing import stable_hash64
 from ..functions.lsh import content_hash, doc_lsh, hamming64_vec
 from ..functions.quality import document_quality
+from ..functions.sentences import sentence_token_counts
 from ..model.urls import parse_url
 
 # dedup partition count: each partition holds COMPLETE domains
@@ -178,7 +180,11 @@ def process_html_document(
     ):
         out["state"] = "disqualified_quality"
         return out
-    out["pub_year"] = sniff_pubdate(doc, url_str) or 0
+    _pd = sniff_pubdate_full(doc, url_str)
+    out["pub_year"] = _pd[0] if _pd else 0
+    # full ISO date when the winning heuristic was exact — feeds the
+    # pub:<iso> synthetic term (MetaTagsBuilder.addPubDate)
+    out["pub_iso"] = _pd[1] if _pd else None
     out["fmt"] = doc.html_standard
     # converter-side link inventory (LinkProcessor semantics: permissive
     # parse, blocklist + scheme gates, seen-dedup, 500/250 caps) — the
@@ -220,14 +226,31 @@ def process_html_document(
     out["features"] |= detect_topic_features(words)
     out["n_words"] = len(words)
     out["doc_hash"] = doc_lsh(out["text"].lower().split())
+    # sentence-model token counts (DocumentLanguageData semantics) over
+    # the pruned tagged strings — feeds the length gate AND the asl
+    # metadata nibble (HtmlDocumentProcessorPlugin.java:146,158-161,171)
+    if doc.dom is not None and not doc.dom.truncated:
+        from ..functions.dom import tagged_frames
+
+        frame_src = out.get("_pruned")
+        if frame_src is None:
+            # keep_dom=False: the pruned tree is local to this call
+            frame_src = pruned
+        counts = sentence_token_counts(
+            t for t, _ in tagged_frames(frame_src)
+        )
+    else:
+        counts = sentence_token_counts((out["text"],))
+    # the reference KEEPS short documents and only flags SHORT_DOCUMENT
+    # (HtmlDocumentProcessorPlugin.java:158-161) — no disqualification
+    if not validate_length(counts[0], spec_name, MIN_DOCUMENT_WORDS_FIXTURE):
+        out["features"] |= F_SHORT_DOCUMENT
     # the packed per-document metadata word the index journal carries
     # (HtmlDocumentProcessorPlugin.java:171-175; DocumentMetadata.encode)
     out["doc_meta"] = document_metadata_for(
         out["text"], out["n_words"], out["quality"], out["pub_year"],
-        out["features"], gen_type, "html",
+        out["features"], gen_type, "html", counts=counts,
     )
-    if not validate_length(out["n_words"], spec_name, MIN_DOCUMENT_WORDS_FIXTURE):
-        out["state"] = "disqualified_length"
     return out
 
 
@@ -331,10 +354,14 @@ def process_pages_batch(batch: pa.Table, clf_ref=None) -> pa.Table:
             summary[i] = plain_text_description(lines)
             lsh[i] = content_hash(html)
             doc_hash[i] = doc_lsh(body.lower().split())
+            _counts = sentence_token_counts((body,))
             doc_meta[i] = document_metadata_for(
                 body, int(n_words[i]), PLAIN_TEXT_QUALITY,
-                PLAIN_TEXT_PUB_YEAR, 0, "", "plain",
+                PLAIN_TEXT_PUB_YEAR, 0, "", "plain", counts=_counts,
             )
+            # the plain-text plugin DISQUALIFIES on length, unlike the
+            # html plugin's keep+flag (PlainTextDocumentProcessorPlugin
+            # .java:80-82); dld-token-count basis
             if length[i] == 0:
                 state[i] = "disqualified_length"
             continue
@@ -353,11 +380,14 @@ def process_pages_batch(batch: pa.Table, clf_ref=None) -> pa.Table:
             summary[i] = pdf_description(pdoc)
             lsh[i] = content_hash(html)
             doc_hash[i] = doc_lsh(pdoc.text.lower().split())
+            _counts = sentence_token_counts((pdoc.text,))
             doc_meta[i] = document_metadata_for(
                 pdoc.text, int(n_words[i]), PDF_QUALITY, PDF_PUB_YEAR,
-                F_PDF, "", "pdf",
+                F_PDF, "", "pdf", counts=_counts,
             )
-            if not validate_length(int(n_words[i]), None, MIN_DOCUMENT_WORDS_FIXTURE):
+            # the PDF plugin DISQUALIFIES on length (PdfDocumentProcessor
+            # Plugin.java:101-103); dld-token-count basis
+            if not validate_length(_counts[0], None, MIN_DOCUMENT_WORDS_FIXTURE):
                 state[i] = "disqualified_length"
             continue
         if mime not in ("text/html", "application/xhtml+xml"):

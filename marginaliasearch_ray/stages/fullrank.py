@@ -15,11 +15,12 @@ DocumentKeywordExtractor writes into the index journal
 
 Scale shape:
 
-- ``keyword_index`` is a stateless per-page ``map_batches`` over the
-  pages store (the converter pass that produces the index journal);
-  the near-dup URL set and the link-texts map ride as ``ray.put``
-  broadcasts (the reference's AnchorTagsSource is likewise a small
-  per-domain side table).  Output rows are doc-major (the FORWARD
+- ``keyword_index`` is an actor-pool ``map_batches`` over the pages
+  store (the converter pass that produces the index journal); near-dup
+  URLs, DOM classifications and the term-frequency dict ride as
+  ``ray.put`` broadcasts resolved once per actor, link texts as
+  host-bucketed parquet slices read lazily per bucket (the reference's
+  AnchorTagsSource per-domain side DB).  Output rows are doc-major (the FORWARD
   index); candidate retrieval at scale goes through the inverted
   postings (stages/index.py inverted_postings) — this stage is the
   per-candidate RANKING cost, which the reference also pays per result.
@@ -32,9 +33,9 @@ Scale shape:
 Documented deviations (all declared, none load-bearing for the oracle,
 which is a shared-function sequential replica):
 
-- flags Subjects / NamesWords / Synthetic / Site / SiteAdjacent are
-  absent (POS tagger and loader-side site terms are stubbed repo-wide),
-  so TermFlagsGraphVisitor's qcount sees Title/UrlPath/UrlDomain only;
+- flags Site / SiteAdjacent are absent (loader-side site terms are out
+  of this projection's scope); Subjects / NamesWords / Synthetic are
+  LIVE since the POS-extractor integration (functions/posextract.py);
 - the compiled query is the flat AND of the query terms: ONE full
   phrase-constraint group in query order, no optional/alternative
   groups (QueryFactory's ngram expansion lives in queryparse.py and is
@@ -170,12 +171,16 @@ def page_keywords(url_str: str, html, status, x_adblock, link_texts,
         title = plain_text_title(u.path, lines)
         frames = [(body, frozenset())]
         n_words = len(body.split())
+        from ..functions.sentences import sentence_token_counts
+
         doc_meta = document_metadata_for(
-            body, n_words, PLAIN_TEXT_QUALITY, 1993, 0, "", "plain"
+            body, n_words, PLAIN_TEXT_QUALITY, 1993, 0, "", "plain",
+            counts=sentence_token_counts((body,)),
         )
         features = 0
         length = len(body)
         fmt, gen_keywords, link_terms, pub_year, amended = "PLAIN", None, [], 1993, ""
+        pub_iso = None
     elif mime == "application/pdf":
         pdoc = convert_pdf(html)
         if not pdoc.text.split():
@@ -183,8 +188,11 @@ def page_keywords(url_str: str, html, status, x_adblock, link_texts,
         title = pdoc.title
         frames = [(pdoc.text, frozenset())]
         n_words = len(pdoc.text.split())
+        from ..functions.sentences import sentence_token_counts
+
         doc_meta = document_metadata_for(
-            pdoc.text, n_words, PDF_QUALITY, 1993, 0, "", "pdf"
+            pdoc.text, n_words, PDF_QUALITY, 1993, 0, "", "pdf",
+            counts=sentence_token_counts((pdoc.text,)),
         )
         # PdfDocumentProcessorPlugin.java:117-118: ret.features = {PDF}
         from ..functions.docmeta import F_PDF
@@ -194,6 +202,7 @@ def page_keywords(url_str: str, html, status, x_adblock, link_texts,
         # the plugin's explicit lang: synthetic term (java:143) is absent:
         # the language pipeline is stubbed repo-wide (no OpenNLP models)
         fmt, gen_keywords, link_terms, pub_year, amended = "PDF", None, [], 1993, ""
+        pub_iso = None
     elif mime.startswith("text/html") or mime.startswith("application/xhtml"):
         decoded = decode_body(html, charset)
         r = process_html_document(
@@ -218,6 +227,7 @@ def page_keywords(url_str: str, html, status, x_adblock, link_texts,
         gen_keywords = r["gen_keywords"]
         link_terms = r["link_terms"]
         pub_year = r["pub_year"]
+        pub_iso = r.get("pub_iso")
         amended = r["amended_words"]
     else:
         return "not_html", None
@@ -250,7 +260,9 @@ def page_keywords(url_str: str, html, status, x_adblock, link_texts,
                 pwords[w] = [F_SUBJECTS, []]
             else:
                 ent[0] |= F_SUBJECTS
-    synthetic = meta_tag_words(u, features, fmt, gen_keywords, pub_year)
+    synthetic = meta_tag_words(
+        u, features, fmt, gen_keywords, pub_year, pub_iso=pub_iso
+    )
     synthetic += link_terms
     synthetic += decorator_terms(u.host)
     if u.path == "/":
