@@ -248,10 +248,22 @@ def tfd_long_hash(*byte_sets: bytes) -> int:
     return hash_val
 
 
+# per-process memo: the polynomial hash is pure Python and the tf-idf
+# extractor probes it once per candidate stem per document — the same
+# stems recur across a corpus (vocabulary-bounded; cleared on overflow)
+_TFD_HASH_CACHE: dict[str, int] = {}
+_TFD_HASH_CACHE_MAX = 500_000
+
+
 def tfd_term_freq_hash_stemmed(stem: str) -> int:
     """getTermFreqStemmed's key: longHash over the UTF-8 bytes of the
     already-stemmed term (TermFrequencyDict.java:83-85)."""
-    return tfd_long_hash(stem.encode("utf-8"))
+    hit = _TFD_HASH_CACHE.get(stem)
+    if hit is None:
+        if len(_TFD_HASH_CACHE) >= _TFD_HASH_CACHE_MAX:
+            _TFD_HASH_CACHE.clear()
+        hit = _TFD_HASH_CACHE[stem] = tfd_long_hash(stem.encode("utf-8"))
+    return hit
 
 
 def tfd_string_hash(s: str) -> int:

@@ -86,10 +86,18 @@ class WordsTfIdfCounts:
     def __init__(self, tf_dict: dict, doc_count: int, dld: list[Sentence]):
         self._dict = tf_dict
         self.doc_count = float(doc_count)
+        # one KEYWORD-pattern walk; spans + stems reused by the second
+        # (high-rep) pass below — identical output to the Java double
+        # walk, half the pattern-matching cost
+        walk: list[tuple] = []
         counts: dict[str, int] = {}
         for sent in dld:
-            for span in match_grammar_pattern(sent, "keyword"):
-                stem = sent.construct_stemmed_word_from_span(span)
+            spans = match_grammar_pattern(sent, "keyword")
+            stems = [
+                sent.construct_stemmed_word_from_span(span) for span in spans
+            ]
+            walk.append((sent, spans, stems))
+            for stem in stems:
                 counts[stem] = counts.get(stem, 0) + 1
         max_val = max(counts.values(), default=0)
         self.tf_idf: dict[str, int] = {}
@@ -99,17 +107,18 @@ class WordsTfIdfCounts:
             self.tf_idf[key] = value
             if cnt > 1 and value > 100:
                 high_instances.add(key)
-        # high-tf-idf reps, re-walked per span like the Java second pass;
-        # dedup matches the upstream HashSet<WordRep> (equality on word)
+        # high-tf-idf reps; dedup matches the upstream HashSet<WordRep>
+        # (equality on word)
         self._high: list[WordRep] = []
         seen_words: set[str] = set()
-        for sent in dld:
-            for span in match_grammar_pattern(sent, "keyword"):
-                if sent.construct_stemmed_word_from_span(span) in high_instances:
-                    rep = WordRep(sent, span)
-                    if rep.word not in seen_words:
-                        seen_words.add(rep.word)
-                        self._high.append(rep)
+        if high_instances:
+            for sent, spans, stems in walk:
+                for span, stem in zip(spans, stems):
+                    if stem in high_instances:
+                        rep = WordRep(sent, span)
+                        if rep.word not in seen_words:
+                            seen_words.add(rep.word)
+                            self._high.append(rep)
 
     def term_frequency_dict_value(self, rep: WordRep) -> int:
         return self.get_term_freq_stemmed(rep.stemmed)
