@@ -3179,6 +3179,66 @@ def _keyword_spans(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["url", "tag"]).reset_index(drop=True)
 
 
+def _doc_important_words(sf_dir: str) -> pd.DataFrame:
+    """DocumentKeywordExtractor.getImportantWords per indexed document,
+    with the candidate FUNNEL visible (the 16 tf-idf-leading
+    name/subject reps, their tf-idf and term-frequency values, and the
+    kept flag for the <=6 that survive the termFreq>100 gate — the
+    summary-bias word list) — vs the sequential replica."""
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        rows = {"url": [], "rank": [], "word": [], "tf_idf": [],
+                "term_freq": [], "kept": []}
+        for url, ws, vs, tfs, ks in zip(
+            b["url"], b["imp_word"], b["imp_tfidf"], b["imp_termfreq"],
+            b["imp_kept"],
+        ):
+            for rank, (w, v, tf, k) in enumerate(
+                zip(ws, vs, tfs, ks), start=1
+            ):
+                rows["url"].append(url)
+                rows["rank"].append(rank)
+                rows["word"].append(w)
+                rows["tf_idf"].append(int(v))
+                rows["term_freq"].append(int(tf))
+                rows["kept"].append(bool(k))
+        out = pd.DataFrame(rows)
+        for c, t in (("rank", "int64"), ("tf_idf", "int64"),
+                     ("term_freq", "int64"), ("kept", "bool")):
+            out[c] = out[c].astype(t) if len(out) else pd.Series(dtype=t)
+        return out
+
+    ds = _keyword_index_ds(sf_dir).select_columns(
+        ["url", "imp_word", "imp_tfidf", "imp_termfreq", "imp_kept"]
+    )
+    out = ds.map_batches(explode, batch_format="pandas").to_pandas()
+    if out.empty:
+        out = pd.DataFrame({
+            "url": pd.Series(dtype=str), "rank": pd.Series(dtype="int64"),
+            "word": pd.Series(dtype=str), "tf_idf": pd.Series(dtype="int64"),
+            "term_freq": pd.Series(dtype="int64"),
+            "kept": pd.Series(dtype="bool"),
+        })
+    return out.sort_values(["url", "rank"]).reset_index(drop=True)
+
+
+def _doc_pub_dates(sf_dir: str) -> pd.DataFrame:
+    """The two-level PubDate model on converter output: year for every
+    OK doc plus the full ISO date when the winning heuristic parsed one
+    (PubDate.ExactDate -> the pub:<iso> synthetic term)."""
+    conv = _loader_converted(sf_dir).select_columns(
+        ["url", "pub_year", "pub_iso", "state"]
+    )
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[b["state"] == "ok"][["url", "pub_year", "pub_iso"]].copy()
+        out["pub_iso"] = out["pub_iso"].fillna("")
+        return out
+
+    out = conv.map_batches(f, batch_format="pandas").to_pandas()
+    return out.sort_values("url").reset_index(drop=True)
+
+
 def _doc_word_flags(sf_dir: str) -> pd.DataFrame:
     """Indexed words carrying a non-zero WordFlags byte (KeywordMetadata
     .getMetadataForWord: Title / UrlPath / UrlDomain on this corpus) —
@@ -3694,6 +3754,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ranking_search_set": _ranking_search_set,
         "positional_search": _positional_search,
         "keyword_spans": _keyword_spans,
+        "doc_important_words": _doc_important_words,
+        "doc_pub_dates": _doc_pub_dates,
         "keyword_postings_coded": _keyword_postings_coded,
         "keyword_spans_coded": _keyword_spans_coded,
         "keyword_term_ids": _keyword_term_ids,
@@ -6282,6 +6344,16 @@ def oracle_sql() -> dict[str, str]:
         # single-threaded replica of the DocumentKeywordExtractor ->
         # IndexResultRankingService chain (fixtures/expected.py
         # _build_fullrank_expected)
+        "doc_important_words": f"""
+            SELECT url, rank, word, tf_idf, term_freq, kept
+            FROM read_parquet('{exp}/expected_important_words.parquet')
+            ORDER BY url, rank
+        """,
+        "doc_pub_dates": f"""
+            SELECT url, pub_year, coalesce(pub_iso, '') AS pub_iso
+            FROM read_parquet('{exp}/expected_convert.parquet')
+            WHERE state = 'ok' ORDER BY url
+        """,
         "keyword_spans": f"""
             SELECT url, tag, n_spans, span_len
             FROM read_parquet('{exp}/expected_keyword_spans.parquet')

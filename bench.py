@@ -227,6 +227,8 @@ def run_bench() -> dict:
         "positional_search",
         "search_ranked_full",
         "doc_word_flags",
+        "doc_important_words",
+        "doc_pub_dates",
     ):
         t0 = time.perf_counter()
         qs[name](SF_DIR)
@@ -320,15 +322,45 @@ def run_scaling(repeats: int = 2, settle_s: int = 45) -> dict:
     # Measured BEFORE and AFTER the pipeline runs; the max of the two is
     # the cleanest available reading of the host's capability (co-tenant
     # load only lowers it), so dividing by the max is conservative.
-    wait_quiet()
-    hw_pre = _cpu_scaling_baseline(lo_cpus, hi_cpus)
-    lo, lo_vals, lo_loads = run_best(lo_cpus)
-    hi, hi_vals, hi_loads = run_best(hi_cpus)
-    wait_quiet()
-    hw_post = _cpu_scaling_baseline(lo_cpus, hi_cpus)
-    hw = max(hw_pre, hw_post)
-    # efficiency on the distributed-throughput-bearing stages (crawl+convert)
-    eff = (lo["value"] / hi["value"]) / (hi_cpus / lo_cpus)
+    #
+    # The whole block RETRIES (up to 3 attempts) until the spin-ceiling
+    # gate held on BOTH sides of the timed runs (>= 0.8): a ceiling below
+    # that means the host's clocks were degraded INSIDE the measurement
+    # window, so the pipeline number measures the host, not the software
+    # (round-3 post-mortem: one co-tenant burst recorded a 0.739 artifact
+    # while every gated run cleared 0.8).  All attempts' raw numbers are
+    # reported — the retry selects a clean measurement window, never a
+    # different computation.
+    CEILING_GATE = 0.80
+    attempts_log: list[dict] = []
+    best_attempt = None
+    for attempt in range(3):
+        if attempt:
+            time.sleep(settle_s)
+        first = True
+        wait_quiet()
+        hw_pre = _cpu_scaling_baseline(lo_cpus, hi_cpus)
+        lo, lo_vals, lo_loads = run_best(lo_cpus)
+        hi, hi_vals, hi_loads = run_best(hi_cpus)
+        wait_quiet()
+        hw_post = _cpu_scaling_baseline(lo_cpus, hi_cpus)
+        hw = max(hw_pre, hw_post)
+        eff = (lo["value"] / hi["value"]) / (hi_cpus / lo_cpus)
+        cur = (hw_pre, hw_post, hw, eff, lo, hi, lo_vals, hi_vals,
+               lo_loads, hi_loads)
+        attempts_log.append(
+            {"eff": round(eff, 3), "hw_pre": round(hw_pre, 3),
+             "hw_post": round(hw_post, 3)}
+        )
+        if best_attempt is None or min(hw_pre, hw_post) > min(
+            best_attempt[0], best_attempt[1]
+        ):
+            best_attempt = cur
+        if hw_pre >= CEILING_GATE and hw_post >= CEILING_GATE:
+            best_attempt = cur
+            break
+    (hw_pre, hw_post, hw, eff, lo, hi, lo_vals, hi_vals,
+     lo_loads, hi_loads) = best_attempt
     return {
         "metric": "scaling efficiency (8 -> 32 cpus, same input)",
         "sec_8": lo["value"],
@@ -346,6 +378,7 @@ def run_scaling(repeats: int = 2, settle_s: int = 45) -> dict:
         "hw_ceiling_pre": round(hw_pre, 3),
         "hw_ceiling_post": round(hw_post, 3),
         "scaling_efficiency_hw_normalized": round(min(eff / hw, 1.0), 3),
+        "ceiling_gate_attempts": attempts_log,
         "sf": lo["sf"],
     }
 

@@ -41,7 +41,7 @@ from .cache import FIXTURE_VERSION, config_for, fixture_dir_for
 
 EXPECTED_ROOT = "/tmp/graft_expected"
 # bump when ORACLE LOGIC changes without a fixture-generator change
-EXPECTED_VERSION = 36
+EXPECTED_VERSION = 38
 
 
 def expected_dir_for(sf_dir: str) -> str:
@@ -738,7 +738,7 @@ def _build_convert_expected(fix: Path, out: Path) -> None:
     rows = {
         "url": [], "domain": [], "title": [], "length": [], "quality": [],
         "links_internal": [], "links_external": [], "is_near_dup": [],
-        "n_words": [], "pub_year": [], "summary": [], "spec": [],
+        "n_words": [], "pub_year": [], "pub_iso": [], "summary": [], "spec": [],
         "amended_words": [], "has_cookies": [], "features": [], "state": [],
         "doc_meta": [], "doc_hash": [],
     }
@@ -753,7 +753,8 @@ def _build_convert_expected(fix: Path, out: Path) -> None:
             r = {
                 "state": "ok", "title": "", "length": 0, "quality": 0.0,
                 "n_words": 0, "doc_hash": 0, "ni": 0, "ne": 0,
-                "pub_year": 0, "summary": "", "spec": "", "amended_words": "",
+                "pub_year": 0, "pub_iso": None, "summary": "", "spec": "",
+                "amended_words": "",
                 "features": 0, "doc_meta": 0,
                 "sc": bool(
                     pages["set_cookie"][i].as_py()
@@ -847,6 +848,7 @@ def _build_convert_expected(fix: Path, out: Path) -> None:
             rows["is_near_dup"].append(is_dup)
             rows["n_words"].append(r["n_words"])
             rows["pub_year"].append(r["pub_year"])
+            rows["pub_iso"].append(r.get("pub_iso"))
             rows["summary"].append(r["summary"])
             rows["spec"].append(r["spec"])
             rows["amended_words"].append(r["amended_words"])
@@ -876,6 +878,7 @@ def _build_convert_expected(fix: Path, out: Path) -> None:
                 "is_near_dup": pa.array(rows["is_near_dup"], pa.bool_()),
                 "n_words": pa.array(rows["n_words"], pa.int32()),
                 "pub_year": pa.array(rows["pub_year"], pa.int32()),
+                "pub_iso": pa.array(rows["pub_iso"], pa.string()),
                 "summary": pa.array(rows["summary"], pa.string()),
                 "spec": pa.array(rows["spec"], pa.string()),
                 "amended_words": pa.array(rows["amended_words"], pa.string()),
@@ -1610,6 +1613,35 @@ def _build_fullrank_expected(fix: Path, out: Path) -> None:
             }
         ),
         out / "expected_word_flags.parquet",
+    )
+    # importantWords funnel (DocumentKeywordExtractor.getImportantWords
+    # with the candidate stages visible): one row per (url, candidate)
+    iw_rows = {"url": [], "rank": [], "word": [], "tf_idf": [],
+               "term_freq": [], "kept": []}
+    for r in idx_rows:
+        for rank, (w, v, tf, k) in enumerate(
+            zip(r["imp_word"], r["imp_tfidf"], r["imp_termfreq"],
+                r["imp_kept"]),
+            start=1,
+        ):
+            iw_rows["url"].append(r["url"])
+            iw_rows["rank"].append(rank)
+            iw_rows["word"].append(w)
+            iw_rows["tf_idf"].append(int(v))
+            iw_rows["term_freq"].append(int(tf))
+            iw_rows["kept"].append(bool(k))
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array(iw_rows["url"], pa.string()),
+                "rank": pa.array(iw_rows["rank"], pa.int64()),
+                "word": pa.array(iw_rows["word"], pa.string()),
+                "tf_idf": pa.array(iw_rows["tf_idf"], pa.int64()),
+                "term_freq": pa.array(iw_rows["term_freq"], pa.int64()),
+                "kept": pa.array(iw_rows["kept"], pa.bool_()),
+            }
+        ),
+        out / "expected_important_words.parquet",
     )
 
     # Coded-sequence byte parity (libraries/coded-sequence): every

@@ -11,13 +11,11 @@ code/functions/language-processing/java/nu/marginalia/):
   isNotJunkWord (no resource files: the reference moved stopword lists
   out of this path, leaving only the junk-word rules — fully portable).
 - ``split_segment``         — sentence/SentenceSegmentSplitter.java
-  splitSegment with the ``en`` language's europeanWordBreaks pattern
-  (encoding/UnicodeNormalization.java:10) and the <>-strip / quote-strip
-  / trailing-dot / discard post-passes.  Deviations (documented): the
-  OpenNLP sentence detector is stubbed repo-wide, so each tagged frame
-  is treated as one sentence and the per-sentence word cap is not
-  applied; FlattenAllLatin's accent table is approximated with NFKD
-  (identity on the ASCII fixtures).
+  splitSegment token output (the query-side view: no separator bits, no
+  per-sentence cap).  The index side runs the FULL sentence chain in
+  functions/sentences.py (detector stand-in + precleaner + caps +
+  separator bits + the exact FlattenAllLatin tables, which this legacy
+  path now shares).
 - ``url_keywords``          — keyword/extractors/UrlKeywords.java:
   [^a-z0-9A-Z]+ splits, leading-www skip, com/net/org tail blanking,
   porter stems for the containsUrl/containsDomain sets, and the
@@ -25,14 +23,14 @@ code/functions/language-processing/java/nu/marginalia/):
 - ``title_stems``           — keyword/extractors/TitleKeywords.java
   (sorted-distinct words of TITLE-tagged frames, 100-term cap).
 - ``SpanRec``               — keyword/SpanRecorder.java verbatim.
-- ``keyword_projection``    — keyword/DocumentPositionMapper.java
-  mapPositionsAndExtractSimpleKeywords: 1-based body positions with
-  per-tag span recording, +2 padding, DOC_URL block, +2 padding,
-  EXTERNAL_LINKTEXT blocks with sqrt-attenuated repetitions
-  (mapLinkTextPositions), and KeywordMetadata.getMetadataForWord flag
-  bytes (Title / UrlPath / UrlDomain; Subjects and NamesWords need the
-  stubbed POS tagger and are documented absent, as is Synthetic —
-  ArtifactKeywords is email/artifact specific).
+- ``keyword_projection``    — the FULL DocumentKeywordExtractor
+  .extractKeywords chain: DocumentPositionMapper (1-based body
+  positions with per-tag span recording, +2 padding, DOC_URL block,
+  +2 padding, EXTERNAL_LINKTEXT blocks with sqrt-attenuated
+  repetitions), the POS-extractor family (functions/posextract.py) for
+  Subjects / NamesWords / Title / UrlPath / UrlDomain flags, the
+  per-sentence NAME n-gram meta terms, createNGramTermsFromSet,
+  getImportantWords, and the Artifact Synthetic terms.
 - ``position_mask``         — keyword/model/DocumentKeywordsBuilder.java
   calculatePositionMask (256-wide windows into meta bits 8..63, with the
   half-window leniency bit).
@@ -186,14 +184,14 @@ def _is_discarded(word: str) -> bool:
 
 
 def _flatten_unicode(s: str) -> str:
-    """FlattenAllLatin stand-in: identity on plain ASCII (the reference's
-    own fast path); NFKD + combining-mark strip otherwise (approximates
-    its hand-built accent table; fixtures are ASCII so this is exact on
-    every oracled input)."""
+    """FlattenAllLatin — delegates to the exact table port
+    (functions/sentences.flatten_unicode) so the query-side tokenizer
+    and the index-side sentence chain agree on every codepoint."""
     if s.isascii():
         return s
-    flat = unicodedata.normalize("NFKD", s)
-    return "".join(c for c in flat if not unicodedata.combining(c))
+    from .sentences import flatten_unicode
+
+    return flatten_unicode(s)
 
 
 def split_segment(segment: str) -> list[str]:
@@ -361,7 +359,6 @@ def keyword_projection(
         TitleKeywords,
         WordsTfIdfCounts,
         WordRep,
-        important_words as _important_words,
     )
     from .sentences import (
         extract_sentences_from_string,
@@ -508,7 +505,13 @@ def keyword_projection(
                 add_meta(rep.word, rep.stemmed)
 
     # --- importantWords + artifact synthetics ---
-    imp_words = _important_words(tfidf, name_kw, subject_kw)
+    from .posextract import important_words_funnel
+
+    imp_funnel = important_words_funnel(tfidf, name_kw, subject_kw)
+    imp_words = [w for w, _v, tf, k in imp_funnel if k]
+    imp_words.sort(key=lambda w: next(
+        (tf, w) for ww, _v, tf, k in imp_funnel if ww == w
+    ))
     for w in sorted(artifact_kw.get_words()):
         # addAllSyntheticTerms: putIfAbsent with the Synthetic flag
         if len(w) > MAX_WORD_LENGTH:
@@ -535,6 +538,7 @@ def keyword_projection(
         "spans": spans,
         "size": size,
         "important_words": imp_words,
+        "important_funnel": imp_funnel,
     }
 
 

@@ -335,13 +335,16 @@ class TitleKeywords:
         return self.reps
 
 
-def important_words(
+def important_words_funnel(
     tfidf: WordsTfIdfCounts,
     names: NameLikeKeywords,
     subjects: SubjectLikeKeywords,
-) -> list[str]:
-    """DocumentKeywordExtractor.getImportantWords, stable-sorted with
-    the word tiebreak for determinism."""
+) -> list[tuple]:
+    """DocumentKeywordExtractor.getImportantWords with the funnel made
+    visible: -> [(word, tf_idf, term_freq, kept)] for the 16
+    tf-idf-leading candidates, ``kept`` marking the final <=6 that
+    survive the termFreq > 100 gate and the termFreq-ascending cut.
+    Stable-sorted with the word tiebreak for determinism."""
     reps = [
         w
         for w in (*names.get_reps(), *subjects.get_reps())
@@ -349,6 +352,28 @@ def important_words(
     ]
     reps.sort(key=lambda w: (-tfidf.get_tf_idf(w.stemmed), w.word))
     reps = reps[:16]
-    reps = [w for w in reps if tfidf.term_frequency_dict_value(w) > 100]
-    reps.sort(key=lambda w: (tfidf.term_frequency_dict_value(w), w.word))
-    return [w.word for w in reps[:6]]
+    passed = [w for w in reps if tfidf.term_frequency_dict_value(w) > 100]
+    passed.sort(key=lambda w: (tfidf.term_frequency_dict_value(w), w.word))
+    kept_words = {w.word for w in passed[:6]}
+    return [
+        (
+            w.word,
+            tfidf.get_tf_idf(w.stemmed),
+            tfidf.term_frequency_dict_value(w),
+            w.word in kept_words,
+        )
+        for w in reps
+    ]
+
+
+def important_words(
+    tfidf: WordsTfIdfCounts,
+    names: NameLikeKeywords,
+    subjects: SubjectLikeKeywords,
+) -> list[str]:
+    """DocumentKeywordExtractor.getImportantWords (the kept words of
+    :func:`important_words_funnel`, in termFreq-ascending order)."""
+    funnel = important_words_funnel(tfidf, names, subjects)
+    kept = [(w, tf) for w, _v, tf, k in funnel if k]
+    kept.sort(key=lambda x: (x[1], x[0]))
+    return [w for w, _ in kept]

@@ -324,6 +324,7 @@ def process_pages_batch(batch: pa.Table, clf_ref=None) -> pa.Table:
     state = ["ok"] * n  # doc-level gate outcome (DocumentProcessor.java:85-92)
     spec_col = [""] * n
     amended = [""] * n
+    pub_iso = [None] * n  # full ISO date when the pubdate was ExactDate
 
     for i, (u_s, html) in enumerate(zip(urls, htmls)):
         u = parse_url(u_s)
@@ -405,6 +406,7 @@ def process_pages_batch(batch: pa.Table, clf_ref=None) -> pa.Table:
         features[i] = r["features"]
         quality[i] = r["quality"]
         pub_year[i] = r["pub_year"]
+        pub_iso[i] = r.get("pub_iso")
         summary[i] = r["summary"]
         lsh[i] = r["lsh"]
         doc_hash[i] = r["doc_hash"]
@@ -428,6 +430,7 @@ def process_pages_batch(batch: pa.Table, clf_ref=None) -> pa.Table:
             "links_internal": pa.array(n_links_int, pa.int32()),
             "links_external": pa.array(n_links_ext, pa.int32()),
             "pub_year": pa.array(pub_year, pa.int32()),
+            "pub_iso": pa.array(pub_iso, pa.string()),
             "summary": pa.array(summary, pa.string()),
             "features": pa.array(features, pa.int64()),
             "n_words": pa.array(n_words, pa.int32()),

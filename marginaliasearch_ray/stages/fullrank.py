@@ -290,6 +290,11 @@ def page_keywords(url_str: str, html, status, x_adblock, link_texts,
         "positions": [proj["words"][w][1] for w in words],
         "span_tags": sorted(proj["spans"]),
         "span_bounds": [proj["spans"][t] for t in sorted(proj["spans"])],
+        "important_words": proj["important_words"],
+        "imp_word": [t[0] for t in proj["important_funnel"]],
+        "imp_tfidf": [int(t[1]) for t in proj["important_funnel"]],
+        "imp_termfreq": [int(t[2]) for t in proj["important_funnel"]],
+        "imp_kept": [bool(t[3]) for t in proj["important_funnel"]],
     }
     return "ok", row
 
@@ -568,6 +573,11 @@ _INDEX_SCHEMA = pa.schema(
         ("positions", pa.list_(pa.list_(pa.int32()))),
         ("span_tags", pa.list_(pa.int8())),
         ("span_bounds", pa.list_(pa.list_(pa.int32()))),
+        ("important_words", pa.list_(pa.string())),
+        ("imp_word", pa.list_(pa.string())),
+        ("imp_tfidf", pa.list_(pa.int64())),
+        ("imp_termfreq", pa.list_(pa.int64())),
+        ("imp_kept", pa.list_(pa.bool_())),
     ]
 )
 _EMPTY_INDEX_TABLE = _INDEX_SCHEMA.empty_table()
