@@ -375,6 +375,35 @@ def make_sentence(
     )
 
 
+def _token_count(segment: str, cap: int) -> int:
+    """len(split_segment_sep(segment, cap)[0]) without building the
+    lists: same flatten + word-break scan + discard gate + cap, no
+    post-passes (they rewrite tokens, never add or drop them) —
+    equivalence pinned in tests/test_pos.py."""
+    from .keywords import _WORD_BREAK, _is_discarded
+
+    flat = flatten_unicode(segment)
+    cnt = 0
+    i = 0
+    n = len(flat)
+    while i <= n:
+        m = _WORD_BREAK.search(flat, i)
+        if not m:
+            if not _is_discarded(flat[i:]):
+                cnt += 1
+            break
+        if i != m.start():
+            if not _is_discarded(flat[i:m.start()]):
+                cnt += 1
+                if cnt >= cap:
+                    return cap
+        if m.end() == i:
+            i += 1
+        else:
+            i = m.end()
+    return min(cnt, cap)
+
+
 def sentence_token_counts(texts) -> tuple[int, int]:
     """``dld.totalNumWords() / numSentences()`` without tags or stems
     (token counts depend on neither) — the light path for the
@@ -392,9 +421,8 @@ def sentence_token_counts(texts) -> tuple[int, int]:
         if len(sents) > MAX_SENTENCE_COUNT:
             sents = sents[:MAX_SENTENCE_COUNT]
         for s in sents:
-            toks, _ = split_segment_sep(s, MAX_SENTENCE_LENGTH)
             nsent += 1
-            total += len(toks)
+            total += _token_count(s, MAX_SENTENCE_LENGTH)
     return total, nsent
 
 

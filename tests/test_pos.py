@@ -332,6 +332,23 @@ class TestSentenceChain:
         stem = s.construct_stemmed_word_from_span((1, 5))
         assert stem == "war_rose"
 
+    def test_token_count_equivalence(self):
+        from marginaliasearch_ray.functions.sentences import (
+            _token_count,
+            split_segment_sep,
+        )
+
+        cases = [
+            "The quick, brown fox. Jumped!",
+            "a|b c-d e.f <tag> 'quote' end.",
+            "", "   ", "---", "a " * 400, "x." * 50,
+            "word " * 260,  # over the 250 cap
+            "\x00 nul ☃ unicode café",
+        ]
+        for text in cases:
+            words, _ = split_segment_sep(text, 250)
+            assert _token_count(text, 250) == len(words), text[:40]
+
     def test_next_comma_pos(self):
         s = sent_for(["A1", "B1", "C1"], commas=[False, True, False])
         assert s.next_comma_pos(0) == 1
