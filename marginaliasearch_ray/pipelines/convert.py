@@ -608,10 +608,12 @@ def convert_pages(
     simple-processing track, which also bounds groupby skew.
 
     ``num_blocks`` splits the read so a single large parquet file still
-    fans out across the whole CPU pool (default: 1 per CPU — measured
-    fastest at 32 cpus on the sf0.1 corpus: 7.9 s vs 9.3 s at 4x; the
-    extract cost is uniform per row, so work-stealing slack buys nothing
-    here, and at real scale the input is many shard files anyway).
+    fans out across the whole CPU pool.  Default: row-count-aware —
+    max(1/CPU, rows / ~5000), so blocks stay small enough that straggler
+    imbalance can't idle the pool tail (measured at 32 cpus: sf0.1
+    (143k rows) is fastest at 1/CPU = 7.9 s, the 4x corpus at 4/CPU =
+    14.1 s vs 16.5 s at 1/CPU); at real scale the input is many shard
+    files anyway.
 
     ``dom_samples_path``: per-domain DOM-sample table (domain,
     accepted_popover, html, requests) — "auto" looks for a sibling
@@ -643,7 +645,17 @@ def convert_pages(
     clf_ref = ray.put(clf_masks)
 
     if num_blocks is None:
-        num_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)))
+        try:
+            import pyarrow.parquet as _pq
+
+            _rows = _pq.read_metadata(pages_path).num_rows
+        except Exception:  # directory datasets: let Ray pick block count
+            _rows = 0
+        num_blocks = max(
+            8,
+            int(ray.cluster_resources().get("CPU", 8)),
+            min(_rows // 5000, 512),
+        )
     if columns is None:
         import pyarrow.dataset as pads
 
