@@ -41,6 +41,21 @@ _CONFIGS = {
         mega_pages=3000,
         crawl_depth_range=(50, 300),
     ),
+    # 2x sfscale (~8x sf0.1): the round-4 protocol corpus.  At 4x the
+    # remaining per-session constant (~5 s: crawl actor spawn + round
+    # barriers + convert stage barriers) is still a quarter of the
+    # 32-cpu wall, capping measured raw efficiency near 0.73 even on a
+    # clean host; 8x halves the constant's share so the measurement
+    # approaches the pipeline's actual throughput scaling.
+    "sfscale8": WebConfig(
+        seed=42,
+        n_domains=16000,
+        min_pages=20,
+        max_pages=160,
+        mega_domains=6,
+        mega_pages=3000,
+        crawl_depth_range=(50, 300),
+    ),
 }
 
 
