@@ -1022,7 +1022,9 @@ def document_bonus(ds: rd.Dataset) -> rd.Dataset:
         for bit, w in ((12, 7.5), (17, 2.5), (16, 2.5), (4, 5.0),
                        (2, 5.0), (10, 2.5), (3, 2.5), (18, 5.0)):
             pen = pen + np.where((feat >> bit) & 1 == 1, w * factor, 0.0)
-        flags_pen = np.where(feat == 0, 0.0, np.trunc(-pen))
+        # np.trunc(-0.0) yields -0.0; +0.0 normalizes the zero-penalty
+        # branch so the bit pattern matches SQL trunc() (= +0.0)
+        flags_pen = np.where(feat == 0, 0.0, np.trunc(-pen)) + 0.0
 
         asl_pen = np.where(asl >= 2, 0.0, -5.0)
         len_pen = np.where(length > 2000, 0.0, -2.0)

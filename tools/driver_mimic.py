@@ -42,10 +42,12 @@ def compare(mine: pd.DataFrame, ref: pd.DataFrame) -> tuple[bool, bool, bool, st
     for c in a.columns:
         av, bv = a[c], b[c]
         if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
+            # bit-for-bit: the driver hashes the repr, so -0.0 vs +0.0 (or
+            # differing NaN payloads) must be caught here, not papered over
+            # by np.array_equal's -0.0 == 0.0 semantics
             ok = np.array_equal(
-                av.astype(float).to_numpy(),
-                bv.astype(float).to_numpy(),
-                equal_nan=True,
+                av.astype(float).to_numpy().view(np.uint64),
+                bv.astype(float).to_numpy().view(np.uint64),
             )
         else:
             ok = (av.astype(str).to_numpy() == bv.astype(str).to_numpy()).all()
