@@ -87,11 +87,7 @@ def _crawl_records(sf_dir: str) -> pd.DataFrame:
 
 
 def _convert_docs(sf_dir: str) -> pd.DataFrame:
-    from marginaliasearch_ray.fixtures.cache import fixture_dir_for
-    from marginaliasearch_ray.pipelines.convert import convert_pages
-
-    fix = fixture_dir_for(sf_dir)
-    ds = convert_pages(f"{fix}/pages.parquet")
+    ds = _convert_full_ds(sf_dir)
     out = ds.select_columns(
         ["url", "domain", "title", "length", "quality", "links_internal",
          "links_external", "is_near_dup", "n_words", "pub_year", "summary",
@@ -104,11 +100,7 @@ def _convert_docs(sf_dir: str) -> pd.DataFrame:
 def _loader_converted(sf_dir: str):
     """Converter output for the loading-process queries (LoaderInputData:
     the loader consumes the converter's slop tables)."""
-    from marginaliasearch_ray.fixtures.cache import fixture_dir_for
-    from marginaliasearch_ray.pipelines.convert import convert_pages
-
-    fix = fixture_dir_for(sf_dir)
-    return convert_pages(f"{fix}/pages.parquet")
+    return _convert_full_ds(sf_dir)
 
 
 def _doc_ranking_bonus(sf_dir: str) -> pd.DataFrame:
@@ -349,11 +341,7 @@ def _web_training_mix(sf_dir: str) -> pd.DataFrame:
     curation gates (near-dup drop + the reference's 32-word minimum),
     reduced to a per-domain token-budget report.  Per-batch partial
     aggregation; the shuffle carries one row per domain per block."""
-    from marginaliasearch_ray.fixtures.cache import fixture_dir_for
-    from marginaliasearch_ray.pipelines.convert import convert_pages
-
-    fix = fixture_dir_for(sf_dir)
-    ds = convert_pages(f"{fix}/pages.parquet").select_columns(
+    ds = _convert_full_ds(sf_dir).select_columns(
         ["domain", "n_words", "is_near_dup"]
     )
 
@@ -3069,86 +3057,88 @@ def _sideload(source: str) -> Callable[[str], pd.DataFrame]:
 
 
 _KEYWORD_INDEX_CACHE: dict[str, Any] = {}
+_CONVERT_FULL_CACHE: dict[str, Any] = {}
 
 
-def _keyword_index_ds(sf_dir: str):
-    """Build the keyword-index Dataset over the fixture pages: external
-    link texts broadcast (AnchorTagsSource shape), converter near-dup
-    verdicts broadcast (the loader's state='ok' AND NOT near-dup gate),
-    then one stateless map_batches per page.
-
-    The MATERIALIZED index is memoized per sf_dir within the session:
-    nine driver queries consume it, and each cold build costs a full
-    converter pass (near-dup verdicts) plus the keyword extraction
-    (~30 s at sf0.1/32).  This is the session-local analog of the
-    reference's persisted index journal — build once, query many."""
+def _convert_full_ds(sf_dir: str):
+    """The SINGLE-PARSE full converter output over the fixture pages,
+    memoized per sf_dir within the session: converter columns AND the
+    keyword/span projection from ONE ``process_html_document`` per page
+    (the reference's architecture — ConverterBatchWriter writes
+    keywords, positions, spans and the importantWords-biased summary
+    into the index journal in the converter pass,
+    SlopDocumentRecord.java:127-150).  Model-file inputs, both built
+    once per fixture and cached on disk like the reference's shipped
+    models: the LinkTexts host-bucketed slice table (AnchorTagsSource)
+    and the TermFrequencyDict parquet (freqs.dat).  Every converter
+    consumer (convert_docs, the loader queries, the keyword-index
+    family, pub-date/word-flag projections) reads this one
+    materialization — no second corpus parse anywhere."""
     import ray
 
     from marginaliasearch_ray.fixtures.cache import fixture_dir_for
     from marginaliasearch_ray.pipelines.convert import convert_pages
-    from marginaliasearch_ray.stages.fullrank import (
-        build_link_text_slices,
-        keyword_index,
+    from marginaliasearch_ray.pipelines.export import (
+        load_tfd_model,
+        tfd_model_path,
     )
+    from marginaliasearch_ray.stages.linktexts import build_link_text_slices
+
+    cached = _CONVERT_FULL_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
+    fix = fixture_dir_for(sf_dir)
+    lt_dir = build_link_text_slices(
+        f"{fix}/links.parquet", f"{fix}/linktext_slices"
+    )
+    tf_ref = ray.put(load_tfd_model(tfd_model_path(f"{fix}/pages.parquet", fix)))
+    ds = convert_pages(
+        f"{fix}/pages.parquet",
+        emit_keywords=True,
+        link_texts_dir=lt_dir,
+        tf_ref=tf_ref,
+    ).materialize()
+    _CONVERT_FULL_CACHE[sf_dir] = ds
+    return ds
+
+
+def _keyword_index_ds(sf_dir: str):
+    """The keyword-index Dataset (the index journal the loader feeds the
+    index): a narrow PROJECTION of the single-parse converter output —
+    indexed docs only (state OK and not near-dup,
+    ConverterBatchWriter.java:102-104), index columns only.  The
+    ``features`` column is the loader's post-classification,
+    post-cookie view (DocumentProcessor.java:111-116 COOKIES +
+    DomainProcessor.java:158-163 classification bits), exactly what the
+    flagged converter output carries.  Memoized: nine driver queries
+    consume it."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
     cached = _KEYWORD_INDEX_CACHE.get(sf_dir)
     if cached is not None:
         return cached
 
-    fix = fixture_dir_for(sf_dir)
-    # LinkTexts: host-bucketed parquet slices built distributed (the
-    # AnchorTagsSource per-domain side-DB shape) — the links table never
-    # materializes on the driver
-    lt_dir = build_link_text_slices(
-        f"{fix}/links.parquet", f"{fix}/linktext_slices"
-    )
-    conv = convert_pages(f"{fix}/pages.parquet")
-    dup_tbl = conv.select_columns(["url", "is_near_dup"]).to_pandas()
-    dups = frozenset(dup_tbl.loc[dup_tbl["is_near_dup"], "url"])
-    dup_ref = ray.put(dups)
-    # DOM-sample classification masks: the index journal carries the
-    # post-classification document (quality override + forEach bits)
-    import os
+    conv = _convert_full_ds(sf_dir)
 
-    import ray.data as rd
-
-    from marginaliasearch_ray.pipelines.convert import _classify_samples_batch
-
-    clf_masks = {}
-    samples_path = f"{fix}/dom_samples.parquet"
-    if os.path.exists(samples_path):
-        clf_rows = (
-            rd.read_parquet(samples_path)
-            .map_batches(_classify_samples_batch, batch_format="pyarrow")
-            .to_pandas()
+    def indexed(b):
+        mask = pc.and_(
+            pc.equal(b.column("state"), "ok"),
+            pc.invert(b.column("is_near_dup")),
         )
-        clf_masks = dict(
-            zip(clf_rows["domain"].tolist(), clf_rows["clf_mask"].tolist())
+        t = b.filter(mask).select(
+            ["url", "domain", "title", "size", "doc_meta", "features",
+             "length", "words", "metas", "positions", "span_tags",
+             "span_bounds", "important_words", "imp_word", "imp_tfidf",
+             "imp_termfreq", "imp_kept"]
         )
-    clf_ref = ray.put(clf_masks)
-    # the TermFrequencyDict the tf-idf/subject extractors read — built
-    # DISTRIBUTED by the exporter pipeline (the reference ships the same
-    # dict as a model file every converter process loads); broadcast as
-    # ({longHash: count}, doc_count)
-    from marginaliasearch_ray.pipelines.export import term_freq_export
+        # index consumers expect int64 length (_INDEX_SCHEMA)
+        i = t.schema.get_field_index("length")
+        return t.set_column(
+            i, "length", pc.cast(t.column("length"), pa.int64())
+        )
 
-    tf_tbl = term_freq_export(
-        rd.read_parquet(
-            f"{fix}/pages.parquet", columns=["url", "html", "status"]
-        )
-    )
-    tf_map = dict(
-        zip(tf_tbl["term_hash"].tolist(), tf_tbl["count"].tolist())
-    )
-    tf_n = int(tf_map.pop(-1, 0))
-    tf_ref = ray.put((tf_map, tf_n))
-    ds = keyword_index(
-        f"{fix}/pages.parquet",
-        link_texts_dir=lt_dir,
-        dup_urls_ref=dup_ref,
-        clf_ref=clf_ref,
-        tf_ref=tf_ref,
-    ).materialize()
+    ds = conv.map_batches(indexed, batch_format="pyarrow").materialize()
     _KEYWORD_INDEX_CACHE[sf_dir] = ds
     return ds
 
@@ -3699,13 +3689,11 @@ def _search_ranked_single(sf_dir: str) -> pd.DataFrame:
 
 def entry() -> Any:
     """Flagship: crawl the sf0.001-scale synthetic web, then run the
-    converter over its pages; returns the processed-document table."""
-    from marginaliasearch_ray.fixtures.cache import fixture_dir_for
-    from marginaliasearch_ray.pipelines.convert import convert_pages
-
+    single-parse converter (keyword projection + biased summary in the
+    converter pass) over its pages; returns the processed-document
+    table."""
     _crawl_records(_DEF_SF)  # exercise the frontier engine end-to-end
-    fix = fixture_dir_for(_DEF_SF)
-    return convert_pages(f"{fix}/pages.parquet")
+    return _convert_full_ds(_DEF_SF)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -41,7 +41,7 @@ from .cache import FIXTURE_VERSION, config_for, fixture_dir_for
 
 EXPECTED_ROOT = "/tmp/graft_expected"
 # bump when ORACLE LOGIC changes without a fixture-generator change
-EXPECTED_VERSION = 38
+EXPECTED_VERSION = 39
 
 
 def expected_dir_for(sf_dir: str) -> str:
@@ -54,6 +54,9 @@ def expected_dir_for(sf_dir: str) -> str:
         fix = Path(fixture_dir_for(sf_dir))
         _build_crawl_expected(fix, out)
         _build_pagerank_expected(fix, out)
+        # termfreq BEFORE convert: the single-parse converter's keyword
+        # funnel (and so the biased summary) reads the TFD model
+        _build_termfreq_expected(fix, out)
         _build_convert_expected(fix, out)
         _build_recrawl_expected(fix, out)
         _build_discovery_expected(fix, out)
@@ -61,7 +64,6 @@ def expected_dir_for(sf_dir: str) -> str:
         _build_sideload_expected(sf_dir, out)
         _build_bpe_expected(sf_dir, out)
         _build_kmeans_expected(sf_dir, out)
-        _build_termfreq_expected(fix, out)
         _build_atags_expected(fix, out)
         _build_livecrawl_expected(fix, out)
         _build_fullrank_expected(fix, out)
@@ -705,25 +707,18 @@ def _build_convert_expected(fix: Path, out: Path) -> None:
     reference's LshDocumentDeduplicator chain (early-return-before-add),
     SIDELOAD_THRESHOLD big-domain track, and plugin dispatch by sniffed
     content type — mirrors DomainProcessor.fullProcessing without any of
-    the engine's distributed machinery."""
-    from ..functions.contenttype import decode_body, sniff_content_type
-    from ..functions.lsh import doc_lsh, hamming64
-    from ..functions.plaintext import (
-        FIRST_N_LINES,
-        PLAIN_TEXT_QUALITY,
-        plain_text_description,
-        plain_text_title,
-    )
-    from ..functions.specialization import (
-        MIN_DOCUMENT_WORDS_FIXTURE,
-        validate_length,
-    )
-    from ..functions.docmeta import F_COOKIES, F_PDF, document_metadata_for
-    from ..functions.pdf import PDF_QUALITY, convert_pdf, pdf_description
-    from ..pipelines.convert import SIDELOAD_THRESHOLD, process_html_document
+    the engine's distributed machinery.  SINGLE-PARSE semantics: the
+    per-page function is ``process_page_full`` (converter + keyword
+    projection + importantWords-biased summary in one pass), with the
+    TFD model from the termfreq replica built just above and the
+    LinkTexts map built sequentially from the links table."""
+    from ..functions.lsh import hamming64
+    from ..pipelines.convert import SIDELOAD_THRESHOLD, process_page_full
+    from ..stages.fullrank import link_texts_from_rows
     from ..model.urls import parse_url
 
     pages = pq.read_table(fix / "pages.parquet")
+    has_ab = "x_adblock_key" in pages.column_names
     by_domain: dict[str, list[int]] = {}
     for i in range(pages.num_rows):
         u = parse_url(pages["url"][i].as_py())
@@ -731,9 +726,24 @@ def _build_convert_expected(fix: Path, out: Path) -> None:
             by_domain.setdefault(u.host, []).append(i)
     # per-domain DOM-sample classifications (DomainProcessor.java:129):
     # quality override inside the html plugin, feature bits post-dedup
+    from ..functions.docmeta import F_COOKIES
     from ..functions.domclassifier import UNSAMPLED, clf_feature_bits
 
     clf_map = _domclf_map(fix)
+    # the TermFrequencyDict from the termfreq replica (the engine loads
+    # the distributed exporter's persisted model — proven equal by the
+    # term_freq driver query)
+    tfq = pq.read_table(out / "expected_termfreq.parquet")
+    tf_map = dict(zip(tfq["term_hash"].to_pylist(), tfq["count"].to_pylist()))
+    tf_n = int(tf_map.pop(-1, 0))
+    links = pq.read_table(
+        fix / "links.parquet", columns=["src_url", "dst_url", "anchor_text"]
+    )
+    lt = link_texts_from_rows(
+        links["src_url"].to_pylist(),
+        links["dst_url"].to_pylist(),
+        links["anchor_text"].to_pylist(),
+    )
 
     rows = {
         "url": [], "domain": [], "title": [], "length": [], "quality": [],
@@ -747,81 +757,22 @@ def _build_convert_expected(fix: Path, out: Path) -> None:
         docs = []
         for i in idxs:
             url = pages["url"][i].as_py()
-            html = pages["html"][i].as_py()
-            status = pages["status"][i].as_py()
-            u = parse_url(url)
-            r = {
-                "state": "ok", "title": "", "length": 0, "quality": 0.0,
-                "n_words": 0, "doc_hash": 0, "ni": 0, "ne": 0,
-                "pub_year": 0, "pub_iso": None, "summary": "", "spec": "",
-                "amended_words": "",
-                "features": 0, "doc_meta": 0,
-                "sc": bool(
-                    pages["set_cookie"][i].as_py()
-                    if "set_cookie" in pages.column_names
-                    else ""
-                ),
-            }
-            if status == 301:
-                r["state"] = "redirect"
-            elif status not in (200, None):
-                r["state"] = "fetch_error"
-            else:
-                mime, charset = sniff_content_type(None, html)
-                if mime.startswith("text/plain"):
-                    body = decode_body(html, charset)
-                    lines = body.splitlines()[:FIRST_N_LINES]
-                    r["title"] = plain_text_title(u.path, lines)
-                    r["summary"] = plain_text_description(lines)
-                    r["pub_year"] = 1993  # PlainTextDocumentProcessorPlugin.java:102
-                    r["length"] = len(body)
-                    r["n_words"] = len(body.split())
-                    r["quality"] = PLAIN_TEXT_QUALITY
-                    r["doc_hash"] = doc_lsh(body.lower().split())
-                    from ..functions.sentences import (
-                        sentence_token_counts,
-                    )
-
-                    r["doc_meta"] = document_metadata_for(
-                        body, r["n_words"], PLAIN_TEXT_QUALITY, 1993,
-                        0, "", "plain",
-                        counts=sentence_token_counts((body,)),
-                    )
-                    if r["length"] == 0:
-                        r["state"] = "disqualified_length"
-                elif mime == "application/pdf":
-                    pdoc = convert_pdf(html)
-                    r["summary"] = pdf_description(pdoc)
-                    r["pub_year"] = 1993  # PdfDocumentProcessorPlugin.java:123
-                    r["title"] = pdoc.title
-                    r["length"] = len(pdoc.text)
-                    r["n_words"] = len(pdoc.text.split())
-                    r["quality"] = PDF_QUALITY
-                    r["features"] = F_PDF
-                    r["doc_hash"] = doc_lsh(pdoc.text.lower().split())
-                    from ..functions.sentences import (
-                        sentence_token_counts,
-                    )
-
-                    _counts = sentence_token_counts((pdoc.text,))
-                    r["doc_meta"] = document_metadata_for(
-                        pdoc.text, r["n_words"], PDF_QUALITY, 1993,
-                        F_PDF, "", "pdf", counts=_counts,
-                    )
-                    if not validate_length(_counts[0], None, MIN_DOCUMENT_WORDS_FIXTURE):
-                        r["state"] = "disqualified_length"
-                elif mime in ("text/html", "application/xhtml+xml"):
-                    # the EXACT per-document function the engine runs —
-                    # specialization prune / title / summary / pubdate
-                    # included by construction
-                    r.update(
-                        process_html_document(
-                            u, url, html, decode_body(html, charset),
-                            dom_clf=clf_map.get(domain),
-                        )
-                    )
-                else:
-                    r["state"] = "not_html"
+            r = process_page_full(
+                url,
+                pages["html"][i].as_py(),
+                pages["status"][i].as_py(),
+                pages["x_adblock_key"][i].as_py() if has_ab else None,
+                dom_clf=clf_map.get(domain),
+                link_texts=lt.get(url),
+                tf=(tf_map, tf_n),
+            )
+            r["ni"] = r["links_internal"]
+            r["ne"] = r["links_external"]
+            r["sc"] = bool(
+                pages["set_cookie"][i].as_py()
+                if "set_cookie" in pages.column_names
+                else ""
+            )
             docs.append((url, r))
         # LshDocumentDeduplicator chain in url order (engine's deterministic
         # stream order); big domains take the simple track: no dedup
@@ -1535,13 +1486,20 @@ def _build_fullrank_expected(fix: Path, out: Path) -> None:
         links["anchor_text"].to_pylist(),
     )
     conv = pq.read_table(
-        out / "expected_convert.parquet", columns=["url", "is_near_dup"]
+        out / "expected_convert.parquet",
+        columns=["url", "is_near_dup", "features"],
     )
     dups = {
         u
         for u, d in zip(conv["url"].to_pylist(), conv["is_near_dup"].to_pylist())
         if d
     }
+    # the loader's post-classification, post-cookie features view
+    # (DocumentProcessor.java:111-116 + DomainProcessor.java:158-163) —
+    # the index journal carries exactly the flagged converter features
+    conv_feats = dict(
+        zip(conv["url"].to_pylist(), conv["features"].to_pylist())
+    )
     pages = pq.read_table(fix / "pages.parquet")
     has_ab = "x_adblock_key" in pages.column_names
     # the index journal's post-classification view (DomainProcessor
@@ -1571,6 +1529,7 @@ def _build_fullrank_expected(fix: Path, out: Path) -> None:
             tf=(tf_map, tf_n),
         )
         if state == "ok":
+            row["features"] = conv_feats[url]
             idx_rows.append(row)
 
     spans_rows = {"url": [], "tag": [], "n_spans": [], "span_len": []}

@@ -80,7 +80,7 @@ _LISTING_PATH_SEGMENTS = (
 
 def process_html_document(
     u, url_str: str, html: str, decoded: str, keep_dom: bool = False,
-    dom_clf=None,
+    dom_clf=None, defer_summary: bool = False,
 ) -> dict:
     """Per-document HTML processing, shared verbatim by the distributed
     engine (process_pages_batch) and the sequential conformance oracle
@@ -120,7 +120,14 @@ def process_html_document(
     when the domain has no sample).  A sampled domain takes
     DocumentValuator.getQuality(classifications) INSTEAD of the
     content-derived quality (HtmlDocumentProcessorPlugin.java:135-140);
-    the classification feature bits land later, post-dedup."""
+    the classification feature bits land later, post-dedup.
+
+    ``defer_summary=True`` (single-parse callers): skip ``get_summary``
+    and return the spec object under ``"_spec_obj"`` so the caller can
+    run the summary AFTER the keyword projection with the
+    ``importantWords`` bias live — the reference's plugin order
+    (HtmlDocumentProcessorPlugin.java: extractKeywords precedes
+    ``specialization.getSummary(prunedDoc, words.importantWords)``)."""
     doc = parse_document(decoded, build_dom=True)
     out = {
         "state": "ok", "title": "", "text": "", "length": 0, "n_words": 0,
@@ -216,7 +223,10 @@ def process_html_document(
         out["amended_words"] = " ".join(spec.amend_words(doc.dom))
         pruned = spec.prune(doc.dom)
         out["text"] = tagger_text(pruned)
-        out["summary"] = spec.get_summary(pruned)
+        if defer_summary:
+            out["_spec_obj"] = spec
+        else:
+            out["summary"] = spec.get_summary(pruned)
         if keep_dom:
             out["_pruned"] = pruned
     words = out["text"].split()
@@ -252,6 +262,228 @@ def process_html_document(
         out["features"], gen_type, "html", counts=counts,
     )
     return out
+
+
+def process_page_full(
+    url_str: str,
+    html,
+    status=None,
+    x_adblock=None,
+    dom_clf=None,
+    link_texts=None,
+    tf=None,
+) -> dict:
+    """SINGLE-PARSE converter + keyword projection for one page: the
+    converter plugin chain (content-type dispatch, gates, valuation,
+    metadata) AND the DocumentKeywordExtractor projection (words, metas,
+    positions, spans, importantWords) from ONE ``process_html_document``
+    call — the reference's architecture, where the converter writes
+    keywords, spans and the keyword-biased summary into the index
+    journal in one pass (SlopDocumentRecord.java:127-150,
+    HtmlDocumentProcessorPlugin.java: extractKeywords then
+    ``specialization.getSummary(prunedDoc, words.importantWords)``).
+
+    Shared verbatim by the distributed combined stage
+    (``ProcessPagesFull``) and the sequential conformance oracle
+    (fixtures/expected.py), so engine and oracle cannot drift.
+
+    ``link_texts`` — [(text, count), ...] external anchors at this url
+    (AnchorTagsSource); ``tf`` — ({longHash: count}, doc_count)
+    TermFrequencyDict; ``dom_clf`` — the domain's DOM-sample
+    classification frozenset (or None: unsampled).
+
+    Returns a row dict carrying every converter column (state, title,
+    text, summary, features, doc_meta, ...) plus the projection columns
+    (size, words, metas, positions, span_tags, span_bounds,
+    important_words, imp_*).  Projection columns are empty for non-OK
+    states.  Unparseable URLs / missing bodies return state
+    ``bad_input`` (the legacy batch converter left such rows "ok" with
+    empty fields; no fixture row hits this path)."""
+    from ..functions.plaintext import (
+        FIRST_N_LINES,
+        PLAIN_TEXT_PUB_YEAR,
+        PLAIN_TEXT_QUALITY,
+        plain_text_description,
+        plain_text_title,
+    )
+
+    row: dict = {
+        "state": "ok", "domain": "", "top_domain": "", "title": "",
+        "text": "", "length": 0, "quality": 0.0, "lsh": 0, "doc_hash": 0,
+        "links_internal": 0, "links_external": 0, "pub_year": 0,
+        "pub_iso": None, "summary": "", "features": 0, "n_words": 0,
+        "spec": "", "amended_words": "", "doc_meta": 0,
+        # projection columns (empty unless state ends up "ok")
+        "size": 0, "words": [], "metas": [], "positions": [],
+        "span_tags": [], "span_bounds": [], "important_words": [],
+        "imp_word": [], "imp_tfidf": [], "imp_termfreq": [],
+        "imp_kept": [],
+    }
+    u = parse_url(url_str)
+    if u is None or html is None:
+        row["state"] = "bad_input"
+        return row
+    row["domain"] = u.host
+    row["top_domain"] = u.top_domain
+    if status == 301:
+        row["state"] = "redirect"
+        return row
+    if status not in (200, None):
+        row["state"] = "fetch_error"
+        return row
+    if x_adblock:
+        row["state"] = "disqualified_ads"
+        return row
+
+    frames = None  # tagged frames feeding the projection when OK
+    pruned = None
+    spec = None
+    mime, charset = sniff_content_type(None, html)
+    if mime.startswith("text/plain"):
+        body = decode_body(html, charset)
+        lines = body.splitlines()[:FIRST_N_LINES]
+        row["title"] = plain_text_title(u.path, lines)
+        row["text"] = body
+        row["length"] = len(body)
+        row["n_words"] = len(body.split())
+        row["quality"] = PLAIN_TEXT_QUALITY
+        row["pub_year"] = PLAIN_TEXT_PUB_YEAR
+        row["summary"] = plain_text_description(lines)
+        row["lsh"] = content_hash(html)
+        row["doc_hash"] = doc_lsh(body.lower().split())
+        _counts = sentence_token_counts((body,))
+        row["doc_meta"] = document_metadata_for(
+            body, row["n_words"], PLAIN_TEXT_QUALITY,
+            PLAIN_TEXT_PUB_YEAR, 0, "", "plain", counts=_counts,
+        )
+        # the plain-text plugin DISQUALIFIES on length, unlike the html
+        # plugin's keep+flag (PlainTextDocumentProcessorPlugin.java:80-82)
+        if row["length"] == 0:
+            row["state"] = "disqualified_length"
+            return row
+        frames = [(body, frozenset())]
+        fmt, gen_keywords, link_terms = "PLAIN", None, []
+    elif mime == "application/pdf" or mime.startswith("application/pdf;"):
+        pdoc = convert_pdf(html)
+        row["title"] = pdoc.title
+        row["text"] = pdoc.text
+        row["length"] = len(pdoc.text)
+        row["n_words"] = len(pdoc.text.split())
+        row["quality"] = PDF_QUALITY
+        row["pub_year"] = PDF_PUB_YEAR
+        row["features"] = F_PDF
+        row["summary"] = pdf_description(pdoc)
+        row["lsh"] = content_hash(html)
+        row["doc_hash"] = doc_lsh(pdoc.text.lower().split())
+        _counts = sentence_token_counts((pdoc.text,))
+        row["doc_meta"] = document_metadata_for(
+            pdoc.text, row["n_words"], PDF_QUALITY, PDF_PUB_YEAR,
+            F_PDF, "", "pdf", counts=_counts,
+        )
+        # the PDF plugin DISQUALIFIES on length (PdfDocumentProcessor
+        # Plugin.java:101-103); dld-token-count basis
+        if not validate_length(_counts[0], None, MIN_DOCUMENT_WORDS_FIXTURE):
+            row["state"] = "disqualified_length"
+            return row
+        frames = [(pdoc.text, frozenset())]
+        fmt, gen_keywords, link_terms = "PDF", None, []
+    elif mime in ("text/html", "application/xhtml+xml"):
+        decoded = decode_body(html, charset)
+        r = process_html_document(
+            u, url_str, html, decoded, keep_dom=True, dom_clf=dom_clf,
+            defer_summary=True,
+        )
+        pruned = r.pop("_pruned", None)
+        spec = r.pop("_spec_obj", None)
+        for k in (
+            "state", "title", "text", "length", "quality", "lsh",
+            "doc_hash", "pub_year", "pub_iso", "summary", "features",
+            "n_words", "spec", "amended_words", "doc_meta",
+        ):
+            if k in r:
+                row[k] = r[k]
+        row["links_internal"] = r["ni"]
+        row["links_external"] = r["ne"]
+        if row["state"] != "ok":
+            return row
+        if pruned is None:
+            # node-cap fallback: streaming text, BODY-only frames
+            frames = [(row["text"], frozenset())]
+        else:
+            from ..functions.dom import tagged_frames
+
+            frames = tagged_frames(pruned)
+        fmt = r["fmt"]
+        gen_keywords = r["gen_keywords"]
+        link_terms = r["link_terms"]
+    else:
+        row["state"] = "not_html"
+        return row
+
+    # --- keyword projection (DocumentKeywordExtractor chain) ---
+    from ..functions.domclassifier import CLF_KEYWORD, UNSAMPLED
+    from ..functions.keywords import (
+        F_SUBJECTS,
+        F_SYNTHETIC,
+        keyword_projection,
+    )
+    from ..functions.synthterms import decorator_terms, meta_tag_words
+
+    tf_dict, tf_n = tf if tf is not None else ({}, 0)
+    proj = keyword_projection(
+        frames, u.host, u.path, link_texts=link_texts,
+        tf_dict=tf_dict, tf_doc_count=tf_n,
+    )
+    # --- the synthetic-term surface (functions/synthterms.py) ---
+    # amendWords first: Subjects flag MERGES (inserting the stem when
+    # absent, BlogSpecialization.java:104-108 / MariadbKb:43-66); the
+    # tag: terms and everything below are Synthetic putIfAbsent.  No
+    # MAX_WORD_LENGTH re-check on these adds — the upstream synthetic
+    # entry points skip it (DocumentKeywordsBuilder.java:175-198).
+    pwords = proj["words"]
+    for w in row["amended_words"].split():
+        if w.startswith("tag:"):
+            pwords.setdefault(w, [F_SYNTHETIC, []])
+        else:
+            ent = pwords.get(w)
+            if ent is None:
+                pwords[w] = [F_SUBJECTS, []]
+            else:
+                ent[0] |= F_SUBJECTS
+    synthetic = meta_tag_words(
+        u, row["features"], fmt, gen_keywords, row["pub_year"],
+        pub_iso=row["pub_iso"],
+    )
+    synthetic += link_terms
+    synthetic += decorator_terms(u.host)
+    if u.path == "/":
+        # DocumentProcessor.java:107-109
+        synthetic.append("special:root")
+    for c in dom_clf if dom_clf is not None else UNSAMPLED:
+        synthetic.append(CLF_KEYWORD[c])
+    for w in synthetic:
+        pwords.setdefault(w, [F_SYNTHETIC, []])
+    words = sorted(pwords)
+    row["size"] = proj["size"]
+    row["words"] = words
+    row["metas"] = [pwords[w][0] for w in words]
+    row["positions"] = [pwords[w][1] for w in words]
+    row["span_tags"] = sorted(proj["spans"])
+    row["span_bounds"] = [proj["spans"][t] for t in sorted(proj["spans"])]
+    row["important_words"] = proj["important_words"]
+    row["imp_word"] = [t[0] for t in proj["important_funnel"]]
+    row["imp_tfidf"] = [int(t[1]) for t in proj["important_funnel"]]
+    row["imp_termfreq"] = [int(t[2]) for t in proj["important_funnel"]]
+    row["imp_kept"] = [bool(t[3]) for t in proj["important_funnel"]]
+
+    # --- keyword-biased summary (html only): the funnel words weight
+    # SummarizingDOMFilter / TagDensity sentence selection
+    # (SummaryExtractor.java:35-43, TagDensityHeuristic.java:19) ---
+    if spec is not None and pruned is not None:
+        row["summary"] = spec.get_summary(
+            pruned, important_words=proj["important_words"]
+        )
+    return row
 
 
 def process_pages_batch(batch: pa.Table, clf_ref=None) -> pa.Table:
@@ -459,6 +691,109 @@ def process_pages_batch(batch: pa.Table, clf_ref=None) -> pa.Table:
     return out
 
 
+# Combined converter + keyword-projection output schema: the lean
+# converter columns (minus lang/sc_flag appended per batch) plus the
+# index-journal projection columns (SlopDocumentRecord.KeywordsProjection
+# analog, types matching stages/fullrank._INDEX_SCHEMA)
+_CONVERT_FULL_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("domain", pa.string()),
+        ("top_domain", pa.string()),
+        ("title", pa.string()),
+        ("text", pa.string()),
+        ("length", pa.int32()),
+        ("quality", pa.float64()),
+        ("lsh", pa.uint64()),
+        ("doc_hash", pa.uint64()),
+        ("links_internal", pa.int32()),
+        ("links_external", pa.int32()),
+        ("pub_year", pa.int32()),
+        ("pub_iso", pa.string()),
+        ("summary", pa.string()),
+        ("features", pa.int64()),
+        ("n_words", pa.int32()),
+        ("state", pa.string()),
+        ("spec", pa.string()),
+        ("amended_words", pa.string()),
+        ("doc_meta", pa.int64()),
+        ("dpart", pa.int32()),
+        ("size", pa.int32()),
+        ("words", pa.list_(pa.string())),
+        ("metas", pa.list_(pa.int64())),
+        ("positions", pa.list_(pa.list_(pa.int32()))),
+        ("span_tags", pa.list_(pa.int8())),
+        ("span_bounds", pa.list_(pa.list_(pa.int32()))),
+        ("important_words", pa.list_(pa.string())),
+        ("imp_word", pa.list_(pa.string())),
+        ("imp_tfidf", pa.list_(pa.int64())),
+        ("imp_termfreq", pa.list_(pa.int64())),
+        ("imp_kept", pa.list_(pa.bool_())),
+    ]
+)
+
+
+class ProcessPagesFull:
+    """Actor-pool SINGLE-PARSE converter: one ``process_page_full`` per
+    page emits the converter columns AND the keyword projection — the
+    reference's converter architecture (ConverterBatchWriter writes
+    keywords/positions/spans/summary in one pass; the index journal is
+    converter output).  Replaces the round-4 double parse where the
+    keyword index re-ran ``process_html_document`` over the corpus.
+
+    Stateful setup resolved ONCE per actor in ``__init__``:
+    - the DOM-sample classification mask map (broadcast),
+    - the TermFrequencyDict ({longHash: count}, doc_count) broadcast —
+      the reference ships the same dict as a model file every converter
+      process loads (TermFrequencyDict.java),
+    - the LinkTexts host-bucketed slice reader (AnchorTagsSource shape),
+      LRU-cached per bucket."""
+
+    def __init__(self, clf_ref=None, link_texts_dir=None, tf_ref=None):
+        from ..functions.domclassifier import clf_from_mask
+        from ..stages.linktexts import LinkTextSlices
+
+        clf_masks = ray.get(clf_ref) if clf_ref is not None else {}
+        self._clf_map = {h: clf_from_mask(m) for h, m in clf_masks.items()}
+        self._tf = ray.get(tf_ref) if tf_ref is not None else None
+        self._lt = LinkTextSlices(link_texts_dir)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        statuses = (
+            batch.column("status").to_pylist()
+            if "status" in batch.column_names else [None] * len(urls)
+        )
+        adblock = (
+            batch.column("x_adblock_key").to_pylist()
+            if "x_adblock_key" in batch.column_names else [None] * len(urls)
+        )
+        rows: list[dict] = []
+        for url, html, st, ab in zip(urls, htmls, statuses, adblock):
+            u = parse_url(url)
+            row = process_page_full(
+                url, html, st, ab,
+                dom_clf=self._clf_map.get(u.host) if u else None,
+                link_texts=self._lt.get(url),
+                tf=self._tf,
+            )
+            row["url"] = url
+            row["dpart"] = (
+                stable_hash64(row["domain"]) % DEDUP_PARTS
+                if row["domain"] else 0
+            )
+            rows.append(row)
+        out = pa.Table.from_pylist(rows, schema=_CONVERT_FULL_SCHEMA)
+        if "lang" in batch.column_names:
+            out = out.append_column("lang", batch.column("lang"))
+        if "set_cookie" in batch.column_names:
+            sc = [bool(v) for v in batch.column("set_cookie").to_pylist()]
+        else:
+            sc = [False] * out.num_rows
+        return out.append_column("sc_flag", pa.array(sc, pa.bool_()))
+
+
 def _classify_samples_batch(batch: pa.Table) -> pa.Table:
     """DOM-sample classification map stage: one row per sampled domain in,
     narrow (domain, clf_mask) out — the browser-capture payloads (html +
@@ -589,6 +924,9 @@ def convert_pages(
     batch_size: int = 512,
     num_blocks: Optional[int] = None,
     dom_samples_path: Optional[str] = "auto",
+    emit_keywords: bool = False,
+    link_texts_dir: Optional[str] = None,
+    tf_ref=None,
 ) -> rd.Dataset:
     """Full converter pipeline; returns (and optionally writes) the
     processed-document Dataset.
@@ -622,7 +960,18 @@ def convert_pages(
     rows return) and the mask map broadcasts via ``ray.put`` — one int
     per sampled domain, the same O(#domains) envelope as the
     first-cookie map.  Domains without a sample model the reference's
-    no-sample deployment: content quality + MISSING_DOM_SAMPLE."""
+    no-sample deployment: content quality + MISSING_DOM_SAMPLE.
+
+    ``emit_keywords=True``: the SINGLE-PASS full converter — an
+    actor-pool stage (``ProcessPagesFull``) emits the keyword/span
+    projection columns and the importantWords-biased summary alongside
+    the converter columns, exactly one HTML parse per page (the
+    reference's converter writes keywords into the index journal in the
+    same pass).  ``link_texts_dir`` (host-bucketed AnchorTagsSource
+    slices, stages/linktexts.build_link_text_slices) and ``tf_ref``
+    (``ray.put`` of the ({longHash: count}, doc_count)
+    TermFrequencyDict — the reference's freqs.dat model file) are the
+    converter's model-file inputs in this mode."""
     import os
 
     import ray
@@ -672,12 +1021,29 @@ def convert_pages(
     ds = rd.read_parquet(
         pages_path, columns=columns, override_num_blocks=num_blocks
     )
-    ds = ds.map_batches(
-        process_pages_batch,
-        fn_kwargs={"clf_ref": clf_ref},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-    )
+    if emit_keywords:
+        # autoscaling actor pool capped BELOW the CPU count: a fixed
+        # pool equal to the cluster CPUs starves the upstream read
+        # tasks (observed deadlock at 4 CPUs)
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        ds = ds.map_batches(
+            ProcessPagesFull,
+            batch_format="pyarrow",
+            batch_size=min(batch_size, 256),
+            concurrency=(1, max(2, cpus - 1)),
+            fn_constructor_kwargs={
+                "clf_ref": clf_ref,
+                "link_texts_dir": link_texts_dir,
+                "tf_ref": tf_ref,
+            },
+        )
+    else:
+        ds = ds.map_batches(
+            process_pages_batch,
+            fn_kwargs={"clf_ref": clf_ref},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
     if not dedup:
         if out_dir:
             ds.write_parquet(out_dir)

@@ -299,26 +299,17 @@ class FrontierShard:
         import time as _t
 
         t_emit = t_wait = t_apply = 0.0
-        while not killed:
-            _t0 = _t.perf_counter()
-            cols = self.state.next_batch(max_per_domain)
-            t_emit += _t.perf_counter() - _t0
-            self.drain_refused_to(records_dir)
+        inflight: dict = {}  # fetch-task ref -> frozenset(domains in chunk)
+        waves = 0
+
+        def _dispatch(cols) -> None:
+            """Slice an emission at domain boundaries (a domain never
+            spans two chunks, so each task's link payload applies
+            independently the moment it lands) and fan it out."""
+            nonlocal part_no, waves, killed
             if not cols["url"]:
-                if sitemap_ref is not None:
-                    # sitemap expansion ran concurrently with round 0; it
-                    # must land before any domain is declared finished
-                    self.state.set_sitemaps(ray.get(sitemap_ref[0]))
-                    sitemap_ref = None
-                    continue
-                if self.state.is_idle():
-                    break
-                self.state.apply_buffered()
-                continue
+                return
             tbl = _emission_table(cols)
-            # slice at DOMAIN boundaries: a domain never spans two chunks,
-            # so each task's link payload can be applied independently the
-            # moment it lands (per-domain order intact within one payload)
             doms = cols["domain"]
             boundaries = [0]
             last_cut = 0
@@ -327,45 +318,74 @@ class FrontierShard:
                     boundaries.append(i)
                     last_cut = i
             boundaries.append(len(doms))
-
-            refs = []
             for b0, b1 in zip(boundaries, boundaries[1:]):
                 if max_parts is not None and part_no >= max_parts:
-                    killed = True  # simulated kill: drop the rest mid-round
-                    break
-                refs.append(
-                    _fetch_extract_task_ret.remote(
-                        tbl.slice(b0, b1 - b0),
-                        # round ids continue from the existing journal's
-                        # part numbering so (round, ordinal) stays monotone
-                        # across resumes (resync groups redirects by round)
-                        dict(fetch_kwargs, round_no=round_base + rounds),
-                        str(base / f"part-{part_no}.parquet"),
-                    )
+                    killed = True  # simulated kill: drop the rest mid-wave
+                    return
+                ref = _fetch_extract_task_ret.remote(
+                    tbl.slice(b0, b1 - b0),
+                    # wave ids continue from the existing journal's part
+                    # numbering so (round, ordinal) stays monotone PER
+                    # DOMAIN across resumes (resync groups a domain's
+                    # redirects by round; a domain's chunks dispatch
+                    # sequentially, so its wave ids strictly increase)
+                    dict(fetch_kwargs, round_no=round_base + waves),
+                    str(base / f"part-{part_no}.parquet"),
                 )
+                inflight[ref] = frozenset(doms[b0:b1])
                 part_no += 1
-            # incremental apply: process each task's payload as it lands,
-            # overlapping shard-side link admission with the remaining
-            # fetch compute (round semantics unchanged — everything is
-            # applied before the next emission)
-            pending = list(refs)
-            while pending:
+            waves += 1
+
+        # initial emission: every domain's root-sniff chunk
+        _t0 = _t.perf_counter()
+        cols = self.state.next_batch(max_per_domain)
+        t_emit += _t.perf_counter() - _t0
+        self.drain_refused_to(records_dir)
+        _dispatch(cols)
+        if sitemap_ref is not None:
+            # the expansion task overlapped the root wave; the map must
+            # land before any domain's post-root emission
+            self.state.set_sitemaps(ray.get(sitemap_ref[0]))
+            sitemap_ref = None
+
+        # PER-DOMAIN PIPELINED supersteps: a domain's round N+1 emission
+        # happens the moment ITS round-N payload applies, overlapping
+        # every other domain's in-flight fetch — no shard-wide round
+        # barrier, so the 32-cpu pool never drains to a round tail.
+        # Per-domain semantics are identical to the round loop: one
+        # in-flight chunk per domain, links are same-domain, apply
+        # always precedes the owner's next emission.
+        ready_doms: set = set()
+        while inflight or ready_doms:
+            if inflight:
                 _t0 = _t.perf_counter()
-                ready, pending = ray.wait(pending, num_returns=1)
-                payloads = ray.get(ready)
+                done1, rest = ray.wait(list(inflight), num_returns=1)
+                if rest:
+                    more, _ = ray.wait(
+                        rest, num_returns=len(rest), timeout=0
+                    )
+                else:
+                    more = []
+                landed = done1 + more
+                payloads = ray.get(landed)
                 t_wait += _t.perf_counter() - _t0
                 _t0 = _t.perf_counter()
-                for payload in payloads:
+                for ref, payload in zip(landed, payloads):
                     emitted += len(payload["domains"])
                     self.state.buffer_results(**payload)
                     self.state.apply_buffered()
+                    ready_doms |= inflight.pop(ref)
                 t_apply += _t.perf_counter() - _t0
-            rounds += 1
-            if sitemap_ref is not None:
-                # fetch the concurrently-expanded sitemap map after the
-                # first (root-sniff) round; needed before round-1 emission
-                self.state.set_sitemaps(ray.get(sitemap_ref[0]))
-                sitemap_ref = None
+            if killed:
+                ready_doms.clear()
+                continue  # drain remaining in-flight work, dispatch nothing
+            _t0 = _t.perf_counter()
+            cols = self.state.next_batch_for(ready_doms, max_per_domain)
+            t_emit += _t.perf_counter() - _t0
+            ready_doms.clear()
+            self.drain_refused_to(records_dir)
+            _dispatch(cols)
+        rounds = waves
         self.state.round = part_no
         if checkpoint_dir and not killed:
             # orderly-completion marker; durability itself is the journal

@@ -448,3 +448,46 @@ def sample_export(
 
     out = records.map_batches(filt, batch_format="pandas").to_pandas()
     return out.sort_values(["domain", "visit_ordinal"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# TermFrequencyDict model file (freqs.dat analog)
+# ---------------------------------------------------------------------------
+
+
+def tfd_model_path(pages_path: str, fix_dir: str) -> str:
+    """Build (once) and return the TermFrequencyDict model parquet for a
+    fixture dir — the analog of the reference's pre-built ``freqs.dat``
+    model file that every converter process loads
+    (TermFrequencyDict.java): the exporter pipeline runs DISTRIBUTED
+    over the pages corpus, and the result is persisted next to the
+    fixture so later sessions (and the bench) load it instead of
+    re-exporting.  Atomic via write-to-temp + rename."""
+    import os
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+    import ray.data as _rd
+
+    path = os.path.join(fix_dir, "tfd_model.parquet")
+    if os.path.exists(path):
+        return path
+    tbl = term_freq_export(
+        _rd.read_parquet(pages_path, columns=["url", "html", "status"])
+    )
+    tmp = path + ".tmp"
+    _pq.write_table(_pa.Table.from_pandas(tbl, preserve_index=False), tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def load_tfd_model(path: str) -> tuple[dict, int]:
+    """Load a TFD model parquet -> ({longHash: count}, doc_count)."""
+    import pyarrow.parquet as _pq
+
+    t = _pq.read_table(path)
+    tf_map = dict(
+        zip(t.column("term_hash").to_pylist(), t.column("count").to_pylist())
+    )
+    tf_n = int(tf_map.pop(DOC_COUNT_KEY, 0))
+    return tf_map, tf_n

@@ -117,15 +117,11 @@ _SINGLE_LINK_TEXT_PARTIAL = 0.5
 
 def page_keywords(url_str: str, html, status, x_adblock, link_texts,
                   dom_clf_map=None, tf=None):
-    """Per-page dispatch + keyword/span projection, mirroring
-    pipelines/convert.process_pages_batch's plugin dispatch
-    (DocumentProcessor.java:49-60) and then the
-    DocumentKeywordExtractor chain on the indexable text:
-
-    - text/html  -> the converter's gate chain (process_html_document,
-      shared verbatim) and the PRUNED DOM's tagged frames;
-    - text/plain -> the plain-text plugin's body as one untagged frame;
-    - application/pdf -> the PDF plugin's text as one untagged frame.
+    """Per-page keyword/span projection — a thin view over the
+    SINGLE-PARSE ``pipelines.convert.process_page_full`` (the converter
+    emits the projection in the same pass; this wrapper keeps the
+    index-row shape for the standalone keyword-index stage, the
+    sequential oracle replica and the pinned tests).
 
     Returns ``(state, row | None)`` where row carries the projection
     plus the ranking inputs (doc_meta, features, title).  Shared by the
@@ -140,161 +136,42 @@ def page_keywords(url_str: str, html, status, x_adblock, link_texts,
     excludes near-dups before this projection, matching the forEach's
     isOk gate).  No map = the no-sample deployment: MISSING_DOM_SAMPLE
     on every indexed doc."""
-    from ..functions.contenttype import decode_body, sniff_content_type
-    from ..functions.dom import tagged_frames
-    from ..functions.plaintext import (
-        FIRST_N_LINES,
-        PLAIN_TEXT_QUALITY,
-        plain_text_title,
-    )
-    from ..functions.docmeta import document_metadata_for
-    from ..functions.pdf import PDF_QUALITY, convert_pdf
     from ..model.urls import parse_url
-    from ..pipelines.convert import process_html_document
+    from ..pipelines.convert import process_page_full
 
     u = parse_url(url_str)
     if u is None or html is None:
         return "bad_url", None
     dom_clf = dom_clf_map.get(u.host) if dom_clf_map else None
-    if status == 301:
-        return "redirect", None
-    if status not in (200, None):
-        return "fetch_error", None
-    if x_adblock:
-        return "disqualified_ads", None
-    mime, charset = sniff_content_type(None, html)
-    if mime.startswith("text/plain"):
-        body = decode_body(html, charset)
-        if not body:
-            return "disqualified_length", None
-        lines = body.splitlines()[:FIRST_N_LINES]
-        title = plain_text_title(u.path, lines)
-        frames = [(body, frozenset())]
-        n_words = len(body.split())
-        from ..functions.sentences import sentence_token_counts
-
-        doc_meta = document_metadata_for(
-            body, n_words, PLAIN_TEXT_QUALITY, 1993, 0, "", "plain",
-            counts=sentence_token_counts((body,)),
-        )
-        features = 0
-        length = len(body)
-        fmt, gen_keywords, link_terms, pub_year, amended = "PLAIN", None, [], 1993, ""
-        pub_iso = None
-    elif mime == "application/pdf":
-        pdoc = convert_pdf(html)
-        if not pdoc.text.split():
-            return "disqualified_length", None
-        title = pdoc.title
-        frames = [(pdoc.text, frozenset())]
-        n_words = len(pdoc.text.split())
-        from ..functions.sentences import sentence_token_counts
-
-        doc_meta = document_metadata_for(
-            pdoc.text, n_words, PDF_QUALITY, 1993, 0, "", "pdf",
-            counts=sentence_token_counts((pdoc.text,)),
-        )
-        # PdfDocumentProcessorPlugin.java:117-118: ret.features = {PDF}
-        from ..functions.docmeta import F_PDF
-
-        features = F_PDF
-        length = len(pdoc.text)
-        # the plugin's explicit lang: synthetic term (java:143) is absent:
-        # the language pipeline is stubbed repo-wide (no OpenNLP models)
-        fmt, gen_keywords, link_terms, pub_year, amended = "PDF", None, [], 1993, ""
-        pub_iso = None
-    elif mime.startswith("text/html") or mime.startswith("application/xhtml"):
-        decoded = decode_body(html, charset)
-        r = process_html_document(
-            u, url_str, html, decoded, keep_dom=True, dom_clf=dom_clf
-        )
-        if r["state"] != "ok":
-            return r["state"], None
-        pruned = r["_pruned"]
-        if pruned is None:
-            # node-cap fallback: streaming text, BODY-only frames
-            frames = [(r["text"], frozenset())]
-        else:
-            # the converter's post-spec.prune tree, reused in-process —
-            # identical to a fresh parse + spec.prune (get_summary's
-            # undo-filter restore), saving the duplicate parse per page
-            frames = tagged_frames(pruned)
-        title = r["title"]
-        doc_meta = r["doc_meta"]
-        features = r["features"]
-        length = r["length"]
-        fmt = r["fmt"]
-        gen_keywords = r["gen_keywords"]
-        link_terms = r["link_terms"]
-        pub_year = r["pub_year"]
-        pub_iso = r.get("pub_iso")
-        amended = r["amended_words"]
-    else:
-        return "not_html", None
-    tf_dict, tf_n = tf if tf is not None else ({}, 0)
-    proj = keyword_projection(
-        frames, u.host, u.path, link_texts=link_texts,
-        tf_dict=tf_dict, tf_doc_count=tf_n,
+    full = process_page_full(
+        url_str, html, status, x_adblock,
+        dom_clf=dom_clf, link_texts=link_texts, tf=tf,
     )
-    # --- the synthetic-term surface (functions/synthterms.py) ---
-    # amendWords first: Subjects flag MERGES (inserting the stem when
-    # absent, BlogSpecialization.java:104-108 / MariadbKb:43-66); the
-    # tag: terms and everything below are Synthetic putIfAbsent.  No
-    # MAX_WORD_LENGTH re-check on these adds — the upstream synthetic
-    # entry points skip it (DocumentKeywordsBuilder.java:175-198).
-    from ..functions.domclassifier import (
-        CLF_KEYWORD,
-        UNSAMPLED,
-        clf_feature_bits,
-    )
-    from ..functions.keywords import F_SUBJECTS, F_SYNTHETIC
-    from ..functions.synthterms import decorator_terms, meta_tag_words
-
-    pwords = proj["words"]
-    for w in amended.split():
-        if w.startswith("tag:"):
-            pwords.setdefault(w, [F_SYNTHETIC, []])
-        else:
-            ent = pwords.get(w)
-            if ent is None:
-                pwords[w] = [F_SUBJECTS, []]
-            else:
-                ent[0] |= F_SUBJECTS
-    synthetic = meta_tag_words(
-        u, features, fmt, gen_keywords, pub_year, pub_iso=pub_iso
-    )
-    synthetic += link_terms
-    synthetic += decorator_terms(u.host)
-    if u.path == "/":
-        # DocumentProcessor.java:107-109
-        synthetic.append("special:root")
-    for c in dom_clf if dom_clf is not None else UNSAMPLED:
-        synthetic.append(CLF_KEYWORD[c])
-    for w in synthetic:
-        pwords.setdefault(w, [F_SYNTHETIC, []])
-    words = sorted(proj["words"])
+    if full["state"] != "ok":
+        return full["state"], None
+    from ..functions.domclassifier import UNSAMPLED, clf_feature_bits
 
     row = {
         "url": url_str,
         "domain": u.host,
-        "title": title,
-        "size": proj["size"],
-        "doc_meta": doc_meta,
+        "title": full["title"],
+        "size": full["size"],
+        "doc_meta": full["doc_meta"],
         # post-classification view (the loader's): the forEach bits land
         # on every indexed (OK, non-dup) document
-        "features": features
+        "features": full["features"]
         | clf_feature_bits(dom_clf if dom_clf is not None else UNSAMPLED),
-        "length": length,
-        "words": words,
-        "metas": [proj["words"][w][0] for w in words],
-        "positions": [proj["words"][w][1] for w in words],
-        "span_tags": sorted(proj["spans"]),
-        "span_bounds": [proj["spans"][t] for t in sorted(proj["spans"])],
-        "important_words": proj["important_words"],
-        "imp_word": [t[0] for t in proj["important_funnel"]],
-        "imp_tfidf": [int(t[1]) for t in proj["important_funnel"]],
-        "imp_termfreq": [int(t[2]) for t in proj["important_funnel"]],
-        "imp_kept": [bool(t[3]) for t in proj["important_funnel"]],
+        "length": full["length"],
+        "words": full["words"],
+        "metas": full["metas"],
+        "positions": full["positions"],
+        "span_tags": full["span_tags"],
+        "span_bounds": full["span_bounds"],
+        "important_words": full["important_words"],
+        "imp_word": full["imp_word"],
+        "imp_tfidf": full["imp_tfidf"],
+        "imp_termfreq": full["imp_termfreq"],
+        "imp_kept": full["imp_kept"],
     }
     return "ok", row
 
@@ -325,100 +202,14 @@ def link_texts_from_rows(srcs, dsts, texts) -> dict:
     return {url: sorted(counts.items()) for url, counts in out.items()}
 
 
-LT_BUCKETS = 64  # host-hash buckets for the LinkTexts slice table
-
-
-def _lt_bucket(host: str, n_buckets: int = LT_BUCKETS) -> int:
-    from hashlib import blake2b
-
-    return (
-        int.from_bytes(blake2b(host.encode()).digest()[:8], "little")
-        % n_buckets
-    )
-
-
-def build_link_text_slices(
-    links_path: str, out_dir: str, n_buckets: int = LT_BUCKETS
-) -> str:
-    """Distributed LinkTexts side table -> host-bucketed parquet slices.
-
-    The reference's AnchorTagsSource is a per-domain side DB the
-    converter opens per domain (DocumentProcessor.java:79-83); the Ray
-    analog is a bucketed slice table: one narrow pass over the links
-    parquet (projected columns only) emits external-anchor rows keyed by
-    hash(dst host) % n_buckets, a bucket groupby aggregates per
-    (url, text) counts, and each bucket task writes ONE parquet slice.
-    Nothing corpus-sized ever reaches the driver — it holds only the
-    bucket markers.  Consumers (the keyword-index actor pool) read and
-    cache whole bucket slices; the pages store is domain-ordered, so
-    consecutive batches hit the same buckets.
-
-    Per-url content is bit-identical to ``link_texts_from_rows`` over
-    the full table (same parse/externality gate, text-sorted counts):
-    a host lives in exactly one bucket, so bucket aggregation is exact.
-    """
-    import os
-
-    from ..model.urls import parse_url
-
-    done_marker = os.path.join(out_dir, "_DONE")
-    if os.path.exists(done_marker):
-        return out_dir  # slices are immutable per fixture version
-    os.makedirs(out_dir, exist_ok=True)
-
-    def to_rows(batch: pa.Table) -> pa.Table:
-        srcs = batch.column("src_url").to_pylist()
-        dsts = batch.column("dst_url").to_pylist()
-        texts = batch.column("anchor_text").to_pylist()
-        rows = {"bucket": [], "url": [], "text": []}
-        for src, dst, text in zip(srcs, dsts, texts):
-            if not text:
-                continue
-            su, du = parse_url(src), parse_url(dst)
-            if su is None or du is None or su.host == du.host:
-                continue
-            rows["bucket"].append(_lt_bucket(du.host, n_buckets))
-            rows["url"].append(dst)
-            rows["text"].append(text)
-        return pa.table(
-            {
-                "bucket": pa.array(rows["bucket"], pa.int64()),
-                "url": pa.array(rows["url"], pa.string()),
-                "text": pa.array(rows["text"], pa.string()),
-            }
-        )
-
-    def write_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        if group.empty:
-            return pd.DataFrame({"bucket": [], "n_urls": []})
-        b = int(group["bucket"].iloc[0])
-        agg = (
-            group.groupby(["url", "text"], sort=True)
-            .size()
-            .reset_index(name="cnt")
-        )
-        import pyarrow.parquet as pq
-
-        pq.write_table(
-            pa.Table.from_pandas(agg, preserve_index=False),
-            os.path.join(out_dir, f"bucket_{b}.parquet"),
-        )
-        return pd.DataFrame(
-            {"bucket": [b], "n_urls": [agg["url"].nunique()]}
-        )
-
-    (
-        rd.read_parquet(
-            links_path, columns=["src_url", "dst_url", "anchor_text"]
-        )
-        .map_batches(to_rows, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(write_bucket, batch_format="pandas")
-        .materialize()
-    )
-    with open(done_marker, "w") as f:
-        f.write("ok")
-    return out_dir
+# LinkTexts slice machinery lives in stages/linktexts.py (shared with the
+# single-parse converter); re-exported here for existing consumers
+from .linktexts import (  # noqa: E402
+    LT_BUCKETS,
+    LinkTextSlices,
+    _lt_bucket,
+    build_link_text_slices,
+)
 
 
 class _ExtractKeywords:
@@ -428,8 +219,6 @@ class _ExtractKeywords:
     the pages store is domain-ordered, so consecutive batches in one
     actor hit the same buckets.  No corpus-sized side table ever
     transits the driver or ships per batch."""
-
-    _LT_CACHE_MAX = 8  # bucket dicts held per actor (corpus/LT_BUCKETS each)
 
     def __init__(self, link_texts_dir, dup_urls_ref, clf_ref, tf_ref=None):
         from ..functions.domclassifier import clf_from_mask
@@ -444,43 +233,8 @@ class _ExtractKeywords:
         # the TermFrequencyDict broadcast ({longHash: count}, doc_count)
         # feeding the tf-idf/subject extractors — resolved once per actor
         self._tf = ray.get(tf_ref) if tf_ref is not None else None
-        self._lt_dir = link_texts_dir
-        self._lt_cache: dict[int, dict] = {}
-
-    def _lt_slice(self, bucket: int) -> dict:
-        cached = self._lt_cache.get(bucket)
-        if cached is not None:
-            return cached
-        import os
-
-        import pyarrow.parquet as pq
-
-        path = os.path.join(self._lt_dir, f"bucket_{bucket}.parquet")
-        table: dict[str, list] = {}
-        if os.path.exists(path):
-            t = pq.read_table(path)
-            for url, text, cnt in zip(
-                t.column("url").to_pylist(),
-                t.column("text").to_pylist(),
-                t.column("cnt").to_pylist(),
-            ):
-                table.setdefault(url, []).append((text, int(cnt)))
-            # rows were written (url, text)-sorted, so each list is
-            # already in link_texts_from_rows' text order
-        if len(self._lt_cache) >= self._LT_CACHE_MAX:
-            self._lt_cache.pop(next(iter(self._lt_cache)))
-        self._lt_cache[bucket] = table
-        return table
-
-    def _link_texts_for(self, url: str):
-        if self._lt_dir is None:
-            return None
-        from ..model.urls import parse_url
-
-        u = parse_url(url)
-        if u is None:
-            return None
-        return self._lt_slice(_lt_bucket(u.host)).get(url)
+        # bucket-slice reader with LRU touch-on-hit + hit/miss counters
+        self._lt = LinkTextSlices(link_texts_dir)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()
@@ -498,7 +252,7 @@ class _ExtractKeywords:
             if url in self._dups:
                 continue
             state, row = page_keywords(
-                url, html, st, ab, self._link_texts_for(url),
+                url, html, st, ab, self._lt.get(url),
                 dom_clf_map=self._clf_map, tf=self._tf,
             )
             if state == "ok":

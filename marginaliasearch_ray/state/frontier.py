@@ -362,6 +362,37 @@ class FrontierShardState:
         self.round += 1
         return cols
 
+    def next_batch_for(
+        self, domains, max_per_domain: int = 200
+    ) -> dict[str, list]:
+        """Per-domain-pipelined emission: drain ONLY the given domains'
+        queue chunks (the ones whose previous fetch payload just
+        applied).  Domains are independent (links are same-domain, one
+        in-flight chunk per domain), so each domain's visit order and
+        virtual clock are identical to the all-domains ``next_batch``
+        round loop — this just removes the cross-domain round barrier.
+        Rate-limit clocks and buffered redirects apply globally at every
+        emission boundary, same as ``next_batch`` (a domain's redirects
+        come from its own single in-flight payload, so applying them at
+        another domain's boundary still precedes the owner's next
+        emission)."""
+        cols: dict[str, list] = {
+            k: []
+            for k in (
+                "domain", "url", "visit_ordinal", "virtual_ts_ms",
+                "seen_hash", "filter_name", "supports_https",
+                "cookies_before",
+            )
+        }
+        self._apply_rate_limits()
+        self._apply_redirects()
+        for domain in sorted(domains):
+            st = self.domains.get(domain)
+            if st is not None and not st.done():
+                self._emit_domain(st, max_per_domain, cols)
+        self.round += 1
+        return cols
+
     def _apply_rate_limits(self) -> None:
         """Advance each rate-limited domain's virtual clock by the retry
         time its 429 fetches consumed (buffered during the round, applied
