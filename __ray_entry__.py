@@ -3696,7 +3696,45 @@ def entry() -> Any:
     return _convert_full_ds(_DEF_SF)
 
 
+# The driver hash-checks the FIRST 50 queries() entries each round.
+# Rounds 1-4 always checked the same prefix, leaving ~108 queries
+# (the LLM-pipeline family, sideloads, the search chain) never
+# driver-verified.  This prefix rotates coverage: the queries whose
+# BEHAVIOR CHANGED this round (single-parse converter: biased summary,
+# cookie+classification bits in index features; pipelined crawl) plus
+# 32 previously-never-checked queries.  Everything else keeps its
+# original relative order after the prefix.
+_CHECK_FIRST = (
+    # changed this round — must be driver-re-verified
+    "crawl_records", "convert_docs", "doc_ranking_bonus", "load_docdb",
+    "crawl_order", "recrawl_decisions", "live_crawl", "keyword_spans",
+    "doc_important_words", "doc_pub_dates", "doc_word_flags",
+    "search_ranked_full", "search_ranked_single", "doc_anchor_counts",
+    "term_freq_export", "search_e2e", "keyword_term_ids",
+    "doc_synthetic_terms",
+    # never driver-checked before round 5 (LLM-pipeline family, search,
+    # sideloads)
+    "minhash_dedup_pairs", "simhash_pairs", "embedding_near_dup_lsh",
+    "embed_topk", "ivf_ann_topk", "lsh_ann_topk", "doc_exact_dedup",
+    "dedup_components", "doc_dup_ngrams", "doc_dedup_spans",
+    "doc_decontaminate", "semdedup_keep", "kmeans_clusters",
+    "kmeans_outliers", "doc_gopher", "c4_line_filter",
+    "boilerplate_lines", "doc_langid", "doc_fingerprint",
+    "doc_token_counts", "doc_quality", "vocab_topk", "bpe_merges",
+    "bpe_encoded", "doc_chunks", "doc_pack_sequences",
+    "inverted_postings", "bm25_docs", "phrase_search", "search_docs",
+    "sideload_encyclopedia", "curate_pipeline", "web_training_mix",
+)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
+    q = _queries_all()
+    ordered = {k: q[k] for k in _CHECK_FIRST}
+    ordered.update(q)  # existing keys keep their prefix slot
+    return ordered
+
+
+def _queries_all() -> dict[str, Callable[[str], Any]]:
     return {
         # crawl engine (rows-only: stateful frontier, not SQL-expressible)
         "crawl_records": _crawl_records,

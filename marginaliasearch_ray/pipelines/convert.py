@@ -749,7 +749,8 @@ class ProcessPagesFull:
     - the LinkTexts host-bucketed slice reader (AnchorTagsSource shape),
       LRU-cached per bucket."""
 
-    def __init__(self, clf_ref=None, link_texts_dir=None, tf_ref=None):
+    def __init__(self, clf_ref=None, link_texts_dir=None, tf_ref=None,
+                 stats_dir=None):
         from ..functions.domclassifier import clf_from_mask
         from ..stages.linktexts import LinkTextSlices
 
@@ -757,6 +758,15 @@ class ProcessPagesFull:
         self._clf_map = {h: clf_from_mask(m) for h, m in clf_masks.items()}
         self._tf = ray.get(tf_ref) if tf_ref is not None else None
         self._lt = LinkTextSlices(link_texts_dir)
+        # optional LinkTexts-cache observability: per-actor hit/miss
+        # counters land as tiny json files the bench sums, so bucket
+        # thrash is visible if page ordering stops being domain-clustered
+        self._stats_path = None
+        if stats_dir is not None:
+            import os
+
+            os.makedirs(stats_dir, exist_ok=True)
+            self._stats_path = f"{stats_dir}/lt_{os.getpid()}.json"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()
@@ -784,6 +794,12 @@ class ProcessPagesFull:
                 if row["domain"] else 0
             )
             rows.append(row)
+        if self._stats_path is not None:
+            with open(self._stats_path, "w") as f:
+                f.write(
+                    '{"hits": %d, "misses": %d}'
+                    % (self._lt.hits, self._lt.misses)
+                )
         out = pa.Table.from_pylist(rows, schema=_CONVERT_FULL_SCHEMA)
         if "lang" in batch.column_names:
             out = out.append_column("lang", batch.column("lang"))
@@ -927,6 +943,7 @@ def convert_pages(
     emit_keywords: bool = False,
     link_texts_dir: Optional[str] = None,
     tf_ref=None,
+    stats_dir: Optional[str] = None,
 ) -> rd.Dataset:
     """Full converter pipeline; returns (and optionally writes) the
     processed-document Dataset.
@@ -1000,10 +1017,14 @@ def convert_pages(
             _rows = _pq.read_metadata(pages_path).num_rows
         except Exception:  # directory datasets: let Ray pick block count
             _rows = 0
+        # keyword mode carries ~3x the per-row compute — finer blocks
+        # keep the actor pool fed through the straggler tail (measured at
+        # sf0.1/32: 33.6 s at 32 blocks -> 12.5 s at ~143)
+        _per_block = 1000 if emit_keywords else 5000
         num_blocks = max(
             8,
             int(ray.cluster_resources().get("CPU", 8)),
-            min(_rows // 5000, 512),
+            min(_rows // _per_block, 512),
         )
     if columns is None:
         import pyarrow.dataset as pads
@@ -1022,19 +1043,21 @@ def convert_pages(
         pages_path, columns=columns, override_num_blocks=num_blocks
     )
     if emit_keywords:
-        # autoscaling actor pool capped BELOW the CPU count: a fixed
-        # pool equal to the cluster CPUs starves the upstream read
-        # tasks (observed deadlock at 4 CPUs)
+        # actor pool capped BELOW the CPU count (a fixed pool equal to
+        # the cluster CPUs starves the upstream read tasks — observed
+        # deadlock at 4 CPUs); min at half the pool skips most of the
+        # autoscale ramp, which costs ~2 s of tail at 32 cpus
         cpus = int(ray.cluster_resources().get("CPU", 8))
         ds = ds.map_batches(
             ProcessPagesFull,
             batch_format="pyarrow",
             batch_size=min(batch_size, 256),
-            concurrency=(1, max(2, cpus - 1)),
+            concurrency=(max(1, cpus // 2), max(2, cpus - 1)),
             fn_constructor_kwargs={
                 "clf_ref": clf_ref,
                 "link_texts_dir": link_texts_dir,
                 "tf_ref": tf_ref,
+                "stats_dir": stats_dir,
             },
         )
     else:
