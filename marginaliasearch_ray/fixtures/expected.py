@@ -41,7 +41,7 @@ from .cache import FIXTURE_VERSION, config_for, fixture_dir_for
 
 EXPECTED_ROOT = "/tmp/graft_expected"
 # bump when ORACLE LOGIC changes without a fixture-generator change
-EXPECTED_VERSION = 39
+EXPECTED_VERSION = 40  # abbreviation-aware sentence boundary detector
 
 
 def expected_dir_for(sf_dir: str) -> str:

@@ -209,15 +209,64 @@ _SENT_BOUNDARY = re.compile(r"[.!?]+[\s]")
 # Python re.split DOES emit capturing groups
 _PRECLEAN_SPLIT = re.compile(r" -|- |\|")
 
+# Common English abbreviations that end in a period WITHOUT ending a
+# sentence — the Punkt-style suppression list (public knowledge; the
+# reference's OpenNLP SentenceDetectorME learns these statistically
+# from its binary model, which cannot ship here).  Lowercased, no
+# trailing dot.  Single capital letters (initials, "J. R. R. Tolkien")
+# and internal-dot tokens ("e.g", "i.e", "u.s") are suppressed by
+# shape, not by list.
+_ABBREVIATIONS = frozenset(
+    (
+        "mr", "mrs", "ms", "dr", "prof", "rev", "hon", "st", "jr", "sr",
+        "messrs", "mmes", "capt", "sgt", "col", "gen", "lt", "cmdr",
+        "adm", "maj", "sen", "rep", "gov", "pres", "supt", "det",
+        "vs", "etc", "al", "ca", "cf", "cp", "approx", "appt", "apt",
+        "dept", "est", "min", "max", "misc", "no", "nos", "vol", "vols",
+        "pp", "pg", "fig", "figs", "eq", "eqs", "sec", "secs", "ch",
+        "chs", "ed", "eds", "trans", "univ", "assn", "bros", "inc",
+        "ltd", "co", "corp", "mt", "mts", "ft", "ave", "blvd", "rd",
+        "hwy", "jan", "feb", "mar", "apr", "jun", "jul", "aug", "sep",
+        "sept", "oct", "nov", "dec", "mon", "tue", "tues", "wed", "thu",
+        "thur", "thurs", "fri", "sat", "sun",
+    )
+)
+
+
+def _suppress_boundary(text: str, dot_pos: int) -> bool:
+    """True when the ``.`` at ``dot_pos`` ends an abbreviation rather
+    than a sentence: the preceding token is a known abbreviation, a
+    single-letter initial, or an internal-dot token (``e.g`` / ``U.S``)."""
+    i = dot_pos
+    while i > 0 and not text[i - 1].isspace():
+        i -= 1
+    tok = text[i:dot_pos]
+    if not tok:
+        return False
+    if "." in tok:
+        # e.g / i.e / U.S / a.m — but NOT "example.com" (a sentence can
+        # legitimately end with a hostname): only short (<= 2 char)
+        # final segments read as letter-dotted abbreviations
+        if len(tok.rsplit(".", 1)[-1]) <= 2:
+            return True
+    if len(tok) == 1 and tok.isalpha() and tok.isupper():
+        return True  # single-letter initial
+    return tok.lower().lstrip("([\"'“‘") in _ABBREVIATIONS
+
 
 def detect_sentences(text: str) -> list[str]:
-    """STAND-IN for OpenNLP SentenceDetectorME (see module docstring):
-    a boundary after every ``[.!?]+`` run followed by whitespace; the
+    """Rule-based stand-in for OpenNLP SentenceDetectorME (see module
+    docstring): a boundary after every ``[.!?]+`` run followed by
+    whitespace, EXCEPT after a single ``.`` whose preceding token is an
+    abbreviation / initial / internal-dot token (the Punkt-style
+    suppression the binary ME model learns statistically).  The
     terminator stays with the left sentence, the whitespace is
-    consumed."""
+    consumed; ``!``/``?`` and multi-dot runs always split."""
     out: list[str] = []
     start = 0
     for m in _SENT_BOUNDARY.finditer(text):
+        if m.group(0)[:-1] == "." and _suppress_boundary(text, m.start()):
+            continue
         out.append(text[start:m.end() - 1])
         start = m.end()
     if start < len(text):

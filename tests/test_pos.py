@@ -353,3 +353,32 @@ class TestSentenceChain:
         s = sent_for(["A1", "B1", "C1"], commas=[False, True, False])
         assert s.next_comma_pos(0) == 1
         assert s.next_comma_pos(2) == 3
+
+
+class TestAbbreviationAwareDetector:
+    """Punkt-style boundary suppression (the OpenNLP ME model's learned
+    abbreviation behavior, approximated by rule — documented stand-in)."""
+
+    def test_title_abbreviations_do_not_split(self):
+        sents = detect_sentences("Dr. Smith arrived. He sat down.")
+        assert sents == ["Dr. Smith arrived.", "He sat down."]
+
+    def test_initials_do_not_split(self):
+        sents = detect_sentences("J. R. R. Tolkien wrote it. It sold well.")
+        assert sents == ["J. R. R. Tolkien wrote it.", "It sold well."]
+
+    def test_internal_dot_tokens(self):
+        sents = detect_sentences("Use flour, e.g. rye flour. Knead well.")
+        assert sents == ["Use flour, e.g. rye flour.", "Knead well."]
+
+    def test_hostname_end_still_splits(self):
+        sents = detect_sentences("Visit example.com. We ship fast.")
+        assert sents == ["Visit example.com.", "We ship fast."]
+
+    def test_exclamation_always_splits(self):
+        sents = detect_sentences("Call Dr! Now.")
+        assert sents == ["Call Dr!", "Now."]
+
+    def test_month_and_measure(self):
+        sents = detect_sentences("Born Jan. 3rd in St. Ives. Died old.")
+        assert sents == ["Born Jan. 3rd in St. Ives.", "Died old."]
