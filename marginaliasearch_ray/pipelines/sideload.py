@@ -106,6 +106,12 @@ def process_sideload_document(
         out["title"] = spec.get_title(doc.dom, url_str)
         pruned = spec.prune(doc.dom)
         out["text"] = tagger_text(pruned)
+        # deviation (documented): the reference sideloader runs the FULL
+        # html plugin (SideloaderProcessing.java:69 createDetails), so its
+        # summary carries the importantWords bias; this trimmed path
+        # passes the empty set — identical output whenever the TFD model
+        # is absent (the funnel's termFreq>100 gate keeps nothing), which
+        # is this pipeline's deployment here
         out["summary"] = spec.get_summary(pruned)
     features |= detect_topic_features(out["text"].split())
     out["n_words"] = len(out["text"].split())

@@ -141,3 +141,52 @@ def test_fetch_interval_timer():
     assert all(0 <= j < 150 for j in js) and len(js) > 10
     assert fetch_jitter_ms("example.com", 3) == fetch_jitter_ms("example.com", 3)
     assert fetch_jitter_ms("example.com", 3) != fetch_jitter_ms("other.com", 3) or True
+
+
+def test_next_batch_for_pipelined_subset():
+    """Per-domain pipelined emission (state.next_batch_for): only the
+    named domains emit, and a domain's visit order / virtual clock is
+    identical to the all-domains round loop."""
+    def seeded():
+        st = FrontierShardState(0, 2)
+        st.add_domain("a.com", ["https://a.com/x"], 50, None, 404)
+        st.add_domain("b.com", ["https://b.com/y"], 50, None, 404)
+        return st
+
+    # round loop (reference behavior)
+    st_round = seeded()
+    r1 = st_round.next_batch(10)
+
+    # pipelined: b.com's payload lands first; a.com still in flight
+    st_pipe = seeded()
+    p1 = st_pipe.next_batch(10)
+    assert p1 == r1  # initial emission identical (both roots)
+    st_pipe.buffer_results(["b.com"], [0], [200],
+                           ["b.com"], [0], [0], ["https://b.com/y2"])
+    st_pipe.apply_buffered()
+    # the caller (run_shard_crawl) re-emits exactly the domains whose
+    # payload applied; a.com stays in flight and is NOT named
+    only_b = st_pipe.next_batch_for(["b.com"], 10)
+    assert set(only_b["domain"]) == {"b.com"}
+    st_pipe.buffer_results(["a.com"], [0], [200],
+                           ["a.com"], [0], [0], ["https://a.com/x2"])
+    st_pipe.apply_buffered()
+    only_a = st_pipe.next_batch_for(["a.com"], 10)
+    assert set(only_a["domain"]) == {"a.com"}
+
+    # equivalence: the same domain's urls + clocks match the round loop
+    st_round.buffer_results(["a.com"], [0], [200],
+                            ["a.com"], [0], [0], ["https://a.com/x2"])
+    st_round.buffer_results(["b.com"], [0], [200],
+                            ["b.com"], [0], [0], ["https://b.com/y2"])
+    st_round.apply_buffered()
+    r2 = st_round.next_batch(10)
+    def per_domain(cols):
+        out = {}
+        for d, u, ts in zip(cols["domain"], cols["url"], cols["virtual_ts_ms"]):
+            out.setdefault(d, []).append((u, ts))
+        return out
+    merged = per_domain(only_b)
+    for d, v in per_domain(only_a).items():
+        merged.setdefault(d, []).extend(v)
+    assert merged == per_domain(r2)
