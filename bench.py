@@ -179,7 +179,15 @@ def run_bench() -> dict:
             link_texts_dir=lt_dir,
             tf_ref=tf_ref,
             stats_dir=lt_stats_dir,
-        ).materialize()
+        )
+        if os.environ.get("GRAFT_HEADLINE_ONLY"):
+            # scaling runs: stream-release the blocks (count() consumes
+            # with backpressure) — materializing the 8x corpus holds
+            # ~GBs in plasma for no consumer
+            n = conv.count()
+            sec = time.perf_counter() - t0
+            return n, sec
+        conv = conv.materialize()
         n = conv.count()
         sec = time.perf_counter() - t0
         # the timed run IS the full converter output — seed the driver
@@ -476,7 +484,7 @@ def _spin(n: int) -> int:
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
+        print(json.dumps(run_scaling(repeats=1, settle_s=30)))
     else:
         result = run_bench()
         print(
