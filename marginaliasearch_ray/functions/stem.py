@@ -63,7 +63,13 @@ def _replace(word: str, suffix: str, repl: str, min_measure: int) -> str | None:
     return None
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1 << 16)
 def porter_stem(word: str) -> str:
+    # pure function over a heavy-tailed vocabulary: the LRU pays for
+    # itself within one batch (stems repeat across sentences and docs)
     w = word.lower()
     if len(w) <= 2:
         return w
