@@ -217,7 +217,7 @@ def _build_livecrawl_expected(fix: Path, out: Path) -> None:
     order, seen/registered sets from the sequential crawl oracle's
     expected records — independent of the distributed resolve + join
     path under test."""
-    from ..functions.contenttype import sniff_content_type
+    from ..functions.contenttype import server_header_for_url, sniff_content_type
     from ..functions.links import parse_link_str
     from ..functions.robots import parse_robots_txt
     from ..model.urls import parse_url
@@ -241,7 +241,9 @@ def _build_livecrawl_expected(fix: Path, out: Path) -> None:
         status = pages["status"][i].as_py()
         ct = ""
         if status == 200 and html:
-            ct, _ = sniff_content_type(None, html)
+            ct, _ = sniff_content_type(
+                server_header_for_url(pages["url"][i].as_py()), html
+            )
         page_meta[pages["url"][i].as_py()] = (status or 0, ct)
 
     links = pq.read_table(fix / "links.parquet", columns=["dst_url"])
@@ -314,7 +316,11 @@ def _build_atags_expected(fix: Path, out: Path) -> None:
     ``hashLowerBytes(text) ^ hashLowerBytes(str(url))``
     (AtagExporter.java:177) — independent of the distributed
     bucket-shuffle path under test."""
-    from ..functions.contenttype import decode_body, sniff_content_type
+    from ..functions.contenttype import (
+        decode_body,
+        server_header_for_url,
+        sniff_content_type,
+    )
     from ..functions.hashing import hash_lower_bytes
     from ..functions.htmldoc import parse_document
     from ..functions.links import parse_anchor_permissive
@@ -337,10 +343,10 @@ def _build_atags_expected(fix: Path, out: Path) -> None:
             html = pages["html"][i].as_py()
             if status != 200 or not html:
                 continue
-            mime, charset = sniff_content_type(None, html)
+            url = pages["url"][i].as_py()
+            mime, charset = sniff_content_type(server_header_for_url(url), html)
             if mime != "text/html":
                 continue
-            url = pages["url"][i].as_py()
             base = parse_url(url)
             doc = parse_document(decode_body(html, charset), build_dom=True)
             if doc.dom is None:
@@ -381,7 +387,11 @@ def _build_termfreq_expected(fix: Path, out: Path) -> None:
     spec (pipelines/export.py term_freq_export): plain-dict accumulation
     over pages in file order — independent of the distributed partial +
     bucket-shuffle path under test."""
-    from ..functions.contenttype import decode_body, sniff_content_type
+    from ..functions.contenttype import (
+        decode_body,
+        server_header_for_url,
+        sniff_content_type,
+    )
     from ..functions.dom import tagger_text
     from ..functions.domops import prune_default
     from ..functions.hashing import tfd_term_freq_hash_stemmed
@@ -398,11 +408,11 @@ def _build_termfreq_expected(fix: Path, out: Path) -> None:
         html = pages["html"][i].as_py()
         if status != 200 or not html:
             continue
-        mime, charset = sniff_content_type(None, html)
+        url = pages["url"][i].as_py()
+        mime, charset = sniff_content_type(server_header_for_url(url), html)
         if mime != "text/html":
             continue
         n_docs += 1
-        url = pages["url"][i].as_py()
         doc = parse_document(decode_body(html, charset), build_dom=True)
         if doc.dom is None or doc.dom.truncated:
             text = doc.text
@@ -524,7 +534,11 @@ def _build_discovery_expected(fix: Path, out: Path, limit: int = 10_000) -> None
     """Sequential NDP discovery over the EXPECTED crawl records: known =
     first half of fixture domains (matching __ray_entry__), candidates =
     cross-domain link targets of visited pages, evaluated on root pages."""
-    from ..functions.contenttype import decode_body, sniff_content_type
+    from ..functions.contenttype import (
+        decode_body,
+        server_header_for_url,
+        sniff_content_type,
+    )
     from ..functions.hashing import partition_of_domain
     from ..functions.htmldoc import parse_document
     from ..functions.links import extract_links
@@ -542,7 +556,7 @@ def _build_discovery_expected(fix: Path, out: Path, limit: int = 10_000) -> None
             body, status = (web.get(v.url) or (b"", 404))[:2]
             if status != 200 or not body:
                 continue
-            mime, charset = sniff_content_type(None, body)
+            mime, charset = sniff_content_type(server_header_for_url(v.url), body)
             if mime not in ("text/html", "application/xhtml+xml"):
                 continue
             doc = parse_document(decode_body(body, charset))

@@ -31,7 +31,11 @@ from dataclasses import dataclass, field
 from typing import Optional
 
 from ..functions.blocklist import is_url_blocked
-from ..functions.contenttype import decode_body, sniff_content_type
+from ..functions.contenttype import (
+    decode_body,
+    server_header_for_url,
+    sniff_content_type,
+)
 from ..functions.hashing import url_seen_hash_u
 from ..functions.htmldoc import parse_document
 from ..functions.linkfilter import FILTERS, select_link_filter_name
@@ -235,7 +239,7 @@ def crawl_domain_oracle(
                 pending_redirects.append(lu)
             return status
         if status == 200 and body:
-            mime, charset = sniff_content_type(None, body)
+            mime, charset = sniff_content_type(server_header_for_url(s), body)
             res.visits[-1].content_type = mime
             if mime not in ("text/html", "application/xhtml+xml"):
                 return status  # non-html fetches yield no links

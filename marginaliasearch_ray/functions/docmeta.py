@@ -903,6 +903,71 @@ def encode_document_metadata(
     return ret
 
 
+def encode_document_metadata_full(
+    avg_sent_enc: int,
+    rank: int,
+    enc_size: int,
+    topology: int,
+    year_byte: int,
+    sets: int,
+    quality_int: int,
+    flags: int,
+) -> int:
+    """The complete DocumentMetadata.encode() (DocumentMetadata.java:
+    113-124) over all eight record fields — each clamped to
+    min(mask, max(0, v)) exactly as the Java encode does.  The
+    conversion-time :func:`encode_document_metadata` is this with
+    rank/encSize/topology/sets = 0; the loading/index side fills those
+    via :func:`dm_with_size_and_topology` / :func:`dm_encode_rank`."""
+    ret = flags & 0xFF
+    ret |= min(0xF, max(0, quality_int)) << 8
+    ret |= min(0xF, max(0, sets)) << 16
+    ret |= min(0xFF, max(0, year_byte)) << 24
+    ret |= min(0xFF, max(0, topology)) << 32
+    ret |= min(0xFF, max(0, enc_size)) << 40
+    ret |= min(0xFF, max(0, rank)) << 48
+    ret |= min(0x03, max(0, avg_sent_enc)) << 56
+    return ret
+
+
+def dm_with_size_and_topology(encoded: int, size: int, topology: int) -> int:
+    """DocumentMetadata.withSizeAndTopology (java:82-86): encSize =
+    min(255, max(1, size / 5)) (ENC_DOMAIN_SIZE_MULTIPLIER = 5, Java int
+    division), topology replaces the field wholesale."""
+    def _jint(v: int) -> int:  # Java int: 0xffffffff is -1 (the ~0 sentinel)
+        v = int(v) & 0xFFFFFFFF
+        return v - (1 << 32) if v >= 1 << 31 else v
+
+    size = _jint(size)
+    topology = _jint(topology)
+    q = abs(size) // 5 if size >= 0 else -(abs(size) // 5)  # Java / truncates to zero
+    enc_size = min(0xFF, max(1, q))
+    cleared = encoded & ~((0xFF << 40) | (0xFF << 32))
+    return cleared | (enc_size << 40) | (min(0xFF, max(0, topology)) << 32)
+
+
+def dm_encode_rank(encoded: int, rank: int) -> int:
+    """DocumentMetadata.encodeRank (java:158-160): OR the clamped rank
+    byte into bits 48-55 (the field must be zero beforehand — the
+    converter never sets it)."""
+    return encoded | (min(0xFF, max(0, rank)) << 48)
+
+
+def decode_document_metadata(encoded: int) -> dict:
+    """DocumentMetadata(long) field decode (java:98-109), as a dict of
+    the eight record fields (year is the RAW byte, as stored)."""
+    return {
+        "avg_sent_enc": (encoded >> 56) & 0x03,
+        "rank": (encoded >> 48) & 0xFF,
+        "enc_size": (encoded >> 40) & 0xFF,
+        "topology": (encoded >> 32) & 0xFF,
+        "year_byte": (encoded >> 24) & 0xFF,
+        "sets": (encoded >> 16) & 0xF,
+        "quality": (encoded >> 8) & 0xF,
+        "flags": encoded & 0xFF,
+    }
+
+
 def document_metadata_for(
     text: str, n_words: int, quality: float, pub_year: int,
     features: int, gen_type: str, kind: str,

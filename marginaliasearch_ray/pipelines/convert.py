@@ -35,7 +35,11 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from ..functions.contenttype import decode_body, sniff_content_type
+from ..functions.contenttype import (
+    decode_body,
+    server_header_for_url,
+    sniff_content_type,
+)
 from ..functions.docmeta import (
     F_COOKIES,
     F_PDF,
@@ -338,7 +342,7 @@ def process_page_full(
     frames = None  # tagged frames feeding the projection when OK
     pruned = None
     spec = None
-    mime, charset = sniff_content_type(None, html)
+    mime, charset = sniff_content_type(server_header_for_url(url_str), html)
     if mime.startswith("text/plain"):
         body = decode_body(html, charset)
         lines = body.splitlines()[:FIRST_N_LINES]
@@ -573,7 +577,7 @@ def process_pages_batch(batch: pa.Table, clf_ref=None) -> pa.Table:
         if adblock_hdr is not None and adblock_hdr[i]:
             state[i] = "disqualified_ads"
             continue
-        mime, charset = sniff_content_type(None, html)
+        mime, charset = sniff_content_type(server_header_for_url(u_s), html)
         if mime.startswith("text/plain"):
             # plain-text plugin (PlainTextDocumentProcessorPlugin.java)
             body = decode_body(html, charset)

@@ -46,7 +46,11 @@ import pyarrow.parquet as pq
 import ray
 
 from ..functions.blocklist import is_url_blocked
-from ..functions.contenttype import decode_body, sniff_content_type
+from ..functions.contenttype import (
+    decode_body,
+    server_header_for_url,
+    sniff_content_type,
+)
 from ..functions.hashing import hot_tops_from_seeds, partition_of_domain, url_seen_hash_u
 from ..functions.htmldoc import parse_document
 from ..functions.linkfilter import FILTERS, select_link_filter_name
@@ -736,7 +740,7 @@ def fetch_extract_batch(
             if lu is not None and lu.host == domain:
                 redirect_target = lu
         if status == 200 and body:
-            mime, charset = sniff_content_type(None, body)
+            mime, charset = sniff_content_type(server_header_for_url(url), body)
             ctype = mime
             if len(body) > MAX_PARSE_SIZE:
                 # 500 KB parse cap (CrawledDocument.java:31): record kept,

@@ -24,7 +24,11 @@ import pandas as pd
 import ray
 import ray.data as rd
 
-from ..functions.contenttype import decode_body, sniff_content_type
+from ..functions.contenttype import (
+    decode_body,
+    server_header_for_url,
+    sniff_content_type,
+)
 from ..functions.hashing import hash_lower_bytes
 from ..functions.htmldoc import parse_document
 from ..functions.links import parse_link_str
@@ -110,7 +114,7 @@ def feed_export(records: rd.Dataset, pages: rd.Dataset) -> pd.DataFrame:
                 continue
             cands: list[tuple[int, int, str]] = []
             body = html if isinstance(html, (bytes, bytearray)) else str(html).encode()
-            _, charset = sniff_content_type(None, body)
+            _, charset = sniff_content_type(server_header_for_url(url), body)
             parsed = parse_document(decode_body(body, charset))
             for seq, (typ, href) in enumerate(parsed.alternate_links):
                 if typ not in FEED_TYPES:
@@ -178,7 +182,7 @@ def term_freq_export(pages: rd.Dataset, n_buckets: int = 32) -> pd.DataFrame:
             if status != 200 or html is None or len(html) == 0:
                 continue
             body = bytes(html)
-            mime, charset = sniff_content_type(None, body)
+            mime, charset = sniff_content_type(server_header_for_url(url), body)
             if mime != "text/html":
                 continue
             n_docs += 1
@@ -306,7 +310,7 @@ def atag_export(pages: rd.Dataset, n_buckets: int = 32) -> pd.DataFrame:
             if status != 200 or html is None or len(html) == 0:
                 continue
             body = bytes(html)
-            mime, charset = sniff_content_type(None, body)
+            mime, charset = sniff_content_type(server_header_for_url(url), body)
             if mime != "text/html":
                 continue
             base = parse_url(url)

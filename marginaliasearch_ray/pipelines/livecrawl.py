@@ -47,7 +47,7 @@ import pandas as pd
 import ray
 import ray.data as rd
 
-from ..functions.contenttype import sniff_content_type
+from ..functions.contenttype import server_header_for_url, sniff_content_type
 from ..functions.links import parse_link_str
 from ..functions.robots import RobotRules, parse_robots_txt
 from ..model.urls import parse_url
@@ -163,11 +163,11 @@ def live_crawl(
     # projection; bodies never leave the read tasks
     def page_meta(b: pd.DataFrame) -> pd.DataFrame:
         cts = []
-        for html, status in zip(b["html"], b["status"]):
+        for url, html, status in zip(b["url"], b["html"], b["status"]):
             if status != 200 or html is None or len(html) == 0:
                 cts.append("")
                 continue
-            mime, _ = sniff_content_type(None, bytes(html))
+            mime, _ = sniff_content_type(server_header_for_url(url), bytes(html))
             cts.append(mime)
         import pyarrow as pa
 

@@ -330,3 +330,111 @@ def test_document_metadata_codec():
     v = document_metadata_for("a. b.", 10, -4.9, 2010, 0, "UNKNOWN", "html")
     assert (v >> 24) & 0xFF == 2010 - 1996
     assert (v >> 8) & 0xF == 4
+
+
+class TestDocumentMetadataTestVectors:
+    """DocumentMetadataTest.java (code/common/model/test/nu/marginalia/
+    model/DocumentMetadataTest.java) — the upstream codec assertions,
+    literal, against the full-field encode/decode helpers."""
+
+    def _codec(self, **fields):
+        from marginaliasearch_ray.functions.docmeta import (
+            decode_document_metadata,
+            encode_document_metadata_full,
+        )
+
+        full = dict(
+            avg_sent_enc=0, rank=0, enc_size=0, topology=0,
+            year_byte=0, sets=0, quality_int=0, flags=0,
+        )
+        full.update(fields)
+        return decode_document_metadata(encode_document_metadata_full(**full))
+
+    def test_codec_year(self):
+        assert self._codec(year_byte=192)["year_byte"] == 192
+
+    def test_codec_topology(self):
+        assert self._codec(topology=192)["topology"] == 192
+
+    def test_codec_sets(self):
+        assert self._codec(sets=14)["sets"] == 14
+
+    def test_codec_quality(self):
+        assert self._codec(quality_int=9)["quality"] == 9
+
+    def test_codec_avg_sent_length(self):
+        for i in range(4):
+            assert self._codec(avg_sent_enc=i)["avg_sent_enc"] == i
+        # the 2-bit field clamps 5 -> 3 at encode
+        assert self._codec(avg_sent_enc=5)["avg_sent_enc"] == 3
+
+    def test_codec_flags(self):
+        assert self._codec(flags=255)["flags"] == 255
+
+    def test_enc_rank(self):
+        from marginaliasearch_ray.functions.docmeta import (
+            decode_document_metadata,
+            dm_encode_rank,
+            dm_with_size_and_topology,
+            encode_document_metadata_full,
+        )
+
+        # new DocumentMetadata(0, 22, 8, noFlags)
+        #   .withSizeAndTopology(0xffffffff, 5)  — 0xffffffff is int -1,
+        #   so encSize = min(255, max(1, -1/5)) = 1
+        meta = encode_document_metadata_full(
+            avg_sent_enc=0, rank=0, enc_size=0, topology=0,
+            year_byte=22, sets=0, quality_int=8, flags=0,
+        )
+        meta = dm_with_size_and_topology(meta, 0xFFFFFFFF, 5)
+        enc2 = dm_encode_rank(meta, 83)
+        d = decode_document_metadata(enc2)
+        assert d["rank"] == 83
+        assert d["topology"] == 5
+        assert d["enc_size"] == 1
+
+    def test_year_roundtrip(self):
+        from marginaliasearch_ray.functions.docmeta import (
+            PUBDATE_BYTE_OFFSET,
+            decode_document_metadata,
+            dm_encode_rank,
+            dm_with_size_and_topology,
+            encode_document_metadata_full,
+        )
+
+        all_flags = 0x7F  # EnumSet.allOf(DocumentFlags): 7 declared flags
+        for year in range(1996, 2023):
+            yb = year - PUBDATE_BYTE_OFFSET  # PubDate.ofYear(year).yearByte()
+            # saturated variant: every other field at ~0 (clamps to 0 /
+            # masks), flags allOf, size/topology ~0
+            meta = encode_document_metadata_full(
+                avg_sent_enc=-1, rank=0, enc_size=0, topology=0,
+                year_byte=yb, sets=0, quality_int=-1, flags=all_flags,
+            )
+            meta = dm_with_size_and_topology(meta, 0xFFFFFFFF, 0xFFFFFFFF)
+            enc = dm_encode_rank(meta, 0)
+            assert decode_document_metadata(enc)["year_byte"] + PUBDATE_BYTE_OFFSET == year
+            # zeroed variant
+            meta0 = encode_document_metadata_full(
+                avg_sent_enc=0, rank=0, enc_size=0, topology=0,
+                year_byte=yb, sets=0, quality_int=0, flags=0,
+            )
+            meta0 = dm_with_size_and_topology(meta0, 0, 0)
+            enc0 = dm_encode_rank(meta0, 0)
+            assert decode_document_metadata(enc0)["year_byte"] + PUBDATE_BYTE_OFFSET == year
+
+    def test_full_encode_matches_converter_encode(self):
+        # the conversion-time encode is the full encode with the
+        # loader-side fields zero
+        from marginaliasearch_ray.functions.docmeta import (
+            encode_document_metadata,
+            encode_document_metadata_full,
+        )
+
+        for asl, yb, q, fl in [(2, 14, 3, 0x41), (0, 0, 0, 0), (3, 255, 15, 255)]:
+            assert encode_document_metadata(asl, yb, q, fl) == (
+                encode_document_metadata_full(
+                    avg_sent_enc=asl, rank=0, enc_size=0, topology=0,
+                    year_byte=yb, sets=0, quality_int=q, flags=fl,
+                )
+            )

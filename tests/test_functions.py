@@ -158,6 +158,80 @@ class TestContentType:
         mime, cs = sniff_content_type("text/html", body)
         assert cs.lower() == "iso-8859-1"
 
+    def test_server_header_for_url(self):
+        # the fetch sim's mime-by-extension server header: .txt only
+        from marginaliasearch_ray.functions.contenttype import (
+            server_header_for_url,
+        )
+
+        assert server_header_for_url("https://d/notes-1.txt") == "text/plain"
+        assert server_header_for_url("https://d/N.TXT?x=1") == "text/plain"
+        assert server_header_for_url("https://d/a.html") is None
+        assert server_header_for_url("https://d/") is None
+
+
+class TestContentTypeParserTestVectors:
+    """ContentTypeParserTest.java (processes/crawling-process/
+    ft-content-type/test/) — the four upstream assertions, literal."""
+
+    def test_parse_content_type_with_header(self):
+        body = b"<!DOCTYPE html><html><head><title>Title</title></head><body></body></html>"
+        assert sniff_content_type("text/html; charset=UTF-8", body) == (
+            "text/html", "UTF-8",
+        )
+
+    def test_parse_content_type_with_meta_charset(self):
+        body = b'<!DOCTYPE html><html><head><meta charset="UTF-8"><title>Title</title></head><body></body></html>'
+        assert sniff_content_type(None, body) == ("text/html", "UTF-8")
+
+    def test_parse_content_type_with_header_value_absent(self):
+        # a bare (1-part) header: the raw header string becomes the mime,
+        # the charset falls to the ISO_8859_1 default
+        assert sniff_content_type("text/plain", b"Some random text.") == (
+            "text/plain", "ISO_8859_1",
+        )
+
+    def test_parse_content_type_with_binary_data(self):
+        body = bytes([31]) + bytes(127)
+        assert sniff_content_type(None, body) == (
+            "application/binary", "ISO_8859_1",
+        )
+
+    def test_java_signed_byte_binary_rule(self):
+        # shittyMimeSniffer compares SIGNED bytes: \t \n \r and >= 0x80
+        # all classify as binary when the sniffer is reached
+        assert sniff_content_type(None, b"plain\nwith newline")[0] == "application/binary"
+        assert sniff_content_type(None, "höh".encode("utf-8"))[0] == "application/binary"
+        assert sniff_content_type(None, b"no newline here")[0] == "text/plain"
+
+    def test_three_part_header_falls_through(self):
+        # StringUtils.split != 2 parts -> the raw header string is the mime
+        mime, cs = sniff_content_type(
+            "text/html; charset=utf-8; boundary=x", b"no tags"
+        )
+        assert mime == "text/html; charset=utf-8; boundary=x"
+        assert cs == "ISO_8859_1"
+
+
+class TestDocumentBodyToStringTestVectors:
+    """DocumentBodyToStringTest.java — getStringData charset fallbacks."""
+
+    def test_get_string_data_on_utf8(self):
+        assert decode_body("Hello, World!".encode("utf-8"), "UTF-8") == "Hello, World!"
+
+    def test_get_string_data_on_illegal_charset_name(self):
+        assert decode_body("Hello, World!".encode("utf-8"), "unsupportedname") == "Hello, World!"
+
+    def test_get_string_data_on_unsupported_charset(self):
+        # "Macintosh" is not a JDK charset name: UTF-8 fallback (the
+        # Python codec registry WOULD accept it — mapped explicitly)
+        assert decode_body("Hello, World!".encode("utf-8"), "Macintosh") == "Hello, World!"
+        assert decode_body("caf\xc3\xa9".encode("latin-1"), "Macintosh") == "café"
+
+    def test_macintosh_latin_special_case(self):
+        # ContentType.asCharset: "macintosh-latin" -> ISO-8859-1
+        assert decode_body("caf\xe9".encode("latin-1"), "macintosh-latin") == "café"
+
     def test_decode_fallback(self):
         assert decode_body("caf\xe9".encode("latin-1"), "iso-8859-1") == "café"
         assert decode_body(b"abc", "not-a-charset") == "abc"

@@ -120,3 +120,94 @@ def test_fast_path_agrees_with_full_parser():
     for u in urls:
         if is_canonical_fast(u):
             assert canonicalize(u) == u, u
+
+
+# ---------------------------------------------------------------------------
+# Reference unit-test vectors, pinned VERBATIM.
+# ---------------------------------------------------------------------------
+
+
+class TestEdgeUrlTestVectors:
+    """EdgeUrlTest.java (code/common/model/test/nu/marginalia/model/
+    EdgeUrlTest.java) — the upstream assertions, literal."""
+
+    @pytest.mark.parametrize(
+        "raw,rendered",
+        [
+            # testUriFromString: parse -> toString round trips incl. the
+            # urlencode-repair path
+            ("https://www.example.com/", "https://www.example.com/"),
+            ("https://www.example.com/#heredoc", "https://www.example.com/"),
+            ("https://www.example.com/trailingslash/", "https://www.example.com/trailingslash/"),
+            ("https://www.example.com/%-sign", "https://www.example.com/%25-sign"),
+            ('https://www.example.com//%-sign/"-sign', "https://www.example.com/%25-sign/%22-sign"),
+            ("https://www.example.com/%22-sign", "https://www.example.com/%22-sign"),
+            ('https://www.example.com/\n "huh"', "https://www.example.com/%0A%20%22huh%22"),
+            ("https://en.wikipedia.org/wiki/Sámi", "https://en.wikipedia.org/wiki/S%C3%A1mi"),
+            (
+                "https://www.prijatelji-zivotinja.hr/index.en.php?id=2301k",
+                "https://www.prijatelji-zivotinja.hr/index.en.php?id=2301k",
+            ),
+            # testParms: QueryParams allowlist incl. keep / strip / sort
+            ("https://search.marginalia.nu/?id=123", "https://search.marginalia.nu/?id=123"),
+            ("https://search.marginalia.nu/?t=123", "https://search.marginalia.nu/?t=123"),
+            ("https://search.marginalia.nu/?v=123", "https://search.marginalia.nu/?v=123"),
+            (
+                "https://memex.marginalia.nu/showthread.php?id=1&count=5&tracking=123",
+                "https://memex.marginalia.nu/showthread.php?id=1",
+            ),
+            (
+                "https://memex.marginalia.nu/shöwthrëad.php?id=1&t=5&tracking=123",
+                "https://memex.marginalia.nu/sh%C3%B6wthr%C3%ABad.php?id=1&t=5",
+            ),
+            (
+                "https://memex.marginalia.nu/shöwthrëad.php?trëaking=123&id=1&t=5&",
+                "https://memex.marginalia.nu/sh%C3%B6wthr%C3%ABad.php?id=1&t=5",
+            ),
+            ("https://search.marginalia.nu/?m=123", "https://search.marginalia.nu/"),
+            ("https://search.marginalia.nu/?follow=123", "https://search.marginalia.nu/"),
+        ],
+    )
+    def test_uri_from_string_and_params(self, raw, rendered):
+        assert str(parse_url(raw)) == rendered
+
+    def test_fragment(self):
+        # testFragment: fragment never participates in identity
+        a = parse_url("https://memex.marginalia.nu/")
+        assert str(parse_url("https://memex.marginalia.nu/#here")) == str(a)
+        assert str(parse_url("https://memex.marginalia.nu#here")) == str(a)
+
+    def test_question_mark_slash(self):
+        u = parse_url("https://search.marginalia.nu?/")
+        assert u.path == "/"
+        assert u.param is None
+
+
+class TestEdgeDomainTestVectors:
+    """EdgeDomainTest.java — subDomain/topDomain/getTld splits, literal."""
+
+    @pytest.mark.parametrize(
+        "raw,proto,sub,top,tld,rendered",
+        [
+            ("http://l7072i3.l7c.net", "http", "l7072i3", "l7c.net", "net", None),
+            ("http://endless.horse/", "http", "", "endless.horse", "horse", None),
+            ("http://uj.edu.pl", "http", "", "uj.edu.pl", "edu.pl", None),
+            ("http://www.marginalia.nu", "http", "www", "marginalia.nu", "nu", "http://www.marginalia.nu/"),
+            ("http://marginalia.co.uk", "http", "", "marginalia.co.uk", "co.uk", "http://marginalia.co.uk/"),
+            ("http://withcandour.co.uk", "http", "", "withcandour.co.uk", "co.uk", "http://withcandour.co.uk/"),
+            ("http://www.marginalia.co.uk", "http", "www", "marginalia.co.uk", "co.uk", "http://www.marginalia.co.uk/"),
+            ("http://www.marginalia.abcf.de", "http", "www.marginalia", "abcf.de", "de", None),
+            ("http://marginalia.nu", "http", "", "marginalia.nu", "nu", "http://marginalia.nu/"),
+            ("https://127.0.0.1:8080", "https", "", "127.0.0.1", "IP", "https://127.0.0.1:8080/"),
+            ("https://192.168.1.32", "https", "", "192.168.1.32", "IP", "https://192.168.1.32/"),
+        ],
+    )
+    def test_domain_split(self, raw, proto, sub, top, tld, rendered):
+        from marginaliasearch_ray.model.urls import get_tld
+
+        u = parse_url(raw)
+        assert u.proto == proto
+        assert split_domain(u.host) == (sub, top)
+        assert get_tld(u.host) == tld
+        if rendered is not None:
+            assert str(u) == rendered
