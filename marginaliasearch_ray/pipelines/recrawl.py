@@ -39,6 +39,33 @@ from ..model.urls import parse_url
 LSH_SAME_DISTANCE = 4  # CrawlDataReference.isContentBodySame
 
 
+def get_etag(etag_field, headers_raw) -> "str | None":
+    """CrawledDocument.getEtag (common/model/.../crawldata/
+    CrawledDocument.java, pinned by CrawledDocumentTest): the recorded
+    field wins; else scan the raw header block for an ``ETag:`` line."""
+    if etag_field:
+        return etag_field
+    return _header_value(headers_raw, "etag")
+
+
+def get_last_modified(lastmod_field, headers_raw) -> "str | None":
+    """CrawledDocument.getLastModified — same field-then-headers rule for
+    ``Last-Modified:``."""
+    if lastmod_field:
+        return lastmod_field
+    return _header_value(headers_raw, "last-modified")
+
+
+def _header_value(headers_raw, key_lower: str) -> "str | None":
+    if not headers_raw:
+        return None
+    for ln in str(headers_raw).replace("\r\n", "\n").split("\n"):
+        k, sep, v = ln.partition(":")
+        if sep and k.strip().lower() == key_lower:
+            return v.strip()
+    return None
+
+
 HASH_READ_BLOCKS = 64  # split body-bearing reads below the 128 MB default
 # block target so the hash map runs wide (same lesson as the converter's
 # override_num_blocks read split); at multi-node scale the input is many

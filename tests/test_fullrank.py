@@ -406,3 +406,48 @@ def test_pruned_dom_reuse_equals_fresh_parse():
         assert reused == fresh, u
         checked += 1
     assert checked > 20
+
+
+class TestDocumentKeywordsBuilderTestVectors:
+    """DocumentKeywordsBuilderTest.java (functions/language-processing/
+    test/nu/marginalia/keyword/model/) — the upstream position-mask
+    assertions, literal."""
+
+    def test_calculate_position_mask_preserve_term_meta(self):
+        for p in (1, 1024, 15, 7000, -1):
+            assert position_mask(0, [p]) & 0xFF == 0
+            assert position_mask(40, [p]) & 0xFF == 40
+
+    def test_calculate_position_mask_adjacent_terms_always_overlap(self):
+        # Invariant: for any pair (i, i+j) with j <= windowSize/2 the
+        # masks overlap
+        from marginaliasearch_ray.functions.keywords import (
+            POSITIONS_BITMASK_WINDOW_SIZE,
+        )
+
+        for i in range(0, 1000, 7):  # stride keeps the pinned sweep fast
+            for j in range(POSITIONS_BITMASK_WINDOW_SIZE // 2 + 1):
+                mi = position_mask(0, [i]) >> 8
+                mij = position_mask(0, [i + j]) >> 8
+                assert mi & mij != 0, (i, j)
+
+    def test_calculate_position_mask_verify_full_range_of_bits_used(self):
+        total = 0
+        for i in range(16000):
+            total |= position_mask(0, [i])
+        assert total == 0xFFFF_FFFF_FFFF_FF00
+
+
+class TestBlogSpecializationTestVectors:
+    """BlogSpecializationTest.java — shouldIndex date-listing refusals."""
+
+    def test_should_index(self):
+        from marginaliasearch_ray.functions.specialization import should_index
+        from marginaliasearch_ray.model.urls import parse_url
+
+        for u in (
+            "https://blog.marginalia.nu/2023/00/22/",
+            "https://blog.marginalia.nu/2023/00/",
+            "https://blog.marginalia.nu/00/22/",
+        ):
+            assert should_index("blog", parse_url(u)) is False

@@ -246,3 +246,20 @@ def test_ordered_hash_is_order_sensitive():
     )
     assert rolling_ordered_hash(["alpha"]) == a
     assert rolling_ordered_hash(["alpha", "beta"]) == ((a << 1) & ((1 << 64) - 1) | (a >> 63)) ^ b
+
+
+class TestHasherGroupTestVectors:
+    """HasherGroupTest.java ordered() — the upstream assertions, literal
+    (the unordered variant has no consumer in this engine)."""
+
+    def test_ordered(self):
+        from marginaliasearch_ray.functions.qwordgraph import (
+            ordered_hash_apply,
+            ordered_hash_replace,
+        )
+
+        a, b, c = 5, 3, 2
+        assert ordered_hash_apply(a, b) != ordered_hash_apply(b, a)
+        assert ordered_hash_apply(b, c) == ordered_hash_replace(
+            ordered_hash_apply(a, b), c, a, 2
+        )

@@ -97,3 +97,24 @@ class TestSchedule:
         )
         out = order_timed_run(meta)
         assert list(out.domain) == ["a.com", "c.com", "b.com"]
+
+
+class TestCrawledDocumentTestVectors:
+    """CrawledDocumentTest.java — getEtag / getLastModified field-then-
+    headers fallbacks, literal."""
+
+    def test_get_etag(self):
+        from marginaliasearch_ray.pipelines.recrawl import get_etag
+
+        assert get_etag("12345", None) == "12345"
+        assert get_etag(None, None) is None
+        assert get_etag(None, "Some irrelevant headers") is None
+        assert get_etag(None, "ETag: 67890") == "67890"
+
+    def test_get_last_modified(self):
+        from marginaliasearch_ray.pipelines.recrawl import get_last_modified
+
+        lm = "Wed, 21 Oct 2015 07:28:00 GMT"
+        assert get_last_modified(None, "Last-Modified: " + lm) == lm
+        assert get_last_modified(None, "Some-Other-Header: Some value") is None
+        assert get_last_modified(lm, None) == lm
