@@ -451,3 +451,43 @@ class TestBlogSpecializationTestVectors:
             "https://blog.marginalia.nu/00/22/",
         ):
             assert should_index("blog", parse_url(u)) is False
+
+
+class TestDocumentKeywordExtractorTestVectors:
+    """DocumentKeywordExtractorTest.testMadonna — the upstream end-to-end
+    assertion over the reference's own test resource (read from the
+    read-only reference checkout; skipped when absent)."""
+
+    def test_madonna(self):
+        import os
+
+        import pytest as _pytest
+
+        path = (
+            "/root/reference/code/functions/language-processing/"
+            "test-resources/test-data/madonna.html"
+        )
+        if not os.path.exists(path):
+            _pytest.skip("reference test resource not available")
+        from marginaliasearch_ray.functions.dom import tagged_frames
+        from marginaliasearch_ray.functions.htmldoc import parse_document
+        from marginaliasearch_ray.functions.keywords import keyword_projection
+        from marginaliasearch_ray.functions.specialization import spec_object
+        from marginaliasearch_ray.model.urls import parse_url
+
+        html = open(path, encoding="utf-8", errors="replace").read()
+        doc = parse_document(html, build_dom=True)
+        pruned = spec_object("default").prune(doc.dom)
+        u = parse_url(
+            "https://encyclopedia.marginalia.nu/article/Don't_Tell_Me_(Madonna_song)"
+        )
+        proj = keyword_projection(
+            tagged_frames(pruned), u.host, u.path,
+            link_texts=None, tf_dict={}, tf_doc_count=0,
+        )
+        words = proj["words"]
+        # Assertions.assertTrue(flags.containsKey("dirty" / "blues")),
+        # assertNotEquals(positions("dirty"), positions("blues"))
+        assert "dirty" in words
+        assert "blues" in words
+        assert words["dirty"][1] != words["blues"][1]

@@ -382,3 +382,39 @@ class TestAbbreviationAwareDetector:
     def test_month_and_measure(self):
         sents = detect_sentences("Born Jan. 3rd in St. Ives. Died old.")
         assert sents == ["Born Jan. 3rd in St. Ives.", "Died old."]
+
+
+class TestSentenceExtractorTestVectors:
+    """SentenceExtractorTest.java (functions/language-processing/test/
+    nu/marginalia/language/sentence/) — the upstream tokenization
+    assertions, literal (testACDC comes from the keyword-package twin)."""
+
+    @staticmethod
+    def _words(text):
+        from marginaliasearch_ray.functions.sentences import (
+            extract_sentences_from_string,
+        )
+
+        return [w for s in extract_sentences_from_string(text) for w in s.words_lc]
+
+    def test_acdc(self):
+        assert self._words("AC/DC is a rock band.")[0] == "ac/dc"
+
+    def test_cplusplus(self):
+        assert self._words("std::vector") == ["std::vector"]
+
+    def test_php(self):
+        assert self._words("$_GET") == ["$_get"]
+
+    def test_polish_artist(self):
+        assert self._words("Uklański") == ["uklanski"]
+
+    def test_java(self):
+        assert self._words("Foreign Function & Memory API") == [
+            "foreign", "function", "memory", "api",
+        ]
+
+    def test_apostrophe(self):
+        assert self._words("duke nuke 'em's big ol' big gun") == [
+            "duke", "nuke", "em", "big", "ol", "big", "gun",
+        ]
