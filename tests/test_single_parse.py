@@ -132,3 +132,50 @@ class TestConvertFullStage:
         # dedup ran: identical bodies within a domain flag as near-dups
         per_dom = out.groupby("domain")["is_near_dup"].sum()
         assert (per_dom == 3).all()  # 4 identical docs -> 3 dups each
+
+
+class TestSummaryExtractorTestVectors:
+    """SummaryExtractorTest.java (converting-process/test/) — the four
+    assertFalse(summary.isBlank()) resources, run through the FULL
+    heuristic chain with the importantWords funnel live (the upstream
+    test wires getImportantWords(doc) into extractSummary).  Resources
+    are read from the read-only reference checkout; skipped if absent."""
+
+    BASE = "/root/reference/code/processes/converting-process/test-resources/html/"
+
+    def _summary(self, rel):
+        import os
+
+        import pytest as _pytest
+
+        path = self.BASE + rel
+        if not os.path.exists(path):
+            _pytest.skip("reference test resource not available")
+        from marginaliasearch_ray.functions.dom import tagged_frames
+        from marginaliasearch_ray.functions.htmldoc import parse_document
+        from marginaliasearch_ray.functions.keywords import keyword_projection
+        from marginaliasearch_ray.functions.specialization import spec_object
+        from marginaliasearch_ray.model.urls import parse_url
+
+        html = open(path, encoding="utf-8", errors="replace").read()
+        doc = parse_document(html, build_dom=True)
+        u = parse_url("https://www.marginalia.nu/")
+        proj = keyword_projection(
+            tagged_frames(doc.dom), u.host, u.path,
+            link_texts=None, tf_dict={}, tf_doc_count=0,
+        )
+        return spec_object("default").get_summary(
+            doc.dom, set(proj["important_words"])
+        )
+
+    def test_extract_surrey(self):
+        assert self._summary("summarization/surrey.html").strip()
+
+    def test_extract_surrey1(self):
+        assert self._summary("summarization/surrey.html.1").strip()
+
+    def test_extract_187(self):
+        assert self._summary("summarization/187.shtml").strip()
+
+    def test_extract_monadnock(self):
+        assert self._summary("monadnock.html").strip()
