@@ -189,3 +189,46 @@ class TestSubjectsWithRealisticDict:
         assert got == {"populares", "republic", "authoritarian_reforms",
                        "senate", "pompey", "civil_wars", "octavian",
                        "caesar"}
+
+
+class TestTitleKeywordsTestVector:
+    """TitleKeywordsTest.java — the exact expected title-rep set over the
+    upstream's embedded memex document (read from the read-only reference
+    checkout at test time; skipped when absent)."""
+
+    def test_extract_title_words(self):
+        import os
+        import re
+
+        import pytest as _pytest
+
+        path = (
+            "/root/reference/code/functions/language-processing/test/"
+            "nu/marginalia/keyword/extractors/TitleKeywordsTest.java"
+        )
+        if not os.path.exists(path):
+            _pytest.skip("reference test source not available")
+        src = open(path, encoding="utf-8").read()
+        doc_html = re.search(r'String document = """\n(.*?)""";', src, re.S).group(1)
+
+        from marginaliasearch_ray.functions.dom import tagged_frames
+        from marginaliasearch_ray.functions.htmldoc import parse_document
+        from marginaliasearch_ray.functions.keywords import _KIND_TO_TAG, T_TITLE
+        from marginaliasearch_ray.functions.posextract import TitleKeywords
+        from marginaliasearch_ray.functions.sentences import (
+            extract_sentences_from_string,
+        )
+
+        doc = parse_document(doc_html, build_dom=True)
+        dld = []
+        for text, kinds in tagged_frames(doc.dom):
+            tags = frozenset(
+                t for t in (_KIND_TO_TAG.get(k) for k in kinds) if t is not None
+            )
+            dld.extend(extract_sentences_from_string(text, tags))
+        words = {r.word for r in TitleKeywords(dld, T_TITLE).reps}
+        assert words == {
+            "creepy", "website", "similarity", "creepy_website",
+            "website_similarity", "creepy_website_similarity",
+            "memex", "2022-12-26",
+        }
