@@ -660,3 +660,27 @@ class TestPruneWhereEquivalence:
             a.filter(BlogSpec._PruneFilter())
             prune_where(b, BlogSpec._is_junk)
             assert _dump(a) == _dump(b), trial
+
+
+class TestHtmlStringTaggerTestVector:
+    """HtmlStringTaggerTest.java — compactOutput over the upstream
+    example document: exactly two HEADING frames with byte-exact
+    compacted text (adjacent h1 elements merge into one frame)."""
+
+    def test_tagger(self):
+        from marginaliasearch_ray.functions.dom import tagged_frames
+        from marginaliasearch_ray.functions.htmldoc import parse_document
+
+        html = (
+            "<!DOCTYPE html>\n<html>\n<head>\n<title>T Example</title>\n"
+            "</head>\n<body>\n<h1>H1 Example</h1>\n<h1>H1 Example again</h1>\n"
+            "<div>This is an example.</div>\n<div>Here is more text.</div>\n"
+            '<div>And more text <a href="#">with a link</a> and more text.</div>\n'
+            "<code>#include &lt;stdlib.h&gt;</code>\n<h3>Good bye</h3>\n</body>\n"
+        )
+        doc = parse_document(html, build_dom=True)
+        frames = tagged_frames(doc.dom)
+        headings = [t for t, ks in frames if 7 in ks]  # kind 7 = HEADING
+        assert len(headings) == 2
+        assert headings[0] == " H1 Example  H1 Example again"
+        assert headings[-1] == " Good bye"

@@ -418,3 +418,24 @@ class TestSentenceExtractorTestVectors:
         assert self._words("duke nuke 'em's big ol' big gun") == [
             "duke", "nuke", "em", "big", "ol", "big", "gun",
         ]
+
+
+class TestUnicodeNormalizationTestVectors:
+    """UnicodeNormalizationTest.java (FlattenAllLatin) — literal."""
+
+    def test_flatten_unicode_plain_ascii_no_copy(self):
+        from marginaliasearch_ray.functions.sentences import flatten_unicode
+
+        s = "abc"
+        assert flatten_unicode(s) is s  # assertSame: no allocation on ascii
+
+    def test_flatten_unicode(self):
+        from marginaliasearch_ray.functions.sentences import flatten_unicode
+
+        assert flatten_unicode("Stülpnagelstraße") == "Stulpnagelstrasse"
+        assert flatten_unicode("Koncevičius") == "Koncevicius"
+
+    def test_omit_non_flattenable(self):
+        from marginaliasearch_ray.functions.sentences import flatten_unicode
+
+        assert flatten_unicode("[アグレッシブ烈子]") == "[]"

@@ -232,3 +232,74 @@ class TestTitleKeywordsTestVector:
             "website_similarity", "creepy_website_similarity",
             "memex", "2022-12-26",
         }
+
+
+class TestUrlKeywordsTestVectors:
+    """UrlKeywordsTest.java — containsDomain / containsUrl /
+    searchableKeywords, literal."""
+
+    def test_contains_domain(self):
+        from marginaliasearch_ray.functions.keywords import url_keywords
+        from marginaliasearch_ray.functions.sentences import porter_stem
+
+        ds, _, _ = url_keywords(
+            "memex.marginalia.nu", "/log/69-creepy-website-similarity.gmi"
+        )
+        assert porter_stem("memex") in ds
+        assert porter_stem("marginalia") in ds
+
+    def test_contains_domain_no_www_no_com(self):
+        from marginaliasearch_ray.functions.keywords import url_keywords
+        from marginaliasearch_ray.functions.sentences import porter_stem
+
+        ds, _, _ = url_keywords(
+            "www.example.com", "/log/69-creepy-website-similarity.gmi"
+        )
+        assert porter_stem("example") in ds
+        assert porter_stem("www") not in ds
+        assert porter_stem("com") not in ds
+
+    def test_path_fragments(self):
+        from marginaliasearch_ray.functions.keywords import url_keywords
+        from marginaliasearch_ray.functions.sentences import porter_stem
+
+        _, ps_, _ = url_keywords(
+            "memex.marginalia.nu", "/log/69-creepy-website-similarity.gmi"
+        )
+        for w in ("creepy", "website", "similarity", "69", "log"):
+            assert porter_stem(w) in ps_
+        assert porter_stem("memex") not in ps_
+
+    def test_url_keywords_searchable(self):
+        from marginaliasearch_ray.functions.keywords import url_keywords
+
+        _, _, words = url_keywords("simplifier.neocities.org", "/hitch")
+        assert words == ["simplifier", "neocities", "", "hitch"]
+
+
+class TestWordPatternsTestVectors:
+    """WordPatternsTest.java — isDiscardedByTokenizer / isStopWord."""
+
+    def test_is_discarded_by_tokenizer(self):
+        from marginaliasearch_ray.functions.keywords import (
+            MAX_WORD_LENGTH,
+            _is_discarded,
+        )
+
+        for w in ("", " ", "-", "--", "*", "/", "*/", "a" * MAX_WORD_LENGTH):
+            assert _is_discarded(w), w
+        for w in ("a", "foo", "foo-", "-foo", "123456789012345678",
+                  "a" * (MAX_WORD_LENGTH - 1)):
+            assert not _is_discarded(w), w
+
+    def test_phrase_constraints(self):
+        from marginaliasearch_ray.functions.keywords import (
+            _is_discarded,
+            is_stop_word,
+        )
+
+        assert _is_discarded("-") and is_stop_word("-")
+        assert _is_discarded("*") and not is_stop_word("*")
+        assert not _is_discarded("123456789012345678")
+        assert is_stop_word("123456789012345678")
+        assert not _is_discarded("foo") and not is_stop_word("foo")

@@ -263,3 +263,24 @@ class TestHasherGroupTestVectors:
         assert ordered_hash_apply(b, c) == ordered_hash_replace(
             ordered_hash_apply(a, b), c, a, 2
         )
+
+
+class TestNgramLexiconTestVector:
+    """NgramLexiconTest.java findSegments — literal."""
+
+    def test_find_segments(self):
+        from marginaliasearch_ray.functions.qwordgraph import (
+            find_segment_offsets,
+            rolling_ordered_hash,
+        )
+
+        counts = {
+            rolling_ordered_hash(["hello", "world"]): 1,
+            rolling_ordered_hash(["rye", "bread"]): 1,
+            rolling_ordered_hash(["rye", "world"]): 1,
+        }
+        words = ["hello", "world", "rye", "bread"]
+        segs = [
+            words[s : s + l] for s, l, _ in find_segment_offsets(counts, 2, words)
+        ]
+        assert segs == [["hello", "world"], ["rye", "bread"]]
