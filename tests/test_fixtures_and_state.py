@@ -190,3 +190,93 @@ def test_next_batch_for_pipelined_subset():
     for d, v in per_domain(only_a).items():
         merged.setdefault(d, []).extend(v)
     assert merged == per_domain(r2)
+
+
+class TestDomainCrawlFrontierTestVectors:
+    """DomainCrawlFrontierTest.java — visited/known seen-set semantics and
+    schema rewriting, at this engine's observable layers (the seen-hash
+    identity and batch emission; the reference's takeNextUrl loop is the
+    emission loop here)."""
+
+    def test_visited(self):
+        from marginaliasearch_ray.model.urls import parse_url
+        from marginaliasearch_ray.state.frontier import (
+            FrontierShardState,
+            url_seen_hash_u,
+        )
+
+        obj = FrontierShardState(0, 1)
+        obj.add_domain("example.com", [], 100, None, 404)
+        st = obj.domains["example.com"]
+        # the root path is pre-marked known by add_domain (root sniff
+        # seed), so the vector runs on a page URL
+        h = url_seen_hash_u(parse_url("https://example.com/page"))
+        assert obj._seen_lookup(st, h) is None          # isVisited false
+        assert obj._add_visited_h(st, h) is True        # addVisited true
+        assert obj._seen_lookup(st, h) is not None      # isVisited true
+        assert obj._add_visited_h(st, h) is False       # second add false
+
+    def test_known_identity(self):
+        from marginaliasearch_ray.model.urls import parse_url
+        from marginaliasearch_ray.state.frontier import url_seen_hash_u
+
+        h = url_seen_hash_u(parse_url("https://example.com"))
+        # trailing-slash and bare forms share one identity...
+        assert h == url_seen_hash_u(parse_url("https://example.com/"))
+        # ...but /index.html is distinct
+        assert h != url_seen_hash_u(parse_url("https://example.com/index.html"))
+
+    def test_schema_rewriting_http_to_https(self):
+        assert self._emit_both(True) == [
+            "https://www.example.com/",
+            "https://www.example.com/cat.png",
+        ]
+
+    def test_schema_rewriting_https_to_http(self):
+        assert self._emit_both(False) == [
+            "http://www.example.com/",
+            "http://www.example.com/cat.png",
+        ]
+
+    @staticmethod
+    def _emit_both(supports_https):
+        from marginaliasearch_ray.model.urls import parse_url
+        from marginaliasearch_ray.state.frontier import FrontierShardState
+
+        obj = FrontierShardState(0, 1)
+        obj.add_domain(
+            "www.example.com", [], 100, None, 404, supports_https=supports_https
+        )
+        st = obj.domains["www.example.com"]
+        obj._add_to_queue(st, parse_url("https://www.example.com"))
+        obj._add_to_queue(st, parse_url("http://www.example.com/cat.png"))
+        urls = list(obj.next_batch(100)["url"])  # root sniff emits first
+        urls += list(obj.next_batch(100)["url"])  # then the queued page
+        return urls
+
+
+class TestHeuristicTextUtilTestVectors:
+    """HeuristicTextUtilTest.java — countOccurrencesOfAnyWord /
+    containsWordInAnyCase, literal."""
+
+    SENTENCE = "B A Baracus was an expert with the Abacus"
+
+    def test_count_occurrences_of_any_word(self):
+        from marginaliasearch_ray.functions.domops import (
+            count_occurrences_of_any_word,
+        )
+
+        assert (
+            count_occurrences_of_any_word(
+                self.SENTENCE, {"b", "a", "baracus", "abacus"}
+            )
+            == 4
+        )
+
+    def test_contains_word_in_any_case(self):
+        from marginaliasearch_ray.functions.domops import _contains_word
+
+        low = self.SENTENCE.lower()
+        for w in ("b", "a", "baracus", "abacus"):
+            assert _contains_word(low, w)
+        assert not _contains_word(low, "cus")
