@@ -146,10 +146,16 @@ def process_html_document(
         # (HtmlDocumentProcessorPlugin.java:110-112, AcceptableAds.java)
         out["state"] = "disqualified_ads"
         return out
-    robots_meta = doc.meta_robots.lower()
-    if "noindex" in robots_meta or robots_meta.strip() == "none":
-        out["state"] = "disqualified_robots"
-        return out
+    # MetaRobotsTag.allowIndexingByMetaTag (converting/processor/
+    # MetaRobotsTag.java, pinned by MetaRobotsTagTest): case-SENSITIVE
+    # substring checks ("none" matches anywhere, per the upstream
+    # contains()), with the explicit marginalia-search content="all"
+    # override
+    robots_meta = doc.meta_robots
+    if "noindex" in robots_meta or "none" in robots_meta:
+        if "all" not in (doc.meta.get("marginalia-search") or ""):
+            out["state"] = "disqualified_robots"
+            return out
     # DocumentGeneratorExtractor.detectGenerator — feeds specialization
     # dispatch, DocumentFlags Generator{Docs,Forum,Wiki}, and the
     # generator: synthetic terms (HtmlDocumentProcessorPlugin.java:121-124)

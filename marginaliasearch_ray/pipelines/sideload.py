@@ -86,10 +86,13 @@ def process_sideload_document(
     # type (SideloaderProcessing.java:76-84) — no sniffing on this path.
     doc = parse_document(html, build_dom=True)
 
-    robots_meta = doc.meta_robots.lower()
-    if "noindex" in robots_meta or robots_meta.strip() == "none":
-        out["state"] = "disqualified_robots"
-        return out
+    # MetaRobotsTag semantics (case-sensitive contains + the
+    # marginalia-search content="all" override), as in pipelines/convert
+    robots_meta = doc.meta_robots
+    if "noindex" in robots_meta or "none" in robots_meta:
+        if "all" not in (doc.meta.get("marginalia-search") or ""):
+            out["state"] = "disqualified_robots"
+            return out
     spec_name = select_specialization(doc, u)
     if not should_index(spec_name, u):
         out["state"] = "disqualified_spec"

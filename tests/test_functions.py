@@ -303,3 +303,25 @@ def test_base_href():
     doc = parse_document(html)
     base = parse_url("https://x.com/other/page.html")
     assert [str(u) for u in extract_links(base, doc)] == ["https://x.com/sub/p.html"]
+
+
+class TestUrlBlocklistTestVectors:
+    """UrlBlocklistTest.java — isUrlBlocked, literal."""
+
+    def test_is_url_blocked(self):
+        from marginaliasearch_ray.functions.blocklist import is_url_blocked
+        from marginaliasearch_ray.model.urls import parse_url
+
+        blocked = [
+            "https://memex.marginalia.nu/ghc/ghc/blob/1b1067d14b656bbbfa7c47f156ec2700c9751549/compiler/main/UpdateCafInfos.hs",
+            "http://www.marginalia.nu/wp-content/uploads/test.jpg",
+            "http://yelenasimone.com/pdf/download-a-course-in-algebra.html",
+            "http://yelenasimone.com/_module/slide/pqPan/library/american-sour-beer-innovative-techniques-for-mixed-fermentations/",
+            "http://w-m-p.de/images/book/download-firstborn-starcraft-dark-templar-book-1.php",
+            "https://sqlite.org/src/info/6376abec766e9a0785178b1823b5a587e9f1ccbc",
+        ]
+        for u in blocked:
+            assert is_url_blocked(parse_url(u)), u
+        assert not is_url_blocked(
+            parse_url("http://yelenasimone.com/nope/x-a-course-in-algebra.html")
+        )

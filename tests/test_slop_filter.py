@@ -47,3 +47,35 @@ def test_filter_on_fixture_prev_crawl(small_web):
     out = filter_crawl_table(ds).to_pandas()
     assert len(out) > 0
     assert (out.http_status.isin([200, 206])).all()
+
+
+class TestMetaRobotsTagTestVectors:
+    """MetaRobotsTagTest.java — allowIndexingByMetaTag, literal, through
+    the converter's robots-meta gate."""
+
+    @staticmethod
+    def _allowed(head_metas: str) -> bool:
+        from marginaliasearch_ray.functions.htmldoc import parse_document
+
+        doc = parse_document(
+            f"<!DOCTYPE html><html><head><title>Hello</title>{head_metas}</head></html>"
+        )
+        robots_meta = doc.meta_robots
+        if "noindex" in robots_meta or "none" in robots_meta:
+            return "all" in (doc.meta.get("marginalia-search") or "")
+        return True
+
+    def test_no_tag(self):
+        assert self._allowed("")
+
+    def test_robots_noindex_tag(self):
+        assert not self._allowed('<meta name="robots" content="noindex" />')
+
+    def test_robots_none_tag(self):
+        assert not self._allowed('<meta name="robots" content="none" />')
+
+    def test_explicitly_allow_marginalia(self):
+        assert self._allowed(
+            '<meta name="robots" content="none" />'
+            '<meta name="marginalia-search" content="all" />'
+        )
