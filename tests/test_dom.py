@@ -684,3 +684,16 @@ class TestHtmlStringTaggerTestVector:
         assert len(headings) == 2
         assert headings[0] == " H1 Example  H1 Example again"
         assert headings[-1] == " Good bye"
+
+
+class TestMeasureLengthVisitorTestVector:
+    """MeasureLengthVisitorTest.java — literal."""
+
+    def test_measure_length(self):
+        from marginaliasearch_ray.functions.domops import measure_length
+        from marginaliasearch_ray.functions.htmldoc import parse_document
+
+        doc = parse_document(
+            "<p>  hello world! \n  <span> neat! </span>\n<p>\n", build_dom=True
+        )
+        assert measure_length(doc.dom) == 15
