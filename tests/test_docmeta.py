@@ -438,3 +438,18 @@ class TestDocumentMetadataTestVectors:
                     year_byte=yb, sets=0, quality_int=q, flags=fl,
                 )
             )
+
+
+class TestPubDateTestVector:
+    """PubDateTest.java yearByte — the MIN_YEAR..2021 roundtrip through
+    the BYTE_ENCODING_OFFSET (1996 = MIN_YEAR+1); note 1995 encodes as
+    -1 pre-clamp (the metadata word clamps at encode time, PubDate
+    itself does not)."""
+
+    def test_year_byte_roundtrip(self):
+        from marginaliasearch_ray.functions.docmeta import PUBDATE_BYTE_OFFSET
+
+        assert PUBDATE_BYTE_OFFSET == 1996
+        for year in range(1995, 2022):
+            year_byte = year - PUBDATE_BYTE_OFFSET  # instance yearByte()
+            assert year_byte + PUBDATE_BYTE_OFFSET == year  # fromYearByte
