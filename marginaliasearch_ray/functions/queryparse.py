@@ -81,6 +81,24 @@ def is_discarded_by_tokenizer(word: str) -> bool:
     return all(c in "/*-" for c in word)
 
 
+def trim_phrase_stop_words(parts: list[str]) -> list[str]:
+    """SearchPhraseConstraint.trimStopWords (api/.../SearchPhraseConstraint
+    .java:57-79, pinned by SearchPhraseConstraintTest): tokenizer-discarded
+    tokens are removed outright, stop words become "" placeholders (a
+    wildcard position in the adjacency check), and leading/trailing
+    placeholders are trimmed."""
+    ret: list[str] = []
+    for term in parts:
+        if is_discarded_by_tokenizer(term):
+            continue
+        ret.append("" if is_stop_word(term) else term)
+    while ret and ret[0] == "":
+        ret.pop(0)
+    while ret and ret[-1] == "":
+        ret.pop()
+    return ret
+
+
 # ---------------------------------------------------------------------------
 # tokens: (kind, str, display)
 # ---------------------------------------------------------------------------
@@ -401,7 +419,7 @@ def parse_query(raw: str) -> ParsedQuery:
                 if not is_stop_word(p) and not is_discarded_by_tokenizer(p)
             ]
             if len(parts) > 1:
-                pq.phrases.append(parts)
+                pq.phrases.append(trim_phrase_stop_words(parts))
                 pq.include.extend(searchable)
                 pq.priority.append(t.s)
             elif searchable:

@@ -595,15 +595,19 @@ def search_diverse(
 def _phrase_present(toks: np.ndarray, parts: list[str]) -> bool:
     """Adjacent-sequence presence (the mandatory SearchPhraseConstraint
     check, SearchPhraseConstraint.java mandatory): parts appear at
-    consecutive token positions."""
+    consecutive token positions.  An empty-string part is a stop-word
+    PLACEHOLDER (SearchPhraseConstraint.trimStopWords) — it matches any
+    token at that position."""
     n, m = len(toks), len(parts)
     if m == 0:
         return True
     if n < m:
         return False
-    hit = toks[: n - m + 1] == parts[0]
-    for j in range(1, m):
-        hit &= toks[j : n - m + 1 + j] == parts[j]
+    hit = np.ones(n - m + 1, dtype=bool)
+    for j, part in enumerate(parts):
+        if part == "":
+            continue  # placeholder position matches anything
+        hit &= toks[j : n - m + 1 + j] == part
         if not hit.any():
             return False
     return bool(hit.any())

@@ -40,9 +40,11 @@ def test_site_semantics():
 
 def test_quoted_phrase_spec():
     p = parse_query('"rock -n- roll" extra')
-    assert p.phrases == [["rock", "-n-", "roll"]]
-    # '-n-' is a junk word: kept in the phrase constraint, dropped from
-    # the required terms (WordPatterns.isStopWord via isNotJunkWord)
+    # '-n-' is a stop word: it becomes a "" placeholder in the phrase
+    # constraint (SearchPhraseConstraint.trimStopWords — a wildcard
+    # position in the adjacency check) and is dropped from the required
+    # terms (WordPatterns.isStopWord via isNotJunkWord)
+    assert p.phrases == [["rock", "", "roll"]]
     assert p.include == ["rock", "roll", "extra"]
     assert p.priority == ["rock_-n-_roll"]
 
@@ -59,3 +61,43 @@ def test_paren_advice_and_escape():
     assert p.require == ["hint"] and p.include == ["term"]
     toks = _kinds(r"a\ b")
     assert toks == [("literal", "a b", "a\\ b")]
+
+
+class TestSearchPhraseConstraintTestVectors:
+    """SearchPhraseConstraintTest.java — trimStopWords semantics,
+    literal (mandatory/optional/full all share the same trim)."""
+
+    @staticmethod
+    def _terms(*parts):
+        from marginaliasearch_ray.functions.queryparse import (
+            trim_phrase_stop_words,
+        )
+
+        return trim_phrase_stop_words(list(parts))
+
+    def test_tokenizer_discarded_tokens_are_removed(self):
+        assert self._terms("coca", "-", "cola") == ["coca", "cola"]
+        assert self._terms("five", "*", "six") == ["five", "six"]
+
+    def test_junk_words_become_placeholders(self):
+        assert self._terms(
+            "part", "number", "123456789012345678", "in", "stock"
+        ) == ["part", "number", "", "in", "stock"]
+        assert self._terms("foo", "-foo-", "bar") == ["foo", "", "bar"]
+
+    def test_leading_and_trailing_placeholders_are_trimmed(self):
+        assert self._terms("123456789012345678", "foo") == ["foo"]
+        assert self._terms("foo", "123456789012345678") == ["foo"]
+        assert self._terms("123456789012345678", "-") == []
+
+    def test_plain_words_pass_through(self):
+        assert self._terms("foo", "bar") == ["foo", "bar"]
+
+    def test_placeholder_is_wildcard_in_adjacency(self):
+        import numpy as np
+
+        from marginaliasearch_ray.stages.index import _phrase_present
+
+        toks = np.array(["part", "number", "zzz", "in", "stock"])
+        assert _phrase_present(toks, ["part", "number", "", "in", "stock"])
+        assert not _phrase_present(toks, ["part", "number", "", "stock"])
