@@ -456,4 +456,14 @@ def parse_query(raw: str) -> ParsedQuery:
         elif t.kind == SET_TERM:
             pq.search_set = t.s.upper()
         # LANG / NEAR: no-op (QueryFactory.java:176-178)
+    # SearchQuery.promoteNonRankingTerms (SearchQuery.java:221-227): with
+    # no ranking terms, advice terms become the ranking terms.  The site:
+    # dummy term stays in ``require`` here — this engine's site-only
+    # enumeration runs through the source-column filter (the observable
+    # equivalent of ranking by the constant dummy term), so only PLAIN
+    # advice terms promote.
+    plain_require = [t for t in pq.require if not t.startswith("site:")]
+    if not pq.include and plain_require:
+        pq.include.extend(plain_require)
+        pq.require = [t for t in pq.require if t.startswith("site:")]
     return pq

@@ -1,6 +1,8 @@
 """Query-parser conformance (QueryParser.java / QueryFactory.java) —
 including the six upstream QueryParserTest cases verbatim."""
 
+import pytest
+
 from marginaliasearch_ray.functions.queryparse import (
     parse_query,
     parse_query_tokens,
@@ -101,3 +103,92 @@ class TestSearchPhraseConstraintTestVectors:
         toks = np.array(["part", "number", "zzz", "in", "stock"])
         assert _phrase_present(toks, ["part", "number", "", "in", "stock"])
         assert not _phrase_present(toks, ["part", "number", "", "stock"])
+
+
+class TestQueryFactoryTestVectors:
+    """QueryFactoryTest.java — the assertion-bearing upstream cases over
+    the parse_query fold (QueryParser + QueryFactory semantics)."""
+
+    def test_parse_no_specials(self):
+        p = parse_query("in the year 2000")
+        assert not p.year and not p.size and not p.quality
+
+    def test_parse_site(self):
+        p = parse_query("plato site:en.wikipedia.org")
+        assert p.domain == "en.wikipedia.org"
+        assert p.include == ["plato"]
+
+    def test_parse_site_only_site_tag(self):
+        # special flow: the domain's documents stay enumerable; this
+        # engine carries the restriction through the domain filter (the
+        # reference promotes the dummy site: term into the query list)
+        p = parse_query("site:en.wikipedia.org")
+        assert p.domain == "en.wikipedia.org"
+        assert p.require == ["site:en.wikipedia.org"]
+        assert p.include == []
+
+    def test_parse_site_wildcard(self):
+        p = parse_query("plato site:*.wikipedia.org")
+        assert p.domain == "wikipedia.org"
+        assert p.require == ["site:wikipedia.org"]
+        assert p.include == ["plato"]
+
+    def test_long_quoted_query_is_rejected(self):
+        q = '"' + " ".join(f"word{i}" for i in range(50)) + ' "'
+        assert parse_query(q).include == []
+
+    def test_quoted_query_of_reasonable_length(self):
+        assert parse_query('"to be or not to be that is the question"').include
+
+    @pytest.mark.parametrize(
+        "q,attr,want",
+        [
+            ("year=2000", "year", "=2000"),
+            ("year<2000", "year", "<2000"),
+            ("year>2000", "year", ">2000"),
+            ("size=2000", "size", "=2000"),
+            ("size<2000", "size", "<2000"),
+            ("size>2000", "size", ">2000"),
+            ("q=2000", "quality", "=2000"),
+            ("q<2000", "quality", "<2000"),
+            ("q>2000", "quality", ">2000"),
+        ],
+    )
+    def test_spec_limits(self, q, attr, want):
+        assert getattr(parse_query(q), attr) == want
+
+    def test_priority_term(self):
+        p = parse_query("physics ?tld:edu")
+        assert p.priority == ["tld:edu"]
+        assert p.include == ["physics"]
+
+    def test_quoted_phrase_with_tokenizer_discarded_token(self):
+        p = parse_query('"coca - cola"')
+        assert p.include == ["coca", "cola"]
+        assert p.phrases == [["coca", "cola"]]
+
+    def test_quoted_phrase_with_asterisk(self):
+        p = parse_query('"five * six"')
+        assert p.include == ["five", "six"]
+        assert p.phrases == [["five", "six"]]
+
+    def test_quoted_phrase_with_junk_word(self):
+        p = parse_query('"part number 123456789012345678 in stock"')
+        assert p.include == ["part", "number", "in", "stock"]
+        assert p.phrases == [["part", "number", "", "in", "stock"]]
+
+    def test_quoted_single_word_possessive(self):
+        assert parse_query("\"cat's\"").include == ["cat"]
+
+    def test_negated_quoted_phrase(self):
+        p = parse_query('pottery -"artisanal cheese"')
+        assert p.include == ["pottery"]
+        assert p.exclude == ["artisanal", "cheese"]
+        assert p.phrases == []
+
+    def test_promote_non_ranking_terms(self):
+        # SearchQuery.promoteNonRankingTerms: advice-only queries rank by
+        # the advice terms
+        p = parse_query("?physics generator:wiki")
+        assert "generator:wiki" in p.include
+        assert p.require == []
