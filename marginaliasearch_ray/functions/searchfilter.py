@@ -394,3 +394,58 @@ def render_to_xml(spec: SearchFilterSpec) -> str:
         )
     sb.append("</filter>\n")
     return "".join(sb)
+
+
+# ---------------------------------------------------------------------------
+# Bang commands (search-service/command/BangCommand.java, pinned by
+# BangCommandTest): shortcut redirects like "!g terms".
+# ---------------------------------------------------------------------------
+
+# the reference registers these in a HashMap (iteration order unspecified);
+# a query can realistically match only one bang, and this deterministic
+# order makes the multi-bang edge reproducible
+BANG_PATTERNS = (
+    ("!g", "https://www.google.com/search?q=%s"),
+    ("!ddg", "https://duckduckgo.com/?q=%s"),
+    ("!w", "/search?query=%s+site:en.wikipedia.org"),
+)
+
+
+def match_bang_pattern(query: str, bang_key: str) -> "str | None":
+    """BangCommand.matchBangPattern (java:44-66): each occurrence of the
+    bang key must sit on space-or-edge boundaries; the remaining query is
+    prefix + " " + suffix, trimmed; blank -> no match."""
+    pos = -1
+    n = len(query)
+    while pos + 1 < n:
+        pos = query.find(bang_key, pos + 1)
+        if pos < 0:
+            return None
+        # Java Character.isSpaceChar: Unicode space SEPARATORS only
+        # (Zs/Zl/Zp) — a tab is NOT a boundary, unlike str.isspace()
+        def _is_space_char(c: str) -> bool:
+            import unicodedata
+
+            return unicodedata.category(c) in ("Zs", "Zl", "Zp")
+
+        before_ok = pos - 1 < 0 or _is_space_char(query[pos - 1])
+        after = pos + len(bang_key)
+        after_ok = after >= n or _is_space_char(query[after])
+        if not (before_ok and after_ok):
+            continue
+        ret = (query[:pos].strip() + " " + query[after:].strip()).strip()
+        return ret if ret else None
+    return None
+
+
+def bang_redirect(query: str) -> "str | None":
+    """BangCommand.process: first matching bang wins; the remainder is
+    URL-encoded (application/x-www-form-urlencoded, as
+    java.net.URLEncoder) into the redirect pattern."""
+    from urllib.parse import quote_plus
+
+    for bang_key, pattern in BANG_PATTERNS:
+        match = match_bang_pattern(query, bang_key)
+        if match is not None:
+            return pattern % quote_plus(match)
+    return None

@@ -297,3 +297,41 @@ def test_escape_roundtrip():
     xml = render_to_xml(f)
     assert "a&amp;b" in xml
     assert parse_search_filter("t", "t", xml) == f
+
+
+class TestBangCommandTestVectors:
+    """BangCommandTest.java (search-service + legacy twin) — literal."""
+
+    def test_g_redirect(self):
+        from marginaliasearch_ray.functions.searchfilter import bang_redirect
+
+        assert bang_redirect(" !g test") == "https://www.google.com/search?q=test"
+
+    def test_match_pattern(self):
+        from marginaliasearch_ray.functions.searchfilter import (
+            match_bang_pattern,
+        )
+
+        assert match_bang_pattern("!g test", "!g") == "test"
+
+    def test_match_pattern2(self):
+        from marginaliasearch_ray.functions.searchfilter import (
+            match_bang_pattern,
+        )
+
+        assert match_bang_pattern("test !g", "!g") == "test"
+
+    def test_match_pattern3(self):
+        from marginaliasearch_ray.functions.searchfilter import (
+            match_bang_pattern,
+        )
+
+        assert match_bang_pattern("hello !g world", "!g") == "hello world"
+
+    def test_no_match_mid_word(self):
+        from marginaliasearch_ray.functions.searchfilter import (
+            match_bang_pattern,
+        )
+
+        assert match_bang_pattern("big!g test", "!g") is None
+        assert match_bang_pattern("plain query", "!g") is None
