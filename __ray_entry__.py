@@ -1126,14 +1126,16 @@ _PARSE_EXPECTED = [
     ("swedish houses", "", "", "", "", "", "", "", "", "", "AUTO", "", 0),
     ("maps", "", "", "", "", "", "", "", "", "", "AUTO", "", 0),
     ("main", "", "advisory", "", "", "", "", "", "", "", "AUTO", "", 0),
-    ("", "bloat", "generator:hugo", "fast", "", "", "", "", "", "", "AUTO", "", 0),
+    # promoteNonRankingTerms: advice-only -> the advice term ranks
+    ("generator:hugo", "bloat", "", "fast", "", "", "", "", "", "", "AUTO", "", 0),
     ("", "", "", "", "", "", "", "", "", "", "AUTO", "", 1),
     ("c++ tutorial", "", "", "c++_tutorial", "c++_tutorial", "", "", "", "", "", "AUTO", "", 0),
     ("trailing term", "", "", "", "", "", "", "", "", "", "AUTO", "", 0),
     ("single", "", "", "", "", "", "", "", "", "", "AUTO", "", 0),
     ("a-b-c-d-e-f chain", "", "", "", "", "", "", "", "", "", "AUTO", "", 0),
-    ("", "", "ip:1.2.3.4 tld:se file:zip", "", "", "", "", "", "", "", "AUTO", "", 0),
-    ("rock roll", "", "", "rock_-n-_roll", "rock_-n-_roll", "", "", "", "", "", "AUTO", "", 0),
+    ("ip:1.2.3.4 tld:se file:zip", "", "", "", "", "", "", "", "", "", "AUTO", "", 0),
+    # trimStopWords: the stop word becomes a "" placeholder in the phrase
+    ("rock roll", "", "", "rock_-n-_roll", "rock__roll", "", "", "", "", "", "AUTO", "", 0),
 ]
 
 
