@@ -56,6 +56,21 @@ def get_last_modified(lastmod_field, headers_raw) -> "str | None":
     return _header_value(headers_raw, "last-modified")
 
 
+def content_tags(
+    etag_field=None, lastmod_field=None, headers_raw=None, has_doc: bool = True
+) -> tuple:
+    """DocumentWithReference.getContentTags (crawl/retreival/revisit/,
+    pinned by DocumentWithReferenceTest): no prior document -> empty
+    tags; else (etag, last_modified) via the field-then-headers rule —
+    the conditional-request side of the recrawl decision."""
+    if not has_doc:
+        return (None, None)
+    return (
+        get_etag(etag_field, headers_raw),
+        get_last_modified(lastmod_field, headers_raw),
+    )
+
+
 def _header_value(headers_raw, key_lower: str) -> "str | None":
     if not headers_raw:
         return None

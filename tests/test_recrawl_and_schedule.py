@@ -118,3 +118,28 @@ class TestCrawledDocumentTestVectors:
         assert get_last_modified(None, "Last-Modified: " + lm) == lm
         assert get_last_modified(None, "Some-Other-Header: Some value") is None
         assert get_last_modified(lm, None) == lm
+
+
+class TestDocumentWithReferenceTestVectors:
+    """DocumentWithReferenceTest.java — getContentTags, literal."""
+
+    def test_get_content_tags_doc_is_null(self):
+        from marginaliasearch_ray.pipelines.recrawl import content_tags
+
+        assert content_tags(has_doc=False) == (None, None)
+
+    def test_get_content_tags_last_modified_and_etag_is_null(self):
+        from marginaliasearch_ray.pipelines.recrawl import content_tags
+
+        assert content_tags(None, None, None) == (None, None)
+
+    def test_get_content_tags_new_crawl_data(self):
+        from marginaliasearch_ray.pipelines.recrawl import content_tags
+
+        assert content_tags("12345", "67890", None) == ("12345", "67890")
+
+    def test_get_content_tags_legacy_crawl_data(self):
+        from marginaliasearch_ray.pipelines.recrawl import content_tags
+
+        raw = "Etag: 12345\nLast-Modified: 67890\n"
+        assert content_tags(None, None, raw) == ("12345", "67890")
