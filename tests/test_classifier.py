@@ -158,3 +158,58 @@ def test_nsfw_domain_tier_table():
     tiers = {nsfw_domain_tier(f"d{i}.com") for i in range(200)}
     assert tiers <= {0, 1, 2}
     assert 0 in tiers  # most domains unblocked
+
+
+class TestClassifierVocabularyTestVectors:
+    """ClassifierVocabularyTest.java — unigram + bigram feature
+    collection in insertion order, literal."""
+
+    def test_unigrams(self):
+        from marginaliasearch_ray.functions.classifier import (
+            ClassifierVocabulary,
+        )
+
+        v = ClassifierVocabulary(["foo", "bar"])
+        assert v.features("foo") == [0]
+        assert v.features("foo foo") == [0]
+        assert v.features("bar") == [1]
+        assert v.features("foo bar") == [0, 1]
+        assert v.features("bar foo") == [1, 0]
+        assert v.features("bar baz foo") == [1, 0]
+
+    def test_bigrams(self):
+        from marginaliasearch_ray.functions.classifier import (
+            ClassifierVocabulary,
+        )
+
+        v = ClassifierVocabulary(["foo", "bar", "foo_bar"])
+        assert v.features("foo") == [0]
+        assert v.features("foo foo") == [0]
+        assert v.features("bar") == [1]
+        assert v.features("foo bar") == [0, 1, 2]
+        assert v.features("bar foo") == [1, 0]
+        assert v.features("bar baz foo") == [1, 0]
+        assert v.features("foo baz bar") == [0, 1]
+
+
+class TestBinaryClassifierModelTestVector:
+    """BinaryClassifierModelTest.testTrain — the upstream separability
+    assertion (1000 epochs at lr 0.1 over the 4-sample NSFW toy set)."""
+
+    def test_train(self):
+        from marginaliasearch_ray.functions.classifier import (
+            BinaryClassifierModel,
+            ClassifierVocabulary,
+        )
+
+        v = ClassifierVocabulary(["sex", "pussy", "ass", "academy", "theory", "java"])
+        samples = [
+            (1.0, v.features("sex ass"), None),
+            (1.0, v.features("pussy"), None),
+            (0.0, v.features("academy theory"), None),
+            (0.0, v.features("java academy"), None),
+        ]
+        m = BinaryClassifierModel.for_training(6, 16, "BINARY")
+        m.train(samples, 1000, 0.1)
+        assert m.predict(v.features("pussy sex")) > 0.75
+        assert m.predict(v.features("theory java")) < 0.25
