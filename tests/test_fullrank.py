@@ -491,3 +491,20 @@ class TestDocumentKeywordExtractorTestVectors:
         assert "dirty" in words
         assert "blues" in words
         assert words["dirty"][1] != words["blues"][1]
+
+
+class TestSequenceOperationsTestVectors:
+    """SequenceOperationsTest.java — minDistance + the intersection
+    semantics this engine consumes (stages/index _min_spread and the
+    verbatim/proximity machinery), literal where portable."""
+
+    def test_min_distance(self):
+        from marginaliasearch_ray.stages.index import _min_spread
+
+        assert _min_spread([[11, 80, 160], [20, 50, 100], [30, 60, 90]]) == 19
+
+    def test_min_distance_degenerate(self):
+        from marginaliasearch_ray.stages.index import _min_spread
+
+        assert _min_spread([]) == 0
+        assert _min_spread([[5, 9]]) == 0
