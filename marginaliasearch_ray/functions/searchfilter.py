@@ -449,3 +449,28 @@ def bang_redirect(query: str) -> "str | None":
         if match is not None:
             return pattern % quote_plus(match)
     return None
+
+
+def adhoc_filter_for(
+    deny_js: bool = False,
+    reduce_adtech: bool = False,
+    recent: bool = False,
+    require_title: bool = False,
+) -> dict:
+    """SearchParameters.asFilterSpec's ad-hoc filter assembly
+    (search-service/model/SearchParameters.java + the Search*Parameter
+    enums, pinned by SearchParametersTest): each UI toggle contributes
+    its fragment — DENY_JS excludes ``special:scripts``, adtech REDUCE
+    excludes ``special:ads``/``special:affiliate`` (in that order,
+    scripts first when combined), RECENT sets the temporal bias, TITLE
+    sets the REQUIRE_FIELD_TITLE strategy."""
+    terms_exclude: list[str] = []
+    if deny_js:
+        terms_exclude.append("special:scripts")
+    if reduce_adtech:
+        terms_exclude.extend(["special:ads", "special:affiliate"])
+    return {
+        "terms_exclude": terms_exclude,
+        "temporal_bias": "RECENT" if recent else "NONE",
+        "query_strategy": "REQUIRE_FIELD_TITLE" if require_title else "AUTO",
+    }

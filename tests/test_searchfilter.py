@@ -335,3 +335,55 @@ class TestBangCommandTestVectors:
 
         assert match_bang_pattern("big!g test", "!g") is None
         assert match_bang_pattern("plain query", "!g") is None
+
+
+class TestSearchParametersTestVectors:
+    """SearchParametersTest.java — the ad-hoc filter fragments each UI
+    toggle contributes, literal."""
+
+    def test_no_js(self):
+        from marginaliasearch_ray.functions.searchfilter import adhoc_filter_for
+
+        assert adhoc_filter_for(deny_js=True)["terms_exclude"] == ["special:scripts"]
+
+    def test_no_ads(self):
+        from marginaliasearch_ray.functions.searchfilter import adhoc_filter_for
+
+        assert adhoc_filter_for(reduce_adtech=True)["terms_exclude"] == [
+            "special:ads", "special:affiliate",
+        ]
+
+    def test_recent(self):
+        from marginaliasearch_ray.functions.searchfilter import adhoc_filter_for
+
+        assert adhoc_filter_for(recent=True)["temporal_bias"] == "RECENT"
+
+    def test_title(self):
+        from marginaliasearch_ray.functions.searchfilter import adhoc_filter_for
+
+        assert (
+            adhoc_filter_for(require_title=True)["query_strategy"]
+            == "REQUIRE_FIELD_TITLE"
+        )
+
+    def test_combined_flags(self):
+        from marginaliasearch_ray.functions.searchfilter import adhoc_filter_for
+
+        spec = adhoc_filter_for(
+            deny_js=True, reduce_adtech=True, recent=True, require_title=True
+        )
+        assert spec["terms_exclude"] == [
+            "special:scripts", "special:ads", "special:affiliate",
+        ]
+        assert spec["temporal_bias"] == "RECENT"
+        assert spec["query_strategy"] == "REQUIRE_FIELD_TITLE"
+
+    def test_default(self):
+        from marginaliasearch_ray.functions.searchfilter import adhoc_filter_for
+
+        spec = adhoc_filter_for()
+        assert spec == {
+            "terms_exclude": [],
+            "temporal_bias": "NONE",
+            "query_strategy": "AUTO",
+        }
