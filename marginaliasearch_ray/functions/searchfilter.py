@@ -474,3 +474,27 @@ def adhoc_filter_for(
         "temporal_bias": "RECENT" if recent else "NONE",
         "query_strategy": "REQUIRE_FIELD_TITLE" if require_title else "AUTO",
     }
+
+
+_SITE_REDIRECT_RE = None
+
+
+def site_redirect(query: str) -> "tuple[str, str] | None":
+    """SiteRedirectCommand.process (search-service/command/, pinned by
+    SiteRedirectCommandTest): a bare ``site:``/``links:`` query becomes
+    an HTML redirect to /site/<domain>?view=<info|links>.  URL-shaped
+    payloads strip scheme and path; -> (domain, view) or None."""
+    import re
+
+    global _SITE_REDIRECT_RE
+    if _SITE_REDIRECT_RE is None:
+        _SITE_REDIRECT_RE = re.compile(r"^(?:site|links):[.A-Za-z\-0-9:/]+$")
+    if not _SITE_REDIRECT_RE.search(query):
+        return None
+    idx = query.index(":")
+    prefix, domain = query[:idx], query[idx + 1 :].lower()
+    if ":" in domain:  # looks like an URL and not a domain name
+        domain = domain[domain.index("://") + 3 :]
+        if domain.find("/") > 0:
+            domain = domain[: domain.index("/")]
+    return domain, ("links" if prefix == "links" else "info")

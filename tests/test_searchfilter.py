@@ -387,3 +387,26 @@ class TestSearchParametersTestVectors:
             "temporal_bias": "NONE",
             "query_strategy": "AUTO",
         }
+
+
+class TestSiteRedirectCommandTestVectors:
+    """SiteRedirectCommandTest.java — full-URL redirect extraction."""
+
+    def test_full_url_redirect(self):
+        from marginaliasearch_ray.functions.searchfilter import site_redirect
+
+        for q in (
+            "site:marginalia.nu",
+            "site:https://marginalia.nu/",
+            "site:http://marginalia.nu/",
+            "site:https://marginalia.nu",
+            "site:https://marginalia.nu/index.html",
+        ):
+            assert site_redirect(q) == ("marginalia.nu", "info"), q
+
+    def test_links_view_and_non_matches(self):
+        from marginaliasearch_ray.functions.searchfilter import site_redirect
+
+        assert site_redirect("links:marginalia.nu") == ("marginalia.nu", "links")
+        assert site_redirect("cats site:marginalia.nu") is None
+        assert site_redirect("plain query") is None
